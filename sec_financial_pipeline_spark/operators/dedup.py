@@ -1,0 +1,84 @@
+"""Deduplication policies (SURVEY §2.4 A2/A3 + north-star text dedup).
+
+The reference contains *two* divergent dedup semantics:
+
+- **argmax-abs** (``src/api/data_service.py:126-176``, argmax at ``:167``):
+  among duplicate facts for a (ticker, fy, fp) key, keep the value with the
+  largest absolute magnitude (restatements usually restate upward).
+- **last-write-wins** (``main.py:313-331``, ``financial_analyzer.py:216-236``):
+  dict assignment keeps the last-seen entry in file order.
+
+Both are implemented; each caller chooses one explicitly. Python's
+``max`` keeps the *first* of tied elements, so each policy takes explicit
+tie-breaker columns to stay deterministic under distribution — on a
+cluster, "first seen" is not a meaningful order.
+
+Implementation: a single window ``row_number`` per key — one shuffle on
+the dedup key, map-side nothing to pre-aggregate (whole rows survive).
+At 100 TB this is the minimal-shuffle shape; AQE handles skewed keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keep_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Keep the first row per key under a total order (must be total —
+    pass tie-breakers — or the result is nondeterministic)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def argmax_abs(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    tiebreakers: Sequence[str | Column] = (),
+) -> DataFrame:
+    """Argmax-abs dedup (reference ``data_service.py:167``)."""
+    order = [F.abs(F.col(value_col)).desc_nulls_last()]
+    order += [F.col(c).asc() if isinstance(c, str) else c for c in tiebreakers]
+    return keep_first(df, keys, order)
+
+
+def last_write_wins(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str | Column,
+    tiebreakers: Sequence[str | Column] = (),
+) -> DataFrame:
+    """Last-write-wins dedup (reference ``main.py:331``): keep the row
+    with the greatest ``order_col`` per key."""
+    order = [
+        (F.col(order_col) if isinstance(order_col, str) else order_col).desc()
+    ]
+    order += [F.col(c).desc() if isinstance(c, str) else c for c in tiebreakers]
+    return keep_first(df, keys, order)
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: Sequence[str],
+    keep_min_of: str,
+) -> DataFrame:
+    """Exact content dedup: one representative row per distinct content.
+
+    Used for document-level exact dedup at scale: group by a content hash
+    (cheap map-side partial agg) and keep the row with the minimum id.
+    Equivalent to ``dropDuplicates(content_cols)`` but with a
+    *deterministic* representative (dropDuplicates keeps an arbitrary one).
+    """
+    order = [F.col(keep_min_of).asc()]
+    return keep_first(df, list(content_cols), order)

@@ -1,0 +1,191 @@
+"""Similarity-search and near-duplicate operators (SURVEY §2.9).
+
+Engine-independent determinism is part of the design: every hash is
+md5-based (identical in any engine), every float ranking is rounded
+before comparison, and every top-k has an id tie-breaker. All operators
+are pure DataFrame compositions — array expressions inside codegen, no
+Python UDFs — and are written so the expensive joins are bucketed
+(LSH band / hash bucket) rather than all-pairs at scale.
+
+Scale notes (100 TB posture):
+- MinHash-LSH: candidate generation is an equi-join on band hash — a
+  shuffle on band key; band size r and band count b tune the
+  precision/recall vs shuffle-width trade-off.
+- SimHash: 64 -> 32-bit signatures make near-dup detection a cheap
+  bit_count(xor) over candidate pairs (bucket by signature prefix at
+  scale instead of the all-pairs join used for the small oracle check).
+- Cosine ANN: brute force is the baseline (O(Q x N) with broadcast
+  queries); the bucketed variant projects onto fixed hyperplanes and
+  joins on the sign-bucket, cutting candidates by ~2^bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Embedding math (arrays of float -> double expressions, JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (shingle -> md5 minima -> LSH bands)
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a single-space-tokenized text column.
+
+    1-indexed ``element_at`` so the same expression transliterates to the
+    oracle's 1-indexed list lambda.
+    """
+    w = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.size(w) - (k - 1))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + off) for off in range(k)]
+        ),
+    )
+    return F.array_distinct(shingle)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature + LSH band hashes.
+
+    Hash family: ``md5(seed || '#' || shingle)`` — engine-independent and
+    uniform; the minimum over shingles is taken lexicographically on the
+    hex string (total order, no ties across distinct shingles).
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*mins)
+    n_bands = n_hashes // band_size
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    return sig.select(id_col, *bands)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+    """Distinct unordered candidate pairs sharing at least one LSH band.
+
+    Equi-join per band (shuffle on the band hash — never all-pairs),
+    then distinct across bands.
+    """
+    band_cols = [c for c in signatures.columns if c.startswith("band")]
+    stacked = None
+    for c in band_cols:
+        one = signatures.select(
+            F.col(id_col).alias("id"), F.col(c).alias("band_hash"),
+            F.lit(c).alias("band_no"),
+        )
+        stacked = one if stacked is None else stacked.unionByName(one)
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash (token-hash bit votes -> 32-bit signature)
+# ---------------------------------------------------------------------------
+
+N_SIMHASH_BITS = 32
+
+
+def token_hash(tok: Column) -> Column:
+    """Engine-independent 32-bit token hash: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Weighted SimHash over whitespace tokens (duplicates count).
+
+    Integer bit-vote sums are exact, so the signature is deterministic
+    under any aggregation order.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", token_hash(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(N_SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return per_doc.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def hamming_pairs(
+    sig: DataFrame, id_col: str, max_distance: int
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash signatures.
+
+    All-pairs here (fine for oracle-scale); at 100 TB bucket by signature
+    prefix (pigeonhole: distance <= d means some ceil(bits/(d+1))-bit
+    block matches exactly) and join per block instead.
+    """
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b")
+    )
+    joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return joined.select(
+        "id_a", "id_b", dist.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_distance)

@@ -1,0 +1,123 @@
+"""SEC-shaped domain model derived deterministically from the driver tables.
+
+The correctness gate runs on the driver's TPC-H-ish parquet (TESTDATA.md),
+but the reference's interesting semantics live on its *fact table* (tag
+coalescing, restatement dedup, annual/quarterly period predicates, trend
+windows — SURVEY §1/§2). Bridge: derive a faithful long-format ``facts``
+table (plus ``companies`` dim and the metric alias map) from ``orders`` /
+``customer`` with pure deterministic SQL that parses identically under
+Spark SQL and DuckDB. The Spark engine consumes the derived DataFrame
+through the real operator library; the oracle consumes the same text as a
+CTE — so every SEC-specific operator is end-to-end checkable.
+
+Shape of the derived facts (mirrors FACTS_SCHEMA / reference
+``src/core/models.py:33-52``):
+
+- 25 synthetic tickers ``T00..T24`` from ``o_custkey % 25``;
+- three metrics per order — a revenue fact whose XBRL tag rotates through
+  the reference's revenue fallback family (``main.py:165-180``), a
+  ``NetIncomeLoss`` fact, and an ``Assets`` instant fact;
+- ~10% duplicated (ticker, tag, fy, fp) keys via amended-filing rows
+  (form ``10-K/A``, value * 1.05) so both dedup policies are observable;
+- NULL fiscal periods, ``FY`` vs ``Q1..Q4`` mix, ``shares``-unit noise,
+  and negative values, per FIXTURES.md §B1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sec_financial_pipeline_spark.sources.testdata import register_views
+
+# Shared SQL (valid in both Spark SQL and DuckDB).
+FACTS_SQL = """
+SELECT
+  'T' || lpad(CAST(o_custkey % 25 AS STRING), 2, '0')        AS ticker,
+  lpad(CAST(9000000 + o_custkey % 25 AS STRING), 10, '0')    AS cik,
+  'us-gaap'                                                  AS taxonomy,
+  CASE
+    WHEN m.mi = 1 THEN 'NetIncomeLoss'
+    WHEN m.mi = 2 THEN 'Assets'
+    WHEN o_orderkey % 11 = 0 THEN 'SalesRevenueNet'
+    WHEN o_orderkey % 11 < 6 THEN 'Revenues'
+    ELSE 'RevenueFromContractWithCustomerExcludingAssessedTax'
+  END                                                        AS tag,
+  CASE
+    WHEN m.mi = 1 THEN 'Net Income (Loss) Attributable to Parent'
+    WHEN m.mi = 2 THEN 'Assets, Total'
+    ELSE 'Revenues, Total'
+  END                                                        AS label,
+  CAST(
+    CASE
+      WHEN m.mi = 1 THEN o_totalprice * (CASE WHEN o_orderkey % 13 = 0 THEN -0.08 ELSE 0.08 END)
+      WHEN m.mi = 2 THEN o_totalprice * 5.0
+      WHEN m.mi = 3 THEN o_totalprice * 1.05
+      ELSE o_totalprice
+    END AS DOUBLE)                                           AS value,
+  CASE WHEN m.mi = 0 AND o_orderkey % 17 = 0 THEN 'shares' ELSE 'USD' END AS unit,
+  CAST(year(o_orderdate) AS INT)                             AS fiscal_year,
+  CASE
+    WHEN o_orderkey % 7 = 0 THEN CAST(NULL AS STRING)
+    WHEN o_orderkey % 3 = 0 THEN 'FY'
+    ELSE 'Q' || CAST(quarter(o_orderdate) AS STRING)
+  END                                                        AS fiscal_period,
+  CASE
+    WHEN m.mi = 3 THEN '10-K/A'
+    WHEN o_orderkey % 7 = 0 THEN '8-K'
+    WHEN o_orderkey % 3 = 0 THEN '10-K'
+    ELSE '10-Q'
+  END                                                        AS form,
+  CASE WHEN m.mi = 2 THEN CAST(NULL AS DATE) ELSE CAST(o_orderdate AS DATE) END AS end_date,
+  CASE WHEN m.mi = 2 THEN CAST(o_orderdate AS DATE) ELSE CAST(NULL AS DATE) END AS instant_date,
+  o_orderkey * 10 + m.mi                                     AS fact_id
+FROM orders
+CROSS JOIN (SELECT * FROM (VALUES (0), (1), (2), (3)) AS v(mi)) AS m
+WHERE m.mi < 3 OR o_orderkey % 10 = 0
+"""
+
+COMPANIES_SQL = """
+SELECT
+  'T' || lpad(CAST(k AS STRING), 2, '0')                     AS ticker,
+  lpad(CAST(9000000 + k AS STRING), 10, '0')                 AS cik,
+  'Synthetic Co ' || CAST(k AS STRING)                       AS name,
+  'SECTOR_' || CAST(k % 4 AS STRING)                         AS sector
+FROM (SELECT DISTINCT o_custkey % 25 AS k FROM orders) AS t
+"""
+
+#: Reference revenue fallback family in priority order (``main.py:165-180``)
+#: plus the other two derived metrics.
+ALIAS_SQL = """
+SELECT * FROM (VALUES
+  ('revenue', 'RevenueFromContractWithCustomerExcludingAssessedTax', 0),
+  ('revenue', 'Revenues', 1),
+  ('revenue', 'SalesRevenueNet', 2),
+  ('net_income', 'NetIncomeLoss', 0),
+  ('total_assets', 'Assets', 0)
+) AS a(metric, tag, priority)
+"""
+
+
+def facts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(FACTS_SQL)
+
+
+def companies_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(COMPANIES_SQL)
+
+
+def alias_df(spark: SparkSession) -> DataFrame:
+    return spark.sql(ALIAS_SQL)
+
+
+def duck_prelude(*extra: str) -> str:
+    """Oracle-side CTE prelude: ``WITH facts AS (...), companies AS (...),
+    alias_map AS (...)`` plus any extra named CTEs (``"name AS (...)"``)."""
+    ctes = [
+        f"facts AS ({FACTS_SQL})",
+        f"companies AS ({COMPANIES_SQL})",
+        f"alias_map AS ({ALIAS_SQL})",
+        *extra,
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n"

@@ -1,0 +1,125 @@
+"""Event-stream queries (batch-checkable analogs of the streaming path).
+
+The `events` table is the stream-shaped input (TESTDATA.md). These run the
+same logical windows as `streaming/` but in batch so the DuckDB oracle can
+verify them; the Structured Streaming twins live in
+``sec_financial_pipeline_spark.streaming`` and are exercised by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.functions.deterministic import dsum, dsum_sql
+from sec_financial_pipeline_spark.registry.core import register
+from sec_financial_pipeline_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# C5 — JSON extraction from the props column
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_json_extract",
+    f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY event_type
+""",
+    survey="C5 (JSON path extraction + typed aggregation)",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        dsum("value").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T analog — tumbling-window aggregation (batch twin of the streaming agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_hourly_tumbling",
+    f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    survey="§2.7 (tumbling window agg; streaming twin in streaming/events.py)",
+)
+def q_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based sessions via lag + running sum (W-family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_sessionize",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) AS session_end
+FROM sessions
+GROUP BY user_id, session_no
+""",
+    survey="W-family (sessionization: lag-gap flag + running sum)",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 1800000000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy(
+        "user_id", F.col("session_no").cast("bigint").alias("session_no")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

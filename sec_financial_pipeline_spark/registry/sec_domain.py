@@ -1,0 +1,522 @@
+"""SEC-domain queries over the derived ``facts``/``companies`` model.
+
+These exercise the reference's own query surface (SURVEY §2.2-§2.5, §3.1)
+end-to-end against the DuckDB oracle: the Spark side composes the real
+operator library; the oracle re-states the same semantics as a window /
+join / pivot SQL over the identical derived CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.functions.deterministic import dsum, dsum_sql
+from sec_financial_pipeline_spark.functions.scalar import safe_div
+from sec_financial_pipeline_spark.operators import filters, windows
+from sec_financial_pipeline_spark.operators.dedup import keep_first
+from sec_financial_pipeline_spark.plans import domain
+from sec_financial_pipeline_spark.registry.core import register
+
+# ---------------------------------------------------------------------------
+# Shared building blocks
+# ---------------------------------------------------------------------------
+
+
+def _facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain.facts_df(spark, sf_dir)
+
+
+def metric_series(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str,
+    dedup: str = "argmax_abs",
+    annual: bool = True,
+) -> DataFrame:
+    """The reference's §3.1 metric-series plan as one DataFrame pipeline
+    (reference ``src/api/data_service.py:112-186``): unit filter -> period
+    filter -> null-key filter -> broadcast alias join (tag coalescing) ->
+    windowed dedup -> projection. One shuffle (the dedup window).
+    """
+    facts = _facts(spark, sf_dir).filter(F.col("unit") == "USD")
+    facts = filters.annual_only(facts) if annual else filters.quarterly_only(facts)
+    facts = filters.drop_null_keys(facts, ["fiscal_year"])
+    alias = domain.alias_df(spark).filter(F.col("metric") == metric)
+    joined = facts.join(F.broadcast(alias), "tag")
+    if dedup == "argmax_abs":
+        order = [
+            F.col("priority").asc(),
+            F.abs(F.col("value")).desc(),
+            F.col("fact_id").asc(),
+        ]
+    else:  # last-write-wins in fact ingest order (reference main.py:331)
+        order = [F.col("priority").asc(), F.col("fact_id").desc()]
+    best = keep_first(joined, ["ticker", "fiscal_year"], order)
+    return best.select("ticker", "fiscal_year", "tag", "value")
+
+
+def _metric_series_oracle(metric: str, dedup: str = "argmax_abs") -> str:
+    rank_order = (
+        "a.priority ASC, abs(f.value) DESC, f.fact_id ASC"
+        if dedup == "argmax_abs"
+        else "a.priority ASC, f.fact_id DESC"
+    )
+    return domain.duck_prelude() + f"""
+SELECT ticker, fiscal_year, tag, value FROM (
+  SELECT f.ticker, f.fiscal_year, f.tag, f.value,
+         row_number() OVER (PARTITION BY f.ticker, f.fiscal_year
+                            ORDER BY {rank_order}) AS rn
+  FROM facts f
+  JOIN alias_map a ON f.tag = a.tag AND a.metric = '{metric}'
+  WHERE f.unit = 'USD'
+    AND (f.fiscal_period IS NULL OR f.fiscal_period = 'FY')
+    AND f.fiscal_year IS NOT NULL
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the full §3.1 serving plan (scan→filter→coalesce→dedup→sort→limit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sec_metric_series_revenue",
+    _metric_series_oracle("revenue"),
+    survey="§3.1 F1 F3 F5 J6 A2 (argmax-abs policy)",
+)
+def q_metric_series_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metric_series(spark, sf_dir, "revenue", dedup="argmax_abs")
+
+
+@register(
+    "sec_metric_series_lww",
+    _metric_series_oracle("net_income", dedup="lww"),
+    survey="A3 (last-write-wins policy)",
+)
+def q_metric_series_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metric_series(spark, sf_dir, "net_income", dedup="lww")
+
+
+@register(
+    "sec_metric_topk",
+    _metric_series_oracle("revenue")
+    + "ORDER BY fiscal_year DESC, ticker ASC LIMIT 40",
+    survey="W1 W2 F2 (sort desc + top-k)",
+)
+def q_metric_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = metric_series(spark, sf_dir, "revenue")
+    return windows.top_k(
+        series, [F.col("fiscal_year").desc(), F.col("ticker").asc()], 40
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — the two divergent period-predicate semantics, side by side
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sec_period_semantics",
+    domain.duck_prelude() + """
+SELECT 'service' AS semantics, count(*) AS n_facts
+FROM facts WHERE fiscal_period IS NULL OR fiscal_period = 'FY'
+UNION ALL
+SELECT 'analyzer' AS semantics, count(*) AS n_facts
+FROM facts WHERE starts_with(coalesce(fiscal_period, ''), 'FY')
+UNION ALL
+SELECT 'quarterly' AS semantics, count(*) AS n_facts
+FROM facts WHERE starts_with(coalesce(fiscal_period, ''), 'Q')
+""",
+    survey="F1 (both reference semantics, documented divergence)",
+)
+def q_period_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = _facts(spark, sf_dir)
+    rows = [
+        ("service", filters.annual_only(facts)),
+        ("analyzer", filters.annual_only_analyzer(facts)),
+        ("quarterly", filters.quarterly_only(facts)),
+    ]
+    out = None
+    for name, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n_facts")).select(
+            F.lit(name).alias("semantics"), "n_facts"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# F4/F6 — label-substring match and unit-preference selection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sec_label_substring",
+    domain.duck_prelude() + """
+SELECT ticker, fiscal_year, count(*) AS n_matched
+FROM facts
+WHERE (contains(lower(label), 'revenue') OR contains(lower(label), 'net income'))
+  AND fiscal_year IS NOT NULL
+GROUP BY ticker, fiscal_year
+""",
+    survey="F4 (case-insensitive OR-of-substrings label match)",
+)
+def q_label_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = _facts(spark, sf_dir)
+    matched = filters.label_any_substring(facts, ["Revenue", "NET INCOME"])
+    matched = filters.drop_null_keys(matched, ["fiscal_year"])
+    return matched.groupBy("ticker", "fiscal_year").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+
+
+@register(
+    "sec_unit_preference",
+    domain.duck_prelude() + """
+SELECT ticker, fiscal_year, unit, value FROM (
+  SELECT f.ticker, f.fiscal_year, f.unit, f.value,
+         row_number() OVER (
+           PARTITION BY f.ticker, f.fiscal_year
+           ORDER BY CASE f.unit WHEN 'USD' THEN 0 WHEN 'shares' THEN 1 ELSE 2 END,
+                    abs(f.value) DESC, f.fact_id ASC) AS rn
+  FROM facts f
+  WHERE f.tag IN ('Revenues', 'SalesRevenueNet',
+                  'RevenueFromContractWithCustomerExcludingAssessedTax')
+    AND f.fiscal_year IS NOT NULL
+) WHERE rn = 1
+""",
+    survey="F6 (USD-else-shares-else-any unit rank, financial_analyzer.py:146-153)",
+)
+def q_unit_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = _facts(spark, sf_dir).filter(
+        F.col("tag").isin(
+            "Revenues",
+            "SalesRevenueNet",
+            "RevenueFromContractWithCustomerExcludingAssessedTax",
+        )
+        & F.col("fiscal_year").isNotNull()
+    )
+    rank = filters.priority_rank(["USD", "shares"], F.col("unit"))
+    best = keep_first(
+        facts,
+        ["ticker", "fiscal_year"],
+        [rank.asc(), F.abs(F.col("value")).desc(), F.col("fact_id").asc()],
+    )
+    return best.select("ticker", "fiscal_year", "unit", "value")
+
+
+# ---------------------------------------------------------------------------
+# J2/J3 CTE helper (shared by pivots and ratio joins below)
+# ---------------------------------------------------------------------------
+
+
+def _series_cte(metric: str, name: str, dedup: str = "argmax_abs") -> str:
+    """Re-package a metric-series oracle as a named CTE body."""
+    body = _metric_series_oracle(metric, dedup)
+    start = body.index("SELECT ticker")
+    return f"{name} AS ({body[start:]})"
+
+
+# ---------------------------------------------------------------------------
+# A4/J5 — statement pivot and multi-company comparison pivot
+# ---------------------------------------------------------------------------
+
+_YEARS = list(range(1995, 2002))
+
+_STATEMENT_PIVOT_ORACLE = domain.duck_prelude(
+    _series_cte("revenue", "rev"), _series_cte("net_income", "ni")
+) + """
+SELECT ticker, metric,
+""" + ",\n".join(
+    f"  max(CASE WHEN fiscal_year = {y} THEN value END) AS y{y}" for y in _YEARS
+) + """
+FROM (
+  SELECT ticker, 'revenue' AS metric, fiscal_year, value FROM rev
+  UNION ALL
+  SELECT ticker, 'net_income' AS metric, fiscal_year, value FROM ni
+)
+GROUP BY ticker, metric
+"""
+
+
+@register(
+    "sec_statement_pivot",
+    _STATEMENT_PIVOT_ORACLE,
+    survey="A4 (long->wide pivot: metric rows x year columns)",
+)
+def q_statement_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.aggregates import pivot_wide
+
+    rev = metric_series(spark, sf_dir, "revenue").withColumn(
+        "metric", F.lit("revenue")
+    )
+    ni = metric_series(spark, sf_dir, "net_income").withColumn(
+        "metric", F.lit("net_income")
+    )
+    long = rev.unionByName(ni)
+    return pivot_wide(
+        long,
+        ["ticker", "metric"],
+        "fiscal_year",
+        [str(y) for y in _YEARS],
+        F.first("value"),
+        rename={str(y): f"y{y}" for y in _YEARS},
+    )
+
+
+_COMPARISON_TICKERS = ["T00", "T01", "T02", "T03", "T04"]
+
+_COMPARISON_PIVOT_ORACLE = domain.duck_prelude(_series_cte("revenue", "rev")) + """
+SELECT fiscal_year,
+""" + ",\n".join(
+    f"""  max(CASE WHEN ticker = '{t}' THEN value END) AS "{t}" """
+    for t in _COMPARISON_TICKERS
+) + """
+FROM rev
+GROUP BY fiscal_year
+"""
+
+
+@register(
+    "sec_comparison_pivot",
+    _COMPARISON_PIVOT_ORACLE,
+    survey="J5 (multi-company year x ticker alignment via pivot)",
+)
+def q_comparison_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = metric_series(spark, sf_dir, "revenue")
+    return (
+        series.groupBy("fiscal_year")
+        .pivot("ticker", _COMPARISON_TICKERS)
+        .agg(F.first("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/J3/C3 — ratio joins (inner + full-outer-zero-fill) with safe division
+# ---------------------------------------------------------------------------
+
+
+_RATIOS_ORACLE = domain.duck_prelude(
+    _series_cte("revenue", "rev"),
+    _series_cte("net_income", "ni"),
+    _series_cte("total_assets", "assets"),
+) + """
+SELECT r.ticker, r.fiscal_year,
+       r.value AS revenue, n.value AS net_income, a.value AS total_assets,
+       CASE WHEN r.value <> 0 THEN n.value / r.value * 100 END AS net_margin_pct,
+       CASE WHEN a.value <> 0 THEN n.value / a.value * 100 END AS roa_pct
+FROM rev r
+JOIN ni n ON r.ticker = n.ticker AND r.fiscal_year = n.fiscal_year
+JOIN assets a ON r.ticker = a.ticker AND r.fiscal_year = a.fiscal_year
+"""
+
+
+@register(
+    "sec_ratios_join",
+    _RATIOS_ORACLE,
+    survey="J2 C3 (income⨝balance inner join on year; null-safe margins)",
+)
+def q_ratios_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = metric_series(spark, sf_dir, "revenue").withColumnRenamed(
+        "value", "revenue"
+    )
+    ni = metric_series(spark, sf_dir, "net_income").withColumnRenamed(
+        "value", "net_income"
+    )
+    assets = metric_series(spark, sf_dir, "total_assets").withColumnRenamed(
+        "value", "total_assets"
+    )
+    keys = ["ticker", "fiscal_year"]
+    joined = (
+        rev.select(*keys, "revenue")
+        .join(ni.select(*keys, "net_income"), keys)
+        .join(assets.select(*keys, "total_assets"), keys)
+    )
+    return joined.select(
+        *keys,
+        "revenue",
+        "net_income",
+        "total_assets",
+        (safe_div(F.col("net_income"), F.col("revenue")) * 100).alias(
+            "net_margin_pct"
+        ),
+        (safe_div(F.col("net_income"), F.col("total_assets")) * 100).alias(
+            "roa_pct"
+        ),
+    )
+
+
+_FULL_OUTER_ORACLE = domain.duck_prelude(
+    _series_cte("revenue", "rev"),
+    _series_cte("net_income", "ni"),
+) + """
+SELECT coalesce(r.ticker, n.ticker) AS ticker,
+       coalesce(r.fiscal_year, n.fiscal_year) AS fiscal_year,
+       coalesce(r.value, 0.0) AS revenue,
+       coalesce(n.value, 0.0) AS net_income
+FROM (SELECT * FROM rev WHERE ticker < 'T10') r
+FULL OUTER JOIN (SELECT * FROM ni WHERE ticker >= 'T05') n
+  ON r.ticker = n.ticker AND r.fiscal_year = n.fiscal_year
+"""
+
+
+@register(
+    "sec_full_outer_fill",
+    _FULL_OUTER_ORACLE,
+    survey="J3 A11 (full-outer year alignment with zero-fill)",
+)
+def q_full_outer_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = metric_series(spark, sf_dir, "revenue").filter(F.col("ticker") < "T10")
+    ni = metric_series(spark, sf_dir, "net_income").filter(
+        F.col("ticker") >= "T05"
+    )
+    keys = ["ticker", "fiscal_year"]
+    joined = rev.select(*keys, F.col("value").alias("revenue")).join(
+        ni.select(*keys, F.col("value").alias("net_income")), keys, "full_outer"
+    )
+    return joined.na.fill({"revenue": 0.0, "net_income": 0.0})
+
+
+# ---------------------------------------------------------------------------
+# W3/W5/W6/W7 — trend analytics (YoY, CAGR, volatility, direction)
+# ---------------------------------------------------------------------------
+
+_TRENDS_ORACLE = domain.duck_prelude(_series_cte("revenue", "rev")) + """
+SELECT ticker,
+       round(cagr_pct, 6) AS cagr_pct,
+       round(volatility, 6) AS volatility,
+       CASE WHEN cagr_pct IS NULL THEN 'unknown'
+            WHEN cagr_pct > 1.0 THEN 'increasing'
+            WHEN cagr_pct < -1.0 THEN 'decreasing'
+            ELSE 'stable' END AS trend
+FROM (
+  SELECT ticker,
+         CASE WHEN min_by(value, fiscal_year) > 0 AND max_by(value, fiscal_year) > 0
+                   AND max(fiscal_year) > min(fiscal_year)
+              THEN (power(max_by(value, fiscal_year) / min_by(value, fiscal_year),
+                          1.0 / (max(fiscal_year) - min(fiscal_year))) - 1.0) * 100
+         END AS cagr_pct,
+         stddev_samp(yoy) AS volatility
+  FROM (
+    SELECT ticker, fiscal_year, value,
+           CASE WHEN lag(value) OVER w <> 0
+                THEN (value / lag(value) OVER w - 1.0) * 100 END AS yoy
+    FROM rev
+    WINDOW w AS (PARTITION BY ticker ORDER BY fiscal_year)
+  )
+  GROUP BY ticker
+)
+"""
+
+
+@register(
+    "sec_trends",
+    _TRENDS_ORACLE,
+    survey="W3 W5 W6 W7 (YoY lag, CAGR, volatility, trend classification)",
+)
+def q_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = metric_series(spark, sf_dir, "revenue")
+    grown = windows.yoy_growth(
+        rev, ["ticker"], "fiscal_year", "value", out_col="yoy"
+    )
+    agg = windows.cagr(rev, ["ticker"], "fiscal_year", "value")
+    vol = grown.groupBy("ticker").agg(F.stddev_samp("yoy").alias("volatility"))
+    out = agg.join(vol, "ticker")
+    return out.select(
+        "ticker",
+        F.round(F.col("cagr_pct"), 6).alias("cagr_pct"),
+        F.round(F.col("volatility"), 6).alias("volatility"),
+        windows.trend_direction(F.col("cagr_pct")).alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/A10 — broadcast dim join + sector aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sec_sector_revenue",
+    domain.duck_prelude(_series_cte("revenue", "rev")) + f"""
+SELECT c.sector, r.fiscal_year,
+       {dsum_sql('r.value')} AS total_revenue,
+       count(*) AS n_companies
+FROM rev r JOIN companies c ON r.ticker = c.ticker
+GROUP BY c.sector, r.fiscal_year
+""",
+    survey="J1 A10 (broadcast company-dim join; sector rollup)",
+)
+def q_sector_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = metric_series(spark, sf_dir, "revenue")
+    companies = domain.companies_df(spark, sf_dir)
+    joined = rev.join(F.broadcast(companies.select("ticker", "sector")), "ticker")
+    return joined.groupBy("sector", "fiscal_year").agg(
+        dsum("value").alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_companies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/T1 — freshness watermark
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sec_freshness",
+    domain.duck_prelude() + """
+SELECT ticker,
+       max(coalesce(end_date, instant_date)) AS latest_date,
+       string_agg(DISTINCT CAST(fiscal_year AS STRING), ',' ORDER BY CAST(fiscal_year AS STRING)) AS covered_periods,
+       count(*) AS n_facts
+FROM facts
+WHERE fiscal_year IS NOT NULL
+GROUP BY ticker
+""",
+    survey="A7 T1 (per-ticker freshness watermark + covered-period set)",
+)
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.aggregates import (
+        freshness_watermark,
+    )
+
+    facts = filters.drop_null_keys(_facts(spark, sf_dir), ["fiscal_year"])
+    return freshness_watermark(
+        facts, ["ticker"], ["end_date", "instant_date"], "fiscal_year"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9/W8 — latest-value ranking across companies
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sec_latest_ranking",
+    domain.duck_prelude(_series_cte("revenue", "rev")) + """
+SELECT ticker, fiscal_year AS latest_year, value AS latest_revenue,
+       CAST(rank() OVER (ORDER BY value DESC, ticker ASC) AS INT) AS revenue_rank
+FROM (
+  SELECT ticker, fiscal_year, value,
+         row_number() OVER (PARTITION BY ticker
+                            ORDER BY fiscal_year DESC) AS rn
+  FROM rev
+) WHERE rn = 1
+ORDER BY revenue_rank LIMIT 10
+""",
+    survey="A9 W8 (latest-per-ticker then cross-company ranking, top-10)",
+)
+def q_latest_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = metric_series(spark, sf_dir, "revenue")
+    latest = windows.latest_per_group(
+        rev, ["ticker"], [F.col("fiscal_year").desc()]
+    )
+    w = Window.orderBy(F.col("value").desc(), F.col("ticker").asc())
+    ranked = latest.select(
+        "ticker",
+        F.col("fiscal_year").alias("latest_year"),
+        F.col("value").alias("latest_revenue"),
+        F.rank().over(w).cast("int").alias("revenue_rank"),
+    )
+    return windows.top_k(ranked, [F.col("revenue_rank").asc()], 10)

@@ -1,0 +1,326 @@
+"""Similarity-search & near-dup queries (SURVEY §2.9) over `documents` /
+`embeddings`, each with a DuckDB oracle twin where expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.operators import similarity as S
+from sec_financial_pipeline_spark.registry.core import register
+from sec_financial_pipeline_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (the ANN baseline)
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 5
+_TOP_K = 10
+
+_COSINE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(q.emb)), i -> q.emb[i] * c.emb[i]))
+           / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.emb, x -> x * x)))), 6) AS cosine_sim
+  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM sims
+) WHERE rn <= {_TOP_K}
+"""
+
+
+@register(
+    "emb_cosine_topk",
+    _COSINE_ORACLE,
+    survey="§2.9 similarity-search (brute-force cosine top-k baseline)",
+)
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    # broadcast the (small) query set; candidates stream by partition —
+    # the O(Q x N) baseline shape that scales out linearly.
+    sims = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                S.cosine(F.col("q_emb"), F.col("emb")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-projection LSH buckets (the ANN scale path): hyperplanes are fixed
+# embeddings (vec_id 8..15), so both engines derive identical buckets.
+# ---------------------------------------------------------------------------
+
+_HYPERPLANES = list(range(8, 16))
+
+_LSH_BUCKET_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+h AS (
+  SELECT vec_id AS h_id, emb AS h_emb FROM e WHERE vec_id BETWEEN 8 AND 15
+),
+proj AS (
+  SELECT e.vec_id, h.h_id,
+         round(list_sum(list_transform(generate_series(1, len(e.emb)),
+                                       i -> e.emb[i] * h.h_emb[i])), 6) AS d
+  FROM e CROSS JOIN h
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN d > 0 THEN power(2, h_id - 8) ELSE 0 END) AS INT) AS bucket
+FROM proj
+GROUP BY vec_id
+"""
+
+
+@register(
+    "emb_lsh_buckets",
+    _LSH_BUCKET_ORACLE,
+    survey="§2.9 similarity-search (sign-projection LSH bucket assignment)",
+)
+def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    h = e.filter(F.col("vec_id").isin(_HYPERPLANES)).select(
+        F.col("vec_id").alias("h_id"), F.col("emb").alias("h_emb")
+    )
+    proj = e.crossJoin(F.broadcast(h)).select(
+        "vec_id",
+        "h_id",
+        F.round(S.dot(F.col("emb"), F.col("h_emb")), 6).alias("d"),
+    )
+    bucket = F.sum(
+        F.when(F.col("d") > 0, F.pow(F.lit(2.0), F.col("h_id") - 8)).otherwise(0.0)
+    ).cast("int")
+    return proj.groupBy("vec_id").agg(bucket.alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 16
+_BAND_SIZE = 4
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n    ".join(
+        f"min(md5('{i}#' || shingle)) AS mh{i}" for i in range(_N_HASHES)
+    )
+    bands = ",\n  ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"mh{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)
+        )
+        + f") AS band{b}"
+        for b in range(_N_HASHES // _BAND_SIZE)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM toks
+),
+mh AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id,
+  {bands}
+FROM mh
+"""
+
+
+@register(
+    "doc_minhash_signatures",
+    _minhash_oracle(),
+    survey="§2.9 dedup-minhash (shingle->md5-min signature->LSH bands)",
+)
+def q_doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return S.minhash_signatures(
+        d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE
+    )
+
+
+@register(
+    "doc_minhash_pairs",
+    None,  # pair set is derivable but usually empty on the synthetic corpus;
+    # driver records the rows-only check, tests assert vs a python oracle.
+    survey="§2.9 dedup-minhash (banded candidate pair generation)",
+)
+def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = S.minhash_signatures(
+        d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE
+    )
+    return S.lsh_candidate_pairs(sig, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures + Hamming near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _simhash_cte() -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(S.N_SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(S.N_SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hashed GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
+  FROM votes
+)
+"""
+
+
+@register(
+    "doc_simhash",
+    _simhash_cte() + "SELECT doc_id, simhash FROM sig",
+    survey="§2.9 dedup-simhash (token bit-vote signature, exact int math)",
+)
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return S.simhash(d, "doc_id", "text")
+
+
+@register(
+    "doc_simhash_near_pairs",
+    _simhash_cte()
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+""",
+    survey="§2.9 dedup-simhash (Hamming-distance near-dup pairs)",
+)
+def q_doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = S.simhash(d, "doc_id", "text")
+    return S.hamming_pairs(sig, "doc_id", max_distance=10)
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (shared-shingle candidates, exact Jaccard)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM toks
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.id_a, s.id_b,
+       round(CAST(s.n_shared AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - s.n_shared), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - s.n_shared) >= 0.05
+"""
+
+
+@register(
+    "doc_ngram_jaccard",
+    _JACCARD_ORACLE,
+    survey="§2.9 dedup-ngram-jaccard (shared-shingle candidates, exact Jaccard)",
+)
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(S.shingles(F.col("text"))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("nb")
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.05)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,41 @@
+"""Readers for the driver-generated synthetic parquet tables.
+
+Plain ``spark.read.parquet`` — partition discovery, predicate pushdown and
+column pruning are Catalyst-native (reference did manual file-list pruning,
+``src/etl/data_manager.py:343-347``; on Spark that is free).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.schemas import TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
+        # Spark parquet reader rejects; read nanos as long and convert.
+        # The data is microsecond-precision (ns remainder is 0 at every
+        # sf), so the conversion is lossless.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # integer division: epoch-nanos exceeds 2^53, double math would
+        # drift by one microsecond.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every test table as a temp view (for the SQL API paths)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
