@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": <sf>}``.
+
+Each query is timed end-to-end (plan + execute + fetch); session startup
+and the first warm-up action are excluded so the numbers measure the
+engine, not JVM spin-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: Headline set: one per major operator family (serving plan, dedup
+#: window, grouped rollup, snowflake join, time-series window, session
+#: window, text near-dup, vector search).
+HEADLINE = [
+    "sec_metric_series_revenue",
+    "sec_ratios_join",
+    "sec_trends",
+    "rel_pricing_summary",
+    "rel_region_rollup",
+    "rel_argmax_abs_dedup",
+    "rel_monthly_yoy",
+    "evt_sessionize",
+    "doc_minhash_signatures",
+    "emb_cosine_topk",
+]
+
+
+def main() -> None:
+    from sec_financial_pipeline_spark.registry import all_queries
+    from sec_financial_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="sfp-bench", cpus=CPUS)
+    queries = all_queries()
+
+    # Warm up the JVM / parquet footer caches outside the timed region.
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name].fn
+        t0 = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert rows is not None
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
