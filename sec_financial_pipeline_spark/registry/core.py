@@ -30,6 +30,7 @@ _MODULES = (
     "sec_financial_pipeline_spark.registry.llm_text",
     "sec_financial_pipeline_spark.registry.similarity",
     "sec_financial_pipeline_spark.registry.events",
+    "sec_financial_pipeline_spark.registry.pipeline",
 )
 
 

@@ -461,3 +461,99 @@ def q_segment_cagr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = windows.cagr(yearly, ["c_mktsegment"], "y", "revenue")
     return out.withColumn("cagr_pct", F.round("cagr_pct", 6))
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins (EXISTS / NOT EXISTS) and grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_semi_join",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+    survey="J-family (left-semi join == EXISTS; no row multiplication)",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "rel_anti_join",
+    """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    survey="J-family (left-anti join == NOT EXISTS; incremental-ETL shape)",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "rel_rollup_counts",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    survey="A-family (rollup grouping sets with subtotals)",
+)
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+        )
+    )
+
+
+@register(
+    "rel_unpivot_measures",
+    f"""
+SELECT l_returnflag, measure, total FROM (
+  SELECT l_returnflag, 'quantity' AS measure, {dsum_sql('l_quantity')} AS total
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice' AS measure, {dsum_sql('l_extendedprice')} AS total
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 'discount' AS measure, {dsum_sql('l_discount')} AS total
+  FROM lineitem GROUP BY l_returnflag
+)
+""",
+    survey="A4-inverse (unpivot wide measures to long via stack)",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.functions.deterministic import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("quantity"),
+        dsum("l_extendedprice").alias("extendedprice"),
+        dsum("l_discount").alias("discount"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', quantity, 'extendedprice', extendedprice, "
+        "'discount', discount) AS (measure, total)",
+    )

@@ -520,3 +520,79 @@ def q_latest_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("int").alias("revenue_rank"),
     )
     return windows.top_k(ranked, [F.col("revenue_rank").asc()], 10)
+
+
+# ---------------------------------------------------------------------------
+# A8 — per-metric summary statistics (latest / oldest / mean / growth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sec_summary_stats",
+    domain.duck_prelude(_series_cte("revenue", "rev"))
+    + """
+SELECT ticker,
+       max_by(value, fiscal_year) AS latest_value,
+       min_by(value, fiscal_year) AS oldest_value,
+       CAST(max(fiscal_year) AS INT) AS latest_year,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS mean_value,
+       CASE WHEN min_by(value, fiscal_year) <> 0
+            THEN (max_by(value, fiscal_year) / min_by(value, fiscal_year) - 1.0) * 100.0
+       END AS overall_growth_pct
+FROM rev
+GROUP BY ticker
+""",
+    survey="A8 (latest/oldest/mean/overall-growth per metric, server.py:306-319)",
+)
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = metric_series(spark, sf_dir, "revenue")
+    latest = F.max_by("value", "fiscal_year")
+    oldest = F.min_by("value", "fiscal_year")
+    return series.groupBy("ticker").agg(
+        latest.alias("latest_value"),
+        oldest.alias("oldest_value"),
+        F.max("fiscal_year").cast("int").alias("latest_year"),
+        (F.sum(F.col("value").cast("decimal(30,6)")).cast("double") / F.count("value")).alias(
+            "mean_value"
+        ),
+        F.when(oldest != 0, (latest / oldest - 1.0) * 100.0).alias(
+            "overall_growth_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1-quarterly — the quarterly serving path (period=quarterly, QoQ keys)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sec_quarterly_series",
+    domain.duck_prelude()
+    + """
+SELECT ticker, fiscal_year, fiscal_period, tag, value FROM (
+  SELECT f.ticker, f.fiscal_year, f.fiscal_period, f.tag, f.value,
+         row_number() OVER (PARTITION BY f.ticker, f.fiscal_year, f.fiscal_period
+                            ORDER BY a.priority ASC, abs(f.value) DESC,
+                                     f.fact_id ASC) AS rn
+  FROM facts f
+  JOIN alias_map a ON f.tag = a.tag AND a.metric = 'revenue'
+  WHERE f.unit = 'USD'
+    AND starts_with(coalesce(f.fiscal_period, ''), 'Q')
+    AND f.fiscal_year IS NOT NULL
+) WHERE rn = 1
+""",
+    survey="F1-quarterly A2 (quarterly period predicate, per-(fy,fp) dedup)",
+)
+def q_quarterly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = _facts(spark, sf_dir).filter(F.col("unit") == "USD")
+    facts = filters.quarterly_only(facts)
+    facts = filters.drop_null_keys(facts, ["fiscal_year"])
+    alias = domain.alias_df(spark).filter(F.col("metric") == "revenue")
+    joined = facts.join(F.broadcast(alias), "tag")
+    best = keep_first(
+        joined,
+        ["ticker", "fiscal_year", "fiscal_period"],
+        [F.col("priority").asc(), F.abs(F.col("value")).desc(), F.col("fact_id").asc()],
+    )
+    return best.select("ticker", "fiscal_year", "fiscal_period", "tag", "value")

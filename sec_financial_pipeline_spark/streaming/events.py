@@ -1,0 +1,105 @@
+"""Structured Streaming operators over the events stream (SURVEY §2.7).
+
+The reference has no true streaming — only incremental batch. The north
+star adds it: watermarked tumbling/sliding windows and session windows
+over a timestamped event stream. Batch twins of these (same logical
+windows, oracle-checked) live in ``registry/events.py``; here are the
+``readStream`` pipelines, exercised in tests with the file source +
+``processAllAvailable`` (synchronous drain, deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events table schema with ts pre-converted to TIMESTAMP (the raw
+#: parquet stores TIMESTAMP(NANOS); for the streaming source we read a
+#: converted copy written by the caller/test).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files: int = 10) -> DataFrame:
+    """File-source stream: bounded files-per-trigger keeps micro-batches
+    sized (the ``maxOffsetsPerTrigger`` analog, reference rate-limit T5)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation: late events
+    beyond ``watermark`` are dropped and state is bounded — the property
+    the reference's TTL cache sweep approximates for serving
+    (``cache.py:168-193``) but never had for data."""
+    win = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (gap-based) — the streaming twin of the batch
+    ``evt_sessionize`` registry query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Drain a bounded file-source stream synchronously into an
+    in-memory table (test/verification harness).
+
+    Default ``complete`` mode: with a bounded source the watermark never
+    passes the last window, so ``append`` would hold every window in
+    state and emit nothing — complete emits the final aggregates.
+    """
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
