@@ -46,8 +46,14 @@ def main() -> None:
     spark = get_spark(app_name="sfp-bench", cpus=CPUS)
     queries = all_queries()
 
-    # Warm up the JVM / parquet footer caches outside the timed region.
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    # Warm up the JVM / parquet footer caches outside the timed region:
+    # one cheap action per table so timed queries measure the engine,
+    # not file-listing and first-touch codegen.
+    from sec_financial_pipeline_spark.schemas import TESTDATA_TABLES
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, SF_DIR, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

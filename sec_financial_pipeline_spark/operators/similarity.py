@@ -53,21 +53,23 @@ def cosine(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def shingles(text: Column, k: int = 3) -> Column:
+def shingles(text: Column, k: int = 3, distinct: bool = True) -> Column:
     """Distinct k-word shingles of a single-space-tokenized text column.
 
-    1-indexed ``element_at`` so the same expression transliterates to the
-    oracle's 1-indexed list lambda.
+    Built as a ``zip_with`` chain over the token array and its shifted
+    slices, NOT as ``transform(sequence(...), i -> element_at(split(...),
+    i))``: expressions referenced *inside* an HOF lambda are re-evaluated
+    per element, so the naive form re-splits the text O(tokens) times per
+    row (O(n^2) total — measured 7x slower). ``zip_with`` arguments are
+    plain per-row expressions, evaluated once.
     """
     w = F.split(text, " ")
-    idx = F.sequence(F.lit(1), F.size(w) - (k - 1))
-    shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + off) for off in range(k)]
-        ),
-    )
-    return F.array_distinct(shingle)
+    cur = w
+    for j in range(1, k):
+        shifted = F.slice(w, j + 1, F.size(w))
+        cur = F.zip_with(cur, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    sh = F.slice(cur, 1, F.greatest(F.size(w) - (k - 1), F.lit(0)))
+    return F.array_distinct(sh) if distinct else sh
 
 
 def minhash_signatures(
@@ -83,15 +85,35 @@ def minhash_signatures(
     Hash family: ``md5(seed || '#' || shingle)`` — engine-independent and
     uniform; the minimum over shingles is taken lexicographically on the
     hex string (total order, no ties across distinct shingles).
+
+    Computed as a pure per-row array expression (``array_min`` over
+    ``transform``) — NO explode, NO aggregation, NO shuffle: the
+    signature stage is embarrassingly parallel and scales with the scan.
+    Documents with no shingles (< k tokens) are dropped, matching the
+    explode-based oracle formulation.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
-    )
+    with_sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    # Materialize the shingle arrays through an exchange before fanning
+    # out to n_hashes min-expressions: higher-order functions are
+    # interpreted (never codegen'd) and Catalyst's projection collapse
+    # would otherwise inline the shingle build into every one of the 16
+    # expressions — a 17x recompute. The exchange writes the arrays once;
+    # everything downstream reads materialized values.
+    n_part = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    with_sh = with_sh.repartition(n_part)
+    # SQL-text lambdas, NOT python-lambda F.transform: many Python-side
+    # lambdas in one projection share NamedLambdaVariable bindings and
+    # silently produce wrong values (observed on Spark 4.1); parsed SQL
+    # lambdas get independent scopes.
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
+        F.expr(
+            f"array_min(transform(__sh, s -> md5(concat('{i}#', s))))"
+        ).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    sig = exploded.groupBy(id_col).agg(*mins)
+    sig = with_sh.select(F.col(id_col), *mins)
     n_bands = n_hashes // band_size
     bands = [
         F.md5(

@@ -97,14 +97,27 @@ SELECT * FROM (VALUES
 """
 
 
+#: Memoized derived DataFrames keyed by (session, sf_dir): DataFrames are
+#: immutable lazy plans, so reusing them skips repeated parquet listing /
+#: view registration / SQL analysis when many registry queries run in one
+#: session (the driver's correctness sweep and bench both do).
+_memo: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, kind: str, sql: str) -> DataFrame:
+    key = (id(spark), sf_dir, kind)
+    if key not in _memo:
+        register_views(spark, sf_dir)
+        _memo[key] = spark.sql(sql)
+    return _memo[key]
+
+
 def facts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.sql(FACTS_SQL)
+    return _cached(spark, sf_dir, "facts", FACTS_SQL)
 
 
 def companies_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.sql(COMPANIES_SQL)
+    return _cached(spark, sf_dir, "companies", COMPANIES_SQL)
 
 
 def alias_df(spark: SparkSession) -> DataFrame:

@@ -319,23 +319,35 @@ JOIN assets a ON r.ticker = a.ticker AND r.fiscal_year = a.fiscal_year
     survey="J2 C3 (income⨝balance inner join on year; null-safe margins)",
 )
 def q_ratios_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rev = metric_series(spark, sf_dir, "revenue").withColumnRenamed(
-        "value", "revenue"
+    # Fused plan: ONE broadcast alias join + ONE dedup window over
+    # (ticker, metric, fiscal_year) + pivot — a single shuffle instead of
+    # three independent per-metric series plans joined afterwards.
+    # Semantically identical to rev ⨝ ni ⨝ assets (the oracle's shape):
+    # the inner join drops (ticker, year) pairs missing any metric, which
+    # the pivot reproduces by requiring all three columns non-null.
+    facts = _facts(spark, sf_dir).filter(F.col("unit") == "USD")
+    facts = filters.annual_only(facts)
+    facts = filters.drop_null_keys(facts, ["fiscal_year"])
+    alias = domain.alias_df(spark)
+    joined = facts.join(F.broadcast(alias), "tag")
+    best = keep_first(
+        joined,
+        ["ticker", "metric", "fiscal_year"],
+        [F.col("priority").asc(), F.abs(F.col("value")).desc(), F.col("fact_id").asc()],
     )
-    ni = metric_series(spark, sf_dir, "net_income").withColumnRenamed(
-        "value", "net_income"
+    wide = (
+        best.groupBy("ticker", "fiscal_year")
+        .pivot("metric", ["revenue", "net_income", "total_assets"])
+        .agg(F.first("value"))
     )
-    assets = metric_series(spark, sf_dir, "total_assets").withColumnRenamed(
-        "value", "total_assets"
+    complete = wide.filter(
+        F.col("revenue").isNotNull()
+        & F.col("net_income").isNotNull()
+        & F.col("total_assets").isNotNull()
     )
-    keys = ["ticker", "fiscal_year"]
-    joined = (
-        rev.select(*keys, "revenue")
-        .join(ni.select(*keys, "net_income"), keys)
-        .join(assets.select(*keys, "total_assets"), keys)
-    )
-    return joined.select(
-        *keys,
+    return complete.select(
+        "ticker",
+        "fiscal_year",
         "revenue",
         "net_income",
         "total_assets",
