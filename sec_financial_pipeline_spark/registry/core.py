@@ -31,6 +31,7 @@ _MODULES = (
     "sec_financial_pipeline_spark.registry.similarity",
     "sec_financial_pipeline_spark.registry.events",
     "sec_financial_pipeline_spark.registry.pipeline",
+    "sec_financial_pipeline_spark.registry.advanced",
 )
 
 
