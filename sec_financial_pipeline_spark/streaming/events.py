@@ -86,6 +86,19 @@ def session_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact-dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state for older keys is
+    evicted. The streaming twin of the batch exact-dedup operator
+    (north-star dedup family at ingest time)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drain a bounded file-source stream synchronously into an
     in-memory table (test/verification harness).
