@@ -38,6 +38,10 @@ SELECT
   CASE
     WHEN m.mi = 1 THEN 'NetIncomeLoss'
     WHEN m.mi = 2 THEN 'Assets'
+    WHEN m.mi = 4 THEN 'OperatingIncomeLoss'
+    WHEN m.mi = 5 THEN 'StockholdersEquity'
+    WHEN m.mi = 6 THEN 'NetCashProvidedByUsedInOperatingActivities'
+    WHEN m.mi = 7 THEN 'Liabilities'
     WHEN o_orderkey % 11 = 0 THEN 'SalesRevenueNet'
     WHEN o_orderkey % 11 < 6 THEN 'Revenues'
     ELSE 'RevenueFromContractWithCustomerExcludingAssessedTax'
@@ -45,6 +49,10 @@ SELECT
   CASE
     WHEN m.mi = 1 THEN 'Net Income (Loss) Attributable to Parent'
     WHEN m.mi = 2 THEN 'Assets, Total'
+    WHEN m.mi = 4 THEN 'Operating Income (Loss)'
+    WHEN m.mi = 5 THEN 'Stockholders'' Equity Attributable to Parent'
+    WHEN m.mi = 6 THEN 'Net Cash Provided by (Used in) Operating Activities'
+    WHEN m.mi = 7 THEN 'Liabilities, Total'
     ELSE 'Revenues, Total'
   END                                                        AS label,
   CAST(
@@ -52,6 +60,10 @@ SELECT
       WHEN m.mi = 1 THEN o_totalprice * (CASE WHEN o_orderkey % 13 = 0 THEN -0.08 ELSE 0.08 END)
       WHEN m.mi = 2 THEN o_totalprice * 5.0
       WHEN m.mi = 3 THEN o_totalprice * 1.05
+      WHEN m.mi = 4 THEN o_totalprice * 0.15
+      WHEN m.mi = 5 THEN o_totalprice * 2.0
+      WHEN m.mi = 6 THEN o_totalprice * 0.12
+      WHEN m.mi = 7 THEN o_totalprice * 3.0
       ELSE o_totalprice
     END AS DOUBLE)                                           AS value,
   CASE WHEN m.mi = 0 AND o_orderkey % 17 = 0 THEN 'shares' ELSE 'USD' END AS unit,
@@ -67,12 +79,12 @@ SELECT
     WHEN o_orderkey % 3 = 0 THEN '10-K'
     ELSE '10-Q'
   END                                                        AS form,
-  CASE WHEN m.mi = 2 THEN CAST(NULL AS DATE) ELSE CAST(o_orderdate AS DATE) END AS end_date,
-  CASE WHEN m.mi = 2 THEN CAST(o_orderdate AS DATE) ELSE CAST(NULL AS DATE) END AS instant_date,
+  CASE WHEN m.mi IN (2, 5, 7) THEN CAST(NULL AS DATE) ELSE CAST(o_orderdate AS DATE) END AS end_date,
+  CASE WHEN m.mi IN (2, 5, 7) THEN CAST(o_orderdate AS DATE) ELSE CAST(NULL AS DATE) END AS instant_date,
   o_orderkey * 10 + m.mi                                     AS fact_id
 FROM orders
-CROSS JOIN (SELECT * FROM (VALUES (0), (1), (2), (3)) AS v(mi)) AS m
-WHERE m.mi < 3 OR o_orderkey % 10 = 0
+CROSS JOIN (SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS v(mi)) AS m
+WHERE m.mi <> 3 OR o_orderkey % 10 = 0
 """
 
 COMPANIES_SQL = """
@@ -92,7 +104,11 @@ SELECT * FROM (VALUES
   ('revenue', 'Revenues', 1),
   ('revenue', 'SalesRevenueNet', 2),
   ('net_income', 'NetIncomeLoss', 0),
-  ('total_assets', 'Assets', 0)
+  ('total_assets', 'Assets', 0),
+  ('operating_income', 'OperatingIncomeLoss', 0),
+  ('stockholders_equity', 'StockholdersEquity', 0),
+  ('operating_cash_flow', 'NetCashProvidedByUsedInOperatingActivities', 0),
+  ('total_liabilities', 'Liabilities', 0)
 ) AS a(metric, tag, priority)
 """
 

@@ -309,3 +309,41 @@ def q_grouped_udf_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("y"),
     ).agg(dsum("o_totalprice").alias("revenue"))
     return ols_slope_per_group(yearly, ["ticker"], "y", "revenue")
+
+
+# ---------------------------------------------------------------------------
+# Rank-function family (rank / dense_rank / percent_rank / cume_dist / lead)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "adv_rank_family",
+    """
+SELECT c_mktsegment, c_custkey,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist() OVER w, 6) AS cdist,
+       lead(c_custkey, 1) OVER w AS next_custkey,
+       first_value(c_custkey) OVER w AS top_custkey
+FROM customer
+WHERE c_custkey < 300
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
+    survey="W-family (rank/dense_rank/percent_rank/cume_dist/lead/first_value)",
+)
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.lead("c_custkey", 1).over(w).alias("next_custkey"),
+        F.first("c_custkey").over(w).alias("top_custkey"),
+    )

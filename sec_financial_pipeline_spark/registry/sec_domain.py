@@ -608,3 +608,109 @@ def q_quarterly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("priority").asc(), F.abs(F.col("value")).desc(), F.col("fact_id").asc()],
     )
     return best.select("ticker", "fiscal_year", "fiscal_period", "tag", "value")
+
+
+# ---------------------------------------------------------------------------
+# Full statement assembly (income/balance/cashflow) + leverage analytics
+# ---------------------------------------------------------------------------
+
+_STATEMENT_OF = """CASE
+  WHEN metric IN ('revenue', 'net_income', 'operating_income') THEN 'income'
+  WHEN metric IN ('total_assets', 'stockholders_equity', 'total_liabilities') THEN 'balance'
+  ELSE 'cashflow' END"""
+
+
+@register(
+    "sec_full_statements",
+    domain.duck_prelude()
+    + f"""
+SELECT ticker, {_STATEMENT_OF} AS statement, metric, fiscal_year, value FROM (
+  SELECT f.ticker, a.metric, f.fiscal_year, f.value,
+         row_number() OVER (PARTITION BY f.ticker, a.metric, f.fiscal_year
+                            ORDER BY a.priority ASC, abs(f.value) DESC,
+                                     f.fact_id ASC) AS rn
+  FROM facts f
+  JOIN alias_map a ON f.tag = a.tag
+  WHERE f.unit = 'USD'
+    AND (f.fiscal_period IS NULL OR f.fiscal_period = 'FY')
+    AND f.fiscal_year IS NOT NULL
+) WHERE rn = 1
+""",
+    survey="§3.3 A4 (all-statement assembly: one window over every metric)",
+)
+def q_full_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = _facts(spark, sf_dir).filter(F.col("unit") == "USD")
+    facts = filters.annual_only(facts)
+    facts = filters.drop_null_keys(facts, ["fiscal_year"])
+    alias = domain.alias_df(spark)
+    joined = facts.join(F.broadcast(alias), "tag")
+    best = keep_first(
+        joined,
+        ["ticker", "metric", "fiscal_year"],
+        [F.col("priority").asc(), F.abs(F.col("value")).desc(), F.col("fact_id").asc()],
+    )
+    statement = (
+        F.when(
+            F.col("metric").isin("revenue", "net_income", "operating_income"),
+            "income",
+        )
+        .when(
+            F.col("metric").isin(
+                "total_assets", "stockholders_equity", "total_liabilities"
+            ),
+            "balance",
+        )
+        .otherwise("cashflow")
+    )
+    return best.select(
+        "ticker", statement.alias("statement"), "metric", "fiscal_year", "value"
+    )
+
+
+@register(
+    "sec_leverage_buckets",
+    domain.duck_prelude(
+        _series_cte("net_income", "ni"),
+        _series_cte("stockholders_equity", "eq"),
+        _series_cte("total_liabilities", "liab"),
+    )
+    + """
+SELECT n.ticker, n.fiscal_year,
+       CASE WHEN e.value <> 0 THEN n.value / e.value * 100 END AS roe_pct,
+       CASE WHEN e.value <> 0 THEN l.value / e.value END AS debt_to_equity,
+       CASE WHEN e.value = 0 THEN 'unknown'
+            WHEN l.value / e.value < 1.0 THEN 'conservative'
+            WHEN l.value / e.value < 2.0 THEN 'moderate'
+            ELSE 'leveraged' END AS leverage_bucket
+FROM ni n
+JOIN eq e ON n.ticker = e.ticker AND n.fiscal_year = e.fiscal_year
+JOIN liab l ON n.ticker = l.ticker AND n.fiscal_year = l.fiscal_year
+""",
+    survey="J2 C3 C6 (ROE, debt/equity, leverage buckets — server.py:551)",
+)
+def q_leverage_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = ["ticker", "fiscal_year"]
+    ni = metric_series(spark, sf_dir, "net_income").select(
+        *keys, F.col("value").alias("ni")
+    )
+    eq = metric_series(spark, sf_dir, "stockholders_equity").select(
+        *keys, F.col("value").alias("eq")
+    )
+    liab = metric_series(spark, sf_dir, "total_liabilities").select(
+        *keys, F.col("value").alias("liab")
+    )
+    joined = ni.join(eq, keys).join(liab, keys)
+    d2e = safe_div(F.col("liab"), F.col("eq"))
+    bucket = (
+        F.when(F.col("eq") == 0, "unknown")
+        .when(F.col("liab") / F.col("eq") < 1.0, "conservative")
+        .when(F.col("liab") / F.col("eq") < 2.0, "moderate")
+        .otherwise("leveraged")
+    )
+    return joined.select(
+        "ticker",
+        "fiscal_year",
+        (safe_div(F.col("ni"), F.col("eq")) * 100).alias("roe_pct"),
+        d2e.alias("debt_to_equity"),
+        bucket.alias("leverage_bucket"),
+    )
