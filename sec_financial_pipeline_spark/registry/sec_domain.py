@@ -714,3 +714,84 @@ def q_leverage_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2e.alias("debt_to_equity"),
         bucket.alias("leverage_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W4 — QoQ growth over the quarterly serving path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sec_qoq_growth",
+    domain.duck_prelude(
+        """q AS (
+  SELECT ticker, fiscal_year, fiscal_period, value FROM (
+    SELECT f.ticker, f.fiscal_year, f.fiscal_period, f.value,
+           row_number() OVER (PARTITION BY f.ticker, f.fiscal_year, f.fiscal_period
+                              ORDER BY a.priority ASC, abs(f.value) DESC,
+                                       f.fact_id ASC) AS rn
+    FROM facts f
+    JOIN alias_map a ON f.tag = a.tag AND a.metric = 'revenue'
+    WHERE f.unit = 'USD'
+      AND starts_with(coalesce(f.fiscal_period, ''), 'Q')
+      AND f.fiscal_year IS NOT NULL
+  ) WHERE rn = 1
+)"""
+    )
+    + """
+SELECT ticker, fiscal_year, fiscal_period, value,
+       round(CASE WHEN lag(value) OVER w <> 0
+                  THEN (value / lag(value) OVER w - 1.0) * 100 END, 6) AS qoq_pct
+FROM q
+WINDOW w AS (PARTITION BY ticker ORDER BY fiscal_year, fiscal_period)
+""",
+    survey="W4 (QoQ pct_change over quarterly dedup series)",
+)
+def q_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quarterly = q_quarterly_series(spark, sf_dir).drop("tag")
+    w = Window.partitionBy("ticker").orderBy("fiscal_year", "fiscal_period")
+    prev = F.lag("value").over(w)
+    return quarterly.select(
+        "ticker",
+        "fiscal_year",
+        "fiscal_period",
+        "value",
+        F.round(
+            F.when(prev != 0, (F.col("value") / prev - 1.0) * 100.0), 6
+        ).alias("qoq_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 end-to-end — the label-substring serving path (no tag knowledge)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sec_label_metric_series",
+    domain.duck_prelude()
+    + """
+SELECT ticker, fiscal_year, label, value FROM (
+  SELECT f.ticker, f.fiscal_year, f.label, f.value,
+         row_number() OVER (PARTITION BY f.ticker, f.fiscal_year
+                            ORDER BY abs(f.value) DESC, f.fact_id ASC) AS rn
+  FROM facts f
+  WHERE f.unit = 'USD'
+    AND contains(lower(f.label), 'net income')
+    AND (f.fiscal_period IS NULL OR f.fiscal_period = 'FY')
+    AND f.fiscal_year IS NOT NULL
+) WHERE rn = 1
+""",
+    survey="F4 §3.1 (label-substring metric extraction, data_service.py:112-186)",
+)
+def q_label_metric_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = _facts(spark, sf_dir).filter(F.col("unit") == "USD")
+    facts = filters.label_any_substring(facts, ["Net Income"])
+    facts = filters.annual_only(facts)
+    facts = filters.drop_null_keys(facts, ["fiscal_year"])
+    best = keep_first(
+        facts,
+        ["ticker", "fiscal_year"],
+        [F.abs(F.col("value")).desc(), F.col("fact_id").asc()],
+    )
+    return best.select("ticker", "fiscal_year", "label", "value")

@@ -324,3 +324,211 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.05)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dedup: MinHash bands -> candidates -> Jaccard verify ->
+# drop verified dups -> survivors
+# ---------------------------------------------------------------------------
+
+def _e2e_prefix() -> str:
+    """The minhash CTE chain (toks/sh/mh) without the final SELECT."""
+    full = _minhash_oracle()
+    cut = full.rindex("SELECT doc_id,")
+    return full[:cut].rstrip()  # ends with the closing ')' of the mh CTE
+
+
+_E2E_DEDUP_ORACLE = _e2e_prefix() + """,
+bands AS (
+  SELECT doc_id,
+""" + ",\n".join(
+    "    md5("
+    + " || '|' || ".join(f"mh{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE))
+    + f") AS band{b}"
+    for b in range(_N_HASHES // _BAND_SIZE)
+) + """
+  FROM mh
+),
+stacked AS (
+""" + "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_no, band{b} AS band_hash FROM bands"
+    for b in range(_N_HASHES // _BAND_SIZE)
+) + """
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM stacked a JOIN stacked b
+    ON a.band_hash = b.band_hash AND a.band_no = b.band_no AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jac
+  FROM (
+    SELECT c.id_a, c.id_b, count(*) AS n_shared
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+    GROUP BY c.id_a, c.id_b
+  ) j
+  JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+),
+dropped AS (SELECT DISTINCT id_b AS doc_id FROM verified WHERE jac >= 0.8)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@register(
+    "doc_near_dedup_end2end",
+    _E2E_DEDUP_ORACLE,
+    survey="§2.9 dedup-minhash end-to-end (bands -> candidates -> Jaccard verify -> drop)",
+)
+def q_doc_near_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = S.minhash_signatures(
+        d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE
+    )
+    cand = S.lsh_candidate_pairs(sig, "doc_id")
+    sh = d.select("doc_id", F.explode(S.shingles(F.col("text"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle").alias("shingle_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b"))
+    n_shared = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("shingle_a") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    dropped = (
+        n_shared.join(sa, "id_a").join(sb, "id_b")
+        .filter(jac >= 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return d.join(dropped, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer (label centroids) -> probe top-2 cells ->
+# exact cosine re-rank within probed cells. The classic inverted-file
+# trade: candidate set shrinks from N to N * (n_probe / n_cells).
+# ---------------------------------------------------------------------------
+
+_IVF_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+cl AS (
+  SELECT label, u.dim AS dim,
+         CAST(SUM(CAST(u.v AS DECIMAL(30,6))) AS DOUBLE) / COUNT(u.v) AS v
+  FROM e, LATERAL (SELECT generate_subscripts(emb, 1) AS dim, unnest(emb) AS v) u
+  GROUP BY label, u.dim
+),
+cents AS (
+  SELECT label, list(v ORDER BY dim) AS cvec FROM cl GROUP BY label
+),
+proj AS (
+  SELECT e.vec_id, c.label,
+         round(
+           list_sum(list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] * c.cvec[i]))
+           / (sqrt(list_sum(list_transform(e.emb, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))), 6) AS cos,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(
+           list_sum(list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] * c.cvec[i]))
+           / (sqrt(list_sum(list_transform(e.emb, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))), 6) DESC,
+                            c.label ASC) AS rn
+  FROM e CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, label AS cluster FROM proj WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, label AS cluster FROM proj WHERE rn <= 2 AND vec_id < 5),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(q.emb)), i -> q.emb[i] * n.emb[i]))
+           / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+              * sqrt(list_sum(list_transform(n.emb, x -> x * x)))), 6) AS cosine_sim
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM sims
+) WHERE rn <= 5
+"""
+
+
+@register(
+    "emb_ivf_ann",
+    _IVF_ORACLE,
+    survey="§2.9 similarity-search (IVF: centroid quantizer + 2-probe re-rank)",
+)
+def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # coarse codebook: exact per-label centroids (order-independent means)
+    long = e.select(
+        "label", F.posexplode("emb").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "v")
+    cl = long.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast("decimal(30,6)")).cast("double") / F.count("v")).alias("v")
+    )
+    cents = (
+        cl.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("s"))
+        .select("label", F.expr("transform(s, x -> x.v)").alias("cvec"))
+    )
+    proj = e.crossJoin(F.broadcast(cents.select(F.col("label").alias("c_label"), "cvec"))).select(
+        "vec_id",
+        F.col("c_label"),
+        F.round(S.cosine(F.col("emb"), F.col("cvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("c_label").asc())
+    ranked = proj.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("c_label").alias("cluster")
+    )
+    probes = ranked.filter((F.col("rn") <= 2) & (F.col("vec_id") < 5)).select(
+        F.col("vec_id").alias("query_id"), F.col("c_label").alias("cluster")
+    )
+    cand = probes.join(assign, "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("n_emb"))
+    sims = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
