@@ -27,6 +27,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: window, text near-dup, vector search).
 HEADLINE = [
     "sec_metric_series_revenue",
+    "sec_full_statements",
     "sec_ratios_join",
     "sec_trends",
     "rel_pricing_summary",
@@ -35,7 +36,9 @@ HEADLINE = [
     "rel_monthly_yoy",
     "evt_sessionize",
     "doc_minhash_signatures",
+    "doc_near_dedup_end2end",
     "emb_cosine_topk",
+    "emb_ivf_ann",
 ]
 
 

@@ -46,23 +46,32 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
     survey="§2.9 similarity-search (brute-force cosine top-k baseline)",
 )
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    # precompute per-vector norms ONCE behind an exchange: array folds are
+    # interpreted (no codegen), and cosine-per-pair would otherwise
+    # re-fold both norms for every pair (Q x N x 2 redundant passes)
+    n_part = max(1, spark.sparkContext.defaultParallelism)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("nrm", S.norm(F.col("emb")))
+        .repartition(n_part)
     )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     # broadcast the (small) query set; candidates stream by partition —
     # the O(Q x N) baseline shape that scales out linearly.
     sims = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                S.cosine(F.col("q_emb"), F.col("emb")), 6
+                S.dot(F.col("q_emb"), F.col("emb"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
             ).alias("cosine_sim"),
         )
     )
@@ -396,11 +405,13 @@ def q_doc_near_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", F.explode(S.shingles(F.col("text"))).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle").alias("shingle_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_a"))
+    # join b on BOTH (id_b, shingle) as equi-keys: joining on id alone and
+    # post-filtering shingle equality materializes |sh_a| x |sh_b| rows
+    # per candidate pair (O(pairs x shingles^2) blowup)
     n_shared = (
         cand.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(F.col("shingle_a") == F.col("shingle_b"))
+        .join(b, ["id_b", "shingle_a"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -482,8 +493,15 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
     survey="§2.9 similarity-search (IVF: centroid quantizer + 2-probe re-rank)",
 )
 def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    # per-vector norms materialized once (see q_emb_cosine_topk note)
+    n_part = max(1, spark.sparkContext.defaultParallelism)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .withColumn("nrm", S.norm(F.col("emb")))
+        .repartition(n_part)
     )
     # coarse codebook: exact per-label centroids (order-independent means)
     long = e.select(
@@ -496,11 +514,18 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         cl.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("s"))
         .select("label", F.expr("transform(s, x -> x.v)").alias("cvec"))
+        .select(
+            F.col("label").alias("c_label"),
+            "cvec",
+            S.norm(F.col("cvec")).alias("c_nrm"),
+        )
     )
-    proj = e.crossJoin(F.broadcast(cents.select(F.col("label").alias("c_label"), "cvec"))).select(
+    proj = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         F.col("c_label"),
-        F.round(S.cosine(F.col("emb"), F.col("cvec")), 6).alias("cos"),
+        F.round(
+            S.dot(F.col("emb"), F.col("cvec")) / (F.col("nrm") * F.col("c_nrm")), 6
+        ).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("c_label").asc())
     ranked = proj.withColumn("rn", F.row_number().over(w))
@@ -513,15 +538,27 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(assign, "cluster").filter(
         F.col("vec_id") != F.col("query_id")
     ).select("query_id", F.col("vec_id").alias("neighbor_id"))
-    qv = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
-    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("n_emb"))
+    qv = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
     sims = (
         cand.join(F.broadcast(qv), "query_id")
         .join(nv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(S.cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cosine_sim"),
+            F.round(
+                S.dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("q_nrm") * F.col("n_nrm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(

@@ -16,6 +16,10 @@ from sec_financial_pipeline_spark.schemas import TESTDATA_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Engine semantics are UTC (oracle comparisons, epoch math, the
+    # events ns->us conversion). The session may be driver-owned with an
+    # arbitrary local timezone — pin it at the data boundary.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which the vectorized
         # Spark parquet reader rejects; read nanos as long and convert.
