@@ -557,3 +557,32 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'quantity', quantity, 'extendedprice', extendedprice, "
         "'discount', discount) AS (measure, total)",
     )
+
+
+@register(
+    "rel_cube_counts",
+    f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_items,
+       {dsum_sql('l_quantity')} AS total_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    survey="A-family (cube grouping sets: all subtotal combinations)",
+)
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "total_qty",
+        )
+    )

@@ -102,11 +102,13 @@ def q_metric_series_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sec_metric_topk",
     _metric_series_oracle("revenue")
+    + "  AND fiscal_year BETWEEN 1996 AND 2000\n"
     + "ORDER BY fiscal_year DESC, ticker ASC LIMIT 40",
-    survey="W1 W2 F2 (sort desc + top-k)",
+    survey="W1 W2 F2 (year-range filter + sort desc + top-k)",
 )
 def q_metric_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = metric_series(spark, sf_dir, "revenue")
+    series = filters.fiscal_year_range(series, 1996, 2000)
     return windows.top_k(
         series, [F.col("fiscal_year").desc(), F.col("ticker").asc()], 40
     )
