@@ -569,3 +569,55 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cosine_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the full training-data curation pipeline as one query —
+# quality scoring -> near-dup removal -> per-language corpus stats.
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = f"""
+WITH survivors AS ({_E2E_DEDUP_ORACLE}),
+quality AS (
+  SELECT doc_id,
+         round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+               + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 0.5, 6) AS quality
+  FROM documents
+)
+SELECT s.lang,
+       count(*) AS n_docs,
+       CAST(SUM(CAST(q.quality AS DECIMAL(30,6))) AS DOUBLE) / COUNT(q.quality) AS mean_quality
+FROM survivors s
+JOIN quality q ON s.doc_id = q.doc_id
+WHERE q.quality >= 0.55
+GROUP BY s.lang
+"""
+
+
+@register(
+    "doc_curation_pipeline",
+    _CURATION_ORACLE,
+    survey="§2.9 capstone (quality filter + near-dedup + per-lang corpus stats)",
+)
+def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    survivors = q_doc_near_dedup_end2end(spark, sf_dir).select("doc_id", "lang")
+    quality = q_doc_quality_score_for_curation(spark, sf_dir)
+    kept = survivors.join(quality, "doc_id").filter(F.col("quality") >= 0.55)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("quality").cast("decimal(30,6)")).cast("double")
+            / F.count("quality")
+        ).alias("mean_quality"),
+    )
+
+
+def q_doc_quality_score_for_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    len_norm = F.least(F.length("text").cast("double") / 400.0, F.lit(1.0))
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    return d.select(
+        "doc_id", F.round(len_norm * 0.5 + uniq_ratio * 0.5, 6).alias("quality")
+    )
