@@ -54,6 +54,32 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: tuple[str, ..
     )
 
 
+def compact(spark, path: str, target_files_per_partition: int = 1,
+            partition_cols: tuple[str, ...] = ()) -> int:
+    """Small-file compaction (the OPTIMIZE analog; SURVEY §4 "small-file
+    problem"). Rewrites a parquet dataset into ``target_files_per_partition``
+    files per partition directory via an atomic swap (write to a sibling
+    temp dir, then rename). Returns the file count after compaction."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    writer = df.repartition(
+        target_files_per_partition, *partition_cols
+    ) if partition_cols else df.coalesce(target_files_per_partition)
+    w = writer.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    n = 0
+    for _, _, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
 def to_csv_bytes(df: DataFrame, limit: int = 1_000_000) -> bytes:
     """S7 — serving-edge CSV download of a bounded result."""
     pdf = df.limit(limit).toPandas()
