@@ -47,14 +47,15 @@ def as_of_join(
     right_cols = list(right.columns)
     right_types = dict(right.dtypes)
 
+    # Tiebreakers keep their native type: casting to string would order
+    # numeric ids lexicographically ('9' > '10') and silently violate the
+    # greatest-row-wins contract. Only the right side's NULL placeholders
+    # are cast, to each left column's own dtype.
     tagged_left = left.select(
         *on,
         F.col(left_time).alias("__t"),
         F.lit(0).alias("__side"),
-        *[
-            F.col(c).cast("string").alias(f"__tb{i}")
-            for i, c in enumerate(left_tiebreakers)
-        ],
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(left_tiebreakers)],
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
         *[F.lit(None).cast(right_types[c]).alias(f"__r_{c}") for c in right_cols],
     )
@@ -62,7 +63,10 @@ def as_of_join(
         *on,
         F.col(right_time).alias("__t"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast("string").alias(f"__tb{i}") for i in range(len(left_tiebreakers))],
+        *[
+            F.lit(None).cast(left_types[c]).alias(f"__tb{i}")
+            for i, c in enumerate(left_tiebreakers)
+        ],
         *[F.lit(None).cast(left_types[c]).alias(f"__v_{c}") for c in value_cols],
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )

@@ -39,14 +39,22 @@ def metric_series(
     f = filters.drop_null_keys(f, ["fiscal_year"])
     alias = alias_map.filter(F.col("metric") == metric)
     joined = f.join(F.broadcast(alias), "tag")
+    # fact_id is the final tie-break: (priority, |value|, end_date) is not
+    # a total order (same-magnitude or same-date duplicate facts tie), and
+    # a non-total order makes the kept row partition-placement-dependent.
     if dedup == "argmax_abs":
         order = [
             F.col("priority").asc(),
             F.abs(F.col("value")).desc(),
             F.col("end_date").desc_nulls_last(),
+            F.col("fact_id").asc(),
         ]
     else:
-        order = [F.col("priority").asc(), F.col("end_date").desc_nulls_last()]
+        order = [
+            F.col("priority").asc(),
+            F.col("end_date").desc_nulls_last(),
+            F.col("fact_id").desc(),
+        ]
     best = keep_first(joined, ["ticker", "fiscal_year"], order)
     return best.select(
         "ticker", "fiscal_year", "tag", F.col("value"), F.lit(metric).alias("metric")

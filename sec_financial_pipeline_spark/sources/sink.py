@@ -58,13 +58,17 @@ def compact(spark, path: str, target_files_per_partition: int = 1,
             partition_cols: tuple[str, ...] = ()) -> int:
     """Small-file compaction (the OPTIMIZE analog; SURVEY §4 "small-file
     problem"). Rewrites a parquet dataset into ``target_files_per_partition``
-    files per partition directory via an atomic swap (write to a sibling
-    temp dir, then rename). Returns the file count after compaction."""
+    files per partition directory, swapped in via two renames (write to a
+    sibling temp dir, move the original aside, move the temp into place,
+    drop the original) — a crash mid-swap leaves the dataset readable at
+    either ``path`` or ``path__old``, never gone. Returns the file count
+    after compaction."""
     import os
     import shutil
 
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__old"
     writer = df.repartition(
         target_files_per_partition, *partition_cols
     ) if partition_cols else df.coalesce(target_files_per_partition)
@@ -72,8 +76,11 @@ def compact(spark, path: str, target_files_per_partition: int = 1,
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(tmp)
-    shutil.rmtree(path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     n = 0
     for _, _, files in os.walk(path):
         n += sum(1 for f in files if f.endswith(".parquet"))

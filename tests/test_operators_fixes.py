@@ -1,0 +1,54 @@
+"""Regression tests for operator-contract fixes (round-2 ADVICE items)."""
+
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.operators.asof import as_of_join
+
+
+def test_asof_numeric_tiebreaker_orders_natively(spark):
+    # Two left rows share (key, ts); the greatest tiebreaker row must win.
+    # With ids 9 and 10 a lexicographic (string) order would pick 9.
+    left = spark.createDataFrame(
+        [("k", 100, 9, "from_id_9"), ("k", 100, 10, "from_id_10")],
+        "key string, ts int, row_id int, payload string",
+    )
+    right = spark.createDataFrame(
+        [("k", 150, 1)], "key string, ts int, event int"
+    )
+    out = as_of_join(
+        left,
+        right,
+        on=["key"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["payload"],
+        left_tiebreakers=["row_id"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["payload"] == "from_id_10"
+
+
+def test_metric_series_total_order_is_deterministic(spark):
+    # plans.analytics.metric_series must break (priority, |value|, end_date)
+    # ties by fact_id: rows identical up to sign used to be nondeterministic.
+    from sec_financial_pipeline_spark.plans.analytics import metric_series
+
+    facts = spark.createDataFrame(
+        [
+            ("T00", "Revenues", "USD", 2000, None, "2000-12-31", None, 1, -5.0, "10-K", "Revenues", 1),
+            ("T00", "Revenues", "USD", 2000, None, "2000-12-31", None, 2, 5.0, "10-K", "Revenues", 1),
+        ],
+        "ticker string, tag string, unit string, fiscal_year int, fiscal_period string, "
+        "end_date string, instant_date string, fact_id long, value double, form string, "
+        "label string, cik int",
+    )
+    alias_map = spark.createDataFrame(
+        [("Revenues", "revenue", 0)], "tag string, metric string, priority int"
+    )
+    for n_part in (1, 7):
+        rows = (
+            metric_series(facts.repartition(n_part), alias_map, "revenue")
+            .select("ticker", "fiscal_year", "value")
+            .collect()
+        )
+        assert [r["value"] for r in rows] == [-5.0], rows
