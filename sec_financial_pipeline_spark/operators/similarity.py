@@ -11,9 +11,10 @@ Scale notes (100 TB posture):
 - MinHash-LSH: candidate generation is an equi-join on band hash — a
   shuffle on band key; band size r and band count b tune the
   precision/recall vs shuffle-width trade-off.
-- SimHash: 64 -> 32-bit signatures make near-dup detection a cheap
-  bit_count(xor) over candidate pairs (bucket by signature prefix at
-  scale instead of the all-pairs join used for the small oracle check).
+- SimHash: near-pair detection is the pigeonhole block join (d+1
+  signature blocks, equi-join per block, bit_count(xor) verify) — a
+  hash shuffle on (block_no, block_value), never an all-pairs theta
+  join.
 - Cosine ANN: brute force is the baseline (O(Q x N) with broadcast
   queries); the bucketed variant projects onto fixed hyperplanes and
   joins on the sign-bucket, cutting candidates by ~2^bits.
@@ -114,45 +115,76 @@ def minhash_signatures(
         for i in range(n_hashes)
     ]
     sig = with_sh.select(F.col(id_col), *mins)
-    n_bands = n_hashes // band_size
-    bands = [
+    return sig.select(id_col, *_band_exprs(n_hashes, band_size))
+
+
+def _band_exprs(n_hashes: int, band_size: int) -> list:
+    """LSH band hashes: md5 over each ``band_size`` run of signature mins."""
+    return [
         F.md5(
             F.concat_ws(
                 "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
             )
         ).alias(f"band{b}")
-        for b in range(n_bands)
+        for b in range(n_hashes // band_size)
     ]
-    return sig.select(id_col, *bands)
+
+
+def minhash_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingle",
+    n_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """MinHash signatures + LSH bands from an already-exploded
+    ``(id, shingle)`` table (distinct shingles per id).
+
+    Same hash family (and bit-identical output) as
+    ``minhash_signatures``, but as a flat groupBy of ``min(md5(...))``
+    aggregates — partial-aggregable, whole-stage-codegen'd, and (the
+    point) able to SHARE the exploded shingle table with a downstream
+    Jaccard-verify join: when ``sh`` sits behind a ``repartition(id)``
+    exchange, every consumer reads the one materialized shuffle instead
+    of re-exploding the corpus (ReusedExchange).
+    """
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col(shingle_col)))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(id_col, *_band_exprs(n_hashes, band_size))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
     """Distinct unordered candidate pairs sharing at least one LSH band.
 
-    Equi-join per band (shuffle on the band hash — never all-pairs),
-    then distinct across bands.
+    Equi-join per band (shuffle on the band key — never all-pairs). The
+    band table is built with ONE ``posexplode`` pass over the signatures
+    (a union of per-band projections would re-run the whole signature
+    pipeline once per band) and materialized through a ``repartition``
+    on the join key, so the self-join reuses a single exchange for both
+    sides and needs no further shuffle.
     """
     band_cols = [c for c in signatures.columns if c.startswith("band")]
-    stacked = None
-    for c in band_cols:
-        one = signatures.select(
-            F.col(id_col).alias("id"), F.col(c).alias("band_hash"),
-            F.lit(c).alias("band_no"),
-        )
-        stacked = one if stacked is None else stacked.unionByName(one)
+    stacked = signatures.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "band_no", "band_hash"
+        ),
+    ).repartition("band_no", "band_hash")
     a = stacked.alias("a")
     b = stacked.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
-            (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.band_no") == F.col("b.band_no"))
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -192,22 +224,62 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def hamming_pairs(
-    sig: DataFrame, id_col: str, max_distance: int
+    sig: DataFrame,
+    id_col: str,
+    max_distance: int,
+    n_bits: int = N_SIMHASH_BITS,
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance over SimHash signatures.
+    """Near-dup pairs by Hamming distance over SimHash signatures,
+    via the pigeonhole block join (Manku et al., WWW'07) — never
+    all-pairs.
 
-    All-pairs here (fine for oracle-scale); at 100 TB bucket by signature
-    prefix (pigeonhole: distance <= d means some ceil(bits/(d+1))-bit
-    block matches exactly) and join per block instead.
+    Split the ``n_bits`` signature into ``max_distance + 1`` contiguous
+    blocks: two signatures within Hamming distance d differ in at most d
+    bit positions, so at least one block matches *exactly*. Equi-join per
+    (block_no, block_value) — a hash shuffle, no theta join — then verify
+    the full distance and distinct across blocks.
+
+    Selectivity scales with block width (``n_bits / (d + 1)``): wider
+    blocks (more signature bits or smaller d) shrink buckets
+    exponentially. At d=10 over 32 bits the 2-3-bit blocks are coarse —
+    correct, but a 100 TB deployment should carry 64-bit signatures with
+    d <= 6 so each block has >= 9 bits (buckets of N/512).
     """
-    a = sig.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
+    n_blocks = max_distance + 1
+    if n_blocks >= n_bits:
+        raise ValueError(f"max_distance {max_distance} needs < {n_bits} blocks")
+    base, extra = divmod(n_bits, n_blocks)
+    blocks = []  # (block_no, start_bit, width)
+    start = 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        blocks.append((i, start, width))
+        start += width
+    stacked = None
+    for no, off, width in blocks:
+        mask = (1 << width) - 1
+        one = sig.select(
+            F.col(id_col).alias("id"),
+            F.col("simhash").alias("sig"),
+            F.lit(no).alias("block_no"),
+            F.shiftright(F.col("simhash"), off).bitwiseAND(mask).alias("block_val"),
+        )
+        stacked = one if stacked is None else stacked.unionByName(one)
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    dist = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_no") == F.col("b.block_no"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(dist <= max_distance)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.cast("int").alias("hamming"),
+        )
+        .distinct()
     )
-    b = sig.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b")
-    )
-    joined = a.join(b, F.col("id_a") < F.col("id_b"))
-    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return joined.select(
-        "id_a", "id_b", dist.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_distance)

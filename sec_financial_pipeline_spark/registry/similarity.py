@@ -398,11 +398,24 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 )
 def q_doc_near_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sig = S.minhash_signatures(
-        d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE
+    # ONE exploded shingle table, persisted: the MinHash signature agg,
+    # the per-doc sizes, and both sides of the Jaccard verify join all
+    # read it, and per-branch column pruning / filter pushdown rewrites
+    # each branch's subtree differently, which defeats ReusedExchange —
+    # so an explicit cache is the only way to compute the (most expensive)
+    # explode once. CacheManager keys on the canonicalized plan, so every
+    # call (and the curation capstone's reuse of this subtree) shares a
+    # single entry rather than stacking copies. At 100 TB the same role
+    # is played by materializing the shingle table to scratch storage.
+    sh = (
+        d.select("doc_id", F.explode(S.shingles(F.col("text"))).alias("shingle"))
+        .repartition("doc_id")
+        .persist()
+    )
+    sig = S.minhash_from_shingles(
+        sh, "doc_id", n_hashes=_N_HASHES, band_size=_BAND_SIZE
     )
     cand = S.lsh_candidate_pairs(sig, "doc_id")
-    sh = d.select("doc_id", F.explode(S.shingles(F.col("text"))).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle").alias("shingle_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_a"))
