@@ -26,20 +26,24 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: window, grouped rollup, snowflake join, time-series window, session
 #: window, text near-dup, vector search).
 HEADLINE = [
-    "sec_metric_series_revenue",
+    "sec_metric_series",
     "sec_full_statements",
     "sec_ratios_join",
     "sec_trends",
     "rel_pricing_summary",
     "rel_region_rollup",
-    "rel_argmax_abs_dedup",
-    "rel_monthly_yoy",
+    "rel_dedup_policies",
+    "rel_growth",
     "evt_sessionize",
-    "doc_minhash_signatures",
+    "doc_signatures",
     "doc_near_dedup_end2end",
     "emb_cosine_topk",
     "emb_ivf_ann",
 ]
+
+#: Timed repetitions per query; the reported figure is the median, so a
+#: single GC pause / machine-load spike can't masquerade as a regression.
+N_REPS = 3
 
 
 def main() -> None:
@@ -60,16 +64,19 @@ def main() -> None:
 
     # Steady-state methodology (JMH-style): one untimed warmup execution
     # per query absorbs SQL analysis + whole-stage codegen compilation —
-    # one-time per-plan costs, not per-query work — then the timed run
-    # measures actual execution. PERF.md records both methodologies.
+    # one-time per-plan costs, not per-query work — then N_REPS timed
+    # runs; the median is reported. PERF.md records both methodologies.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name].fn
         fn(spark, SF_DIR).collect()  # warmup: plan + codegen + caches
-        t0 = time.perf_counter()
-        rows = fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert rows is not None
+        reps = []
+        for _ in range(N_REPS):
+            t0 = time.perf_counter()
+            rows = fn(spark, SF_DIR).collect()
+            reps.append(time.perf_counter() - t0)
+            assert rows is not None
+        timings[name] = round(sorted(reps)[len(reps) // 2], 4)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

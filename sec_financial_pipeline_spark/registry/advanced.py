@@ -107,14 +107,31 @@ def q_running_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ntile buckets + exact interpolated median per segment
+# Rank-function family + ntile quartiles + exact interpolated median
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "adv_ntile_median",
+    "adv_rank_ntile",
     """
-SELECT c_mktsegment,
+SELECT 'rank_family' AS section, c_mktsegment, c_custkey,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist() OVER w, 6) AS cdist,
+       lead(c_custkey, 1) OVER w AS next_custkey,
+       first_value(c_custkey) OVER w AS top_custkey,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS median_acctbal,
+       CAST(NULL AS BIGINT) AS q1_n, CAST(NULL AS BIGINT) AS q4_n
+FROM customer
+WHERE c_custkey < 300
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+UNION ALL
+SELECT 'segment_quartiles' AS section, c_mktsegment,
+       CAST(NULL AS BIGINT) AS c_custkey, CAST(NULL AS INT) AS rnk,
+       CAST(NULL AS INT) AS drnk, CAST(NULL AS DOUBLE) AS prnk,
+       CAST(NULL AS DOUBLE) AS cdist, CAST(NULL AS BIGINT) AS next_custkey,
+       CAST(NULL AS BIGINT) AS top_custkey,
        count(*) AS n,
        round(quantile_cont(c_acctbal, 0.5), 6) AS median_acctbal,
        count(CASE WHEN q = 1 THEN 1 END) AS q1_n,
@@ -127,115 +144,57 @@ FROM (
 )
 GROUP BY c_mktsegment
 """,
-    survey="W-family A-family (ntile quartiles + exact interpolated median)",
+    survey="W-family A-family (rank/dense_rank/percent_rank/cume_dist/lead/first_value; ntile quartiles + exact interpolated median)",
 )
-def q_ntile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    ranks = c.filter(F.col("c_custkey") < 300).select(
+        F.lit("rank_family").alias("section"),
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.lead("c_custkey", 1).over(w).alias("next_custkey"),
+        F.first("c_custkey").over(w).alias("top_custkey"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("median_acctbal"),
+        F.lit(None).cast("bigint").alias("q1_n"),
+        F.lit(None).cast("bigint").alias("q4_n"),
+    )
+    wq = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").asc(), F.col("c_custkey").asc()
     )
-    bucketed = c.withColumn("q", F.ntile(4).over(w))
-    return bucketed.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("median_acctbal"),
-        F.count(F.when(F.col("q") == 1, 1)).alias("q1_n"),
-        F.count(F.when(F.col("q") == 4, 1)).alias("q4_n"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extended date/time scalar surface (C2)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "adv_date_extended",
-    """
-SELECT o_orderkey,
-       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
-       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
-       CAST(isodow(o_orderdate) AS INT) AS iso_weekday,
-       CAST(dayofyear(o_orderdate) AS INT) AS day_of_year,
-       CAST(week(o_orderdate) AS INT) AS week_of_year,
-       CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_sec
-FROM orders
-WHERE o_orderkey % 131 = 0
-""",
-    survey="C2 (last_day, add_months, ISO weekday, day/week-of-year, epoch)",
-)
-def q_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.filter(F.col("o_orderkey") % 131 == 0).select(
-        "o_orderkey",
-        F.last_day("o_orderdate").alias("month_end"),
-        F.add_months("o_orderdate", 3).alias("plus_3m"),
-        # Spark weekday(): 0 = Monday; ISO dow is 1 = Monday
-        (F.weekday("o_orderdate") + 1).cast("int").alias("iso_weekday"),
-        F.dayofyear("o_orderdate").cast("int").alias("day_of_year"),
-        F.weekofyear("o_orderdate").cast("int").alias("week_of_year"),
-        F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_sec"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Regex (BPE-ish) tokenization counts (north-star text analysis)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "adv_token_regex",
-    r"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
-       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_word_tokens,
-       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_number_tokens
-FROM documents
-""",
-    survey="§2.9 token-counting (regex token classes, BPE-ish segmentation)",
-)
-def q_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
-        .cast("int")
-        .alias("n_bpe_tokens"),
-        F.regexp_count("text", F.lit("[a-z]+")).cast("int").alias("n_word_tokens"),
-        F.regexp_count("text", F.lit("[0-9]+")).cast("int").alias("n_number_tokens"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Embedding centroids per label (long format, deterministic decimal means)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "adv_embedding_centroids",
-    """
-SELECT label, CAST(dim AS INT) AS dim,
-       CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / COUNT(v) AS centroid
-FROM (
-  SELECT label, u.dim, u.v FROM embeddings,
-  LATERAL (SELECT generate_subscripts(embedding, 1) AS dim,
-                  unnest(CAST(embedding AS DOUBLE[])) AS v) u
-)
-GROUP BY label, dim
-""",
-    survey="§2.9 embedding ops (per-label centroid, order-independent mean)",
-)
-def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "label", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    exploded = e.select(
-        "label", F.posexplode("emb").alias("pos", "v")
-    ).select("label", (F.col("pos") + 1).cast("int").alias("dim"), "v")
-    return exploded.groupBy("label", "dim").agg(
-        (F.sum(F.col("v").cast("decimal(30,6)")).cast("double") / F.count("v")).alias(
-            "centroid"
+    quartiles = (
+        c.withColumn("q", F.ntile(4).over(wq))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("median_acctbal"),
+            F.count(F.when(F.col("q") == 1, 1)).alias("q1_n"),
+            F.count(F.when(F.col("q") == 4, 1)).alias("q4_n"),
+        )
+        .select(
+            F.lit("segment_quartiles").alias("section"),
+            "c_mktsegment",
+            F.lit(None).cast("bigint").alias("c_custkey"),
+            F.lit(None).cast("int").alias("rnk"),
+            F.lit(None).cast("int").alias("drnk"),
+            F.lit(None).cast("double").alias("prnk"),
+            F.lit(None).cast("double").alias("cdist"),
+            F.lit(None).cast("bigint").alias("next_custkey"),
+            F.lit(None).cast("bigint").alias("top_custkey"),
+            "n",
+            "median_acctbal",
+            "q1_n",
+            "q4_n",
         )
     )
+    return ranks.unionByName(quartiles)
 
 
 # ---------------------------------------------------------------------------
@@ -244,33 +203,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "adv_pandas_udf_quality",
-    """
-SELECT doc_id,
-       round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
-             + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')) * 0.5, 6) AS quality
-FROM documents
-""",
-    survey="§2.8 (Arrow-vectorized scalar Pandas UDF, bit-equal to SQL twin)",
-)
-def q_pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    prepared = d.select(
-        "doc_id",
-        F.length("text").alias("len_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-    )
-    return prepared.select(
-        "doc_id",
-        quality_score_udf("len_chars", "n_tokens", "n_distinct").alias("quality"),
-    )
-
-
-@register(
-    "adv_grouped_udf_regression",
+    "adv_udf_surface",
     f"""
 WITH yearly AS (
   SELECT 'T' || lpad(CAST(o_custkey % 25 AS STRING), 2, '0') AS ticker,
@@ -291,16 +224,42 @@ sums AS (
   FROM yearly
   GROUP BY ticker
 )
-SELECT ticker,
+SELECT 'scalar_quality' AS section, doc_id,
+       round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+             + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) * 0.5, 6) AS quality,
+       CAST(NULL AS VARCHAR) AS ticker, CAST(NULL AS DOUBLE) AS slope,
+       CAST(NULL AS DOUBLE) AS intercept, CAST(NULL AS INT) AS n_points
+FROM documents
+UNION ALL
+SELECT 'grouped_ols' AS section, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(NULL AS DOUBLE) AS quality, ticker,
        CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS slope,
        (CAST(sy AS DOUBLE) / 1000000
         - (CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n * sxx - sx * sx AS DOUBLE) * 1000000)) * sx) / n AS intercept,
        CAST(n AS INT) AS n_points
 FROM sums
 """,
-    survey="§2.8 (applyInPandas grouped-map OLS; exact-int sums == oracle)",
+    survey="§2.8 (Arrow-vectorized scalar Pandas UDF bit-equal to SQL twin; applyInPandas grouped-map OLS with exact-int sums)",
 )
-def q_grouped_udf_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    prepared = d.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    quality = prepared.select(
+        F.lit("scalar_quality").alias("section"),
+        "doc_id",
+        quality_score_udf("len_chars", "n_tokens", "n_distinct").alias("quality"),
+        F.lit(None).cast("string").alias("ticker"),
+        F.lit(None).cast("double").alias("slope"),
+        F.lit(None).cast("double").alias("intercept"),
+        F.lit(None).cast("int").alias("n_points"),
+    )
     o = load_table(spark, sf_dir, "orders")
     yearly = o.groupBy(
         F.concat(
@@ -308,42 +267,13 @@ def q_grouped_udf_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ticker"),
         F.year("o_orderdate").cast("int").alias("y"),
     ).agg(dsum("o_totalprice").alias("revenue"))
-    return ols_slope_per_group(yearly, ["ticker"], "y", "revenue")
-
-
-# ---------------------------------------------------------------------------
-# Rank-function family (rank / dense_rank / percent_rank / cume_dist / lead)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "adv_rank_family",
-    """
-SELECT c_mktsegment, c_custkey,
-       CAST(rank() OVER w AS INT) AS rnk,
-       CAST(dense_rank() OVER w AS INT) AS drnk,
-       round(percent_rank() OVER w, 6) AS prnk,
-       round(cume_dist() OVER w, 6) AS cdist,
-       lead(c_custkey, 1) OVER w AS next_custkey,
-       first_value(c_custkey) OVER w AS top_custkey
-FROM customer
-WHERE c_custkey < 300
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
-""",
-    survey="W-family (rank/dense_rank/percent_rank/cume_dist/lead/first_value)",
-)
-def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    ols = ols_slope_per_group(yearly, ["ticker"], "y", "revenue").select(
+        F.lit("grouped_ols").alias("section"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("double").alias("quality"),
+        "ticker",
+        "slope",
+        "intercept",
+        "n_points",
     )
-    return c.select(
-        "c_mktsegment",
-        "c_custkey",
-        F.rank().over(w).cast("int").alias("rnk"),
-        F.dense_rank().over(w).cast("int").alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-        F.lead("c_custkey", 1).over(w).alias("next_custkey"),
-        F.first("c_custkey").over(w).alias("top_custkey"),
-    )
+    return quality.unionByName(ols)

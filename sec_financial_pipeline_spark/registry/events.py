@@ -21,54 +21,55 @@ from sec_financial_pipeline_spark.sources.testdata import load_table
 
 
 @register(
-    "evt_json_extract",
+    "evt_windows",
     f"""
-SELECT event_type,
+SELECT 'by_type' AS section, event_type,
+       CAST(NULL AS TIMESTAMP) AS window_start,
        count(*) AS n_events,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        {dsum_sql('value')} AS total_value
 FROM events
 GROUP BY event_type
+UNION ALL
+SELECT 'hourly' AS section, event_type,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       count(*) AS n_events,
+       CAST(NULL AS BIGINT) AS sum_k,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2, 3
 """,
-    survey="C5 (JSON path extraction + typed aggregation)",
+    survey="C5 §2.7 (JSON path extraction + typed agg; tumbling window agg — streaming twin in streaming/events.py)",
 )
-def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_evt_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
-    return e.groupBy("event_type").agg(
+    by_type = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).cast("bigint").alias("sum_k"),
         dsum("value").alias("total_value"),
+    ).select(
+        F.lit("by_type").alias("section"),
+        "event_type",
+        F.lit(None).cast("timestamp").alias("window_start"),
+        "n_events",
+        "sum_k",
+        "total_value",
     )
-
-
-# ---------------------------------------------------------------------------
-# T analog — tumbling-window aggregation (batch twin of the streaming agg)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "evt_hourly_tumbling",
-    f"""
-SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
-       event_type,
-       count(*) AS n_events,
-       {dsum_sql('value')} AS total_value
-FROM events
-GROUP BY 1, 2
-""",
-    survey="§2.7 (tumbling window agg; streaming twin in streaming/events.py)",
-)
-def q_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(
-            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
-        ).agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("total_value"),
-        )
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    ).select(
+        F.lit("hourly").alias("section"),
+        "event_type",
+        "window_start",
+        "n_events",
+        F.lit(None).cast("bigint").alias("sum_k"),
+        "total_value",
     )
+    return by_type.unionByName(hourly)
 
 
 # ---------------------------------------------------------------------------

@@ -1,10 +1,14 @@
 """LLM-data-pipeline text operators on the `documents` table
-(SURVEY §2.9 / north star): exact dedup, text statistics & quality
-scoring, language-ID heuristic, document fingerprinting, token counting.
+(SURVEY §2.9 / north star): exact dedup plus the per-document profile —
+text statistics, quality scoring, language-ID heuristic, fingerprinting,
+and regex (BPE-ish) token counting — computed in ONE scan.
 
 All built from JVM-side expressions (split / filter / aggregate on
 arrays) — no Python in the hot path — so they scale linearly with
-partitions and stay inside whole-stage codegen.
+partitions and stay inside whole-stage codegen. Folding every
+per-document feature into a single projection is the 100 TB shape: one
+pass over the corpus emits the full feature row, instead of N feature
+jobs re-reading N x the data.
 """
 
 from __future__ import annotations
@@ -41,84 +45,11 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Text statistics & quality score
+# Per-document profile: stats + quality + lang-ID + fingerprint + tokens
 # ---------------------------------------------------------------------------
 
 _STOPWORDS = ("a", "the", "and", "of", "to", "in")
 _SW_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
-
-
-@register(
-    "doc_text_stats",
-    f"""
-SELECT doc_id, lang,
-       CAST(length(text) AS INT) AS len_chars,
-       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-       CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_SW_LIST}))) AS INT) AS n_stopwords,
-       round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_SW_LIST}))) AS DOUBLE)
-             / len(string_split(text, ' ')), 6) AS stopword_ratio,
-       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len
-FROM documents
-""",
-    survey="§2.9 text-analysis (token counts, stopword ratio, quality signals)",
-)
-def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    sw = F.filter(toks, lambda w: w.isin(*_STOPWORDS))
-    n_tokens = F.size(toks)
-    n_sw = F.size(sw)
-    return d.select(
-        "doc_id",
-        "lang",
-        F.length("text").alias("len_chars"),
-        n_tokens.cast("int").alias("n_tokens"),
-        n_sw.cast("int").alias("n_stopwords"),
-        F.round(n_sw.cast("double") / n_tokens, 6).alias("stopword_ratio"),
-        F.round(F.length("text").cast("double") / n_tokens, 6).alias(
-            "avg_token_len"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Quality scoring + classification (length / repetition signals)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "doc_quality_score",
-    """
-SELECT doc_id,
-       round(len_norm * 0.5 + uniq_ratio * 0.5, 6) AS quality,
-       CASE WHEN len_norm * 0.5 + uniq_ratio * 0.5 >= 0.55 THEN 'keep'
-            ELSE 'filter' END AS verdict
-FROM (
-  SELECT doc_id,
-         least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) AS len_norm,
-         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-           / len(string_split(text, ' ')) AS uniq_ratio
-  FROM documents
-)
-""",
-    survey="§2.9 quality-scoring (length + lexical-diversity composite)",
-)
-def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    len_norm = F.least(F.length("text").cast("double") / 400.0, F.lit(1.0))
-    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-    score = len_norm * 0.5 + uniq_ratio * 0.5
-    return d.select(
-        "doc_id",
-        F.round(score, 6).alias("quality"),
-        F.when(score >= 0.55, "keep").otherwise("filter").alias("verdict"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Language-ID heuristic (marker-token votes)
-# ---------------------------------------------------------------------------
 
 _LANG_MARKERS = {
     "en": ("the", "a", "fast", "slow"),
@@ -134,23 +65,49 @@ def _marker_sql(lang: str) -> str:
     return f"len(list_filter(string_split(text, ' '), w -> w IN ({words})))"
 
 
-@register(
-    "doc_lang_id",
-    f"""
-SELECT doc_id, lang AS labeled_lang,
+_PROFILE_ORACLE = rf"""
+SELECT doc_id, lang,
+       CAST(length(text) AS INT) AS len_chars,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_SW_LIST}))) AS INT) AS n_stopwords,
+       round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_SW_LIST}))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len,
+       round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+             + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) * 0.5, 6) AS quality,
+       CASE WHEN least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+                 + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) * 0.5 >= 0.55 THEN 'keep'
+            ELSE 'filter' END AS verdict,
        CASE WHEN {_marker_sql('es')} > {_marker_sql('en')} THEN 'es'
             WHEN {_marker_sql('de')} > {_marker_sql('en')} THEN 'de'
             WHEN {_marker_sql('fr')} > {_marker_sql('en')} THEN 'fr'
             WHEN {_marker_sql('zh')} > {_marker_sql('en')} THEN 'zh'
             WHEN {_marker_sql('en')} > 0 THEN 'en'
-            ELSE 'unknown' END AS predicted_lang
+            ELSE 'unknown' END AS predicted_lang,
+       md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS fingerprint,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_number_tokens
 FROM documents
-""",
-    survey="§2.9 language-ID (marker-token n-gram heuristic)",
+"""
+
+
+@register(
+    "doc_profile",
+    _PROFILE_ORACLE,
+    survey="§2.9 text-analysis + quality-scoring + language-ID + fingerprinting + token-counting (single-scan per-doc feature row)",
 )
-def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    sw = F.filter(toks, lambda w: w.isin(*_STOPWORDS))
+    n_tokens = F.size(toks)
+    n_sw = F.size(sw)
+    len_norm = F.least(F.length("text").cast("double") / 400.0, F.lit(1.0))
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    score = len_norm * 0.5 + uniq_ratio * 0.5
 
     def votes(lang: str):
         return F.size(F.filter(toks, lambda w: w.isin(*_LANG_MARKERS[lang])))
@@ -163,26 +120,24 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(votes("en") > 0, "en")
         .otherwise("unknown")
     )
-    return d.select(
-        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Document fingerprint (normalized content hash)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "doc_fingerprint",
-    """
-SELECT doc_id,
-       md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS fingerprint
-FROM documents
-""",
-    survey="§2.9 fingerprinting (normalized md5 content fingerprint)",
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
     normalized = F.lower(F.regexp_replace("text", "[^a-z0-9 ]", ""))
-    return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("len_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        n_sw.cast("int").alias("n_stopwords"),
+        F.round(n_sw.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(F.length("text").cast("double") / n_tokens, 6).alias(
+            "avg_token_len"
+        ),
+        F.round(score, 6).alias("quality"),
+        F.when(score >= 0.55, "keep").otherwise("filter").alias("verdict"),
+        pred.alias("predicted_lang"),
+        F.md5(normalized).alias("fingerprint"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("int")
+        .alias("n_bpe_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+")).cast("int").alias("n_word_tokens"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("int").alias("n_number_tokens"),
+    )

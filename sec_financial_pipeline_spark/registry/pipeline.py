@@ -52,13 +52,13 @@ def _batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pipe_detect_changes",
+    "pipe_incremental",
     domain.duck_prelude(
         f"stored AS (SELECT {_STORED_COLS} FROM facts)",
         f"batch AS ({_BATCH_SQL_SUFFIX})",
     )
-    + """
-SELECT b.* FROM (
+    + f"""
+SELECT 'changed' AS action, {', '.join('b.' + c for c in (_KEY + _VALUE))} FROM (
   SELECT *, md5(concat_ws(chr(31),
       CAST(ticker AS STRING), CAST(tag AS STRING), CAST(unit AS STRING),
       CAST(fiscal_year AS STRING), CAST(fiscal_period AS STRING),
@@ -72,35 +72,26 @@ WHERE b.h NOT IN (
       CAST(end_date AS STRING), CAST(instant_date AS STRING),
       CAST(fact_id AS STRING), CAST(value AS STRING), CAST(form AS STRING)))
   FROM stored)
-""".replace("SELECT b.* FROM", f"SELECT {', '.join('b.' + c for c in (_KEY + _VALUE))} FROM"),
-    survey="T2 (md5 content-hash change detection via anti-join)",
-)
-def q_detect_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stored = _stored(spark, sf_dir)
-    batch = _batch(spark, sf_dir)
-    return incremental.detect_changes(stored, batch, key_cols=_KEY, value_cols=_VALUE)
-
-
-@register(
-    "pipe_merge_upsert",
-    domain.duck_prelude(
-        f"stored AS (SELECT {_STORED_COLS} FROM facts)",
-        f"batch AS ({_BATCH_SQL_SUFFIX})",
-    )
-    + f"""
-SELECT {_STORED_COLS} FROM stored
+UNION ALL
+SELECT 'merged' AS action, {_STORED_COLS} FROM stored
 WHERE fact_id NOT IN (SELECT fact_id FROM batch)
 UNION ALL
-SELECT {_STORED_COLS} FROM batch
+SELECT 'merged' AS action, {_STORED_COLS} FROM batch
 """,
-    survey="T2 T4 (merge-upsert: replace matched keys, keep the rest)",
+    survey="T2 T4 (md5 content-hash change detection via anti-join; merge-upsert replacing matched keys)",
 )
-def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored = _stored(spark, sf_dir)
     batch = _batch(spark, sf_dir)
+    changed = incremental.detect_changes(
+        stored, batch, key_cols=_KEY, value_cols=_VALUE
+    ).select(F.lit("changed").alias("action"), *(_KEY + _VALUE))
     # fact_id alone is the row identity in the derived model; the full
-    # FACT_KEY composite is exercised in pipe_detect_changes above.
-    return incremental.merge_upsert(stored, batch, key_cols=("fact_id",))
+    # FACT_KEY composite is exercised by the change-detection branch.
+    merged = incremental.merge_upsert(stored, batch, key_cols=("fact_id",)).select(
+        F.lit("merged").alias("action"), *(_KEY + _VALUE)
+    )
+    return changed.unionByName(merged)
 
 
 @register(

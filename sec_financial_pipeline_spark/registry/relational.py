@@ -120,41 +120,28 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A2/A3 — the two dedup policies on raw lineitem
+# A2/A3 — the two dedup policies on raw lineitem, side by side
 # ---------------------------------------------------------------------------
 
 _LI_TIEBREAK = ["l_linenumber", "l_partkey", "l_suppkey"]
 
+_DEDUP_COLS = "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice"
+
 
 @register(
-    "rel_argmax_abs_dedup",
-    """
-SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice FROM (
-  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+    "rel_dedup_policies",
+    f"""
+SELECT 'argmax_abs' AS policy, {_DEDUP_COLS} FROM (
+  SELECT {_DEDUP_COLS},
          row_number() OVER (
            PARTITION BY l_orderkey
            ORDER BY abs(l_extendedprice) DESC,
                     l_linenumber ASC, l_partkey ASC, l_suppkey ASC) AS rn
   FROM lineitem
 ) WHERE rn = 1
-""",
-    survey="A2 (argmax-abs dedup with deterministic tie-break)",
-)
-def q_argmax_abs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    out = dedup.argmax_abs(
-        li, ["l_orderkey"], "l_extendedprice", tiebreakers=_LI_TIEBREAK
-    )
-    return out.select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
-    )
-
-
-@register(
-    "rel_last_write_wins",
-    """
-SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice FROM (
-  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+UNION ALL
+SELECT 'last_write_wins' AS policy, {_DEDUP_COLS} FROM (
+  SELECT {_DEDUP_COLS},
          row_number() OVER (
            PARTITION BY l_orderkey
            ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC,
@@ -162,49 +149,45 @@ SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice FROM (
   FROM lineitem
 ) WHERE rn = 1
 """,
-    survey="A3 (last-write-wins dedup under explicit ingest order)",
+    survey="A2 A3 (argmax-abs + last-write-wins dedup, deterministic tie-breaks)",
 )
-def q_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    out = dedup.last_write_wins(
+    cols = _DEDUP_COLS.split(", ")
+    am = dedup.argmax_abs(
+        li, ["l_orderkey"], "l_extendedprice", tiebreakers=_LI_TIEBREAK
+    ).select(F.lit("argmax_abs").alias("policy"), *cols)
+    lw = dedup.last_write_wins(
         li,
         ["l_orderkey"],
         "l_linenumber",
         tiebreakers=["l_partkey", "l_suppkey", "l_extendedprice"],
-    )
-    return out.select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
-    )
+    ).select(F.lit("last_write_wins").alias("policy"), *cols)
+    return am.unionByName(lw)
 
 
 # ---------------------------------------------------------------------------
-# W1/W2 — global top-k and grouped top-k
+# W1/W2/W8 — global top-k (TakeOrdered) + grouped top-k (ranked window)
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "rel_topk_orders",
+    "rel_topk",
     """
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey ASC
-LIMIT 100
-""",
-    survey="W1 W2 (top-k under total order — TakeOrdered, no full sort)",
+SELECT 'global' AS scope, CAST(NULL AS VARCHAR) AS grp,
+       o_orderkey AS key1, CAST(o_custkey AS BIGINT) AS key2,
+       o_totalprice AS measure
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 100
 )
-def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return windows.top_k(
-        o.select("o_orderkey", "o_custkey", "o_totalprice"),
-        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
-        100,
-    )
-
-
-@register(
-    "rel_grouped_topk",
-    """
-SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+UNION ALL
+SELECT 'grouped' AS scope, l_returnflag AS grp,
+       l_orderkey AS key1, CAST(l_linenumber AS BIGINT) AS key2,
+       l_extendedprice AS measure
+FROM (
   SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
          row_number() OVER (
            PARTITION BY l_returnflag
@@ -213,9 +196,21 @@ SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
   FROM lineitem
 ) WHERE rn <= 3
 """,
-    survey="W2 W8 (top-k per group via ranked window)",
+    survey="W1 W2 W8 (global top-k as TakeOrdered, no full sort; grouped top-k via ranked window)",
 )
-def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    topk = windows.top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        100,
+    ).select(
+        F.lit("global").alias("scope"),
+        F.lit(None).cast("string").alias("grp"),
+        F.col("o_orderkey").alias("key1"),
+        F.col("o_custkey").cast("bigint").alias("key2"),
+        F.col("o_totalprice").alias("measure"),
+    )
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
         F.col("l_extendedprice").desc(),
@@ -224,11 +219,18 @@ def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").asc(),
         F.col("l_suppkey").asc(),
     )
-    return (
+    grouped = (
         li.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .select(
+            F.lit("grouped").alias("scope"),
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_orderkey").alias("key1"),
+            F.col("l_linenumber").cast("bigint").alias("key2"),
+            F.col("l_extendedprice").alias("measure"),
+        )
     )
+    return topk.unionByName(grouped)
 
 
 # ---------------------------------------------------------------------------
@@ -237,58 +239,75 @@ def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rel_status_rollup",
+    "rel_conditional_rollup",
     f"""
-SELECT o_orderpriority,
+SELECT 'status' AS section, o_orderpriority AS grp,
        count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
        count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
        count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+       CAST(NULL AS BIGINT) AS n_orders,
        {dsum_sql('o_totalprice')} AS total_price,
        CAST(max(o_orderdate) AS DATE) AS latest_order
 FROM orders
 GROUP BY o_orderpriority
+UNION ALL
+SELECT 'bucket' AS section,
+       CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS grp,
+       CAST(NULL AS BIGINT) AS n_finished,
+       CAST(NULL AS BIGINT) AS n_open,
+       CAST(NULL AS BIGINT) AS n_pending,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price,
+       CAST(NULL AS DATE) AS latest_order
+FROM orders
+GROUP BY 2
 """,
-    survey="A6 (conditional counts per group, max watermark)",
+    survey="A6 C6 (conditional counts + max watermark; when/otherwise buckets)",
 )
-def q_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_conditional_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    status = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
         F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
         dsum("o_totalprice").alias("total_price"),
         F.max("o_orderdate").cast("date").alias("latest_order"),
+    ).select(
+        F.lit("status").alias("section"),
+        "grp",
+        "n_finished",
+        "n_open",
+        "n_pending",
+        F.lit(None).cast("bigint").alias("n_orders"),
+        "total_price",
+        "latest_order",
     )
-
-
-@register(
-    "rel_price_buckets",
-    f"""
-SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
-            WHEN o_totalprice < 200000 THEN 'medium'
-            ELSE 'large' END AS bucket,
-       count(*) AS n_orders,
-       {dsum_sql('o_totalprice')} AS total_price
-FROM orders
-GROUP BY 1
-""",
-    survey="C6 (when/otherwise bucket classification)",
-)
-def q_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
     bucket = (
         F.when(F.col("o_totalprice") < 50000, "small")
         .when(F.col("o_totalprice") < 200000, "medium")
         .otherwise("large")
     )
-    return (
-        o.withColumn("bucket", bucket)
-        .groupBy("bucket")
+    buckets = (
+        o.withColumn("grp", bucket)
+        .groupBy("grp")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             dsum("o_totalprice").alias("total_price"),
         )
+        .select(
+            F.lit("bucket").alias("section"),
+            "grp",
+            F.lit(None).cast("bigint").alias("n_finished"),
+            F.lit(None).cast("bigint").alias("n_open"),
+            F.lit(None).cast("bigint").alias("n_pending"),
+            "n_orders",
+            "total_price",
+            F.lit(None).cast("date").alias("latest_order"),
+        )
     )
+    return status.unionByName(buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -297,22 +316,64 @@ def q_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rel_setops_years",
-    """
-SELECT CAST(year(o_orderdate) AS INT) AS order_year FROM orders WHERE o_orderstatus = 'F'
-INTERSECT
-SELECT CAST(year(o_orderdate) AS INT) AS order_year FROM orders WHERE o_orderstatus = 'O'
-""",
-    survey="A11 (intersect of key sets, reference main.py:517)",
+    "rel_setops_unpivot",
+    f"""
+SELECT 'intersect_years' AS section, order_year,
+       CAST(NULL AS VARCHAR) AS returnflag, CAST(NULL AS VARCHAR) AS measure,
+       CAST(NULL AS DOUBLE) AS total
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS order_year FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT CAST(year(o_orderdate) AS INT) AS order_year FROM orders WHERE o_orderstatus = 'O'
 )
-def q_setops_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+UNION ALL
+SELECT 'unpivot' AS section, CAST(NULL AS INT) AS order_year,
+       l_returnflag AS returnflag, measure, total
+FROM (
+  SELECT l_returnflag, 'quantity' AS measure, {dsum_sql('l_quantity')} AS total
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice' AS measure, {dsum_sql('l_extendedprice')} AS total
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 'discount' AS measure, {dsum_sql('l_discount')} AS total
+  FROM lineitem GROUP BY l_returnflag
+)
+""",
+    survey="A11 A4-inverse (intersect of key sets, main.py:517; unpivot wide->long via stack)",
+)
+def q_setops_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     years = lambda status: (
         o.filter(F.col("o_orderstatus") == status)
         .select(F.year("o_orderdate").cast("int").alias("order_year"))
         .distinct()
     )
-    return years("F").intersect(years("O"))
+    setops = years("F").intersect(years("O")).select(
+        F.lit("intersect_years").alias("section"),
+        "order_year",
+        F.lit(None).cast("string").alias("returnflag"),
+        F.lit(None).cast("string").alias("measure"),
+        F.lit(None).cast("double").alias("total"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("quantity"),
+        dsum("l_extendedprice").alias("extendedprice"),
+        dsum("l_discount").alias("discount"),
+    )
+    unpivot = wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', quantity, 'extendedprice', extendedprice, "
+        "'discount', discount) AS (measure, total)",
+    ).select(
+        F.lit("unpivot").alias("section"),
+        F.lit(None).cast("int").alias("order_year"),
+        F.col("l_returnflag").alias("returnflag"),
+        "measure",
+        "total",
+    )
+    return setops.unionByName(unpivot)
 
 
 # ---------------------------------------------------------------------------
@@ -328,11 +389,12 @@ SELECT c_custkey,
        lpad(CAST(c_custkey AS STRING), 10, '0') AS key_padded,
        substr(c_name, 1, 8) AS name_prefix,
        concat_ws('|', c_mktsegment, CAST(c_nationkey AS STRING)) AS seg_key,
-       regexp_matches(c_mktsegment, '^[A-Z]+$') AS seg_is_alpha
+       regexp_matches(c_mktsegment, '^[A-Z]+$') AS seg_is_alpha,
+       md5(concat_ws('|', CAST(c_custkey AS STRING), c_name)) AS row_hash
 FROM customer
 WHERE c_custkey < 200
 """,
-    survey="C1 F7 (upper, lpad/zfill, substring, concat, regex validate)",
+    survey="C1 C4 F7 (upper, lpad/zfill, substring, concat, regex validate, md5 content hash — sec_client.py:315-318)",
 )
 def q_string_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -345,6 +407,9 @@ def q_string_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
         ).alias("seg_key"),
         F.col("c_mktsegment").rlike("^[A-Z]+$").alias("seg_is_alpha"),
+        F.md5(
+            F.concat_ws("|", F.col("c_custkey").cast("string"), F.col("c_name"))
+        ).alias("row_hash"),
     )
 
 
@@ -356,11 +421,17 @@ SELECT o_orderkey,
        CAST(quarter(o_orderdate) AS INT) AS order_quarter,
        CAST(month(o_orderdate) AS INT) AS order_month,
        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       CAST(isodow(o_orderdate) AS INT) AS iso_weekday,
+       CAST(dayofyear(o_orderdate) AS INT) AS day_of_year,
+       CAST(week(o_orderdate) AS INT) AS week_of_year,
+       CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_sec
 FROM orders
 WHERE o_orderkey % 97 = 0
 """,
-    survey="C2 (year/quarter/month, date_trunc, date arithmetic)",
+    survey="C2 (year/quarter/month, date_trunc, date arithmetic, last_day, add_months, ISO weekday, day/week-of-year, epoch)",
 )
 def q_date_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -373,26 +444,13 @@ def q_date_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01"))
         .cast("int")
         .alias("days_since_epoch"),
-    )
-
-
-@register(
-    "rel_hash_md5",
-    """
-SELECT c_custkey,
-       md5(concat_ws('|', CAST(c_custkey AS STRING), c_name)) AS row_hash
-FROM customer
-WHERE c_custkey < 100
-""",
-    survey="C4 (md5 content hash for change detection, sec_client.py:315-318)",
-)
-def q_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    return c.filter(F.col("c_custkey") < 100).select(
-        "c_custkey",
-        F.md5(
-            F.concat_ws("|", F.col("c_custkey").cast("string"), F.col("c_name"))
-        ).alias("row_hash"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months("o_orderdate", 3).alias("plus_3m"),
+        # Spark weekday(): 0 = Monday; ISO dow is 1 = Monday
+        (F.weekday("o_orderdate") + 1).cast("int").alias("iso_weekday"),
+        F.dayofyear("o_orderdate").cast("int").alias("day_of_year"),
+        F.weekofyear("o_orderdate").cast("int").alias("week_of_year"),
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_sec"),
     )
 
 
@@ -402,7 +460,7 @@ def q_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rel_monthly_yoy",
+    "rel_growth",
     f"""
 WITH monthly AS (
   SELECT CAST(year(o_orderdate) AS INT) AS y,
@@ -410,35 +468,25 @@ WITH monthly AS (
          {dsum_sql('o_totalprice')} AS revenue
   FROM orders
   GROUP BY 1, 2
-)
-SELECT y, m, revenue,
-       round(CASE WHEN lag(revenue) OVER w <> 0
-                  THEN (revenue / lag(revenue) OVER w - 1.0) * 100 END, 6) AS yoy_pct
-FROM monthly
-WINDOW w AS (PARTITION BY m ORDER BY y)
-""",
-    survey="W3 W4 (lag-based YoY growth on monthly aggregates)",
-)
-def q_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    monthly = o.groupBy(
-        F.year("o_orderdate").cast("int").alias("y"),
-        F.month("o_orderdate").cast("int").alias("m"),
-    ).agg(dsum("o_totalprice").alias("revenue"))
-    grown = windows.yoy_growth(monthly, ["m"], "y", "revenue", out_col="yoy_pct")
-    return grown.select("y", "m", "revenue", F.round("yoy_pct", 6).alias("yoy_pct"))
-
-
-@register(
-    "rel_segment_cagr",
-    f"""
-WITH yearly AS (
+),
+yearly AS (
   SELECT c.c_mktsegment, CAST(year(o.o_orderdate) AS INT) AS y,
          {dsum_sql('o.o_totalprice')} AS revenue
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY 1, 2
 )
-SELECT c_mktsegment,
+SELECT 'monthly_yoy' AS section, y, m, revenue,
+       round(CASE WHEN lag(revenue) OVER w <> 0
+                  THEN (revenue / lag(revenue) OVER w - 1.0) * 100 END, 6) AS yoy_pct,
+       CAST(NULL AS VARCHAR) AS segment, CAST(NULL AS DOUBLE) AS first_value,
+       CAST(NULL AS DOUBLE) AS last_value, CAST(NULL AS INT) AS n_periods,
+       CAST(NULL AS DOUBLE) AS cagr_pct
+FROM monthly
+WINDOW w AS (PARTITION BY m ORDER BY y)
+UNION ALL
+SELECT 'segment_cagr' AS section, CAST(NULL AS INT) AS y, CAST(NULL AS INT) AS m,
+       CAST(NULL AS DOUBLE) AS revenue, CAST(NULL AS DOUBLE) AS yoy_pct,
+       c_mktsegment AS segment,
        min_by(revenue, y) AS first_value,
        max_by(revenue, y) AS last_value,
        CAST(max(y) - min(y) AS INT) AS n_periods,
@@ -449,18 +497,45 @@ SELECT c_mktsegment,
 FROM yearly
 GROUP BY c_mktsegment
 """,
-    survey="W5 (CAGR via min_by/max_by — single partial-aggregable pass)",
+    survey="W3 W4 W5 (lag-based YoY growth; CAGR via min_by/max_by — single partial-aggregable pass)",
 )
-def q_segment_cagr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    yoy = windows.yoy_growth(monthly, ["m"], "y", "revenue", out_col="yoy_pct").select(
+        F.lit("monthly_yoy").alias("section"),
+        "y",
+        "m",
+        "revenue",
+        F.round("yoy_pct", 6).alias("yoy_pct"),
+        F.lit(None).cast("string").alias("segment"),
+        F.lit(None).cast("double").alias("first_value"),
+        F.lit(None).cast("double").alias("last_value"),
+        F.lit(None).cast("int").alias("n_periods"),
+        F.lit(None).cast("double").alias("cagr_pct"),
+    )
     c = load_table(spark, sf_dir, "customer")
     yearly = (
         o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", F.year("o_orderdate").cast("int").alias("y"))
         .agg(dsum("o_totalprice").alias("revenue"))
     )
-    out = windows.cagr(yearly, ["c_mktsegment"], "y", "revenue")
-    return out.withColumn("cagr_pct", F.round("cagr_pct", 6))
+    cagr = windows.cagr(yearly, ["c_mktsegment"], "y", "revenue").select(
+        F.lit("segment_cagr").alias("section"),
+        F.lit(None).cast("int").alias("y"),
+        F.lit(None).cast("int").alias("m"),
+        F.lit(None).cast("double").alias("revenue"),
+        F.lit(None).cast("double").alias("yoy_pct"),
+        F.col("c_mktsegment").alias("segment"),
+        "first_value",
+        "last_value",
+        "n_periods",
+        F.round("cagr_pct", 6).alias("cagr_pct"),
+    )
+    return yoy.unionByName(cagr)
 
 
 # ---------------------------------------------------------------------------
@@ -469,120 +544,81 @@ def q_segment_cagr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rel_semi_join",
+    "rel_existence_joins",
     """
-SELECT c_custkey, c_name, c_mktsegment
+SELECT 'semi' AS mode, c_custkey, c_name, c_mktsegment
 FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
-""",
-    survey="J-family (left-semi join == EXISTS; no row multiplication)",
-)
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return c.join(
-        o, c.c_custkey == o.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name", "c_mktsegment")
-
-
-@register(
-    "rel_anti_join",
-    """
-SELECT c_custkey, c_name
+UNION ALL
+SELECT 'anti' AS mode, c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_mktsegment
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
-    survey="J-family (left-anti join == NOT EXISTS; incremental-ETL shape)",
+    survey="J-family (left-semi == EXISTS, no row multiplication; left-anti == NOT EXISTS, incremental-ETL shape)",
 )
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_existence_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    big = o.filter(F.col("o_totalprice") > 400000)
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("semi").alias("mode"), "c_custkey", "c_name", "c_mktsegment"
     )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("mode"),
+        "c_custkey",
+        "c_name",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    return semi.unionByName(anti)
 
 
 @register(
-    "rel_rollup_counts",
-    """
-SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+    "rel_grouping_sets",
+    f"""
+SELECT 'rollup' AS mode,
+       coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       count(*) AS n_items
+       count(*) AS n_items,
+       CAST(NULL AS DOUBLE) AS total_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
-""",
-    survey="A-family (rollup grouping sets with subtotals)",
-)
-def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n_items",
-        )
-    )
-
-
-@register(
-    "rel_unpivot_measures",
-    f"""
-SELECT l_returnflag, measure, total FROM (
-  SELECT l_returnflag, 'quantity' AS measure, {dsum_sql('l_quantity')} AS total
-  FROM lineitem GROUP BY l_returnflag
-  UNION ALL
-  SELECT l_returnflag, 'extendedprice' AS measure, {dsum_sql('l_extendedprice')} AS total
-  FROM lineitem GROUP BY l_returnflag
-  UNION ALL
-  SELECT l_returnflag, 'discount' AS measure, {dsum_sql('l_discount')} AS total
-  FROM lineitem GROUP BY l_returnflag
-)
-""",
-    survey="A4-inverse (unpivot wide measures to long via stack)",
-)
-def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sec_financial_pipeline_spark.functions.deterministic import dsum
-
-    li = load_table(spark, sf_dir, "lineitem")
-    wide = li.groupBy("l_returnflag").agg(
-        dsum("l_quantity").alias("quantity"),
-        dsum("l_extendedprice").alias("extendedprice"),
-        dsum("l_discount").alias("discount"),
-    )
-    return wide.selectExpr(
-        "l_returnflag",
-        "stack(3, 'quantity', quantity, 'extendedprice', extendedprice, "
-        "'discount', discount) AS (measure, total)",
-    )
-
-
-@register(
-    "rel_cube_counts",
-    f"""
-SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+UNION ALL
+SELECT 'cube' AS mode,
+       coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*) AS n_items,
        {dsum_sql('l_quantity')} AS total_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
-    survey="A-family (cube grouping sets: all subtotal combinations)",
+    survey="A-family (rollup subtotals + cube all-combination grouping sets)",
 )
-def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.lit("rollup").alias("mode"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            F.lit(None).cast("double").alias("total_qty"),
+        )
+    )
+    cube = (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             dsum("l_quantity").alias("total_qty"),
         )
         .select(
+            F.lit("cube").alias("mode"),
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
             "n_items",
             "total_qty",
         )
     )
+    return rollup.unionByName(cube)

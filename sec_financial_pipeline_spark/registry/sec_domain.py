@@ -81,22 +81,31 @@ SELECT ticker, fiscal_year, tag, value FROM (
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "sec_metric_series_revenue",
-    _metric_series_oracle("revenue"),
-    survey="§3.1 F1 F3 F5 J6 A2 (argmax-abs policy)",
-)
-def q_metric_series_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return metric_series(spark, sf_dir, "revenue", dedup="argmax_abs")
+def _policy_wrap(policy: str, body: str) -> str:
+    start = body.index("SELECT ticker")
+    return (
+        f"SELECT '{policy}' AS policy, ticker, fiscal_year, tag, value\n"
+        f"FROM ({body[start:]})"
+    )
 
 
 @register(
-    "sec_metric_series_lww",
-    _metric_series_oracle("net_income", dedup="lww"),
-    survey="A3 (last-write-wins policy)",
+    "sec_metric_series",
+    _metric_series_oracle("revenue").replace(
+        "SELECT ticker", "SELECT 'argmax_abs' AS policy, ticker", 1
+    )
+    + "UNION ALL\n"
+    + _policy_wrap("lww", _metric_series_oracle("net_income", dedup="lww")),
+    survey="§3.1 F1 F3 F5 J6 A2 A3 (argmax-abs serving policy + last-write-wins analyzer policy)",
 )
-def q_metric_series_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return metric_series(spark, sf_dir, "net_income", dedup="lww")
+def q_metric_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = metric_series(spark, sf_dir, "revenue", dedup="argmax_abs").select(
+        F.lit("argmax_abs").alias("policy"), "ticker", "fiscal_year", "tag", "value"
+    )
+    ni = metric_series(spark, sf_dir, "net_income", dedup="lww").select(
+        F.lit("lww").alias("policy"), "ticker", "fiscal_year", "tag", "value"
+    )
+    return rev.unionByName(ni)
 
 
 @register(
@@ -155,23 +164,62 @@ def q_period_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sec_label_substring",
+    "sec_label_series",
     domain.duck_prelude() + """
-SELECT ticker, fiscal_year, count(*) AS n_matched
+SELECT 'counts' AS section, ticker, fiscal_year, count(*) AS n_matched,
+       CAST(NULL AS VARCHAR) AS label, CAST(NULL AS DOUBLE) AS value
 FROM facts
 WHERE (contains(lower(label), 'revenue') OR contains(lower(label), 'net income'))
   AND fiscal_year IS NOT NULL
 GROUP BY ticker, fiscal_year
+UNION ALL
+SELECT 'series' AS section, ticker, fiscal_year, CAST(NULL AS BIGINT) AS n_matched,
+       label, value
+FROM (
+  SELECT f.ticker, f.fiscal_year, f.label, f.value,
+         row_number() OVER (PARTITION BY f.ticker, f.fiscal_year
+                            ORDER BY abs(f.value) DESC, f.fact_id ASC) AS rn
+  FROM facts f
+  WHERE f.unit = 'USD'
+    AND contains(lower(f.label), 'net income')
+    AND (f.fiscal_period IS NULL OR f.fiscal_period = 'FY')
+    AND f.fiscal_year IS NOT NULL
+) WHERE rn = 1
 """,
-    survey="F4 (case-insensitive OR-of-substrings label match)",
+    survey="F4 §3.1 (case-insensitive OR-of-substrings label match; label-substring metric extraction, data_service.py:112-186)",
 )
-def q_label_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_label_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = _facts(spark, sf_dir)
     matched = filters.label_any_substring(facts, ["Revenue", "NET INCOME"])
     matched = filters.drop_null_keys(matched, ["fiscal_year"])
-    return matched.groupBy("ticker", "fiscal_year").agg(
+    counts = matched.groupBy("ticker", "fiscal_year").agg(
         F.count(F.lit(1)).alias("n_matched")
+    ).select(
+        F.lit("counts").alias("section"),
+        "ticker",
+        "fiscal_year",
+        "n_matched",
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("double").alias("value"),
     )
+    usd = _facts(spark, sf_dir).filter(F.col("unit") == "USD")
+    usd = filters.label_any_substring(usd, ["Net Income"])
+    usd = filters.annual_only(usd)
+    usd = filters.drop_null_keys(usd, ["fiscal_year"])
+    best = keep_first(
+        usd,
+        ["ticker", "fiscal_year"],
+        [F.abs(F.col("value")).desc(), F.col("fact_id").asc()],
+    )
+    series = best.select(
+        F.lit("series").alias("section"),
+        "ticker",
+        "fiscal_year",
+        F.lit(None).cast("bigint").alias("n_matched"),
+        "label",
+        "value",
+    )
+    return counts.unionByName(series)
 
 
 @register(
@@ -478,27 +526,59 @@ def q_sector_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sec_freshness",
-    domain.duck_prelude() + """
-SELECT ticker,
-       max(coalesce(end_date, instant_date)) AS latest_date,
-       string_agg(DISTINCT CAST(fiscal_year AS STRING), ',' ORDER BY CAST(fiscal_year AS STRING)) AS covered_periods,
-       count(*) AS n_facts
-FROM facts
-WHERE fiscal_year IS NOT NULL
-GROUP BY ticker
+    "sec_ticker_profile",
+    domain.duck_prelude(_series_cte("revenue", "rev")) + """
+SELECT f.ticker, f.latest_date, f.covered_periods, f.n_facts,
+       s.latest_value, s.oldest_value, s.latest_year, s.mean_value,
+       s.overall_growth_pct
+FROM (
+  SELECT ticker,
+         max(coalesce(end_date, instant_date)) AS latest_date,
+         string_agg(DISTINCT CAST(fiscal_year AS STRING), ',' ORDER BY CAST(fiscal_year AS STRING)) AS covered_periods,
+         count(*) AS n_facts
+  FROM facts
+  WHERE fiscal_year IS NOT NULL
+  GROUP BY ticker
+) f
+JOIN (
+  SELECT ticker,
+         max_by(value, fiscal_year) AS latest_value,
+         min_by(value, fiscal_year) AS oldest_value,
+         CAST(max(fiscal_year) AS INT) AS latest_year,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS mean_value,
+         CASE WHEN min_by(value, fiscal_year) <> 0
+              THEN (max_by(value, fiscal_year) / min_by(value, fiscal_year) - 1.0) * 100.0
+         END AS overall_growth_pct
+  FROM rev
+  GROUP BY ticker
+) s ON f.ticker = s.ticker
 """,
-    survey="A7 T1 (per-ticker freshness watermark + covered-period set)",
+    survey="A7 T1 A8 (per-ticker freshness watermark + covered periods, joined with latest/oldest/mean/overall-growth — server.py:306-319)",
 )
-def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ticker_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_financial_pipeline_spark.operators.aggregates import (
         freshness_watermark,
     )
 
     facts = filters.drop_null_keys(_facts(spark, sf_dir), ["fiscal_year"])
-    return freshness_watermark(
+    fresh = freshness_watermark(
         facts, ["ticker"], ["end_date", "instant_date"], "fiscal_year"
     )
+    series = metric_series(spark, sf_dir, "revenue")
+    latest = F.max_by("value", "fiscal_year")
+    oldest = F.min_by("value", "fiscal_year")
+    stats = series.groupBy("ticker").agg(
+        latest.alias("latest_value"),
+        oldest.alias("oldest_value"),
+        F.max("fiscal_year").cast("int").alias("latest_year"),
+        (F.sum(F.col("value").cast("decimal(30,6)")).cast("double") / F.count("value")).alias(
+            "mean_value"
+        ),
+        F.when(oldest != 0, (latest / oldest - 1.0) * 100.0).alias(
+            "overall_growth_pct"
+        ),
+    )
+    return fresh.join(stats, "ticker")
 
 
 # ---------------------------------------------------------------------------
@@ -534,82 +614,6 @@ def q_latest_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("int").alias("revenue_rank"),
     )
     return windows.top_k(ranked, [F.col("revenue_rank").asc()], 10)
-
-
-# ---------------------------------------------------------------------------
-# A8 — per-metric summary statistics (latest / oldest / mean / growth)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "sec_summary_stats",
-    domain.duck_prelude(_series_cte("revenue", "rev"))
-    + """
-SELECT ticker,
-       max_by(value, fiscal_year) AS latest_value,
-       min_by(value, fiscal_year) AS oldest_value,
-       CAST(max(fiscal_year) AS INT) AS latest_year,
-       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS mean_value,
-       CASE WHEN min_by(value, fiscal_year) <> 0
-            THEN (max_by(value, fiscal_year) / min_by(value, fiscal_year) - 1.0) * 100.0
-       END AS overall_growth_pct
-FROM rev
-GROUP BY ticker
-""",
-    survey="A8 (latest/oldest/mean/overall-growth per metric, server.py:306-319)",
-)
-def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    series = metric_series(spark, sf_dir, "revenue")
-    latest = F.max_by("value", "fiscal_year")
-    oldest = F.min_by("value", "fiscal_year")
-    return series.groupBy("ticker").agg(
-        latest.alias("latest_value"),
-        oldest.alias("oldest_value"),
-        F.max("fiscal_year").cast("int").alias("latest_year"),
-        (F.sum(F.col("value").cast("decimal(30,6)")).cast("double") / F.count("value")).alias(
-            "mean_value"
-        ),
-        F.when(oldest != 0, (latest / oldest - 1.0) * 100.0).alias(
-            "overall_growth_pct"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# F1-quarterly — the quarterly serving path (period=quarterly, QoQ keys)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "sec_quarterly_series",
-    domain.duck_prelude()
-    + """
-SELECT ticker, fiscal_year, fiscal_period, tag, value FROM (
-  SELECT f.ticker, f.fiscal_year, f.fiscal_period, f.tag, f.value,
-         row_number() OVER (PARTITION BY f.ticker, f.fiscal_year, f.fiscal_period
-                            ORDER BY a.priority ASC, abs(f.value) DESC,
-                                     f.fact_id ASC) AS rn
-  FROM facts f
-  JOIN alias_map a ON f.tag = a.tag AND a.metric = 'revenue'
-  WHERE f.unit = 'USD'
-    AND starts_with(coalesce(f.fiscal_period, ''), 'Q')
-    AND f.fiscal_year IS NOT NULL
-) WHERE rn = 1
-""",
-    survey="F1-quarterly A2 (quarterly period predicate, per-(fy,fp) dedup)",
-)
-def q_quarterly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    facts = _facts(spark, sf_dir).filter(F.col("unit") == "USD")
-    facts = filters.quarterly_only(facts)
-    facts = filters.drop_null_keys(facts, ["fiscal_year"])
-    alias = domain.alias_df(spark).filter(F.col("metric") == "revenue")
-    joined = facts.join(F.broadcast(alias), "tag")
-    best = keep_first(
-        joined,
-        ["ticker", "fiscal_year", "fiscal_period"],
-        [F.col("priority").asc(), F.abs(F.col("value")).desc(), F.col("fact_id").asc()],
-    )
-    return best.select("ticker", "fiscal_year", "fiscal_period", "tag", "value")
 
 
 # ---------------------------------------------------------------------------
@@ -727,8 +731,8 @@ def q_leverage_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sec_qoq_growth",
     domain.duck_prelude(
         """q AS (
-  SELECT ticker, fiscal_year, fiscal_period, value FROM (
-    SELECT f.ticker, f.fiscal_year, f.fiscal_period, f.value,
+  SELECT ticker, fiscal_year, fiscal_period, tag, value FROM (
+    SELECT f.ticker, f.fiscal_year, f.fiscal_period, f.tag, f.value,
            row_number() OVER (PARTITION BY f.ticker, f.fiscal_year, f.fiscal_period
                               ORDER BY a.priority ASC, abs(f.value) DESC,
                                        f.fact_id ASC) AS rn
@@ -741,22 +745,32 @@ def q_leverage_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )"""
     )
     + """
-SELECT ticker, fiscal_year, fiscal_period, value,
+SELECT ticker, fiscal_year, fiscal_period, tag, value,
        round(CASE WHEN lag(value) OVER w <> 0
                   THEN (value / lag(value) OVER w - 1.0) * 100 END, 6) AS qoq_pct
 FROM q
 WINDOW w AS (PARTITION BY ticker ORDER BY fiscal_year, fiscal_period)
 """,
-    survey="W4 (QoQ pct_change over quarterly dedup series)",
+    survey="F1-quarterly A2 W4 (quarterly period predicate + per-(fy,fp) dedup + QoQ pct_change)",
 )
 def q_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    quarterly = q_quarterly_series(spark, sf_dir).drop("tag")
+    facts = _facts(spark, sf_dir).filter(F.col("unit") == "USD")
+    facts = filters.quarterly_only(facts)
+    facts = filters.drop_null_keys(facts, ["fiscal_year"])
+    alias = domain.alias_df(spark).filter(F.col("metric") == "revenue")
+    joined = facts.join(F.broadcast(alias), "tag")
+    quarterly = keep_first(
+        joined,
+        ["ticker", "fiscal_year", "fiscal_period"],
+        [F.col("priority").asc(), F.abs(F.col("value")).desc(), F.col("fact_id").asc()],
+    ).select("ticker", "fiscal_year", "fiscal_period", "tag", "value")
     w = Window.partitionBy("ticker").orderBy("fiscal_year", "fiscal_period")
     prev = F.lag("value").over(w)
     return quarterly.select(
         "ticker",
         "fiscal_year",
         "fiscal_period",
+        "tag",
         "value",
         F.round(
             F.when(prev != 0, (F.col("value") / prev - 1.0) * 100.0), 6
@@ -764,36 +778,3 @@ def q_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# F4 end-to-end — the label-substring serving path (no tag knowledge)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "sec_label_metric_series",
-    domain.duck_prelude()
-    + """
-SELECT ticker, fiscal_year, label, value FROM (
-  SELECT f.ticker, f.fiscal_year, f.label, f.value,
-         row_number() OVER (PARTITION BY f.ticker, f.fiscal_year
-                            ORDER BY abs(f.value) DESC, f.fact_id ASC) AS rn
-  FROM facts f
-  WHERE f.unit = 'USD'
-    AND contains(lower(f.label), 'net income')
-    AND (f.fiscal_period IS NULL OR f.fiscal_period = 'FY')
-    AND f.fiscal_year IS NOT NULL
-) WHERE rn = 1
-""",
-    survey="F4 §3.1 (label-substring metric extraction, data_service.py:112-186)",
-)
-def q_label_metric_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    facts = _facts(spark, sf_dir).filter(F.col("unit") == "USD")
-    facts = filters.label_any_substring(facts, ["Net Income"])
-    facts = filters.annual_only(facts)
-    facts = filters.drop_null_keys(facts, ["fiscal_year"])
-    best = keep_first(
-        facts,
-        ["ticker", "fiscal_year"],
-        [F.abs(F.col("value")).desc(), F.col("fact_id").asc()],
-    )
-    return best.select("ticker", "fiscal_year", "label", "value")

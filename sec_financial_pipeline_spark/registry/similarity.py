@@ -92,9 +92,9 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HYPERPLANES = list(range(8, 16))
 
-_LSH_BUCKET_ORACLE = """
+_QUANTIZATION_ORACLE = """
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
 h AS (
   SELECT vec_id AS h_id, emb AS h_emb FROM e WHERE vec_id BETWEEN 8 AND 15
@@ -105,21 +105,32 @@ proj AS (
                                        i -> e.emb[i] * h.h_emb[i])), 6) AS d
   FROM e CROSS JOIN h
 )
-SELECT vec_id,
-       CAST(sum(CASE WHEN d > 0 THEN power(2, h_id - 8) ELSE 0 END) AS INT) AS bucket
+SELECT 'lsh_bucket' AS part, vec_id,
+       CAST(sum(CASE WHEN d > 0 THEN power(2, h_id - 8) ELSE 0 END) AS INT) AS bucket,
+       CAST(NULL AS VARCHAR) AS label, CAST(NULL AS INT) AS dim,
+       CAST(NULL AS DOUBLE) AS centroid
 FROM proj
 GROUP BY vec_id
+UNION ALL
+SELECT 'centroid' AS part, CAST(NULL AS BIGINT) AS vec_id,
+       CAST(NULL AS INT) AS bucket, label, CAST(dim AS INT) AS dim,
+       CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / COUNT(v) AS centroid
+FROM (
+  SELECT label, u.dim, u.v FROM e,
+  LATERAL (SELECT generate_subscripts(emb, 1) AS dim, unnest(emb) AS v) u
+)
+GROUP BY label, dim
 """
 
 
 @register(
-    "emb_lsh_buckets",
-    _LSH_BUCKET_ORACLE,
-    survey="§2.9 similarity-search (sign-projection LSH bucket assignment)",
+    "emb_quantization",
+    _QUANTIZATION_ORACLE,
+    survey="§2.9 similarity-search (sign-projection LSH bucket assignment) + embedding ops (per-label centroid, order-independent mean)",
 )
-def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
     h = e.filter(F.col("vec_id").isin(_HYPERPLANES)).select(
         F.col("vec_id").alias("h_id"), F.col("emb").alias("h_emb")
@@ -132,31 +143,186 @@ def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.sum(
         F.when(F.col("d") > 0, F.pow(F.lit(2.0), F.col("h_id") - 8)).otherwise(0.0)
     ).cast("int")
-    return proj.groupBy("vec_id").agg(bucket.alias("bucket"))
+    buckets = proj.groupBy("vec_id").agg(bucket.alias("bucket")).select(
+        F.lit("lsh_bucket").alias("part"),
+        "vec_id",
+        "bucket",
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("int").alias("dim"),
+        F.lit(None).cast("double").alias("centroid"),
+    )
+    exploded = e.select(
+        "label", F.posexplode("emb").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).cast("int").alias("dim"), "v")
+    centroids = exploded.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast("decimal(30,6)")).cast("double") / F.count("v")).alias(
+            "centroid"
+        )
+    ).select(
+        F.lit("centroid").alias("part"),
+        F.lit(None).cast("bigint").alias("vec_id"),
+        F.lit(None).cast("int").alias("bucket"),
+        "label",
+        "dim",
+        "centroid",
+    )
+    return buckets.unionByName(centroids)
 
 
 # ---------------------------------------------------------------------------
-# MinHash signatures + LSH candidate pairs
+# Scalar-quantization ANN: per-dim min/max int8 codebook -> exact-integer
+# approximate scores -> top-50 candidates -> exact cosine re-rank.
+# The SQ trade at 100 TB: the approx pass touches 1 byte/dim instead of 8
+# (8x less memory bandwidth, integer SIMD), and the exact pass touches
+# only candidates (<= 10% of N per query).
+# ---------------------------------------------------------------------------
+
+_SQ_N_QUERIES = 5
+_SQ_CANDIDATES = 50
+_SQ_TOP_K = 10
+
+_SQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+long AS (
+  SELECT vec_id, u.dim AS dim, u.v AS v FROM e,
+  LATERAL (SELECT generate_subscripts(emb, 1) AS dim, unnest(emb) AS v) u
+),
+stats AS (
+  SELECT dim, min(v) AS mn, max(v) AS mx FROM long GROUP BY dim
+),
+codes AS (
+  SELECT l.vec_id, l.dim,
+         CAST(CASE WHEN s.mx > s.mn
+                   THEN floor((l.v - s.mn) / (s.mx - s.mn) * 255.0)
+                   ELSE 0 END AS BIGINT) AS code
+  FROM long l JOIN stats s ON l.dim = s.dim
+),
+approx AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum(q.code * c.code) AS adot
+  FROM codes q JOIN codes c ON q.dim = c.dim AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_SQ_N_QUERIES}
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adot DESC, neighbor_id ASC) AS rn
+    FROM approx
+  ) WHERE rn <= {_SQ_CANDIDATES}
+),
+sims AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(q.emb)), i -> q.emb[i] * n.emb[i]))
+           / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+              * sqrt(list_sum(list_transform(n.emb, x -> x * x)))), 6) AS cosine_sim
+  FROM cand cd
+  JOIN e q ON q.vec_id = cd.query_id
+  JOIN e n ON n.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM sims
+) WHERE rn <= {_SQ_TOP_K}
+"""
+
+
+@register(
+    "emb_sq_topk",
+    _SQ_ORACLE,
+    survey="§2.9 similarity-search (scalar quantization: int8 codes, exact-integer approx scores, candidate re-rank)",
+)
+def q_emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_part = max(1, spark.sparkContext.defaultParallelism)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("nrm", S.norm(F.col("emb")))
+        .repartition(n_part)
+    )
+    long = e.select("vec_id", F.posexplode("emb").alias("pos", "v")).select(
+        "vec_id", (F.col("pos") + 1).alias("dim"), "v"
+    )
+    # per-dim codebook (64 rows) — min/max are exact, broadcastable
+    stats = long.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255.0),
+    ).otherwise(F.lit(0)).cast("bigint")
+    codes = long.join(F.broadcast(stats), "dim").select(
+        "vec_id", "dim", code.alias("code")
+    )
+    q_codes = codes.filter(F.col("vec_id") < _SQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("code").alias("q_code")
+    )
+    # integer approximate dot products: exact under any aggregation order
+    approx = (
+        codes.join(F.broadcast(q_codes), "dim")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("q_code") * F.col("code")).alias("adot"))
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("adot").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        approx.withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= _SQ_CANDIDATES)
+        .select("query_id", "neighbor_id")
+    )
+    qv = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    sims = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                S.dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("q_nrm") * F.col("n_nrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w_k))
+        .filter(F.col("rn") <= _SQ_TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + SimHash signatures, and the banded / blocked near-pair joins
 # ---------------------------------------------------------------------------
 
 _N_HASHES = 16
 _BAND_SIZE = 4
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """The toks/sh/mh CTE bodies (no WITH, no final SELECT)."""
     mins = ",\n    ".join(
         f"min(md5('{i}#' || shingle)) AS mh{i}" for i in range(_N_HASHES)
     )
-    bands = ",\n  ".join(
-        "md5("
-        + " || '|' || ".join(
-            f"mh{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)
-        )
-        + f") AS band{b}"
-        for b in range(_N_HASHES // _BAND_SIZE)
-    )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
 sh AS (
@@ -169,45 +335,28 @@ mh AS (
   SELECT doc_id,
     {mins}
   FROM sh GROUP BY doc_id
-)
-SELECT doc_id,
-  {bands}
-FROM mh
-"""
+)"""
 
 
-@register(
-    "doc_minhash_signatures",
-    _minhash_oracle(),
-    survey="§2.9 dedup-minhash (shingle->md5-min signature->LSH bands)",
-)
-def q_doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return S.minhash_signatures(
-        d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE
+def _bands_select() -> str:
+    bands = ",\n  ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"mh{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)
+        )
+        + f") AS band{b}"
+        for b in range(_N_HASHES // _BAND_SIZE)
     )
+    return f"SELECT doc_id,\n  {bands}\nFROM mh"
 
 
-@register(
-    "doc_minhash_pairs",
-    None,  # pair set is derivable but usually empty on the synthetic corpus;
-    # driver records the rows-only check, tests assert vs a python oracle.
-    survey="§2.9 dedup-minhash (banded candidate pair generation)",
-)
-def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sig = S.minhash_signatures(
-        d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE
-    )
-    return S.lsh_candidate_pairs(sig, "doc_id")
+def _minhash_oracle() -> str:
+    return "WITH " + _minhash_ctes() + "\n" + _bands_select()
 
 
-# ---------------------------------------------------------------------------
-# SimHash signatures + Hamming near-dup pairs
-# ---------------------------------------------------------------------------
-
-
-def _simhash_cte() -> str:
+def _simhash_ctes(prefix: str = "") -> str:
+    """CTE bodies for the SimHash signature (prefixable so they can share
+    a WITH clause with the minhash CTEs without name collisions)."""
     votes = ",\n    ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(S.N_SIMHASH_BITS)
@@ -216,50 +365,90 @@ def _simhash_cte() -> str:
         f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
         for b in range(S.N_SIMHASH_BITS)
     )
-    return f"""
-WITH toks AS (
+    return f"""{prefix}toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
-hashed AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+{prefix}hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM {prefix}toks
 ),
-votes AS (
+{prefix}votes AS (
   SELECT doc_id,
     {votes}
-  FROM hashed GROUP BY doc_id
+  FROM {prefix}hashed GROUP BY doc_id
 ),
-sig AS (
+{prefix}sig AS (
   SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
-  FROM votes
-)
-"""
+  FROM {prefix}votes
+)"""
 
 
 @register(
-    "doc_simhash",
-    _simhash_cte() + "SELECT doc_id, simhash FROM sig",
-    survey="§2.9 dedup-simhash (token bit-vote signature, exact int math)",
+    "doc_signatures",
+    "WITH "
+    + _minhash_ctes()
+    + ",\n"
+    + _simhash_ctes("s_")
+    + f"""
+SELECT m.doc_id, m.band0, m.band1, m.band2, m.band3, s.simhash
+FROM ({_bands_select()}) m
+JOIN s_sig s ON m.doc_id = s.doc_id
+""",
+    survey="§2.9 dedup-minhash + dedup-simhash (shingle->md5-min->LSH bands; token bit-vote signature, exact int math)",
 )
-def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return S.simhash(d, "doc_id", "text")
+    mh = S.minhash_signatures(
+        d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE
+    )
+    sh = S.simhash(d, "doc_id", "text")
+    return mh.join(sh, "doc_id")
 
 
 @register(
-    "doc_simhash_near_pairs",
-    _simhash_cte()
+    "doc_near_pairs",
+    "WITH "
+    + _minhash_ctes()
+    + ",\nbands AS (\n"
+    + _bands_select()
+    + "\n),\nstacked AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_no, band{b} AS band_hash FROM bands"
+        for b in range(_N_HASHES // _BAND_SIZE)
+    )
+    + "\n),\ncand AS (\n"
+    + """  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM stacked a JOIN stacked b
+    ON a.band_hash = b.band_hash AND a.band_no = b.band_no AND a.doc_id < b.doc_id
+),
+"""
+    + _simhash_ctes("s_")
     + """
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+SELECT 'minhash_band' AS method, id_a, id_b, CAST(NULL AS INT) AS hamming
+FROM cand
+UNION ALL
+SELECT 'simhash' AS method, a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+FROM s_sig a JOIN s_sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
 """,
-    survey="§2.9 dedup-simhash (Hamming-distance near-dup pairs)",
+    survey="§2.9 dedup-minhash banded candidate pairs + dedup-simhash pigeonhole-blocked Hamming pairs",
 )
-def q_doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sig = S.simhash(d, "doc_id", "text")
-    return S.hamming_pairs(sig, "doc_id", max_distance=10)
+    mh_sig = S.minhash_signatures(
+        d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE
+    )
+    minhash = S.lsh_candidate_pairs(mh_sig, "doc_id").select(
+        F.lit("minhash_band").alias("method"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("int").alias("hamming"),
+    )
+    sh_sig = S.simhash(d, "doc_id", "text")
+    simhash = S.hamming_pairs(sh_sig, "doc_id", max_distance=10).select(
+        F.lit("simhash").alias("method"), "id_a", "id_b", "hamming"
+    )
+    return minhash.unionByName(simhash)
 
 
 # ---------------------------------------------------------------------------
@@ -340,14 +529,7 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drop verified dups -> survivors
 # ---------------------------------------------------------------------------
 
-def _e2e_prefix() -> str:
-    """The minhash CTE chain (toks/sh/mh) without the final SELECT."""
-    full = _minhash_oracle()
-    cut = full.rindex("SELECT doc_id,")
-    return full[:cut].rstrip()  # ends with the closing ')' of the mh CTE
-
-
-_E2E_DEDUP_ORACLE = _e2e_prefix() + """,
+_E2E_DEDUP_ORACLE = "WITH " + _minhash_ctes() + """,
 bands AS (
   SELECT doc_id,
 """ + ",\n".join(
