@@ -1,0 +1,121 @@
+"""Thin serving façade over the engine — the reference's API surface
+(``reference/src/api/main.py:105-233``: per-ticker facts, metric series,
+multi-company compare) expressed as plain functions: validate -> result
+cache -> engine plan -> serving-edge sink.
+
+Deliberately framework-free: the reference wraps these in FastAPI route
+handlers; the engine contract is the function signature, so any HTTP/MCP
+layer (or none) can mount them. Results are *collected* bounded payloads
+(the reference's endpoints serve single-company series and small
+comparisons), so caching stores materialized values — a cached DataFrame
+would re-execute its plan on every hit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.plans import analytics, domain
+from sec_financial_pipeline_spark.plans.serving import (
+    ResultCache,
+    cache_key,
+    validate_ticker,
+)
+from sec_financial_pipeline_spark.sources import sink
+
+
+class ServingFacade:
+    """Endpoint semantics of the reference API over the Spark engine.
+
+    One instance per process; holds the TTL+LRU result cache
+    (``reference/src/api/cache.py``) and the session/table handles.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        cache: ResultCache | None = None,
+    ):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.cache = cache if cache is not None else ResultCache()
+
+    # -- engine plans (lazy DataFrames) -----------------------------------
+
+    def _facts(self) -> DataFrame:
+        return domain.facts_df(self.spark, self.sf_dir)
+
+    def _series_df(self, ticker: str, metric: str) -> DataFrame:
+        series = analytics.metric_series(
+            self._facts(), domain.alias_df(self.spark), metric
+        )
+        return series.filter(F.col("ticker") == ticker).orderBy("fiscal_year")
+
+    # -- endpoints --------------------------------------------------------
+
+    def company_facts(self, ticker: str) -> dict[str, Any]:
+        """GET /financials/{ticker} — all facts for one company
+        (``main.py:105-144``)."""
+        t = validate_ticker(ticker)
+        key = cache_key(endpoint="facts", ticker=t)
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        rows = sink.to_json_records(
+            self._facts()
+            .filter(F.col("ticker") == t)
+            .orderBy("fiscal_year", "tag", "fact_id")
+        )
+        out = {"ticker": t, "n_facts": len(rows), "facts": rows}
+        self.cache.put(key, out, tickers=(t,))
+        return out
+
+    def metric_series(
+        self, ticker: str, metric: str, fmt: str = "json"
+    ) -> dict[str, Any] | bytes:
+        """GET /financials/{ticker}/{metric}?format= — one metric's
+        annual series, JSON / CSV / parquet download
+        (``main.py:146-186``, ``data_service.py:188-299``)."""
+        t = validate_ticker(ticker)
+        key = cache_key(endpoint="series", ticker=t, metric=metric, fmt=fmt)
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        df = self._series_df(t, metric)
+        if fmt == "csv":
+            out: dict[str, Any] | bytes = sink.to_csv_bytes(df)
+        elif fmt == "parquet":
+            out = sink.to_parquet_bytes(df)
+        elif fmt == "json":
+            rows = sink.to_json_records(df)
+            out = {"ticker": t, "metric": metric, "n_periods": len(rows), "series": rows}
+        else:
+            raise ValueError(f"unsupported format: {fmt!r}")
+        self.cache.put(key, out, tickers=(t,))
+        return out
+
+    def compare(self, tickers: Sequence[str], metric: str) -> dict[str, Any]:
+        """GET /compare?tickers=&metric= — year x ticker alignment
+        (``main.py:188-233``)."""
+        ts = tuple(validate_ticker(t) for t in tickers)
+        key = cache_key(endpoint="compare", tickers=ts, metric=metric)
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        wide = analytics.compare_companies(
+            self._facts(), domain.alias_df(self.spark), metric, list(ts)
+        ).orderBy("fiscal_year")
+        rows = sink.to_json_records(wide)
+        out = {"metric": metric, "tickers": list(ts), "rows": rows}
+        self.cache.put(key, out, tickers=ts)
+        return out
+
+    def invalidate(self, ticker: str) -> int:
+        """Ingest hook: drop every cached result involving ``ticker``
+        (``cache.py:242-254``) — called after a merge/refresh lands."""
+        return self.cache.invalidate_ticker(validate_ticker(ticker))

@@ -201,10 +201,10 @@ def test_multimodal_feature_extraction(spark):
     img = rows[0]
     assert img.media_type == "image"
     assert img.n_bytes == 64  # 4x md5 (16 bytes) repeated
-    assert len(img.feature) == 8
+    assert len(img.feature) == 8  # non-BMP bytes -> histogram fallback
     assert abs(sum(img.feature) - 1.0) < 1e-3  # normalized histogram
     aud = rows[1]
-    assert aud.media_type == "audio" and aud.feature is None
+    assert aud.media_type == "audio" and len(aud.feature) == 8  # non-RIFF fallback
     # deterministic across runs
     again = {r.media_id: tuple(r.feature or []) for r in extract_features(media).collect()}
     assert again[0] == tuple(rows[0].feature)
