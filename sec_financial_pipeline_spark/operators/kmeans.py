@@ -1,0 +1,76 @@
+"""Deterministic spherical k-means (Lloyd iterations) for IVF codebook
+training (SURVEY §2.9 similarity-search; the reference has no vector
+operators — this is north-star scope).
+
+Every step is an exact, engine-independent DataFrame composition:
+
+- assignment = argmax of ROUNDED cosine with a cluster-id tie-break (a
+  total order, so ties never depend on partitioning);
+- centroid update = per-(cluster, dim) exact DECIMAL(30,6) means over the
+  ORIGINAL vector components (order-independent — raw components are
+  exact at 6 decimals in this corpus);
+- seeds are fixed input vectors, not random samples.
+
+Shape at 100 TB: each iteration is one broadcast of the k x d codebook
+(a few KB), one narrow map over the corpus (N x k cosines), and one
+partial-aggregable groupBy — Lloyd's classic Spark formulation. No
+collect of vector data; only the codebook crosses the driver boundary if
+the caller wants it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.operators import similarity as S
+
+
+def assign_clusters(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Hard assignment: for each vector in ``e`` (vec_id, emb, nrm), the
+    cluster in ``cents`` (cluster, cvec, c_nrm) with the highest rounded
+    cosine; ties break to the smaller cluster id."""
+    proj = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cluster",
+        F.round(
+            S.dot(F.col("emb"), F.col("cvec")) / (F.col("nrm") * F.col("c_nrm")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cluster").asc()
+    )
+    return (
+        proj.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster")
+    )
+
+
+def update_centroids(e: DataFrame, assign: DataFrame) -> DataFrame:
+    """Exact per-(cluster, dim) decimal means over member vectors ->
+    (cluster, cvec, c_nrm). Clusters that lost every member disappear
+    (standard Lloyd behavior; deterministic in any engine)."""
+    member_dims = (
+        assign.join(e, "vec_id")
+        .select("cluster", F.posexplode("emb").alias("pos", "v"))
+        .select("cluster", (F.col("pos") + 1).alias("dim"), "v")
+    )
+    means = member_dims.groupBy("cluster", "dim").agg(
+        (F.sum(F.col("v").cast("decimal(30,6)")).cast("double") / F.count("v")).alias("v")
+    )
+    return (
+        means.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("s"))
+        .select("cluster", F.expr("transform(s, x -> x.v)").alias("cvec"))
+        .select("cluster", "cvec", S.norm(F.col("cvec")).alias("c_nrm"))
+    )
+
+
+def lloyd(e: DataFrame, seeds: DataFrame, n_iter: int) -> DataFrame:
+    """``n_iter`` Lloyd iterations from ``seeds`` (cluster, cvec, c_nrm);
+    returns the trained codebook in the same shape."""
+    cents = seeds
+    for _ in range(n_iter):
+        cents = update_centroids(e, assign_clusters(e, cents))
+    return cents

@@ -170,6 +170,121 @@ def q_emb_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-dup removal: LSH sign-bucket candidates -> exact
+# cosine verify -> drop. The synthetic corpus has no natural near-dups
+# (max pairwise cosine 0.51), so the input is augmented with
+# deterministic scaled clones (vec_id + 10000, emb * 1.5) — cosine is
+# scale-invariant, so each clone pairs with its original at exactly 1.0
+# and lands in the SAME sign bucket (positive scaling preserves every
+# projection sign), guaranteeing LSH recall. A correct near-dedup must
+# drop exactly the 5% clones and keep every original.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_THRESHOLD = 0.999
+
+_COSINE_NEARDUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+aug AS (
+  SELECT vec_id, label, emb FROM base
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, label,
+         list_transform(emb, x -> x * 1.5) AS emb
+  FROM base WHERE vec_id % 20 = 0
+),
+h AS (
+  SELECT vec_id AS h_id, emb AS h_emb FROM base WHERE vec_id BETWEEN 8 AND 15
+),
+proj AS (
+  SELECT a.vec_id, h.h_id,
+         round(list_sum(list_transform(generate_series(1, len(a.emb)),
+                                       i -> a.emb[i] * h.h_emb[i])), 6) AS d
+  FROM aug a CROSS JOIN h
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN d > 0 THEN power(2, h_id - 8) ELSE 0 END) AS INT) AS bucket
+  FROM proj
+  GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN aug x ON x.vec_id = c.id_a
+  JOIN aug y ON y.vec_id = c.id_b
+  WHERE round(
+          list_sum(list_transform(generate_series(1, len(x.emb)), i -> x.emb[i] * y.emb[i]))
+          / (sqrt(list_sum(list_transform(x.emb, v -> v * v)))
+             * sqrt(list_sum(list_transform(y.emb, v -> v * v)))), 6) >= {_NEARDUP_THRESHOLD}
+),
+dropped AS (SELECT DISTINCT id_b AS vec_id FROM verified)
+SELECT a.vec_id, a.label
+FROM aug a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@register(
+    "emb_cosine_near_dup",
+    _COSINE_NEARDUP_ORACLE,
+    survey="§2.9 dedup-embedding-cosine (sign-LSH bucket candidates -> exact cosine verify -> drop; scale-invariant bucket recall)",
+)
+def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_part = max(1, spark.sparkContext.defaultParallelism)
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    clones = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        "label",
+        F.expr("transform(emb, x -> x * 1.5)").alias("emb"),
+    )
+    # one persisted-by-exchange augmented table with norms: consumed by
+    # the bucket projection, both candidate sides, and the verify join
+    aug = base.unionByName(clones).withColumn("nrm", S.norm(F.col("emb"))).repartition(n_part)
+    h = base.filter(F.col("vec_id").isin(_HYPERPLANES)).select(
+        F.col("vec_id").alias("h_id"), F.col("emb").alias("h_emb")
+    )
+    proj = aug.crossJoin(F.broadcast(h)).select(
+        "vec_id",
+        "h_id",
+        F.round(S.dot(F.col("emb"), F.col("h_emb")), 6).alias("d"),
+    )
+    bucket = F.sum(
+        F.when(F.col("d") > 0, F.pow(F.lit(2.0), F.col("h_id") - 8)).otherwise(0.0)
+    ).cast("int")
+    buckets = proj.groupBy("vec_id").agg(bucket.alias("bucket"))
+    a = buckets.select(F.col("vec_id").alias("id_a"), F.col("bucket").alias("b_a"))
+    b = buckets.select(F.col("vec_id").alias("id_b"), F.col("bucket").alias("b_b"))
+    cand = a.join(
+        b, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    xa = aug.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    xb = aug.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b")
+    )
+    cos = F.round(
+        S.dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
+    dropped = (
+        cand.join(xa, "id_a")
+        .join(xb, "id_b")
+        .filter(cos >= _NEARDUP_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return aug.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
 # Scalar-quantization ANN: per-dim min/max int8 codebook -> exact-integer
 # approximate scores -> top-50 candidates -> exact cosine re-rank.
 # The SQ trade at 100 TB: the approx pass touches 1 byte/dim instead of 8
@@ -625,40 +740,67 @@ def q_doc_near_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF-style ANN: coarse quantizer (label centroids) -> probe top-2 cells ->
-# exact cosine re-rank within probed cells. The classic inverted-file
-# trade: candidate set shrinks from N to N * (n_probe / n_cells).
+# IVF ANN with a TRAINED coarse quantizer: k-means codebook (2 Lloyd
+# iterations from fixed seed vectors, exact decimal means, rounded-cosine
+# assignment with cluster-id tie-breaks) -> probe top-2 cells -> exact
+# cosine re-rank within probed cells. The classic inverted-file trade:
+# candidate set shrinks from N to ~N * (n_probe / n_cells).
 # ---------------------------------------------------------------------------
 
-_IVF_ORACLE = """
+_IVF_K = 8
+_IVF_SEED_BASE = 16  # seeds = embeddings 16..23 (disjoint from query ids)
+_IVF_ITER = 2
+
+
+def _sql_cos(vec: str, cent: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({vec}.emb)), i -> {vec}.emb[i] * {cent}.cvec[i]))"
+        f" / (sqrt(list_sum(list_transform({vec}.emb, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({cent}.cvec, x -> x * x))))"
+    )
+
+
+def _sql_assign(cents: str) -> str:
+    return f"""SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_sql_cos('e', 'c')}, 6) DESC,
+                                       c.cluster ASC) AS rn
+    FROM e CROSS JOIN {cents} c
+  ) WHERE rn = 1"""
+
+
+def _sql_update(assign: str) -> str:
+    return f"""SELECT cluster, list(v ORDER BY dim) AS cvec FROM (
+    SELECT a.cluster, u.dim AS dim,
+           CAST(SUM(CAST(u.v AS DECIMAL(30,6))) AS DOUBLE) / COUNT(u.v) AS v
+    FROM {assign} a JOIN e ON e.vec_id = a.vec_id,
+    LATERAL (SELECT generate_subscripts(e.emb, 1) AS dim, unnest(e.emb) AS v) u
+    GROUP BY a.cluster, u.dim
+  ) GROUP BY cluster"""
+
+
+_IVF_ORACLE = f"""
 WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
-cl AS (
-  SELECT label, u.dim AS dim,
-         CAST(SUM(CAST(u.v AS DECIMAL(30,6))) AS DOUBLE) / COUNT(u.v) AS v
-  FROM e, LATERAL (SELECT generate_subscripts(emb, 1) AS dim, unnest(emb) AS v) u
-  GROUP BY label, u.dim
+c0 AS (
+  SELECT CAST(vec_id - {_IVF_SEED_BASE} AS INT) AS cluster, emb AS cvec
+  FROM e WHERE vec_id BETWEEN {_IVF_SEED_BASE} AND {_IVF_SEED_BASE + _IVF_K - 1}
 ),
-cents AS (
-  SELECT label, list(v ORDER BY dim) AS cvec FROM cl GROUP BY label
-),
-proj AS (
-  SELECT e.vec_id, c.label,
-         round(
-           list_sum(list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] * c.cvec[i]))
-           / (sqrt(list_sum(list_transform(e.emb, x -> x * x)))
-              * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))), 6) AS cos,
+a1 AS ({_sql_assign('c0')}),
+c1 AS ({_sql_update('a1')}),
+a2 AS ({_sql_assign('c1')}),
+c2 AS ({_sql_update('a2')}),
+ranked AS (
+  SELECT e.vec_id, c.cluster,
          row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY round(
-           list_sum(list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] * c.cvec[i]))
-           / (sqrt(list_sum(list_transform(e.emb, x -> x * x)))
-              * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))), 6) DESC,
-                            c.label ASC) AS rn
-  FROM e CROSS JOIN cents c
+                            ORDER BY round({_sql_cos('e', 'c')}, 6) DESC,
+                                     c.cluster ASC) AS rn
+  FROM e CROSS JOIN c2 c
 ),
-assign AS (SELECT vec_id, label AS cluster FROM proj WHERE rn = 1),
-probes AS (SELECT vec_id AS query_id, label AS cluster FROM proj WHERE rn <= 2 AND vec_id < 5),
+assign AS (SELECT vec_id, cluster FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cluster FROM ranked WHERE rn <= 2 AND vec_id < 5),
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
   FROM probes p JOIN assign a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
@@ -685,50 +827,40 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 @register(
     "emb_ivf_ann",
     _IVF_ORACLE,
-    survey="§2.9 similarity-search (IVF: centroid quantizer + 2-probe re-rank)",
+    survey="§2.9 similarity-search (IVF: k-means-trained codebook, 2 Lloyd iterations, 2-probe exact re-rank)",
 )
 def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators import kmeans
+
     # per-vector norms materialized once (see q_emb_cosine_topk note)
     n_part = max(1, spark.sparkContext.defaultParallelism)
     e = (
         load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-        )
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("nrm", S.norm(F.col("emb")))
         .repartition(n_part)
     )
-    # coarse codebook: exact per-label centroids (order-independent means)
-    long = e.select(
-        "label", F.posexplode("emb").alias("pos", "v")
-    ).select("label", (F.col("pos") + 1).alias("dim"), "v")
-    cl = long.groupBy("label", "dim").agg(
-        (F.sum(F.col("v").cast("decimal(30,6)")).cast("double") / F.count("v")).alias("v")
+    seeds = e.filter(
+        (F.col("vec_id") >= _IVF_SEED_BASE)
+        & (F.col("vec_id") < _IVF_SEED_BASE + _IVF_K)
+    ).select(
+        (F.col("vec_id") - _IVF_SEED_BASE).cast("int").alias("cluster"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("c_nrm"),
     )
-    cents = (
-        cl.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("s"))
-        .select("label", F.expr("transform(s, x -> x.v)").alias("cvec"))
-        .select(
-            F.col("label").alias("c_label"),
-            "cvec",
-            S.norm(F.col("cvec")).alias("c_nrm"),
-        )
-    )
+    cents = kmeans.lloyd(e, seeds, n_iter=_IVF_ITER)
     proj = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
-        F.col("c_label"),
+        "cluster",
         F.round(
             S.dot(F.col("emb"), F.col("cvec")) / (F.col("nrm") * F.col("c_nrm")), 6
         ).alias("cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("c_label").asc())
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cluster").asc())
     ranked = proj.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", F.col("c_label").alias("cluster")
-    )
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cluster")
     probes = ranked.filter((F.col("rn") <= 2) & (F.col("vec_id") < 5)).select(
-        F.col("vec_id").alias("query_id"), F.col("c_label").alias("cluster")
+        F.col("vec_id").alias("query_id"), "cluster"
     )
     cand = probes.join(assign, "cluster").filter(
         F.col("vec_id") != F.col("query_id")

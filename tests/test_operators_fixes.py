@@ -52,3 +52,35 @@ def test_metric_series_total_order_is_deterministic(spark):
             .collect()
         )
         assert [r["value"] for r in rows] == [-5.0], rows
+
+
+def test_kmeans_lloyd_converges_and_is_deterministic(spark):
+    # Two well-separated groups; seeds start inside each group. One
+    # iteration must land centroids on the group means; assignment must
+    # be identical under different partitioning.
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators import kmeans
+    from sec_financial_pipeline_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [1.1, -0.1]),
+        (3, [0.0, 1.0]), (4, [0.1, 0.9]), (5, [-0.1, 1.1]),
+    ]
+    for n_part in (1, 5):
+        e = (
+            spark.createDataFrame(rows, "vec_id long, emb array<double>")
+            .repartition(n_part)
+            .withColumn("nrm", S.norm(F.col("emb")))
+        )
+        seeds = e.filter(F.col("vec_id").isin(0, 3)).select(
+            F.col("vec_id").cast("int").alias("cluster"),
+            F.col("emb").alias("cvec"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        cents = {r.cluster: r.cvec for r in kmeans.lloyd(e, seeds, 1).collect()}
+        assert cents[0] == [1.0, 0.0]  # mean of group A, exact decimals
+        assert cents[3] == [0.0, 1.0]
+        assign = kmeans.assign_clusters(e, kmeans.lloyd(e, seeds, 2))
+        got = {r.vec_id: r.cluster for r in assign.collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
