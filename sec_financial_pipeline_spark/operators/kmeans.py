@@ -67,10 +67,23 @@ def update_centroids(e: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
-def lloyd(e: DataFrame, seeds: DataFrame, n_iter: int) -> DataFrame:
+def lloyd(
+    e: DataFrame, seeds: DataFrame, n_iter: int, materialize: bool = True
+) -> DataFrame:
     """``n_iter`` Lloyd iterations from ``seeds`` (cluster, cvec, c_nrm);
-    returns the trained codebook in the same shape."""
+    returns the trained codebook in the same shape.
+
+    ``materialize`` eagerly truncates the codebook's lineage after each
+    iteration (``localCheckpoint``): without it, iteration i's plan embeds
+    all prior iterations, so Catalyst replans — and the executor re-scans
+    the corpus for — every historical pass on every action (measured: 20
+    scans of the embeddings parquet for 2 iterations + probe). The
+    codebook is k x d doubles (a few KB), so the checkpoint cost is nil.
+    On a real cluster, swap ``localCheckpoint`` for a reliable
+    ``checkpoint`` dir so executor loss can't drop a cached iteration."""
     cents = seeds
     for _ in range(n_iter):
         cents = update_centroids(e, assign_clusters(e, cents))
+        if materialize:
+            cents = cents.localCheckpoint(eager=True)
     return cents

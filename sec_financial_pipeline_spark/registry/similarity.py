@@ -834,11 +834,16 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # per-vector norms materialized once (see q_emb_cosine_topk note)
     n_part = max(1, spark.sparkContext.defaultParallelism)
+    # persisted: the corpus feeds every Lloyd assignment/update pass plus
+    # the final probe + re-rank — per-branch pruning defeats
+    # ReusedExchange (same rationale as the near-dedup shingle cache), so
+    # an explicit cache is what makes training scan the parquet ONCE.
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("nrm", S.norm(F.col("emb")))
         .repartition(n_part)
+        .persist()
     )
     seeds = e.filter(
         (F.col("vec_id") >= _IVF_SEED_BASE)
