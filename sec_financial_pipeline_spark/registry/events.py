@@ -124,3 +124,62 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — campaign attribution. High-value purchases open
+# a 2-hour attribution window; every event falling inside any window is
+# credited to that campaign. No equi-key exists, so a naive plan is a
+# BroadcastNestedLoopJoin; operators/rangejoin.py rewrites it as a
+# bucketed equi-join (see module docstring for the 100 TB rationale).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_range_join",
+    f"""
+WITH camp AS (
+  SELECT event_id AS campaign_id, ts AS w_start,
+         ts + INTERVAL 2 HOUR AS w_end
+  FROM events
+  WHERE event_type = 'purchase' AND value >= 200.0
+)
+SELECT c.campaign_id, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       {dsum_sql('e.value')} AS total_value
+FROM camp c JOIN events e
+  ON e.ts >= c.w_start AND e.ts < c.w_end AND e.event_id <> c.campaign_id
+GROUP BY c.campaign_id
+""",
+    survey="§2.3 range join (bucketed point-in-interval rewrite of a pure inequality join)",
+)
+def q_evt_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    camp = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 200.0)
+    ).select(
+        F.col("event_id").alias("campaign_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    pts = e.select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("user_id").alias("p_user"),
+        F.col("value").alias("p_value"),
+    )
+    # bucket = 1h: each 2h window explodes to exactly 3 bucket rows
+    j = point_in_interval_join(pts, camp, "p_ts", "w_start", "w_end", 3600)
+    return (
+        j.filter(F.col("p_event_id") != F.col("campaign_id"))
+        .groupBy("campaign_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("p_user").alias("n_users"),
+            dsum("p_value").alias("total_value"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""Unit tests for the bucketed point-in-interval join (operators/rangejoin).
+
+Covers the semantics the bucket rewrite must preserve exactly:
+end-exclusivity, intervals spanning multiple buckets, points on bucket
+boundaries, and one-match-per-(point, interval) (no duplicate emission).
+Also asserts the plan is an equi-join, not BroadcastNestedLoopJoin.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.operators.rangejoin import point_in_interval_join
+
+_T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return _T0 + dt.timedelta(minutes=minutes)
+
+
+def test_point_in_interval_semantics(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts(0)),     # == start of iv10: inclusive
+            (2, _ts(59)),    # inside iv10
+            (3, _ts(60)),    # == end of iv10: EXCLUSIVE; == start of iv20
+            (4, _ts(185)),   # inside iv30 (which spans 4 one-hour buckets)
+            (5, _ts(400)),   # in no interval
+        ],
+        "pid INT, p_ts TIMESTAMP",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, _ts(0), _ts(60)),
+            (20, _ts(60), _ts(120)),
+            (30, _ts(100), _ts(300)),
+        ],
+        "iv INT, w_start TIMESTAMP, w_end TIMESTAMP",
+    )
+    out = point_in_interval_join(
+        points, intervals, "p_ts", "w_start", "w_end", bucket_seconds=3600
+    )
+    got = sorted((r.pid, r.iv) for r in out.collect())
+    assert got == [(1, 10), (2, 10), (3, 20), (4, 30)]
+
+
+def test_no_duplicate_matches_and_overlapping_intervals(spark):
+    points = spark.createDataFrame([(1, _ts(30))], "pid INT, p_ts TIMESTAMP")
+    intervals = spark.createDataFrame(
+        [(10, _ts(0), _ts(240)), (20, _ts(20), _ts(40))],
+        "iv INT, w_start TIMESTAMP, w_end TIMESTAMP",
+    )
+    # small bucket => iv10 explodes to many bucket rows, but the point
+    # still matches it exactly once (a point lives in ONE bucket)
+    out = point_in_interval_join(
+        points, intervals, "p_ts", "w_start", "w_end", bucket_seconds=60
+    )
+    got = sorted((r.pid, r.iv) for r in out.collect())
+    assert got == [(1, 10), (1, 20)]
+
+
+def test_plan_is_equi_join_not_nested_loop(spark):
+    points = spark.range(100).select(
+        F.col("id").alias("pid"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("p_ts"),
+    )
+    intervals = spark.range(10).select(
+        F.col("id").alias("iv"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 600).alias("w_start"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 600 + 1200).alias(
+            "w_end"
+        ),
+    )
+    out = point_in_interval_join(
+        points, intervals, "p_ts", "w_start", "w_end", bucket_seconds=600
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
