@@ -644,7 +644,10 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drop verified dups -> survivors
 # ---------------------------------------------------------------------------
 
-_E2E_DEDUP_ORACLE = "WITH " + _minhash_ctes() + """,
+# CTE chain shared by the end-to-end near-dedup oracle and the
+# duplicate-cluster (connected components) oracle: shingles -> MinHash ->
+# bands -> candidate pairs -> Jaccard-verified pairs.
+_DEDUP_CTES = _minhash_ctes() + """,
 bands AS (
   SELECT doc_id,
 """ + ",\n".join(
@@ -680,7 +683,9 @@ verified AS (
   JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b
   JOIN sizes sa ON sa.doc_id = c.id_a
   JOIN sizes sb ON sb.doc_id = c.id_b
-),
+)"""
+
+_E2E_DEDUP_ORACLE = "WITH " + _DEDUP_CTES + """,
 dropped AS (SELECT DISTINCT id_b AS doc_id FROM verified WHERE jac >= 0.8)
 SELECT d.doc_id, d.lang, d.source
 FROM documents d
@@ -688,12 +693,13 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
-@register(
-    "doc_near_dedup_end2end",
-    _E2E_DEDUP_ORACLE,
-    survey="§2.9 dedup-minhash end-to-end (bands -> candidates -> Jaccard verify -> drop)",
-)
-def q_doc_near_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _near_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared front half of the near-dedup family: documents table +
+    Jaccard-verified near-duplicate pairs (jac >= 0.8, id_a < id_b).
+    Consumed by the end-to-end drop query AND the duplicate-cluster
+    (connected components) query; the Spark twin of ``_DEDUP_CTES``."""
     d = load_table(spark, sf_dir, "documents")
     # ONE exploded shingle table, persisted: the MinHash signature agg,
     # the per-doc sizes, and both sides of the Jaccard verify join all
@@ -730,13 +736,71 @@ def q_doc_near_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_shared")
     )
-    dropped = (
+    pairs = (
         n_shared.join(sa, "id_a").join(sb, "id_b")
         .filter(jac >= 0.8)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
+        .select("id_a", "id_b")
     )
+    return d, pairs
+
+
+@register(
+    "doc_near_dedup_end2end",
+    _E2E_DEDUP_ORACLE,
+    survey="§2.9 dedup-minhash end-to-end (bands -> candidates -> Jaccard verify -> drop)",
+)
+def q_doc_near_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, pairs = _near_dup_pairs(spark, sf_dir)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return d.join(dropped, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: transitive closure of the verified near-dup pairs.
+# Pairwise drop (above) under-merges: A~B and B~C put {A,B,C} in one
+# cluster even when (A,C) never surfaced as a candidate pair. The oracle
+# is a recursive CTE (min reachable id per node); the Spark side is the
+# iterative connected-components operator.
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = "WITH RECURSIVE " + _DEDUP_CTES + """,
+pairs AS (SELECT id_a, id_b FROM verified WHERE jac >= 0.8),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+cc AS (
+  SELECT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, cc.root AS root
+  FROM cc JOIN edges e ON e.src = cc.node
+),
+labels AS (SELECT node AS doc_id, min(root) AS cluster_rep FROM cc GROUP BY node),
+csize AS (SELECT cluster_rep, count(*) AS cluster_size FROM labels GROUP BY cluster_rep)
+SELECT l.doc_id, l.cluster_rep, c.cluster_size
+FROM labels l JOIN csize c ON c.cluster_rep = l.cluster_rep
+"""
+
+
+@register(
+    "doc_dup_clusters",
+    _CLUSTERS_ORACLE,
+    survey="§2.9 dedup (transitive closure: connected components over verified near-dup pairs)",
+)
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    _, pairs = _near_dup_pairs(spark, sf_dir)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_rep"),
+        "cluster_size",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,54 @@
+"""Unit tests for connected components (operators/components)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sec_financial_pipeline_spark.operators.components import connected_components
+
+
+def _labels(df):
+    return sorted((r.node, r.label) for r in df.collect())
+
+
+def test_chain_transitivity(spark):
+    # 1-2, 2-3, 3-4: one component even though (1,4) is not an edge —
+    # exactly the under-merge pairwise dedup suffers from
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src INT, dst INT")
+    assert _labels(connected_components(edges)) == [
+        (1, 1),
+        (2, 1),
+        (3, 1),
+        (4, 1),
+    ]
+
+
+def test_multiple_components_and_edge_direction(spark):
+    # labels must ignore edge direction (9->5 still pulls 9 down to 5)
+    edges = spark.createDataFrame(
+        [(9, 5), (5, 7), (2, 1), (30, 30)], "src INT, dst INT"
+    )
+    assert _labels(connected_components(edges)) == [
+        (1, 1),
+        (2, 1),
+        (5, 5),
+        (7, 5),
+        (9, 5),
+        (30, 30),
+    ]
+
+
+def test_long_chain_converges_fast(spark):
+    # pointer jumping: a 40-node path must converge in O(log n) rounds,
+    # so max_iter=8 suffices where plain propagation would need 39
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src INT, dst INT"
+    )
+    out = connected_components(edges, max_iter=8)
+    assert _labels(out) == [(i, 0) for i in range(41)]
+
+
+def test_nonconvergence_raises(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], "src INT, dst INT")
+    with pytest.raises(RuntimeError):
+        connected_components(edges, max_iter=1)
