@@ -35,8 +35,10 @@ HEADLINE = [
     "rel_dedup_policies",
     "rel_growth",
     "evt_sessionize",
+    "evt_range_join",
     "doc_signatures",
     "doc_near_dedup_end2end",
+    "doc_dup_clusters",
     "emb_cosine_topk",
     "emb_ivf_ann",
 ]

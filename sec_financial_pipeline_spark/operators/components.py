@@ -49,8 +49,15 @@ def connected_components(
     any edge. Raises if ``max_iter`` rounds don't reach the fixpoint
     (with pointer jumping that would take a component diameter > 2^25).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the edge list BEFORE symmetrizing: the union's two
+    # branches would otherwise each re-execute whatever (possibly very
+    # expensive) pipeline produced the edges — e.g. the full LSH +
+    # Jaccard-verify subtree in the near-dup caller — and every CC round
+    # would re-execute it again (measured 5x slower without this).
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
