@@ -162,3 +162,74 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.processAllAvailable()
     q.stop()
+
+
+def campaign_attribution_join(
+    events: DataFrame,
+    value_threshold: float = 200.0,
+    window: str = "2 hours",
+    bucket_seconds: int = 3600,
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream interval join: high-value purchases open a
+    ``window``-long attribution window; every event landing inside one is
+    joined to it. The streaming twin of the batch ``evt_range_join``
+    query (operators/rangejoin.py), via a self-join of the event stream.
+
+    Scale design: the raw predicate is a pure inequality, which would
+    leave the join's state store un-keyed (every micro-batch probes ALL
+    buffered rows). The same bucket rewrite as the batch operator —
+    points map to ``floor(epoch/width)``, windows explode to covered
+    buckets — gives the join an EQUI key, so state is hash-partitioned
+    by bucket and each probe touches one partition. Both sides carry
+    event-time watermarks and the join condition bounds ``p_ts`` to
+    ``[w_start, w_start + window)``, so Spark evicts buffered rows once
+    the watermark passes — bounded state, the property that lets this
+    run forever.
+    """
+    camp = (
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") >= F.lit(value_threshold))
+        )
+        .select(
+            F.col("event_id").alias("campaign_id"),
+            F.col("ts").alias("w_start"),
+        )
+        .withColumn(
+            "c_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp("w_start") / F.lit(bucket_seconds)),
+                    F.floor(
+                        F.unix_timestamp(
+                            F.col("w_start") + F.expr(f"INTERVAL {window}")
+                        )
+                        / F.lit(bucket_seconds)
+                    ),
+                )
+            ),
+        )
+        .withWatermark("w_start", watermark)
+    )
+    pts = (
+        events.select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("user_id").alias("p_user"),
+            F.col("value").alias("p_value"),
+        )
+        .withColumn(
+            "p_bucket", F.floor(F.unix_timestamp("p_ts") / F.lit(bucket_seconds))
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (F.col("p_bucket") == F.col("c_bucket"))
+        & (F.col("p_ts") >= F.col("w_start"))
+        & (F.col("p_ts") < F.col("w_start") + F.expr(f"INTERVAL {window}"))
+        & (F.col("p_event_id") != F.col("campaign_id"))
+    )
+    return pts.join(camp, cond, "inner").select(
+        "campaign_id", "p_event_id", "p_user", "p_value", "p_ts", "w_start"
+    )
