@@ -736,10 +736,16 @@ def _near_dup_pairs(
     jac = F.col("n_shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_shared")
     )
+    # pairs is tiny (the duplicate rate x N) but costs a candidate-gen +
+    # two shingle joins to build; persisting lets the drop query, the
+    # cluster query, and the curation capstone all reuse ONE build
+    # (CacheManager dedupes across calls by canonical plan, like the
+    # shingle cache above).
     pairs = (
         n_shared.join(sa, "id_a").join(sb, "id_b")
         .filter(jac >= 0.8)
         .select("id_a", "id_b")
+        .persist()
     )
     return d, pairs
 
