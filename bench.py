@@ -41,6 +41,7 @@ HEADLINE = [
     "doc_dup_clusters",
     "emb_cosine_topk",
     "emb_ivf_ann",
+    "emb_pq_topk",
 ]
 
 #: Timed repetitions per query; the reported figure is the median, so a

@@ -1,6 +1,6 @@
-"""Deterministic spherical k-means (Lloyd iterations) for IVF codebook
-training (SURVEY §2.9 similarity-search; the reference has no vector
-operators — this is north-star scope).
+"""Deterministic spherical k-means (Lloyd iterations) for IVF / PQ
+codebook training (SURVEY §2.9 similarity-search; the reference has no
+vector operators — this is north-star scope).
 
 Every step is an exact, engine-independent DataFrame composition:
 
@@ -17,14 +17,22 @@ Every step is an exact, engine-independent DataFrame composition:
   the saved shuffle only on paper;
 - seeds are fixed input vectors, not random samples.
 
-Shape at 100 TB: each iteration is one broadcast of the k x d codebook
-(a few KB), one narrow map over the corpus (N x k cosines), and
+``group_cols`` trains a whole FAMILY of independent codebooks in one
+pass — rows carrying a group key (PQ subspace id, tenant, language) are
+assigned/updated only against their group's centroids. One corpus scan
+and one driver round-trip per iteration regardless of family size,
+instead of per-codebook sequential loops.
+
+Shape at 100 TB: each iteration is one broadcast of the (groups x k x d)
+codebook (a few KB), one narrow map over the corpus, and
 partial-aggregable groupBys — Lloyd's classic Spark formulation. No
 collect of vector data; only the codebook crosses the driver boundary if
 the caller wants it.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -38,59 +46,78 @@ def _best() -> Column:
     return F.struct(F.col("cos"), (-F.col("cluster")).alias("neg_cluster"))
 
 
-def assign_clusters(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Hard assignment: for each vector in ``e`` (vec_id, emb, nrm), the
-    cluster in ``cents`` (cluster, cvec, c_nrm) with the highest rounded
-    cosine; ties break to the smaller cluster id."""
-    proj = e.crossJoin(F.broadcast(cents)).select(
+def assign_clusters(
+    e: DataFrame, cents: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Hard assignment: for each vector in ``e`` (vec_id, emb, nrm,
+    *group_cols), the cluster in ``cents`` (cluster, cvec, c_nrm,
+    *group_cols) of the SAME group with the highest rounded cosine; ties
+    break to the smaller cluster id."""
+    joined = (
+        e.join(F.broadcast(cents), list(group_cols))
+        if group_cols
+        else e.crossJoin(F.broadcast(cents))
+    )
+    proj = joined.select(
         "vec_id",
+        *group_cols,
         "cluster",
         F.round(
             S.dot(F.col("emb"), F.col("cvec")) / (F.col("nrm") * F.col("c_nrm")), 6
         ).alias("cos"),
     )
-    return proj.groupBy("vec_id").agg(
+    return proj.groupBy("vec_id", *group_cols).agg(
         F.max_by("cluster", _best()).alias("cluster")
     )
 
 
-def update_centroids(e: DataFrame, assign: DataFrame) -> DataFrame:
-    """Exact per-(cluster, dim) decimal means over member vectors ->
-    (cluster, cvec, c_nrm). Clusters that lost every member disappear
-    (standard Lloyd behavior; deterministic in any engine)."""
+def update_centroids(
+    e: DataFrame, assign: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Exact per-(group, cluster, dim) decimal means over member vectors
+    -> (cluster, cvec, c_nrm, *group_cols). Clusters that lost every
+    member disappear (standard Lloyd behavior; deterministic in any
+    engine)."""
+    keys = [*group_cols, "cluster"]
     member_dims = (
-        assign.join(e, "vec_id")
-        .select("cluster", F.posexplode("emb").alias("pos", "v"))
-        .select("cluster", (F.col("pos") + 1).alias("dim"), "v")
+        assign.join(e, ["vec_id", *group_cols])
+        .select(*keys, F.posexplode("emb").alias("pos", "v"))
+        .select(*keys, (F.col("pos") + 1).alias("dim"), "v")
     )
-    means = member_dims.groupBy("cluster", "dim").agg(
+    means = member_dims.groupBy(*keys, "dim").agg(
         (F.sum(F.col("v").cast("decimal(30,6)")).cast("double") / F.count("v")).alias("v")
     )
     return (
-        means.groupBy("cluster")
+        means.groupBy(*keys)
         .agg(F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("s"))
-        .select("cluster", F.expr("transform(s, x -> x.v)").alias("cvec"))
-        .select("cluster", "cvec", S.norm(F.col("cvec")).alias("c_nrm"))
+        .select(*keys, F.expr("transform(s, x -> x.v)").alias("cvec"))
+        .select(*keys, "cvec", S.norm(F.col("cvec")).alias("c_nrm"))
     )
 
 
 def lloyd(
-    e: DataFrame, seeds: DataFrame, n_iter: int, materialize: bool = True
+    e: DataFrame,
+    seeds: DataFrame,
+    n_iter: int,
+    materialize: bool = True,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """``n_iter`` Lloyd iterations from ``seeds`` (cluster, cvec, c_nrm);
-    returns the trained codebook in the same shape.
+    """``n_iter`` Lloyd iterations from ``seeds`` (cluster, cvec, c_nrm,
+    *group_cols); returns the trained codebook(s) in the same shape.
 
     ``materialize`` eagerly truncates the codebook's lineage after each
     iteration (``localCheckpoint``): without it, iteration i's plan embeds
     all prior iterations, so Catalyst replans — and the executor re-scans
     the corpus for — every historical pass on every action (measured: 20
     scans of the embeddings parquet for 2 iterations + probe). The
-    codebook is k x d doubles (a few KB), so the checkpoint cost is nil.
-    On a real cluster, swap ``localCheckpoint`` for a reliable
+    codebook is groups x k x d doubles (a few KB), so the checkpoint cost
+    is nil. On a real cluster, swap ``localCheckpoint`` for a reliable
     ``checkpoint`` dir so executor loss can't drop a cached iteration."""
     cents = seeds
     for _ in range(n_iter):
-        cents = update_centroids(e, assign_clusters(e, cents))
+        cents = update_centroids(
+            e, assign_clusters(e, cents, group_cols), group_cols
+        )
         if materialize:
             cents = cents.localCheckpoint(eager=True)
     return cents

@@ -377,81 +377,119 @@ def q_setops_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# C1/C2/C4 — scalar function surfaces (string, date, hash)
+# C1/C2/C4 — scalar function surfaces (string, date, hash), merged into
+# one long-format query (section, row_key, field, value-as-string) so
+# both families fit one registry slot; the string canonicalization is
+# itself part of the demo (dates, booleans, ints render identically in
+# both engines).
 # ---------------------------------------------------------------------------
 
-
-@register(
-    "rel_string_scalar",
-    """
-SELECT c_custkey,
+_STRING_SCALAR_SQL = """SELECT c_custkey AS row_key,
        upper(c_name) AS name_upper,
        lpad(CAST(c_custkey AS STRING), 10, '0') AS key_padded,
        substr(c_name, 1, 8) AS name_prefix,
        concat_ws('|', c_mktsegment, CAST(c_nationkey AS STRING)) AS seg_key,
-       regexp_matches(c_mktsegment, '^[A-Z]+$') AS seg_is_alpha,
+       CAST(regexp_matches(c_mktsegment, '^[A-Z]+$') AS VARCHAR) AS seg_is_alpha,
        md5(concat_ws('|', CAST(c_custkey AS STRING), c_name)) AS row_hash
 FROM customer
-WHERE c_custkey < 200
-""",
-    survey="C1 C4 F7 (upper, lpad/zfill, substring, concat, regex validate, md5 content hash — sec_client.py:315-318)",
+WHERE c_custkey < 200"""
+
+_STRING_FIELDS = (
+    "name_upper",
+    "key_padded",
+    "name_prefix",
+    "seg_key",
+    "seg_is_alpha",
+    "row_hash",
 )
-def q_string_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+_DATE_SCALAR_SQL = """SELECT o_orderkey AS row_key,
+       CAST(CAST(year(o_orderdate) AS INT) AS VARCHAR) AS order_year,
+       CAST(CAST(quarter(o_orderdate) AS INT) AS VARCHAR) AS order_quarter,
+       CAST(CAST(month(o_orderdate) AS INT) AS VARCHAR) AS order_month,
+       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS VARCHAR) AS days_since_epoch,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3m,
+       CAST(isodow(o_orderdate) AS VARCHAR) AS iso_weekday,
+       CAST(dayofyear(o_orderdate) AS VARCHAR) AS day_of_year,
+       CAST(week(o_orderdate) AS VARCHAR) AS week_of_year,
+       CAST(CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS VARCHAR) AS epoch_sec
+FROM orders
+WHERE o_orderkey % 97 = 0"""
+
+_DATE_FIELDS = (
+    "order_year",
+    "order_quarter",
+    "order_month",
+    "month_start",
+    "days_since_epoch",
+    "month_end",
+    "plus_3m",
+    "iso_weekday",
+    "day_of_year",
+    "week_of_year",
+    "epoch_sec",
+)
+
+
+@register(
+    "rel_scalar_functions",
+    "WITH s AS (" + _STRING_SCALAR_SQL + "),\nd AS (" + _DATE_SCALAR_SQL + ")\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT 'string' AS section, row_key, '{f}' AS field, {f} AS value FROM s"
+        for f in _STRING_FIELDS
+    )
+    + "\nUNION ALL\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT 'date' AS section, row_key, '{f}' AS field, {f} AS value FROM d"
+        for f in _DATE_FIELDS
+    ),
+    survey="C1 C2 C4 F7 (string: upper/lpad/substr/concat/regex/md5 — sec_client.py:315-318; date: year/quarter/month/trunc/diff/last_day/add_months/ISO dow/epoch)",
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    return c.filter(F.col("c_custkey") < 200).select(
-        "c_custkey",
+    s_wide = c.filter(F.col("c_custkey") < 200).select(
+        F.col("c_custkey").alias("row_key"),
         F.upper("c_name").alias("name_upper"),
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.concat_ws(
             "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
         ).alias("seg_key"),
-        F.col("c_mktsegment").rlike("^[A-Z]+$").alias("seg_is_alpha"),
+        F.col("c_mktsegment").rlike("^[A-Z]+$").cast("string").alias("seg_is_alpha"),
         F.md5(
             F.concat_ws("|", F.col("c_custkey").cast("string"), F.col("c_name"))
         ).alias("row_hash"),
     )
-
-
-@register(
-    "rel_date_scalar",
-    """
-SELECT o_orderkey,
-       CAST(year(o_orderdate) AS INT) AS order_year,
-       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
-       CAST(month(o_orderdate) AS INT) AS order_month,
-       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch,
-       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
-       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
-       CAST(isodow(o_orderdate) AS INT) AS iso_weekday,
-       CAST(dayofyear(o_orderdate) AS INT) AS day_of_year,
-       CAST(week(o_orderdate) AS INT) AS week_of_year,
-       CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_sec
-FROM orders
-WHERE o_orderkey % 97 = 0
-""",
-    survey="C2 (year/quarter/month, date_trunc, date arithmetic, last_day, add_months, ISO weekday, day/week-of-year, epoch)",
-)
-def q_date_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return o.filter(F.col("o_orderkey") % 97 == 0).select(
-        "o_orderkey",
-        F.year("o_orderdate").cast("int").alias("order_year"),
-        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
-        F.month("o_orderdate").cast("int").alias("order_month"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+    d_wide = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("row_key"),
+        F.year("o_orderdate").cast("int").cast("string").alias("order_year"),
+        F.quarter("o_orderdate").cast("int").cast("string").alias("order_quarter"),
+        F.month("o_orderdate").cast("int").cast("string").alias("order_month"),
+        F.date_trunc("month", "o_orderdate")
+        .cast("date")
+        .cast("string")
+        .alias("month_start"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01"))
-        .cast("int")
+        .cast("string")
         .alias("days_since_epoch"),
-        F.last_day("o_orderdate").alias("month_end"),
-        F.add_months("o_orderdate", 3).alias("plus_3m"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("string").alias("plus_3m"),
         # Spark weekday(): 0 = Monday; ISO dow is 1 = Monday
-        (F.weekday("o_orderdate") + 1).cast("int").alias("iso_weekday"),
-        F.dayofyear("o_orderdate").cast("int").alias("day_of_year"),
-        F.weekofyear("o_orderdate").cast("int").alias("week_of_year"),
-        F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_sec"),
+        (F.weekday("o_orderdate") + 1).cast("string").alias("iso_weekday"),
+        F.dayofyear("o_orderdate").cast("string").alias("day_of_year"),
+        F.weekofyear("o_orderdate").cast("string").alias("week_of_year"),
+        F.unix_timestamp("o_orderdate").cast("string").alias("epoch_sec"),
     )
+    s_long = s_wide.unpivot(
+        ["row_key"], list(_STRING_FIELDS), "field", "value"
+    ).select(F.lit("string").alias("section"), "row_key", "field", "value")
+    d_long = d_wide.unpivot(
+        ["row_key"], list(_DATE_FIELDS), "field", "value"
+    ).select(F.lit("date").alias("section"), "row_key", "field", "value")
+    return s_long.unionByName(d_long)
 
 
 # ---------------------------------------------------------------------------

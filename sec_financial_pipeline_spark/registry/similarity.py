@@ -830,22 +830,22 @@ def _sql_cos(vec: str, cent: str) -> str:
     )
 
 
-def _sql_assign(cents: str) -> str:
+def _sql_assign(cents: str, src: str = "e") -> str:
     return f"""SELECT vec_id, cluster FROM (
-    SELECT e.vec_id, c.cluster,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round({_sql_cos('e', 'c')}, 6) DESC,
+    SELECT {src}.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY {src}.vec_id
+                              ORDER BY round({_sql_cos(src, 'c')}, 6) DESC,
                                        c.cluster ASC) AS rn
-    FROM e CROSS JOIN {cents} c
+    FROM {src} CROSS JOIN {cents} c
   ) WHERE rn = 1"""
 
 
-def _sql_update(assign: str) -> str:
+def _sql_update(assign: str, src: str = "e") -> str:
     return f"""SELECT cluster, list(v ORDER BY dim) AS cvec FROM (
     SELECT a.cluster, u.dim AS dim,
            CAST(SUM(CAST(u.v AS DECIMAL(30,6))) AS DOUBLE) / COUNT(u.v) AS v
-    FROM {assign} a JOIN e ON e.vec_id = a.vec_id,
-    LATERAL (SELECT generate_subscripts(e.emb, 1) AS dim, unnest(e.emb) AS v) u
+    FROM {assign} a JOIN {src} ON {src}.vec_id = a.vec_id,
+    LATERAL (SELECT generate_subscripts({src}.emb, 1) AS dim, unnest({src}.emb) AS v) u
     GROUP BY a.cluster, u.dim
   ) GROUP BY cluster"""
 
@@ -952,6 +952,195 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sims = (
         cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                S.dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("q_nrm") * F.col("n_nrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: split each vector into M subspaces, train
+# a small k-means codebook per subspace (operators/kmeans.py), encode every
+# vector as M one-byte codes, score queries by asymmetric distance
+# computation (ADC: exact query-subvector x centroid dot, summed across
+# subspaces), re-rank the top candidates exactly. Completes the
+# quantization family (IVF = emb_ivf_ann, scalar = emb_sq_topk).
+#
+# Scale math: storage per vector drops from d doubles to M bytes (+ the
+# shared M x k x (d/M) codebook); ADC scoring is a k x M lookup table per
+# query instead of a d-dim dot per pair. Candidate set re-ranked exactly
+# is <= PQ_CAND per query (64 = 1.3% of N at sf0.1).
+# ---------------------------------------------------------------------------
+
+_PQ_SLICES = ((1, 1, 32), (2, 33, 32))  # (m, start, length); d = 64
+_PQ_SEED_BASE = 24  # seeds = embeddings 24..31 (disjoint from queries, IVF seeds)
+_PQ_K = 8
+_PQ_CAND = 64
+
+
+def _pq_sub_ctes(m: int, start: int, length: int) -> str:
+    end = start + length - 1
+    return f"""e{m} AS (SELECT vec_id, emb[{start}:{end}] AS emb FROM e),
+s{m} AS (SELECT CAST(vec_id - {_PQ_SEED_BASE} AS INT) AS cluster, emb AS cvec
+         FROM e{m} WHERE vec_id BETWEEN {_PQ_SEED_BASE} AND {_PQ_SEED_BASE + _PQ_K - 1}),
+a{m} AS ({_sql_assign(f's{m}', f'e{m}')}),
+c{m} AS ({_sql_update(f'a{m}', f'e{m}')}),
+code{m} AS ({_sql_assign(f'c{m}', f'e{m}')}),
+qd{m} AS (
+  SELECT q.vec_id AS query_id, c.cluster,
+         list_sum(list_transform(generate_series(1, len(q.emb)), i -> q.emb[i] * c.cvec[i])) AS pd
+  FROM e{m} q CROSS JOIN c{m} c WHERE q.vec_id < 5
+),
+part{m} AS (
+  SELECT qd{m}.query_id, code{m}.vec_id, qd{m}.pd
+  FROM code{m} JOIN qd{m} ON qd{m}.cluster = code{m}.cluster
+)"""
+
+
+_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+{_pq_sub_ctes(*_PQ_SLICES[0])},
+{_pq_sub_ctes(*_PQ_SLICES[1])},
+approx AS (
+  SELECT p1.query_id, p1.vec_id, p1.pd + p2.pd AS pd
+  FROM part1 p1 JOIN part2 p2 ON p1.query_id = p2.query_id AND p1.vec_id = p2.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(pd, 6) DESC, vec_id ASC) AS rn
+    FROM approx WHERE vec_id <> query_id
+  ) WHERE rn <= {_PQ_CAND}
+),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_sum(list_transform(generate_series(1, len(q.emb)), i -> q.emb[i] * n.emb[i]))
+               / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+                  * sqrt(list_sum(list_transform(n.emb, x -> x * x)))), 6) AS cosine_sim
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM sims
+) WHERE rn <= 5
+"""
+
+
+@register(
+    "emb_pq_topk",
+    _PQ_ORACLE,
+    survey="§2.9 similarity-search (product quantization: per-subspace trained codebooks, ADC scoring, exact re-rank of <=64 candidates)",
+)
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators import kmeans
+
+    n_part = max(1, spark.sparkContext.defaultParallelism)
+    # persisted: feeds the subspace pipeline (training + encode + query
+    # ADC tables) and the exact re-rank — same rationale as the IVF cache
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .repartition(n_part)
+        .persist()
+    )
+    # ONE row per (vector, subspace): both codebooks train / encode in a
+    # single pass over the corpus (kmeans group_cols), not M sequential
+    # loops — measured ~2x faster and one driver round-trip per iteration
+    # at any M
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("emb", start, length).alias("emb"),
+                    )
+                    for m, start, length in _PQ_SLICES
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.emb").alias("emb")
+    ).withColumn("nrm", S.norm(F.col("emb")))
+    seeds = sub.filter(
+        (F.col("vec_id") >= _PQ_SEED_BASE)
+        & (F.col("vec_id") < _PQ_SEED_BASE + _PQ_K)
+    ).select(
+        "m",
+        (F.col("vec_id") - _PQ_SEED_BASE).cast("int").alias("cluster"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cb = kmeans.lloyd(sub, seeds, n_iter=1, group_cols=["m"])
+    code = kmeans.assign_clusters(sub, cb, group_cols=["m"])
+    qd = (
+        sub.filter(F.col("vec_id") < 5)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "cluster",
+            S.dot(F.col("emb"), F.col("cvec")).alias("pd"),
+        )
+    )
+    # ADC score = sum of per-subspace dots; pivot to fixed columns so the
+    # M-way sum has a deterministic order at any M
+    parts = code.join(qd, ["m", "cluster"]).select("query_id", "vec_id", "m", "pd")
+    approx = (
+        parts.groupBy("query_id", "vec_id")
+        .pivot("m", [m for m, _, _ in _PQ_SLICES])
+        .agg(F.first("pd"))
+        .select(
+            "query_id",
+            "vec_id",
+            sum(
+                (F.col(str(m)) for m, _, _ in _PQ_SLICES), F.lit(0.0)
+            ).alias("pd"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("pd"), 6).desc(), F.col("vec_id").asc()
+    )
+    cands = (
+        approx.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_CAND)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    full = e.withColumn("nrm", S.norm(F.col("emb")))
+    qv = full.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    nv = full.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    sims = (
+        cands.join(F.broadcast(qv), "query_id")
         .join(nv, "neighbor_id")
         .select(
             "query_id",
