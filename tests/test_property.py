@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): the two operators with non-trivial
+rewrites — bucketed range join and connected components — checked
+against brute-force Python oracles on random inputs. Example counts are
+small because every example runs Spark jobs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.operators.components import connected_components
+from sec_financial_pipeline_spark.operators.rangejoin import point_in_interval_join
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+_T0 = dt.datetime(2024, 1, 1)
+
+
+def _uf_min_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for n in list(parent):
+        roots.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in roots.values() for n in members}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    got = {r.node: r.label for r in connected_components(df).collect()}
+    assert got == _uf_min_labels(edges)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 5000), min_size=1, max_size=30),  # point offsets (s)
+    st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 2000)),  # (start, len)
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([7, 60, 601, 3600]),  # bucket widths incl. non-dividing
+)
+def test_range_join_matches_brute_force(spark, point_offsets, intervals, bucket):
+    points = spark.createDataFrame(
+        [(i, _T0 + dt.timedelta(seconds=s)) for i, s in enumerate(point_offsets)],
+        "pid INT, p_ts TIMESTAMP",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, _T0 + dt.timedelta(seconds=s), _T0 + dt.timedelta(seconds=s + l))
+            for j, (s, l) in enumerate(intervals)
+        ],
+        "iv INT, w_start TIMESTAMP, w_end TIMESTAMP",
+    )
+    got = sorted(
+        (r.pid, r.iv)
+        for r in point_in_interval_join(
+            points, ivs, "p_ts", "w_start", "w_end", bucket
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, s in enumerate(point_offsets)
+        for j, (a, l) in enumerate(intervals)
+        if a <= s < a + l
+    )
+    assert got == want
