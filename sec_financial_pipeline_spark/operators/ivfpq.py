@@ -1,0 +1,226 @@
+"""IVF-PQ: the canonical composed ANN index for web-scale corpora
+(SURVEY §2.9 similarity-search north star; no reference counterpart).
+
+Composition of the two quantizers already in the engine:
+
+1. a COARSE codebook (``kmeans.lloyd``) partitions the corpus into
+   cells — at query time only ``n_probe`` cells are scanned (the
+   inverted-file trade: candidates shrink from N to ~N * probe/cells);
+2. within each cell, vectors are stored as PQ codes of their RESIDUAL
+   (vector minus cell centroid) — M per-subspace codebooks trained in
+   one grouped-kmeans pass. Storage per vector: one cell id + M bytes.
+3. search scores candidates by ADC (asymmetric distance computation):
+   the query's residual against each probed cell is sliced into
+   subspaces and dotted with that subspace's centroids — a (cells x M
+   x k) lookup table per query — then summed per candidate; the top
+   ``rerank`` candidates are re-ranked with the exact vectors.
+
+Everything is spherical (cosine), matching the engine's k-means; for
+normalized-embedding corpora this is the standard choice. All steps are
+deterministic DataFrame compositions: codebooks come from fixed seeds,
+every ranking has a total order (rounded score + id tie-break).
+
+Scale shape: training and encoding are the grouped-kmeans passes
+(broadcast codebooks, partial-aggregable groupBys); the search plan is
+(queries x probed cells x M) broadcast-joined ADC lookups against the
+code table — the big side (codes) is only ever equi-joined on
+(cell, m, code), never crossed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.operators import kmeans
+from sec_financial_pipeline_spark.operators import similarity as S
+
+#: floor for residual norms: a vector exactly equal to its cell centroid
+#: has a zero residual; cosine against it is defined as 0 via this floor
+#: (deterministic, engine-independent)
+_NORM_FLOOR = 1e-12
+
+
+@dataclass(frozen=True)
+class IvfPqIndex:
+    coarse: DataFrame  # (cluster, cvec, c_nrm)
+    pq: DataFrame  # (m, cluster, cvec, c_nrm) — per-subspace residual codebooks
+    codes: DataFrame  # (vec_id, cell, m, code)
+    slices: tuple[tuple[int, int, int], ...]  # (m, start, length)
+
+
+def _subspaces(df: DataFrame, vec_col: str, slices) -> DataFrame:
+    """One row per (row, subspace) with the sliced vector and its norm."""
+    return (
+        df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice(vec_col, start, length).alias("sub"),
+                        )
+                        for m, start, length in slices
+                    ]
+                )
+            ).alias("_s"),
+        )
+        .withColumn("m", F.col("_s.m"))
+        .withColumn("emb", F.col("_s.sub"))
+        .drop("_s", vec_col)
+        .withColumn("nrm", F.greatest(S.norm(F.col("emb")), F.lit(_NORM_FLOOR)))
+    )
+
+
+def _residual(vec: F.Column, cent: F.Column) -> F.Column:
+    return F.zip_with(vec, cent, lambda a, b: a - b)
+
+
+def build_index(
+    e: DataFrame,
+    coarse_seeds: DataFrame,
+    pq_seed_ids: list[int],
+    slices,
+    n_iter: int = 1,
+) -> IvfPqIndex:
+    """Train coarse + residual-PQ codebooks and encode the corpus.
+
+    ``e``: (vec_id, emb, nrm). ``coarse_seeds``: (cluster, cvec, c_nrm).
+    ``pq_seed_ids``: vec_ids whose residual subvectors seed the PQ
+    codebooks (cluster = rank within the list)."""
+    coarse = kmeans.lloyd(e, coarse_seeds, n_iter=n_iter)
+    assign = kmeans.assign_clusters(e, coarse)
+    resid = (
+        e.join(assign, "vec_id")
+        .join(
+            F.broadcast(coarse.select(F.col("cluster"), F.col("cvec"))), "cluster"
+        )
+        .select(
+            "vec_id",
+            F.col("cluster").alias("cell"),
+            _residual(F.col("emb"), F.col("cvec")).alias("resid"),
+        )
+    )
+    rsub = _subspaces(resid, "resid", slices)
+    seed_rank = {v: i for i, v in enumerate(sorted(pq_seed_ids))}
+    seed_map = F.create_map(
+        *[x for v, i in seed_rank.items() for x in (F.lit(v), F.lit(i))]
+    )
+    pq_seeds = rsub.filter(F.col("vec_id").isin(list(pq_seed_ids))).select(
+        "m",
+        seed_map[F.col("vec_id")].cast("int").alias("cluster"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    pq = kmeans.lloyd(rsub, pq_seeds, n_iter=n_iter, group_cols=["m"])
+    codes = kmeans.assign_clusters(rsub, pq, group_cols=["m"]).select(
+        "vec_id",
+        F.col("m"),
+        F.col("cluster").alias("code"),
+    )
+    cells = resid.select("vec_id", "cell")
+    return IvfPqIndex(
+        coarse=coarse,
+        pq=pq,
+        codes=codes.join(cells, "vec_id").select("vec_id", "cell", "m", "code"),
+        slices=tuple(slices),
+    )
+
+
+def search(
+    e: DataFrame,
+    queries: DataFrame,
+    index: IvfPqIndex,
+    n_probe: int = 2,
+    rerank: int = 50,
+    top_k: int = 5,
+) -> DataFrame:
+    """ANN search: probe ``n_probe`` cells per query, ADC-score every
+    encoded vector in them, exact-re-rank the ``rerank`` best, return
+    ``top_k`` rows (query_id, neighbor_id, cosine_sim).
+
+    ``queries``: (query_id, emb, nrm)."""
+    qcos = queries.crossJoin(F.broadcast(index.coarse)).select(
+        "query_id",
+        "emb",
+        F.col("cluster").alias("cell"),
+        F.col("cvec"),
+        F.round(
+            S.dot(F.col("emb"), F.col("cvec")) / (F.col("nrm") * F.col("c_nrm")), 6
+        ).alias("cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cell").asc()
+    )
+    probed = (
+        qcos.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            _residual(F.col("emb"), F.col("cvec")).alias("qresid"),
+        )
+    )
+    # per (query, probed cell, subspace, pq centroid): the ADC table
+    adc = (
+        _subspaces(probed, "qresid", index.slices)
+        .join(F.broadcast(index.pq.select("m", "cluster", "cvec")), "m")
+        .select(
+            "query_id",
+            "cell",
+            "m",
+            F.col("cluster").alias("code"),
+            S.dot(F.col("emb"), F.col("cvec")).alias("pd"),
+        )
+    )
+    scores = (
+        index.codes.join(adc, ["cell", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").alias("approx"), F.count(F.lit(1)).alias("n_m"))
+        # only vectors with ALL M subspace scores present (i.e. in a
+        # probed cell) — and the M-term sum is over a fixed tiny M, whose
+        # float order Spark fixes per-group at this size; determinism is
+        # enforced by the ROUNDED ranking + id tie-break
+        .filter(F.col("n_m") == len(index.slices))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("approx"), 6).desc(), F.col("vec_id").asc()
+    )
+    cands = (
+        scores.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qv = queries.select(
+        F.col("query_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    sims = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                S.dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("q_nrm") * F.col("n_nrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
