@@ -224,3 +224,38 @@ def search(
         .filter(F.col("rn") <= top_k)
         .select("query_id", "neighbor_id", "cosine_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Index lifecycle: at 100 TB the index is trained by a batch job and
+# served by many search jobs — codebooks and codes round-trip through
+# parquet (codes partitioned by cell, so a probe prunes to the probed
+# cells' files before any shuffle).
+# ---------------------------------------------------------------------------
+
+
+def save_index(index: IvfPqIndex, path: str) -> None:
+    """Persist an index: tiny codebook tables plus the cell-partitioned
+    code table; ``slices`` ride along as a one-row parquet."""
+    index.coarse.write.mode("overwrite").parquet(f"{path}/coarse")
+    index.pq.write.mode("overwrite").parquet(f"{path}/pq")
+    index.codes.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )
+    spark = index.coarse.sparkSession
+    spark.createDataFrame(
+        [(m, s, l) for m, s, l in index.slices], "m INT, start INT, length INT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/slices")
+
+
+def load_index(spark, path: str) -> IvfPqIndex:
+    slices = tuple(
+        (r.m, r.start, r.length)
+        for r in spark.read.parquet(f"{path}/slices").orderBy("m").collect()
+    )
+    return IvfPqIndex(
+        coarse=spark.read.parquet(f"{path}/coarse"),
+        pq=spark.read.parquet(f"{path}/pq"),
+        codes=spark.read.parquet(f"{path}/codes"),
+        slices=slices,
+    )

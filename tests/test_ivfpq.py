@@ -145,3 +145,25 @@ def test_search_is_partitioning_invariant(corpus, queries, index, exact_top5):
         ).collect()
     )
     assert a == b and len(a) == 25
+
+
+def test_index_parquet_roundtrip(spark, tmp_path, corpus, queries, index):
+    from sec_financial_pipeline_spark.operators import ivfpq
+
+    before = sorted(
+        tuple(r)
+        for r in ivfpq.search(
+            corpus, queries, index, n_probe=2, rerank=50, top_k=5
+        ).collect()
+    )
+    path = str(tmp_path / "ivfpq_index")
+    ivfpq.save_index(index, path)
+    loaded = ivfpq.load_index(spark, path)
+    assert loaded.slices == index.slices
+    after = sorted(
+        tuple(r)
+        for r in ivfpq.search(
+            corpus, queries, loaded, n_probe=2, rerank=50, top_k=5
+        ).collect()
+    )
+    assert after == before
