@@ -167,3 +167,31 @@ def test_index_parquet_roundtrip(spark, tmp_path, corpus, queries, index):
         ).collect()
     )
     assert after == before
+
+
+def test_loaded_codes_prune_on_cell_and_no_streamed_nested_loop(
+    spark, tmp_path, corpus, queries, index
+):
+    from sec_financial_pipeline_spark.operators import ivfpq
+
+    path = str(tmp_path / "ivfpq_index2")
+    ivfpq.save_index(index, path)
+    loaded = ivfpq.load_index(spark, path)
+    # probing is a filter on the partition column: the scan must prune
+    # to the probed cells' files, not read the whole code table
+    probe = loaded.codes.filter(F.col("cell").isin(0, 3))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters: [")[1].splitlines()[0]
+    # and the search plan over the loaded index contains no
+    # streamed-streamed nested loop (broadcast build sides only)
+    splan = (
+        ivfpq.search(corpus, queries, loaded, n_probe=2, rerank=50, top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in splan
+    for frag in splan.split("BroadcastNestedLoopJoin")[1:]:
+        head = frag.splitlines()[0]
+        assert "BuildRight" in head or "BuildLeft" in head
