@@ -233,3 +233,17 @@ def campaign_attribution_join(
     return pts.join(camp, cond, "inner").select(
         "campaign_id", "p_event_id", "p_user", "p_value", "p_ts", "w_start"
     )
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str, dim_cols: list[str]
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to
+    every event. Stateless — the static side is broadcast into each
+    micro-batch (re-resolved per batch, so a refreshed dim table is
+    picked up without restarting the query), no watermark or join state
+    involved. Left join: events with no dim row pass through with
+    nulls rather than silently dropping."""
+    return events.join(
+        F.broadcast(dim.select(on, *dim_cols)), on, "left"
+    )

@@ -59,3 +59,33 @@ def test_stream_interval_join_matches_batch(spark, events_ts_dir):
     }
     assert len(want) > 50
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_ts_dir, sf_dir):
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+    from sec_financial_pipeline_spark.streaming.events import (
+        enrich_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    stream = read_event_stream(spark, events_ts_dir, max_files=3)
+    run_to_memory(
+        enrich_stream(stream, dim, "user_id", ["c_mktsegment", "c_nationkey"]),
+        "stream_enriched",
+        output_mode="append",
+    )
+    got = {
+        (r.event_id, r.c_mktsegment, r.c_nationkey)
+        for r in spark.sql("SELECT * FROM stream_enriched").collect()
+    }
+    e = spark.read.parquet(events_ts_dir)
+    want = {
+        (r.event_id, r.c_mktsegment, r.c_nationkey)
+        for r in e.join(dim, "user_id", "left").collect()
+    }
+    assert got == want
+    assert len(got) == e.count()  # left join: nothing dropped
