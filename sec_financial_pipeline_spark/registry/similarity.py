@@ -162,7 +162,10 @@ def q_emb_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("centroid").alias("part"),
         F.lit(None).cast("bigint").alias("vec_id"),
         F.lit(None).cast("int").alias("bucket"),
-        "label",
+        # label is INTEGER in parquet; the bucket branch carries a string-typed
+        # NULL, so without this cast the union resolves `label` to a numeric
+        # column and renders '4.0' where DuckDB's VARCHAR coercion yields '4'.
+        F.col("label").cast("bigint").cast("string").alias("label"),
         "dim",
         "centroid",
     )

@@ -42,6 +42,11 @@ def _normalize(df):
 def _cell_eq(a, b) -> bool:
     if a is None and b is None:
         return True
+    # The driver hashes rendered values exactly, so a numeric cell on one
+    # side and a string on the other ('4.0' vs '4') is a REAL mismatch —
+    # never coerce a str through float() to excuse it.
+    if isinstance(a, str) != isinstance(b, str):
+        return False
     if isinstance(a, float) or isinstance(b, float):
         fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
