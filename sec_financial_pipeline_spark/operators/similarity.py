@@ -188,6 +188,79 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Banded sign-projection LSH (random-hyperplane LSH with MinHash-style bands)
+# ---------------------------------------------------------------------------
+
+
+def sign_lsh_bands(
+    df: DataFrame,
+    id_col: str,
+    planes: DataFrame,
+    bits_per_band: int,
+    emb_col: str = "emb",
+) -> DataFrame:
+    """Per-vector banded sign-LSH codes: long ``(id, band, bucket)`` table.
+
+    ``planes`` is a small ``(h_id, h_emb)`` table of hyperplanes with
+    0-based contiguous ``h_id``; plane ``h_id`` contributes bit
+    ``h_id % r`` of band ``h_id // r`` (r = ``bits_per_band``). The
+    projection sign is taken on the 6-decimal-rounded dot product so any
+    engine computing the same fold agrees on boundary cases.
+
+    This is the AND/OR construction of random-hyperplane LSH (Charikar,
+    STOC'02) with the same band shape as the MinHash side: r bits AND-ed
+    into one bucket per band, b bands OR-ed at candidate time. Scale
+    tuning: expected bucket occupancy is N / 2^r, so pick
+    r ~ log2(N / c) to hold per-bucket candidates at c^2 — the quadratic
+    blow-up of a single fixed-width code table cannot happen because r
+    grows with the corpus while recall is recovered by adding bands
+    (P[candidate] = 1 - (1 - p^r)^b, p = 1 - theta/pi for angle theta).
+
+    The plane table is broadcast; the code build is one partial-aggregable
+    groupBy — no vector ever crosses the driver.
+    """
+    proj = df.crossJoin(F.broadcast(planes)).select(
+        F.col(id_col).alias("id"),
+        (F.col("h_id") / bits_per_band).cast("int").alias("band"),
+        (F.col("h_id") % bits_per_band).alias("bit"),
+        F.round(dot(F.col(emb_col), F.col("h_emb")), 6).alias("d"),
+    )
+    bucket = F.sum(
+        F.when(F.col("d") > 0, F.pow(F.lit(2.0), F.col("bit"))).otherwise(0.0)
+    ).cast("int")
+    return (
+        proj.groupBy("id", "band")
+        .agg(bucket.alias("bucket"))
+        .select(F.col("id").alias(id_col), "band", "bucket")
+    )
+
+
+def sign_lsh_candidate_pairs(codes: DataFrame, id_col: str) -> DataFrame:
+    """Distinct unordered pairs sharing a bucket in >= 1 band.
+
+    Equi-join on ``(band, bucket)`` — a hash shuffle on the band key,
+    identical in shape to :func:`lsh_candidate_pairs`; the code table is
+    repartitioned on the join key so both self-join sides reuse one
+    exchange.
+    """
+    stacked = codes.select(
+        F.col(id_col).alias("id"), "band", "bucket"
+    ).repartition("band", "bucket")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (token-hash bit votes -> 32-bit signature)
 # ---------------------------------------------------------------------------
 

@@ -86,37 +86,64 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Sign-projection LSH buckets (the ANN scale path): hyperplanes are fixed
-# embeddings (vec_id 8..15), so both engines derive identical buckets.
+# Banded sign-projection LSH (the ANN scale path): hyperplanes are fixed
+# embeddings (vec_id 8..71), so both engines derive identical codes.
+# b=4 bands x r=16 bits — the MinHash band structure applied to
+# random-hyperplane LSH. r bounds bucket occupancy at N/2^r (scale r with
+# log2 N); b recovers recall (OR across bands). A single fixed-width code
+# table (the round-2 design) made within-bucket candidates quadratic in N.
 # ---------------------------------------------------------------------------
 
-_HYPERPLANES = list(range(8, 16))
+_SIGN_BASE = 8
+_SIGN_BANDS = 4
+_SIGN_BITS = 16  # per band; planes vec_id 8..71
 
-_QUANTIZATION_ORACLE = """
-WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-),
+
+def _sign_planes(e: DataFrame) -> DataFrame:
+    """(h_id, h_emb) hyperplane table, 0-based contiguous h_id."""
+    hi = _SIGN_BASE + _SIGN_BANDS * _SIGN_BITS
+    return e.filter(
+        (F.col("vec_id") >= _SIGN_BASE) & (F.col("vec_id") < hi)
+    ).select((F.col("vec_id") - _SIGN_BASE).alias("h_id"), F.col("emb").alias("h_emb"))
+
+
+_SIGN_CODES_SQL = f"""
 h AS (
-  SELECT vec_id AS h_id, emb AS h_emb FROM e WHERE vec_id BETWEEN 8 AND 15
+  SELECT vec_id - {_SIGN_BASE} AS h_id, emb AS h_emb FROM base
+  WHERE vec_id BETWEEN {_SIGN_BASE} AND {_SIGN_BASE + _SIGN_BANDS * _SIGN_BITS - 1}
 ),
 proj AS (
-  SELECT e.vec_id, h.h_id,
-         round(list_sum(list_transform(generate_series(1, len(e.emb)),
-                                       i -> e.emb[i] * h.h_emb[i])), 6) AS d
-  FROM e CROSS JOIN h
+  SELECT a.vec_id, CAST(h.h_id // {_SIGN_BITS} AS INT) AS band,
+         h.h_id % {_SIGN_BITS} AS bit,
+         round(list_sum(list_transform(generate_series(1, len(a.emb)),
+                                       i -> a.emb[i] * h.h_emb[i])), 6) AS d
+  FROM aug a CROSS JOIN h
+),
+codes AS (
+  SELECT vec_id, band,
+         CAST(sum(CASE WHEN d > 0 THEN power(2, bit) ELSE 0 END) AS INT) AS bucket
+  FROM proj
+  GROUP BY vec_id, band
 )
-SELECT 'lsh_bucket' AS part, vec_id,
-       CAST(sum(CASE WHEN d > 0 THEN power(2, h_id - 8) ELSE 0 END) AS INT) AS bucket,
+"""
+
+_QUANTIZATION_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+aug AS (SELECT * FROM base),
+{_SIGN_CODES_SQL.strip()}
+SELECT 'lsh_bucket' AS part, vec_id, band, bucket,
        CAST(NULL AS VARCHAR) AS label, CAST(NULL AS INT) AS dim,
        CAST(NULL AS DOUBLE) AS centroid
-FROM proj
-GROUP BY vec_id
+FROM codes
 UNION ALL
 SELECT 'centroid' AS part, CAST(NULL AS BIGINT) AS vec_id,
-       CAST(NULL AS INT) AS bucket, label, CAST(dim AS INT) AS dim,
+       CAST(NULL AS INT) AS band, CAST(NULL AS INT) AS bucket,
+       CAST(label AS VARCHAR) AS label, CAST(dim AS INT) AS dim,
        CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / COUNT(v) AS centroid
 FROM (
-  SELECT label, u.dim, u.v FROM e,
+  SELECT label, u.dim, u.v FROM base,
   LATERAL (SELECT generate_subscripts(emb, 1) AS dim, unnest(emb) AS v) u
 )
 GROUP BY label, dim
@@ -126,26 +153,17 @@ GROUP BY label, dim
 @register(
     "emb_quantization",
     _QUANTIZATION_ORACLE,
-    survey="§2.9 similarity-search (sign-projection LSH bucket assignment) + embedding ops (per-label centroid, order-independent mean)",
+    survey="§2.9 similarity-search (banded sign-LSH code assignment, b x r bands) + embedding ops (per-label centroid, order-independent mean)",
 )
 def q_emb_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    h = e.filter(F.col("vec_id").isin(_HYPERPLANES)).select(
-        F.col("vec_id").alias("h_id"), F.col("emb").alias("h_emb")
-    )
-    proj = e.crossJoin(F.broadcast(h)).select(
-        "vec_id",
-        "h_id",
-        F.round(S.dot(F.col("emb"), F.col("h_emb")), 6).alias("d"),
-    )
-    bucket = F.sum(
-        F.when(F.col("d") > 0, F.pow(F.lit(2.0), F.col("h_id") - 8)).otherwise(0.0)
-    ).cast("int")
-    buckets = proj.groupBy("vec_id").agg(bucket.alias("bucket")).select(
+    codes = S.sign_lsh_bands(e, "vec_id", _sign_planes(e), _SIGN_BITS)
+    buckets = codes.select(
         F.lit("lsh_bucket").alias("part"),
         "vec_id",
+        "band",
         "bucket",
         F.lit(None).cast("string").alias("label"),
         F.lit(None).cast("int").alias("dim"),
@@ -161,6 +179,7 @@ def q_emb_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("centroid").alias("part"),
         F.lit(None).cast("bigint").alias("vec_id"),
+        F.lit(None).cast("int").alias("band"),
         F.lit(None).cast("int").alias("bucket"),
         # label is INTEGER in parquet; the bucket branch carries a string-typed
         # NULL, so without this cast the union resolves `label` to a numeric
@@ -178,9 +197,9 @@ def q_emb_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (max pairwise cosine 0.51), so the input is augmented with
 # deterministic scaled clones (vec_id + 10000, emb * 1.5) — cosine is
 # scale-invariant, so each clone pairs with its original at exactly 1.0
-# and lands in the SAME sign bucket (positive scaling preserves every
-# projection sign), guaranteeing LSH recall. A correct near-dedup must
-# drop exactly the 5% clones and keep every original.
+# and lands in the SAME bucket in EVERY band (positive scaling preserves
+# every projection sign), guaranteeing banded-LSH recall. A correct
+# near-dedup must drop exactly the 5% clones and keep every original.
 # ---------------------------------------------------------------------------
 
 _NEARDUP_THRESHOLD = 0.999
@@ -196,25 +215,11 @@ aug AS (
          list_transform(emb, x -> x * 1.5) AS emb
   FROM base WHERE vec_id % 20 = 0
 ),
-h AS (
-  SELECT vec_id AS h_id, emb AS h_emb FROM base WHERE vec_id BETWEEN 8 AND 15
-),
-proj AS (
-  SELECT a.vec_id, h.h_id,
-         round(list_sum(list_transform(generate_series(1, len(a.emb)),
-                                       i -> a.emb[i] * h.h_emb[i])), 6) AS d
-  FROM aug a CROSS JOIN h
-),
-buckets AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN d > 0 THEN power(2, h_id - 8) ELSE 0 END) AS INT) AS bucket
-  FROM proj
-  GROUP BY vec_id
-),
+{_SIGN_CODES_SQL.strip()},
 cand AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM buckets a JOIN buckets b
-    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM codes a JOIN codes b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 verified AS (
   SELECT c.id_a, c.id_b
@@ -236,7 +241,7 @@ WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
 @register(
     "emb_cosine_near_dup",
     _COSINE_NEARDUP_ORACLE,
-    survey="§2.9 dedup-embedding-cosine (sign-LSH bucket candidates -> exact cosine verify -> drop; scale-invariant bucket recall)",
+    survey="§2.9 dedup-embedding-cosine (banded sign-LSH candidates -> exact cosine verify -> drop; scale-invariant per-band recall)",
 )
 def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = max(1, spark.sparkContext.defaultParallelism)
@@ -249,25 +254,10 @@ def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(emb, x -> x * 1.5)").alias("emb"),
     )
     # one persisted-by-exchange augmented table with norms: consumed by
-    # the bucket projection, both candidate sides, and the verify join
+    # the code projection, both candidate sides, and the verify join
     aug = base.unionByName(clones).withColumn("nrm", S.norm(F.col("emb"))).repartition(n_part)
-    h = base.filter(F.col("vec_id").isin(_HYPERPLANES)).select(
-        F.col("vec_id").alias("h_id"), F.col("emb").alias("h_emb")
-    )
-    proj = aug.crossJoin(F.broadcast(h)).select(
-        "vec_id",
-        "h_id",
-        F.round(S.dot(F.col("emb"), F.col("h_emb")), 6).alias("d"),
-    )
-    bucket = F.sum(
-        F.when(F.col("d") > 0, F.pow(F.lit(2.0), F.col("h_id") - 8)).otherwise(0.0)
-    ).cast("int")
-    buckets = proj.groupBy("vec_id").agg(bucket.alias("bucket"))
-    a = buckets.select(F.col("vec_id").alias("id_a"), F.col("bucket").alias("b_a"))
-    b = buckets.select(F.col("vec_id").alias("id_b"), F.col("bucket").alias("b_b"))
-    cand = a.join(
-        b, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b")
+    codes = S.sign_lsh_bands(aug, "vec_id", _sign_planes(base), _SIGN_BITS)
+    cand = S.sign_lsh_candidate_pairs(codes, "vec_id")
     xa = aug.select(
         F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a")
     )

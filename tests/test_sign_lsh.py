@@ -1,0 +1,81 @@
+"""Banded sign-LSH scale properties (the round-2 VERDICT's #2 ask).
+
+The fixed 8-bit/256-bucket table made within-bucket candidates quadratic
+in N; the banded rewrite (b bands x r bits, mirroring the MinHash band
+shape) must keep bucket occupancy bounded and candidate counts
+~linear in N, while the scale-invariance of sign projections still
+guarantees clone-pair recall in EVERY band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.operators import similarity as S
+from sec_financial_pipeline_spark.registry.similarity import (
+    _SIGN_BANDS,
+    _SIGN_BITS,
+    _sign_planes,
+)
+from sec_financial_pipeline_spark.sources.testdata import load_table
+
+
+def _embeddings(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+
+def test_every_vector_gets_all_band_codes(spark, sf_dir):
+    e = _embeddings(spark, sf_dir)
+    codes = S.sign_lsh_bands(e, "vec_id", _sign_planes(e), _SIGN_BITS)
+    n = e.count()
+    assert codes.count() == n * _SIGN_BANDS
+    per_vec = codes.groupBy("vec_id").count()
+    assert per_vec.filter(F.col("count") != _SIGN_BANDS).count() == 0
+    # r-bit buckets stay in range
+    bad = codes.filter(
+        (F.col("bucket") < 0) | (F.col("bucket") >= 2 ** _SIGN_BITS)
+    )
+    assert bad.count() == 0
+
+
+def test_bucket_occupancy_bounded(spark, sf_dir):
+    """r=16 bits holds expected occupancy at N/2^16 — measured max 2-3 at
+    sf0.01/sf0.1. A regression to coarse codes (the quadratic design)
+    would push max occupancy toward N/2^8."""
+    e = _embeddings(spark, sf_dir)
+    codes = S.sign_lsh_bands(e, "vec_id", _sign_planes(e), _SIGN_BITS)
+    occ = codes.groupBy("band", "bucket").count()
+    stats = occ.agg(F.max("count").alias("mx"), F.avg("count").alias("avg")).collect()[0]
+    assert stats.mx <= 8, f"max bucket occupancy {stats.mx} — codes too coarse"
+    assert stats.avg <= 2.0
+
+
+def test_candidates_linear_not_quadratic(spark, sf_dir):
+    e = _embeddings(spark, sf_dir)
+    codes = S.sign_lsh_bands(e, "vec_id", _sign_planes(e), _SIGN_BITS)
+    n = e.count()
+    cands = S.sign_lsh_candidate_pairs(codes, "vec_id").count()
+    # all-pairs would be n*(n-1)/2 (~125k at sf0.01); banded candidates
+    # must stay within a small constant of N
+    assert cands <= 2 * n, f"{cands} candidates for N={n} — quadratic blow-up"
+
+
+def test_clone_pairs_recalled_in_every_band(spark, sf_dir):
+    """Positive scaling preserves every projection sign, so a clone and
+    its original share the bucket in ALL b bands — candidate recall for
+    exact near-dups is 1.0 by construction, not probabilistic."""
+    base = _embeddings(spark, sf_dir)
+    clones = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        "label",
+        F.expr("transform(emb, x -> x * 1.5)").alias("emb"),
+    )
+    aug = base.unionByName(clones)
+    codes = S.sign_lsh_bands(aug, "vec_id", _sign_planes(base), _SIGN_BITS)
+    cands = S.sign_lsh_candidate_pairs(codes, "vec_id")
+    expected = clones.select((F.col("vec_id") - 10000).alias("id_a"),
+                             F.col("vec_id").alias("id_b"))
+    missing = expected.join(cands, ["id_a", "id_b"], "left_anti").count()
+    assert missing == 0, f"{missing} clone pairs missed by banded LSH"
