@@ -1156,6 +1156,201 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ composed index (operators/ivfpq.py) as a driver-checked query:
+# build (coarse k-means -> residual-PQ codebooks) -> SAVE to parquet
+# (codes cell-partitioned) -> LOAD -> 2-probe ADC search -> exact re-rank.
+# The oracle replays the whole lifecycle in SQL: coarse Lloyd pass,
+# per-cell residuals, per-subspace residual codebooks, ADC scoring of
+# probed cells, bounded exact re-rank. Save/load cannot change results
+# (parquet round-trip is exact), so the oracle checks the search math
+# while the Spark side additionally exercises persistence.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_PROBE = 2
+_IVFPQ_RERANK = 50
+_IVFPQ_TOP_K = 5
+
+
+def _sql_cosf(vec: str, cent: str, floor_cent: bool) -> str:
+    """Cosine with the member-norm floor of ivfpq._subspaces (1e-12);
+    ``floor_cent`` floors the centroid norm too (seed codebooks, whose
+    norms come through _subspaces; trained codebooks carry plain norms)."""
+    cn = f"sqrt(list_sum(list_transform({cent}.cvec, x -> x * x)))"
+    if floor_cent:
+        cn = f"greatest({cn}, 1e-12)"
+    return (
+        f"list_sum(list_transform(generate_series(1, len({vec}.emb)), i -> {vec}.emb[i] * {cent}.cvec[i]))"
+        f" / (greatest(sqrt(list_sum(list_transform({vec}.emb, x -> x * x))), 1e-12) * {cn})"
+    )
+
+
+def _sql_assignf(cents: str, src: str, floor_cent: bool) -> str:
+    return f"""SELECT vec_id, cluster FROM (
+    SELECT {src}.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY {src}.vec_id
+                              ORDER BY round({_sql_cosf(src, 'c', floor_cent)}, 6) DESC,
+                                       c.cluster ASC) AS rn
+    FROM {src} CROSS JOIN {cents} c
+  ) WHERE rn = 1"""
+
+
+def _ivfpq_sub_ctes(m: int, start: int, length: int) -> str:
+    """Residual-subspace CTEs for subspace ``m``: slice -> seed codebook
+    (cluster = rank within the sorted seed list = vec_id - base here) ->
+    one Lloyd iteration -> final codes -> per-query ADC partials."""
+    end = start + length - 1
+    return f"""r{m} AS (SELECT vec_id, resid[{start}:{end}] AS emb FROM resid),
+ps{m} AS (SELECT CAST(vec_id - {_PQ_SEED_BASE} AS INT) AS cluster, emb AS cvec
+          FROM r{m} WHERE vec_id BETWEEN {_PQ_SEED_BASE} AND {_PQ_SEED_BASE + _PQ_K - 1}),
+pa{m} AS ({_sql_assignf(f'ps{m}', f'r{m}', True)}),
+pc{m} AS ({_sql_update(f'pa{m}', f'r{m}')}),
+code{m} AS ({_sql_assignf(f'pc{m}', f'r{m}', False)}),
+qd{m} AS (
+  SELECT qr.query_id, qr.cell, c.cluster AS code,
+         list_sum(list_transform(generate_series(1, len(qr.emb)), i -> qr.emb[i] * c.cvec[i])) AS pd
+  FROM (SELECT query_id, cell, resid[{start}:{end}] AS emb FROM qresid) qr
+  CROSS JOIN pc{m} c
+)"""
+
+
+_IVFPQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id - {_IVF_SEED_BASE} AS INT) AS cluster, emb AS cvec
+  FROM e WHERE vec_id BETWEEN {_IVF_SEED_BASE} AND {_IVF_SEED_BASE + _IVF_K - 1}
+),
+a1 AS ({_sql_assign('c0')}),
+c1 AS ({_sql_update('a1')}),
+cellmap AS ({_sql_assign('c1')}),
+resid AS (
+  SELECT e.vec_id, a.cluster AS cell,
+         list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] - c.cvec[i]) AS resid
+  FROM e JOIN cellmap a ON a.vec_id = e.vec_id JOIN c1 c ON c.cluster = a.cluster
+),
+qcos AS (
+  SELECT q.vec_id AS query_id, c.cluster AS cell, c.cvec,
+         round({_sql_cos('q', 'c')}, 6) AS cos
+  FROM e q CROSS JOIN c1 c WHERE q.vec_id < 5
+),
+probes AS (
+  SELECT query_id, cell, cvec FROM (
+    SELECT query_id, cell, cvec,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, cell ASC) AS rn
+    FROM qcos
+  ) WHERE rn <= {_IVFPQ_PROBE}
+),
+qresid AS (
+  SELECT p.query_id, p.cell,
+         list_transform(generate_series(1, len(q.emb)), i -> q.emb[i] - p.cvec[i]) AS resid
+  FROM probes p JOIN e q ON q.vec_id = p.query_id
+),
+{_ivfpq_sub_ctes(*_PQ_SLICES[0])},
+{_ivfpq_sub_ctes(*_PQ_SLICES[1])},
+codes AS (
+  SELECT cm.vec_id, cm.cell, 1 AS m, c.cluster AS code
+  FROM code1 c JOIN resid cm ON cm.vec_id = c.vec_id
+  UNION ALL
+  SELECT cm.vec_id, cm.cell, 2 AS m, c.cluster AS code
+  FROM code2 c JOIN resid cm ON cm.vec_id = c.vec_id
+),
+adc AS (
+  SELECT query_id, cell, 1 AS m, code, pd FROM qd1
+  UNION ALL
+  SELECT query_id, cell, 2 AS m, code, pd FROM qd2
+),
+scores AS (
+  SELECT a.query_id, c.vec_id, sum(a.pd) AS approx, count(*) AS n_m
+  FROM codes c JOIN adc a ON a.cell = c.cell AND a.m = c.m AND a.code = c.code
+  GROUP BY a.query_id, c.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(approx, 6) DESC, vec_id ASC) AS rn
+    FROM scores WHERE n_m = {len(_PQ_SLICES)} AND vec_id <> query_id
+  ) WHERE rn <= {_IVFPQ_RERANK}
+),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(q.emb)), i -> q.emb[i] * n.emb[i]))
+           / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+              * sqrt(list_sum(list_transform(n.emb, x -> x * x)))), 6) AS cosine_sim
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM sims
+) WHERE rn <= {_IVFPQ_TOP_K}
+"""
+
+
+@register(
+    "emb_ivfpq_topk",
+    _IVFPQ_ORACLE,
+    survey="§2.9 similarity-search (IVF-PQ composed index: coarse k-means + residual PQ, parquet save/load, 2-probe ADC, exact re-rank)",
+)
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from sec_financial_pipeline_spark.operators import ivfpq
+
+    n_part = max(1, spark.sparkContext.defaultParallelism)
+    # persisted: feeds coarse training, residual encode, and the exact
+    # re-rank (same rationale as the IVF/PQ query caches)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("nrm", S.norm(F.col("emb")))
+        .repartition(n_part)
+        .persist()
+    )
+    coarse_seeds = e.filter(
+        (F.col("vec_id") >= _IVF_SEED_BASE)
+        & (F.col("vec_id") < _IVF_SEED_BASE + _IVF_K)
+    ).select(
+        (F.col("vec_id") - _IVF_SEED_BASE).cast("int").alias("cluster"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    index = ivfpq.build_index(
+        e,
+        coarse_seeds,
+        pq_seed_ids=list(range(_PQ_SEED_BASE, _PQ_SEED_BASE + _PQ_K)),
+        slices=_PQ_SLICES,
+        n_iter=1,
+    )
+    # the lifecycle the query certifies: the trained index round-trips
+    # through parquet (codes partitioned by cell — a probe prunes files
+    # before any shuffle) and search runs against the LOADED copy
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"sfp_ivfpq_{tag}")
+    ivfpq.save_index(index, path)
+    loaded = ivfpq.load_index(spark, path)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "emb", "nrm"
+    )
+    return ivfpq.search(
+        e,
+        queries,
+        loaded,
+        n_probe=_IVFPQ_PROBE,
+        rerank=_IVFPQ_RERANK,
+        top_k=_IVFPQ_TOP_K,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Capstone: the full training-data curation pipeline as one query —
 # quality scoring -> near-dup removal -> per-language corpus stats.
 # ---------------------------------------------------------------------------
