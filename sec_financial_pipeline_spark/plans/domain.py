@@ -14,9 +14,12 @@ Shape of the derived facts (mirrors FACTS_SCHEMA / reference
 ``src/core/models.py:33-52``):
 
 - 25 synthetic tickers ``T00..T24`` from ``o_custkey % 25``;
-- three metrics per order — a revenue fact whose XBRL tag rotates through
-  the reference's revenue fallback family (``main.py:165-180``), a
-  ``NetIncomeLoss`` fact, and an ``Assets`` instant fact;
+- ten metrics per order — a revenue fact whose XBRL tag rotates through
+  the reference's revenue fallback family (``main.py:165-180``), the
+  income-statement family (net income, operating income, gross profit,
+  EPS basic/diluted in ``USD/shares``), the balance-sheet instants
+  (assets, equity, liabilities), and operating cash flow — the full
+  input surface of ``calculate_financial_ratios`` (``main.py:490-565``);
 - ~10% duplicated (ticker, tag, fy, fp) keys via amended-filing rows
   (form ``10-K/A``, value * 1.05) so both dedup policies are observable;
 - NULL fiscal periods, ``FY`` vs ``Q1..Q4`` mix, ``shares``-unit noise,
@@ -42,6 +45,9 @@ SELECT
     WHEN m.mi = 5 THEN 'StockholdersEquity'
     WHEN m.mi = 6 THEN 'NetCashProvidedByUsedInOperatingActivities'
     WHEN m.mi = 7 THEN 'Liabilities'
+    WHEN m.mi = 8 THEN 'GrossProfit'
+    WHEN m.mi = 9 THEN 'EarningsPerShareBasic'
+    WHEN m.mi = 10 THEN 'EarningsPerShareDiluted'
     WHEN o_orderkey % 11 = 0 THEN 'SalesRevenueNet'
     WHEN o_orderkey % 11 < 6 THEN 'Revenues'
     ELSE 'RevenueFromContractWithCustomerExcludingAssessedTax'
@@ -53,6 +59,9 @@ SELECT
     WHEN m.mi = 5 THEN 'Stockholders'' Equity Attributable to Parent'
     WHEN m.mi = 6 THEN 'Net Cash Provided by (Used in) Operating Activities'
     WHEN m.mi = 7 THEN 'Liabilities, Total'
+    WHEN m.mi = 8 THEN 'Gross Profit'
+    WHEN m.mi = 9 THEN 'Earnings Per Share, Basic'
+    WHEN m.mi = 10 THEN 'Earnings Per Share, Diluted'
     ELSE 'Revenues, Total'
   END                                                        AS label,
   CAST(
@@ -64,9 +73,16 @@ SELECT
       WHEN m.mi = 5 THEN o_totalprice * 2.0
       WHEN m.mi = 6 THEN o_totalprice * 0.12
       WHEN m.mi = 7 THEN o_totalprice * 3.0
+      WHEN m.mi = 8 THEN o_totalprice * 0.35
+      WHEN m.mi = 9 THEN o_totalprice * 0.000002
+      WHEN m.mi = 10 THEN o_totalprice * 0.0000018
       ELSE o_totalprice
     END AS DOUBLE)                                           AS value,
-  CASE WHEN m.mi = 0 AND o_orderkey % 17 = 0 THEN 'shares' ELSE 'USD' END AS unit,
+  CASE
+    WHEN m.mi IN (9, 10) THEN 'USD/shares'
+    WHEN m.mi = 0 AND o_orderkey % 17 = 0 THEN 'shares'
+    ELSE 'USD'
+  END                                                        AS unit,
   CAST(year(o_orderdate) AS INT)                             AS fiscal_year,
   CASE
     WHEN o_orderkey % 7 = 0 THEN CAST(NULL AS STRING)
@@ -81,9 +97,9 @@ SELECT
   END                                                        AS form,
   CASE WHEN m.mi IN (2, 5, 7) THEN CAST(NULL AS DATE) ELSE CAST(o_orderdate AS DATE) END AS end_date,
   CASE WHEN m.mi IN (2, 5, 7) THEN CAST(o_orderdate AS DATE) ELSE CAST(NULL AS DATE) END AS instant_date,
-  o_orderkey * 10 + m.mi                                     AS fact_id
+  o_orderkey * 16 + m.mi                                     AS fact_id
 FROM orders
-CROSS JOIN (SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS v(mi)) AS m
+CROSS JOIN (SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9), (10)) AS v(mi)) AS m
 WHERE m.mi <> 3 OR o_orderkey % 10 = 0
 """
 
@@ -108,7 +124,10 @@ SELECT * FROM (VALUES
   ('operating_income', 'OperatingIncomeLoss', 0),
   ('stockholders_equity', 'StockholdersEquity', 0),
   ('operating_cash_flow', 'NetCashProvidedByUsedInOperatingActivities', 0),
-  ('total_liabilities', 'Liabilities', 0)
+  ('total_liabilities', 'Liabilities', 0),
+  ('gross_profit', 'GrossProfit', 0),
+  ('eps_basic', 'EarningsPerShareBasic', 0),
+  ('eps_diluted', 'EarningsPerShareDiluted', 0)
 ) AS a(metric, tag, priority)
 """
 

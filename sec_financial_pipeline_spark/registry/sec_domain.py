@@ -410,6 +410,110 @@ def q_ratios_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# The reference's FULL ratio matrix (main.py:490-565): millions-scaled
+# bases, gross/operating/net margins, ROA/ROE, debt-to-equity, EPS
+# passthrough — one fused plan (one alias join, one dedup window, one
+# pivot), not eleven per-metric series plans joined pairwise.
+# ---------------------------------------------------------------------------
+
+_MATRIX_INCOME = [
+    "revenue", "gross_profit", "operating_income", "net_income",
+    "eps_basic", "eps_diluted",
+]
+_MATRIX_BALANCE = ["total_assets", "stockholders_equity", "total_liabilities"]
+
+_RATIO_MATRIX_ORACLE = domain.duck_prelude() + f"""
+SELECT ticker, fiscal_year,
+       coalesce(revenue, 0) / 1000000.0 AS revenue_millions,
+       coalesce(net_income, 0) / 1000000.0 AS net_income_millions,
+       coalesce(total_assets, 0) / 1000000.0 AS total_assets_millions,
+       CASE WHEN revenue > 0 THEN coalesce(gross_profit, 0) / revenue * 100 END AS gross_margin_pct,
+       CASE WHEN revenue > 0 THEN coalesce(operating_income, 0) / revenue * 100 END AS operating_margin_pct,
+       CASE WHEN revenue > 0 THEN coalesce(net_income, 0) / revenue * 100 END AS net_margin_pct,
+       CASE WHEN total_assets > 0 THEN coalesce(net_income, 0) / total_assets * 100 END AS roa_pct,
+       CASE WHEN stockholders_equity > 0 THEN coalesce(net_income, 0) / stockholders_equity * 100 END AS roe_pct,
+       CASE WHEN stockholders_equity > 0 THEN coalesce(total_liabilities, 0) / stockholders_equity END AS debt_to_equity,
+       coalesce(eps_basic, 0) AS eps_basic,
+       coalesce(eps_diluted, 0) AS eps_diluted
+FROM (
+  SELECT ticker, fiscal_year,
+""" + ",\n".join(
+    f"    max(CASE WHEN metric = '{m}' THEN value END) AS {m}"
+    for m in _MATRIX_INCOME + _MATRIX_BALANCE
+) + """
+  FROM (
+    SELECT f.ticker, f.fiscal_year, a.metric, f.value,
+           row_number() OVER (PARTITION BY f.ticker, a.metric, f.fiscal_year
+                              ORDER BY a.priority ASC, abs(f.value) DESC, f.fact_id ASC) AS rn
+    FROM facts f
+    JOIN alias_map a ON f.tag = a.tag
+    WHERE f.unit IN ('USD', 'USD/shares')
+      AND (f.fiscal_period IS NULL OR f.fiscal_period = 'FY')
+      AND f.fiscal_year IS NOT NULL
+  ) WHERE rn = 1
+  GROUP BY ticker, fiscal_year
+)
+WHERE (""" + " OR ".join(f"{m} IS NOT NULL" for m in _MATRIX_INCOME) + """)
+  AND (""" + " OR ".join(f"{m} IS NOT NULL" for m in _MATRIX_BALANCE) + """)
+"""
+
+
+@register(
+    "sec_ratio_matrix",
+    _RATIO_MATRIX_ORACLE,
+    survey="J2 J4 C3 C6 (full reference ratio matrix main.py:490-565: margins, returns, leverage, EPS; income∩balance year semantics)",
+)
+def q_ratio_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EPS facts carry the XBRL per-share unit, so the unit gate admits
+    # both; the 'shares'-unit noise rows stay excluded. Reference keeps a
+    # year only when BOTH statements have data (available_years is the
+    # intersection, main.py:516-520) and zero-defaults missing inputs.
+    facts = _facts(spark, sf_dir).filter(F.col("unit").isin("USD", "USD/shares"))
+    facts = filters.annual_only(facts)
+    facts = filters.drop_null_keys(facts, ["fiscal_year"])
+    alias = domain.alias_df(spark)
+    joined = facts.join(F.broadcast(alias), "tag")
+    best = keep_first(
+        joined,
+        ["ticker", "metric", "fiscal_year"],
+        [F.col("priority").asc(), F.abs(F.col("value")).desc(), F.col("fact_id").asc()],
+    )
+    wide = (
+        best.groupBy("ticker", "fiscal_year")
+        .pivot("metric", _MATRIX_INCOME + _MATRIX_BALANCE)
+        .agg(F.first("value"))
+    )
+    has_income = None
+    for m in _MATRIX_INCOME:
+        c = F.col(m).isNotNull()
+        has_income = c if has_income is None else (has_income | c)
+    has_balance = None
+    for m in _MATRIX_BALANCE:
+        c = F.col(m).isNotNull()
+        has_balance = c if has_balance is None else (has_balance | c)
+    complete = wide.filter(has_income & has_balance)
+
+    def z(col: str):
+        return F.coalesce(F.col(col), F.lit(0.0))
+
+    return complete.select(
+        "ticker",
+        "fiscal_year",
+        (z("revenue") / 1000000.0).alias("revenue_millions"),
+        (z("net_income") / 1000000.0).alias("net_income_millions"),
+        (z("total_assets") / 1000000.0).alias("total_assets_millions"),
+        F.when(F.col("revenue") > 0, z("gross_profit") / F.col("revenue") * 100).alias("gross_margin_pct"),
+        F.when(F.col("revenue") > 0, z("operating_income") / F.col("revenue") * 100).alias("operating_margin_pct"),
+        F.when(F.col("revenue") > 0, z("net_income") / F.col("revenue") * 100).alias("net_margin_pct"),
+        F.when(F.col("total_assets") > 0, z("net_income") / F.col("total_assets") * 100).alias("roa_pct"),
+        F.when(F.col("stockholders_equity") > 0, z("net_income") / F.col("stockholders_equity") * 100).alias("roe_pct"),
+        F.when(F.col("stockholders_equity") > 0, z("total_liabilities") / F.col("stockholders_equity")).alias("debt_to_equity"),
+        z("eps_basic").alias("eps_basic"),
+        z("eps_diluted").alias("eps_diluted"),
+    )
+
+
 _FULL_OUTER_ORACLE = domain.duck_prelude(
     _series_cte("revenue", "rev"),
     _series_cte("net_income", "ni"),
