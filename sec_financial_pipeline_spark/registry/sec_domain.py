@@ -882,3 +882,72 @@ def q_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# The quarterly SERVING shape (reference get_quarterly_data main.py:568-628
+# on the data_service.py:170-186 path): per (ticker, metric), quarterly
+# facts deduped per (fy, fp) by argmax-abs, sorted (fy, fp) DESC, clipped
+# to years*4 rows after a min-year gate. sec_qoq_growth covers the
+# quarterly math; this covers the limit-per-quarter serving contract.
+# ---------------------------------------------------------------------------
+
+_QUARTERLY_METRICS = ["revenue", "net_income", "eps_diluted", "operating_income"]
+_QUARTERLY_YEARS = 2
+_QUARTERLY_MIN_YEAR = 1997  # fixed "as of 1998" anchor for the synthetic corpus
+
+_QUARTERLY_ORACLE = domain.duck_prelude(
+    f"""q AS (
+  SELECT ticker, metric, fiscal_year, fiscal_period, end_date, value FROM (
+    SELECT f.ticker, a.metric, f.fiscal_year, f.fiscal_period, f.end_date, f.value,
+           row_number() OVER (PARTITION BY f.ticker, a.metric, f.fiscal_year, f.fiscal_period
+                              ORDER BY a.priority ASC, abs(f.value) DESC,
+                                       f.fact_id ASC) AS rn
+    FROM facts f
+    JOIN alias_map a ON f.tag = a.tag
+      AND a.metric IN ({", ".join(f"'{m}'" for m in _QUARTERLY_METRICS)})
+    WHERE f.unit IN ('USD', 'USD/shares')
+      AND starts_with(coalesce(f.fiscal_period, ''), 'Q')
+      AND f.fiscal_year IS NOT NULL
+      AND f.fiscal_year >= {_QUARTERLY_MIN_YEAR}
+  ) WHERE rn = 1
+)"""
+) + f"""
+SELECT ticker, metric, fiscal_year, fiscal_period, end_date, value FROM (
+  SELECT ticker, metric, fiscal_year, fiscal_period, end_date, value,
+         row_number() OVER (PARTITION BY ticker, metric
+                            ORDER BY fiscal_year DESC, fiscal_period DESC) AS rn
+  FROM q
+) WHERE rn <= {_QUARTERLY_YEARS * 4}
+"""
+
+
+@register(
+    "sec_quarterly_serving",
+    _QUARTERLY_ORACLE,
+    survey="§3.1-quarterly serving shape (per-(ticker,metric) quarterly dedup, (fy,fp)-desc order, years*4 row limit; main.py:568-628)",
+)
+def q_quarterly_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = _facts(spark, sf_dir).filter(F.col("unit").isin("USD", "USD/shares"))
+    facts = filters.quarterly_only(facts)
+    facts = filters.drop_null_keys(facts, ["fiscal_year"])
+    facts = facts.filter(F.col("fiscal_year") >= _QUARTERLY_MIN_YEAR)
+    alias = domain.alias_df(spark).filter(F.col("metric").isin(_QUARTERLY_METRICS))
+    joined = facts.join(F.broadcast(alias), "tag")
+    best = keep_first(
+        joined,
+        ["ticker", "metric", "fiscal_year", "fiscal_period"],
+        [F.col("priority").asc(), F.abs(F.col("value")).desc(), F.col("fact_id").asc()],
+    ).select("ticker", "metric", "fiscal_year", "fiscal_period", "end_date", "value")
+    # Q1<..<Q4 sorts lexicographically, so (fy, fp) DESC is the serving
+    # order; the limit is a per-(ticker, metric) group limit — Spark
+    # rewrites rank<=k into WindowGroupLimit (rank pushdown), so only k
+    # rows per group survive the sort, not the whole series.
+    w = Window.partitionBy("ticker", "metric").orderBy(
+        F.col("fiscal_year").desc(), F.col("fiscal_period").desc()
+    )
+    return (
+        best.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _QUARTERLY_YEARS * 4)
+        .select("ticker", "metric", "fiscal_year", "fiscal_period", "end_date", "value")
+    )
+
+
