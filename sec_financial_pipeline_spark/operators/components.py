@@ -19,13 +19,14 @@ ops —
 
 Labels are monotonically non-increasing and bounded by the component
 minimum, so the fixpoint is exact and deterministic regardless of
-partitioning. Each round ends with an eager ``localCheckpoint`` — the
+partitioning — and total ``sum(label)`` strictly decreases until the
+fixpoint, so convergence detection is ONE exact decimal aggregate per
+round (no join against the previous round's table; equal sums <=> no
+label moved). Each round ends with an eager ``localCheckpoint`` — the
 same lineage-truncation rationale as ``operators/kmeans.py``: without it,
 round i's plan embeds all prior rounds and every action replans the full
 history. The label table is |V| rows of two ids (tiny next to the
-corpus); on a real cluster use a reliable ``checkpoint`` dir instead, and
-replace the per-round driver-side convergence ``count`` with a
-``sum(label)``-delta check if driver round-trips matter.
+corpus); on a real cluster use a reliable ``checkpoint`` dir instead.
 
 The reference has no graph operators at all; this extends the dedup
 family the brief mandates (near-dedup at 100 TB is exactly this shape —
@@ -64,6 +65,16 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+
+    # exact decimal(38,0) sum: node ids are longs, so a 10^9-node graph
+    # overflows int64 summation; decimal partials stay exact and the
+    # comparison is equality, not a float tolerance
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr = sym.join(labels.withColumnRenamed("node", "a"), "a").select(
             F.col("b").alias("node"), "label"
@@ -85,13 +96,12 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # monotone labels: sum unchanged <=> every label unchanged. One
+        # scalar aggregate over the just-checkpointed table — no join
+        # with the previous round, no second scan of anything big.
+        cur_sum = _label_sum(new)
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -52,3 +52,25 @@ def test_nonconvergence_raises(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(40)], "src INT, dst INT")
     with pytest.raises(RuntimeError):
         connected_components(edges, max_iter=1)
+
+
+def test_huge_ids_exact_convergence_sum(spark):
+    # convergence is detected by an exact decimal sum(label) delta; node
+    # ids near 2^62 would overflow an int64 SUM after ~2 rows, so this
+    # chain only converges correctly if the partials really are decimal
+    base = 1 << 62
+    edges = spark.createDataFrame(
+        [(base + i, base + i + 1) for i in range(16)], "src LONG, dst LONG"
+    )
+    out = connected_components(edges, max_iter=8)
+    assert _labels(out) == [(base + i, base) for i in range(17)]
+
+
+def test_128_chain_logarithmic_rounds(spark):
+    # diameter 127: plain min-propagation needs 127 rounds; pointer
+    # jumping must land it within 10
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(127)], "src INT, dst INT"
+    )
+    out = connected_components(edges, max_iter=10)
+    assert _labels(out) == [(i, 0) for i in range(128)]
