@@ -90,7 +90,8 @@ def build_index(
 
     ``e``: (vec_id, emb, nrm). ``coarse_seeds``: (cluster, cvec, c_nrm).
     ``pq_seed_ids``: vec_ids whose residual subvectors seed the PQ
-    codebooks (cluster = rank within the list)."""
+    codebooks (cluster = rank within the SORTED id list — the given
+    order of ``pq_seed_ids`` does not affect cluster numbering)."""
     coarse = kmeans.lloyd(e, coarse_seeds, n_iter=n_iter)
     assign = kmeans.assign_clusters(e, coarse)
     resid = (

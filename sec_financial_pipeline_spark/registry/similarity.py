@@ -12,6 +12,32 @@ from sec_financial_pipeline_spark.registry.core import register
 from sec_financial_pipeline_spark.sources.testdata import load_table
 
 # ---------------------------------------------------------------------------
+# Cache bookkeeping: the shared shingle/pair tables and the ANN corpus
+# caches are persisted for cross-query reuse (CacheManager dedupes
+# identical plans), but a long-lived session — the ServingFacade process
+# — would otherwise pin superseded sf_dirs' partitions forever. Every
+# .persist() here goes through _track(); release_caches() is the
+# session-scoped cleanup hook.
+# ---------------------------------------------------------------------------
+
+_TRACKED: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    _TRACKED.append(df)
+    return df
+
+
+def release_caches(blocking: bool = False) -> int:
+    """Unpersist every cached table this module created; returns how many.
+    Safe to call between queries — the next call simply re-persists."""
+    n = 0
+    while _TRACKED:
+        _TRACKED.pop().unpersist(blocking=blocking)
+        n += 1
+    return n
+
+# ---------------------------------------------------------------------------
 # Brute-force cosine top-k (the ANN baseline)
 # ---------------------------------------------------------------------------
 
@@ -703,7 +729,7 @@ def _near_dup_pairs(
     # call (and the curation capstone's reuse of this subtree) shares a
     # single entry rather than stacking copies. At 100 TB the same role
     # is played by materializing the shingle table to scratch storage.
-    sh = (
+    sh = _track(
         d.select("doc_id", F.explode(S.shingles(F.col("text"))).alias("shingle"))
         .repartition("doc_id")
         .persist()
@@ -734,7 +760,7 @@ def _near_dup_pairs(
     # cluster query, and the curation capstone all reuse ONE build
     # (CacheManager dedupes across calls by canonical plan, like the
     # shingle cache above).
-    pairs = (
+    pairs = _track(
         n_shared.join(sa, "id_a").join(sb, "id_b")
         .filter(jac >= 0.8)
         .select("id_a", "id_b")
@@ -901,7 +927,7 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final probe + re-rank — per-branch pruning defeats
     # ReusedExchange (same rationale as the near-dedup shingle cache), so
     # an explicit cache is what makes training scan the parquet ONCE.
-    e = (
+    e = _track(
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("nrm", S.norm(F.col("emb")))
@@ -1050,7 +1076,7 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = max(1, spark.sparkContext.defaultParallelism)
     # persisted: feeds the subspace pipeline (training + encode + query
     # ADC tables) and the exact re-rank — same rationale as the IVF cache
-    e = (
+    e = _track(
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .repartition(n_part)
@@ -1308,7 +1334,7 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = max(1, spark.sparkContext.defaultParallelism)
     # persisted: feeds coarse training, residual encode, and the exact
     # re-rank (same rationale as the IVF/PQ query caches)
-    e = (
+    e = _track(
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("nrm", S.norm(F.col("emb")))

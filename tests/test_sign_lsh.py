@@ -79,3 +79,23 @@ def test_clone_pairs_recalled_in_every_band(spark, sf_dir):
                              F.col("vec_id").alias("id_b"))
     missing = expected.join(cands, ["id_a", "id_b"], "left_anti").count()
     assert missing == 0, f"{missing} clone pairs missed by banded LSH"
+
+
+def test_release_caches_unpins_tracked_tables(spark, sf_dir):
+    """The shared persisted tables (shingles, verified pairs, ANN corpus
+    caches) must be releasable by a long-lived session — ADVICE r02:
+    without a hook, a ServingFacade process pins superseded sf_dirs'
+    cached partitions forever."""
+    from pyspark.storagelevel import StorageLevel
+
+    from sec_financial_pipeline_spark.registry import similarity as R
+
+    R.release_caches()  # start clean
+    R.q_emb_ivf_ann(spark, sf_dir).count()  # persists its corpus cache
+    assert len(R._TRACKED) >= 1
+    tracked = list(R._TRACKED)
+    assert any(df.storageLevel != StorageLevel.NONE for df in tracked)
+    released = R.release_caches()
+    assert released == len(tracked)
+    assert R._TRACKED == []
+    assert all(df.storageLevel == StorageLevel.NONE for df in tracked)
