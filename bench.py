@@ -42,6 +42,11 @@ HEADLINE = [
     "emb_cosine_topk",
     "emb_ivf_ann",
     "emb_pq_topk",
+    # round-3 widening (VERDICT r02 #7): quantization, curation
+    # capstone, and CDC become regression-visible round-over-round.
+    "emb_sq_topk",
+    "doc_curation_pipeline",
+    "pipe_incremental",
 ]
 
 #: Timed repetitions per query; the reported figure is the median, so a
@@ -69,17 +74,30 @@ def main() -> None:
     # per query absorbs SQL analysis + whole-stage codegen compilation —
     # one-time per-plan costs, not per-query work — then N_REPS timed
     # runs; the median is reported. PERF.md records both methodologies.
+    #
+    # Fetch is Arrow-batched toPandas(): still a full end-to-end
+    # materialization of every result row on the driver, but through the
+    # columnar interchange path a real consumer would use — py4j
+    # row-at-a-time collect() was measured to spend 70s of
+    # pipe_incremental's 78s deserializing 1.1M Rows in Python, turning
+    # the bench into a py4j benchmark instead of an engine one.
+    from sec_financial_pipeline_spark.registry.similarity import release_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name].fn
-        fn(spark, SF_DIR).collect()  # warmup: plan + codegen + caches
+        fn(spark, SF_DIR).toPandas()  # warmup: plan + codegen + caches
         reps = []
         for _ in range(N_REPS):
             t0 = time.perf_counter()
-            rows = fn(spark, SF_DIR).collect()
+            pdf = fn(spark, SF_DIR).toPandas()
             reps.append(time.perf_counter() - t0)
-            assert rows is not None
+            assert pdf is not None
         timings[name] = round(sorted(reps)[len(reps) // 2], 4)
+        # drop caches the finished query pinned: each query's reps still
+        # benefit (warmup re-populates), but query j doesn't execute
+        # under query i's leftover storage-memory pressure
+        release_caches()
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
