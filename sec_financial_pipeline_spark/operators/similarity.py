@@ -239,9 +239,11 @@ def sign_lsh_candidate_pairs(codes: DataFrame, id_col: str) -> DataFrame:
     """Distinct unordered pairs sharing a bucket in >= 1 band.
 
     Equi-join on ``(band, bucket)`` — a hash shuffle on the band key,
-    identical in shape to :func:`lsh_candidate_pairs`; the code table is
-    repartitioned on the join key so both self-join sides reuse one
-    exchange.
+    identical in shape to :func:`lsh_candidate_pairs`. Callers should
+    ``persist()`` the (tiny) code table first: the sign projection
+    embeds HOF lambdas, and plans containing ``NamedLambdaVariable``
+    never canonicalize equal, so exchange reuse cannot dedupe the two
+    self-join sides the way it does for the md5-based MinHash bands.
     """
     stacked = codes.select(
         F.col(id_col).alias("id"), "band", "bucket"

@@ -282,7 +282,14 @@ def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one persisted-by-exchange augmented table with norms: consumed by
     # the code projection, both candidate sides, and the verify join
     aug = base.unionByName(clones).withColumn("nrm", S.norm(F.col("emb"))).repartition(n_part)
-    codes = S.sign_lsh_bands(aug, "vec_id", _sign_planes(base), _SIGN_BITS)
+    # the code table is persisted because exchange reuse CANNOT dedupe the
+    # two self-join sides here: the projection embeds zip_with/aggregate
+    # lambdas, and plans containing NamedLambdaVariable never canonicalize
+    # equal (unlike the MinHash band build, whose md5 exprs reuse fine).
+    # The table is O(N x b) ints — cheap to cache, 2x to recompute.
+    codes = _track(
+        S.sign_lsh_bands(aug, "vec_id", _sign_planes(base), _SIGN_BITS).persist()
+    )
     cand = S.sign_lsh_candidate_pairs(codes, "vec_id")
     xa = aug.select(
         F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a")

@@ -57,6 +57,33 @@ def test_range_join_is_bucketed_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ratio_matrix_is_one_fused_plan(spark, sf_dir):
+    """Eleven ratio columns from ONE alias broadcast + ONE dedup window +
+    ONE pivot — not eleven per-metric series plans joined pairwise."""
+    plan = _plan(spark, sf_dir, "sec_ratio_matrix")
+    assert plan.count("BroadcastHashJoin") == 1  # the alias dim join
+    assert "SortMergeJoin" not in plan  # no series-vs-series join at all
+    assert "WindowGroupLimit" in plan  # dedup rank pushdown
+
+
+def test_quarterly_serving_group_limit_pushdown(spark, sf_dir):
+    """The years*4 per-(ticker, metric) clip must plan as a group-limit
+    (rank pushdown), so only k rows per group survive the sort."""
+    plan = _plan(spark, sf_dir, "sec_quarterly_serving")
+    assert plan.count("WindowGroupLimit") >= 2  # dedup window + serving clip
+    assert "CartesianProduct" not in plan
+
+
+def test_sign_lsh_candidates_read_cached_codes(spark, sf_dir):
+    """Both self-join sides of the banded candidate join must read the
+    persisted code table — exchange reuse can't dedupe them (the sign
+    projection embeds HOF lambdas, which never canonicalize equal), so
+    without the cache the whole projection pipeline runs twice."""
+    plan = _plan(spark, sf_dir, "emb_cosine_near_dup")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_unbounded_nested_loops_anywhere(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
