@@ -1000,6 +1000,57 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN quality measurement: recall@5 of the trained IVF index against the
+# brute-force ground truth, per query. Index QUALITY (not just speed)
+# becomes a driver-checked, regression-visible number — if a codebook or
+# probe change silently degrades the index, this row moves.
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 5
+
+_ANN_RECALL_ORACLE = f"""
+WITH ivf AS ({_IVF_ORACLE}),
+brute AS ({_COSINE_ORACLE}),
+b5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+    FROM brute
+  ) WHERE rn <= {_RECALL_K}
+)
+SELECT i.query_id,
+       round(count(b5.neighbor_id) / {_RECALL_K}.0, 6) AS recall_at_5
+FROM ivf i
+LEFT JOIN b5 ON b5.query_id = i.query_id AND b5.neighbor_id = i.neighbor_id
+GROUP BY i.query_id
+"""
+
+
+@register(
+    "emb_ann_recall",
+    _ANN_RECALL_ORACLE,
+    survey="§2.9 similarity-search quality (recall@5 of trained IVF vs brute-force ground truth, per query)",
+)
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf = q_emb_ivf_ann(spark, sf_dir)
+    brute = q_emb_cosine_topk(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    b5 = (
+        brute.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        ivf.join(b5, ["query_id", "neighbor_id"], "left_outer")
+        .groupBy("query_id")
+        .agg(F.round(F.count("hit") / float(_RECALL_K), 6).alias("recall_at_5"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN: split each vector into M subspaces, train
 # a small k-means codebook per subspace (operators/kmeans.py), encode every
 # vector as M one-byte codes, score queries by asymmetric distance
