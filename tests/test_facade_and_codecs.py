@@ -77,3 +77,45 @@ def test_codecs_through_spark_pipeline(spark):
     assert out[1].feature[:3] == [1.0, 16000.0, 16.0]
     assert len(out[2].feature) == 8  # histogram fallback for video
     assert len(out[3].feature) == 8  # non-BMP image falls back, never crashes
+
+
+def test_resize_bmp_exact():
+    # solid-color 8x6 -> 4x3: every sampled pixel is the same color, so
+    # the resized decode is exact; header carries the new dimensions
+    bmp = mm.make_bmp(8, 6, (200, 100, 50))
+    small = mm.resize_bmp(bmp, 4, 3)
+    assert mm.decode_bmp(small) == [4.0, 3.0, 50.0, 100.0, 200.0]
+    # upscale round-trips too (nearest neighbor of a constant image)
+    big = mm.resize_bmp(bmp, 16, 12)
+    assert mm.decode_bmp(big) == [16.0, 12.0, 50.0, 100.0, 200.0]
+    with pytest.raises(ValueError):
+        mm.resize_bmp(b"nope", 2, 2)
+
+
+def test_resize_images_composes_with_features(spark):
+    rows = [
+        (0, "image", mm.make_bmp(8, 8, (9, 9, 9)), None),
+        (1, "audio", mm.make_wav(8000, [5, -5]), None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in mm.extract_features(mm.resize_images(media, 2, 2)).collect()
+    }
+    assert out[0].feature[:2] == [2.0, 2.0]  # image resized before features
+    assert out[1].feature[:2] == [1.0, 8000.0]  # audio untouched
+
+
+def test_frame_sampling_decodes_in_partition(spark):
+    frames = [mm.make_bmp(2, 2, (i * 10, 0, 0)) for i in range(6)]
+    rows = [
+        (7, "video", mm.make_video(frames), None),
+        (8, "video", b"H264....", None),  # compressed -> zero rows
+        (9, "image", mm.make_bmp(2, 2, (1, 1, 1)), None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = mm.sample_frames(media, every_k=2).collect()
+    by_frame = {(r.media_id, r.frame_no): r.feature for r in got}
+    # every 2nd frame of media 7 only; red channel (BGR order) = 0,20,40
+    assert set(by_frame) == {(7, 0), (7, 2), (7, 4)}
+    assert [by_frame[(7, k)][4] for k in (0, 2, 4)] == [0.0, 20.0, 40.0]
