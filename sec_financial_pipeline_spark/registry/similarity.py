@@ -876,7 +876,10 @@ def _sql_update(assign: str, src: str = "e") -> str:
   ) GROUP BY cluster"""
 
 
-_IVF_ORACLE = f"""
+def _ivf_oracle(n_probe: int = 2) -> str:
+    """The trained-IVF top-k as SQL, parameterized by probe count (the
+    recall sweep reuses it at several settings)."""
+    return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
@@ -896,7 +899,7 @@ ranked AS (
   FROM e CROSS JOIN c2 c
 ),
 assign AS (SELECT vec_id, cluster FROM ranked WHERE rn = 1),
-probes AS (SELECT vec_id AS query_id, cluster FROM ranked WHERE rn <= 2 AND vec_id < 5),
+probes AS (SELECT vec_id AS query_id, cluster FROM ranked WHERE rn <= {n_probe} AND vec_id < 5),
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
   FROM probes p JOIN assign a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
@@ -920,12 +923,19 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 """
 
 
+_IVF_ORACLE = _ivf_oracle(2)
+
+
 @register(
     "emb_ivf_ann",
     _IVF_ORACLE,
     survey="§2.9 similarity-search (IVF: k-means-trained codebook, 2 Lloyd iterations, 2-probe exact re-rank)",
 )
 def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk(spark, sf_dir, n_probe=2)
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     from sec_financial_pipeline_spark.operators import kmeans
 
     # per-vector norms materialized once (see q_emb_cosine_topk note)
@@ -960,7 +970,7 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cluster").asc())
     ranked = proj.withColumn("rn", F.row_number().over(w))
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cluster")
-    probes = ranked.filter((F.col("rn") <= 2) & (F.col("vec_id") < 5)).select(
+    probes = ranked.filter((F.col("rn") <= n_probe) & (F.col("vec_id") < 5)).select(
         F.col("vec_id").alias("query_id"), "cluster"
     )
     cand = probes.join(assign, "cluster").filter(
@@ -1001,16 +1011,19 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ANN quality measurement: recall@5 of the trained IVF index against the
-# brute-force ground truth, per query. Index QUALITY (not just speed)
-# becomes a driver-checked, regression-visible number — if a codebook or
-# probe change silently degrades the index, this row moves.
+# brute-force ground truth, per query, SWEPT over probe counts — the
+# textbook IVF evaluation curve (recall rises toward 1.0 as probes
+# approach the cell count). Index QUALITY (not just speed) becomes a
+# driver-checked, regression-visible number — if a codebook or probe
+# change silently degrades the index, this row moves.
 # ---------------------------------------------------------------------------
 
 _RECALL_K = 5
+_RECALL_PROBES = (1, 2, 4)
 
-_ANN_RECALL_ORACLE = f"""
-WITH ivf AS ({_IVF_ORACLE}),
-brute AS ({_COSINE_ORACLE}),
+_ANN_RECALL_ORACLE = (
+    f"""
+WITH brute AS ({_COSINE_ORACLE}),
 b5 AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
@@ -1018,22 +1031,27 @@ b5 AS (
                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
     FROM brute
   ) WHERE rn <= {_RECALL_K}
-)
-SELECT i.query_id,
-       round(count(b5.neighbor_id) / {_RECALL_K}.0, 6) AS recall_at_5
-FROM ivf i
-LEFT JOIN b5 ON b5.query_id = i.query_id AND b5.neighbor_id = i.neighbor_id
-GROUP BY i.query_id
+),
 """
+    + ",\n".join(f"ivf{p} AS ({_ivf_oracle(p)})" for p in _RECALL_PROBES)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT {p} AS n_probe, i.query_id,
+       round(count(b5.neighbor_id) / {_RECALL_K}.0, 6) AS recall_at_5
+FROM ivf{p} i
+LEFT JOIN b5 ON b5.query_id = i.query_id AND b5.neighbor_id = i.neighbor_id
+GROUP BY i.query_id"""
+        for p in _RECALL_PROBES
+    )
+)
 
 
 @register(
     "emb_ann_recall",
     _ANN_RECALL_ORACLE,
-    survey="§2.9 similarity-search quality (recall@5 of trained IVF vs brute-force ground truth, per query)",
+    survey="§2.9 similarity-search quality (recall@5 vs probe-count curve of trained IVF against brute-force ground truth)",
 )
 def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ivf = q_emb_ivf_ann(spark, sf_dir)
     brute = q_emb_cosine_topk(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -1043,11 +1061,19 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RECALL_K)
         .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     )
-    return (
-        ivf.join(b5, ["query_id", "neighbor_id"], "left_outer")
-        .groupBy("query_id")
-        .agg(F.round(F.count("hit") / float(_RECALL_K), 6).alias("recall_at_5"))
-    )
+    out = None
+    for p in _RECALL_PROBES:
+        r = (
+            _ivf_topk(spark, sf_dir, n_probe=p)
+            .join(b5, ["query_id", "neighbor_id"], "left_outer")
+            .groupBy("query_id")
+            .agg(
+                F.round(F.count("hit") / float(_RECALL_K), 6).alias("recall_at_5")
+            )
+            .select(F.lit(p).alias("n_probe"), "query_id", "recall_at_5")
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
 
 
 # ---------------------------------------------------------------------------
