@@ -47,6 +47,45 @@ def q_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-safe salted aggregation as a driver row: l_returnflag has 3 hot
+# keys over the whole table — the canonical skewed-reducer shape. The
+# two-phase (key, salt) partial sum must be bit-identical to the plain
+# group-by because the partials are exact decimals (salting never
+# perturbs an algebraic aggregate computed exactly); the oracle IS the
+# plain group-by.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_skewed_agg",
+    """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    survey="A5 + skew (two-phase salted aggregation over 3-hot-key column; exact-decimal partials make salting invisible)",
+)
+def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.skew import salted_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = salted_sum(
+        li,
+        ["l_returnflag"],
+        F.col("l_extendedprice"),
+        "sum_price",
+        n_salts=16,
+        salt_source="l_orderkey",
+    )
+    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+    return sums.join(counts, "l_returnflag").select(
+        "l_returnflag", "sum_price", "n_rows"
+    )
+
+
+# ---------------------------------------------------------------------------
 # A5 — TPC-H Q1-style pricing summary (the classic grouped rollup)
 # ---------------------------------------------------------------------------
 

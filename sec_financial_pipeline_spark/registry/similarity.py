@@ -836,6 +836,78 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dedup quality measurement: band-candidate RECALL against the exact
+# ground truth (every pair with true Jaccard >= 0.8; the shared-shingle
+# generator is complete — jac > 0 requires a shared shingle). Found
+# pairs are a subset of true pairs by construction (candidates are
+# verified with the exact Jaccard), so precision is 1.0 and the metric
+# that can silently degrade is recall — the mirror of emb_ann_recall.
+# ---------------------------------------------------------------------------
+
+_DEDUP_RECALL_ORACLE = "WITH " + _DEDUP_CTES + """,
+true_pairs AS (
+  SELECT s.id_a, s.id_b
+  FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) s
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared) >= 0.8
+)
+SELECT (SELECT count(*) FROM true_pairs) AS n_true,
+       (SELECT count(*) FROM verified WHERE jac >= 0.8) AS n_found,
+       round((SELECT count(*) FROM verified WHERE jac >= 0.8)
+             / greatest((SELECT count(*) FROM true_pairs), 1) * 1.0, 6) AS recall
+"""
+
+
+@register(
+    "doc_dedup_recall",
+    _DEDUP_RECALL_ORACLE,
+    survey="§2.9 dedup quality (MinHash-band candidate recall vs exact all-true-pairs ground truth; precision 1.0 by verify construction)",
+)
+def q_doc_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, pairs = _near_dup_pairs(spark, sf_dir)
+    # identical plan to _near_dup_pairs' shingle cache -> CacheManager
+    # serves it from the same entry; no second explode runs
+    sh = _track(
+        d.select("doc_id", F.explode(S.shingles(F.col("text"))).alias("shingle"))
+        .repartition("doc_id")
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        sh.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["shingle"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    true_pairs = (
+        shared.join(sa, "id_a").join(sb, "id_b").filter(jac >= 0.8)
+    )
+    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = pairs.agg(F.count(F.lit(1)).alias("n_found"))
+    return n_true.crossJoin(n_found).select(
+        "n_true",
+        "n_found",
+        F.round(
+            F.col("n_found") / F.greatest(F.col("n_true"), F.lit(1)) * 1.0, 6
+        ).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN with a TRAINED coarse quantizer: k-means codebook (2 Lloyd
 # iterations from fixed seed vectors, exact decimal means, rounded-cosine
 # assignment with cluster-id tie-breaks) -> probe top-2 cells -> exact
