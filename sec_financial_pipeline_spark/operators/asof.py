@@ -30,18 +30,29 @@ def as_of_join(
     right_time: str,
     value_cols: Sequence[str],
     left_tiebreakers: Sequence[str] = (),
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each ``right`` row, attach the ``value_cols`` of the latest
-    ``left`` row with equal ``on`` keys and time <= the right row's time.
+    """For each ``right`` row, attach the ``value_cols`` of the matching
+    ``left`` row under ``direction``:
 
-    Ties at equal time resolve left-before-right (a left row at exactly
-    t is visible to a right row at t). If multiple left rows can share
-    (key, time), pass ``left_tiebreakers`` — the greatest row under that
-    order wins — or the result is nondeterministic.
+    - ``backward`` (default): latest left row with time <= right time;
+    - ``forward``: earliest left row with time >= right time;
+    - ``nearest``: whichever of the two is closer in time; exact-middle
+      ties resolve backward (pandas ``merge_asof`` semantics).
+
+    Ties at equal time resolve left-visible-to-right in every direction.
+    If multiple left rows can share (key, time), pass
+    ``left_tiebreakers`` — the greatest row under that order wins for
+    ``backward``/``nearest``-backward, the least for ``forward`` — or
+    the result is nondeterministic.
 
     Returns all ``right`` columns plus ``value_cols`` (NULL when no left
-    row precedes).
+    row qualifies). All three directions stay ONE shuffle on the key:
+    ``nearest`` adds a second window over the same sorted data, not a
+    second shuffle.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     on = list(on)
     left_types = dict(left.dtypes)
     right_cols = list(right.columns)
@@ -71,20 +82,54 @@ def as_of_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
     unioned = tagged_left.unionByName(tagged_right)
-    order = [F.col("__t").asc(), F.col("__side").asc()] + [
+    tb_asc = [
         F.col(f"__tb{i}").asc_nulls_first() for i in range(len(left_tiebreakers))
     ]
-    w = (
+    tb_desc = [
+        F.col(f"__tb{i}").desc_nulls_first() for i in range(len(left_tiebreakers))
+    ]
+    # backward scan: ascending time, left rows before right at equal t,
+    # greatest tiebreaker closest to the right row (last() wins).
+    w_back = (
         Window.partitionBy(*on)
-        .orderBy(*order)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), *tb_asc)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # forward scan: DESCENDING time — "last preceding in this order" is
+    # the left row with the smallest time >= t; the least tiebreaker
+    # must win, so it sorts closest under descending tiebreakers.
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").desc(), F.col("__side").asc(), *tb_desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def picks(w) -> list:
+        return [F.last(f"__v_{c}", ignorenulls=True).over(w) for c in value_cols]
+
+    if direction == "backward":
+        vals = picks(w_back)
+    elif direction == "forward":
+        vals = picks(w_fwd)
+    else:  # nearest: run both scans, choose per row by time distance
+        # (numeric distance: timestamps cast to double = epoch seconds)
+        tnum = F.col("__t").cast("double")
+        back_t = F.last(
+            F.when(F.col("__side") == 0, tnum), ignorenulls=True
+        ).over(w_back)
+        fwd_t = F.last(
+            F.when(F.col("__side") == 0, tnum), ignorenulls=True
+        ).over(w_fwd)
+        use_back = fwd_t.isNull() | (
+            back_t.isNotNull() & ((tnum - back_t) <= (fwd_t - tnum))
+        )
+        vals = [
+            F.when(use_back, b).otherwise(f)
+            for b, f in zip(picks(w_back), picks(w_fwd))
+        ]
     picked = unioned.select(
         F.col("__side"),
         *[F.col(f"__r_{c}").alias(c) for c in right_cols],
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        *[v.alias(c) for v, c in zip(vals, value_cols)],
     )
     return picked.filter(F.col("__side") == 1).drop("__side")
