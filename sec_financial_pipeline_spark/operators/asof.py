@@ -31,6 +31,7 @@ def as_of_join(
     value_cols: Sequence[str],
     left_tiebreakers: Sequence[str] = (),
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For each ``right`` row, attach the ``value_cols`` of the matching
     ``left`` row under ``direction``:
@@ -45,6 +46,11 @@ def as_of_join(
     ``left_tiebreakers`` — the greatest row under that order wins for
     ``backward``/``nearest``-backward, the least for ``forward`` — or
     the result is nondeterministic.
+
+    ``tolerance`` (optional, in the time column's numeric units — epoch
+    seconds for timestamps) voids matches farther than that from the
+    right row's time, yielding NULL instead (pandas ``merge_asof``
+    tolerance semantics).
 
     Returns all ``right`` columns plus ``value_cols`` (NULL when no left
     row qualifies). All three directions stay ONE shuffle on the key:
@@ -107,19 +113,20 @@ def as_of_join(
     def picks(w) -> list:
         return [F.last(f"__v_{c}", ignorenulls=True).over(w) for c in value_cols]
 
+    # matched-left time per scan (numeric distance: timestamps cast to
+    # double = epoch seconds) — drives both `nearest` and `tolerance`
+    tnum = F.col("__t").cast("double")
+    left_t = F.when(F.col("__side") == 0, tnum)
+    back_t = F.last(left_t, ignorenulls=True).over(w_back)
+    fwd_t = F.last(left_t, ignorenulls=True).over(w_fwd)
+
     if direction == "backward":
         vals = picks(w_back)
+        dist = tnum - back_t
     elif direction == "forward":
         vals = picks(w_fwd)
+        dist = fwd_t - tnum
     else:  # nearest: run both scans, choose per row by time distance
-        # (numeric distance: timestamps cast to double = epoch seconds)
-        tnum = F.col("__t").cast("double")
-        back_t = F.last(
-            F.when(F.col("__side") == 0, tnum), ignorenulls=True
-        ).over(w_back)
-        fwd_t = F.last(
-            F.when(F.col("__side") == 0, tnum), ignorenulls=True
-        ).over(w_fwd)
         use_back = fwd_t.isNull() | (
             back_t.isNotNull() & ((tnum - back_t) <= (fwd_t - tnum))
         )
@@ -127,6 +134,9 @@ def as_of_join(
             F.when(use_back, b).otherwise(f)
             for b, f in zip(picks(w_back), picks(w_fwd))
         ]
+        dist = F.when(use_back, tnum - back_t).otherwise(fwd_t - tnum)
+    if tolerance is not None:
+        vals = [F.when(dist <= tolerance, v) for v in vals]
     picked = unioned.select(
         F.col("__side"),
         *[F.col(f"__r_{c}").alias(c) for c in right_cols],

@@ -65,3 +65,58 @@ def point_in_interval_join(
     )
     cond = (F.col(point_ts) >= F.col(start)) & (F.col(point_ts) < F.col(end))
     return p.join(i, on=_BUCKET, how="inner").filter(cond).drop(_BUCKET)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Inner-join interval rows whose half-open windows OVERLAP:
+    ``left.[start, end) ∩ right.[start, end) != ∅`` — the
+    interval-interval sibling of :func:`point_in_interval_join`
+    (session-vs-campaign, downtime-vs-deploy, shift-vs-incident).
+    Column names must not collide across the two inputs.
+
+    Same bucketed rewrite, with one twist: BOTH sides explode to their
+    covering buckets, so a pair overlapping across several buckets would
+    match once per shared bucket. Rather than a post-join ``distinct``
+    (a second shuffle over the matched set), each pair is attributed to
+    the ONE bucket containing ``greatest(left_start, right_start)`` —
+    the overlap's first instant — which both sides are guaranteed to
+    cover. The dedup is a per-row predicate; the join stays one shuffle.
+    """
+    w = F.lit(bucket_seconds)
+    l = left.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(left_start)) / w),
+                F.floor(F.unix_timestamp(F.col(left_end)) / w),
+            )
+        ),
+    )
+    r = right.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(right_start)) / w),
+                F.floor(F.unix_timestamp(F.col(right_end)) / w),
+            )
+        ),
+    )
+    overlap = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    anchor = F.floor(
+        F.unix_timestamp(F.greatest(F.col(left_start), F.col(right_start))) / w
+    )
+    return (
+        l.join(r, on=_BUCKET, how="inner")
+        .filter(overlap & (F.col(_BUCKET) == anchor))
+        .drop(_BUCKET)
+    )

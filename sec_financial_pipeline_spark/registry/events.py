@@ -183,3 +183,69 @@ def q_evt_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("p_value").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-interval OVERLAP join — the sibling of the point-in-interval
+# rewrite (campaign-window vs promo-window co-occurrence). Both sides
+# explode to covering buckets; each overlapping pair is emitted exactly
+# once by anchoring it to the bucket of greatest(start_l, start_r) —
+# a per-row predicate instead of a post-join distinct shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evt_interval_overlap",
+    """
+WITH camp AS (
+  SELECT event_id AS campaign_id, ts AS c_start,
+         ts + INTERVAL 2 HOUR AS c_end
+  FROM events
+  WHERE event_type = 'purchase' AND value >= 200.0
+),
+promo AS (
+  SELECT event_id AS promo_id, ts AS p_start,
+         ts + INTERVAL 1 HOUR AS p_end
+  FROM events
+  WHERE event_type = 'click' AND value >= 150.0
+)
+SELECT c.campaign_id, p.promo_id,
+       CAST(date_diff('second', greatest(c.c_start, p.p_start),
+                      least(c.c_end, p.p_end)) AS BIGINT) AS overlap_seconds
+FROM camp c JOIN promo p
+  ON c.c_start < p.p_end AND p.p_start < c.c_end
+""",
+    survey="§2.3 range join (interval-interval overlap via bucketed equi-join with anchor-bucket dedup)",
+)
+def q_evt_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    camp = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 200.0)
+    ).select(
+        F.col("event_id").alias("campaign_id"),
+        F.col("ts").alias("c_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("c_end"),
+    )
+    promo = e.filter(
+        (F.col("event_type") == "click") & (F.col("value") >= 150.0)
+    ).select(
+        F.col("event_id").alias("promo_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+    )
+    j = interval_overlap_join(
+        camp, promo, "c_start", "c_end", "p_start", "p_end", 3600
+    )
+    # floor-of-epoch difference == DuckDB's second-boundary count
+    return j.select(
+        "campaign_id",
+        "promo_id",
+        (
+            F.unix_timestamp(F.least(F.col("c_end"), F.col("p_end")))
+            - F.unix_timestamp(F.greatest(F.col("c_start"), F.col("p_start")))
+        ).alias("overlap_seconds"),
+    )

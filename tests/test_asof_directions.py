@@ -100,3 +100,29 @@ def test_unknown_direction_raises(spark):
     left = [("k", 1, "x")]
     with pytest.raises(ValueError, match="direction"):
         _run(spark, left, [("k", 1, 1)], "sideways")
+
+
+def test_tolerance_voids_distant_matches(spark):
+    from sec_financial_pipeline_spark.operators.asof import as_of_join
+
+    left = [("k", 100, "near"), ("k", 10, "far")]
+    ldf = spark.createDataFrame(left, "key string, ts int, val string")
+    rdf = spark.createDataFrame(
+        [("k", 105, 1), ("k", 300, 2)], "key string, ts int, rid int"
+    )
+
+    def run(direction, tol):
+        got = as_of_join(
+            ldf, rdf, on=["key"], left_time="ts", right_time="ts",
+            value_cols=["val"], direction=direction, tolerance=tol,
+        ).collect()
+        return {r.rid: r.val for r in got}
+
+    # backward: rid1 is 5 away from "near" (kept), rid2 is 200 away (void)
+    assert run("backward", 10) == {1: "near", 2: None}
+    # nearest with a tolerance behaves the same here
+    assert run("nearest", 10) == {1: "near", 2: None}
+    # forward: nothing at-or-after either right time within 10
+    assert run("forward", 10) == {1: None, 2: None}
+    # no tolerance: the distant match comes back
+    assert run("backward", None) == {1: "near", 2: "near"}

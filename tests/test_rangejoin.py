@@ -80,3 +80,40 @@ def test_plan_is_equi_join_not_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_semantics(spark):
+    from sec_financial_pipeline_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    def _ts(mins):
+        return f"2024-01-01 {mins // 60:02d}:{mins % 60:02d}:00"
+
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts(0), _ts(300)),    # 0-5h: spans many buckets
+            (2, _ts(100), _ts(160)),  # 1:40-2:40
+            (3, _ts(600), _ts(660)),  # far away
+        ],
+        "lid int, ls string, le string",
+    ).select("lid", F.to_timestamp("ls").alias("ls"), F.to_timestamp("le").alias("le"))
+    right = spark.createDataFrame(
+        [
+            (10, _ts(120), _ts(240)),  # overlaps 1 (within) and 2 (partial)
+            (11, _ts(300), _ts(360)),  # touches 1's end exactly: half-open -> NO match
+            (12, _ts(50), _ts(70)),    # inside 1 only
+        ],
+        "rid int, rs string, re string",
+    ).select("rid", F.to_timestamp("rs").alias("rs"), F.to_timestamp("re").alias("re"))
+
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", 3600
+        ).collect()
+    )
+    # each overlapping pair exactly ONCE despite multi-bucket coverage
+    assert got == [(1, 10), (1, 12), (2, 10)]
