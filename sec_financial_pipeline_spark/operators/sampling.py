@@ -1,0 +1,55 @@
+"""Deterministic sampling for training-data pipelines (SURVEY §2.9
+north-star scope; the data-mixing primitive every corpus build needs).
+
+``df.sample()`` is seed-dependent on partitioning and unreproducible
+across engines; these operators derive the keep/drop decision from a
+content hash, so the SAME rows are kept on any cluster layout, any
+engine, any run — sampling becomes a pure filter that composes with
+pushdown and survives re-partitioning. The hash-to-uniform map is
+``first 8 md5 hex chars / 2^32`` (engine-independent, uniform to ~1e-9).
+
+Scale shape: a narrow per-row predicate — no shuffle, no state; the
+stratified variant broadcasts the tiny (stratum -> rate) table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_U32 = float(1 << 32)
+
+
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) from a key column (+ optional salt:
+    different salts give independent samples over the same keys)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(_U32)
+
+
+def hash_sample(
+    df: DataFrame, key: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``rate`` of rows, decided by the key's hash — reproducible
+    on any engine/partitioning, and disjoint across salts."""
+    return df.filter(hash_uniform(F.col(key), salt) < rate)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    rates: DataFrame,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum sampling rates (the corpus-mixing shape: 'keep 50% of
+    English, 10% of the crawl, all of the curated set'). ``rates`` is a
+    tiny (stratum, rate) table — broadcast, never shuffled; strata
+    absent from it fall back to ``default_rate``."""
+    r = rates.select(F.col(stratum), F.col("rate").alias("__rate"))
+    joined = df.join(F.broadcast(r), stratum, "left_outer")
+    keep = hash_uniform(F.col(key), salt) < F.coalesce(
+        F.col("__rate"), F.lit(default_rate)
+    )
+    return joined.filter(keep).drop("__rate")

@@ -141,3 +141,62 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit("[a-z]+")).cast("int").alias("n_word_tokens"),
         F.regexp_count("text", F.lit("[0-9]+")).cast("int").alias("n_number_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling — the corpus-mixing primitive
+# (operators/sampling.py). The keep decision is a content-hash filter,
+# so the SAME documents are kept on any engine / partitioning / run;
+# the per-language rate table is the mixing-weights config.
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 0.5, "zh": 0.3, "de": 0.2}  # others -> default 0.1
+_MIX_DEFAULT = 0.1
+_MIX_SALT = "mix1"
+
+
+@register(
+    "doc_stratified_sample",
+    f"""
+WITH rates AS (
+  SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in _MIX_RATES.items())})
+  AS r(lang, rate)
+),
+scored AS (
+  SELECT d.doc_id, d.lang, d.source,
+         ('0x' || substr(md5('{_MIX_SALT}' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u,
+         coalesce(r.rate, {_MIX_DEFAULT}) AS rate
+  FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+)
+SELECT lang,
+       count(*) AS n_kept,
+       round(max(rate), 6) AS rate
+FROM scored
+WHERE u < rate
+GROUP BY lang
+""",
+    survey="§2.9 sampling (deterministic hash-based stratified corpus mixing; engine/partitioning-independent keep set)",
+)
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        list(_MIX_RATES.items()), "lang string, rate double"
+    )
+    kept = stratified_hash_sample(
+        d, key="doc_id", stratum="lang", rates=rates,
+        default_rate=_MIX_DEFAULT, salt=_MIX_SALT,
+    )
+    per_lang_rate = F.create_map(
+        *[x for k, v in _MIX_RATES.items() for x in (F.lit(k), F.lit(v))]
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.max(F.coalesce(per_lang_rate[F.col("lang")], F.lit(_MIX_DEFAULT))), 6
+        ).alias("rate"),
+    )

@@ -99,3 +99,23 @@ def test_release_caches_unpins_tracked_tables(spark, sf_dir):
     assert released == len(tracked)
     assert R._TRACKED == []
     assert all(df.storageLevel == StorageLevel.NONE for df in tracked)
+
+
+def test_hash_sampling_is_partitioning_invariant(spark, sf_dir):
+    """The keep set must be a pure function of content — identical at
+    any partition count, and disjoint across salts."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.sampling import hash_sample
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in hash_sample(d.repartition(2), "doc_id", 0.3).select("doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(d.repartition(17), "doc_id", 0.3).select("doc_id").collect()}
+    assert a == b and 0 < len(a) < d.count()
+    # a larger rate strictly grows the same keep set (nested samples)
+    c = {r.doc_id for r in hash_sample(d, "doc_id", 0.6).select("doc_id").collect()}
+    assert a < c
+    # different salt -> a different (independent) sample
+    s2 = {r.doc_id for r in hash_sample(d, "doc_id", 0.3, salt="other").select("doc_id").collect()}
+    assert s2 != a
