@@ -200,3 +200,44 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.coalesce(per_lang_rate[F.col("lang")], F.lit(_MIX_DEFAULT))), 6
         ).alias("rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (operators/packing.py): concat-then-chunk offsets via
+# the two-phase distributed prefix sum — the oracle states the global
+# cumulative sum directly; the Spark plan must reproduce it exactly from
+# per-partition partials at ANY partition count.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 1024
+
+
+@register(
+    "doc_pack_chunks",
+    f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM toks
+)
+SELECT doc_id, off AS offset,
+       CAST(off // {_CHUNK_TOKENS} AS BIGINT) AS first_chunk,
+       CAST((off + greatest(n_tok, 1) - 1) // {_CHUNK_TOKENS} AS BIGINT) AS last_chunk
+FROM cum
+""",
+    survey="§2.9 sequence packing (concat-then-chunk token offsets; two-phase exact prefix sum, no global single-task window)",
+)
+def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.packing import pack_offsets
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    packed = pack_offsets(
+        d, order_col="doc_id", size_col="n_tok", chunk_tokens=_CHUNK_TOKENS
+    )
+    return packed.select("doc_id", "offset", "first_chunk", "last_chunk")
