@@ -8,22 +8,86 @@ The naive prefix sum is a window over a GLOBAL order — Spark executes an
 un-partitioned window in ONE task, which is exactly the thing that dies
 at 100 TB. This module computes the same exact offsets in two phases:
 
-1. range-repartition on the order key (preserves the global order across
-   partitions), take per-partition token subtotals — one tiny row per
-   partition;
-2. cumulate the subtotals into per-partition base offsets (a window over
+1. split the key space into range buckets and take per-bucket token
+   subtotals — one tiny row per bucket;
+2. cumulate the subtotals into per-bucket base offsets (a window over
    the subtotal table: hundreds of rows, not the corpus) and broadcast
-   them back; each row's offset = partition base + within-partition
-   running sum (a partitioned window — parallel).
+   them back; each row's offset = bucket base + within-bucket running
+   sum (a partitioned window — parallel).
 
-Deterministic for any partition count: range partitioning orders
-partitions by key, and integer token counts make every sum exact.
+Determinism (the round-3 red row, CORRECTNESS_r03 `doc_pack_chunks`):
+the first build used ``repartitionByRange`` + ``spark_partition_id()``
+and consumed that subtree TWICE — once aggregated into subtotals, once
+as the stream side of the broadcast join. RangePartitioner draws a fresh
+reservoir *sample* per evaluation and ``spark_partition_id`` is a
+nondeterministic expression, so the two evaluations could disagree on
+partition boundaries and add each row's base offset to the wrong
+bucket's rows. This build assigns the bucket with a PURE expression over
+driver-collected boundary literals: the boundary list is collected once
+(a few KB — never the data), baked into the plan as literals, and every
+re-evaluation of any subtree derives the identical bucket for a row from
+its key alone. No sampling, no partition ids, no materialization barrier
+needed.
+
+Reference parity: the reference packs sequences in a single in-memory
+pass (small corpus); this is the distributed re-expression of the same
+offsets contract.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Driver-side boundary sample: bounded by SAMPLE_CAP keys regardless of
+# data size — the collect is over ~n_part*OVERSAMPLE scalars, never rows.
+_OVERSAMPLE = 32
+_SAMPLE_CAP = 100_000
+
+
+def range_bucket_bounds(
+    df: DataFrame, order_col: str, n_buckets: int
+) -> list:
+    """Collect ``n_buckets - 1`` ascending boundary values of
+    ``order_col`` from a bounded sample, for deterministic range
+    bucketing. Returns a (possibly shorter) sorted list of distinct
+    boundary literals; empty list means one bucket.
+
+    The collect is tiny by construction: ``min(n_buckets * 32, 100k)``
+    scalar keys — independent of corpus size, safe at 100 TB.
+    """
+    if n_buckets <= 1:
+        return []
+    target = min(n_buckets * _OVERSAMPLE, _SAMPLE_CAP)
+    total = df.count()
+    if total == 0:
+        return []
+    fraction = min(1.0, target / total)
+    sampled = [
+        r[0]
+        for r in df.select(order_col).sample(fraction, seed=7).collect()
+        if r[0] is not None
+    ]
+    if not sampled:
+        return []
+    sampled.sort()
+    # evenly spaced quantiles of the sample; dedupe keeps them ascending
+    bounds: list = []
+    for i in range(1, n_buckets):
+        b = sampled[min(len(sampled) - 1, i * len(sampled) // n_buckets)]
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
+def bucket_expr(order_col: str, bounds: list) -> Column:
+    """Deterministic range-bucket id: the count of boundaries <= the
+    key. A pure function of the row's key and literal boundaries — every
+    physical re-evaluation agrees, unlike ``spark_partition_id()``."""
+    if not bounds:
+        return F.lit(0)
+    arr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(arr, lambda b: b <= F.col(order_col)))
 
 
 def pack_offsets(
@@ -44,26 +108,25 @@ def pack_offsets(
     n_part = num_partitions or max(
         1, df.sparkSession.sparkContext.defaultParallelism
     )
-    parted = df.repartitionByRange(n_part, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    bounds = range_bucket_bounds(df, order_col, n_part)
+    bucketed = df.withColumn("__bkt", bucket_expr(order_col, bounds))
+    # phase 1: per-bucket subtotals (tiny: one row per bucket)
+    subtotals = bucketed.groupBy("__bkt").agg(
+        F.sum(F.col(size_col).cast("long")).alias("__bsum")
     )
-    # phase 1: per-partition subtotals (tiny: one row per partition)
-    subtotals = parted.groupBy("__pid").agg(
-        F.sum(F.col(size_col).cast("long")).alias("__psum")
-    )
-    # phase 2: base offset per partition — window over the SUBTOTAL
-    # table only; rowsBetween excludes the current partition's own sum
+    # phase 2: base offset per bucket — window over the SUBTOTAL table
+    # only; rowsBetween excludes the current bucket's own sum
     w_base = (
-        Window.orderBy("__pid")
+        Window.orderBy("__bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     bases = subtotals.select(
-        "__pid", F.coalesce(F.sum("__psum").over(w_base), F.lit(0)).alias("__base")
+        "__bkt", F.coalesce(F.sum("__bsum").over(w_base), F.lit(0)).alias("__base")
     )
-    # within-partition running sum (partitioned window — parallel),
+    # within-bucket running sum (partitioned window — parallel),
     # exclusive of the current row
     w_in = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__bkt")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -72,9 +135,9 @@ def pack_offsets(
     )
     span_end = offset + F.greatest(F.col(size_col).cast("long"), F.lit(1)) - 1
     return (
-        parted.join(F.broadcast(bases), "__pid")
+        bucketed.join(F.broadcast(bases), "__bkt")
         .withColumn("offset", offset)
         .withColumn("first_chunk", (F.col("offset") / chunk_tokens).cast("long"))
         .withColumn("last_chunk", (span_end / chunk_tokens).cast("long"))
-        .drop("__pid", "__base")
+        .drop("__bkt", "__base")
     )

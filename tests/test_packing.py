@@ -60,10 +60,79 @@ def test_corpus_window_is_partitioned(spark):
     plan = pack_offsets(d, "doc_id", "n_tok", 128)._jdf.queryExecution(
     ).executedPlan().toString()
     # every Window over the corpus must carry a partition spec; the only
-    # un-partitioned window runs over the per-partition subtotal table
-    # (bounded by the partition count, not the data)
+    # un-partitioned window runs over the per-bucket subtotal table
+    # (bounded by the bucket count, not the data)
     corpus_windows = [
         ln for ln in plan.splitlines()
-        if "Window " in ln and "__pid" not in ln
+        if "Window " in ln and "__bkt" not in ln
     ]
     assert not [ln for ln in corpus_windows if "n_tok" in ln], corpus_windows
+
+
+def test_plan_is_deterministic_no_partition_id(spark):
+    """The round-3 red row: repartitionByRange sampling +
+    spark_partition_id() evaluated twice could disagree between the
+    subtotal branch and the join stream branch. The rebuilt operator
+    must carry NO nondeterministic bucket source in the plan."""
+    d = _docs(spark, 500)
+    out = pack_offsets(d, "doc_id", "n_tok", 128)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    for plan in (analyzed, physical):
+        assert "SPARK_PARTITION_ID" not in plan.upper(), plan
+        assert "repartitionbyrange" not in plan.lower(), plan
+
+
+def _skewed_docs(spark, n=20000):
+    # heavy skew: 90% of ids collapse into a narrow key region, sizes
+    # vary 1..10k — the shape where a sampled range partitioner is most
+    # likely to draw different boundaries per evaluation
+    return spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.col("id") % 37)
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.hash(F.col("id").cast("string")), 9999) + 1).alias("n_tok"),
+    ).drop("k")
+
+
+def test_run_twice_same_session_identical(spark):
+    """Two executions of the SAME packing query in one long-lived
+    session must agree exactly (the class of bug the driver caught in
+    r03 and local parity missed)."""
+    d = _skewed_docs(spark)
+    runs = []
+    for _ in range(2):
+        out = pack_offsets(d, "doc_id", "n_tok", 1024, num_partitions=16)
+        runs.append(sorted(
+            (r.doc_id, r.offset, r.first_chunk, r.last_chunk)
+            for r in out.collect()
+        ))
+    assert runs[0] == runs[1]
+    # and the offsets equal the global cumsum ground truth
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.doc_id: r.off
+        for r in d.select(
+            "doc_id", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("off")
+        ).collect()
+    }
+    assert {t[0]: t[1] for t in runs[0]} == want
+
+
+def test_offsets_invariant_under_shuffle_partitions(spark):
+    """Perturbing spark.sql.shuffle.partitions must not change offsets
+    — bucket assignment is a pure expression over literal boundaries."""
+    d = _skewed_docs(spark, 5000)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for sp in ("7", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            out = pack_offsets(d, "doc_id", "n_tok", 512, num_partitions=8)
+            results.append(sorted(
+                (r.doc_id, r.offset) for r in out.collect()
+            ))
+        assert results[0] == results[1]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
