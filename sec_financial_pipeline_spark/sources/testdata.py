@@ -21,15 +21,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # arbitrary local timezone — pin it at the data boundary.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
-        # Spark parquet reader rejects; read nanos as long and convert.
-        # The data is microsecond-precision (ns remainder is 0 at every
-        # sf), so the conversion is lossless.
+        # Some testdata generations store ts as TIMESTAMP(NANOS) (which the
+        # vectorized Spark parquet reader surfaces as long only under the
+        # legacy flag), others as plain TIMESTAMP(MICROS). Adapt to whatever
+        # this generation wrote instead of assuming one wire format.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # integer division: epoch-nanos exceeds 2^53, double math would
-        # drift by one microsecond.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            # integer division: epoch-nanos exceeds 2^53, double math would
+            # drift by one microsecond.
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "timestamp_ntz":
+            # Engine semantics treat event time as UTC instants; NTZ values
+            # were written as UTC wall-clock, so the cast is a relabel.
+            return df.withColumn("ts", F.to_timestamp(F.col("ts")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
