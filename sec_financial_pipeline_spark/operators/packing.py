@@ -141,3 +141,40 @@ def pack_offsets(
         .withColumn("last_chunk", (span_end / chunk_tokens).cast("long"))
         .drop("__bkt", "__base")
     )
+
+
+def assemble_chunks(
+    packed: DataFrame, size_col: str, chunk_tokens: int
+) -> DataFrame:
+    """The inverse view of :func:`pack_offsets` — what a training-data
+    loader consumes: for every fixed-size chunk, the ordered document
+    slices that fill it.
+
+    Input is ``pack_offsets`` output (``offset``/``first_chunk``/
+    ``last_chunk`` present). Each row explodes into its touched chunks —
+    a BOUNDED explode (a document of ``n`` tokens spans at most
+    ``n // chunk_tokens + 2`` chunks), so the expansion is linear in
+    total corpus tokens, never quadratic: safe at 100 TB. Output grain is
+    (chunk_id, doc_id) with:
+
+    - ``chunk_off``  — where the slice starts inside the chunk;
+    - ``doc_start``  — where the slice starts inside the document;
+    - ``slice_len``  — tokens taken from this document for this chunk.
+
+    Per-chunk ``sum(slice_len)`` is ``chunk_tokens`` for every interior
+    chunk (the final chunk holds the remainder), which is the
+    reconciliation invariant against the pack-offsets totals.
+    """
+    cs = F.col("chunk_id") * chunk_tokens
+    start = F.greatest(F.col("offset"), cs)
+    end = F.least(F.col("offset") + F.col(size_col).cast("long"), cs + chunk_tokens)
+    exploded = packed.withColumn(
+        "chunk_id", F.explode(F.sequence("first_chunk", "last_chunk"))
+    )
+    return exploded.select(
+        "chunk_id",
+        *packed.columns,
+        (start - cs).alias("chunk_off"),
+        (start - F.col("offset")).alias("doc_start"),
+        (end - start).alias("slice_len"),
+    )

@@ -241,3 +241,112 @@ def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, order_col="doc_id", size_col="n_tok", chunk_tokens=_CHUNK_TOKENS
     )
     return packed.select("doc_id", "offset", "first_chunk", "last_chunk")
+
+
+# ---------------------------------------------------------------------------
+# Chunk assembly (operators/packing.py::assemble_chunks): the inverse of
+# pack_offsets — per-chunk ordered document slices, the view a training
+# dataloader actually reads. The oracle replays the same global prefix
+# sum and expands each doc's touched chunk range with generate_series;
+# reconciliation with doc_pack_chunks holds by construction (identical
+# offsets feed both).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_chunk_assembly",
+    f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, n_tok, off,
+         CAST(off // {_CHUNK_TOKENS} AS BIGINT) AS first_chunk,
+         CAST((off + n_tok - 1) // {_CHUNK_TOKENS} AS BIGINT) AS last_chunk
+  FROM cum
+),
+exploded AS (
+  SELECT doc_id, n_tok, off,
+         unnest(generate_series(first_chunk, last_chunk)) AS chunk_id
+  FROM spans
+)
+SELECT chunk_id, doc_id,
+       greatest(off, chunk_id * {_CHUNK_TOKENS}) - chunk_id * {_CHUNK_TOKENS} AS chunk_off,
+       greatest(off, chunk_id * {_CHUNK_TOKENS}) - off AS doc_start,
+       least(off + n_tok, (chunk_id + 1) * {_CHUNK_TOKENS})
+         - greatest(off, chunk_id * {_CHUNK_TOKENS}) AS slice_len
+FROM exploded
+""",
+    survey="§2.9 sequence packing (chunk assembly: per-chunk ordered doc slices via bounded explode of each doc's chunk range — the dataloader-side inverse of doc_pack_chunks)",
+)
+def q_doc_chunk_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.packing import (
+        assemble_chunks,
+        pack_offsets,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    packed = pack_offsets(
+        d, order_col="doc_id", size_col="n_tok", chunk_tokens=_CHUNK_TOKENS
+    )
+    chunks = assemble_chunks(packed, size_col="n_tok", chunk_tokens=_CHUNK_TOKENS)
+    return chunks.select(
+        "chunk_id", "doc_id", "chunk_off", "doc_start", "slice_len"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing, driver-checked (operators/multimodal.py):
+# documents become opaque binary payloads (the UTF-8 bytes), ride through
+# the REAL Arrow-batched mapInPandas feature-extraction path (payload
+# dropped before anything wide — the 100 TB contract), and the query
+# aggregates the extracted per-payload stats. The oracle recomputes
+# byte-length and md5 on the identical bytes (DuckDB md5(VARCHAR) hashes
+# the UTF-8 encoding). Decode paths (BMP/WAV/frame containers) stay
+# pytest-covered — no SQL engine can re-derive a pixel decode.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_media_stats",
+    """
+WITH media AS (
+  SELECT doc_id AS media_id, source || '|' || lang AS media_type,
+         text FROM documents
+)
+SELECT media_type,
+       count(*) AS n_media,
+       sum(octet_length(encode(text))) AS total_bytes,
+       count(DISTINCT md5(text)) AS distinct_payloads,
+       min(md5(text)) AS min_hash,
+       max(md5(text)) AS max_hash
+FROM media GROUP BY media_type
+""",
+    survey="§2.9 multimodal (opaque binary payload columns through Arrow-batched mapInPandas feature extraction; byte stats aggregated after the payload column is dropped)",
+)
+def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    media = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.concat_ws("|", "source", "lang").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_features(media)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
+        F.count_distinct(F.col("payload_hash")).alias("distinct_payloads"),
+        F.min("payload_hash").alias("min_hash"),
+        F.max("payload_hash").alias("max_hash"),
+    )

@@ -136,3 +136,36 @@ def test_offsets_invariant_under_shuffle_partitions(spark):
         assert results[0] == results[1]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_assembly_reconciles_with_offsets(spark):
+    """Every interior chunk is exactly full; the tail chunk holds the
+    remainder; per-doc slice totals equal the doc's token count; and the
+    slices tile each chunk contiguously (no gaps, no overlaps)."""
+    from sec_financial_pipeline_spark.operators.packing import assemble_chunks
+
+    C = 128
+    d = _docs(spark, 300)
+    packed = pack_offsets(d, "doc_id", "n_tok", C)
+    chunks = assemble_chunks(packed, "n_tok", C).collect()
+    total = d.agg(F.sum("n_tok")).collect()[0][0]
+
+    per_chunk: dict[int, list] = {}
+    per_doc: dict[int, int] = {}
+    for r in chunks:
+        per_chunk.setdefault(r.chunk_id, []).append((r.chunk_off, r.slice_len))
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.slice_len
+
+    n_chunks = (total + C - 1) // C
+    assert set(per_chunk) == set(range(n_chunks))
+    for cid, slices in per_chunk.items():
+        slices.sort()
+        expect_len = C if cid < n_chunks - 1 else total - (n_chunks - 1) * C
+        assert sum(s for _, s in slices) == expect_len, cid
+        pos = 0
+        for off, ln in slices:
+            assert off == pos, f"gap/overlap in chunk {cid}"
+            pos += ln
+
+    want_per_doc = {r.doc_id: r.n_tok for r in d.collect()}
+    assert per_doc == want_per_doc
