@@ -1,0 +1,213 @@
+"""HTTP binding for the serving façade (stdlib ``http.server`` only).
+
+Routes mirror the reference API (``reference/src/api/main.py:105-233``
+plus the ETL triggers), served by the engine's
+:class:`~sec_financial_pipeline_spark.plans.facade.ServingFacade`:
+
+==========  =================================  ==============================
+method      path                               semantics
+==========  =================================  ==============================
+GET         /health                            liveness + cache stats
+GET         /financials/{ticker}               all facts; 202 + background
+                                               fetch when the ticker is
+                                               absent (``main.py:119-129``)
+GET         /financials/{ticker}/{metric}      one metric series;
+                                               ``?format=json|csv|parquet``
+POST        /financials/compare                body {tickers, metric}
+POST        /etl/fetch/{ticker}                explicit fetch trigger
+POST        /etl/refresh                       full-refresh trigger
+DELETE      /cache/{ticker}                    per-ticker invalidation
+==========  =================================  ==============================
+
+Error mapping: ``ValueError`` (bad ticker / unsupported format) -> 400,
+unknown route -> 404, anything else -> 500 — the same status taxonomy
+the reference's exception handlers produce.
+
+The server is ``ThreadingHTTPServer``; Spark sessions are thread-safe
+for job submission, and every handler serves from the facade's result
+cache first, so concurrent GETs of warm keys never reach the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+from urllib.parse import parse_qs, urlparse
+
+from sec_financial_pipeline_spark.plans.background import BackgroundFetcher
+from sec_financial_pipeline_spark.plans.facade import ServingFacade
+from sec_financial_pipeline_spark.plans.serving import validate_ticker
+
+_CONTENT_TYPES = {
+    "json": "application/json",
+    "csv": "text/csv",
+    "parquet": "application/octet-stream",
+}
+
+
+class FacadeHTTPServer:
+    """Bind a :class:`ServingFacade` (and optionally a
+    :class:`BackgroundFetcher`) to a TCP port. ``port=0`` picks a free
+    port (exposed as ``.port``) — the shape the tests drive."""
+
+    def __init__(
+        self,
+        facade: ServingFacade,
+        fetcher: BackgroundFetcher | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        self.facade = facade
+        self.fetcher = fetcher
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # known tickers resolve once per process then serve from this set —
+    # the membership probe must not run a Spark job per request
+    _known: frozenset[str] | None = None
+
+    def has_data(self, ticker: str) -> bool:
+        if self._known is None:
+            rows = (
+                self.facade._facts().select("ticker").distinct().collect()
+            )
+            self._known = frozenset(r[0] for r in rows)
+        return ticker in self._known
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self.serve_forever, daemon=True)
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+
+def _make_handler(srv: FacadeHTTPServer):
+    class Handler(BaseHTTPRequestHandler):
+        # keep the test log quiet; a deployment would override
+        def log_message(self, fmt: str, *args: Any) -> None:
+            pass
+
+        # -- plumbing ------------------------------------------------------
+
+        def _send(self, status: int, body: bytes, ctype: str) -> None:
+            self.send_response(status)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, status: int, obj: Any) -> None:
+            self._send(
+                status, json.dumps(obj, default=str).encode(), "application/json"
+            )
+
+        def _body_json(self) -> Any:
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n) if n else b"{}"
+            return json.loads(raw or b"{}")
+
+        def _route(self, method: str) -> None:
+            url = urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            try:
+                self._dispatch(method, parts, url)
+            except ValueError as e:
+                self._send_json(400, {"detail": str(e)})
+            except json.JSONDecodeError as e:
+                self._send_json(400, {"detail": f"bad JSON body: {e}"})
+            except _NotFound:
+                self._send_json(404, {"detail": "not found"})
+            except Exception as e:  # 500 taxonomy, reference-style
+                self._send_json(500, {"detail": str(e)})
+
+        # -- routes --------------------------------------------------------
+
+        def _dispatch(self, method: str, parts: list[str], url) -> None:
+            facade, fetcher = srv.facade, srv.fetcher
+            if method == "GET" and parts == ["health"]:
+                self._send_json(
+                    200,
+                    {"status": "healthy", "cache_stats": facade.cache.stats()},
+                )
+            elif method == "GET" and len(parts) == 2 and parts[0] == "financials":
+                # format validation precedes the miss path: a malformed
+                # ticker is a 400, never an enqueued background fetch
+                t = validate_ticker(parts[1])
+                # miss -> 202 + queued background fetch (main.py:119-129)
+                if fetcher is not None:
+                    status, payload = fetcher.get_or_serve(
+                        t, srv.has_data, facade.company_facts
+                    )
+                    self._send_json(status, payload)
+                else:
+                    self._send_json(200, facade.company_facts(t))
+            elif method == "GET" and len(parts) == 3 and parts[0] == "financials":
+                fmt = (
+                    parse_qs(url.query).get("format", ["json"])[0].lower()
+                )
+                out = facade.metric_series(parts[1], parts[2], fmt=fmt)
+                if isinstance(out, bytes):
+                    self._send(200, out, _CONTENT_TYPES[fmt])
+                else:
+                    self._send_json(200, out)
+            elif method == "POST" and parts == ["financials", "compare"]:
+                q = self._body_json()
+                self._send_json(
+                    200, facade.compare(q.get("tickers", []), q.get("metric", ""))
+                )
+            elif (
+                method == "POST"
+                and len(parts) == 3
+                and parts[:2] == ["etl", "fetch"]
+                and fetcher is not None
+            ):
+                self._send_json(200, fetcher.trigger(parts[2]))
+            elif method == "POST" and parts == ["etl", "refresh"] and fetcher is not None:
+                if srv._known is None:
+                    srv.has_data("")  # populate the ticker set
+                self._send_json(200, fetcher.trigger_all(sorted(srv._known)))
+            elif method == "DELETE" and len(parts) == 2 and parts[0] == "cache":
+                self._send_json(
+                    200, {"invalidated": facade.invalidate(parts[1])}
+                )
+            else:
+                raise _NotFound
+
+        def do_GET(self) -> None:  # noqa: N802 (http.server API)
+            self._route("GET")
+
+        def do_POST(self) -> None:  # noqa: N802
+            self._route("POST")
+
+        def do_DELETE(self) -> None:  # noqa: N802
+            self._route("DELETE")
+
+    return Handler
+
+
+class _NotFound(Exception):
+    pass
+
+
+def serve(spark, sf_dir: str, host: str = "127.0.0.1", port: int = 8000) -> None:
+    """Blocking entrypoint: bind a facade (and a no-op background
+    fetcher drain) to ``host:port`` — the stdlib twin of the reference's
+    ``uvicorn.run(app)``."""
+    facade = ServingFacade(spark, sf_dir)
+    fetcher = BackgroundFetcher(lambda t: None)
+    fetcher.start()
+    try:
+        FacadeHTTPServer(facade, fetcher, host=host, port=port).serve_forever()
+    finally:
+        fetcher.stop()

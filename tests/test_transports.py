@@ -1,0 +1,177 @@
+"""End-to-end transport bindings: real HTTP requests against the
+``http.server`` facade binding (202 background-fetch path included) and
+a real line-delimited JSON session against the stdio tool loop — the
+reference's two front doors (FastAPI ``main.py:105-233``; MCP stdio
+``server.py:147-181``) driven over actual wire bytes."""
+
+from __future__ import annotations
+
+import io
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from sec_financial_pipeline_spark.plans.background import BackgroundFetcher
+from sec_financial_pipeline_spark.plans.facade import ServingFacade
+from sec_financial_pipeline_spark.plans.tools import ToolRegistry
+from sec_financial_pipeline_spark.transport.http import FacadeHTTPServer
+from sec_financial_pipeline_spark.transport.stdio import (
+    handle_request,
+    serve_stdio,
+)
+
+
+@pytest.fixture(scope="module")
+def http_srv(spark, sf_dir):
+    fetched: list[str] = []
+    fetcher = BackgroundFetcher(fetched.append)
+    srv = FacadeHTTPServer(ServingFacade(spark, sf_dir), fetcher)
+    srv.start()
+    srv.fetched = fetched  # type: ignore[attr-defined]
+    yield srv
+    srv.shutdown()
+
+
+def _get(srv, path: str):
+    url = f"http://127.0.0.1:{srv.port}{path}"
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, r.headers.get("Content-Type"), r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read()
+
+
+def _post(srv, path: str, body: dict | None = None):
+    url = f"http://127.0.0.1:{srv.port}{path}"
+    data = json.dumps(body or {}).encode()
+    req = urllib.request.Request(url, data=data, method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_http_health(http_srv):
+    status, ctype, body = _get(http_srv, "/health")
+    assert status == 200 and ctype == "application/json"
+    assert json.loads(body)["status"] == "healthy"
+
+
+def test_http_company_facts_and_cache(http_srv):
+    status, _, body = _get(http_srv, "/financials/T01")
+    assert status == 200
+    out = json.loads(body)
+    assert out["ticker"] == "T01" and out["n_facts"] == len(out["facts"]) > 0
+    # warm-key repeat serves from the result cache
+    status2, _, body2 = _get(http_srv, "/financials/T01")
+    assert status2 == 200 and json.loads(body2) == out
+
+
+def test_http_miss_returns_202_and_queues_fetch(http_srv):
+    status, _, body = _get(http_srv, "/financials/ZZZZ")
+    assert status == 202
+    assert "Fetching in background" in json.loads(body)["detail"]
+    http_srv.fetcher.run_pending()
+    assert "ZZZZ" in http_srv.fetched
+
+
+def test_http_metric_series_formats(http_srv):
+    status, _, body = _get(http_srv, "/financials/T01/revenue")
+    assert status == 200
+    out = json.loads(body)
+    assert out["metric"] == "revenue" and out["n_periods"] > 0
+
+    status, ctype, csv = _get(http_srv, "/financials/T01/revenue?format=csv")
+    assert status == 200 and ctype == "text/csv"
+    header = csv.decode().splitlines()[0]
+    assert "fiscal_year" in header and "value" in header
+
+    status, ctype, pq = _get(http_srv, "/financials/T01/revenue?format=parquet")
+    assert status == 200 and ctype == "application/octet-stream"
+    assert pq[:4] == b"PAR1"  # parquet magic
+
+
+def test_http_compare(http_srv):
+    status, body = _post(
+        http_srv,
+        "/financials/compare",
+        {"tickers": ["T01", "T02"], "metric": "revenue"},
+    )
+    assert status == 200
+    out = json.loads(body)
+    assert out["tickers"] == ["T01", "T02"] and len(out["rows"]) > 0
+    assert {"fiscal_year", "T01", "T02"} <= set(out["rows"][0])
+
+
+def test_http_error_taxonomy(http_srv):
+    assert _get(http_srv, "/financials/NOT%20OK!!!")[0] == 400  # bad ticker
+    assert _get(http_srv, "/financials/T01/revenue?format=xml")[0] == 400
+    assert _get(http_srv, "/nope")[0] == 404
+
+
+def test_http_etl_trigger_and_invalidate(http_srv):
+    status, body = _post(http_srv, "/etl/fetch/T07")
+    assert status == 200 and json.loads(body)["ticker"] == "T07"
+
+    url = f"http://127.0.0.1:{http_srv.port}/cache/T01"
+    req = urllib.request.Request(url, method="DELETE")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert json.loads(r.read())["invalidated"] >= 1  # warm keys dropped
+
+
+@pytest.fixture(scope="module")
+def registry(spark, sf_dir):
+    return ToolRegistry(spark, sf_dir)
+
+
+def test_stdio_list_and_call_roundtrip(registry):
+    stdin = io.StringIO(
+        json.dumps({"id": 1, "method": "tools/list"})
+        + "\n"
+        + json.dumps(
+            {
+                "id": 2,
+                "method": "tools/call",
+                "params": {
+                    "name": "get_financial_metric",
+                    "arguments": {"ticker": "T01", "metric": "revenue"},
+                },
+            }
+        )
+        + "\nnot json at all\n"
+        + json.dumps({"id": 4, "method": "tools/call", "params": {"name": "nope"}})
+        + "\n"
+    )
+    stdout = io.StringIO()
+    n = serve_stdio(registry, stdin, stdout)
+    assert n == 4
+    r1, r2, r3, r4 = [json.loads(x) for x in stdout.getvalue().splitlines()]
+
+    assert r1["id"] == 1
+    names = {t["name"] for t in r1["result"]["tools"]}
+    assert {
+        "get_company_financials",
+        "get_financial_metric",
+        "compare_companies",
+        "analyze_financial_trends",
+        "generate_financial_report",
+        "get_available_metrics",
+    } <= names
+
+    assert r2["id"] == 2
+    content = r2["result"]["content"]
+    assert content[0]["type"] == "text"
+    payload = json.loads(content[0]["text"])
+    assert payload["ticker"] == "T01" and payload["metric"] == "revenue"
+
+    assert r3["id"] is None and "bad JSON" in r3["error"]
+    assert r4["id"] == 4 and "Unknown tool" in r4["error"]
+
+
+def test_stdio_unknown_method(registry):
+    resp = handle_request(registry, {"id": 9, "method": "resources/list"})
+    assert resp["id"] == 9 and "unknown method" in resp["error"]
