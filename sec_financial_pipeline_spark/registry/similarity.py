@@ -1612,3 +1612,209 @@ def q_doc_quality_score_for_curation(spark: SparkSession, sf_dir: str) -> DataFr
     return d.select(
         "doc_id", F.round(len_norm * 0.5 + uniq_ratio * 0.5, 6).alias("quality")
     )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-generator comparison (VERDICT r03 stretch): the SAME
+# augmented corpus routed through both candidate generators — banded
+# sign-LSH buckets vs trained-IVF coarse cells — with recall measured
+# against exact ground truth in two strata: scaled-clone duplicates
+# (cos >= 0.999, what near-dedup must catch) and natural moderate
+# neighbors (base pairs, cos >= 0.35, what ANN retrieval must catch).
+# The two generators trade places across strata: r=16-bit LSH bands are
+# tuned for near-1.0 cosine (clone recall ~1, neighbor recall ~0), IVF
+# cells catch moderate neighbors but emit ~N^2/k pairs (the n_candidates
+# column carries the cost side of the trade). Ground truth is exact
+# all-pairs — a measurement harness like doc_dedup_recall, not a scale
+# path; the generators under test ARE the scale paths.
+# ---------------------------------------------------------------------------
+
+_CAND_NN_TAU = 0.35
+
+
+def _sql_pair_cos(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a}.emb)), i -> {a}.emb[i] * {b}.emb[i]))"
+        f" / (sqrt(list_sum(list_transform({a}.emb, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({b}.emb, x -> x * x))))"
+    )
+
+
+_CANDIDATE_RECALL_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+aug AS (
+  SELECT vec_id, label, emb FROM base
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, label,
+         list_transform(emb, x -> x * 1.5) AS emb
+  FROM base WHERE vec_id % 20 = 0
+),
+{_SIGN_CODES_SQL.strip()},
+e AS (SELECT vec_id, emb FROM base),
+c0 AS (
+  SELECT CAST(vec_id - {_IVF_SEED_BASE} AS INT) AS cluster, emb AS cvec
+  FROM e WHERE vec_id BETWEEN {_IVF_SEED_BASE} AND {_IVF_SEED_BASE + _IVF_K - 1}
+),
+a1 AS ({_sql_assign('c0')}),
+c1 AS ({_sql_update('a1')}),
+a2 AS ({_sql_assign('c1')}),
+c2 AS ({_sql_update('a2')}),
+ea AS (SELECT vec_id, emb FROM aug),
+cells AS ({_sql_assign('c2', 'ea')}),
+sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_sql_pair_cos('a', 'b')}, 6) AS cos
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+),
+truth AS (
+  SELECT CASE WHEN cos >= {_NEARDUP_THRESHOLD} THEN 'clone_dup'
+              ELSE 'near_neighbor' END AS stratum, id_a, id_b
+  FROM sims
+  WHERE cos >= {_NEARDUP_THRESHOLD}
+     OR (id_a < 10000 AND id_b < 10000 AND cos >= {_CAND_NN_TAU})
+),
+cand_lsh AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM codes a JOIN codes b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+cand_ivf AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT stratum, 'sign_lsh' AS method, count(*) AS n_true,
+       (SELECT count(*) FROM cand_lsh) AS n_candidates,
+       count(c.id_a) AS n_hit,
+       round(count(c.id_a) * 1.0 / count(*), 6) AS recall
+FROM truth t LEFT JOIN cand_lsh c ON c.id_a = t.id_a AND c.id_b = t.id_b
+GROUP BY stratum
+UNION ALL
+SELECT stratum, 'ivf_cell' AS method, count(*) AS n_true,
+       (SELECT count(*) FROM cand_ivf) AS n_candidates,
+       count(c.id_a) AS n_hit,
+       round(count(c.id_a) * 1.0 / count(*), 6) AS recall
+FROM truth t LEFT JOIN cand_ivf c ON c.id_a = t.id_a AND c.id_b = t.id_b
+GROUP BY stratum
+"""
+
+
+@register(
+    "emb_candidate_recall",
+    _CANDIDATE_RECALL_ORACLE,
+    survey="§2.9 dedup-embedding-cosine + similarity-search quality (sign-LSH bands vs trained-IVF cells as candidate generators: per-stratum recall + candidate-count cost on one corpus)",
+)
+def q_emb_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators import kmeans
+
+    n_part = max(1, spark.sparkContext.defaultParallelism)
+    base = _track(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .repartition(n_part)
+        .persist()
+    )
+    clones = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr("transform(emb, x -> x * 1.5)").alias("emb"),
+    )
+    aug = _track(base.unionByName(clones).persist())
+
+    codes = S.sign_lsh_bands(aug, "vec_id", _sign_planes(base), _SIGN_BITS)
+    ca = codes.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+    cb = codes.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+    cand_lsh = (
+        ca.join(cb, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    e_nrm = base.withColumn("nrm", S.norm(F.col("emb")))
+    seeds = e_nrm.filter(
+        (F.col("vec_id") >= _IVF_SEED_BASE)
+        & (F.col("vec_id") < _IVF_SEED_BASE + _IVF_K)
+    ).select(
+        (F.col("vec_id") - _IVF_SEED_BASE).cast("int").alias("cluster"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cents = kmeans.lloyd(e_nrm, seeds, n_iter=_IVF_ITER)
+    aug_nrm = aug.withColumn("nrm", S.norm(F.col("emb")))
+    proj = aug_nrm.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cluster",
+        F.round(
+            S.dot(F.col("emb"), F.col("cvec")) / (F.col("nrm") * F.col("c_nrm")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cluster").asc()
+    )
+    cells = (
+        proj.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster")
+    )
+    cells_a = cells.select(F.col("vec_id").alias("id_a"), "cluster")
+    cells_b = cells.select(F.col("vec_id").alias("id_b"), "cluster")
+    cand_ivf = (
+        cells_a.join(cells_b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+    a = aug_nrm.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = aug_nrm.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
+    sims = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(
+            S.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos"),
+    )
+    truth = sims.filter(
+        (F.col("cos") >= _NEARDUP_THRESHOLD)
+        | (
+            (F.col("id_a") < 10000)
+            & (F.col("id_b") < 10000)
+            & (F.col("cos") >= _CAND_NN_TAU)
+        )
+    ).select(
+        F.when(F.col("cos") >= _NEARDUP_THRESHOLD, "clone_dup")
+        .otherwise("near_neighbor")
+        .alias("stratum"),
+        "id_a",
+        "id_b",
+    )
+
+    out = None
+    for method, cand in (("sign_lsh", cand_lsh), ("ivf_cell", cand_ivf)):
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        hit = cand.withColumn("hit", F.lit(1))
+        r = (
+            truth.join(hit, ["id_a", "id_b"], "left_outer")
+            .groupBy("stratum")
+            .agg(
+                F.count(F.lit(1)).alias("n_true"),
+                F.count("hit").alias("n_hit"),
+                F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall"),
+            )
+            .crossJoin(F.broadcast(n_cand))
+            .select(
+                "stratum",
+                F.lit(method).alias("method"),
+                "n_true",
+                "n_candidates",
+                "n_hit",
+                "recall",
+            )
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
