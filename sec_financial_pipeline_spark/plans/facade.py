@@ -76,17 +76,32 @@ class ServingFacade:
         return out
 
     def metric_series(
-        self, ticker: str, metric: str, fmt: str = "json"
+        self, ticker: str, metric: str, fmt: str = "json", years: int | None = None
     ) -> dict[str, Any] | bytes:
-        """GET /financials/{ticker}/{metric}?format= — one metric's
-        annual series, JSON / CSV / parquet download
-        (``main.py:146-186``, ``data_service.py:188-299``)."""
+        """GET /financials/{ticker}/{metric}?format=&years= — one
+        metric's annual series, JSON / CSV / parquet download
+        (``main.py:146-186``, ``data_service.py:188-299``).
+
+        ``years`` clips to the N most recent fiscal years PRESENT for
+        the ticker (the reference anchors to the wall-clock year,
+        ``data_service.py:180-185`` — nondeterministic on a fixed
+        corpus, so the engine serves the same last-N contract from the
+        data itself). Bounds 1..20 as the reference's Query(ge=1, le=20).
+        """
         t = validate_ticker(ticker)
-        key = cache_key(endpoint="series", ticker=t, metric=metric, fmt=fmt)
+        if years is not None and not 1 <= years <= 20:
+            raise ValueError(f"years must be in 1..20, got {years}")
+        key = cache_key(endpoint="series", ticker=t, metric=metric, fmt=fmt, years=years)
         hit = self.cache.get(key)
         if hit is not None:
             return hit
         df = self._series_df(t, metric)
+        if years is not None:
+            df = (
+                df.orderBy(F.col("fiscal_year").desc())
+                .limit(years)
+                .orderBy("fiscal_year")
+            )
         if fmt == "csv":
             out: dict[str, Any] | bytes = sink.to_csv_bytes(df)
         elif fmt == "parquet":

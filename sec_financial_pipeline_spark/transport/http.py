@@ -153,10 +153,14 @@ def _make_handler(srv: FacadeHTTPServer):
                 else:
                     self._send_json(200, facade.company_facts(t))
             elif method == "GET" and len(parts) == 3 and parts[0] == "financials":
-                fmt = (
-                    parse_qs(url.query).get("format", ["json"])[0].lower()
-                )
-                out = facade.metric_series(parts[1], parts[2], fmt=fmt)
+                q = parse_qs(url.query)
+                fmt = q.get("format", ["json"])[0].lower()
+                years_raw = q.get("years", [None])[0]
+                try:
+                    years = int(years_raw) if years_raw is not None else None
+                except ValueError:
+                    raise ValueError(f"years must be an integer, got {years_raw!r}")
+                out = facade.metric_series(parts[1], parts[2], fmt=fmt, years=years)
                 if isinstance(out, bytes):
                     self._send(200, out, _CONTENT_TYPES[fmt])
                 else:

@@ -169,3 +169,24 @@ def test_assembly_reconciles_with_offsets(spark):
 
     want_per_doc = {r.doc_id: r.n_tok for r in d.collect()}
     assert per_doc == want_per_doc
+
+
+def test_zero_size_rows_pack_and_assemble(spark):
+    """Zero-token rows take their boundary offset, span exactly their
+    containing chunk, and contribute a zero-length slice that does not
+    perturb the tiling of real content."""
+    from sec_financial_pipeline_spark.operators.packing import assemble_chunks
+
+    rows = [(1, 100), (2, 0), (3, 28), (4, 0), (5, 200)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    packed = pack_offsets(d, "doc_id", "n_tok", 128)
+    by_id = {r.doc_id: r for r in packed.collect()}
+    assert by_id[2].offset == 100 and by_id[4].offset == 128
+    assert (by_id[2].first_chunk, by_id[2].last_chunk) == (0, 0)
+    assert (by_id[4].first_chunk, by_id[4].last_chunk) == (1, 1)
+
+    chunks = assemble_chunks(packed, "n_tok", 128).collect()
+    zero_slices = [r for r in chunks if r.doc_id in (2, 4)]
+    assert all(r.slice_len == 0 for r in zero_slices)
+    total = sum(r.slice_len for r in chunks)
+    assert total == sum(n for _, n in rows)

@@ -106,9 +106,22 @@ def test_http_compare(http_srv):
     assert {"fiscal_year", "T01", "T02"} <= set(out["rows"][0])
 
 
+def test_http_years_clips_to_most_recent(http_srv):
+    _, _, full = _get(http_srv, "/financials/T01/revenue")
+    all_years = [r["fiscal_year"] for r in json.loads(full)["series"]]
+    status, _, body = _get(http_srv, "/financials/T01/revenue?years=3")
+    assert status == 200
+    out = json.loads(body)
+    assert out["n_periods"] == 3
+    assert [r["fiscal_year"] for r in out["series"]] == sorted(all_years)[-3:]
+
+
 def test_http_error_taxonomy(http_srv):
     assert _get(http_srv, "/financials/NOT%20OK!!!")[0] == 400  # bad ticker
     assert _get(http_srv, "/financials/T01/revenue?format=xml")[0] == 400
+    assert _get(http_srv, "/financials/T01/revenue?years=0")[0] == 400
+    assert _get(http_srv, "/financials/T01/revenue?years=21")[0] == 400
+    assert _get(http_srv, "/financials/T01/revenue?years=abc")[0] == 400
     assert _get(http_srv, "/nope")[0] == 404
 
 
