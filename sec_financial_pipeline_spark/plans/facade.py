@@ -134,3 +134,118 @@ class ServingFacade:
         """Ingest hook: drop every cached result involving ``ticker``
         (``cache.py:242-254``) — called after a merge/refresh lands."""
         return self.cache.invalidate_ticker(validate_ticker(ticker))
+
+    # -- data-management endpoints (main.py:235-300, 373-408) -------------
+
+    def tickers_overview(self, sample: int = 50) -> dict[str, Any]:
+        """GET /data/tickers — every ticker plus a bounded freshness
+        sample (the reference samples its first 50, ``main.py:244``)."""
+        key = cache_key(endpoint="tickers", sample=sample)
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        from sec_financial_pipeline_spark.operators.aggregates import (
+            freshness_watermark,
+        )
+
+        fresh = freshness_watermark(
+            self._facts().filter(F.col("fiscal_year").isNotNull()),
+            ["ticker"],
+            ["end_date", "instant_date"],
+            "fiscal_year",
+        ).orderBy("ticker")
+        rows = fresh.collect()
+        out = {
+            "total_tickers": len(rows),
+            "tickers": [r["ticker"] for r in rows],
+            "freshness_sample": {
+                r["ticker"]: {
+                    "last_updated": str(r["latest_date"]),
+                    "covered_periods": r["covered_periods"],
+                    "n_facts": r["n_facts"],
+                }
+                for r in rows[:sample]
+            },
+        }
+        self.cache.put(key, out)
+        return out
+
+    def ticker_info(self, ticker: str) -> dict[str, Any]:
+        """GET /data/ticker/{t}/info — freshness + backing-file stats
+        (``main.py:264-300``). Raises ``KeyError`` (-> 404) when the
+        engine has no facts for the ticker. On Spark the catalog IS the
+        filesystem: files come from the ``_metadata`` column of the
+        dataset that derives the facts, not a side ledger."""
+        t = validate_ticker(ticker)
+        key = cache_key(endpoint="ticker_info", ticker=t)
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        from sec_financial_pipeline_spark.operators.aggregates import (
+            freshness_watermark,
+        )
+        from sec_financial_pipeline_spark.sources.catalog import file_inventory
+
+        fresh = (
+            freshness_watermark(
+                self._facts().filter(
+                    (F.col("ticker") == t) & F.col("fiscal_year").isNotNull()
+                ),
+                ["ticker"],
+                ["end_date", "instant_date"],
+                "fiscal_year",
+            ).collect()
+        )
+        if not fresh:
+            raise KeyError(f"No data found for {t}")
+        r = fresh[0]
+        files = file_inventory(
+            self.spark, f"{self.sf_dir}/orders.parquet"
+        ).orderBy("file_path").collect()
+        out = {
+            "ticker": t,
+            "data_freshness": {
+                "last_updated": str(r["latest_date"]),
+                "covered_periods": r["covered_periods"],
+                "n_facts": r["n_facts"],
+            },
+            "files": [
+                {
+                    "file_path": f["file_path"],
+                    "file_size_mb": round(f["file_size"] / (1024 * 1024), 2),
+                    "record_count": f["n_rows"],
+                }
+                for f in files
+            ],
+            "total_files": len(files),
+            "total_records": sum(f["n_rows"] for f in files),
+        }
+        self.cache.put(key, out, tickers=(t,))
+        return out
+
+    def storage_overview(self) -> dict[str, Any]:
+        """GET /storage/stats — per-table file/byte/row rollup over the
+        engine's datasets (``data_manager.py:426-447``)."""
+        key = cache_key(endpoint="storage")
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        from sec_financial_pipeline_spark.schemas import TESTDATA_TABLES
+        from sec_financial_pipeline_spark.sources.catalog import storage_stats
+
+        tables = {}
+        for t in TESTDATA_TABLES:
+            s = storage_stats(self.spark, f"{self.sf_dir}/{t}.parquet").collect()[0]
+            tables[t] = {
+                "n_files": s["n_files"],
+                "total_bytes": s["total_bytes"],
+                "total_rows": s["total_rows"],
+            }
+        out = {
+            "tables": tables,
+            "total_files": sum(v["n_files"] for v in tables.values()),
+            "total_bytes": sum(v["total_bytes"] for v in tables.values()),
+            "total_rows": sum(v["total_rows"] for v in tables.values()),
+        }
+        self.cache.put(key, out)
+        return out

@@ -87,6 +87,12 @@ class ResultCache:
             del self._data[k]
         return len(dead)
 
+    def clear(self) -> int:
+        """Drop every entry (``POST /cache/clear``); returns the count."""
+        n = len(self._data)
+        self._data.clear()
+        return n
+
     def invalidate_ticker(self, ticker: str) -> int:
         """Per-ticker invalidation (``cache.py:242-254``)."""
         t = ticker.upper()

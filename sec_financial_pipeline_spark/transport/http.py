@@ -14,8 +14,15 @@ GET         /financials/{ticker}               all facts; 202 + background
 GET         /financials/{ticker}/{metric}      one metric series;
                                                ``?format=json|csv|parquet``
 POST        /financials/compare                body {tickers, metric}
+GET         /data/tickers                      tickers + freshness sample
+GET         /data/ticker/{ticker}/info         freshness + backing files
+                                               (404 when no data)
 POST        /etl/fetch/{ticker}                explicit fetch trigger
 POST        /etl/refresh                       full-refresh trigger
+GET         /etl/status                        fetch-queue status
+GET         /cache/stats                       result-cache statistics
+POST        /cache/clear                       drop every cache entry
+GET         /storage/stats                     per-table file/byte/row rollup
 DELETE      /cache/{ticker}                    per-ticker invalidation
 ==========  =================================  ==============================
 
@@ -126,6 +133,8 @@ def _make_handler(srv: FacadeHTTPServer):
                 self._send_json(400, {"detail": str(e)})
             except json.JSONDecodeError as e:
                 self._send_json(400, {"detail": f"bad JSON body: {e}"})
+            except KeyError as e:  # ticker with no data (main.py:271)
+                self._send_json(404, {"detail": str(e).strip("'")})
             except _NotFound:
                 self._send_json(404, {"detail": "not found"})
             except Exception as e:  # 500 taxonomy, reference-style
@@ -181,6 +190,27 @@ def _make_handler(srv: FacadeHTTPServer):
                 if srv._known is None:
                     srv.has_data("")  # populate the ticker set
                 self._send_json(200, fetcher.trigger_all(sorted(srv._known)))
+            elif method == "GET" and parts == ["data", "tickers"]:
+                self._send_json(200, facade.tickers_overview())
+            elif (
+                method == "GET"
+                and len(parts) == 4
+                and parts[:2] == ["data", "ticker"]
+                and parts[3] == "info"
+            ):
+                self._send_json(200, facade.ticker_info(parts[2]))
+            elif method == "GET" and parts == ["etl", "status"] and fetcher is not None:
+                self._send_json(200, fetcher.status())
+            elif method == "GET" and parts == ["cache", "stats"]:
+                self._send_json(200, facade.cache.stats())
+            elif method == "POST" and parts == ["cache", "clear"]:
+                n = facade.cache.clear()
+                self._send_json(
+                    200,
+                    {"message": f"Cleared {n} cache entries", "cleared_count": n},
+                )
+            elif method == "GET" and parts == ["storage", "stats"]:
+                self._send_json(200, facade.storage_overview())
             elif method == "DELETE" and len(parts) == 2 and parts[0] == "cache":
                 self._send_json(
                     200, {"invalidated": facade.invalidate(parts[1])}

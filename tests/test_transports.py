@@ -125,10 +125,53 @@ def test_http_error_taxonomy(http_srv):
     assert _get(http_srv, "/nope")[0] == 404
 
 
+def test_http_data_management_routes(http_srv):
+    status, _, body = _get(http_srv, "/data/tickers")
+    assert status == 200
+    out = json.loads(body)
+    assert out["total_tickers"] == len(out["tickers"]) > 0
+    assert "T01" in out["freshness_sample"]
+    sample = out["freshness_sample"]["T01"]
+    assert sample["n_facts"] > 0 and sample["covered_periods"]
+
+    status, _, body = _get(http_srv, "/data/ticker/T01/info")
+    assert status == 200
+    info = json.loads(body)
+    assert info["ticker"] == "T01" and info["total_files"] >= 1
+    assert info["total_records"] == sum(
+        f["record_count"] for f in info["files"]
+    )
+    assert _get(http_srv, "/data/ticker/QQQQ/info")[0] == 404
+
+    status, _, body = _get(http_srv, "/storage/stats")
+    assert status == 200
+    st = json.loads(body)
+    assert "orders" in st["tables"] and st["total_rows"] > 0
+    assert st["total_bytes"] == sum(
+        v["total_bytes"] for v in st["tables"].values()
+    )
+
+    status, _, body = _get(http_srv, "/etl/status")
+    assert status == 200
+    assert "counts" in json.loads(body)
+
+    status, _, body = _get(http_srv, "/cache/stats")
+    assert status == 200 and json.loads(body)["size"] >= 1
+
+    status, body = _post(http_srv, "/cache/clear")
+    assert status == 200
+    cleared = json.loads(body)
+    assert cleared["cleared_count"] >= 1
+    _, _, after = _get(http_srv, "/cache/stats")
+    assert json.loads(after)["size"] == 0
+
+
 def test_http_etl_trigger_and_invalidate(http_srv):
     status, body = _post(http_srv, "/etl/fetch/T07")
     assert status == 200 and json.loads(body)["ticker"] == "T07"
 
+    # warm a T01 key first (an earlier test may have cleared the cache)
+    assert _get(http_srv, "/financials/T01")[0] == 200
     url = f"http://127.0.0.1:{http_srv.port}/cache/T01"
     req = urllib.request.Request(url, method="DELETE")
     with urllib.request.urlopen(req) as r:
