@@ -29,6 +29,45 @@ from typing import Any, TextIO
 from sec_financial_pipeline_spark.plans.tools import ToolRegistry
 
 
+#: The two MCP resources the reference publishes (``server.py:185-199``),
+#: re-pointed at the engine's own datasets.
+RESOURCES = [
+    {
+        "uri": "sec://companies/all",
+        "name": "Companies",
+        "description": "All companies with tickers, CIKs and sectors",
+        "mimeType": "application/json",
+    },
+    {
+        "uri": "sec://metrics/available",
+        "name": "Available Financial Metrics",
+        "description": "List of all available financial metrics",
+        "mimeType": "application/json",
+    },
+]
+
+
+def _read_resource(registry: ToolRegistry, uri: str) -> str:
+    """Resource bodies (``server.py:202-237``): companies come from the
+    engine's companies dim, metrics from the alias map."""
+    from sec_financial_pipeline_spark.plans import domain
+
+    if uri == "sec://companies/all":
+        rows = (
+            domain.companies_df(registry.spark, registry.sf_dir)
+            .orderBy("ticker")
+            .collect()
+        )
+        return json.dumps(
+            {"companies": [r.asDict() for r in rows]}, indent=2, default=str
+        )
+    if uri == "sec://metrics/available":
+        return json.dumps(
+            registry.call("get_available_metrics"), indent=2, default=str
+        )
+    return f"Unknown resource: {uri}"
+
+
 def handle_request(registry: ToolRegistry, request: dict[str, Any]) -> dict[str, Any]:
     """Dispatch one request object; always returns a response object."""
     rid = request.get("id")
@@ -45,6 +84,18 @@ def handle_request(registry: ToolRegistry, request: dict[str, Any]) -> dict[str,
             return {
                 "id": rid,
                 "result": {"content": [{"type": "text", "text": text}]},
+            }
+        if method == "resources/list":
+            return {"id": rid, "result": {"resources": RESOURCES}}
+        if method == "resources/read":
+            uri = (request.get("params") or {}).get("uri", "")
+            return {
+                "id": rid,
+                "result": {
+                    "contents": [
+                        {"uri": uri, "text": _read_resource(registry, uri)}
+                    ]
+                },
             }
         return {"id": rid, "error": f"unknown method: {method!r}"}
     except (KeyError, TypeError, ValueError) as e:

@@ -228,6 +228,35 @@ def test_stdio_list_and_call_roundtrip(registry):
     assert r4["id"] == 4 and "Unknown tool" in r4["error"]
 
 
+def test_stdio_resources(registry):
+    listed = handle_request(registry, {"id": 5, "method": "resources/list"})
+    uris = {r["uri"] for r in listed["result"]["resources"]}
+    assert uris == {"sec://companies/all", "sec://metrics/available"}
+
+    read = handle_request(
+        registry,
+        {"id": 6, "method": "resources/read",
+         "params": {"uri": "sec://companies/all"}},
+    )
+    contents = read["result"]["contents"][0]
+    assert contents["uri"] == "sec://companies/all"
+    companies = json.loads(contents["text"])["companies"]
+    assert len(companies) == 25 and {"ticker", "cik", "sector"} <= set(companies[0])
+
+    metrics = handle_request(
+        registry,
+        {"id": 7, "method": "resources/read",
+         "params": {"uri": "sec://metrics/available"}},
+    )
+    assert "revenue" in metrics["result"]["contents"][0]["text"]
+
+    unknown = handle_request(
+        registry,
+        {"id": 8, "method": "resources/read", "params": {"uri": "sec://nope"}},
+    )
+    assert "Unknown resource" in unknown["result"]["contents"][0]["text"]
+
+
 def test_stdio_unknown_method(registry):
-    resp = handle_request(registry, {"id": 9, "method": "resources/list"})
+    resp = handle_request(registry, {"id": 9, "method": "prompts/list"})
     assert resp["id"] == 9 and "unknown method" in resp["error"]
