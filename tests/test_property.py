@@ -87,3 +87,50 @@ def test_range_join_matches_brute_force(spark, point_offsets, intervals, bucket)
         if a <= s < a + l
     )
     assert got == want
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60),
+    chunk=st.sampled_from([16, 64, 257]),
+)
+@settings(max_examples=15, deadline=None)
+def test_packing_matches_sequential_brute_force(spark, sizes, chunk):
+    """pack_offsets + assemble_chunks vs a plain-Python sequential pack:
+    offsets are the running sum in doc_id order, and the chunk slices
+    tile the concatenated token stream exactly — for ANY size mix
+    (zeros included) and chunk width."""
+    from sec_financial_pipeline_spark.operators.packing import (
+        assemble_chunks,
+        pack_offsets,
+    )
+
+    rows = [(i, n) for i, n in enumerate(sizes)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    packed = pack_offsets(d, "doc_id", "n_tok", chunk, num_partitions=3)
+
+    off, want = 0, {}
+    for i, n in enumerate(sizes):
+        span_end = off + max(n, 1) - 1
+        want[i] = (off, off // chunk, span_end // chunk)
+        off += n
+    got = {
+        r.doc_id: (r.offset, r.first_chunk, r.last_chunk)
+        for r in packed.collect()
+    }
+    assert got == want
+
+    slices = assemble_chunks(packed, "n_tok", chunk).collect()
+    # rebuild the token stream owner-by-position from the slices
+    stream: dict[int, int] = {}
+    for r in slices:
+        for p in range(r.slice_len):
+            pos = r.chunk_id * chunk + r.chunk_off + p
+            assert pos not in stream, "overlapping slices"
+            stream[pos] = r.doc_id
+    expect: dict[int, int] = {}
+    off = 0
+    for i, n in enumerate(sizes):
+        for p in range(n):
+            expect[off + p] = i
+        off += n
+    assert stream == expect
