@@ -108,3 +108,38 @@ def test_no_unbounded_nested_loops_anywhere(spark, sf_dir, name):
     # loop would be quadratic at scale
     for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
         assert "BuildRight" in frag.splitlines()[0] or "BuildLeft" in frag.splitlines()[0], name
+
+
+def test_media_payload_never_crosses_a_shuffle(spark, sf_dir):
+    """The multimodal contract at 100 TB: payload bytes ride only from
+    the scan into the in-partition mapInPandas; every Exchange in the
+    plan moves the extracted feature/stat columns, never the binary."""
+    import re
+
+    plan = _plan(spark, sf_dir, "mm_media_stats")
+    for frag in plan.split("Exchange")[1:]:
+        header = frag.splitlines()[0]
+        # the binary column renders as `payload#N`; `payload_hash#N` is
+        # the extracted stat and is exactly what SHOULD shuffle
+        assert not re.search(r"payload#\d", header), (
+            "binary payload entered a shuffle"
+        )
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_chunk_assembly_has_no_global_window(spark, sf_dir):
+    """Both packing phases must stay partitioned: the only windows are
+    the per-bucket running sum and the tiny subtotal-table cumsum — a
+    corpus-wide single-task window would be the 100 TB killer."""
+    plan = _plan(spark, sf_dir, "doc_chunk_assembly")
+    # every Window's partition spec must be non-empty except the one
+    # over the per-bucket subtotal table (bounded rows by construction)
+    import re
+
+    specs = re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)", plan)
+    unpartitioned = [s for s in specs if s.strip().startswith("__bkt") is False
+                     and "ASC NULLS FIRST" in s and "," not in s.split("ASC")[0]]
+    # the subtotal cumsum orders by __bkt alone; anything else
+    # unpartitioned would window the corpus
+    for s in unpartitioned:
+        assert "__bkt" in s, f"corpus-wide window detected: {s}"
