@@ -41,21 +41,29 @@ _ACTIVE = (QUEUED, IN_PROGRESS)
 
 
 class BackgroundFetcher:
-    """Per-ticker on-demand fetch queue with in-flight dedup."""
+    """Per-ticker on-demand fetch queue with in-flight dedup and a job
+    ledger (the reference's ETL job history, ``etl/pipeline.py:59-74``,
+    ``316-353``: per-job id/type/timing/records/error, rolled up into
+    pipeline stats served by ``GET /etl/status``)."""
 
-    def __init__(self, fetch_fn: Callable[[str], None]):
+    def __init__(self, fetch_fn: Callable[[str], Any]):
+        #: fetch_fn may return an int (records processed) — recorded in
+        #: the job ledger; any other return value is ignored.
         self._fetch_fn = fetch_fn
         self._lock = threading.Lock()
         #: ticker -> state; insertion order = FIFO drain order
         self._jobs: OrderedDict[str, str] = OrderedDict()
+        self._job_types: dict[str, str] = {}
         self._errors: dict[str, str] = {}
+        self._history: list[dict[str, Any]] = []
+        self._seq = 0
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
         self._wake = threading.Event()
 
     # -- enqueue surface ---------------------------------------------------
 
-    def trigger(self, ticker: str) -> dict[str, Any]:
+    def trigger(self, ticker: str, job_type: str = "incremental") -> dict[str, Any]:
         """Explicit fetch trigger (``POST /etl/fetch/{ticker}``). Returns
         the reference's in-progress payload; re-triggering an active job
         is a no-op (dedup), re-triggering a finished one requeues."""
@@ -64,6 +72,7 @@ class BackgroundFetcher:
             if self._jobs.get(t) not in _ACTIVE:
                 self._jobs[t] = QUEUED
                 self._jobs.move_to_end(t)
+                self._job_types[t] = job_type
                 self._errors.pop(t, None)
         self._wake.set()
         return {"message": f"Fetch triggered for {t}", "ticker": t, "status": IN_PROGRESS}
@@ -72,7 +81,7 @@ class BackgroundFetcher:
         """Full-refresh trigger (``POST /etl/refresh``)."""
         n = 0
         for t in tickers:
-            self.trigger(t)
+            self.trigger(t, job_type="full_refresh")
             n += 1
         return {"message": "Full data refresh triggered", "n_tickers": n, "status": IN_PROGRESS}
 
@@ -102,6 +111,8 @@ class BackgroundFetcher:
         """Synchronously drain every queued job (FIFO); returns how many
         ran. Failures are captured per-ticker, never raised — the queue
         must survive a bad ticker (the reference logs and continues)."""
+        import time
+
         n = 0
         while True:
             with self._lock:
@@ -111,15 +122,31 @@ class BackgroundFetcher:
                 if t is None:
                     return n
                 self._jobs[t] = IN_PROGRESS
+                self._seq += 1
+                record = {
+                    "job_id": f"job-{self._seq:06d}",
+                    "ticker": t,
+                    "job_type": self._job_types.get(t, "incremental"),
+                    "status": IN_PROGRESS,
+                    "started_at": time.time(),
+                    "completed_at": None,
+                    "records_processed": None,
+                    "error_message": None,
+                }
             try:
-                self._fetch_fn(t)
-                state = COMPLETED
+                result = self._fetch_fn(t)
+                record["status"] = COMPLETED
+                if isinstance(result, int):
+                    record["records_processed"] = result
             except Exception as e:  # capture, don't kill the drain loop
-                state = FAILED
+                record["status"] = FAILED
+                record["error_message"] = str(e)
                 with self._lock:
                     self._errors[t] = str(e)
+            record["completed_at"] = time.time()
             with self._lock:
-                self._jobs[t] = state
+                self._jobs[t] = record["status"]
+                self._history.append(record)
             n += 1
 
     def start(self) -> None:
@@ -163,14 +190,45 @@ class BackgroundFetcher:
 
     # -- status surface ----------------------------------------------------
 
+    def job_history(self, limit: int = 20) -> list[dict[str, Any]]:
+        """Most-recent-first job records (``pipeline.py:316-318``)."""
+        with self._lock:
+            return [dict(r) for r in self._history[-limit:][::-1]]
+
+    def pipeline_stats(self) -> dict[str, Any]:
+        """Ledger rollup (``pipeline.py:320-353``): totals, success rate,
+        records processed, last run."""
+        with self._lock:
+            done = [r for r in self._history if r["status"] == COMPLETED]
+            failed = [r for r in self._history if r["status"] == FAILED]
+            finished = len(done) + len(failed)
+            return {
+                "total_jobs": len(self._history),
+                "completed": len(done),
+                "failed": len(failed),
+                "success_rate": len(done) / finished if finished else 0.0,
+                "records_processed": sum(
+                    r["records_processed"] or 0 for r in done
+                ),
+                "last_run": max(
+                    (r["completed_at"] for r in self._history if r["completed_at"]),
+                    default=None,
+                ),
+            }
+
     def status(self) -> dict[str, Any]:
-        """``GET /etl/status`` rollup: per-state counts + failure detail."""
+        """``GET /etl/status`` rollup (``main.py:343-371``): per-state
+        counts + failure detail + pipeline stats + recent job records."""
         with self._lock:
             counts = {s: 0 for s in (QUEUED, IN_PROGRESS, COMPLETED, FAILED)}
             for s in self._jobs.values():
                 counts[s] += 1
-            return {
-                "jobs": dict(self._jobs),
-                "counts": counts,
-                "errors": dict(self._errors),
-            }
+            jobs = dict(self._jobs)
+            errors = dict(self._errors)
+        return {
+            "jobs": jobs,
+            "counts": counts,
+            "errors": errors,
+            "pipeline_stats": self.pipeline_stats(),
+            "recent_jobs": self.job_history(20),
+        }

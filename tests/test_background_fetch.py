@@ -111,3 +111,40 @@ def test_end_to_end_fetch_wiring(spark, tmp_path):
     got = spark.read.parquet(out_dir).filter(F.col("ticker") == "T42").collect()
     assert len(got) == 1 and got[0].value == 7.5
     assert bf.status()["jobs"]["T42"] == COMPLETED
+
+
+def test_job_ledger_records_and_stats():
+    """Reference ETL job history (pipeline.py:59-74, 316-353): per-job
+    id/type/timing/records/error, rolled up into pipeline stats."""
+    from sec_financial_pipeline_spark.plans.background import BackgroundFetcher
+
+    def fetch(t: str) -> int:
+        if t == "BAD":
+            raise RuntimeError("upstream 503")
+        return 42
+
+    f = BackgroundFetcher(fetch)
+    f.trigger("T01")
+    f.trigger("BAD")
+    f.trigger_all(["T02"])
+    assert f.run_pending() == 3
+
+    hist = f.job_history()
+    assert [h["ticker"] for h in hist] == ["T02", "BAD", "T01"]  # newest first
+    assert hist[0]["job_type"] == "full_refresh"
+    assert hist[2]["job_type"] == "incremental"
+    assert all(h["job_id"].startswith("job-") for h in hist)
+    assert all(h["completed_at"] >= h["started_at"] for h in hist)
+    bad = hist[1]
+    assert bad["status"] == "failed" and "503" in bad["error_message"]
+    assert hist[0]["records_processed"] == 42
+
+    stats = f.pipeline_stats()
+    assert stats["total_jobs"] == 3 and stats["completed"] == 2
+    assert stats["failed"] == 1 and abs(stats["success_rate"] - 2 / 3) < 1e-9
+    assert stats["records_processed"] == 84
+    assert stats["last_run"] is not None
+
+    status = f.status()
+    assert status["pipeline_stats"]["total_jobs"] == 3
+    assert len(status["recent_jobs"]) == 3
