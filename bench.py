@@ -51,6 +51,13 @@ HEADLINE = [
     "emb_sq_topk",
     "doc_curation_pipeline",
     "pipe_incremental",
+    # round-5 widening: sequence packing + chunk assembly + multimodal
+    # byte stats become regression-visible. (emb_candidate_recall is
+    # deliberately excluded: its exact all-pairs ground truth is a
+    # measurement harness, O(N^2) by design.)
+    "doc_pack_chunks",
+    "doc_chunk_assembly",
+    "mm_media_stats",
 ]
 
 
