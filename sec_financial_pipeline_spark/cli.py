@@ -1,0 +1,185 @@
+"""CLI entry point — the engine-side twin of the reference's
+``scripts/run_etl.py`` (SURVEY §3.2: ``fetch TICKER`` / ``incremental``
+/ ``refresh`` / ``status``) plus ``serve`` / ``tools`` for the two wire
+transports. Completes the reference's three entry points (REST, MCP,
+CLI) on the engine.
+
+The ETL "fetch" here is the warehouse-materialization job the reference
+runs after its network stage: derive the ticker's facts and write them
+partitioned-by-year with dynamic partition overwrite (``sources/sink``),
+then record the job in the fetch queue's ledger. ``incremental`` selects
+tickers via the T1 staleness policy over the warehouse's own freshness
+watermarks — exactly the reference's stale-ticker selection
+(``etl/pipeline.py:83-104``) — and runs a deduped job per stale ticker.
+
+Usage (module form; no console-script packaging by design):
+
+    python -m sec_financial_pipeline_spark.cli etl fetch T01
+    python -m sec_financial_pipeline_spark.cli etl incremental --as-of 1999-01-01
+    python -m sec_financial_pipeline_spark.cli etl refresh
+    python -m sec_financial_pipeline_spark.cli etl status
+    python -m sec_financial_pipeline_spark.cli serve --port 8000
+    python -m sec_financial_pipeline_spark.cli tools
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _fetch_job(spark: SparkSession, sf_dir: str, warehouse: str, ticker: str) -> int:
+    """One ETL job: derive the ticker's facts, write its partitions
+    (dynamic overwrite — untouched partitions survive), return the
+    record count for the ledger."""
+    from sec_financial_pipeline_spark.plans import domain
+    from sec_financial_pipeline_spark.sources import sink
+
+    facts = domain.facts_df(spark, sf_dir).filter(
+        (F.col("ticker") == ticker) & F.col("fiscal_year").isNotNull()
+    )
+    n = facts.count()
+    if n:
+        sink.overwrite_partitions(
+            facts, warehouse, partition_cols=("ticker", "fiscal_year")
+        )
+    return n
+
+
+def make_fetcher(spark: SparkSession, sf_dir: str, warehouse: str):
+    """A BackgroundFetcher wired to the warehouse-materialization job."""
+    from sec_financial_pipeline_spark.plans.background import BackgroundFetcher
+
+    return BackgroundFetcher(
+        lambda t: _fetch_job(spark, sf_dir, warehouse, t)
+    )
+
+
+def stale_tickers(spark: SparkSession, warehouse: str, as_of: str) -> list[str]:
+    """T1 stale-ticker selection over the warehouse's own watermarks
+    (``pipeline.py:83-104``): tickers whose latest filing age exceeds
+    their staleness tier. An empty/missing warehouse means everything is
+    stale — but with no stored tickers, there is nothing to refresh."""
+    from sec_financial_pipeline_spark.streaming.incremental import (
+        freshness,
+        staleness_policy,
+    )
+
+    try:
+        stored = spark.read.parquet(warehouse)
+    except Exception:
+        return []
+    fresh = freshness(stored, entity_col="ticker")
+    policy = staleness_policy(fresh, as_of=as_of)
+    rows = policy.filter(F.col("needs_update")).select("ticker").collect()
+    return sorted(r["ticker"] for r in rows)
+
+
+def _cmd_etl(args: argparse.Namespace, spark: SparkSession) -> dict[str, Any]:
+    fetcher = make_fetcher(spark, args.sf_dir, args.warehouse)
+    if args.etl_cmd == "fetch":
+        fetcher.trigger(args.ticker)
+        fetcher.run_pending()
+        return fetcher.status()
+    if args.etl_cmd == "incremental":
+        stale = stale_tickers(spark, args.warehouse, args.as_of)
+        for t in stale:
+            fetcher.trigger(t)
+        fetcher.run_pending()
+        out = fetcher.status()
+        out["stale_tickers"] = stale
+        return out
+    if args.etl_cmd == "refresh":
+        from sec_financial_pipeline_spark.plans import domain
+
+        tickers = sorted(
+            r["ticker"]
+            for r in domain.companies_df(spark, args.sf_dir)
+            .select("ticker")
+            .collect()
+        )
+        fetcher.trigger_all(tickers)
+        fetcher.run_pending()
+        return fetcher.status()
+    if args.etl_cmd == "status":
+        # a fresh process has an empty queue; status still reports the
+        # warehouse-side freshness view, which is the durable state
+        from sec_financial_pipeline_spark.streaming.incremental import freshness
+
+        try:
+            stored = spark.read.parquet(args.warehouse)
+            rows = freshness(stored, entity_col="ticker").orderBy("ticker").collect()
+            watermarks = {
+                r["ticker"]: {
+                    "last_filing_date": str(r["last_filing_date"]),
+                    "n_facts": r["n_facts"],
+                    "n_years": r["n_years"],
+                }
+                for r in rows
+            }
+        except Exception:
+            watermarks = {}
+        out = fetcher.status()
+        out["warehouse"] = {"path": args.warehouse, "tickers": watermarks}
+        return out
+    raise SystemExit(f"unknown etl command: {args.etl_cmd}")
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sec_financial_pipeline_spark")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--warehouse", default="spark-warehouse/facts")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    etl = sub.add_parser("etl", help="warehouse materialization jobs")
+    etl_sub = etl.add_subparsers(dest="etl_cmd", required=True)
+    fetch = etl_sub.add_parser("fetch")
+    fetch.add_argument("ticker")
+    inc = etl_sub.add_parser("incremental")
+    inc.add_argument("--as-of", required=True, help="YYYY-MM-DD staleness anchor")
+    etl_sub.add_parser("refresh")
+    etl_sub.add_parser("status")
+
+    serve = sub.add_parser("serve", help="HTTP facade server (blocking)")
+    serve.add_argument("--host", default="127.0.0.1")
+    serve.add_argument("--port", type=int, default=8000)
+
+    sub.add_parser("tools", help="stdio JSON tool loop (blocking)")
+
+    args = p.parse_args(argv)
+
+    own_session = spark is None
+    if spark is None:
+        from sec_financial_pipeline_spark.session import get_spark
+
+        spark = get_spark(app_name="sfp-cli")
+    try:
+        if args.cmd == "etl":
+            print(json.dumps(_cmd_etl(args, spark), default=str))
+            return 0
+        if args.cmd == "serve":
+            from sec_financial_pipeline_spark.transport.http import serve as http_serve
+
+            http_serve(spark, args.sf_dir, host=args.host, port=args.port)
+            return 0
+        if args.cmd == "tools":
+            from sec_financial_pipeline_spark.plans.tools import ToolRegistry
+            from sec_financial_pipeline_spark.transport.stdio import serve_stdio
+
+            serve_stdio(
+                ToolRegistry(spark, args.sf_dir), sys.stdin, sys.stdout
+            )
+            return 0
+        raise SystemExit(f"unknown command: {args.cmd}")
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

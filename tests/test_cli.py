@@ -1,0 +1,82 @@
+"""The CLI lifecycle (SURVEY §3.2): fetch materializes a ticker's fact
+partitions into the warehouse, incremental selects stale tickers via
+the T1 policy over the warehouse's own watermarks, status reports the
+ledger + durable freshness view."""
+
+from __future__ import annotations
+
+import json
+
+from sec_financial_pipeline_spark.cli import main, stale_tickers
+
+
+def _run(capsys, spark, argv) -> dict:
+    assert main(argv, spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_etl_fetch_writes_partitions_and_ledger(tmp_path, capsys, spark, sf_dir):
+    wh = str(tmp_path / "facts")
+    out = _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "--warehouse", wh, "etl", "fetch", "T01"],
+    )
+    assert out["jobs"] == {"T01": "completed"}
+    job = out["recent_jobs"][0]
+    assert job["ticker"] == "T01" and job["records_processed"] > 0
+
+    stored = spark.read.parquet(wh)
+    assert stored.select("ticker").distinct().collect()[0][0] == "T01"
+    assert stored.count() == job["records_processed"]
+    # partition pruning must reach the directory layout
+    assert (tmp_path / "facts" / "ticker=T01").exists()
+
+    # a second ticker lands beside the first (dynamic overwrite)
+    _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "--warehouse", wh, "etl", "fetch", "T02"],
+    )
+    tickers = {
+        r[0] for r in spark.read.parquet(wh).select("ticker").distinct().collect()
+    }
+    assert tickers == {"T01", "T02"}
+
+
+def test_etl_incremental_selects_stale_by_policy(tmp_path, capsys, spark, sf_dir):
+    wh = str(tmp_path / "facts")
+    for t in ("T03", "T04"):
+        _run(
+            capsys, spark,
+            ["--sf-dir", sf_dir, "--warehouse", wh, "etl", "fetch", t],
+        )
+    # synthetic corpus's latest filing is 2001-07; anchored months
+    # after, every stored ticker exceeds its staleness tier
+    stale = stale_tickers(spark, wh, as_of="2002-01-01")
+    assert stale == ["T03", "T04"]
+
+    out = _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "--warehouse", wh,
+         "etl", "incremental", "--as-of", "2002-01-01"],
+    )
+    assert out["stale_tickers"] == ["T03", "T04"]
+    assert out["counts"]["completed"] == 2
+    assert out["pipeline_stats"]["success_rate"] == 1.0
+
+    # empty warehouse -> nothing stored -> nothing to refresh
+    assert stale_tickers(spark, str(tmp_path / "nope"), "2002-01-01") == []
+
+
+def test_etl_status_reports_warehouse_watermarks(tmp_path, capsys, spark, sf_dir):
+    wh = str(tmp_path / "facts")
+    _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "--warehouse", wh, "etl", "fetch", "T05"],
+    )
+    out = _run(
+        capsys, spark, ["--sf-dir", sf_dir, "--warehouse", wh, "etl", "status"]
+    )
+    wm = out["warehouse"]["tickers"]
+    assert set(wm) == {"T05"}
+    assert wm["T05"]["n_facts"] > 0 and wm["T05"]["n_years"] > 0
