@@ -106,6 +106,16 @@ def _cmd_etl(args: argparse.Namespace, spark: SparkSession) -> dict[str, Any]:
         fetcher.trigger_all(tickers)
         fetcher.run_pending()
         return fetcher.status()
+    if args.etl_cmd == "compact":
+        from sec_financial_pipeline_spark.sources.sink import compact
+
+        n = compact(
+            spark,
+            args.warehouse,
+            target_files_per_partition=args.files_per_partition,
+            partition_cols=("ticker", "fiscal_year"),
+        )
+        return {"warehouse": args.warehouse, "files_after": n}
     if args.etl_cmd == "status":
         # a fresh process has an empty queue; status still reports the
         # warehouse-side freshness view, which is the durable state
@@ -143,6 +153,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     inc = etl_sub.add_parser("incremental")
     inc.add_argument("--as-of", required=True, help="YYYY-MM-DD staleness anchor")
     etl_sub.add_parser("refresh")
+    comp = etl_sub.add_parser("compact", help="small-file compaction (OPTIMIZE analog)")
+    comp.add_argument("--files-per-partition", type=int, default=1)
     etl_sub.add_parser("status")
 
     serve = sub.add_parser("serve", help="HTTP facade server (blocking)")

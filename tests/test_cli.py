@@ -80,3 +80,30 @@ def test_etl_status_reports_warehouse_watermarks(tmp_path, capsys, spark, sf_dir
     wm = out["warehouse"]["tickers"]
     assert set(wm) == {"T05"}
     assert wm["T05"]["n_facts"] > 0 and wm["T05"]["n_years"] > 0
+
+
+def test_etl_compact_reduces_files(tmp_path, capsys, spark, sf_dir):
+    wh = str(tmp_path / "facts")
+    for t in ("T06", "T07"):
+        _run(
+            capsys, spark,
+            ["--sf-dir", sf_dir, "--warehouse", wh, "etl", "fetch", t],
+        )
+    before = spark.read.parquet(wh)
+    rows_before = before.count()
+
+    out = _run(
+        capsys, spark, ["--sf-dir", sf_dir, "--warehouse", wh, "etl", "compact"]
+    )
+    # one file per (ticker, fiscal_year) partition directory afterwards
+    import os
+
+    part_dirs = 0
+    for root, dirs, files in os.walk(wh):
+        if any(f.endswith(".parquet") for f in files):
+            part_dirs += 1
+            assert sum(f.endswith(".parquet") for f in files) == 1, root
+    assert out["files_after"] == part_dirs >= 2
+
+    after = spark.read.parquet(wh)
+    assert after.count() == rows_before  # lossless rewrite
