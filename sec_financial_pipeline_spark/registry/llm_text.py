@@ -350,3 +350,97 @@ def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("payload_hash").alias("min_hash"),
         F.max("payload_hash").alias("max_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (operators/redact.py): scrub emails/SSNs/phones before
+# anything downstream sees the text — pure JVM-side regex, no UDF. The
+# synthetic corpus carries no natural PII, so deterministic spans are
+# woven in first (both engines replay the identical derivation); the
+# query audits per-source redaction counts and proves the scrubbed text
+# byte-identical via md5. Patterns stay inside the Java-regex/RE2
+# common subset so Spark and DuckDB agree on every span.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_redact",
+    r"""
+WITH seeded AS (
+  SELECT doc_id, source,
+         text || CASE
+           WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN doc_id % 13 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE ''
+         END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+         len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+  FROM seeded
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_email) AS emails_redacted,
+       sum(n_ssn) AS ssns_redacted,
+       sum(n_phone) AS phones_redacted,
+       min(md5(redacted)) AS min_redacted_hash,
+       max(md5(redacted)) AS max_redacted_hash
+FROM scrubbed
+GROUP BY source
+""",
+    survey="§2.9 text curation (PII redaction: ordered regex scrub of emails/SSNs/phones, JVM-side codegen, per-source audit counts + byte-exact scrubbed-text hashes)",
+)
+def q_doc_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.redact import redact
+
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call 555-867-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = redact(seeded, text_col="text")
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("emails_redacted"),
+        F.sum("n_ssn").cast("bigint").alias("ssns_redacted"),
+        F.sum("n_phone").cast("bigint").alias("phones_redacted"),
+        F.min(F.md5(F.col("redacted"))).alias("min_redacted_hash"),
+        F.max(F.md5(F.col("redacted"))).alias("max_redacted_hash"),
+    )
