@@ -166,7 +166,7 @@ scored AS (
   SELECT d.doc_id, d.lang, d.source,
          ('0x' || substr(md5('{_MIX_SALT}' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
            / 4294967296.0 AS u,
-         coalesce(r.rate, {_MIX_DEFAULT}) AS rate
+         coalesce(CAST(r.rate AS DOUBLE), {_MIX_DEFAULT}) AS rate
   FROM documents d LEFT JOIN rates r ON d.lang = r.lang
 )
 SELECT lang,
@@ -224,7 +224,7 @@ cum AS (
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
   FROM toks
 )
-SELECT doc_id, off AS offset,
+SELECT doc_id, CAST(off AS BIGINT) AS offset,
        CAST(off // {_CHUNK_TOKENS} AS BIGINT) AS first_chunk,
        CAST((off + greatest(n_tok, 1) - 1) // {_CHUNK_TOKENS} AS BIGINT) AS last_chunk
 FROM cum
@@ -277,10 +277,10 @@ exploded AS (
   FROM spans
 )
 SELECT chunk_id, doc_id,
-       greatest(off, chunk_id * {_CHUNK_TOKENS}) - chunk_id * {_CHUNK_TOKENS} AS chunk_off,
-       greatest(off, chunk_id * {_CHUNK_TOKENS}) - off AS doc_start,
-       least(off + n_tok, (chunk_id + 1) * {_CHUNK_TOKENS})
-         - greatest(off, chunk_id * {_CHUNK_TOKENS}) AS slice_len
+       CAST(greatest(off, chunk_id * {_CHUNK_TOKENS}) - chunk_id * {_CHUNK_TOKENS} AS BIGINT) AS chunk_off,
+       CAST(greatest(off, chunk_id * {_CHUNK_TOKENS}) - off AS BIGINT) AS doc_start,
+       CAST(least(off + n_tok, (chunk_id + 1) * {_CHUNK_TOKENS})
+         - greatest(off, chunk_id * {_CHUNK_TOKENS}) AS BIGINT) AS slice_len
 FROM exploded
 """,
     survey="§2.9 sequence packing (chunk assembly: per-chunk ordered doc slices via bounded explode of each doc's chunk range — the dataloader-side inverse of doc_pack_chunks)",
@@ -324,7 +324,7 @@ WITH media AS (
 )
 SELECT media_type,
        count(*) AS n_media,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        count(DISTINCT md5(text)) AS distinct_payloads,
        min(md5(text)) AS min_hash,
        max(md5(text)) AS max_hash
@@ -391,9 +391,9 @@ scrubbed AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(n_email) AS emails_redacted,
-       sum(n_ssn) AS ssns_redacted,
-       sum(n_phone) AS phones_redacted,
+       CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+       CAST(sum(n_ssn) AS BIGINT) AS ssns_redacted,
+       CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
        min(md5(redacted)) AS min_redacted_hash,
        max(md5(redacted)) AS max_redacted_hash
 FROM scrubbed
