@@ -60,6 +60,15 @@ def make_fetcher(spark: SparkSession, sf_dir: str, warehouse: str):
     )
 
 
+def _is_path_missing(e: Exception) -> bool:
+    """True only for Spark's path-not-found AnalysisException."""
+    from pyspark.errors import AnalysisException
+
+    return isinstance(e, AnalysisException) and (
+        "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+    )
+
+
 def stale_tickers(spark: SparkSession, warehouse: str, as_of: str) -> list[str]:
     """T1 stale-ticker selection over the warehouse's own watermarks
     (``pipeline.py:83-104``): tickers whose latest filing age exceeds
@@ -72,8 +81,12 @@ def stale_tickers(spark: SparkSession, warehouse: str, as_of: str) -> list[str]:
 
     try:
         stored = spark.read.parquet(warehouse)
-    except Exception:
-        return []
+    except Exception as e:
+        # only a missing warehouse means "nothing stored yet" — a corrupt
+        # or unreadable one must surface, not report "nothing stale"
+        if _is_path_missing(e):
+            return []
+        raise
     fresh = freshness(stored, entity_col="ticker")
     policy = staleness_policy(fresh, as_of=as_of)
     rows = policy.filter(F.col("needs_update")).select("ticker").collect()
@@ -132,7 +145,9 @@ def _cmd_etl(args: argparse.Namespace, spark: SparkSession) -> dict[str, Any]:
                 }
                 for r in rows
             }
-        except Exception:
+        except Exception as e:
+            if not _is_path_missing(e):
+                raise
             watermarks = {}
         out = fetcher.status()
         out["warehouse"] = {"path": args.warehouse, "tickers": watermarks}

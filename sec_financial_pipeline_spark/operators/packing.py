@@ -114,14 +114,17 @@ def pack_offsets(
     subtotals = bucketed.groupBy("__bkt").agg(
         F.sum(F.col(size_col).cast("long")).alias("__bsum")
     )
-    # phase 2: base offset per bucket — window over the SUBTOTAL table
-    # only; rowsBetween excludes the current bucket's own sum
-    w_base = (
-        Window.orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bases = subtotals.select(
-        "__bkt", F.coalesce(F.sum("__bsum").over(w_base), F.lit(0)).alias("__base")
+    # phase 2: base offset per bucket — an exact cumulative sum over the
+    # collected subtotals. The collect is <= n_part scalar rows (cluster
+    # parallelism, not corpus size), so this stays driver-safe at 100 TB
+    # and leaves the plan with ZERO unpartitioned windows.
+    sub_rows = sorted(subtotals.collect(), key=lambda r: r["__bkt"])
+    base_rows, running = [], 0
+    for r in sub_rows:
+        base_rows.append((int(r["__bkt"]), running))
+        running += int(r["__bsum"] or 0)
+    bases = df.sparkSession.createDataFrame(
+        base_rows, "__bkt int, __base long"
     )
     # within-bucket running sum (partitioned window — parallel),
     # exclusive of the current row

@@ -60,6 +60,13 @@ class BackgroundFetcher:
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
         self._wake = threading.Event()
+        #: called with the ticker after a job COMPLETES — serving layers
+        #: hook cache/known-set invalidation here so a 202'd ticker
+        #: becomes visible once its fetch lands
+        self._completion_listeners: list[Callable[[str], Any]] = []
+
+    def add_completion_listener(self, fn: Callable[[str], Any]) -> None:
+        self._completion_listeners.append(fn)
 
     # -- enqueue surface ---------------------------------------------------
 
@@ -147,6 +154,12 @@ class BackgroundFetcher:
             with self._lock:
                 self._jobs[t] = record["status"]
                 self._history.append(record)
+            if record["status"] == COMPLETED:
+                for fn in self._completion_listeners:
+                    try:
+                        fn(t)
+                    except Exception:  # listeners never break the drain
+                        pass
             n += 1
 
     def start(self) -> None:

@@ -670,14 +670,32 @@ def q_latest_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = windows.latest_per_group(
         rev, ["ticker"], [F.col("fiscal_year").desc()]
     )
-    w = Window.orderBy(F.col("value").desc(), F.col("ticker").asc())
-    ranked = latest.select(
-        "ticker",
-        F.col("fiscal_year").alias("latest_year"),
-        F.col("value").alias("latest_revenue"),
-        F.rank().over(w).cast("int").alias("revenue_rank"),
+    # heap top-k FIRST (TakeOrderedAndProject — no global sort, no
+    # single-task window over all tickers). (value desc, ticker) is a
+    # total order, so the top-10's ranks equal their global ranks; the
+    # rank itself is a preceding-row count over the bounded 10-row
+    # winner set (10x10 broadcast), leaving the plan with NO
+    # unpartitioned WindowExec anywhere.
+    top = windows.top_k(
+        latest, [F.col("value").desc(), F.col("ticker").asc()], 10
     )
-    return windows.top_k(ranked, [F.col("revenue_rank").asc()], 10)
+    prev = top.select(
+        F.col("value").alias("__v2"), F.col("ticker").alias("__t2")
+    )
+    precedes = (F.col("__v2") > F.col("value")) | (
+        (F.col("__v2") == F.col("value")) & (F.col("__t2") < F.col("ticker"))
+    )
+    return (
+        top.join(F.broadcast(prev), precedes, "left")
+        .groupBy("ticker", "fiscal_year", "value")
+        .agg((F.count("__t2") + 1).cast("int").alias("revenue_rank"))
+        .select(
+            "ticker",
+            F.col("fiscal_year").alias("latest_year"),
+            F.col("value").alias("latest_revenue"),
+            "revenue_rank",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

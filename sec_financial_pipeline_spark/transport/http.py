@@ -37,6 +37,7 @@ cache first, so concurrent GETs of warm keys never reach the engine.
 
 from __future__ import annotations
 
+import gzip
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -53,6 +54,13 @@ _CONTENT_TYPES = {
     "parquet": "application/octet-stream",
 }
 
+#: GZip threshold — the reference's ``GZipMiddleware(minimum_size=1000)``
+#: (``reference/src/api/main.py:54``); smaller bodies ship uncompressed.
+GZIP_MIN_SIZE = 1000
+
+#: already-compressed payloads gain nothing from a second pass
+_GZIP_EXEMPT_CTYPES = frozenset({"application/octet-stream"})
+
 
 class FacadeHTTPServer:
     """Bind a :class:`ServingFacade` (and optionally a
@@ -68,13 +76,17 @@ class FacadeHTTPServer:
     ):
         self.facade = facade
         self.fetcher = fetcher
+        if fetcher is not None:
+            fetcher.add_completion_listener(self.invalidate_known)
         handler = _make_handler(self)
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None
 
-    # known tickers resolve once per process then serve from this set —
-    # the membership probe must not run a Spark job per request
+    # known tickers resolve once then serve from this set — the
+    # membership probe must not run a Spark job per request. The set is
+    # invalidated when a background fetch completes (wired in __init__),
+    # so a 202'd ticker becomes servable once its job lands.
     _known: frozenset[str] | None = None
 
     def has_data(self, ticker: str) -> bool:
@@ -84,6 +96,10 @@ class FacadeHTTPServer:
             )
             self._known = frozenset(r[0] for r in rows)
         return ticker in self._known
+
+    def invalidate_known(self, ticker: str | None = None) -> None:
+        """Drop the cached ticker set (next probe re-resolves)."""
+        self._known = None
 
     def serve_forever(self) -> None:
         self._httpd.serve_forever()
@@ -110,6 +126,14 @@ def _make_handler(srv: FacadeHTTPServer):
         def _send(self, status: int, body: bytes, ctype: str) -> None:
             self.send_response(status)
             self.send_header("Content-Type", ctype)
+            if (
+                len(body) >= GZIP_MIN_SIZE
+                and ctype not in _GZIP_EXEMPT_CTYPES
+                and "gzip"
+                in (self.headers.get("Accept-Encoding") or "").lower()
+            ):
+                body = gzip.compress(body)
+                self.send_header("Content-Encoding", "gzip")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -185,7 +209,9 @@ def _make_handler(srv: FacadeHTTPServer):
                 and parts[:2] == ["etl", "fetch"]
                 and fetcher is not None
             ):
-                self._send_json(200, fetcher.trigger(parts[2]))
+                # validation precedes enqueue, matching the GET route —
+                # a malformed ticker is a 400, never a queued job
+                self._send_json(200, fetcher.trigger(validate_ticker(parts[2])))
             elif method == "POST" and parts == ["etl", "refresh"] and fetcher is not None:
                 if srv._known is None:
                     srv.has_data("")  # populate the ticker set
@@ -234,12 +260,23 @@ class _NotFound(Exception):
     pass
 
 
-def serve(spark, sf_dir: str, host: str = "127.0.0.1", port: int = 8000) -> None:
-    """Blocking entrypoint: bind a facade (and a no-op background
-    fetcher drain) to ``host:port`` — the stdlib twin of the reference's
-    ``uvicorn.run(app)``."""
+def serve(
+    spark,
+    sf_dir: str,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    warehouse: str = "spark-warehouse/facts",
+) -> None:
+    """Blocking entrypoint: bind a facade plus a REAL warehouse
+    materialization fetcher to ``host:port`` — the stdlib twin of the
+    reference's ``uvicorn.run(app)``. A 202'd miss now resolves: the
+    background job materializes the ticker into the warehouse and the
+    completion listener drops the cached ticker set, so the retry the
+    202 body promises actually serves data."""
+    from sec_financial_pipeline_spark.cli import make_fetcher
+
     facade = ServingFacade(spark, sf_dir)
-    fetcher = BackgroundFetcher(lambda t: None)
+    fetcher = make_fetcher(spark, sf_dir, warehouse)
     fetcher.start()
     try:
         FacadeHTTPServer(facade, fetcher, host=host, port=port).serve_forever()

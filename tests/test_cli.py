@@ -107,3 +107,17 @@ def test_etl_compact_reduces_files(tmp_path, capsys, spark, sf_dir):
 
     after = spark.read.parquet(wh)
     assert after.count() == rows_before  # lossless rewrite
+
+
+def test_stale_tickers_missing_vs_corrupt_warehouse(tmp_path, spark):
+    # missing path: legitimately "nothing stored yet"
+    assert stale_tickers(spark, str(tmp_path / "nope"), "2024-01-01") == []
+
+    # corrupt warehouse: must raise, never report "nothing stale"
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        stale_tickers(spark, str(bad), "2024-01-01")

@@ -143,3 +143,32 @@ def test_chunk_assembly_has_no_global_window(spark, sf_dir):
     # unpartitioned would window the corpus
     for s in unpartitioned:
         assert "__bkt" in s, f"corpus-wide window detected: {s}"
+
+
+_WINDOWSPEC_RE = __import__("re").compile(r"windowspecdefinition\(([^)]*)")
+
+
+def _unpartitioned_window_specs(plan: str) -> list[str]:
+    """windowspecdefinition args whose FIRST token is an order column
+    (carries ASC/DESC) — i.e. an empty partition spec. Spark moves all
+    rows of such a window to one task ("No Partition Defined" warning),
+    the 100 TB killer unless the input is provably bounded."""
+    out = []
+    for args in _WINDOWSPEC_RE.findall(plan):
+        first = args.split(",")[0].strip()
+        if " ASC" in first or " DESC" in first:
+            out.append(first)
+    return sorted(set(out))
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unpartitioned_windows_anywhere(spark, sf_dir, name):
+    """Every registered query must plan with zero unpartitioned
+    WindowExecs — global prefix sums go through the two-phase bucketed
+    pattern (operators/packing.py), global ranks through heap top-k plus
+    bounded preceding-count. Keeps the bench tail free of WindowExec
+    single-partition warnings and makes any regression a test failure,
+    not a log line."""
+    plan = _plan(spark, sf_dir, name)
+    specs = _unpartitioned_window_specs(plan)
+    assert not specs, f"{name}: unpartitioned global window over {specs}"

@@ -6,6 +6,7 @@ reference's two front doors (FastAPI ``main.py:105-233``; MCP stdio
 
 from __future__ import annotations
 
+import http.client
 import io
 import json
 import urllib.error
@@ -260,3 +261,190 @@ def test_stdio_resources(registry):
 def test_stdio_unknown_method(registry):
     resp = handle_request(registry, {"id": 9, "method": "prompts/list"})
     assert resp["id"] == 9 and "unknown method" in resp["error"]
+
+
+# ---------------------------------------------------------------------------
+# GZip at the HTTP edge (reference GZipMiddleware, main.py:54): bodies
+# >= 1000 bytes compress when the client advertises gzip; small bodies
+# and clients without Accept-Encoding get identity bytes.
+# ---------------------------------------------------------------------------
+
+
+def _get_hdr(srv, path: str, headers: dict[str, str]):
+    url = f"http://127.0.0.1:{srv.port}{path}"
+    req = urllib.request.Request(url, headers=headers)
+    with urllib.request.urlopen(req) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def test_http_gzip_large_json_body(http_srv):
+    import gzip as gz
+
+    _, _, plain = _get(http_srv, "/financials/T01")
+    assert len(plain) >= 1000  # precondition for the threshold path
+
+    status, hdrs, body = _get_hdr(
+        http_srv, "/financials/T01", {"Accept-Encoding": "gzip"}
+    )
+    assert status == 200 and hdrs.get("Content-Encoding") == "gzip"
+    assert len(body) < len(plain)  # actually smaller on the wire
+    assert json.loads(gz.decompress(body)) == json.loads(plain)
+
+
+def test_http_gzip_skips_small_and_identity_clients(http_srv):
+    # /health is tiny -> identity even when gzip is accepted
+    status, hdrs, body = _get_hdr(
+        http_srv, "/health", {"Accept-Encoding": "gzip"}
+    )
+    assert status == 200 and hdrs.get("Content-Encoding") is None
+    assert json.loads(body)["status"] == "healthy"
+
+    # no Accept-Encoding -> identity regardless of size
+    status, hdrs, body = _get(http_srv, "/financials/T01")
+    assert status == 200 and json.loads(body)["ticker"] == "T01"
+
+
+def test_http_gzip_exempts_parquet(http_srv):
+    status, hdrs, body = _get_hdr(
+        http_srv,
+        "/financials/T01/revenue?format=parquet",
+        {"Accept-Encoding": "gzip"},
+    )
+    assert status == 200 and hdrs.get("Content-Encoding") is None
+    assert body[:4] == b"PAR1"
+
+
+# ---------------------------------------------------------------------------
+# 202 path actually resolves: a completed background fetch invalidates
+# the cached known-ticker set, so the promised retry can see new data.
+# ---------------------------------------------------------------------------
+
+
+def test_http_fetch_completion_invalidates_known_set(http_srv):
+    status, _, _ = _get(http_srv, "/financials/ZZZX")
+    assert status == 202
+    assert http_srv._known is not None  # probe populated the cache
+    http_srv.fetcher.run_pending()
+    assert http_srv._known is None  # completion listener dropped it
+
+
+def test_http_etl_fetch_validates_ticker(http_srv):
+    status, body = _post(http_srv, "/etl/fetch/NOT%20OK!!!")
+    assert status == 400  # malformed ticker never reaches the queue
+    assert "detail" in json.loads(body)
+    assert not any("NOT" in t for t in http_srv.fetcher.status()["jobs"])
+
+
+# ---------------------------------------------------------------------------
+# SSE MCP transport: the reference's network mode
+# (scripts/run_mcp_server.py:43-69) — endpoint handshake on GET /sse,
+# requests via POST /messages, responses as on-stream message events,
+# sharing handle_request with the stdio loop.
+# ---------------------------------------------------------------------------
+
+
+def _read_event(fp):
+    """Parse one SSE frame (event name, joined data) off a stream."""
+    event, data = None, []
+    while True:
+        line = fp.readline().decode()
+        if not line:
+            raise AssertionError("SSE stream closed mid-frame")
+        if line.strip() == "":
+            if event is not None or data:
+                return event, "\n".join(data)
+            continue
+        if line.startswith("event:"):
+            event = line.split(":", 1)[1].strip()
+        elif line.startswith("data:"):
+            data.append(line.split(":", 1)[1].strip())
+
+
+@pytest.fixture(scope="module")
+def sse_srv(registry):
+    from sec_financial_pipeline_spark.transport.sse import MCPSSEServer
+
+    srv = MCPSSEServer(registry)
+    srv.start()
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture()
+def sse_stream(sse_srv):
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", sse_srv.port, timeout=30)
+    conn.request("GET", "/sse")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "text/event-stream"
+    yield sse_srv, conn, resp
+    conn.close()
+
+
+def test_sse_handshake_and_tool_call(sse_stream):
+    sse_srv, conn, resp = sse_stream
+    event, endpoint = _read_event(resp.fp)
+    assert event == "endpoint" and endpoint.startswith("/messages?session_id=")
+
+    def post(obj):
+        c = http.client.HTTPConnection("127.0.0.1", sse_srv.port, timeout=30)
+        c.request(
+            "POST", endpoint, body=json.dumps(obj),
+            headers={"Content-Type": "application/json"},
+        )
+        r = c.getresponse()
+        out = (r.status, json.loads(r.read()))
+        c.close()
+        return out
+
+    status, ack = post({"id": 1, "method": "tools/list"})
+    assert status == 202 and ack["status"] == "accepted"
+    event, data = _read_event(resp.fp)
+    assert event == "message"
+    listed = json.loads(data)
+    names = {t["name"] for t in listed["result"]["tools"]}
+    assert listed["id"] == 1 and "get_financial_metric" in names
+
+    # a real tool call over the same session — identical result shape to
+    # the stdio loop (shared dispatch)
+    status, _ = post(
+        {
+            "id": 2,
+            "method": "tools/call",
+            "params": {
+                "name": "get_financial_metric",
+                "arguments": {"ticker": "T01", "metric": "revenue"},
+            },
+        }
+    )
+    assert status == 202
+    event, data = _read_event(resp.fp)
+    called = json.loads(data)
+    payload = json.loads(called["result"]["content"][0]["text"])
+    assert called["id"] == 2
+    assert payload["ticker"] == "T01" and payload["metric"] == "revenue"
+
+    # malformed JSON never kills the stream: id-less error frame
+    c = http.client.HTTPConnection("127.0.0.1", sse_srv.port, timeout=30)
+    c.request("POST", endpoint, body="{nope")
+    assert c.getresponse().status == 202
+    c.close()
+    event, data = _read_event(resp.fp)
+    err = json.loads(data)
+    assert err["id"] is None and "bad JSON" in err["error"]
+
+
+def test_sse_unknown_session_and_routes(sse_srv):
+    import http.client
+
+    c = http.client.HTTPConnection("127.0.0.1", sse_srv.port, timeout=30)
+    c.request("POST", "/messages?session_id=deadbeef", body="{}")
+    assert c.getresponse().status == 404
+    c.close()
+
+    c = http.client.HTTPConnection("127.0.0.1", sse_srv.port, timeout=30)
+    c.request("GET", "/nope")
+    assert c.getresponse().status == 404
+    c.close()
