@@ -262,6 +262,45 @@ def sign_lsh_candidate_pairs(codes: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def sign_lsh_multiprobe_pairs(
+    codes: DataFrame, id_col: str, bits_per_band: int
+) -> DataFrame:
+    """Distinct unordered pairs whose codes agree within Hamming
+    distance <= 1 in at least one band — multi-probe sign-LSH
+    (Lv et al., VLDB'07 applied to the banded Charikar construction).
+
+    Each vector is indexed once per band under its exact bucket plus the
+    ``r`` buckets one bit-flip away, so a band hits when codes differ in
+    at most one bit: per-band hit probability rises from ``p^r`` to
+    ``p^r + r*p^(r-1)*(1-p)`` at an ``(r+1)x`` index-size cost — the
+    recall of shorter codes without their bucket-occupancy blow-up
+    (occupancy stays N/2^r). The probe side is derived from the same
+    code table (one bounded explode, ``r+1`` rows per code), and the
+    join is the identical ``(band, bucket)`` hash shuffle as the exact
+    variant — no new join shape at scale.
+    """
+    masks = F.array(*[F.lit(1 << i) for i in range(bits_per_band)])
+    stacked = codes.select(F.col(id_col).alias("id"), "band", "bucket")
+    flipped = stacked.withColumn("__m", F.explode(masks)).select(
+        "id", "band", F.col("bucket").bitwiseXOR(F.col("__m")).alias("bucket")
+    )
+    probes = stacked.unionByName(flipped).repartition("band", "bucket")
+    p, c = probes.alias("p"), stacked.alias("c")
+    return (
+        p.join(
+            c,
+            (F.col("p.band") == F.col("c.band"))
+            & (F.col("p.bucket") == F.col("c.bucket"))
+            & (F.col("p.id") != F.col("c.id")),
+        )
+        .select(
+            F.least("p.id", "c.id").alias("id_a"),
+            F.greatest("p.id", "c.id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (token-hash bit votes -> 32-bit signature)
 # ---------------------------------------------------------------------------

@@ -1631,6 +1631,15 @@ def q_doc_quality_score_for_curation(spark: SparkSession, sf_dir: str) -> DataFr
 
 _CAND_NN_TAU = 0.35
 
+#: Tuned multi-probe operating point (sweep recorded in PERF.md round 6):
+#: b=8 bands x r=10 bits with Hamming<=1 probes. On the sf0.01 corpus it
+#: finds 114/271 natural neighbors (recall 0.421) at 13,517 candidate
+#: pairs — beating the trained-IVF generator (105/271 = 0.387 at 17,219
+#: pairs) on BOTH recall and cost, while the exact 4x16 bands keep
+#: clone-dup recall at 1.0 for 41 pairs.
+_MP_BANDS = 8
+_MP_BITS = 10
+
 
 def _sql_pair_cos(a: str, b: str) -> str:
     return (
@@ -1684,6 +1693,35 @@ cand_ivf AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM cells a JOIN cells b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+h2 AS (
+  SELECT vec_id - {_SIGN_BASE} AS h_id, emb AS h_emb FROM base
+  WHERE vec_id BETWEEN {_SIGN_BASE} AND {_SIGN_BASE + _MP_BANDS * _MP_BITS - 1}
+),
+proj2 AS (
+  SELECT a.vec_id, CAST(h2.h_id // {_MP_BITS} AS INT) AS band,
+         h2.h_id % {_MP_BITS} AS bit,
+         round(list_sum(list_transform(generate_series(1, len(a.emb)),
+                                       i -> a.emb[i] * h2.h_emb[i])), 6) AS d
+  FROM aug a CROSS JOIN h2
+),
+codes2 AS (
+  SELECT vec_id, band,
+         CAST(sum(CASE WHEN d > 0 THEN power(2, bit) ELSE 0 END) AS INT) AS bucket
+  FROM proj2 GROUP BY vec_id, band
+),
+probes2 AS (
+  SELECT vec_id, band, bucket FROM codes2
+  UNION ALL
+  SELECT c.vec_id, c.band,
+         CAST(xor(c.bucket, CAST(power(2, g.b) AS INT)) AS INT) AS bucket
+  FROM codes2 c CROSS JOIN (SELECT unnest(generate_series(0, {_MP_BITS - 1})) AS b) g
+),
+cand_mp AS (
+  SELECT DISTINCT least(p.vec_id, c.vec_id) AS id_a,
+                  greatest(p.vec_id, c.vec_id) AS id_b
+  FROM probes2 p JOIN codes2 c
+    ON p.band = c.band AND p.bucket = c.bucket AND p.vec_id <> c.vec_id
 )
 SELECT stratum, 'sign_lsh' AS method, count(*) AS n_true,
        (SELECT count(*) FROM cand_lsh) AS n_candidates,
@@ -1697,6 +1735,13 @@ SELECT stratum, 'ivf_cell' AS method, count(*) AS n_true,
        count(c.id_a) AS n_hit,
        round(count(c.id_a) * 1.0 / count(*), 6) AS recall
 FROM truth t LEFT JOIN cand_ivf c ON c.id_a = t.id_a AND c.id_b = t.id_b
+GROUP BY stratum
+UNION ALL
+SELECT stratum, 'sign_lsh_mp' AS method, count(*) AS n_true,
+       (SELECT count(*) FROM cand_mp) AS n_candidates,
+       count(c.id_a) AS n_hit,
+       round(count(c.id_a) * 1.0 / count(*), 6) AS recall
+FROM truth t LEFT JOIN cand_mp c ON c.id_a = t.id_a AND c.id_b = t.id_b
 GROUP BY stratum
 """
 
@@ -1766,6 +1811,20 @@ def q_emb_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
 
+    # tuned multi-probe generator: same plane pool folded as b=8 x r=10,
+    # candidates at Hamming<=1 per band (see _MP_BANDS note above)
+    planes_mp = base.filter(
+        (F.col("vec_id") >= _SIGN_BASE)
+        & (F.col("vec_id") < _SIGN_BASE + _MP_BANDS * _MP_BITS)
+    ).select(
+        (F.col("vec_id") - _SIGN_BASE).alias("h_id"),
+        F.col("emb").alias("h_emb"),
+    )
+    codes_mp = _track(
+        S.sign_lsh_bands(aug, "vec_id", planes_mp, _MP_BITS).persist()
+    )
+    cand_mp = S.sign_lsh_multiprobe_pairs(codes_mp, "vec_id", _MP_BITS)
+
     a = aug_nrm.select(
         F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
     )
@@ -1795,7 +1854,11 @@ def q_emb_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = None
-    for method, cand in (("sign_lsh", cand_lsh), ("ivf_cell", cand_ivf)):
+    for method, cand in (
+        ("sign_lsh", cand_lsh),
+        ("ivf_cell", cand_ivf),
+        ("sign_lsh_mp", cand_mp),
+    ):
         n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
         hit = cand.withColumn("hit", F.lit(1))
         r = (
