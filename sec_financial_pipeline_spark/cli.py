@@ -176,7 +176,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--port", type=int, default=8000)
 
-    sub.add_parser("tools", help="stdio JSON tool loop (blocking)")
+    tools = sub.add_parser(
+        "tools", help="MCP tool server (blocking); --transport picks the mode"
+    )
+    tools.add_argument(
+        "--transport",
+        choices=("stdio", "sse", "ws"),
+        default="stdio",
+        help="stdio JSON lines (default), SSE on --port, or WebSocket on --port",
+    )
+    tools.add_argument("--host", default="127.0.0.1")
+    tools.add_argument(
+        "--port",
+        type=int,
+        default=0,
+        help="network transports only; 0 = auto (reference defaults: sse 8001, ws 8002)",
+    )
 
     args = p.parse_args(argv)
 
@@ -196,11 +211,26 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             return 0
         if args.cmd == "tools":
             from sec_financial_pipeline_spark.plans.tools import ToolRegistry
-            from sec_financial_pipeline_spark.transport.stdio import serve_stdio
 
-            serve_stdio(
-                ToolRegistry(spark, args.sf_dir), sys.stdin, sys.stdout
-            )
+            registry = ToolRegistry(spark, args.sf_dir)
+            if args.transport == "sse":
+                from sec_financial_pipeline_spark.transport.sse import MCPSSEServer
+
+                MCPSSEServer(
+                    registry, host=args.host, port=args.port or 8001
+                ).serve_forever()
+            elif args.transport == "ws":
+                from sec_financial_pipeline_spark.transport.ws import (
+                    MCPWebSocketServer,
+                )
+
+                MCPWebSocketServer(
+                    registry, host=args.host, port=args.port or 8002
+                ).serve_forever()
+            else:
+                from sec_financial_pipeline_spark.transport.stdio import serve_stdio
+
+                serve_stdio(registry, sys.stdin, sys.stdout)
             return 0
         raise SystemExit(f"unknown command: {args.cmd}")
     finally:

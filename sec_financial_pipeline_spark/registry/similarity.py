@@ -452,6 +452,16 @@ def q_emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 16
 _BAND_SIZE = 4
 
+#: SimHash near-dup Hamming threshold. d=3 over the 32-bit signature
+#: keeps the pigeonhole blocks 8 bits wide (buckets of N/256) AND the
+#: output near-dup-sized: the r6 sf0.1 self-check caught the previous
+#: d=10 emitting 7.0M pairs on 5,000 docs (>50% of the pair space —
+#: quadratic OUTPUT, a driver-collect OOM at 10x the checked scale);
+#: d=3 emits 725 pairs at sf0.01 / 83k at sf0.1. Signatures over
+#: vocabulary-sharing corpora concentrate, so the 100 TB contract is
+#: 64-bit signatures with d <= 6 (operators/similarity.py:340 note).
+_SIMHASH_MAX_DIST = 3
+
 
 def _minhash_ctes() -> str:
     """The toks/sh/mh CTE bodies (no WITH, no final SELECT)."""
@@ -558,14 +568,14 @@ def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 ),
 """
     + _simhash_ctes("s_")
-    + """
+    + f"""
 SELECT 'minhash_band' AS method, id_a, id_b, CAST(NULL AS INT) AS hamming
 FROM cand
 UNION ALL
 SELECT 'simhash' AS method, a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM s_sig a JOIN s_sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_DIST}
 """,
     survey="§2.9 dedup-minhash banded candidate pairs + dedup-simhash pigeonhole-blocked Hamming pairs",
 )
@@ -581,7 +591,9 @@ def q_doc_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("hamming"),
     )
     sh_sig = S.simhash(d, "doc_id", "text")
-    simhash = S.hamming_pairs(sh_sig, "doc_id", max_distance=10).select(
+    simhash = S.hamming_pairs(
+        sh_sig, "doc_id", max_distance=_SIMHASH_MAX_DIST
+    ).select(
         F.lit("simhash").alias("method"), "id_a", "id_b", "hamming"
     )
     return minhash.unionByName(simhash)

@@ -448,3 +448,136 @@ def test_sse_unknown_session_and_routes(sse_srv):
     c.request("GET", "/nope")
     assert c.getresponse().status == 404
     c.close()
+
+
+# ---------------------------------------------------------------------------
+# WebSocket MCP transport: the reference's third mode
+# (scripts/run_mcp_server.py:72-97) — RFC 6455 handshake + masked text
+# frames from a raw-socket client, same dispatch as stdio/SSE.
+# ---------------------------------------------------------------------------
+
+
+def _ws_connect(port):
+    import base64
+    import os
+    import socket
+
+    from sec_financial_pipeline_spark.transport.ws import accept_key
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=30)
+    key = base64.b64encode(os.urandom(16)).decode()
+    s.sendall(
+        (
+            f"GET /ws HTTP/1.1\r\nHost: 127.0.0.1:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += s.recv(4096)
+    assert buf.split(b"\r\n", 1)[0].endswith(b"101 Switching Protocols")
+    assert accept_key(key).encode() in buf  # RFC 6455 accept echo
+    return s
+
+
+def _ws_send(s, opcode: int, payload: bytes):
+    import os
+    import struct
+
+    mask = os.urandom(4)
+    masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    n = len(payload)
+    if n < 126:
+        header = bytes([0x80 | opcode, 0x80 | n])
+    elif n < (1 << 16):
+        header = bytes([0x80 | opcode, 0x80 | 126]) + struct.pack(">H", n)
+    else:
+        header = bytes([0x80 | opcode, 0x80 | 127]) + struct.pack(">Q", n)
+    s.sendall(header + mask + masked)
+
+
+def _ws_recv(s):
+    import struct
+
+    def readn(k):
+        d = b""
+        while len(d) < k:
+            c = s.recv(k - len(d))
+            if not c:
+                raise AssertionError("ws closed mid-frame")
+            d += c
+        return d
+
+    h = readn(2)
+    op, ln = h[0] & 0x0F, h[1] & 0x7F
+    if ln == 126:
+        ln = struct.unpack(">H", readn(2))[0]
+    elif ln == 127:
+        ln = struct.unpack(">Q", readn(8))[0]
+    return op, readn(ln)
+
+
+@pytest.fixture(scope="module")
+def ws_srv(registry):
+    from sec_financial_pipeline_spark.transport.ws import MCPWebSocketServer
+
+    srv = MCPWebSocketServer(registry)
+    srv.start()
+    yield srv
+    srv.shutdown()
+
+
+def test_ws_roundtrip_ping_and_close(ws_srv):
+    s = _ws_connect(ws_srv.port)
+    try:
+        _ws_send(s, 0x1, json.dumps({"id": 1, "method": "tools/list"}).encode())
+        op, payload = _ws_recv(s)
+        assert op == 0x1
+        listed = json.loads(payload)
+        names = {t["name"] for t in listed["result"]["tools"]}
+        assert listed["id"] == 1 and "get_financial_metric" in names
+
+        _ws_send(
+            s,
+            0x1,
+            json.dumps(
+                {
+                    "id": 2,
+                    "method": "tools/call",
+                    "params": {
+                        "name": "get_financial_metric",
+                        "arguments": {"ticker": "T01", "metric": "revenue"},
+                    },
+                }
+            ).encode(),
+        )
+        op, payload = _ws_recv(s)
+        out = json.loads(payload)
+        body = json.loads(out["result"]["content"][0]["text"])
+        assert out["id"] == 2 and body["ticker"] == "T01"
+
+        # ping -> pong with echoed payload
+        _ws_send(s, 0x9, b"hb")
+        op, payload = _ws_recv(s)
+        assert op == 0xA and payload == b"hb"
+
+        # malformed JSON: id-less error frame, connection survives
+        _ws_send(s, 0x1, b"{nope")
+        op, payload = _ws_recv(s)
+        err = json.loads(payload)
+        assert err["id"] is None and "bad JSON" in err["error"]
+
+        # clean close handshake
+        _ws_send(s, 0x8, b"")
+        op, _ = _ws_recv(s)
+        assert op == 0x8
+    finally:
+        s.close()
+
+
+def test_ws_rejects_non_upgrade(ws_srv):
+    status, _, _ = _get(ws_srv, "/ws")
+    assert status == 400
+    status, _, _ = _get(ws_srv, "/nope")
+    assert status == 404
