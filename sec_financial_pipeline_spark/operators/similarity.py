@@ -313,26 +313,42 @@ def token_hash(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = N_SIMHASH_BITS
+) -> DataFrame:
     """Weighted SimHash over whitespace tokens (duplicates count).
 
     Integer bit-vote sums are exact, so the signature is deterministic
-    under any aggregation order.
+    under any aggregation order. ``n_bits=32`` (default) hashes tokens
+    via md5-prefix so a SQL oracle can replay it; ``n_bits=64`` — the
+    100 TB deployment contract (less signature concentration on
+    vocabulary-sharing corpora, 2x wider pigeonhole blocks at equal
+    ``max_distance``) — uses the JVM-native ``xxhash64``. Bit 63 of a
+    64-bit signature is the long's sign bit (two's complement); all
+    downstream ops use unsigned shifts / xor / bit_count, which are
+    sign-agnostic.
     """
+    if n_bits not in (32, 64):
+        raise ValueError(f"n_bits must be 32 or 64, got {n_bits}")
+    h = token_hash(F.col("tok")) if n_bits == 32 else F.xxhash64(F.col("tok"))
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).withColumn("h", token_hash(F.col("tok")))
+    ).withColumn("h", h)
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftrightunsigned(F.col("h"), b).bitwiseAND(1) == 1, 1
+            ).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(N_SIMHASH_BITS)
+        for b in range(n_bits)
     ]
     per_doc = toks.groupBy(id_col).agg(*votes)
     sig = None
-    for b in range(N_SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    for b in range(n_bits):
+        # bit 63 == the sign bit: its two's-complement value is -(2^63)
+        weight = (1 << b) if b < 63 else -(1 << 63)
+        term = F.when(F.col(f"v{b}") > 0, F.lit(weight)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return per_doc.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
 
@@ -376,7 +392,11 @@ def hamming_pairs(
             F.col(id_col).alias("id"),
             F.col("simhash").alias("sig"),
             F.lit(no).alias("block_no"),
-            F.shiftright(F.col("simhash"), off).bitwiseAND(mask).alias("block_val"),
+            # unsigned shift: arithmetic shiftright would sign-extend a
+            # 64-bit signature with bit 63 set and corrupt high blocks
+            F.shiftrightunsigned(F.col("simhash"), off)
+            .bitwiseAND(mask)
+            .alias("block_val"),
         )
         stacked = one if stacked is None else stacked.unionByName(one)
     a = stacked.alias("a")
