@@ -58,6 +58,12 @@ _CONTENT_TYPES = {
 #: (``reference/src/api/main.py:54``); smaller bodies ship uncompressed.
 GZIP_MIN_SIZE = 1000
 
+#: CORS policy — the reference's ``CORSMiddleware`` with
+#: ``allow_origins=config.performance.cors_origins or ["*"]``
+#: (``reference/src/api/main.py:45-52``); None/empty -> wildcard.
+CORS_ALLOW_METHODS = "GET, POST, DELETE, OPTIONS"
+CORS_ALLOW_HEADERS = "Content-Type, Accept-Encoding, Authorization"
+
 #: already-compressed payloads gain nothing from a second pass
 _GZIP_EXEMPT_CTYPES = frozenset({"application/octet-stream"})
 
@@ -73,9 +79,12 @@ class FacadeHTTPServer:
         fetcher: BackgroundFetcher | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        cors_origins: list[str] | None = None,
     ):
         self.facade = facade
         self.fetcher = fetcher
+        #: reference semantics: configured list, or wildcard when unset
+        self.cors_origins = cors_origins or ["*"]
         if fetcher is not None:
             fetcher.add_completion_listener(self.invalidate_known)
         handler = _make_handler(self)
@@ -123,9 +132,23 @@ def _make_handler(srv: FacadeHTTPServer):
 
         # -- plumbing ------------------------------------------------------
 
+        def _cors_origin(self) -> str | None:
+            """Resolve the Access-Control-Allow-Origin value for this
+            request (None = no CORS headers)."""
+            origin = self.headers.get("Origin")
+            if origin is None:
+                return None
+            if "*" in srv.cors_origins:
+                return "*"
+            return origin if origin in srv.cors_origins else None
+
         def _send(self, status: int, body: bytes, ctype: str) -> None:
             self.send_response(status)
             self.send_header("Content-Type", ctype)
+            allow = self._cors_origin()
+            if allow is not None:
+                self.send_header("Access-Control-Allow-Origin", allow)
+                self.send_header("Access-Control-Allow-Credentials", "true")
             if (
                 len(body) >= GZIP_MIN_SIZE
                 and ctype not in _GZIP_EXEMPT_CTYPES
@@ -252,6 +275,18 @@ def _make_handler(srv: FacadeHTTPServer):
 
         def do_DELETE(self) -> None:  # noqa: N802
             self._route("DELETE")
+
+        def do_OPTIONS(self) -> None:  # noqa: N802 — CORS preflight
+            allow = self._cors_origin()
+            self.send_response(204 if allow is not None else 400)
+            if allow is not None:
+                self.send_header("Access-Control-Allow-Origin", allow)
+                self.send_header("Access-Control-Allow-Methods", CORS_ALLOW_METHODS)
+                self.send_header("Access-Control-Allow-Headers", CORS_ALLOW_HEADERS)
+                self.send_header("Access-Control-Allow-Credentials", "true")
+                self.send_header("Access-Control-Max-Age", "600")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
 
     return Handler
 

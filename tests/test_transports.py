@@ -581,3 +581,48 @@ def test_ws_rejects_non_upgrade(ws_srv):
     assert status == 400
     status, _, _ = _get(ws_srv, "/nope")
     assert status == 404
+
+
+# ---------------------------------------------------------------------------
+# CORS (reference CORSMiddleware, main.py:45-52): wildcard default,
+# preflight OPTIONS, configured-origin allowlist.
+# ---------------------------------------------------------------------------
+
+
+def test_cors_wildcard_and_preflight(http_srv):
+    status, hdrs, _ = _get_hdr(
+        http_srv, "/health", {"Origin": "http://example.test"}
+    )
+    assert status == 200 and hdrs.get("Access-Control-Allow-Origin") == "*"
+
+    # no Origin header -> no CORS headers (not a browser request)
+    status, hdrs, _ = _get_hdr(http_srv, "/health", {})
+    assert status == 200 and hdrs.get("Access-Control-Allow-Origin") is None
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{http_srv.port}/financials/compare",
+        method="OPTIONS",
+        headers={
+            "Origin": "http://example.test",
+            "Access-Control-Request-Method": "POST",
+        },
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+        assert "POST" in r.headers["Access-Control-Allow-Methods"]
+
+
+def test_cors_origin_allowlist(spark, sf_dir):
+    srv = FacadeHTTPServer(
+        ServingFacade(spark, sf_dir), cors_origins=["http://ok.test"]
+    )
+    srv.start()
+    try:
+        status, hdrs, _ = _get_hdr(srv, "/health", {"Origin": "http://ok.test"})
+        assert hdrs.get("Access-Control-Allow-Origin") == "http://ok.test"
+        status, hdrs, _ = _get_hdr(srv, "/health", {"Origin": "http://evil.test"})
+        assert status == 200  # non-CORS clients unaffected
+        assert hdrs.get("Access-Control-Allow-Origin") is None
+    finally:
+        srv.shutdown()
