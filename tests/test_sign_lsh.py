@@ -119,3 +119,44 @@ def test_hash_sampling_is_partitioning_invariant(spark, sf_dir):
     # different salt -> a different (independent) sample
     s2 = {r.doc_id for r in hash_sample(d, "doc_id", 0.3, salt="other").select("doc_id").collect()}
     assert s2 != a
+
+
+def test_multiprobe_pairs_equal_bruteforce_hamming1(spark, sf_dir):
+    """The multi-probe generator's semantic contract, checked against an
+    independent witness (the oracle replays the same probe algorithm, so
+    only a brute-force comparison actually tests it): candidate pairs ==
+    pairs whose codes agree within Hamming distance <= 1 in >= 1 band."""
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _MP_BANDS,
+        _MP_BITS,
+        _SIGN_BASE,
+    )
+
+    e = _embeddings(spark, sf_dir)
+    planes = e.filter(
+        (F.col("vec_id") >= _SIGN_BASE)
+        & (F.col("vec_id") < _SIGN_BASE + _MP_BANDS * _MP_BITS)
+    ).select((F.col("vec_id") - _SIGN_BASE).alias("h_id"), F.col("emb").alias("h_emb"))
+    codes = S.sign_lsh_bands(e, "vec_id", planes, _MP_BITS).persist()
+    try:
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in S.sign_lsh_multiprobe_pairs(codes, "vec_id", _MP_BITS).collect()
+        }
+        # brute force: all vector pairs x all bands, Hamming over buckets
+        rows = codes.collect()
+        by_vec: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_vec.setdefault(r["vec_id"], {})[r["band"]] = r["bucket"]
+        ids = sorted(by_vec)
+        want = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if any(
+                    bin(by_vec[a][band] ^ by_vec[b][band]).count("1") <= 1
+                    for band in range(_MP_BANDS)
+                ):
+                    want.add((a, b))
+        assert got == want and len(want) > 0
+    finally:
+        codes.unpersist()
