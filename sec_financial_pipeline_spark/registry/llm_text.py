@@ -89,15 +89,21 @@ SELECT doc_id, lang,
        md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS fingerprint,
        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
        CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_word_tokens,
-       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_number_tokens
-FROM documents
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_number_tokens,
+       round(CASE WHEN len(w) >= 3 THEN
+         1.0 - CAST(len(list_distinct(list_transform(
+                 generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS DOUBLE)
+               / (len(w) - 2)
+         ELSE 0.0 END, 6) AS dup_trigram_ratio
+FROM (SELECT *, string_split(text, ' ') AS w FROM documents) t
 """
 
 
 @register(
     "doc_profile",
     _PROFILE_ORACLE,
-    survey="§2.9 text-analysis + quality-scoring + language-ID + fingerprinting + token-counting (single-scan per-doc feature row)",
+    survey="§2.9 text-analysis + quality-scoring + language-ID + fingerprinting + token-counting + repetition scoring (single-scan per-doc feature row; dup_trigram_ratio = the Gopher repetition filter signal)",
 )
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -140,6 +146,33 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bpe_tokens"),
         F.regexp_count("text", F.lit("[a-z]+")).cast("int").alias("n_word_tokens"),
         F.regexp_count("text", F.lit("[0-9]+")).cast("int").alias("n_number_tokens"),
+        # Gopher-style internal-repetition signal (Rae et al. 2021 §A1.1):
+        # fraction of the doc's trigrams that are repeats of an earlier
+        # one. try_element_at keeps the unused branch NULL-safe for <3-token
+        # docs under ANSI mode.
+        F.when(
+            n_tokens >= 3,
+            F.round(
+                F.lit(1.0)
+                - F.size(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.greatest(n_tokens - 2, F.lit(1))),
+                            lambda i: F.concat_ws(
+                                " ",
+                                F.try_element_at(toks, i),
+                                F.try_element_at(toks, i + 1),
+                                F.try_element_at(toks, i + 2),
+                            ),
+                        )
+                    )
+                ).cast("double")
+                / (n_tokens - 2),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_ratio"),
     )
 
 
