@@ -176,6 +176,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--port", type=int, default=8000)
 
+    explain = sub.add_parser(
+        "explain",
+        help="print a registry query's physical plan (the plan-audit view)",
+    )
+    explain.add_argument("query", help="registry query name, or 'list'")
+    explain.add_argument(
+        "--mode",
+        choices=("simple", "extended", "formatted", "cost", "codegen"),
+        default="formatted",
+    )
+
     tools = sub.add_parser(
         "tools", help="MCP tool server (blocking); --transport picks the mode"
     )
@@ -208,6 +219,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             from sec_financial_pipeline_spark.transport.http import serve as http_serve
 
             http_serve(spark, args.sf_dir, host=args.host, port=args.port)
+            return 0
+        if args.cmd == "explain":
+            from sec_financial_pipeline_spark.registry import all_queries
+
+            qs = all_queries()
+            if args.query == "list":
+                print("\n".join(qs))
+                return 0
+            if args.query not in qs:
+                raise SystemExit(
+                    f"unknown query: {args.query!r} (try 'explain list')"
+                )
+            qs[args.query].fn(spark, args.sf_dir).explain(mode=args.mode)
             return 0
         if args.cmd == "tools":
             from sec_financial_pipeline_spark.plans.tools import ToolRegistry

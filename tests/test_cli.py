@@ -121,3 +121,15 @@ def test_stale_tickers_missing_vs_corrupt_warehouse(tmp_path, spark):
 
     with _pytest.raises(Exception):
         stale_tickers(spark, str(bad), "2024-01-01")
+
+
+def test_explain_prints_physical_plan(capsys, spark, sf_dir):
+    rc = main(
+        ["--sf-dir", sf_dir, "explain", "rel_topk"], spark=spark
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "TakeOrderedAndProject" in out
+
+    rc = main(["--sf-dir", sf_dir, "explain", "list"], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0 and "rel_topk" in out.splitlines()
