@@ -58,6 +58,11 @@ HEADLINE = [
     "doc_pack_chunks",
     "doc_chunk_assembly",
     "mm_media_stats",
+    # round-6 widening: PII redaction and the single-scan document
+    # profile (now carrying the Gopher repetition signal) become
+    # regression-visible.
+    "doc_redact",
+    "doc_profile",
 ]
 
 
