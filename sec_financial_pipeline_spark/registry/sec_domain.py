@@ -660,7 +660,7 @@ FROM (
          row_number() OVER (PARTITION BY ticker
                             ORDER BY fiscal_year DESC) AS rn
   FROM rev
-) WHERE rn = 1
+) WHERE rn = 1 AND value IS NOT NULL
 ORDER BY revenue_rank LIMIT 10
 """
 
@@ -675,9 +675,14 @@ def q_latest_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total order, so the top-10's ranks equal their global ranks; the
     # rank itself is a preceding-row count over the bounded 10-row
     # winner set (10x10 broadcast), leaving the plan with NO
-    # unpartitioned WindowExec anywhere.
+    # unpartitioned WindowExec anywhere. NULL revenues are excluded
+    # up front (matching the oracle): the preceding-count comparison
+    # is three-valued, so an admitted NULL row would otherwise count
+    # zero predecessors and falsely rank 1.
     top = windows.top_k(
-        latest, [F.col("value").desc(), F.col("ticker").asc()], 10
+        latest.filter(F.col("value").isNotNull()),
+        [F.col("value").desc(), F.col("ticker").asc()],
+        10,
     )
     prev = top.select(
         F.col("value").alias("__v2"), F.col("ticker").alias("__t2")

@@ -1823,8 +1823,11 @@ def q_emb_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
 
-    # tuned multi-probe generator: same plane pool folded as b=8 x r=10,
-    # candidates at Hamming<=1 per band (see _MP_BANDS note above)
+    # tuned multi-probe generator: fixed-embedding hyperplanes vec_id
+    # 8..87 folded as b=8 x r=10 (a SUPERSET of the 4x16 pool 8..71 —
+    # like every plane here, the extra 16 are corpus vectors doubling
+    # as hyperplanes, the deliberate determinism device both engines
+    # replay), candidates at Hamming<=1 per band (_MP_BANDS note above)
     planes_mp = base.filter(
         (F.col("vec_id") >= _SIGN_BASE)
         & (F.col("vec_id") < _SIGN_BASE + _MP_BANDS * _MP_BITS)

@@ -98,13 +98,21 @@ class FacadeHTTPServer:
     # so a 202'd ticker becomes servable once its job lands.
     _known: frozenset[str] | None = None
 
-    def has_data(self, ticker: str) -> bool:
-        if self._known is None:
+    def known_tickers(self) -> frozenset[str]:
+        """The cached ticker set (resolved on first use). Callers get a
+        LOCAL snapshot — the cache attribute may be nulled concurrently
+        by the fetch-completion listener, so never re-read ``_known``
+        after this returns."""
+        known = self._known
+        if known is None:
             rows = (
                 self.facade._facts().select("ticker").distinct().collect()
             )
-            self._known = frozenset(r[0] for r in rows)
-        return ticker in self._known
+            self._known = known = frozenset(r[0] for r in rows)
+        return known
+
+    def has_data(self, ticker: str) -> bool:
+        return ticker in self.known_tickers()
 
     def invalidate_known(self, ticker: str | None = None) -> None:
         """Drop the cached ticker set (next probe re-resolves)."""
@@ -134,17 +142,24 @@ def _make_handler(srv: FacadeHTTPServer):
 
         def _cors_origin(self) -> str | None:
             """Resolve the Access-Control-Allow-Origin value for this
-            request (None = no CORS headers)."""
+            request (None = no CORS headers). The allowed ORIGIN is
+            always reflected, never the literal ``*`` — the reference
+            middleware runs with ``allow_credentials=True``, and the
+            Fetch spec forbids wildcard origin on credentialed
+            responses (browsers would block them)."""
             origin = self.headers.get("Origin")
             if origin is None:
                 return None
-            if "*" in srv.cors_origins:
-                return "*"
-            return origin if origin in srv.cors_origins else None
+            if "*" in srv.cors_origins or origin in srv.cors_origins:
+                return origin
+            return None
 
         def _send(self, status: int, body: bytes, ctype: str) -> None:
             self.send_response(status)
             self.send_header("Content-Type", ctype)
+            # responses differ by Origin / Accept-Encoding: shared
+            # caches must key on them
+            self.send_header("Vary", "Origin, Accept-Encoding")
             allow = self._cors_origin()
             if allow is not None:
                 self.send_header("Access-Control-Allow-Origin", allow)
@@ -236,9 +251,9 @@ def _make_handler(srv: FacadeHTTPServer):
                 # a malformed ticker is a 400, never a queued job
                 self._send_json(200, fetcher.trigger(validate_ticker(parts[2])))
             elif method == "POST" and parts == ["etl", "refresh"] and fetcher is not None:
-                if srv._known is None:
-                    srv.has_data("")  # populate the ticker set
-                self._send_json(200, fetcher.trigger_all(sorted(srv._known)))
+                self._send_json(
+                    200, fetcher.trigger_all(sorted(srv.known_tickers()))
+                )
             elif method == "GET" and parts == ["data", "tickers"]:
                 self._send_json(200, facade.tickers_overview())
             elif (
@@ -278,13 +293,18 @@ def _make_handler(srv: FacadeHTTPServer):
 
         def do_OPTIONS(self) -> None:  # noqa: N802 — CORS preflight
             allow = self._cors_origin()
-            self.send_response(204 if allow is not None else 400)
+            self.send_response(204)
+            self.send_header("Vary", "Origin")
             if allow is not None:
                 self.send_header("Access-Control-Allow-Origin", allow)
                 self.send_header("Access-Control-Allow-Methods", CORS_ALLOW_METHODS)
                 self.send_header("Access-Control-Allow-Headers", CORS_ALLOW_HEADERS)
                 self.send_header("Access-Control-Allow-Credentials", "true")
                 self.send_header("Access-Control-Max-Age", "600")
+            else:
+                # bare (non-CORS) OPTIONS is a legitimate capability
+                # probe — answer it, don't 400
+                self.send_header("Allow", CORS_ALLOW_METHODS)
             self.send_header("Content-Length", "0")
             self.end_headers()
 

@@ -47,6 +47,11 @@ from sec_financial_pipeline_spark.transport.stdio import handle_request
 #: noticed; responses themselves are pushed without added latency
 _POLL_SECONDS = 0.1
 
+#: idle polls between keepalive comment frames (~15 s). The write is
+#: what detects a silently-dead client: without it, a handler blocked
+#: on its queue would leak the thread + session forever.
+_KEEPALIVE_POLLS = 150
+
 
 class _Session:
     def __init__(self) -> None:
@@ -150,11 +155,20 @@ def _make_handler(srv: MCPSSEServer):
                     _sse_frame("endpoint", f"/messages?session_id={sid}")
                 )
                 self.wfile.flush()
+                idle = 0
                 while not sess.closed.is_set():
                     try:
                         resp = sess.outbox.get(timeout=_POLL_SECONDS)
                     except queue.Empty:
+                        idle += 1
+                        if idle >= _KEEPALIVE_POLLS:
+                            # SSE comment frame: ignored by clients,
+                            # raises on a dead socket -> session cleanup
+                            self.wfile.write(b": keepalive\n\n")
+                            self.wfile.flush()
+                            idle = 0
                         continue
+                    idle = 0
                     self.wfile.write(
                         _sse_frame("message", json.dumps(resp, default=str))
                     )
@@ -178,6 +192,10 @@ def _make_handler(srv: MCPSSEServer):
                 return
             n = int(self.headers.get("Content-Length") or 0)
             raw = self.rfile.read(n) if n else b""
+            # acknowledge FIRST — 202 means "accepted", and a slow tool
+            # call must not hold the POST past the client's timeout; the
+            # response travels down the SSE stream when dispatch finishes
+            self._send_json(202, {"status": "accepted"})
             try:
                 req = json.loads(raw or b"")
             except json.JSONDecodeError as e:
@@ -185,7 +203,6 @@ def _make_handler(srv: MCPSSEServer):
             else:
                 # the SAME dispatch the stdio loop uses — one tool surface
                 sess.outbox.put(handle_request(srv.registry, req))
-            self._send_json(202, {"status": "accepted"})
 
     return Handler
 

@@ -70,6 +70,10 @@ def _read_resource(registry: ToolRegistry, uri: str) -> str:
 
 def handle_request(registry: ToolRegistry, request: dict[str, Any]) -> dict[str, Any]:
     """Dispatch one request object; always returns a response object."""
+    if not isinstance(request, dict):
+        # valid JSON that isn't an object (42, [], "x") must produce an
+        # id-less error frame, not crash the transport loop
+        return {"id": None, "error": f"request must be a JSON object, got {type(request).__name__}"}
     rid = request.get("id")
     method = request.get("method")
     try:

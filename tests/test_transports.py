@@ -590,10 +590,16 @@ def test_ws_rejects_non_upgrade(ws_srv):
 
 
 def test_cors_wildcard_and_preflight(http_srv):
+    # wildcard config REFLECTS the origin (never the literal '*'):
+    # credentials are allowed, and the Fetch spec forbids the pair
+    # ACAO '*' + ACAC 'true'
     status, hdrs, _ = _get_hdr(
         http_srv, "/health", {"Origin": "http://example.test"}
     )
-    assert status == 200 and hdrs.get("Access-Control-Allow-Origin") == "*"
+    assert status == 200
+    assert hdrs.get("Access-Control-Allow-Origin") == "http://example.test"
+    assert hdrs.get("Access-Control-Allow-Credentials") == "true"
+    assert "Origin" in hdrs.get("Vary", "")
 
     # no Origin header -> no CORS headers (not a browser request)
     status, hdrs, _ = _get_hdr(http_srv, "/health", {})
@@ -609,8 +615,16 @@ def test_cors_wildcard_and_preflight(http_srv):
     )
     with urllib.request.urlopen(req) as r:
         assert r.status == 204
-        assert r.headers["Access-Control-Allow-Origin"] == "*"
+        assert r.headers["Access-Control-Allow-Origin"] == "http://example.test"
         assert "POST" in r.headers["Access-Control-Allow-Methods"]
+
+    # bare OPTIONS (no Origin, e.g. a capability probe) is answered,
+    # not rejected
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{http_srv.port}/health", method="OPTIONS"
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204 and "GET" in r.headers["Allow"]
 
 
 def test_cors_origin_allowlist(spark, sf_dir):
@@ -626,3 +640,49 @@ def test_cors_origin_allowlist(spark, sf_dir):
         assert hdrs.get("Access-Control-Allow-Origin") is None
     finally:
         srv.shutdown()
+
+
+def test_non_object_json_yields_error_frame_everywhere(registry, sse_srv):
+    """Valid JSON that is not an object (42, [], \"x\") must come back
+    as an id-less error on every transport, never crash the loop."""
+    # stdio: direct dispatch
+    for payload in (42, [1, 2], "x"):
+        resp = handle_request(registry, payload)  # type: ignore[arg-type]
+        assert resp["id"] is None and "JSON object" in resp["error"]
+
+    # stdio loop: the line parses as JSON but isn't an object
+    stdin = io.StringIO("42\n")
+    stdout = io.StringIO()
+    assert serve_stdio(registry, stdin, stdout) == 1
+    out = json.loads(stdout.getvalue())
+    assert out["id"] is None and "JSON object" in out["error"]
+
+    # SSE: the POST must still be acknowledged and the error framed
+    conn = http.client.HTTPConnection("127.0.0.1", sse_srv.port, timeout=30)
+    conn.request("GET", "/sse")
+    resp = conn.getresponse()
+    _, endpoint = _read_event(resp.fp)
+    c = http.client.HTTPConnection("127.0.0.1", sse_srv.port, timeout=30)
+    c.request("POST", endpoint, body="[1, 2]")
+    assert c.getresponse().status == 202
+    c.close()
+    event, data = _read_event(resp.fp)
+    err = json.loads(data)
+    assert event == "message" and err["id"] is None
+    assert "JSON object" in err["error"]
+    conn.close()
+
+
+def test_ws_non_object_json_survives(ws_srv):
+    s = _ws_connect(ws_srv.port)
+    try:
+        _ws_send(s, 0x1, b"42")
+        op, payload = _ws_recv(s)
+        err = json.loads(payload)
+        assert err["id"] is None and "JSON object" in err["error"]
+        # connection still serves real requests afterwards
+        _ws_send(s, 0x1, json.dumps({"id": 1, "method": "tools/list"}).encode())
+        op, payload = _ws_recv(s)
+        assert json.loads(payload)["id"] == 1
+    finally:
+        s.close()
