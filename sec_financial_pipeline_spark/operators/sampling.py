@@ -53,3 +53,38 @@ def stratified_hash_sample(
         F.col("__rate"), F.lit(default_rate)
     )
     return joined.filter(keep).drop("__rate")
+
+
+def stratified_hash_upsample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    rates: DataFrame,
+    default_rate: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum sampling where rates may EXCEED 1 — the oversampling
+    half of corpus mixing ('repeat the curated set 2.5x, halve the
+    crawl'). A row with rate r emits ``floor(r)`` full copies plus one
+    more when its hash-uniform falls below ``frac(r)``, so the expected
+    multiplicity is exactly r, the decision is a pure function of
+    (key, salt), and a rate <= 1 degrades to :func:`stratified_hash_sample`
+    semantics. Output adds a 1-based ``copy_no`` column (training loaders
+    shuffle copies apart; dedup-aware consumers can key on it).
+
+    Scale shape: broadcast rate table + a bounded per-row explode
+    (``<= ceil(max_rate)`` copies) — no shuffle, no state.
+    """
+    r = rates.select(F.col(stratum), F.col("rate").alias("__rate"))
+    joined = df.join(F.broadcast(r), stratum, "left_outer")
+    rate = F.coalesce(F.col("__rate"), F.lit(default_rate))
+    extra = (hash_uniform(F.col(key), salt) < (rate - F.floor(rate))).cast("int")
+    copies = (F.floor(rate).cast("int") + extra).alias("__copies")
+    exploded = (
+        joined.withColumn("__copies", copies)
+        .filter(F.col("__copies") >= 1)
+        .withColumn(
+            "copy_no", F.explode(F.sequence(F.lit(1), F.col("__copies")))
+        )
+    )
+    return exploded.drop("__rate", "__copies")

@@ -187,6 +187,12 @@ _MIX_RATES = {"en": 0.5, "zh": 0.3, "de": 0.2}  # others -> default 0.1
 _MIX_DEFAULT = 0.1
 _MIX_SALT = "mix1"
 
+#: oversampling half of corpus mixing: rates may exceed 1 (repeat the
+#: curated stratum, thin the crawl); expected multiplicity == rate
+_UP_RATES = {"en": 2.5, "zh": 1.25}  # others -> 0.5
+_UP_DEFAULT = 0.5
+_UP_SALT = "up1"
+
 
 @register(
     "doc_stratified_sample",
@@ -201,19 +207,38 @@ scored AS (
            / 4294967296.0 AS u,
          coalesce(CAST(r.rate AS DOUBLE), {_MIX_DEFAULT}) AS rate
   FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+),
+uprates AS (
+  SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in _UP_RATES.items())})
+  AS r(lang, rate)
+),
+upscored AS (
+  SELECT d.lang,
+         ('0x' || substr(md5('{_UP_SALT}' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u,
+         coalesce(CAST(ur.rate AS DOUBLE), {_UP_DEFAULT}) AS r
+  FROM documents d LEFT JOIN uprates ur ON d.lang = ur.lang
+),
+upagg AS (
+  SELECT lang,
+         CAST(sum(CAST(floor(r) AS BIGINT)
+                  + CASE WHEN u < r - floor(r) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_upsampled,
+         round(max(r), 6) AS up_rate
+  FROM upscored GROUP BY lang
 )
-SELECT lang,
-       count(*) AS n_kept,
-       round(max(rate), 6) AS rate
-FROM scored
-WHERE u < rate
-GROUP BY lang
+SELECT s.lang, s.n_kept, s.rate, u.n_upsampled, u.up_rate
+FROM (
+  SELECT lang, count(*) AS n_kept, round(max(rate), 6) AS rate
+  FROM scored WHERE u < rate GROUP BY lang
+) s JOIN upagg u ON s.lang = u.lang
 """,
-    survey="§2.9 sampling (deterministic hash-based stratified corpus mixing; engine/partitioning-independent keep set)",
+    survey="§2.9 sampling (deterministic hash-based stratified corpus mixing, down- AND up-sampling: rates > 1 repeat rows with expected multiplicity == rate; engine/partitioning-independent)",
 )
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_financial_pipeline_spark.operators.sampling import (
         stratified_hash_sample,
+        stratified_hash_upsample,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -224,14 +249,33 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, key="doc_id", stratum="lang", rates=rates,
         default_rate=_MIX_DEFAULT, salt=_MIX_SALT,
     )
+    uprates = spark.createDataFrame(
+        list(_UP_RATES.items()), "lang string, rate double"
+    )
+    upsampled = stratified_hash_upsample(
+        d, key="doc_id", stratum="lang", rates=uprates,
+        default_rate=_UP_DEFAULT, salt=_UP_SALT,
+    )
+    per_up_rate = F.create_map(
+        *[x for k, v in _UP_RATES.items() for x in (F.lit(k), F.lit(v))]
+    )
+    up_agg = upsampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_upsampled"),
+        F.round(
+            F.max(F.coalesce(per_up_rate[F.col("lang")], F.lit(_UP_DEFAULT))), 6
+        ).alias("up_rate"),
+    )
     per_lang_rate = F.create_map(
         *[x for k, v in _MIX_RATES.items() for x in (F.lit(k), F.lit(v))]
     )
-    return kept.groupBy("lang").agg(
+    down_agg = kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.round(
             F.max(F.coalesce(per_lang_rate[F.col("lang")], F.lit(_MIX_DEFAULT))), 6
         ).alias("rate"),
+    )
+    return down_agg.join(up_agg, "lang").select(
+        "lang", "n_kept", "rate", "n_upsampled", "up_rate"
     )
 
 

@@ -160,3 +160,46 @@ def test_multiprobe_pairs_equal_bruteforce_hamming1(spark, sf_dir):
         assert got == want and len(want) > 0
     finally:
         codes.unpersist()
+
+
+def test_stratified_upsample_multiplicity_and_invariance(spark, sf_dir):
+    """Rates > 1 emit floor(r) copies + a hash-gated extra: multiplicity
+    is exactly floor(r) or ceil(r) per key, aggregate count ~ r * n, the
+    emitted set is partitioning-invariant, and copy_no is 1..copies."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.sampling import (
+        stratified_hash_upsample,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = spark.createDataFrame([("en", 2.5)], "lang string, rate double")
+
+    out = stratified_hash_upsample(
+        d, key="doc_id", stratum="lang", rates=rates, default_rate=0.5
+    )
+    per_key = (
+        out.groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("copy_no").alias("max_copy"))
+        .collect()
+    )
+    for r in per_key:
+        lo, hi = (2, 3) if r["lang"] == "en" else (1, 1)
+        assert lo <= r["n"] <= hi, r
+        assert r["max_copy"] == r["n"], r  # copy_no is 1..copies
+
+    n_docs = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_out = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # aggregate multiplicity tracks the rate (hash-gated fractional part)
+    assert abs(n_out["en"] / n_docs["en"] - 2.5) < 0.15
+    other = [l for l in n_docs if l != "en"][0]
+    assert abs(n_out[other] / n_docs[other] - 0.5) < 0.15
+
+    # partitioning-invariant: identical multiset at any layout
+    again = stratified_hash_upsample(
+        d.repartition(17), key="doc_id", stratum="lang", rates=rates, default_rate=0.5
+    )
+    a = sorted((r["doc_id"], r["copy_no"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["copy_no"]) for r in again.collect())
+    assert a == b
