@@ -64,7 +64,16 @@ def shingles(text: Column, k: int = 3, distinct: bool = True) -> Column:
     row (O(n^2) total — measured 7x slower). ``zip_with`` arguments are
     plain per-row expressions, evaluated once.
     """
-    w = F.split(text, " ")
+    return token_shingles(F.split(text, " "), k=k, distinct=distinct)
+
+
+def token_shingles(w: Column, k: int = 3, distinct: bool = True) -> Column:
+    """k-word shingles of an already-tokenized array<string> column.
+
+    Same ``zip_with`` shift-chain as :func:`shingles`, for callers that
+    have hoisted the token array into its own projection (so the split
+    happens once per row no matter how many features reference it).
+    """
     cur = w
     for j in range(1, k):
         shifted = F.slice(w, j + 1, F.size(w))

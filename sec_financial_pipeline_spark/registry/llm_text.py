@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sec_financial_pipeline_spark.operators.dedup import exact_dedup
+from sec_financial_pipeline_spark.operators.similarity import token_shingles
 from sec_financial_pipeline_spark.registry.core import register
 from sec_financial_pipeline_spark.sources.testdata import load_table
 
@@ -107,7 +108,18 @@ FROM (SELECT *, string_split(text, ' ') AS w FROM documents) t
 )
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # Hoist the token split into its own projection: split() is not a
+    # "cheap" expression, so CollapseProject keeps the two selects
+    # separate and every downstream feature reads the materialized
+    # array instead of re-splitting the text (the language-vote chain
+    # alone references the tokens ~9 times).
+    base = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.split(F.col("text"), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
     sw = F.filter(toks, lambda w: w.isin(*_STOPWORDS))
     n_tokens = F.size(toks)
     n_sw = F.size(sw)
@@ -127,7 +139,14 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unknown")
     )
     normalized = F.lower(F.regexp_replace("text", "[^a-z0-9 ]", ""))
-    return d.select(
+    # Gopher-style internal-repetition signal (Rae et al. 2021 §A1.1):
+    # fraction of the doc's trigrams that are repeats of an earlier one.
+    # Trigrams come from the zip_with shift-chain (token_shingles), NOT
+    # transform(sequence)+try_element_at: expressions referenced inside
+    # an HOF lambda are re-evaluated per element, so the index form is
+    # O(tokens^2) per document — the exact trap shingles() documents.
+    tri = token_shingles(toks, k=3, distinct=False)
+    return base.select(
         "doc_id",
         "lang",
         F.length("text").alias("len_chars"),
@@ -146,28 +165,11 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bpe_tokens"),
         F.regexp_count("text", F.lit("[a-z]+")).cast("int").alias("n_word_tokens"),
         F.regexp_count("text", F.lit("[0-9]+")).cast("int").alias("n_number_tokens"),
-        # Gopher-style internal-repetition signal (Rae et al. 2021 §A1.1):
-        # fraction of the doc's trigrams that are repeats of an earlier
-        # one. try_element_at keeps the unused branch NULL-safe for <3-token
-        # docs under ANSI mode.
         F.when(
             n_tokens >= 3,
             F.round(
                 F.lit(1.0)
-                - F.size(
-                    F.array_distinct(
-                        F.transform(
-                            F.sequence(F.lit(1), F.greatest(n_tokens - 2, F.lit(1))),
-                            lambda i: F.concat_ws(
-                                " ",
-                                F.try_element_at(toks, i),
-                                F.try_element_at(toks, i + 1),
-                                F.try_element_at(toks, i + 2),
-                            ),
-                        )
-                    )
-                ).cast("double")
-                / (n_tokens - 2),
+                - F.size(F.array_distinct(tri)).cast("double") / F.size(tri),
                 6,
             ),
         )
