@@ -104,6 +104,18 @@ def pack_offsets(
     ``order_col`` must be a unique total order (document id); ``size_col``
     an integer token count. Zero-size rows get their boundary offset and
     span their containing chunk only.
+
+    EAGER BY DESIGN: calling this function runs two bounded Spark jobs
+    at plan-build time (boundary sampling, capped at ``_SAMPLE_CAP``
+    rows, and the per-bucket subtotal collect of <= n_part scalars)
+    before the returned plan ever executes — so ``explain()``/schema
+    checks on a packing query do real work, and the input is scanned
+    once more by the final plan. This is the intended tradeoff: the
+    lazy alternatives (a subtotal window, or a broadcast one-row
+    prefix-array join) reintroduce exactly the unpartitioned-window /
+    cartesian shapes the plan audit bans. The extra scans read only
+    the column-pruned ``(order_col, size_col)`` projection, a small
+    fraction of corpus bytes under parquet pruning.
     """
     n_part = num_partitions or max(
         1, df.sparkSession.sparkContext.defaultParallelism

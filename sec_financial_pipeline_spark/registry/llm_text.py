@@ -276,8 +276,24 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.coalesce(per_lang_rate[F.col("lang")], F.lit(_MIX_DEFAULT))), 6
         ).alias("rate"),
     )
-    return down_agg.join(up_agg, "lang").select(
-        "lang", "n_kept", "rate", "n_upsampled", "up_rate"
+    # LEFT join from down_agg: a stratum whose upsample rate is < 1 can
+    # emit ZERO upsampled rows, so it is absent from up_agg — but the
+    # oracle's upagg groups over ALL documents and reports n_upsampled=0
+    # for it. Coalesce the count to 0 and derive up_rate from the rate
+    # map (it is constant per stratum) so such strata still appear.
+    return down_agg.join(F.broadcast(up_agg), "lang", "left").select(
+        "lang",
+        "n_kept",
+        "rate",
+        F.coalesce(F.col("n_upsampled"), F.lit(0).cast("bigint")).alias(
+            "n_upsampled"
+        ),
+        F.coalesce(
+            F.col("up_rate"),
+            F.round(
+                F.coalesce(per_up_rate[F.col("lang")], F.lit(_UP_DEFAULT)), 6
+            ),
+        ).alias("up_rate"),
     )
 
 

@@ -85,6 +85,7 @@ class FacadeHTTPServer:
         self.fetcher = fetcher
         #: reference semantics: configured list, or wildcard when unset
         self.cors_origins = cors_origins or ["*"]
+        self._known_lock = threading.Lock()
         if fetcher is not None:
             fetcher.add_completion_listener(self.invalidate_known)
         handler = _make_handler(self)
@@ -97,18 +98,30 @@ class FacadeHTTPServer:
     # invalidated when a background fetch completes (wired in __init__),
     # so a 202'd ticker becomes servable once its job lands.
     _known: frozenset[str] | None = None
+    _known_gen: int = 0
 
     def known_tickers(self) -> frozenset[str]:
         """The cached ticker set (resolved on first use). Callers get a
         LOCAL snapshot — the cache attribute may be nulled concurrently
         by the fetch-completion listener, so never re-read ``_known``
-        after this returns."""
+        after this returns.
+
+        A generation counter guards the publish: if a background fetch
+        completes (invalidating the cache) while the collect is in
+        flight, the now-stale snapshot is returned to THIS caller but
+        NOT re-cached — otherwise it would mask the just-completed
+        ticker until some future completion fired."""
         known = self._known
         if known is None:
+            with self._known_lock:
+                gen = self._known_gen
             rows = (
                 self.facade._facts().select("ticker").distinct().collect()
             )
-            self._known = known = frozenset(r[0] for r in rows)
+            known = frozenset(r[0] for r in rows)
+            with self._known_lock:
+                if self._known_gen == gen:
+                    self._known = known
         return known
 
     def has_data(self, ticker: str) -> bool:
@@ -116,7 +129,9 @@ class FacadeHTTPServer:
 
     def invalidate_known(self, ticker: str | None = None) -> None:
         """Drop the cached ticker set (next probe re-resolves)."""
-        self._known = None
+        with self._known_lock:
+            self._known_gen += 1
+            self._known = None
 
     def serve_forever(self) -> None:
         self._httpd.serve_forever()
@@ -140,18 +155,25 @@ def _make_handler(srv: FacadeHTTPServer):
 
         # -- plumbing ------------------------------------------------------
 
-        def _cors_origin(self) -> str | None:
-            """Resolve the Access-Control-Allow-Origin value for this
-            request (None = no CORS headers). The allowed ORIGIN is
-            always reflected, never the literal ``*`` — the reference
-            middleware runs with ``allow_credentials=True``, and the
-            Fetch spec forbids wildcard origin on credentialed
-            responses (browsers would block them)."""
+        def _cors_origin(self) -> tuple[str, bool] | None:
+            """Resolve (Access-Control-Allow-Origin value, send
+            Allow-Credentials) for this request; None = no CORS headers.
+
+            Wildcard config sends the LITERAL ``*`` with no credentials
+            header, matching the reference default exactly (browsers
+            refuse ``*`` on credentialed requests, so reflecting the
+            Origin there would be strictly MORE permissive — any site
+            could make credentialed calls if auth is ever added).
+            Origin reflection + ``allow_credentials=True`` (the
+            reference middleware's behavior for a configured origin
+            list) is reserved for an explicit allowlist."""
             origin = self.headers.get("Origin")
             if origin is None:
                 return None
-            if "*" in srv.cors_origins or origin in srv.cors_origins:
-                return origin
+            if "*" in srv.cors_origins:
+                return "*", False
+            if origin in srv.cors_origins:
+                return origin, True
             return None
 
         def _send(self, status: int, body: bytes, ctype: str) -> None:
@@ -162,8 +184,10 @@ def _make_handler(srv: FacadeHTTPServer):
             self.send_header("Vary", "Origin, Accept-Encoding")
             allow = self._cors_origin()
             if allow is not None:
-                self.send_header("Access-Control-Allow-Origin", allow)
-                self.send_header("Access-Control-Allow-Credentials", "true")
+                origin, credentialed = allow
+                self.send_header("Access-Control-Allow-Origin", origin)
+                if credentialed:
+                    self.send_header("Access-Control-Allow-Credentials", "true")
             if (
                 len(body) >= GZIP_MIN_SIZE
                 and ctype not in _GZIP_EXEMPT_CTYPES
@@ -296,10 +320,12 @@ def _make_handler(srv: FacadeHTTPServer):
             self.send_response(204)
             self.send_header("Vary", "Origin")
             if allow is not None:
-                self.send_header("Access-Control-Allow-Origin", allow)
+                origin, credentialed = allow
+                self.send_header("Access-Control-Allow-Origin", origin)
                 self.send_header("Access-Control-Allow-Methods", CORS_ALLOW_METHODS)
                 self.send_header("Access-Control-Allow-Headers", CORS_ALLOW_HEADERS)
-                self.send_header("Access-Control-Allow-Credentials", "true")
+                if credentialed:
+                    self.send_header("Access-Control-Allow-Credentials", "true")
                 self.send_header("Access-Control-Max-Age", "600")
             else:
                 # bare (non-CORS) OPTIONS is a legitimate capability

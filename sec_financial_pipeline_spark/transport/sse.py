@@ -201,8 +201,20 @@ def _make_handler(srv: MCPSSEServer):
             except json.JSONDecodeError as e:
                 sess.outbox.put({"id": None, "error": f"bad JSON: {e}"})
             else:
-                # the SAME dispatch the stdio loop uses — one tool surface
-                sess.outbox.put(handle_request(srv.registry, req))
+                # the SAME dispatch the stdio loop uses — one tool
+                # surface. Run it on a worker thread: the 202 promises
+                # the POST returns promptly, and a keep-alive client
+                # pipelining a second request on this connection must
+                # not stall behind an in-flight tool call. MCP matches
+                # responses by id, so completion order on the stream is
+                # free to differ from submission order.
+                threading.Thread(
+                    target=lambda: sess.outbox.put(
+                        handle_request(srv.registry, req)
+                    ),
+                    daemon=True,
+                    name="sse-dispatch",
+                ).start()
 
     return Handler
 

@@ -203,3 +203,48 @@ def test_stratified_upsample_multiplicity_and_invariance(spark, sf_dir):
     a = sorted((r["doc_id"], r["copy_no"]) for r in out.collect())
     b = sorted((r["doc_id"], r["copy_no"]) for r in again.collect())
     assert a == b
+
+
+def test_stratified_sample_zero_upsample_stratum_still_reported(spark, tmp_path):
+    """A stratum whose upsample rate is < 1 can emit ZERO upsampled rows;
+    it must still appear in doc_stratified_sample with n_upsampled=0 and
+    the map-derived up_rate — matching the oracle, whose upagg groups
+    over ALL documents (regression for the r6 inner-join parity break).
+
+    doc_ids are pre-searched so every 'qq' doc fails the up1 draw
+    (hash_uniform >= 0.5 -> 0 copies at the 0.5 default rate) while
+    passing the mix1 draw (< 0.1 default keep rate).
+    """
+    import duckdb
+
+    from sec_financial_pipeline_spark.registry import all_queries
+
+    qq_ids = [1000024, 1000040, 1000073, 1000085]
+    rows = [(i, "qq", "synth", "alpha beta gamma", 16) for i in qq_ids] + [
+        (i, "en", "synth", "the fast table", 14) for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string, n_chars int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    q = all_queries()["doc_stratified_sample"]
+    got = {r["lang"]: r for r in q.fn(spark, str(tmp_path)).collect()}
+    assert "qq" in got, "zero-upsample stratum dropped by the join"
+    assert got["qq"]["n_kept"] == len(qq_ids)
+    assert got["qq"]["n_upsampled"] == 0
+    assert got["qq"]["up_rate"] == 0.5
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: r for r in con.execute(q.oracle).fetchall()
+    }
+    con.close()
+    assert set(got) == set(oracle)
+    for lang, r in got.items():
+        o = oracle[lang]
+        assert (r["n_kept"], r["n_upsampled"]) == (o[1], o[3]), lang
+        assert abs(r["rate"] - float(o[2])) < 1e-9 and abs(r["up_rate"] - float(o[4])) < 1e-9

@@ -590,15 +590,17 @@ def test_ws_rejects_non_upgrade(ws_srv):
 
 
 def test_cors_wildcard_and_preflight(http_srv):
-    # wildcard config REFLECTS the origin (never the literal '*'):
-    # credentials are allowed, and the Fetch spec forbids the pair
-    # ACAO '*' + ACAC 'true'
+    # wildcard config sends the LITERAL '*' and NO credentials header —
+    # exactly the reference default. Reflecting the origin there would
+    # be strictly MORE permissive (any site could make credentialed
+    # calls); origin reflection + credentials is reserved for an
+    # explicit allowlist (test_cors_origin_allowlist).
     status, hdrs, _ = _get_hdr(
         http_srv, "/health", {"Origin": "http://example.test"}
     )
     assert status == 200
-    assert hdrs.get("Access-Control-Allow-Origin") == "http://example.test"
-    assert hdrs.get("Access-Control-Allow-Credentials") == "true"
+    assert hdrs.get("Access-Control-Allow-Origin") == "*"
+    assert hdrs.get("Access-Control-Allow-Credentials") is None
     assert "Origin" in hdrs.get("Vary", "")
 
     # no Origin header -> no CORS headers (not a browser request)
@@ -615,7 +617,7 @@ def test_cors_wildcard_and_preflight(http_srv):
     )
     with urllib.request.urlopen(req) as r:
         assert r.status == 204
-        assert r.headers["Access-Control-Allow-Origin"] == "http://example.test"
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
         assert "POST" in r.headers["Access-Control-Allow-Methods"]
 
     # bare OPTIONS (no Origin, e.g. a capability probe) is answered,
@@ -635,6 +637,7 @@ def test_cors_origin_allowlist(spark, sf_dir):
     try:
         status, hdrs, _ = _get_hdr(srv, "/health", {"Origin": "http://ok.test"})
         assert hdrs.get("Access-Control-Allow-Origin") == "http://ok.test"
+        assert hdrs.get("Access-Control-Allow-Credentials") == "true"
         status, hdrs, _ = _get_hdr(srv, "/health", {"Origin": "http://evil.test"})
         assert status == 200  # non-CORS clients unaffected
         assert hdrs.get("Access-Control-Allow-Origin") is None
