@@ -63,6 +63,11 @@ HEADLINE = [
     # regression-visible.
     "doc_redact",
     "doc_profile",
+    # round-7 widening: the build-once/query-many ANN serving path —
+    # the warm-up call trains + persists the IVF-PQ index (the batch
+    # job); timed reps load it from parquet and run search only, so
+    # this row is pure query latency (VERDICT r06 item 2).
+    "emb_ivfpq_serve",
 ]
 
 
@@ -78,6 +83,7 @@ def _headline_fns():
         "sec_trends": sec_domain.q_trends,
         "emb_pq_topk": similarity.q_emb_pq_topk,
         "emb_sq_topk": similarity.q_emb_sq_topk,
+        "emb_ivfpq_serve": similarity.q_emb_ivfpq_serve,
     }
     queries = all_queries()
     return {
@@ -118,6 +124,7 @@ def main() -> None:
     from sec_financial_pipeline_spark.registry.similarity import release_caches
 
     timings: dict[str, float] = {}
+    min2: dict[str, float] = {}
     for name in HEADLINE:
         fn = fns[name]
         fn(spark, SF_DIR).toPandas()  # warmup: plan + codegen + caches
@@ -128,6 +135,11 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
             assert pdf is not None
         timings[name] = round(sorted(reps)[len(reps) // 2], 4)
+        # co-tenant-load hygiene (VERDICT r06 #6): the min of two
+        # back-to-back runs is far less sensitive to a transient load
+        # spike than the median; reported ALONGSIDE the median so the
+        # round-over-round total stays like-for-like.
+        min2[name] = round(min(reps[:2]), 4)
         # drop caches the finished query pinned: each query's reps still
         # benefit (warmup re-populates), but query j doesn't execute
         # under query i's leftover storage-memory pressure
@@ -140,6 +152,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "min_of_2": min2,
+        "min_of_2_total": round(sum(min2.values()), 4),
         "sf": sf,
         # co-tenant load context (VERDICT r03 #7): the same code measured
         # 38-68s across load avg 1-5, so round-over-round driver

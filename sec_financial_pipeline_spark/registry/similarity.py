@@ -1477,23 +1477,28 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 """
 
 
-def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
-    from sec_financial_pipeline_spark.operators import ivfpq
-
+def _ivfpq_corpus(spark: SparkSession, sf_dir: str, persist: bool = True):
+    """Normed corpus view of the embeddings table (optionally cached —
+    training makes several passes; a serve-only search does not)."""
     n_part = max(1, spark.sparkContext.defaultParallelism)
-    # persisted: feeds coarse training, residual encode, and the exact
-    # re-rank (same rationale as the IVF/PQ query caches)
-    e = _track(
+    e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("nrm", S.norm(F.col("emb")))
         .repartition(n_part)
-        .persist()
     )
+    return _track(e.persist()) if persist else e
+
+
+def _train_ivfpq(spark: SparkSession, sf_dir: str):
+    """Batch-train half of the index lifecycle: (persisted corpus,
+    trained IvfPqIndex) with the fixed seed/slice config every IVF-PQ
+    query in this registry shares."""
+    from sec_financial_pipeline_spark.operators import ivfpq
+
+    # persisted: feeds coarse training, residual encode, and the exact
+    # re-rank (same rationale as the IVF/PQ query caches)
+    e = _ivfpq_corpus(spark, sf_dir)
     coarse_seeds = e.filter(
         (F.col("vec_id") >= _IVF_SEED_BASE)
         & (F.col("vec_id") < _IVF_SEED_BASE + _IVF_K)
@@ -1509,12 +1514,13 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         slices=_PQ_SLICES,
         n_iter=1,
     )
-    # the lifecycle the query certifies: the trained index round-trips
-    # through parquet (codes partitioned by cell — a probe prunes files
-    # before any shuffle) and search runs against the LOADED copy
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"sfp_ivfpq_{tag}")
-    ivfpq.save_index(index, path)
+    return e, index
+
+
+def _ivfpq_search(spark: SparkSession, e: DataFrame, path: str) -> DataFrame:
+    """Query half: search against the index LOADED from ``path``."""
+    from sec_financial_pipeline_spark.operators import ivfpq
+
     loaded = ivfpq.load_index(spark, path)
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "emb", "nrm"
@@ -1527,6 +1533,56 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=_IVFPQ_RERANK,
         top_k=_IVFPQ_TOP_K,
     )
+
+
+def _ivfpq_index_path(sf_dir: str, suffix: str = "") -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"sfp_ivfpq_{suffix}{tag}")
+
+
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators import ivfpq
+
+    e, index = _train_ivfpq(spark, sf_dir)
+    # the lifecycle the query certifies: the trained index round-trips
+    # through parquet (codes partitioned by cell — a probe prunes files
+    # before any shuffle) and search runs against the LOADED copy
+    path = _ivfpq_index_path(sf_dir)
+    ivfpq.save_index(index, path)
+    return _ivfpq_search(spark, e, path)
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent build-once half of the serving lifecycle: train + save
+    the IVF-PQ index for ``sf_dir`` unless a persisted copy already
+    exists; returns its path. At 100 TB this is the nightly batch job;
+    every search job afterwards pays ZERO training cost."""
+    import os
+
+    from sec_financial_pipeline_spark.operators import ivfpq
+
+    path = _ivfpq_index_path(sf_dir, suffix="serve_")
+    if not os.path.exists(os.path.join(path, "slices")):
+        _, index = _train_ivfpq(spark, sf_dir)
+        ivfpq.save_index(index, path)
+    return path
+
+
+def q_emb_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-ONLY ANN latency — the number a serving story needs
+    (VERDICT r06 item 2). First call builds + persists the index (the
+    bench warm-up absorbs it, mirroring the batch-train job); every
+    later call loads codebooks/codes from parquet and searches, with no
+    Lloyd pass and no corpus-wide cache. Result is bit-identical to
+    ``q_emb_ivfpq_topk`` (same seeds/slices/probe/rerank — asserted by
+    tests/test_ivfpq.py)."""
+    path = ensure_ivfpq_index(spark, sf_dir)
+    e = _ivfpq_corpus(spark, sf_dir, persist=False)
+    return _ivfpq_search(spark, e, path)
 
 
 # ---------------------------------------------------------------------------

@@ -195,3 +195,34 @@ def test_loaded_codes_prune_on_cell_and_no_streamed_nested_loop(
     for frag in splan.split("BroadcastNestedLoopJoin")[1:]:
         head = frag.splitlines()[0]
         assert "BuildRight" in head or "BuildLeft" in head
+
+
+def test_serve_path_matches_train_and_query(spark, sf_dir, monkeypatch, tmp_path):
+    """The query-only serving path (persisted index loaded from parquet,
+    no Lloyd pass) returns exactly what the train+query registry path
+    returns — the index round-trip changes latency, never results."""
+    import tempfile
+
+    from sec_financial_pipeline_spark.registry import similarity as sim
+
+    # isolate the persisted-index location so the test never reads a
+    # stale index from a previous process
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    full = sorted(
+        tuple(r) for r in sim.q_emb_ivfpq_topk(spark, sf_dir).collect()
+    )
+    served = sorted(
+        tuple(r) for r in sim.q_emb_ivfpq_serve(spark, sf_dir).collect()
+    )
+    assert served == full and len(full) > 0
+    # second serve call must NOT retrain: the ensure step sees the
+    # persisted copy (mtime unchanged) and goes straight to search
+    import os
+
+    path = sim.ensure_ivfpq_index(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(path, "slices"))
+    again = sorted(
+        tuple(r) for r in sim.q_emb_ivfpq_serve(spark, sf_dir).collect()
+    )
+    assert again == full
+    assert os.path.getmtime(os.path.join(path, "slices")) == mtime
