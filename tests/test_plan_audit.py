@@ -172,3 +172,71 @@ def test_no_unpartitioned_windows_anywhere(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     specs = _unpartitioned_window_specs(plan)
     assert not specs, f"{name}: unpartitioned global window over {specs}"
+
+
+def test_candidate_pair_output_stays_near_linear(spark, sf_dir):
+    """Output-cardinality guard for every candidate-pair generator
+    (VERDICT r06 item 4, the standing form of the doc_near_pairs d=10
+    lesson): a generator whose candidate set grows toward the N^2 pair
+    space is a retune bug — it OOMs the driver collect and melts the
+    verify join long before any sweep runs. Bound each at c*N for the
+    test corpus; c is generous (real dups cluster), the quadratic blowup
+    these catch is orders of magnitude past it.
+    """
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    # MinHash banded LSH (doc_near_pairs / near-dedup band join)
+    sig = S.minhash_signatures(docs, "doc_id", "text")
+    assert S.lsh_candidate_pairs(sig, "doc_id").count() <= 6 * n_docs
+
+    # SimHash pigeonhole blocks at the production d=3 retune
+    sh32 = S.simhash(docs, "doc_id", "text")
+    assert S.hamming_pairs(sh32, "doc_id", max_distance=3).count() <= 6 * n_docs
+
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _MP_BITS,
+        _SIGN_BITS,
+        _sign_planes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    n_vec = emb.count()
+
+    # banded sign-LSH over embeddings at the production band shape
+    codes = S.sign_lsh_bands(emb, "vec_id", _sign_planes(emb), _SIGN_BITS).persist()
+    try:
+        assert S.sign_lsh_candidate_pairs(codes, "vec_id").count() <= 8 * n_vec
+    finally:
+        codes.unpersist()
+
+    # multi-probe variant widens candidates by design (tuned operating
+    # point accepts ~27 pairs/vector at sf0.01, PERF.md r6) — the guard
+    # is against a quadratic blowup, so the linear constant is wider
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _MP_BANDS,
+        _SIGN_BASE,
+    )
+
+    planes_mp = emb.filter(
+        (F.col("vec_id") >= _SIGN_BASE)
+        & (F.col("vec_id") < _SIGN_BASE + _MP_BANDS * _MP_BITS)
+    ).select(
+        (F.col("vec_id") - _SIGN_BASE).alias("h_id"),
+        F.col("emb").alias("h_emb"),
+    )
+    mp_codes = S.sign_lsh_bands(emb, "vec_id", planes_mp, _MP_BITS).persist()
+    try:
+        assert (
+            S.sign_lsh_multiprobe_pairs(mp_codes, "vec_id", _MP_BITS).count()
+            <= 40 * n_vec
+        )
+    finally:
+        mp_codes.unpersist()
