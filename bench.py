@@ -68,6 +68,10 @@ HEADLINE = [
     # job); timed reps load it from parquet and run search only, so
     # this row is pure query latency (VERDICT r06 item 2).
     "emb_ivfpq_serve",
+    # ...and the ingest twin: probe an incoming batch against the
+    # persisted corpus signature store (no corpus re-banding) — the
+    # incremental near-dedup latency an ingest pipeline pays per batch.
+    "doc_incr_dedup_serve",
 ]
 
 
@@ -84,6 +88,7 @@ def _headline_fns():
         "emb_pq_topk": similarity.q_emb_pq_topk,
         "emb_sq_topk": similarity.q_emb_sq_topk,
         "emb_ivfpq_serve": similarity.q_emb_ivfpq_serve,
+        "doc_incr_dedup_serve": similarity.q_doc_incr_dedup_serve,
     }
     queries = all_queries()
     return {

@@ -197,6 +197,91 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental near-dedup: persisted signature store + batch probe.
+# At 100 TB the corpus' MinHash bands are NOT recomputed per ingest —
+# they live in a parquet store, and each incoming batch is banded and
+# probed against it. Pairs the full recompute would emit among
+# old-old documents never surface (they were handled when those docs
+# arrived); the incremental answer is exactly the full answer
+# restricted to pairs touching >= 1 new document, because a document's
+# bands are a pure function of its text (corpus-split-independent).
+# ---------------------------------------------------------------------------
+
+
+def band_table(signatures: DataFrame, id_col: str) -> DataFrame:
+    """Long ``(id, band_no, band_hash)`` view of a wide signature table
+    (one ``posexplode`` pass — the shape both the self-join and the
+    persisted store use)."""
+    band_cols = [c for c in signatures.columns if c.startswith("band")]
+    return signatures.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "band_no", "band_hash"
+        ),
+    )
+
+
+def save_signature_store(signatures: DataFrame, id_col: str, path: str) -> None:
+    """Persist the corpus' band table, partitioned by ``band_no`` so a
+    probe joins band-aligned files (and a band-shape retune invalidates
+    visibly: the store carries its band count in its partition layout)."""
+    band_table(signatures, id_col).write.mode("overwrite").partitionBy(
+        "band_no"
+    ).parquet(path)
+
+
+def load_signature_store(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def incremental_candidate_pairs(
+    batch_sigs: DataFrame, id_col: str, store: DataFrame
+) -> DataFrame:
+    """Distinct candidate pairs involving >= 1 batch document: the
+    store-probe equi-join on ``(band_no, band_hash)`` plus the
+    within-batch self-join. Output is id-normalized
+    ``(id_a < id_b)`` — identical to what a full recompute over
+    store ∪ batch would emit, minus the store-internal pairs.
+
+    Scale shape: the probe is a hash join whose build side is the
+    (small) batch band table — broadcast when it fits — and whose
+    probe side streams the store scan; no store self-join ever runs.
+    """
+    # ONE materialized band table feeds the store probe (via a
+    # broadcast on top of the exchange) AND both self-join sides
+    # (ReusedExchange) — otherwise the signature pipeline (16 HOF
+    # min-hash expressions per doc) is recomputed per consumer.
+    stacked = band_table(batch_sigs, id_col).repartition("band_no", "band_hash")
+    s = store.select("id", "band_no", "band_hash")
+    store_batch = (
+        s.alias("a")
+        .join(
+            F.broadcast(stacked.alias("b")),
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    within_batch = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return store_batch.unionByName(within_batch).distinct()
+
+
+# ---------------------------------------------------------------------------
 # Banded sign-projection LSH (random-hyperplane LSH with MinHash-style bands)
 # ---------------------------------------------------------------------------
 

@@ -576,8 +576,11 @@ SELECT 'simhash' AS method, a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM s_sig a JOIN s_sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_DIST}
+UNION ALL
+SELECT 'incr_store' AS method, id_a, id_b, CAST(NULL AS INT) AS hamming
+FROM cand WHERE id_a % 5 = 0 OR id_b % 5 = 0
 """,
-    survey="§2.9 dedup-minhash banded candidate pairs + dedup-simhash pigeonhole-blocked Hamming pairs",
+    survey="§2.9 dedup-minhash banded candidate pairs + dedup-simhash pigeonhole-blocked Hamming pairs + incremental batch-vs-persisted-store probe",
 )
 def q_doc_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -596,7 +599,71 @@ def q_doc_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("simhash").alias("method"), "id_a", "id_b", "hamming"
     )
-    return minhash.unionByName(simhash)
+    # incremental section: the persisted-store ingest lifecycle over a
+    # 4:1 corpus/batch split (batch = doc_id % 5 == 0). The corpus'
+    # bands are built ONCE and saved to parquet (ensure_*); the batch
+    # is banded and probed against the LOADED store. Because a doc's
+    # bands are a pure function of its text, the result is provably the
+    # full recompute's pair set restricted to pairs touching >= 1 batch
+    # doc — which is exactly what the oracle's filtered cand states.
+    store = S.load_signature_store(spark, ensure_minhash_store(spark, sf_dir))
+    batch_sigs = S.minhash_signatures(
+        d.filter(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+        n_hashes=_N_HASHES,
+        band_size=_BAND_SIZE,
+    )
+    incr = S.incremental_candidate_pairs(batch_sigs, "doc_id", store).select(
+        F.lit("incr_store").alias("method"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("int").alias("hamming"),
+    )
+    return minhash.unionByName(simhash).unionByName(incr)
+
+
+def ensure_minhash_store(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent batch half of incremental near-dedup: band the
+    standing corpus (doc_id % 5 != 0) and persist the band table,
+    partitioned by band_no. The 100 TB analog is the nightly signature
+    build; every ingest afterwards probes it without re-banding the
+    corpus."""
+    import hashlib
+    import os
+    import tempfile
+
+    # tag carries the source file's mtime so a regenerated testdata set
+    # can never be served from a stale persisted store
+    src = os.path.join(sf_dir, "documents.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf_dir}@{mtime}".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"sfp_mh_store_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 != 0
+        )
+        sigs = S.minhash_signatures(
+            corpus, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE
+        )
+        S.save_signature_store(sigs, "doc_id", path)
+    return path
+
+
+def q_doc_incr_dedup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-only near-dedup latency (bench row): probe an incoming
+    batch against the already-persisted corpus signature store — no
+    corpus re-banding. The first call builds the store (absorbed by the
+    bench warm-up, mirroring the nightly batch job); timed calls pay
+    batch signatures + the store probe only."""
+    store = S.load_signature_store(spark, ensure_minhash_store(spark, sf_dir))
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    batch_sigs = S.minhash_signatures(
+        batch, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE
+    )
+    return S.incremental_candidate_pairs(batch_sigs, "doc_id", store)
 
 
 # ---------------------------------------------------------------------------

@@ -248,3 +248,44 @@ def test_stratified_sample_zero_upsample_stratum_still_reported(spark, tmp_path)
         o = oracle[lang]
         assert (r["n_kept"], r["n_upsampled"]) == (o[1], o[3]), lang
         assert abs(r["rate"] - float(o[2])) < 1e-9 and abs(r["up_rate"] - float(o[4])) < 1e-9
+
+
+def test_incremental_store_probe_equals_full_recompute(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """The persisted-store ingest path (corpus bands saved to parquet,
+    batch banded + probed) must emit exactly the full-recompute pair
+    set restricted to pairs touching >= 1 batch doc — a witness
+    independent of the registry oracle's shared algorithm."""
+    import tempfile
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.registry import similarity as rs
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    d = load_table(spark, sf_dir, "documents")
+    full = S.lsh_candidate_pairs(
+        S.minhash_signatures(d, "doc_id", "text"), "doc_id"
+    )
+    expected = sorted(
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] % 5 == 0 or r["id_b"] % 5 == 0
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in rs.q_doc_incr_dedup_serve(spark, sf_dir).collect()
+    )
+    assert got == expected and len(expected) > 0
+    # and the second call reuses the persisted store (no rebuild)
+    import os
+
+    path = rs.ensure_minhash_store(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    again = sorted(
+        (r["id_a"], r["id_b"])
+        for r in rs.q_doc_incr_dedup_serve(spark, sf_dir).collect()
+    )
+    assert again == expected
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
