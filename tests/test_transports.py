@@ -328,6 +328,31 @@ def test_http_fetch_completion_invalidates_known_set(http_srv):
     assert http_srv._known is None  # completion listener dropped it
 
 
+def test_known_set_not_republished_after_midflight_invalidation(http_srv):
+    """Generation-counter guard: a fetch completing while known_tickers'
+    collect is in flight must not have its invalidation overwritten by
+    the stale snapshot (the snapshot is still RETURNED to that caller,
+    it just isn't re-cached)."""
+    http_srv.invalidate_known()
+    real_facts = http_srv.facade._facts
+
+    def facts_with_midflight_completion():
+        # simulate a background fetch landing during the collect
+        http_srv.invalidate_known()
+        return real_facts()
+
+    http_srv.facade._facts = facts_with_midflight_completion
+    try:
+        snapshot = http_srv.known_tickers()
+        assert len(snapshot) > 0  # caller still gets a usable set
+        assert http_srv._known is None  # ...but it was NOT re-cached
+    finally:
+        http_srv.facade._facts = real_facts
+    # next probe (no concurrent invalidation) caches normally
+    http_srv.known_tickers()
+    assert http_srv._known is not None
+
+
 def test_http_etl_fetch_validates_ticker(http_srv):
     status, body = _post(http_srv, "/etl/fetch/NOT%20OK!!!")
     assert status == 400  # malformed ticker never reaches the queue
