@@ -175,13 +175,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
     on the join key, so the self-join reuses a single exchange for both
     sides and needs no further shuffle.
     """
-    band_cols = [c for c in signatures.columns if c.startswith("band")]
-    stacked = signatures.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
-            "band_no", "band_hash"
-        ),
-    ).repartition("band_no", "band_hash")
+    stacked = band_table(signatures, id_col).repartition("band_no", "band_hash")
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -243,9 +237,11 @@ def incremental_candidate_pairs(
     ``(id_a < id_b)`` — identical to what a full recompute over
     store ∪ batch would emit, minus the store-internal pairs.
 
-    Scale shape: the probe is a hash join whose build side is the
-    (small) batch band table — broadcast when it fits — and whose
-    probe side streams the store scan; no store self-join ever runs.
+    Scale shape: the probe is an equi-join on ``(band_no, band_hash)``
+    whose small side is the batch band table; the join strategy is left
+    to the planner/AQE (a small batch broadcasts under the size
+    threshold, a huge ingest batch degrades to a shuffle hash join
+    instead of a broadcast OOM); no store self-join ever runs.
     """
     # ONE materialized band table feeds the store probe (via a
     # broadcast on top of the exchange) AND both self-join sides
@@ -256,7 +252,7 @@ def incremental_candidate_pairs(
     store_batch = (
         s.alias("a")
         .join(
-            F.broadcast(stacked.alias("b")),
+            stacked.alias("b"),
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") != F.col("b.id")),

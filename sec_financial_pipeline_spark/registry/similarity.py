@@ -629,24 +629,21 @@ def ensure_minhash_store(spark: SparkSession, sf_dir: str) -> str:
     partitioned by band_no. The 100 TB analog is the nightly signature
     build; every ingest afterwards probes it without re-banding the
     corpus."""
-    import hashlib
     import os
-    import tempfile
 
-    # tag carries the source file's mtime so a regenerated testdata set
-    # can never be served from a stale persisted store
-    src = os.path.join(sf_dir, "documents.parquet")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = hashlib.md5(f"{sf_dir}@{mtime}".encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"sfp_mh_store_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    path = _artifact_path(
+        "sfp_mh_store_", sf_dir, "documents", f"h{_N_HASHES}b{_BAND_SIZE}"
+    )
+    if not os.path.exists(path):
         corpus = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 5 != 0
         )
         sigs = S.minhash_signatures(
             corpus, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE
         )
-        S.save_signature_store(sigs, "doc_id", path)
+        _publish_atomically(
+            lambda p: S.save_signature_store(sigs, "doc_id", p), path
+        )
     return path
 
 
@@ -1602,13 +1599,46 @@ def _ivfpq_search(spark: SparkSession, e: DataFrame, path: str) -> DataFrame:
     )
 
 
-def _ivfpq_index_path(sf_dir: str, suffix: str = "") -> str:
+def _artifact_path(prefix: str, sf_dir: str, src_table: str, config: str) -> str:
+    """Path for a persisted build-once artifact, keyed by sf_dir, the
+    source file's mtime (regenerated testdata never hits a stale
+    artifact), and the build configuration (a retune of hashes/bands/
+    seeds invalidates rather than silently mismatching)."""
     import hashlib
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"sfp_ivfpq_{suffix}{tag}")
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf_dir}@{mtime}@{config}".encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}{tag}")
+
+
+def _publish_atomically(build, path: str) -> None:
+    """Cross-process-safe build-once: materialize into a unique sibling
+    temp dir, then rename into place. Readers (which gate on
+    ``os.path.exists(path)``) see either nothing or a complete
+    artifact; a concurrent loser discards its build — the winner's is
+    equivalent (deterministic pipeline) — instead of overwriting a
+    store another process may be mid-read on."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+    build(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ivfpq_index_path(sf_dir: str, suffix: str = "") -> str:
+    cfg = (
+        f"k{_IVF_K}s{_IVF_SEED_BASE}i{_IVF_ITER}p{_PQ_SEED_BASE}"
+        f"q{_PQ_K}sl{_PQ_SLICES}"
+    )
+    return _artifact_path(f"sfp_ivfpq_{suffix}", sf_dir, "embeddings", cfg)
 
 
 def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1617,9 +1647,12 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, index = _train_ivfpq(spark, sf_dir)
     # the lifecycle the query certifies: the trained index round-trips
     # through parquet (codes partitioned by cell — a probe prunes files
-    # before any shuffle) and search runs against the LOADED copy
+    # before any shuffle) and search runs against the LOADED copy. The
+    # save is published atomically so a concurrent process mid-read on
+    # the shared path never sees a half-overwritten index (the loser's
+    # build is byte-equivalent — the pipeline is deterministic).
     path = _ivfpq_index_path(sf_dir)
-    ivfpq.save_index(index, path)
+    _publish_atomically(lambda p: ivfpq.save_index(index, p), path)
     return _ivfpq_search(spark, e, path)
 
 
@@ -1633,9 +1666,9 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     from sec_financial_pipeline_spark.operators import ivfpq
 
     path = _ivfpq_index_path(sf_dir, suffix="serve_")
-    if not os.path.exists(os.path.join(path, "slices")):
+    if not os.path.exists(path):
         _, index = _train_ivfpq(spark, sf_dir)
-        ivfpq.save_index(index, path)
+        _publish_atomically(lambda p: ivfpq.save_index(index, p), path)
     return path
 
 

@@ -74,6 +74,14 @@ class MCPSSEServer:
         self._sessions: dict[str, _Session] = {}
         self._lock = threading.Lock()
         self._stopping = threading.Event()
+        # bounded dispatch pool: POSTs 202 and return immediately, but a
+        # flood of requests queues here instead of spawning an OS thread
+        # (and a concurrent Spark job) per request
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._dispatch_pool = ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="sse-dispatch"
+        )
         handler = _make_handler(self)
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self._httpd.server_address[1]
@@ -113,6 +121,7 @@ class MCPSSEServer:
             for sess in self._sessions.values():
                 sess.closed.set()
             self._sessions.clear()
+        self._dispatch_pool.shutdown(wait=False, cancel_futures=True)
         self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:
@@ -202,19 +211,17 @@ def _make_handler(srv: MCPSSEServer):
                 sess.outbox.put({"id": None, "error": f"bad JSON: {e}"})
             else:
                 # the SAME dispatch the stdio loop uses — one tool
-                # surface. Run it on a worker thread: the 202 promises
-                # the POST returns promptly, and a keep-alive client
-                # pipelining a second request on this connection must
-                # not stall behind an in-flight tool call. MCP matches
-                # responses by id, so completion order on the stream is
-                # free to differ from submission order.
-                threading.Thread(
-                    target=lambda: sess.outbox.put(
-                        handle_request(srv.registry, req)
-                    ),
-                    daemon=True,
-                    name="sse-dispatch",
-                ).start()
+                # surface. Run it on the server's BOUNDED worker pool:
+                # the 202 promises the POST returns promptly (a
+                # keep-alive client pipelining a second request must not
+                # stall behind an in-flight tool call), while a request
+                # flood queues instead of spawning an unbounded thread —
+                # and Spark job — per POST. MCP matches responses by id,
+                # so completion order on the stream is free to differ
+                # from submission order.
+                srv._dispatch_pool.submit(
+                    lambda: sess.outbox.put(handle_request(srv.registry, req))
+                )
 
     return Handler
 
