@@ -289,3 +289,30 @@ def test_incremental_store_probe_equals_full_recompute(
     )
     assert again == expected
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+
+
+def test_publish_atomically_loser_discards(tmp_path):
+    """If the destination already exists (another process won the
+    build race), the loser's build is discarded and the existing
+    artifact is untouched — never overwritten mid-read."""
+    import os
+
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _publish_atomically,
+    )
+
+    dest = str(tmp_path / "artifact")
+    os.makedirs(dest)
+    with open(os.path.join(dest, "marker"), "w") as f:
+        f.write("winner")
+
+    def build(p):
+        os.makedirs(p)
+        with open(os.path.join(p, "marker"), "w") as f:
+            f.write("loser")
+
+    _publish_atomically(build, dest)
+    with open(os.path.join(dest, "marker")) as f:
+        assert f.read() == "winner"
+    # the loser's temp build dir was cleaned up
+    assert [e for e in os.listdir(tmp_path)] == ["artifact"]
