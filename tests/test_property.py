@@ -134,3 +134,54 @@ def test_packing_matches_sequential_brute_force(spark, sizes, chunk):
             expect[off + p] = i
         off += n
     assert stream == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        # small vocabulary + short docs force both shared and disjoint
+        # shingle structure, so band collisions actually occur
+        st.lists(st.sampled_from("abcdef"), min_size=3, max_size=8).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=14,
+    ),
+    st.integers(2, 5),  # split modulus: batch = doc_id % m == 0
+)
+def test_incremental_pairs_match_full_recompute(spark, texts, m):
+    """incremental_candidate_pairs over a persisted-store split must
+    equal lsh_candidate_pairs over the whole corpus restricted to pairs
+    touching >= 1 batch doc — for ANY corpus and ANY split (bands are a
+    pure per-doc function, so the algebra must hold universally)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    full = S.lsh_candidate_pairs(
+        S.minhash_signatures(d, "doc_id", "text"), "doc_id"
+    )
+    expected = sorted(
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] % m == 0 or r["id_b"] % m == 0
+    )
+    store = S.band_table(
+        S.minhash_signatures(
+            d.filter(F.col("doc_id") % m != 0), "doc_id", "text"
+        ),
+        "doc_id",
+    )
+    batch_sigs = S.minhash_signatures(
+        d.filter(F.col("doc_id") % m == 0), "doc_id", "text"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in S.incremental_candidate_pairs(
+            batch_sigs, "doc_id", store
+        ).collect()
+    )
+    assert got == expected
