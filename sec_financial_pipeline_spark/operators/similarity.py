@@ -228,6 +228,19 @@ def load_signature_store(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def append_to_signature_store(
+    signatures: DataFrame, id_col: str, path: str
+) -> None:
+    """Parquet-level ingest commit: append a batch's band rows into the
+    existing store (new files inside the band_no partitions — existing
+    files untouched). The production loop is probe → verify → drop →
+    append the SURVIVORS, after which the next batch dedups against
+    them too."""
+    band_table(signatures, id_col).write.mode("append").partitionBy(
+        "band_no"
+    ).parquet(path)
+
+
 def incremental_candidate_pairs(
     batch_sigs: DataFrame, id_col: str, store: DataFrame
 ) -> DataFrame:

@@ -316,3 +316,47 @@ def test_publish_atomically_loser_discards(tmp_path):
         assert f.read() == "winner"
     # the loser's temp build dir was cleaned up
     assert [e for e in os.listdir(tmp_path)] == ["artifact"]
+
+
+def test_two_batch_ingest_loop_matches_full_recompute(spark, sf_dir, tmp_path):
+    """The full production loop over TWO ingest batches — build store
+    from the standing corpus, probe batch 1, append batch 1, probe
+    batch 2 — must give batch 2 exactly the pairs a full recompute
+    over (corpus + batch1 + batch2) emits for batch-2-touching pairs."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = F.col("doc_id") % 5 == 0
+    b2 = F.col("doc_id") % 5 == 1
+    store_path = str(tmp_path / "mh_store")
+    S.save_signature_store(
+        S.minhash_signatures(d.filter(~b1 & ~b2), "doc_id", "text"),
+        "doc_id",
+        store_path,
+    )
+    # ingest batch 1: probe (result unused here), then commit its bands
+    sig1 = S.minhash_signatures(d.filter(b1), "doc_id", "text")
+    S.incremental_candidate_pairs(
+        sig1, "doc_id", S.load_signature_store(spark, store_path)
+    ).count()
+    S.append_to_signature_store(sig1, "doc_id", store_path)
+    # ingest batch 2 against the grown store
+    sig2 = S.minhash_signatures(d.filter(b2), "doc_id", "text")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in S.incremental_candidate_pairs(
+            sig2, "doc_id", S.load_signature_store(spark, store_path)
+        ).collect()
+    )
+    full = S.lsh_candidate_pairs(
+        S.minhash_signatures(d, "doc_id", "text"), "doc_id"
+    )
+    expected = sorted(
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] % 5 == 1 or r["id_b"] % 5 == 1
+    )
+    assert got == expected and len(expected) > 0
