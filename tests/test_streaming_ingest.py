@@ -1,0 +1,62 @@
+"""Streaming near-dedup ingest: over ANY micro-batching of a corpus,
+the loop (probe persisted store -> emit pairs -> commit bands) emits
+every candidate pair EXACTLY once — the streaming twin of the batch
+incremental path, pinned against the full batch recompute."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, sf_dir, tmp_path_factory):
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+@pytest.mark.parametrize("max_files", [1, 2])
+def test_streaming_ingest_emits_each_pair_exactly_once(
+    spark, docs_dir, tmp_path, max_files
+):
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.streaming.ingest import (
+        read_document_stream,
+        run_streaming_near_dedup,
+    )
+
+    base = tmp_path / f"mf{max_files}"
+    run_streaming_near_dedup(
+        read_document_stream(spark, docs_dir, max_files=max_files),
+        store_path=str(base / "store"),
+        pairs_path=str(base / "pairs"),
+        checkpoint_path=str(base / "ckpt"),
+    )
+    emitted = [
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(base / "pairs")).collect()
+    ]
+    # exactly once: no pair appears twice across micro-batches
+    assert len(emitted) == len(set(emitted))
+    # completeness: the union over batches is the full recompute
+    d = spark.read.parquet(docs_dir)
+    full = sorted(
+        (r["id_a"], r["id_b"])
+        for r in S.lsh_candidate_pairs(
+            S.minhash_signatures(d, "doc_id", "text"), "doc_id"
+        ).collect()
+    )
+    assert sorted(emitted) == full and len(full) > 0
+    # the committed store now covers the whole corpus
+    n_sigs = (
+        spark.read.parquet(str(base / "store")).select("id").distinct().count()
+    )
+    n_docs_with_shingles = d.filter(
+        F.size(F.split("text", " ")) >= 3
+    ).count()
+    assert n_sigs == n_docs_with_shingles
