@@ -155,6 +155,64 @@ def _cmd_etl(args: argparse.Namespace, spark: SparkSession) -> dict[str, Any]:
     raise SystemExit(f"unknown etl command: {args.etl_cmd}")
 
 
+def _cmd_dedup(args, spark: SparkSession) -> dict:
+    """Near-dedup ingest lifecycle over a persisted signature store
+    (the north-star §2.9 tooling twin of the SEC `etl` commands):
+    ``build`` bands a standing corpus once, ``ingest`` probes a batch
+    and commits its bands, ``status`` summarizes the store."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+
+    if args.dedup_cmd == "build":
+        docs = spark.read.parquet(args.docs).select("doc_id", "text")
+        sigs = S.minhash_signatures(docs, "doc_id", "text")
+        S.save_signature_store(sigs, "doc_id", args.store)
+        store = S.load_signature_store(spark, args.store)
+        return {
+            "store": args.store,
+            "docs": store.select("id").distinct().count(),
+            "band_rows": store.count(),
+        }
+    if args.dedup_cmd == "ingest":
+        import os
+
+        batch = spark.read.parquet(args.docs).select("doc_id", "text")
+        sigs = S.minhash_signatures(batch, "doc_id", "text").persist()
+        try:
+            if os.path.exists(args.store):
+                store = S.load_signature_store(spark, args.store)
+                pairs = S.incremental_candidate_pairs(sigs, "doc_id", store)
+            else:  # bootstrap: first batch IS the corpus
+                pairs = S.lsh_candidate_pairs(sigs, "doc_id")
+            pairs.write.mode("append").parquet(args.pairs)
+            n_pairs = spark.read.parquet(args.pairs).count()
+            S.append_to_signature_store(sigs, "doc_id", args.store)
+        finally:
+            sigs.unpersist()
+        return {
+            "batch_docs": batch.count(),
+            "pairs_total": n_pairs,
+            "store": args.store,
+        }
+    if args.dedup_cmd == "status":
+        store = S.load_signature_store(spark, args.store)
+        per_band = {
+            str(r["band_no"]): r["n"]
+            for r in store.groupBy("band_no")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("band_no")
+            .collect()
+        }
+        return {
+            "store": args.store,
+            "docs": store.select("id").distinct().count(),
+            "band_rows": store.count(),
+            "rows_per_band": per_band,
+        }
+    raise SystemExit(f"unknown dedup command: {args.dedup_cmd}")
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     p = argparse.ArgumentParser(prog="sec_financial_pipeline_spark")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -171,6 +229,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     comp = etl_sub.add_parser("compact", help="small-file compaction (OPTIMIZE analog)")
     comp.add_argument("--files-per-partition", type=int, default=1)
     etl_sub.add_parser("status")
+
+    dedup = sub.add_parser(
+        "dedup", help="near-dedup signature-store lifecycle (§2.9 tooling)"
+    )
+    dedup_sub = dedup.add_subparsers(dest="dedup_cmd", required=True)
+    db = dedup_sub.add_parser("build", help="band a corpus into a new store")
+    db.add_argument("--docs", required=True, help="parquet of (doc_id, text)")
+    db.add_argument("--store", required=True)
+    di = dedup_sub.add_parser(
+        "ingest", help="probe a batch against the store, emit pairs, commit"
+    )
+    di.add_argument("--docs", required=True)
+    di.add_argument("--store", required=True)
+    di.add_argument("--pairs", required=True, help="parquet pair sink (append)")
+    ds = dedup_sub.add_parser("status")
+    ds.add_argument("--store", required=True)
 
     serve = sub.add_parser("serve", help="HTTP facade server (blocking)")
     serve.add_argument("--host", default="127.0.0.1")
@@ -214,6 +288,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     try:
         if args.cmd == "etl":
             print(json.dumps(_cmd_etl(args, spark), default=str))
+            return 0
+        if args.cmd == "dedup":
+            print(json.dumps(_cmd_dedup(args, spark), default=str))
             return 0
         if args.cmd == "serve":
             from sec_financial_pipeline_spark.transport.http import serve as http_serve

@@ -133,3 +133,51 @@ def test_explain_prints_physical_plan(capsys, spark, sf_dir):
     rc = main(["--sf-dir", sf_dir, "explain", "list"], spark=spark)
     out = capsys.readouterr().out
     assert rc == 0 and "rel_topk" in out.splitlines()
+
+
+def test_dedup_lifecycle_build_ingest_status(tmp_path, capsys, spark, sf_dir):
+    """dedup build -> ingest -> status: the CLI face of the incremental
+    near-dedup loop. After ingesting a batch against a corpus-built
+    store, the emitted pairs equal the full recompute restricted to
+    batch-touching pairs, and status reflects the grown store."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_dir = str(tmp_path / "corpus")
+    batch_dir = str(tmp_path / "batch")
+    d.filter(F.col("doc_id") % 5 != 0).write.parquet(corpus_dir)
+    d.filter(F.col("doc_id") % 5 == 0).write.parquet(batch_dir)
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+
+    built = _run(
+        capsys, spark,
+        ["dedup", "build", "--docs", corpus_dir, "--store", store],
+    )
+    assert built["docs"] > 0 and built["band_rows"] == built["docs"] * 4
+
+    ingested = _run(
+        capsys, spark,
+        ["dedup", "ingest", "--docs", batch_dir, "--store", store,
+         "--pairs", pairs],
+    )
+    full = S.lsh_candidate_pairs(
+        S.minhash_signatures(d, "doc_id", "text"), "doc_id"
+    )
+    expected = sorted(
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] % 5 == 0 or r["id_b"] % 5 == 0
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).collect()
+    )
+    assert got == expected
+    assert ingested["pairs_total"] == len(expected)
+
+    status = _run(capsys, spark, ["dedup", "status", "--store", store])
+    assert status["docs"] == built["docs"] + ingested["batch_docs"]
+    assert set(status["rows_per_band"]) == {"0", "1", "2", "3"}
