@@ -175,26 +175,11 @@ def _cmd_dedup(args, spark: SparkSession) -> dict:
             "band_rows": store.count(),
         }
     if args.dedup_cmd == "ingest":
-        import os
+        from sec_financial_pipeline_spark.streaming.ingest import ingest_batch
 
         batch = spark.read.parquet(args.docs).select("doc_id", "text")
-        sigs = S.minhash_signatures(batch, "doc_id", "text").persist()
-        try:
-            if os.path.exists(args.store):
-                store = S.load_signature_store(spark, args.store)
-                pairs = S.incremental_candidate_pairs(sigs, "doc_id", store)
-            else:  # bootstrap: first batch IS the corpus
-                pairs = S.lsh_candidate_pairs(sigs, "doc_id")
-            pairs.write.mode("append").parquet(args.pairs)
-            n_pairs = spark.read.parquet(args.pairs).count()
-            S.append_to_signature_store(sigs, "doc_id", args.store)
-        finally:
-            sigs.unpersist()
-        return {
-            "batch_docs": batch.count(),
-            "pairs_total": n_pairs,
-            "store": args.store,
-        }
+        out = ingest_batch(batch, args.store, args.pairs)
+        return {**out, "store": args.store}
     if args.dedup_cmd == "status":
         store = S.load_signature_store(spark, args.store)
         per_band = {

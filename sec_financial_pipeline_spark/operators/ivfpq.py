@@ -159,26 +159,46 @@ def encode(e: DataFrame, index: IvfPqIndex) -> DataFrame:
     return codes.join(cells, "vec_id").select("vec_id", "cell", "m", "code")
 
 
+def _fresh_codes(index: IvfPqIndex, new_e: DataFrame) -> DataFrame:
+    """Codes for the NOT-yet-indexed subset of ``new_e`` (first-wins:
+    an already-indexed vec_id is skipped). Without this guard a
+    re-ingested id would carry 2 rows per (vec_id, m), and search's
+    exact ``n_m == M`` completeness check would silently drop the
+    vector from every result — duplicated means unsearchable, with no
+    error anywhere. Updating a vector is therefore an explicit
+    delete-and-rebuild policy, never an append."""
+    existing = index.codes.select("vec_id").distinct()
+    return encode(new_e, index).join(existing, "vec_id", "left_anti")
+
+
 def append_to_index(index: IvfPqIndex, new_e: DataFrame) -> IvfPqIndex:
-    """In-memory index with ``new_e`` encoded under the frozen
-    codebooks and unioned into the code table."""
+    """In-memory index with ``new_e``'s not-yet-indexed vectors encoded
+    under the frozen codebooks and unioned into the code table
+    (re-ingesting an indexed id is a no-op — see :func:`_fresh_codes`)."""
     return IvfPqIndex(
         coarse=index.coarse,
         pq=index.pq,
-        codes=index.codes.unionByName(encode(new_e, index)),
+        codes=index.codes.unionByName(_fresh_codes(index, new_e)),
         slices=index.slices,
     )
 
 
 def append_to_saved_index(spark, path: str, new_e: DataFrame) -> None:
-    """Parquet-level ingest: encode ``new_e`` under the saved index's
-    codebooks and APPEND into the cell-partitioned code table — the
-    codebook files are untouched, and only the affected cells'
-    partitions gain files."""
+    """Parquet-level ingest: encode ``new_e``'s not-yet-indexed vectors
+    under the saved index's codebooks and APPEND into the
+    cell-partitioned code table — the codebook files are untouched,
+    only the affected cells' partitions gain files, and a retried or
+    overlapping ingest is idempotent (first-wins duplicate guard)."""
     index = load_index(spark, path)
-    encode(new_e, index).write.mode("append").partitionBy("cell").parquet(
-        f"{path}/codes"
-    )
+    # materialize before writing: the duplicate guard READS path/codes,
+    # and the append WRITES it — the cache barrier keeps the scan from
+    # listing files the write is concurrently creating
+    fresh = _fresh_codes(index, new_e).persist()
+    try:
+        fresh.count()
+        fresh.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+    finally:
+        fresh.unpersist()
 
 
 def search(

@@ -15,11 +15,15 @@ Scale shape: identical joins to the batch path (equi-join on
 state lives in the parquet store, not in Spark streaming state — so
 there is no unbounded stateful operator and no watermark needed.
 
-Exactly-once caveat: ``foreachBatch`` re-runs a micro-batch after a
-failure, which would double-append its bands and re-emit its pairs.
-Production hardening is the epoch-commit protocol already in
-``streaming/sinks.py`` (write under epoch id, commit atomically);
-wired here as append-only for clarity.
+Exactly-once: pairs are written to per-epoch directories behind commit
+markers (the ``EpochParquetSink`` protocol from ``streaming/sinks.py``),
+so a re-delivered micro-batch overwrites its own epoch instead of
+double-appending. The store append is at-least-once on a crash inside
+the commit window, which is SAFE: every store consumer deduplicates
+(candidate pairs are ``distinct``, doc counts are ``distinct id``), so
+a re-appended band row costs join work, never correctness. Commit
+markers are driver-local files, like ``EpochParquetSink`` — a remote
+checkpoint story would move them onto the store filesystem.
 """
 
 from __future__ import annotations
@@ -29,6 +33,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from sec_financial_pipeline_spark.operators import similarity as S
+
+
+def store_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API, so remote
+    store URIs (hdfs://, s3a://) resolve correctly — a driver-local
+    ``os.path.exists`` would be always-False there and silently turn
+    every ingest into a store-less bootstrap."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
 
 
 def read_document_stream(
@@ -43,6 +57,43 @@ def read_document_stream(
     )
 
 
+def ingest_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    pairs_out: str,
+    overwrite: bool = False,
+) -> dict:
+    """ONE ingest transaction — the single implementation behind both
+    the streaming loop and the CLI `dedup ingest` command: band the
+    batch, probe the store (or self-join-only bootstrap when no store
+    exists yet), write the emitted pairs to ``pairs_out``, commit the
+    batch's bands. Returns ``batch_docs`` (documents actually banded —
+    docs with < k tokens have no shingles and are dropped, matching
+    every other MinHash path) and ``pairs_emitted`` (THIS batch's
+    pairs, not a cumulative rescan)."""
+    spark = batch_df.sparkSession
+    sigs = S.minhash_signatures(batch_df, "doc_id", "text").persist()
+    try:
+        n_banded = sigs.count()
+        if store_exists(spark, store_path):
+            store = S.load_signature_store(spark, store_path)
+            pairs = S.incremental_candidate_pairs(sigs, "doc_id", store)
+        else:
+            pairs = S.lsh_candidate_pairs(sigs, "doc_id")
+        pairs = pairs.persist()
+        try:
+            n_pairs = pairs.count()
+            pairs.write.mode("overwrite" if overwrite else "append").parquet(
+                pairs_out
+            )
+            S.append_to_signature_store(sigs, "doc_id", store_path)
+        finally:
+            pairs.unpersist()
+    finally:
+        sigs.unpersist()
+    return {"batch_docs": n_banded, "pairs_emitted": n_pairs}
+
+
 def run_streaming_near_dedup(
     doc_stream: DataFrame,
     store_path: str,
@@ -50,27 +101,23 @@ def run_streaming_near_dedup(
     checkpoint_path: str,
 ) -> None:
     """Drain a bounded document stream through the ingest loop
-    synchronously (availableNow): per micro-batch, probe + emit pairs
-    to ``pairs_path`` (parquet append) + commit bands to the store.
-    First batch bootstraps the store (self-join only)."""
+    synchronously (availableNow). Per micro-batch: skip if this epoch
+    already committed (re-delivery), else run :func:`ingest_batch`
+    into ``pairs_path/epoch=<id>`` (overwrite — idempotent on retry)
+    and write the commit marker last."""
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        # cache the batch's signatures: they feed both the pair
-        # emission and the store commit (two actions), and the
-        # micro-batch source would otherwise be re-read per action
-        sigs = S.minhash_signatures(batch_df, "doc_id", "text").persist()
-        try:
-            if os.path.exists(store_path):
-                store = S.load_signature_store(
-                    batch_df.sparkSession, store_path
-                )
-                pairs = S.incremental_candidate_pairs(sigs, "doc_id", store)
-            else:
-                pairs = S.lsh_candidate_pairs(sigs, "doc_id")
-            pairs.write.mode("append").parquet(pairs_path)
-            S.append_to_signature_store(sigs, "doc_id", store_path)
-        finally:
-            sigs.unpersist()
+        marker = os.path.join(pairs_path, f"_committed_{epoch_id}")
+        if os.path.exists(marker):
+            return  # re-delivered epoch: already durable (idempotence)
+        ingest_batch(
+            batch_df,
+            store_path,
+            os.path.join(pairs_path, f"epoch={epoch_id}"),
+            overwrite=True,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
 
     q = (
         doc_stream.writeStream.foreachBatch(_ingest)

@@ -237,9 +237,13 @@ def test_append_ingest_without_retraining(spark, tmp_path, corpus, queries):
 
     from sec_financial_pipeline_spark.operators import ivfpq
 
-    # build on the corpus minus a held-out batch, then ingest the batch
-    batch = corpus.filter(F.col("vec_id") % 7 == 3)
-    base = corpus.filter(F.col("vec_id") % 7 != 3)
+    # build on the corpus minus a held-out batch, then ingest the
+    # batch. The hold-out starts above 32 so every coarse seed (16-23)
+    # and PQ seed (24-31) stays in `base` — otherwise the index would
+    # silently train with missing cells/centroids.
+    held_out = (F.col("vec_id") >= 32) & (F.col("vec_id") % 7 == 3)
+    batch = corpus.filter(held_out)
+    base = corpus.filter(~held_out)
     seeds = base.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 24)).select(
         (F.col("vec_id") - 16).cast("int").alias("cluster"),
         F.col("emb").alias("cvec"),
@@ -274,18 +278,31 @@ def test_append_ingest_without_retraining(spark, tmp_path, corpus, queries):
         )
         == cb_mtime
     )
-    # appended vectors are searchable: every batch vector's top match
-    # for ITSELF as a query is itself
-    self_q = batch.limit(3).select(
-        F.col("vec_id").alias("query_id"), "emb", "nrm"
+    # appended vectors are searchable: query with an APPENDED vector's
+    # exact embedding under a synthetic id (search excludes the query's
+    # own vec_id, so the probe id must differ) — the appended vector
+    # itself must come back as the top neighbor at cosine 1.0
+    probe_src = batch.orderBy("vec_id").limit(1).collect()[0]
+    probe = spark.createDataFrame(
+        [(-1, probe_src["emb"], probe_src["nrm"])],
+        "query_id LONG, emb ARRAY<DOUBLE>, nrm DOUBLE",
     )
     top = (
-        ivfpq.search(corpus, self_q, loaded, n_probe=2, rerank=50, top_k=5)
+        ivfpq.search(corpus, probe, loaded, n_probe=2, rerank=50, top_k=5)
+        .orderBy(F.col("cosine_sim").desc(), "neighbor_id")
         .collect()
     )
-    by_q = {}
-    for r in top:
-        by_q.setdefault(r["query_id"], []).append(
-            (r["cosine_sim"], r["neighbor_id"])
+    assert top[0]["neighbor_id"] == probe_src["vec_id"]
+    assert top[0]["cosine_sim"] == 1.0
+
+    # re-ingesting the same batch is a no-op (first-wins duplicate
+    # guard): without it, duplicated (vec_id, m) rows would make the
+    # vector unsearchable via search's exact n_m completeness check
+    ivfpq.append_to_saved_index(spark, path, batch)
+    again = sorted(
+        map(
+            tuple,
+            ivfpq.load_index(spark, path).codes.select(*cols).collect(),
         )
-    assert len(by_q) == 3 and all(len(v) > 0 for v in by_q.values())
+    )
+    assert again == on_disk_codes

@@ -60,3 +60,45 @@ def test_streaming_ingest_emits_each_pair_exactly_once(
         F.size(F.split("text", " ")) >= 3
     ).count()
     assert n_sigs == n_docs_with_shingles
+
+
+def test_streaming_rerun_and_marker_idempotence(spark, docs_dir, tmp_path):
+    """Re-running the drain (same checkpoint) adds nothing, and a
+    pre-existing epoch commit marker causes that epoch to be skipped
+    on re-delivery instead of double-appending."""
+    import os
+
+    from sec_financial_pipeline_spark.streaming.ingest import (
+        read_document_stream,
+        run_streaming_near_dedup,
+    )
+
+    base = tmp_path / "rerun"
+    args = dict(
+        store_path=str(base / "store"),
+        pairs_path=str(base / "pairs"),
+        checkpoint_path=str(base / "ckpt"),
+    )
+    run_streaming_near_dedup(
+        read_document_stream(spark, docs_dir, max_files=2), **args
+    )
+    first = sorted(
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(args["pairs_path"]).collect()
+    )
+    markers = sorted(
+        f for f in os.listdir(args["pairs_path"]) if f.startswith("_committed_")
+    )
+    assert markers  # each processed epoch left a commit marker
+    store_rows = spark.read.parquet(args["store_path"]).count()
+
+    # same checkpoint -> no new source files -> nothing re-emitted
+    run_streaming_near_dedup(
+        read_document_stream(spark, docs_dir, max_files=2), **args
+    )
+    again = sorted(
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(args["pairs_path"]).collect()
+    )
+    assert again == first
+    assert spark.read.parquet(args["store_path"]).count() == store_rows
