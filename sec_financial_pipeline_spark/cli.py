@@ -180,6 +180,16 @@ def _cmd_dedup(args, spark: SparkSession) -> dict:
         batch = spark.read.parquet(args.docs).select("doc_id", "text")
         out = ingest_batch(batch, args.store, args.pairs)
         return {**out, "store": args.store}
+    if args.dedup_cmd == "compact":
+        from sec_financial_pipeline_spark.sources.sink import compact
+
+        n = compact(
+            spark,
+            args.store,
+            target_files_per_partition=args.files_per_partition,
+            partition_cols=("band_no",),
+        )
+        return {"store": args.store, "files_after": n}
     if args.dedup_cmd == "status":
         store = S.load_signature_store(spark, args.store)
         per_band = {
@@ -230,6 +240,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     di.add_argument("--pairs", required=True, help="parquet pair sink (append)")
     ds = dedup_sub.add_parser("status")
     ds.add_argument("--store", required=True)
+    dc = dedup_sub.add_parser(
+        "compact",
+        help="rewrite the store's band partitions into few files "
+        "(each ingest appends files; compaction is the OPTIMIZE analog)",
+    )
+    dc.add_argument("--store", required=True)
+    dc.add_argument("--files-per-partition", type=int, default=1)
 
     serve = sub.add_parser("serve", help="HTTP facade server (blocking)")
     serve.add_argument("--host", default="127.0.0.1")

@@ -183,3 +183,41 @@ def test_dedup_lifecycle_build_ingest_status(tmp_path, capsys, spark, sf_dir):
     # shingles are dropped), so this arithmetic holds on any corpus
     assert status["docs"] == built["docs"] + ingested["batch_docs"]
     assert set(status["rows_per_band"]) == {"0", "1", "2", "3"}
+
+
+def test_dedup_compact_preserves_store_content(tmp_path, capsys, spark, sf_dir):
+    """Each ingest appends files into the store's band partitions;
+    dedup compact rewrites them small without changing the band rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    for k in range(3):  # three appends -> many small files per band
+        part = str(tmp_path / f"part{k}")
+        d.filter(F.col("doc_id") % 3 == k).write.parquet(part)
+        _run(
+            capsys, spark,
+            ["dedup", "ingest", "--docs", part, "--store", store,
+             "--pairs", pairs],
+        )
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(store)
+        .select("id", "band_no", "band_hash").collect()
+    )
+    n_files_before = sum(
+        1 for _, _, fs in os.walk(store) for f in fs if f.endswith(".parquet")
+    )
+    out = _run(
+        capsys, spark,
+        ["dedup", "compact", "--store", store, "--files-per-partition", "1"],
+    )
+    assert out["files_after"] < n_files_before
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(store)
+        .select("id", "band_no", "band_hash").collect()
+    )
+    assert after == before
