@@ -261,6 +261,14 @@ def incremental_candidate_pairs(
     # (ReusedExchange) — otherwise the signature pipeline (16 HOF
     # min-hash expressions per doc) is recomputed per consumer.
     stacked = band_table(batch_sigs, id_col).repartition("band_no", "band_hash")
+    return _pairs_batch_vs_store(stacked, store)
+
+
+def _pairs_batch_vs_store(stacked: DataFrame, store: DataFrame) -> DataFrame:
+    """Core of incremental candidate generation, hash-family-agnostic:
+    ``stacked`` (the batch) and ``store`` are long
+    ``(id, band_no, band_hash)`` tables with matching hash types —
+    md5-string MinHash bands or integer sign-LSH buckets alike."""
     s = store.select("id", "band_no", "band_hash")
     store_batch = (
         s.alias("a")
@@ -288,6 +296,40 @@ def incremental_candidate_pairs(
         .distinct()
     )
     return store_batch.unionByName(within_batch).distinct()
+
+
+def _sign_code_bands(codes: DataFrame, id_col: str) -> DataFrame:
+    """Sign-LSH ``(id, band, bucket)`` codes renamed onto the shared
+    band-table contract (bucket stays an integer — the probe core is
+    hash-type-agnostic as long as both sides agree)."""
+    return codes.select(
+        F.col(id_col).alias("id"),
+        F.col("band").alias("band_no"),
+        F.col("bucket").alias("band_hash"),
+    )
+
+
+def save_sign_code_store(codes: DataFrame, id_col: str, path: str) -> None:
+    """Persist an embedding corpus' sign-LSH codes as an incremental
+    store — the vector twin of :func:`save_signature_store`. Append
+    new batches' codes with mode ``append`` on the same layout."""
+    _sign_code_bands(codes, id_col).write.mode("overwrite").partitionBy(
+        "band_no"
+    ).parquet(path)
+
+
+def incremental_sign_pairs(
+    batch_codes: DataFrame, id_col: str, store: DataFrame
+) -> DataFrame:
+    """Embedding twin of :func:`incremental_candidate_pairs`: a new
+    batch's sign-LSH codes probed against the persisted code store
+    plus the within-batch self-join — the full recompute's pair set
+    restricted to pairs touching >= 1 batch vector (codes are a pure
+    per-vector function of the fixed hyperplanes)."""
+    stacked = _sign_code_bands(batch_codes, id_col).repartition(
+        "band_no", "band_hash"
+    )
+    return _pairs_batch_vs_store(stacked, store)
 
 
 # ---------------------------------------------------------------------------

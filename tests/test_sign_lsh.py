@@ -360,3 +360,44 @@ def test_two_batch_ingest_loop_matches_full_recompute(spark, sf_dir, tmp_path):
         if r["id_a"] % 5 == 1 or r["id_b"] % 5 == 1
     )
     assert got == expected and len(expected) > 0
+
+
+def test_incremental_sign_code_store_matches_full(spark, sf_dir, tmp_path):
+    """The embedding ingest twin: a batch's sign-LSH codes probed
+    against a persisted code store must equal the full-corpus
+    sign-LSH candidate pairs restricted to batch-touching pairs."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _SIGN_BITS,
+        _sign_planes,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    codes = S.sign_lsh_bands(e, "vec_id", _sign_planes(e), _SIGN_BITS).persist()
+    try:
+        full = sorted(
+            (r["id_a"], r["id_b"])
+            for r in S.sign_lsh_candidate_pairs(codes, "vec_id").collect()
+        )
+        is_batch = F.col("vec_id") % 4 == 1
+        store_path = str(tmp_path / "code_store")
+        S.save_sign_code_store(codes.filter(~is_batch), "vec_id", store_path)
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in S.incremental_sign_pairs(
+                codes.filter(is_batch),
+                "vec_id",
+                spark.read.parquet(store_path),
+            ).collect()
+        )
+        expected = sorted(
+            (a, b) for a, b in full if a % 4 == 1 or b % 4 == 1
+        )
+        assert got == expected and len(expected) > 0
+    finally:
+        codes.unpersist()
