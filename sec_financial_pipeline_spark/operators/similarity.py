@@ -318,6 +318,30 @@ def save_sign_code_store(codes: DataFrame, id_col: str, path: str) -> None:
     ).parquet(path)
 
 
+def delete_from_store(spark, path: str, ids: list) -> int:
+    """Remove documents/vectors from a persisted band-table store (the
+    right-to-be-forgotten path a training-data pipeline owes its
+    sources): rewrite the store minus the given ids with the same
+    crash-safe two-rename swap as ``sources/sink.py::compact`` — a
+    crash mid-swap leaves the store readable at ``path`` or
+    ``path__old``, never gone. Returns rows remaining. Works on both
+    the MinHash signature store and the sign-LSH code store (same
+    (id, band_no, band_hash) layout)."""
+    import os
+    import shutil
+
+    kept = spark.read.parquet(path).filter(~F.col("id").isin(list(ids)))
+    tmp = path.rstrip("/") + "__delete_tmp"
+    old = path.rstrip("/") + "__old"
+    kept.write.mode("overwrite").partitionBy("band_no").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return spark.read.parquet(path).count()
+
+
 def incremental_sign_pairs(
     batch_codes: DataFrame, id_col: str, store: DataFrame
 ) -> DataFrame:

@@ -306,3 +306,53 @@ def test_append_ingest_without_retraining(spark, tmp_path, corpus, queries):
         )
     )
     assert again == on_disk_codes
+
+
+def test_delete_then_reappend_is_an_update(spark, tmp_path, corpus):
+    """Index deletion + re-append = UPDATE: a deleted vector vanishes
+    from search; re-appending it restores the exact original codes
+    (the first-wins guard no longer blocks it once deleted)."""
+    import os
+
+    from sec_financial_pipeline_spark.operators import ivfpq
+
+    seeds = corpus.filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") < 24)
+    ).select(
+        (F.col("vec_id") - 16).cast("int").alias("cluster"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    idx = ivfpq.build_index(corpus, seeds, list(range(24, 32)), _SLICES, n_iter=1)
+    path = str(tmp_path / "ivfpq_del")
+    ivfpq.save_index(idx, path)
+    cols = ["vec_id", "cell", "m", "code"]
+    original = sorted(
+        map(tuple, ivfpq.load_index(spark, path).codes.select(*cols).collect())
+    )
+
+    victim = corpus.filter(F.col("vec_id") >= 40).orderBy("vec_id").limit(1).collect()[0]
+    n_left = ivfpq.delete_from_saved_index(spark, path, [victim["vec_id"]])
+    assert n_left == len(original) - len(_SLICES)
+    # a probe with the victim's own embedding no longer returns it
+    probe = spark.createDataFrame(
+        [(-1, victim["emb"], victim["nrm"])],
+        "query_id LONG, emb ARRAY<DOUBLE>, nrm DOUBLE",
+    )
+    loaded = ivfpq.load_index(spark, path)
+    hits = {
+        r["neighbor_id"]
+        for r in ivfpq.search(
+            corpus, probe, loaded, n_probe=2, rerank=50, top_k=5
+        ).collect()
+    }
+    assert victim["vec_id"] not in hits
+
+    # re-append restores the exact original code rows (an UPDATE flow)
+    ivfpq.append_to_saved_index(
+        spark, path, corpus.filter(F.col("vec_id") == victim["vec_id"])
+    )
+    restored = sorted(
+        map(tuple, ivfpq.load_index(spark, path).codes.select(*cols).collect())
+    )
+    assert restored == original

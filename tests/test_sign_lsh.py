@@ -401,3 +401,52 @@ def test_incremental_sign_code_store_matches_full(spark, sf_dir, tmp_path):
         assert got == expected and len(expected) > 0
     finally:
         codes.unpersist()
+
+
+def test_delete_from_store_forgets_documents(spark, sf_dir, tmp_path):
+    """Right-to-be-forgotten: after delete_from_store, the forgotten
+    ids vanish from the store and from every subsequent probe; the
+    surviving pair set equals a store rebuilt without them."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_batch = F.col("doc_id") % 5 == 0
+    corpus = d.filter(~is_batch)
+    store_path = str(tmp_path / "store")
+    S.save_signature_store(
+        S.minhash_signatures(corpus, "doc_id", "text"), "doc_id", store_path
+    )
+    forget = [
+        r["doc_id"] for r in corpus.limit(40).collect()
+    ]
+    remaining = S.delete_from_store(spark, store_path, forget)
+    store = S.load_signature_store(spark, store_path)
+    assert store.filter(F.col("id").isin(forget)).count() == 0
+    assert store.count() == remaining
+
+    sig_b = S.minhash_signatures(d.filter(is_batch), "doc_id", "text")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in S.incremental_candidate_pairs(
+            sig_b, "doc_id", store
+        ).collect()
+    )
+    rebuilt_path = str(tmp_path / "rebuilt")
+    S.save_signature_store(
+        S.minhash_signatures(
+            corpus.filter(~F.col("doc_id").isin(forget)), "doc_id", "text"
+        ),
+        "doc_id",
+        rebuilt_path,
+    )
+    expected = sorted(
+        (r["id_a"], r["id_b"])
+        for r in S.incremental_candidate_pairs(
+            sig_b, "doc_id", S.load_signature_store(spark, rebuilt_path)
+        ).collect()
+    )
+    assert got == expected
+    assert not any(a in forget or b in forget for a, b in got)
