@@ -55,9 +55,26 @@ def range_bucket_bounds(
 
     The collect is tiny by construction: ``min(n_buckets * 32, 100k)``
     scalar keys — independent of corpus size, safe at 100 TB.
+
+    Numeric order columns take the ``approxQuantile`` fast path — ONE
+    Spark job instead of count + sample + collect. Quantile sketches
+    are approximate and merge-order-dependent, which is fine here:
+    bounds only steer bucket balance, never results (``pack_offsets``'
+    two-phase sum is exact under ANY bucket assignment).
     """
     if n_buckets <= 1:
         return []
+    dtype = df.schema[order_col].dataType.typeName()
+    if dtype in ("byte", "short", "integer", "long", "float", "double"):
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        qs = df.stat.approxQuantile(order_col, probs, 0.01)
+        cast = int if dtype in ("byte", "short", "integer", "long") else float
+        bounds: list = []
+        for q in qs:
+            b = cast(q)
+            if not bounds or b > bounds[-1]:
+                bounds.append(b)
+        return bounds
     target = min(n_buckets * _OVERSAMPLE, _SAMPLE_CAP)
     total = df.count()
     if total == 0:
