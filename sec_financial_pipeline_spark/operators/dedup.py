@@ -82,3 +82,44 @@ def exact_dedup(
     """
     order = [F.col(keep_min_of).asc()]
     return keep_first(df, list(content_cols), order)
+
+
+def ngram_contamination(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Train/eval contamination counts: for every eval document, how many
+    of its distinct k-word n-grams also occur anywhere in the training
+    corpus (the GPT-3-style n-gram overlap decontamination check —
+    Brown et al. 2020 §C use 13-grams; k is the caller's knob).
+
+    Returns every eval row with an ``n_overlap`` column (0 when clean,
+    including docs too short to have any k-gram); callers threshold it
+    into a contaminated/clean verdict.
+
+    Scale shape: explode both sides to (id, shingle), then a LEFT SEMI
+    join from eval shingles to train shingles — semi output is bounded
+    by the eval side (never |eval| x |train-occurrences|), the train
+    side needs no pre-distinct, and the single shingle-keyed exchange is
+    the same shape at 100 TB (AQE handles hot shingles). The count is a
+    map-side-combinable groupBy on the (tiny) eval-doc key.
+    """
+    from sec_financial_pipeline_spark.operators.similarity import shingles
+
+    ev_sh = eval_docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k=k)).alias("shingle")
+    )
+    tr_sh = train_docs.select(
+        F.explode(shingles(F.col(text_col), k=k)).alias("shingle")
+    )
+    hits = (
+        ev_sh.join(tr_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return eval_docs.join(hits, id_col, "left").withColumn(
+        "n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint")
+    )

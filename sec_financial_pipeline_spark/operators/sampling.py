@@ -88,3 +88,40 @@ def stratified_hash_upsample(
         )
     )
     return exploded.drop("__rate", "__copies")
+
+
+def epoch_shuffle(
+    df: DataFrame, key: str, n_shards: int, seed: str = ""
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` ordered shards —
+    the dataloader epoch-ordering primitive. Each row gets
+
+    - ``shard``  = first 8 md5 hex chars of (seed || key) mod n_shards
+    - ``pos``    = 1-based rank within its shard, ordered by the full
+      md5 hash (key as tiebreak)
+
+    so the concatenation shard 0..n-1 in pos order IS the epoch
+    permutation: a pure function of (key, seed) — identical on any
+    engine, partitioning, or run, and a new seed gives an independent
+    permutation. Training jobs read one shard per worker, already in
+    shuffled order; no global sort ever happens.
+
+    Scale shape: one hash-partitioned exchange on ``shard`` plus a
+    per-shard sort — the window is PARTITIONED (n_shards parallel
+    sorts of N/n_shards rows each), never a single-task global window.
+    Shard sizes concentrate near N/n_shards (multinomial), so sizing
+    n_shards to the worker count bounds per-task memory.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.col(key).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy("__h", key)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("__h")
+    )

@@ -195,10 +195,11 @@ _UP_RATES = {"en": 2.5, "zh": 1.25}  # others -> 0.5
 _UP_DEFAULT = 0.5
 _UP_SALT = "up1"
 
+#: deterministic epoch shuffle (dataloader ordering): shard count + seed
+_SHUF_SHARDS = 8
+_SHUF_SEED = "epoch1"
 
-@register(
-    "doc_stratified_sample",
-    f"""
+_MIX_ORACLE = f"""
 WITH rates AS (
   SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in _MIX_RATES.items())})
   AS r(lang, rate)
@@ -234,10 +235,99 @@ FROM (
   SELECT lang, count(*) AS n_kept, round(max(rate), 6) AS rate
   FROM scored WHERE u < rate GROUP BY lang
 ) s JOIN upagg u ON s.lang = u.lang
-""",
-    survey="§2.9 sampling (deterministic hash-based stratified corpus mixing, down- AND up-sampling: rates > 1 repeat rows with expected multiplicity == rate; engine/partitioning-independent)",
+"""
+
+# Epoch-shuffle section oracle: the same md5-derived shard + per-shard
+# rank the Spark operator computes; checksum = sum(doc_id * pos) pins
+# the full within-shard permutation, first_doc pins its head. The sum
+# is cast to BIGINT (DuckDB sums BIGINT into HUGEINT, which the
+# oracle-type lint bans).
+_SHUF_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5('{_SHUF_SEED}' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, hh,
+         ('0x' || substr(hh, 1, 8))::BIGINT % {_SHUF_SHARDS} AS shard
+  FROM h
+),
+ordered AS (
+  SELECT shard, doc_id,
+         row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS pos
+  FROM sharded
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(max(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+       CAST(sum(doc_id * pos) AS BIGINT) AS checksum
+FROM ordered GROUP BY shard
+"""
+
+_SAMPLE_SCHEMA = [
+    ("lang", "string"),
+    ("n_kept", "bigint"),
+    ("rate", "double"),
+    ("n_upsampled", "bigint"),
+    ("up_rate", "double"),
+    ("shard", "bigint"),
+    ("n_docs", "bigint"),
+    ("first_doc", "bigint"),
+    ("checksum", "bigint"),
+]
+
+from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
+    union_sections,
+    union_sections_sql,
+)
+
+
+@register(
+    "doc_stratified_sample",
+    union_sections_sql(
+        [
+            ("mix", _MIX_ORACLE,
+             ["lang", "n_kept", "rate", "n_upsampled", "up_rate"]),
+            ("epoch_shuffle", _SHUF_ORACLE,
+             ["shard", "n_docs", "first_doc", "checksum"]),
+        ],
+        _SAMPLE_SCHEMA,
+    ),
+    survey=(
+        "§2.9 sampling (deterministic hash-based stratified corpus mixing,"
+        " down- AND up-sampling: rates > 1 repeat rows with expected"
+        " multiplicity == rate; engine/partitioning-independent)"
+        " + deterministic epoch shuffle to ordered shards (dataloader"
+        " permutation as a pure function of (key, seed); partitioned"
+        " per-shard sort, no global window)"
+    ),
 )
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return union_sections(
+        [
+            ("mix", q_doc_corpus_mix(spark, sf_dir)),
+            ("epoch_shuffle", q_doc_epoch_shuffle(spark, sf_dir)),
+        ],
+        _SAMPLE_SCHEMA,
+    )
+
+
+def q_doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.sampling import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    shuffled = epoch_shuffle(
+        d, key="doc_id", n_shards=_SHUF_SHARDS, seed=_SHUF_SEED
+    )
+    return shuffled.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(F.when(F.col("pos") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("first_doc"),
+        F.sum(F.col("doc_id") * F.col("pos")).cast("bigint").alias("checksum"),
+    )
+
+
+def q_doc_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_financial_pipeline_spark.operators.sampling import (
         stratified_hash_sample,
         stratified_hash_upsample,

@@ -695,12 +695,7 @@ WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - s.n_shared) 
 """
 
 
-@register(
-    "doc_ngram_jaccard",
-    _JACCARD_ORACLE,
-    survey="§2.9 dedup-ngram-jaccard (shared-shingle candidates, exact Jaccard)",
-)
-def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(S.shingles(F.col("text"))).alias("shingle")
@@ -733,6 +728,138 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .filter(jac >= 0.05)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval contamination (decontamination audit): hash-split the corpus
+# into train / held-out eval, count each eval doc's distinct k-gram
+# overlaps with the training side (GPT-3 §C style), report per-source
+# contamination rates. Merged as a section of `doc_ngram_jaccard` —
+# same n-gram-overlap family, keeps the registry at 50 names.
+# ---------------------------------------------------------------------------
+
+_CONTAM_K = 5  # n-gram size (GPT-3 used 13; synthetic docs are short)
+_CONTAM_MIN_OVERLAP = 3  # eval doc is contaminated at >= this many hits
+_CONTAM_SALT = "eval1"  # hash-split salt; ~10% of docs go to eval
+_CONTAM_RATE = 0.1
+
+# doc_id % k is NOT a valid eval split here: the synthetic corpus sets
+# source = src(doc_id % 20), so a modulus split collapses onto two
+# sources. The md5-hash-uniform split (same map as operators/sampling)
+# is independent of every id-derived attribute.
+def _contam_split(ref: str = "doc_id") -> str:
+    return (
+        f"('0x' || substr(md5('{_CONTAM_SALT}' || CAST({ref} AS VARCHAR)), 1, 8))"
+        f"::BIGINT / 4294967296.0 < {_CONTAM_RATE}"
+    )
+
+_CONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w,
+         {_contam_split()} AS is_eval
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source, is_eval,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(w) - {_CONTAM_K - 1}),
+             i -> {" || ' ' || ".join(f"w[i + {j}]" for j in range(_CONTAM_K))})))
+           AS shingle
+  FROM toks
+),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_overlap
+  FROM sh e
+  WHERE e.is_eval
+    AND e.shingle IN (SELECT shingle FROM sh t WHERE NOT t.is_eval)
+  GROUP BY e.doc_id
+),
+per_doc AS (
+  SELECT d.doc_id, d.source, coalesce(h.n_overlap, 0) AS n_overlap
+  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+  WHERE {_contam_split('d.doc_id')}
+)
+SELECT source,
+       count(*) AS n_eval,
+       CAST(sum(CASE WHEN n_overlap >= {_CONTAM_MIN_OVERLAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       round(CAST(sum(CASE WHEN n_overlap >= {_CONTAM_MIN_OVERLAP} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS contamination_rate,
+       CAST(max(n_overlap) AS BIGINT) AS max_overlap
+FROM per_doc
+GROUP BY source
+"""
+
+
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.dedup import ngram_contamination
+    from sec_financial_pipeline_spark.operators.sampling import hash_uniform
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = hash_uniform(F.col("doc_id"), _CONTAM_SALT) < _CONTAM_RATE
+    per_doc = ngram_contamination(
+        d.filter(is_eval), d.filter(~is_eval), "doc_id", "text", k=_CONTAM_K
+    )
+    contaminated = (
+        (F.col("n_overlap") >= _CONTAM_MIN_OVERLAP).cast("bigint")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(contaminated).alias("n_contaminated"),
+        F.round(
+            F.sum(contaminated).cast("double") / F.count(F.lit(1)), 6
+        ).alias("contamination_rate"),
+        F.max("n_overlap").alias("max_overlap"),
+    )
+
+
+_NGRAM_SCHEMA = [
+    ("id_a", "bigint"),
+    ("id_b", "bigint"),
+    ("jaccard", "double"),
+    ("source", "string"),
+    ("n_eval", "bigint"),
+    ("n_contaminated", "bigint"),
+    ("contamination_rate", "double"),
+    ("max_overlap", "bigint"),
+]
+
+from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
+    union_sections,
+    union_sections_sql,
+)
+
+_NGRAM_MERGED_ORACLE = union_sections_sql(
+    [
+        ("jaccard", _JACCARD_ORACLE, ["id_a", "id_b", "jaccard"]),
+        (
+            "contamination",
+            _CONTAM_ORACLE,
+            ["source", "n_eval", "n_contaminated", "contamination_rate",
+             "max_overlap"],
+        ),
+    ],
+    _NGRAM_SCHEMA,
+)
+
+
+@register(
+    "doc_ngram_jaccard",
+    _NGRAM_MERGED_ORACLE,
+    survey=(
+        "§2.9 dedup-ngram-jaccard (shared-shingle candidates, exact Jaccard)"
+        " + train/eval n-gram contamination audit (GPT-3-style overlap"
+        " decontamination; hash-split, semi-join counts, per-source rates)"
+    ),
+)
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return union_sections(
+        [
+            ("jaccard", q_doc_ngram_jaccard_pairs(spark, sf_dir)),
+            ("contamination", q_doc_contamination(spark, sf_dir)),
+        ],
+        _NGRAM_SCHEMA,
     )
 
 

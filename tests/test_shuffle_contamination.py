@@ -1,0 +1,96 @@
+"""Unit coverage for the two round-7 additions: the deterministic epoch
+shuffle (dataloader shard/ordering primitive) and the train/eval n-gram
+contamination audit (GPT-3-style decontamination check)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.operators.dedup import ngram_contamination
+from sec_financial_pipeline_spark.operators.sampling import epoch_shuffle
+
+
+def test_epoch_shuffle_is_a_permutation(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = d.count()
+    s = epoch_shuffle(d, key="doc_id", n_shards=8, seed="t1")
+    rows = s.collect()
+    # every doc appears exactly once, across all shards
+    assert len(rows) == n
+    assert len({r.doc_id for r in rows}) == n
+    # within each shard, pos is exactly 1..shard_size (contiguous ranks)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_epoch_shuffle_deterministic_across_partitionings(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = epoch_shuffle(d.repartition(1), key="doc_id", n_shards=4, seed="t2")
+    b = epoch_shuffle(d.repartition(17), key="doc_id", n_shards=4, seed="t2")
+    ra = sorted((r.doc_id, r.shard, r.pos) for r in a.collect())
+    rb = sorted((r.doc_id, r.shard, r.pos) for r in b.collect())
+    assert ra == rb
+
+
+def test_epoch_shuffle_seed_changes_permutation(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = {
+        r.doc_id: (r.shard, r.pos)
+        for r in epoch_shuffle(d, "doc_id", 4, seed="sA").collect()
+    }
+    b = {
+        r.doc_id: (r.shard, r.pos)
+        for r in epoch_shuffle(d, "doc_id", 4, seed="sB").collect()
+    }
+    # same key set, but the assignment differs for a large fraction of docs
+    assert a.keys() == b.keys()
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > len(a) * 0.5
+
+
+def test_ngram_contamination_flags_copied_ngrams(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            # shares the 5-grams starting at alpha..delta (4 overlaps)
+            (10, "alpha beta gamma delta epsilon zeta eta iota"),
+            # entirely novel text -> clean
+            (11, "red orange yellow green blue indigo"),
+            # too short for any 5-gram -> present with 0
+            (12, "tiny doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r.n_overlap
+        for r in ngram_contamination(ev, train, "doc_id", "text", k=5).collect()
+    }
+    assert out[10] == 3  # alpha.., beta.., gamma.. (delta.. ends at iota)
+    assert out[11] == 0
+    assert out[12] == 0
+    assert len(out) == 3
+
+
+def test_ngram_contamination_counts_distinct_not_occurrences(spark):
+    # a 5-gram repeated in BOTH sides still counts once (distinct shingles)
+    train = spark.createDataFrame(
+        [(1, "a b c d e a b c d e")], "doc_id bigint, text string"
+    )
+    ev = spark.createDataFrame(
+        [(10, "a b c d e x a b c d e")], "doc_id bigint, text string"
+    )
+    out = ngram_contamination(ev, train, "doc_id", "text", k=5).collect()
+    # eval's distinct 5-grams: {a b c d e, b c d e x, c d e x a, d e x a b,
+    #  e x a b c, x a b c d}; train's: {a b c d e, b c d e a, c d e a b,
+    #  d e a b c, e a b c d} -> only 'a b c d e' overlaps
+    assert out[0].n_overlap == 1
