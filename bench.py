@@ -72,6 +72,9 @@ HEADLINE = [
     # persisted corpus signature store (no corpus re-banding) — the
     # incremental near-dedup latency an ingest pipeline pays per batch.
     "doc_incr_dedup_serve",
+    # round-7 widening 2: the train/eval n-gram contamination audit
+    # (two shingle explodes + a semi join) becomes regression-visible.
+    "doc_contamination",
 ]
 
 
@@ -89,6 +92,7 @@ def _headline_fns():
         "emb_sq_topk": similarity.q_emb_sq_topk,
         "emb_ivfpq_serve": similarity.q_emb_ivfpq_serve,
         "doc_incr_dedup_serve": similarity.q_doc_incr_dedup_serve,
+        "doc_contamination": similarity.q_doc_contamination,
     }
     queries = all_queries()
     return {
