@@ -309,23 +309,17 @@ def delete_from_saved_index(spark, path: str, vec_ids: list) -> int:
     """Remove vectors from a persisted index (the deletion half of
     index maintenance — after this, a deleted id can be re-appended
     with fresh data, which is how an UPDATE is expressed): rewrite the
-    code table minus the ids with the crash-safe two-rename swap;
-    codebooks are untouched. Returns code rows remaining."""
-    import os
-    import shutil
+    code table minus the ids via ``sources/sink.py::swap_rewrite``
+    (crash-safe two-rename swap over the Hadoop FS API — works on
+    remote stores, survives deleting the last vector); codebooks are
+    untouched. Returns code rows remaining."""
+    from sec_financial_pipeline_spark.sources.sink import swap_rewrite
 
     codes_path = f"{path}/codes"
     kept = spark.read.parquet(codes_path).filter(
         ~F.col("vec_id").isin(list(vec_ids))
     )
-    tmp = codes_path + "__delete_tmp"
-    old = codes_path + "__old"
-    kept.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(codes_path, old)
-    os.rename(tmp, codes_path)
-    shutil.rmtree(old)
+    swap_rewrite(kept, codes_path, ("cell",))
     return spark.read.parquet(codes_path).count()
 
 

@@ -106,6 +106,11 @@ def epoch_shuffle(
     permutation. Training jobs read one shard per worker, already in
     shuffled order; no global sort ever happens.
 
+    ``key`` must be UNIQUE (like packing's ``order_col``): duplicate
+    keys hash to the same (shard, hash) and the rank tie among them
+    would then be broken in partition-dependent order, attaching pos
+    values to different rows' other columns run-to-run.
+
     Scale shape: one hash-partitioned exchange on ``shard`` plus a
     per-shard sort — the window is PARTITIONED (n_shards parallel
     sorts of N/n_shards rows each), never a single-task global window.

@@ -321,24 +321,16 @@ def save_sign_code_store(codes: DataFrame, id_col: str, path: str) -> None:
 def delete_from_store(spark, path: str, ids: list) -> int:
     """Remove documents/vectors from a persisted band-table store (the
     right-to-be-forgotten path a training-data pipeline owes its
-    sources): rewrite the store minus the given ids with the same
-    crash-safe two-rename swap as ``sources/sink.py::compact`` — a
-    crash mid-swap leaves the store readable at ``path`` or
-    ``path__old``, never gone. Returns rows remaining. Works on both
-    the MinHash signature store and the sign-LSH code store (same
+    sources): rewrite the store minus the given ids via
+    ``sources/sink.py::swap_rewrite`` (crash-safe two-rename swap over
+    the Hadoop FS API — works on remote stores, survives deleting the
+    last row). Returns rows remaining. Works on both the MinHash
+    signature store and the sign-LSH code store (same
     (id, band_no, band_hash) layout)."""
-    import os
-    import shutil
+    from sec_financial_pipeline_spark.sources.sink import swap_rewrite
 
     kept = spark.read.parquet(path).filter(~F.col("id").isin(list(ids)))
-    tmp = path.rstrip("/") + "__delete_tmp"
-    old = path.rstrip("/") + "__old"
-    kept.write.mode("overwrite").partitionBy("band_no").parquet(tmp)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    swap_rewrite(kept, path, ("band_no",))
     return spark.read.parquet(path).count()
 
 
@@ -349,9 +341,20 @@ def incremental_sign_pairs(
     batch's sign-LSH codes probed against the persisted code store
     plus the within-batch self-join — the full recompute's pair set
     restricted to pairs touching >= 1 batch vector (codes are a pure
-    per-vector function of the fixed hyperplanes)."""
-    stacked = _sign_code_bands(batch_codes, id_col).repartition(
-        "band_no", "band_hash"
+    per-vector function of the fixed hyperplanes).
+
+    Unlike the MinHash path, the repartition exchange here CANNOT be
+    deduped by ReusedExchange when ``batch_codes`` is a live
+    ``sign_lsh_bands`` plan: its HOF lambdas (NamedLambdaVariable)
+    never canonicalize equal (see ``sign_lsh_candidate_pairs``), so
+    the three consumers inside the probe would each re-run the
+    crossJoin+groupBy code build. The (small: |batch| x bands rows)
+    band table is persisted instead — lazily marked here, materialized
+    once by the probe job, evicted LRU by Spark."""
+    stacked = (
+        _sign_code_bands(batch_codes, id_col)
+        .repartition("band_no", "band_hash")
+        .persist()
     )
     return _pairs_batch_vs_store(stacked, store)
 

@@ -54,37 +54,83 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: tuple[str, ..
     )
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path-class) for ``path``'s scheme via the Hadoop FS
+    API — the same calls work on file://, hdfs://, s3a://, etc., where
+    ``os.rename``/``shutil.rmtree`` silently only handle local paths."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
+def _count_parquet_files(spark, path: str) -> int:
+    fs, Path = _hadoop_fs(spark, path)
+    it = fs.listFiles(Path(path), True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
+def swap_rewrite(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...] = ()
+) -> None:
+    """Crash-safe full rewrite of the parquet dataset at ``path`` with
+    ``df``'s contents: write to a sibling temp dir, move the original
+    aside, move the temp into place, drop the original — a crash
+    mid-swap leaves the dataset readable at either ``path`` or
+    ``path__old``, never gone. The single swap implementation behind
+    :func:`compact` and the store/index deletion paths.
+
+    Two hardenings over the hand-rolled version this replaces:
+
+    - All filesystem ops go through the Hadoop FS API, so the swap
+      works on any FileSystem scheme (``os.rename`` on an ``s3a://``
+      store raised FileNotFoundError AFTER writing a full temp copy —
+      the deletion never completed and the "deleted" rows lived on in
+      the orphaned temp dir).
+    - A partitioned write of an EMPTY DataFrame emits no data files
+      (partition dirs exist only per value seen), leaving an
+      unreadable dir that fails schema inference on the next load; the
+      empty result is rewritten non-partitioned, which emits one
+      zero-row file carrying the full schema (partition columns become
+      regular columns — pruning is moot on an empty dataset).
+    """
+    spark = df.sparkSession
+    tmp = path.rstrip("/") + "__swap_tmp"
+    old = path.rstrip("/") + "__old"
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    if partition_cols and _count_parquet_files(spark, tmp) == 0:
+        df.write.mode("overwrite").parquet(tmp)
+    fs, Path = _hadoop_fs(spark, path)
+    if fs.exists(Path(old)):
+        fs.delete(Path(old), True)
+    # Hadoop rename reports failure as False, not an exception — check
+    # both, or a failed swap would silently leave the old contents live.
+    if not fs.rename(Path(path), Path(old)):
+        raise IOError(f"swap_rewrite: rename {path} -> {old} failed")
+    if not fs.rename(Path(tmp), Path(path)):
+        raise IOError(f"swap_rewrite: rename {tmp} -> {path} failed")
+    fs.delete(Path(old), True)
+
+
 def compact(spark, path: str, target_files_per_partition: int = 1,
             partition_cols: tuple[str, ...] = ()) -> int:
     """Small-file compaction (the OPTIMIZE analog; SURVEY §4 "small-file
     problem"). Rewrites a parquet dataset into ``target_files_per_partition``
-    files per partition directory, swapped in via two renames (write to a
-    sibling temp dir, move the original aside, move the temp into place,
-    drop the original) — a crash mid-swap leaves the dataset readable at
-    either ``path`` or ``path__old``, never gone. Returns the file count
-    after compaction."""
-    import os
-    import shutil
-
+    files per partition directory, swapped in via :func:`swap_rewrite`.
+    Returns the file count after compaction."""
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compact_tmp"
-    old = path.rstrip("/") + "__old"
     writer = df.repartition(
         target_files_per_partition, *partition_cols
     ) if partition_cols else df.coalesce(target_files_per_partition)
-    w = writer.write.mode("overwrite")
-    if partition_cols:
-        w = w.partitionBy(*partition_cols)
-    w.parquet(tmp)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    n = 0
-    for _, _, files in os.walk(path):
-        n += sum(1 for f in files if f.endswith(".parquet"))
-    return n
+    swap_rewrite(writer, path, partition_cols)
+    return _count_parquet_files(spark, path)
 
 
 def to_csv_bytes(df: DataFrame, limit: int = 1_000_000) -> bytes:

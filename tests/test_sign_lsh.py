@@ -229,7 +229,13 @@ def test_stratified_sample_zero_upsample_stratum_still_reported(spark, tmp_path)
     df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
 
     q = all_queries()["doc_stratified_sample"]
-    got = {r["lang"]: r for r in q.fn(spark, str(tmp_path)).collect()}
+    # the registry row is section-tagged since r7 (mix + epoch_shuffle);
+    # the corpus-mixing semantics under test live in the 'mix' section
+    got = {
+        r["lang"]: r
+        for r in q.fn(spark, str(tmp_path)).collect()
+        if r["section"] == "mix"
+    }
     assert "qq" in got, "zero-upsample stratum dropped by the join"
     assert got["qq"]["n_kept"] == len(qq_ids)
     assert got["qq"]["n_upsampled"] == 0
@@ -239,15 +245,18 @@ def test_stratified_sample_zero_upsample_stratum_still_reported(spark, tmp_path)
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')"
     )
+    # oracle columns: section, lang, n_kept, rate, n_upsampled, up_rate, ...
     oracle = {
-        r[0]: r for r in con.execute(q.oracle).fetchall()
+        r[1]: r
+        for r in con.execute(q.oracle).fetchall()
+        if r[0] == "mix"
     }
     con.close()
     assert set(got) == set(oracle)
     for lang, r in got.items():
         o = oracle[lang]
-        assert (r["n_kept"], r["n_upsampled"]) == (o[1], o[3]), lang
-        assert abs(r["rate"] - float(o[2])) < 1e-9 and abs(r["up_rate"] - float(o[4])) < 1e-9
+        assert (r["n_kept"], r["n_upsampled"]) == (o[2], o[4]), lang
+        assert abs(r["rate"] - float(o[3])) < 1e-9 and abs(r["up_rate"] - float(o[5])) < 1e-9
 
 
 def test_incremental_store_probe_equals_full_recompute(
@@ -450,3 +459,27 @@ def test_delete_from_store_forgets_documents(spark, sf_dir, tmp_path):
     )
     assert got == expected
     assert not any(a in forget or b in forget for a, b in got)
+
+
+def test_delete_every_row_leaves_readable_empty_store(spark, sf_dir, tmp_path):
+    """Purging ALL remaining ids must leave a readable zero-row store,
+    not a destroyed one: a partitioned write of an empty DataFrame
+    emits no data files, which swap_rewrite detects and rewrites
+    non-partitioned so the schema survives."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(30)
+    store_path = str(tmp_path / "store_all_deleted")
+    S.save_signature_store(
+        S.minhash_signatures(d, "doc_id", "text"), "doc_id", store_path
+    )
+    all_ids = [r["doc_id"] for r in d.collect()]
+    remaining = S.delete_from_store(spark, store_path, all_ids)
+    assert remaining == 0
+    # store stays loadable with the full schema and zero rows
+    store = spark.read.parquet(store_path)
+    assert store.count() == 0
+    assert set(store.columns) == {"id", "band_no", "band_hash"}
