@@ -90,6 +90,7 @@ def ngram_contamination(
     id_col: str,
     text_col: str,
     k: int = 5,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Train/eval contamination counts: for every eval document, how many
     of its distinct k-word n-grams also occur anywhere in the training
@@ -106,6 +107,13 @@ def ngram_contamination(
     side needs no pre-distinct, and the single shingle-keyed exchange is
     the same shape at 100 TB (AQE handles hot shingles). The count is a
     map-side-combinable groupBy on the (tiny) eval-doc key.
+
+    ``hash_shingles=True`` joins on ``xxhash64(shingle)`` instead of
+    the k-gram string — the scale path: the shuffled key drops from
+    ~k*avg_token_len bytes to 8, at the cost of a vanishing
+    false-positive rate (expected spurious matches ~ n_eval_shingles *
+    n_train_shingles / 2^64; an audit-acceptable trade, but not
+    oracle-exact, so the oracled registry query keeps the default).
     """
     from sec_financial_pipeline_spark.operators.similarity import shingles
 
@@ -115,6 +123,17 @@ def ngram_contamination(
     tr_sh = train_docs.select(
         F.explode(shingles(F.col(text_col), k=k)).alias("shingle")
     )
+    if hash_shingles:
+        ev_sh = ev_sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
+        # Pin a shuffled hash join: hashing collapses the planner's
+        # size ESTIMATE so it otherwise broadcasts the entire train
+        # shingle set (a driver-built HashedRelation of every distinct
+        # n-gram in the corpus — measured 2x slower at 320k docs, and
+        # a guaranteed driver OOM at real corpus sizes). The win we
+        # want from hashing is smaller exchange bytes, not broadcast.
+        tr_sh = tr_sh.select(F.xxhash64("shingle").alias("shingle")).hint(
+            "shuffle_hash"
+        )
     hits = (
         ev_sh.join(tr_sh, "shingle", "left_semi")
         .groupBy(id_col)

@@ -94,3 +94,31 @@ def test_ngram_contamination_counts_distinct_not_occurrences(spark):
     #  e x a b c, x a b c d}; train's: {a b c d e, b c d e a, c d e a b,
     #  d e a b c, e a b c d} -> only 'a b c d e' overlaps
     assert out[0].n_overlap == 1
+
+
+def test_ngram_contamination_hashed_equals_exact(spark, sf_dir):
+    """The hash_shingles scale path (xxhash64 keys + pinned shuffle
+    join) must produce identical per-doc counts to the exact string
+    join on real data (collisions are ~2^-64 per pair; none at test
+    scale)."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.sampling import hash_uniform
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    is_eval = hash_uniform(F.col("doc_id"), "eval1") < 0.1
+    ev, tr = d.filter(is_eval), d.filter(~is_eval)
+    exact = {
+        r.doc_id: r.n_overlap
+        for r in ngram_contamination(ev, tr, "doc_id", "text", k=5).collect()
+    }
+    hashed = {
+        r.doc_id: r.n_overlap
+        for r in ngram_contamination(
+            ev, tr, "doc_id", "text", k=5, hash_shingles=True
+        ).collect()
+    }
+    assert exact == hashed
+    assert sum(exact.values()) > 0  # the fixture actually has overlaps
