@@ -130,3 +130,29 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("__h")
     )
+
+
+def write_epoch_shards(
+    df: DataFrame, key: str, n_shards: int, seed: str, path: str
+) -> None:
+    """Materialize an epoch as the artifact a dataloader actually
+    consumes: ``path/shard=K/`` parquet, rows stored in ``pos`` order
+    inside each shard, so a worker streams its shard file(s) top to
+    bottom and reads the epoch permutation with no sort at load time.
+
+    Layout mechanics: hash-repartition on ``shard`` puts ALL of a
+    shard's rows in one task, and ``sortWithinPartitions`` orders them
+    before ``partitionBy`` splits the task's output into shard dirs —
+    so each shard is one file, written in pos order. At 100 TB, bump
+    the repartition factor to ceil(n_shards * k) and accept k files
+    per shard (file order by task then preserved per file; loaders
+    concatenate files sorted by name).
+    """
+    out = epoch_shuffle(df, key, n_shards, seed=seed)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

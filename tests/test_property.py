@@ -185,3 +185,73 @@ def test_incremental_pairs_match_full_recompute(spark, texts, m):
         ).collect()
     )
     assert got == expected
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12),
+        min_size=2,
+        max_size=14,
+    ),
+    st.integers(2, 4),
+)
+def test_ngram_contamination_matches_brute_force(spark, docs, k):
+    """Random tiny corpora: per-eval-doc overlap counts equal a pure-
+    Python brute force over distinct k-gram sets (eval = even index)."""
+    from sec_financial_pipeline_spark.operators.dedup import ngram_contamination
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ev = df.filter(F.col("doc_id") % 2 == 0)
+    tr = df.filter(F.col("doc_id") % 2 == 1)
+
+    def grams(ws):
+        return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+    train_set = set().union(
+        *(grams(w) for i, w in enumerate(docs) if i % 2 == 1), set()
+    )
+    expect = {
+        i: len(grams(w) & train_set) for i, w in enumerate(docs) if i % 2 == 0
+    }
+    got = {
+        r.doc_id: r.n_overlap
+        for r in ngram_contamination(ev, tr, "doc_id", "text", k=k).collect()
+    }
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.sets(st.integers(0, 2000), min_size=1, max_size=40),
+    st.integers(2, 5),
+    st.text(alphabet="abcdef", min_size=0, max_size=4),
+)
+def test_epoch_shuffle_matches_python_md5(spark, keys, n_shards, seed):
+    """The (shard, pos) assignment is a pure function of (key, seed):
+    replicate it exactly in pure Python via hashlib.md5."""
+    import hashlib
+
+    from sec_financial_pipeline_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(kk,) for kk in keys], "doc_id bigint")
+    got = {
+        r.doc_id: (r.shard, r.pos)
+        for r in epoch_shuffle(df, "doc_id", n_shards, seed=seed).collect()
+    }
+
+    def h(kk):
+        return hashlib.md5(f"{seed}{kk}".encode()).hexdigest()
+
+    by_shard = {}
+    for kk in keys:
+        by_shard.setdefault(int(h(kk)[:8], 16) % n_shards, []).append(kk)
+    expect = {}
+    for shard, members in by_shard.items():
+        for pos, kk in enumerate(sorted(members, key=lambda x: (h(x), x)), 1):
+            expect[kk] = (shard, pos)
+    assert got == expect

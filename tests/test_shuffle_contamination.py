@@ -122,3 +122,35 @@ def test_ngram_contamination_hashed_equals_exact(spark, sf_dir):
     }
     assert exact == hashed
     assert sum(exact.values()) > 0  # the fixture actually has overlaps
+
+
+def test_write_epoch_shards_streams_in_permutation_order(spark, sf_dir, tmp_path):
+    """The materialized epoch reads back as the permutation: each shard
+    dir holds its docs stored in pos order, and the union over shards
+    is exactly the input key set."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sec_financial_pipeline_spark.operators.sampling import (
+        epoch_shuffle,
+        write_epoch_shards,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    path = str(tmp_path / "epoch0")
+    write_epoch_shards(d, "doc_id", n_shards=4, seed="e0", path=path)
+
+    expect = {}
+    for r in epoch_shuffle(d, "doc_id", 4, seed="e0").collect():
+        expect.setdefault(r.shard, []).append((r.pos, r.doc_id))
+    seen = set()
+    for shard, want in expect.items():
+        files = sorted(glob.glob(f"{path}/shard={shard}/*.parquet"))
+        assert files, f"no files for shard {shard}"
+        got = []
+        for f in files:
+            got.extend(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        assert got == [doc for _, doc in sorted(want)], f"shard {shard} order"
+        seen.update(got)
+    assert seen == {r.doc_id for r in d.collect()}
