@@ -338,6 +338,11 @@ def save_index(index: IvfPqIndex, path: str) -> None:
 
 
 def load_index(spark, path: str) -> IvfPqIndex:
+    # the code table is the swap-rewritten piece (deletion); finish or
+    # roll back a crashed swap before reading — no-op when healthy
+    from sec_financial_pipeline_spark.sources.sink import recover_swap
+
+    recover_swap(spark, f"{path}/codes")
     slices = tuple(
         (r.m, r.start, r.length)
         for r in spark.read.parquet(f"{path}/slices").orderBy("m").collect()

@@ -225,6 +225,12 @@ def save_signature_store(signatures: DataFrame, id_col: str, path: str) -> None:
 
 
 def load_signature_store(spark, path: str) -> DataFrame:
+    """Open a persisted band-table store, first finishing or rolling
+    back any swap (delete / compact) a crash left half-done —
+    ``recover_swap`` is a pure existence check on a healthy store."""
+    from sec_financial_pipeline_spark.sources.sink import recover_swap
+
+    recover_swap(spark, path)
     return spark.read.parquet(path)
 
 

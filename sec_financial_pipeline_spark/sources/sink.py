@@ -119,6 +119,53 @@ def swap_rewrite(
     fs.delete(Path(old), True)
 
 
+def recover_swap(spark, path: str) -> str:
+    """Finish or roll back a :func:`swap_rewrite` interrupted by a
+    crash, restoring an always-readable dataset at ``path``. Returns
+    what was done: ``"clean"`` (nothing to do), ``"forward"`` (the new
+    contents were fully written — ``__swap_tmp`` has its ``_SUCCESS``
+    marker — and are moved into place), or ``"rollback"`` (the write
+    never finished; the original at ``__old`` is moved back).
+
+    Decision table over which sibling dirs exist after a crash:
+
+    - ``path`` present: the swap either never started, completed, or
+      crashed before the first rename — the live dir is authoritative;
+      stray ``__swap_tmp``/``__old`` are dropped.
+    - ``path`` missing, tmp has ``_SUCCESS``: crashed between the two
+      renames with a complete new copy — roll FORWARD (the rewrite's
+      effect, e.g. a deletion, is preserved).
+    - ``path`` missing, tmp incomplete: the only good copy is
+      ``__old`` — roll BACK.
+
+    Call at store-open time (or from an operator's retry path); it is
+    a no-op on a healthy store.
+    """
+    tmp = path.rstrip("/") + "__swap_tmp"
+    old = path.rstrip("/") + "__old"
+    fs, Path = _hadoop_fs(spark, path)
+    if fs.exists(Path(path)):
+        for stray in (tmp, old):
+            if fs.exists(Path(stray)):
+                fs.delete(Path(stray), True)
+        return "clean"
+    if fs.exists(Path(tmp)) and fs.exists(Path(tmp + "/_SUCCESS")):
+        if not fs.rename(Path(tmp), Path(path)):
+            raise IOError(f"recover_swap: rename {tmp} -> {path} failed")
+        if fs.exists(Path(old)):
+            fs.delete(Path(old), True)
+        return "forward"
+    if fs.exists(Path(old)):
+        if not fs.rename(Path(old), Path(path)):
+            raise IOError(f"recover_swap: rename {old} -> {path} failed")
+        if fs.exists(Path(tmp)):
+            fs.delete(Path(tmp), True)
+        return "rollback"
+    raise IOError(
+        f"recover_swap: no recoverable copy at {path}, {tmp}, or {old}"
+    )
+
+
 def compact(spark, path: str, target_files_per_partition: int = 1,
             partition_cols: tuple[str, ...] = ()) -> int:
     """Small-file compaction (the OPTIMIZE analog; SURVEY §4 "small-file

@@ -57,3 +57,76 @@ def test_compaction(spark, tmp_path):
     after = compact(spark, path, target_files_per_partition=1, partition_cols=("part",))
     assert after <= 3  # one file per partition value
     assert spark.read.parquet(path).count() == total_before
+
+
+def _crash_sim(spark, tmp_path, break_marker: bool):
+    """Build a dataset, stage a swap as if swap_rewrite crashed between
+    its two renames: path moved to __old, new contents at __swap_tmp
+    (optionally with its _SUCCESS marker removed = incomplete write)."""
+    import shutil
+
+    path = str(tmp_path / "ds")
+    spark.range(10).withColumn("v", F.col("id") * 2).write.parquet(path)
+    new = spark.range(5).withColumn("v", F.col("id") * 3)
+    new.write.parquet(path + "__swap_tmp")
+    if break_marker:
+        os.remove(path + "__swap_tmp/_SUCCESS")
+    shutil.move(path, path + "__old")
+    return path
+
+
+def test_recover_swap_rolls_forward_complete_write(spark, tmp_path):
+    from sec_financial_pipeline_spark.sources.sink import recover_swap
+
+    path = _crash_sim(spark, tmp_path, break_marker=False)
+    assert recover_swap(spark, path) == "forward"
+    got = sorted(r.v for r in spark.read.parquet(path).collect())
+    assert got == [0, 3, 6, 9, 12]  # the NEW contents
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__swap_tmp")
+
+
+def test_recover_swap_rolls_back_incomplete_write(spark, tmp_path):
+    from sec_financial_pipeline_spark.sources.sink import recover_swap
+
+    path = _crash_sim(spark, tmp_path, break_marker=True)
+    assert recover_swap(spark, path) == "rollback"
+    got = sorted(r.v for r in spark.read.parquet(path).collect())
+    assert got == [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]  # the ORIGINAL
+    assert not os.path.exists(path + "__swap_tmp")
+
+
+def test_recover_swap_noop_on_healthy_dataset_drops_strays(spark, tmp_path):
+    from sec_financial_pipeline_spark.sources.sink import recover_swap
+
+    path = str(tmp_path / "ds")
+    spark.range(4).write.parquet(path)
+    spark.range(2).write.parquet(path + "__swap_tmp")  # stray from a crash
+    assert recover_swap(spark, path) == "clean"
+    assert spark.read.parquet(path).count() == 4
+    assert not os.path.exists(path + "__swap_tmp")
+
+
+def test_store_open_recovers_crashed_delete(spark, sf_dir, tmp_path):
+    """End to end: a delete crash between the two renames, then a plain
+    load_signature_store — the open path itself must finish the swap
+    and serve the post-delete contents."""
+    import shutil
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    path = str(tmp_path / "store")
+    S.save_signature_store(
+        S.minhash_signatures(d, "doc_id", "text"), "doc_id", path
+    )
+    forget = [r.doc_id for r in d.limit(10).collect()]
+    kept = spark.read.parquet(path).filter(~F.col("id").isin(forget))
+    kept.write.partitionBy("band_no").parquet(path + "__swap_tmp")
+    shutil.move(path, path + "__old")  # crash point: between the renames
+
+    store = S.load_signature_store(spark, path)
+    assert store.filter(F.col("id").isin(forget)).count() == 0
+    assert store.count() > 0
+    assert not os.path.exists(path + "__old")
