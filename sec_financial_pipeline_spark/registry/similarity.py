@@ -754,25 +754,31 @@ def _contam_split(ref: str = "doc_id") -> str:
         f"::BIGINT / 4294967296.0 < {_CONTAM_RATE}"
     )
 
-_CONTAM_ORACLE = f"""
-WITH toks AS (
+# Shared CTE fragment: the hash-split + k-gram shingle table. Used by
+# the contamination audit AND the curation capstone's decontamination
+# stage (there it shadows nothing: the dedup CTEs live inside the
+# survivors subquery's own WITH scope).
+_CONTAM_SH_CTES = f"""contoks AS (
   SELECT doc_id, source, string_split(text, ' ') AS w,
          {_contam_split()} AS is_eval
   FROM documents
 ),
-sh AS (
+consh AS (
   SELECT doc_id, source, is_eval,
          unnest(list_distinct(list_transform(
              generate_series(1, len(w) - {_CONTAM_K - 1}),
              i -> {" || ' ' || ".join(f"w[i + {j}]" for j in range(_CONTAM_K))})))
            AS shingle
-  FROM toks
-),
+  FROM contoks
+)"""
+
+_CONTAM_ORACLE = f"""
+WITH {_CONTAM_SH_CTES},
 hits AS (
   SELECT e.doc_id, count(*) AS n_overlap
-  FROM sh e
+  FROM consh e
   WHERE e.is_eval
-    AND e.shingle IN (SELECT shingle FROM sh t WHERE NOT t.is_eval)
+    AND e.shingle IN (SELECT shingle FROM consh t WHERE NOT t.is_eval)
   GROUP BY e.doc_id
 ),
 per_doc AS (
@@ -1864,6 +1870,15 @@ def q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATION_ORACLE = f"""
 WITH survivors AS ({_E2E_DEDUP_ORACLE}),
+{_CONTAM_SH_CTES},
+contaminated AS (
+  SELECT e.doc_id
+  FROM consh e
+  WHERE NOT e.is_eval
+    AND e.shingle IN (SELECT shingle FROM consh t WHERE t.is_eval)
+  GROUP BY e.doc_id
+  HAVING count(*) >= {_CONTAM_MIN_OVERLAP}
+),
 quality AS (
   SELECT doc_id,
          round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
@@ -1877,6 +1892,8 @@ SELECT s.lang,
 FROM survivors s
 JOIN quality q ON s.doc_id = q.doc_id
 WHERE q.quality >= 0.55
+  AND NOT {_contam_split('s.doc_id')}
+  AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
 GROUP BY s.lang
 """
 
@@ -1884,12 +1901,40 @@ GROUP BY s.lang
 @register(
     "doc_curation_pipeline",
     _CURATION_ORACLE,
-    survey="§2.9 capstone (quality filter + near-dedup + per-lang corpus stats)",
+    survey=(
+        "§2.9 capstone (quality filter + near-dedup + decontamination +"
+        " per-lang corpus stats): the full training-corpus build in one"
+        " declarative plan — the eval split is excluded and any training"
+        " doc leaking >= 3 eval 5-grams is dropped (GPT-3-style"
+        " benchmark decontamination), on top of the r2 quality + MinHash"
+        " near-dedup stages"
+    ),
 )
 def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.dedup import ngram_contamination
+    from sec_financial_pipeline_spark.operators.sampling import hash_uniform
+
     survivors = q_doc_near_dedup_end2end(spark, sf_dir).select("doc_id", "lang")
     quality = q_doc_quality_score_for_curation(spark, sf_dir)
-    kept = survivors.join(quality, "doc_id").filter(F.col("quality") >= 0.55)
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = hash_uniform(F.col("doc_id"), _CONTAM_SALT) < _CONTAM_RATE
+    # decontamination, train-side: count each TRAINING doc's distinct
+    # 5-gram leaks into the held-out eval split (the operator is
+    # direction-agnostic — swap the sides vs the audit query)
+    contaminated = (
+        ngram_contamination(
+            d.filter(~is_eval), d.filter(is_eval), "doc_id", "text",
+            k=_CONTAM_K,
+        )
+        .filter(F.col("n_overlap") >= _CONTAM_MIN_OVERLAP)
+        .select("doc_id")
+    )
+    kept = (
+        survivors.join(quality, "doc_id")
+        .filter(F.col("quality") >= 0.55)
+        .filter(~(hash_uniform(F.col("doc_id"), _CONTAM_SALT) < _CONTAM_RATE))
+        .join(contaminated, "doc_id", "left_anti")
+    )
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
