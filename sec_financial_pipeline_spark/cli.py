@@ -208,6 +208,45 @@ def _cmd_dedup(args, spark: SparkSession) -> dict:
     raise SystemExit(f"unknown dedup command: {args.dedup_cmd}")
 
 
+def _cmd_decon(args, spark: SparkSession) -> dict:
+    """Ingest-time decontamination gate: ``build`` persists the eval
+    split's distinct k-gram set once; ``gate`` probes a batch against
+    it, writes the clean rows, and reports what was dropped."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.dedup import (
+        contamination_vs_store,
+        save_eval_shingle_store,
+    )
+
+    if args.decon_cmd == "build":
+        ev = spark.read.parquet(args.docs).select("doc_id", "text")
+        save_eval_shingle_store(ev, "text", args.store, k=args.k)
+        return {
+            "store": args.store,
+            "shingles": spark.read.parquet(args.store).count(),
+            "k": args.k,
+        }
+    if args.decon_cmd == "gate":
+        batch = spark.read.parquet(args.docs)
+        scored = contamination_vs_store(
+            batch, "doc_id", "text", args.store, k=args.k
+        )
+        kept = scored.filter(F.col("n_overlap") < args.min_overlap).drop(
+            "n_overlap"
+        )
+        kept.write.mode("overwrite").parquet(args.out)
+        n_in = batch.count()
+        n_kept = spark.read.parquet(args.out).count()
+        return {
+            "batch": n_in,
+            "kept": n_kept,
+            "dropped": n_in - n_kept,
+            "out": args.out,
+        }
+    raise SystemExit(f"unknown decon command: {args.decon_cmd}")
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     p = argparse.ArgumentParser(prog="sec_financial_pipeline_spark")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -247,6 +286,25 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     )
     dc.add_argument("--store", required=True)
     dc.add_argument("--files-per-partition", type=int, default=1)
+
+    decon = sub.add_parser(
+        "decon", help="ingest-time eval-decontamination gate (§2.9 tooling)"
+    )
+    decon_sub = decon.add_subparsers(dest="decon_cmd", required=True)
+    deb = decon_sub.add_parser(
+        "build", help="persist the eval split's distinct k-gram set"
+    )
+    deb.add_argument("--docs", required=True, help="parquet of (doc_id, text)")
+    deb.add_argument("--store", required=True)
+    deb.add_argument("--k", type=int, default=5)
+    deg = decon_sub.add_parser(
+        "gate", help="probe a batch, write the clean rows, report drops"
+    )
+    deg.add_argument("--docs", required=True)
+    deg.add_argument("--store", required=True)
+    deg.add_argument("--out", required=True, help="parquet sink for clean rows")
+    deg.add_argument("--k", type=int, default=5)
+    deg.add_argument("--min-overlap", type=int, default=3)
 
     serve = sub.add_parser("serve", help="HTTP facade server (blocking)")
     serve.add_argument("--host", default="127.0.0.1")
@@ -293,6 +351,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             return 0
         if args.cmd == "dedup":
             print(json.dumps(_cmd_dedup(args, spark), default=str))
+            return 0
+        if args.cmd == "decon":
+            print(json.dumps(_cmd_decon(args, spark), default=str))
             return 0
         if args.cmd == "serve":
             from sec_financial_pipeline_spark.transport.http import serve as http_serve

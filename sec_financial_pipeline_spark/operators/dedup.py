@@ -142,3 +142,57 @@ def ngram_contamination(
     return eval_docs.join(hits, id_col, "left").withColumn(
         "n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint")
     )
+
+
+def save_eval_shingle_store(
+    eval_docs: DataFrame, text_col: str, path: str, k: int = 5
+) -> None:
+    """Persist the held-out eval split's DISTINCT k-gram set — the
+    ingest-time decontamination gate's reference data, built once per
+    benchmark/eval refresh (the eval split is tiny and static; the
+    ingest stream is not). Layout: a one-column ``shingle`` parquet
+    table."""
+    from sec_financial_pipeline_spark.operators.similarity import shingles
+
+    sh = (
+        eval_docs.select(
+            F.explode(shingles(F.col(text_col), k=k)).alias("shingle")
+        )
+        .distinct()
+    )
+    sh.write.mode("overwrite").parquet(path)
+
+
+def contamination_vs_store(
+    batch_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    k: int = 5,
+) -> DataFrame:
+    """Ingest-time decontamination gate: per-batch-doc overlap counts
+    against a persisted eval shingle store (:func:`save_eval_shingle_
+    store`) — the streaming twin of :func:`ngram_contamination`, with
+    the eval side loaded instead of re-shingled per batch. Same output
+    contract (every batch row + ``n_overlap``); callers drop rows at
+    their threshold before the batch enters the corpus.
+
+    k must match the store's build k (the store holds k-gram strings;
+    a mismatch silently yields zero overlaps — assert on a sample if
+    unsure). Scale shape: identical to the audit — semi join bounded
+    by the batch side; the store scan is the small, static side."""
+    from sec_financial_pipeline_spark.operators.similarity import shingles
+
+    spark = batch_docs.sparkSession
+    b_sh = batch_docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k=k)).alias("shingle")
+    )
+    store = spark.read.parquet(store_path)
+    hits = (
+        b_sh.join(store, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return batch_docs.join(hits, id_col, "left").withColumn(
+        "n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint")
+    )

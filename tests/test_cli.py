@@ -221,3 +221,45 @@ def test_dedup_compact_preserves_store_content(tmp_path, capsys, spark, sf_dir):
         .select("id", "band_no", "band_hash").collect()
     )
     assert after == before
+
+
+def test_decon_gate_build_and_filter(tmp_path, capsys, spark, sf_dir):
+    """decon build -> gate: the CLI face of the ingest-time
+    decontamination gate. The gated output equals the operator-level
+    filter, and kept + dropped == batch."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.dedup import ngram_contamination
+    from sec_financial_pipeline_spark.operators.sampling import hash_uniform
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = hash_uniform(F.col("doc_id"), "eval1") < 0.1
+    ev_dir, batch_dir = str(tmp_path / "ev"), str(tmp_path / "batch")
+    d.filter(is_eval).write.parquet(ev_dir)
+    d.filter(~is_eval).limit(300).write.parquet(batch_dir)
+    store, out = str(tmp_path / "shingle_store"), str(tmp_path / "clean")
+
+    built = _run(
+        capsys, spark, ["decon", "build", "--docs", ev_dir, "--store", store]
+    )
+    assert built["shingles"] > 0
+
+    gated = _run(
+        capsys, spark,
+        ["decon", "gate", "--docs", batch_dir, "--store", store,
+         "--out", out, "--min-overlap", "3"],
+    )
+    assert gated["kept"] + gated["dropped"] == gated["batch"] == 300
+
+    batch = spark.read.parquet(batch_dir)
+    expect_kept = {
+        r.doc_id
+        for r in ngram_contamination(
+            batch, spark.read.parquet(ev_dir), "doc_id", "text", k=5
+        )
+        .filter(F.col("n_overlap") < 3)
+        .collect()
+    }
+    got_kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got_kept == expect_kept

@@ -154,3 +154,35 @@ def test_write_epoch_shards_streams_in_permutation_order(spark, sf_dir, tmp_path
         assert got == [doc for _, doc in sorted(want)], f"shard {shard} order"
         seen.update(got)
     assert seen == {r.doc_id for r in d.collect()}
+
+
+def test_contamination_vs_store_matches_live_recompute(spark, sf_dir, tmp_path):
+    """The ingest-time gate (persisted eval shingle store + batch
+    probe) must equal ngram_contamination computed live with the same
+    eval side — store round-trip changes nothing."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.dedup import (
+        contamination_vs_store,
+        save_eval_shingle_store,
+    )
+    from sec_financial_pipeline_spark.operators.sampling import hash_uniform
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    is_eval = hash_uniform(F.col("doc_id"), "eval1") < 0.1
+    ev, batch = d.filter(is_eval), d.filter(~is_eval).limit(200)
+
+    path = str(tmp_path / "eval_shingles")
+    save_eval_shingle_store(ev, "text", path, k=5)
+    via_store = {
+        r.doc_id: r.n_overlap
+        for r in contamination_vs_store(batch, "doc_id", "text", path, k=5).collect()
+    }
+    live = {
+        r.doc_id: r.n_overlap
+        for r in ngram_contamination(batch, ev, "doc_id", "text", k=5).collect()
+    }
+    assert via_store == live
+    assert len(via_store) == 200
