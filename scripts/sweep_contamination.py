@@ -27,29 +27,21 @@ from pyspark.sql import functions as F
 
 from sec_financial_pipeline_spark.operators.dedup import ngram_contamination
 from sec_financial_pipeline_spark.operators.sampling import hash_uniform
+from sec_financial_pipeline_spark.registry.similarity import (
+    _CONTAM_K as K,
+    _CONTAM_MIN_OVERLAP as MIN_OVERLAP,
+    _CONTAM_RATE as RATE,
+    _CONTAM_SALT as SALT,
+)
 from sec_financial_pipeline_spark.session import get_spark
 from sec_financial_pipeline_spark.sources.testdata import load_table
-
-K, MIN_OVERLAP, SALT, RATE = 5, 3, "eval1", 0.1
+from sweep_near_dedup import corpus as _corpus
 
 
 def corpus(base, copies: int):
-    parts = []
-    for k in range(copies):
-        c = base
-        if k:
-            c = c.select(
-                (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
-                F.regexp_replace("text", r"(\S+)", f"$1_{k}").alias("text"),
-                "source",
-            )
-        else:
-            c = c.select("doc_id", "text", "source")
-        parts.append(c)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # the sweep measures the REGISTRY's audit configuration (constants
+    # imported above), over the shared replication helper
+    return _corpus(base, copies, extra_cols=("source",))
 
 
 def run_once(spark, d):

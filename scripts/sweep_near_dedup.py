@@ -33,20 +33,22 @@ from sec_financial_pipeline_spark.sources.testdata import load_table
 N_HASHES, BAND_SIZE, JACCARD_TAU = 16, 4, 0.8
 
 
-def corpus(base, copies: int):
+def corpus(base, copies: int, extra_cols: tuple[str, ...] = ()):
+    """Replicate ``base`` with a per-copy token-space remap (shared by
+    this sweep and sweep_contamination.py): disjoint shingles, so
+    near-dup/contamination structure is internal to each copy
+    (constant density), and ids stay unique."""
     parts = []
     for k in range(copies):
         c = base
         if k:
-            # remap the token space per copy: disjoint shingles, so
-            # near-dup structure is internal to each copy (constant
-            # density), and make ids unique
             c = c.select(
                 (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
                 F.regexp_replace("text", r"(\S+)", f"$1_{k}").alias("text"),
+                *extra_cols,
             )
         else:
-            c = c.select("doc_id", "text")
+            c = c.select("doc_id", "text", *extra_cols)
         parts.append(c)
     out = parts[0]
     for p in parts[1:]:

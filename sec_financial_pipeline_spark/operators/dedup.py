@@ -117,29 +117,46 @@ def ngram_contamination(
     """
     from sec_financial_pipeline_spark.operators.similarity import shingles
 
-    ev_sh = eval_docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k=k)).alias("shingle")
-    )
     tr_sh = train_docs.select(
         F.explode(shingles(F.col(text_col), k=k)).alias("shingle")
     )
+    return _overlap_counts(eval_docs, tr_sh, id_col, text_col, k, hash_shingles)
+
+
+def _overlap_counts(
+    docs: DataFrame,
+    ref_shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    hash_shingles: bool,
+) -> DataFrame:
+    """Shared probe tail of the contamination family: per-doc counts of
+    distinct k-grams present in ``ref_shingles`` (one ``shingle``
+    column — live-exploded or loaded from a store)."""
+    from sec_financial_pipeline_spark.operators.similarity import shingles
+
+    d_sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k=k)).alias("shingle")
+    )
     if hash_shingles:
-        ev_sh = ev_sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
+        d_sh = d_sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
         # Pin a shuffled hash join: hashing collapses the planner's
-        # size ESTIMATE so it otherwise broadcasts the entire train
-        # shingle set (a driver-built HashedRelation of every distinct
-        # n-gram in the corpus — measured 2x slower at 320k docs, and
-        # a guaranteed driver OOM at real corpus sizes). The win we
-        # want from hashing is smaller exchange bytes, not broadcast.
-        tr_sh = tr_sh.select(F.xxhash64("shingle").alias("shingle")).hint(
-            "shuffle_hash"
-        )
+        # size ESTIMATE so it otherwise broadcasts the entire
+        # reference shingle set (a driver-built HashedRelation of
+        # every distinct n-gram in the corpus — measured 2x slower at
+        # 320k docs, and a guaranteed driver OOM at real corpus
+        # sizes). The win we want from hashing is smaller exchange
+        # bytes, not broadcast.
+        ref_shingles = ref_shingles.select(
+            F.xxhash64("shingle").alias("shingle")
+        ).hint("shuffle_hash")
     hits = (
-        ev_sh.join(tr_sh, "shingle", "left_semi")
+        d_sh.join(ref_shingles, "shingle", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
-    return eval_docs.join(hits, id_col, "left").withColumn(
+    return docs.join(hits, id_col, "left").withColumn(
         "n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint")
     )
 
@@ -151,8 +168,14 @@ def save_eval_shingle_store(
     ingest-time decontamination gate's reference data, built once per
     benchmark/eval refresh (the eval split is tiny and static; the
     ingest stream is not). Layout: a one-column ``shingle`` parquet
-    table."""
+    table plus a ``_decon_meta.json`` sidecar recording the build
+    ``k`` (underscore-prefixed, so Spark's file index ignores it);
+    the probe refuses a mismatched k instead of silently matching
+    nothing."""
+    import json
+
     from sec_financial_pipeline_spark.operators.similarity import shingles
+    from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
 
     sh = (
         eval_docs.select(
@@ -161,6 +184,30 @@ def save_eval_shingle_store(
         .distinct()
     )
     sh.write.mode("overwrite").parquet(path)
+    fs, Path = _hadoop_fs(eval_docs.sparkSession, path)
+    out = fs.create(Path(path.rstrip("/") + "/_decon_meta.json"), True)
+    out.write(json.dumps({"k": k}).encode("utf-8"))
+    out.close()
+
+
+def _load_store_k(spark, path: str) -> int | None:
+    import json
+
+    from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
+
+    fs, Path = _hadoop_fs(spark, path)
+    meta = Path(path.rstrip("/") + "/_decon_meta.json")
+    if not fs.exists(meta):
+        return None
+    # copy Java-side: py4j passes a Python bytearray to InputStream.read
+    # BY VALUE, so the filled bytes never come back — stream into a
+    # ByteArrayOutputStream instead and take the byte[] return
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(meta)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    data = bytes(baos.toByteArray())
+    return int(json.loads(data.decode("utf-8"))["k"])
 
 
 def contamination_vs_store(
@@ -169,30 +216,29 @@ def contamination_vs_store(
     text_col: str,
     store_path: str,
     k: int = 5,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Ingest-time decontamination gate: per-batch-doc overlap counts
     against a persisted eval shingle store (:func:`save_eval_shingle_
     store`) — the streaming twin of :func:`ngram_contamination`, with
     the eval side loaded instead of re-shingled per batch. Same output
     contract (every batch row + ``n_overlap``); callers drop rows at
-    their threshold before the batch enters the corpus.
+    their threshold before the batch enters the corpus. The two twins
+    share the same probe tail (``_overlap_counts``), including the
+    ``hash_shingles`` 100 TB knob with its pinned shuffle join.
 
-    k must match the store's build k (the store holds k-gram strings;
-    a mismatch silently yields zero overlaps — assert on a sample if
-    unsure). Scale shape: identical to the audit — semi join bounded
-    by the batch side; the store scan is the small, static side."""
-    from sec_financial_pipeline_spark.operators.similarity import shingles
-
+    ``k`` must match the store's build k; the store's metadata sidecar
+    makes a mismatch a hard ``ValueError`` instead of a silent
+    all-zero result (every contaminated row would otherwise pass the
+    gate). Scale shape: identical to the audit — semi join bounded by
+    the batch side; the store scan is the small, static side."""
     spark = batch_docs.sparkSession
-    b_sh = batch_docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k=k)).alias("shingle")
-    )
+    store_k = _load_store_k(spark, store_path)
+    if store_k is not None and store_k != k:
+        raise ValueError(
+            f"contamination_vs_store: store at {store_path} was built "
+            f"with k={store_k}, probed with k={k} — a mismatch matches "
+            f"nothing and would silently pass every contaminated row"
+        )
     store = spark.read.parquet(store_path)
-    hits = (
-        b_sh.join(store, "shingle", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    return batch_docs.join(hits, id_col, "left").withColumn(
-        "n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint")
-    )
+    return _overlap_counts(batch_docs, store, id_col, text_col, k, hash_shingles)

@@ -193,10 +193,12 @@ def append_to_saved_index(spark, path: str, new_e: DataFrame) -> None:
     # materialize before writing: the duplicate guard READS path/codes,
     # and the append WRITES it — the cache barrier keeps the scan from
     # listing files the write is concurrently creating
+    from sec_financial_pipeline_spark.sources.sink import append_partitioned
+
     fresh = _fresh_codes(index, new_e).persist()
     try:
         fresh.count()
-        fresh.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+        append_partitioned(fresh, f"{path}/codes", ("cell",))
     finally:
         fresh.unpersist()
 
@@ -313,9 +315,13 @@ def delete_from_saved_index(spark, path: str, vec_ids: list) -> int:
     (crash-safe two-rename swap over the Hadoop FS API — works on
     remote stores, survives deleting the last vector); codebooks are
     untouched. Returns code rows remaining."""
-    from sec_financial_pipeline_spark.sources.sink import swap_rewrite
+    from sec_financial_pipeline_spark.sources.sink import (
+        recover_swap,
+        swap_rewrite,
+    )
 
     codes_path = f"{path}/codes"
+    recover_swap(spark, codes_path)  # retrying a crashed delete self-heals
     kept = spark.read.parquet(codes_path).filter(
         ~F.col("vec_id").isin(list(vec_ids))
     )

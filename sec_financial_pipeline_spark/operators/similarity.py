@@ -227,7 +227,8 @@ def save_signature_store(signatures: DataFrame, id_col: str, path: str) -> None:
 def load_signature_store(spark, path: str) -> DataFrame:
     """Open a persisted band-table store, first finishing or rolling
     back any swap (delete / compact) a crash left half-done —
-    ``recover_swap`` is a pure existence check on a healthy store."""
+    ``recover_swap`` acts only when nothing lives at the path (strict
+    no-op on a healthy store; it never touches a writer's dirs)."""
     from sec_financial_pipeline_spark.sources.sink import recover_swap
 
     recover_swap(spark, path)
@@ -241,10 +242,12 @@ def append_to_signature_store(
     existing store (new files inside the band_no partitions — existing
     files untouched). The production loop is probe → verify → drop →
     append the SURVIVORS, after which the next batch dedups against
-    them too."""
-    band_table(signatures, id_col).write.mode("append").partitionBy(
-        "band_no"
-    ).parquet(path)
+    them too. Goes through ``append_partitioned`` so appending into a
+    store a delete-all emptied restores the partitioned layout
+    (delete + re-append = UPDATE)."""
+    from sec_financial_pipeline_spark.sources.sink import append_partitioned
+
+    append_partitioned(band_table(signatures, id_col), path, ("band_no",))
 
 
 def incremental_candidate_pairs(
@@ -333,8 +336,12 @@ def delete_from_store(spark, path: str, ids: list) -> int:
     last row). Returns rows remaining. Works on both the MinHash
     signature store and the sign-LSH code store (same
     (id, band_no, band_hash) layout)."""
-    from sec_financial_pipeline_spark.sources.sink import swap_rewrite
+    from sec_financial_pipeline_spark.sources.sink import (
+        recover_swap,
+        swap_rewrite,
+    )
 
+    recover_swap(spark, path)  # retrying a crashed delete self-heals
     kept = spark.read.parquet(path).filter(~F.col("id").isin(list(ids)))
     swap_rewrite(kept, path, ("band_no",))
     return spark.read.parquet(path).count()
@@ -349,18 +356,20 @@ def incremental_sign_pairs(
     restricted to pairs touching >= 1 batch vector (codes are a pure
     per-vector function of the fixed hyperplanes).
 
-    Unlike the MinHash path, the repartition exchange here CANNOT be
-    deduped by ReusedExchange when ``batch_codes`` is a live
-    ``sign_lsh_bands`` plan: its HOF lambdas (NamedLambdaVariable)
-    never canonicalize equal (see ``sign_lsh_candidate_pairs``), so
-    the three consumers inside the probe would each re-run the
-    crossJoin+groupBy code build. The (small: |batch| x bands rows)
-    band table is persisted instead — lazily marked here, materialized
-    once by the probe job, evicted LRU by Spark."""
-    stacked = (
-        _sign_code_bands(batch_codes, id_col)
-        .repartition("band_no", "band_hash")
-        .persist()
+    CALLER CONTRACT: pass ``batch_codes`` persisted (and ideally
+    materialized). Unlike the MinHash path, the repartition exchange
+    here CANNOT be deduped by ReusedExchange when ``batch_codes`` is a
+    live ``sign_lsh_bands`` plan: its HOF lambdas (NamedLambdaVariable)
+    never canonicalize equal (see ``sign_lsh_candidate_pairs``), so the
+    three consumers inside the probe would each re-run the
+    crossJoin+groupBy code build. Persisting INSIDE this function
+    would leak a cache entry per batch in a long-running ingest (the
+    handle is internal, so the caller could never release it) — the
+    repo-wide pattern is caller-managed persist/unpersist around the
+    probe, as ``streaming/ingest.py::ingest_batch`` does for the
+    MinHash twin."""
+    stacked = _sign_code_bands(batch_codes, id_col).repartition(
+        "band_no", "band_hash"
     )
     return _pairs_batch_vs_store(stacked, store)
 

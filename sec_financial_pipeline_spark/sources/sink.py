@@ -122,32 +122,35 @@ def swap_rewrite(
 def recover_swap(spark, path: str) -> str:
     """Finish or roll back a :func:`swap_rewrite` interrupted by a
     crash, restoring an always-readable dataset at ``path``. Returns
-    what was done: ``"clean"`` (nothing to do), ``"forward"`` (the new
-    contents were fully written — ``__swap_tmp`` has its ``_SUCCESS``
-    marker — and are moved into place), or ``"rollback"`` (the write
-    never finished; the original at ``__old`` is moved back).
+    what was done: ``"clean"`` (path exists — nothing to do),
+    ``"forward"`` (the new contents were fully written — ``__swap_tmp``
+    has its ``_SUCCESS`` marker — and are moved into place), or
+    ``"rollback"`` (the write never finished; the original at
+    ``__old`` is moved back).
 
     Decision table over which sibling dirs exist after a crash:
 
-    - ``path`` present: the swap either never started, completed, or
-      crashed before the first rename — the live dir is authoritative;
-      stray ``__swap_tmp``/``__old`` are dropped.
+    - ``path`` present: the live dir is authoritative — STRICT no-op.
+      Stray ``__swap_tmp``/``__old`` dirs are deliberately left alone:
+      a concurrent in-flight swap_rewrite owns them (readers deleting
+      a writer's temp mid-swap would lose the rewrite and strand the
+      dataset at ``__old``); the next successful swap replaces both.
     - ``path`` missing, tmp has ``_SUCCESS``: crashed between the two
       renames with a complete new copy — roll FORWARD (the rewrite's
       effect, e.g. a deletion, is preserved).
     - ``path`` missing, tmp incomplete: the only good copy is
       ``__old`` — roll BACK.
 
-    Call at store-open time (or from an operator's retry path); it is
-    a no-op on a healthy store.
+    Called by the store-open paths and by every swap writer before it
+    reads (so retrying a crashed delete/compact self-heals). Recovery
+    renames only ever run when ``path`` is absent — mid-crash — so
+    the single-writer contract all the persisted stores already
+    assume is the only coordination needed.
     """
     tmp = path.rstrip("/") + "__swap_tmp"
     old = path.rstrip("/") + "__old"
     fs, Path = _hadoop_fs(spark, path)
     if fs.exists(Path(path)):
-        for stray in (tmp, old):
-            if fs.exists(Path(stray)):
-                fs.delete(Path(stray), True)
         return "clean"
     if fs.exists(Path(tmp)) and fs.exists(Path(tmp + "/_SUCCESS")):
         if not fs.rename(Path(tmp), Path(path)):
@@ -166,12 +169,36 @@ def recover_swap(spark, path: str) -> str:
     )
 
 
+def append_partitioned(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...]
+) -> None:
+    """Partitioned append that heals the one layout a swap can leave
+    behind: after a delete-all, :func:`swap_rewrite` stores the empty
+    result as a single non-partitioned zero-row file (the only
+    readable representation — a partitioned empty write emits no data
+    files). A plain ``mode(append).partitionBy(...)`` beside that root
+    file creates a mixed layout Spark refuses to read ("conflicting
+    directory structures"), bricking the store; so when the existing
+    dataset is empty, this overwrites it with the properly-partitioned
+    batch instead — restoring delete-all-then-append (= UPDATE)."""
+    spark = df.sparkSession
+    fs, Path = _hadoop_fs(spark, path)
+    if fs.exists(Path(path)) and spark.read.parquet(path).isEmpty():
+        # go through the tmp-dir swap rather than mode(overwrite):
+        # ivfpq's append plan READS path (duplicate guard), and Spark
+        # rejects overwriting a path its own plan reads from
+        swap_rewrite(df, path, partition_cols)
+    else:
+        df.write.mode("append").partitionBy(*partition_cols).parquet(path)
+
+
 def compact(spark, path: str, target_files_per_partition: int = 1,
             partition_cols: tuple[str, ...] = ()) -> int:
     """Small-file compaction (the OPTIMIZE analog; SURVEY §4 "small-file
     problem"). Rewrites a parquet dataset into ``target_files_per_partition``
     files per partition directory, swapped in via :func:`swap_rewrite`.
     Returns the file count after compaction."""
+    recover_swap(spark, path)
     df = spark.read.parquet(path)
     writer = df.repartition(
         target_files_per_partition, *partition_cols

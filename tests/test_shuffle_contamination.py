@@ -172,7 +172,12 @@ def test_contamination_vs_store_matches_live_recompute(spark, sf_dir, tmp_path):
         "doc_id", "text"
     )
     is_eval = hash_uniform(F.col("doc_id"), "eval1") < 0.1
-    ev, batch = d.filter(is_eval), d.filter(~is_eval).limit(200)
+    ev = d.filter(is_eval)
+    # pin the batch: an unordered limit() re-executed by two jobs may
+    # pick different rows; the parquet round-trip freezes the choice
+    batch_dir = str(tmp_path / "batch")
+    d.filter(~is_eval).limit(200).write.parquet(batch_dir)
+    batch = spark.read.parquet(batch_dir)
 
     path = str(tmp_path / "eval_shingles")
     save_eval_shingle_store(ev, "text", path, k=5)
@@ -186,3 +191,22 @@ def test_contamination_vs_store_matches_live_recompute(spark, sf_dir, tmp_path):
     }
     assert via_store == live
     assert len(via_store) == 200
+
+
+def test_contamination_store_k_mismatch_is_a_hard_error(spark, tmp_path):
+    """A probe k different from the store's build k silently matches
+    nothing — the metadata sidecar must turn it into a ValueError."""
+    import pytest
+
+    from sec_financial_pipeline_spark.operators.dedup import (
+        contamination_vs_store,
+        save_eval_shingle_store,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "store")
+    save_eval_shingle_store(ev, "text", path, k=5)
+    with pytest.raises(ValueError, match="k=5"):
+        contamination_vs_store(ev, "doc_id", "text", path, k=4)

@@ -96,15 +96,20 @@ def test_recover_swap_rolls_back_incomplete_write(spark, tmp_path):
     assert not os.path.exists(path + "__swap_tmp")
 
 
-def test_recover_swap_noop_on_healthy_dataset_drops_strays(spark, tmp_path):
+def test_recover_swap_strict_noop_on_healthy_dataset(spark, tmp_path):
+    """When the dataset exists, recover_swap must not touch sibling
+    dirs: a __swap_tmp there may belong to a concurrent IN-FLIGHT
+    swap_rewrite (a reader deleting it would lose the writer's rewrite
+    and strand the dataset at __old). Strays die at the next
+    successful swap instead."""
     from sec_financial_pipeline_spark.sources.sink import recover_swap
 
     path = str(tmp_path / "ds")
     spark.range(4).write.parquet(path)
-    spark.range(2).write.parquet(path + "__swap_tmp")  # stray from a crash
+    spark.range(2).write.parquet(path + "__swap_tmp")  # in-flight writer's
     assert recover_swap(spark, path) == "clean"
     assert spark.read.parquet(path).count() == 4
-    assert not os.path.exists(path + "__swap_tmp")
+    assert os.path.exists(path + "__swap_tmp")  # untouched
 
 
 def test_store_open_recovers_crashed_delete(spark, sf_dir, tmp_path):
@@ -130,3 +135,59 @@ def test_store_open_recovers_crashed_delete(spark, sf_dir, tmp_path):
     assert store.filter(F.col("id").isin(forget)).count() == 0
     assert store.count() > 0
     assert not os.path.exists(path + "__old")
+
+
+def test_delete_all_then_append_restores_partitioned_store(spark, sf_dir, tmp_path):
+    """The UPDATE contract through the empty state: delete EVERY row
+    (store becomes a zero-row non-partitioned file), then append a
+    batch — append_partitioned must restore the partitioned layout and
+    the store must stay fully readable/probe-able (a naive append
+    beside the root file makes a mixed layout Spark refuses to read)."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+    path = str(tmp_path / "store")
+    sigs = S.minhash_signatures(d, "doc_id", "text")
+    S.save_signature_store(sigs, "doc_id", path)
+    all_ids = [r.doc_id for r in d.collect()]
+    assert S.delete_from_store(spark, path, all_ids) == 0
+
+    S.append_to_signature_store(sigs, "doc_id", path)
+    store = S.load_signature_store(spark, path)
+    assert store.count() == len(all_ids) * 4  # 4 bands per doc
+    assert "band_no" in store.columns
+    # the re-appended store serves probes again
+    probe = S.incremental_candidate_pairs(
+        S.minhash_signatures(d.limit(5), "doc_id", "text"), "doc_id", store
+    )
+    probe.collect()  # must not raise
+
+
+def test_writer_retry_self_heals_crashed_swap(spark, sf_dir, tmp_path):
+    """Retrying the crashed operation itself (not just a load) must
+    heal the swap: delete_from_store on a path whose swap crashed
+    between the renames."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+    path = str(tmp_path / "store")
+    S.save_signature_store(
+        S.minhash_signatures(d, "doc_id", "text"), "doc_id", path
+    )
+    ids = [r.doc_id for r in d.limit(10).collect()]
+    kept = spark.read.parquet(path).filter(~F.col("id").isin(ids))
+    kept.write.partitionBy("band_no").parquet(path + "__swap_tmp")
+    shutil.move(path, path + "__old")  # crash between the renames
+
+    remaining = S.delete_from_store(spark, path, ids)  # retry, not a load
+    assert remaining > 0
+    store = spark.read.parquet(path)
+    assert store.filter(F.col("id").isin(ids)).count() == 0
