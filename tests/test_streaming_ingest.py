@@ -102,3 +102,58 @@ def test_streaming_rerun_and_marker_idempotence(spark, docs_dir, tmp_path):
     )
     assert again == first
     assert spark.read.parquet(args["store_path"]).count() == store_rows
+
+
+def test_decon_gate_chains_into_dedup_ingest(spark, sf_dir, tmp_path):
+    """The full ingest pipeline composed: per batch, decontamination
+    gate (persisted eval shingle store) -> near-dedup probe -> commit
+    clean survivors' bands. Gated-out docs must never enter the
+    signature store, and the store must end up exactly equal to one
+    built from the clean docs directly."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.operators.dedup import (
+        contamination_vs_store,
+        save_eval_shingle_store,
+    )
+    from sec_financial_pipeline_spark.operators.sampling import hash_uniform
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+    from sec_financial_pipeline_spark.streaming.ingest import ingest_batch
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = hash_uniform(F.col("doc_id"), "eval1") < 0.1
+    ev, rest = d.filter(is_eval), d.filter(~is_eval)
+    gate_store = str(tmp_path / "eval_shingles")
+    save_eval_shingle_store(ev, "text", gate_store, k=5)
+
+    sig_store = str(tmp_path / "mh_store")
+    pairs_out = str(tmp_path / "pairs")
+    clean_ids: set[int] = set()
+    for batch_no in (0, 1):
+        batch = rest.filter(F.col("doc_id") % 2 == batch_no)
+        clean = (
+            contamination_vs_store(batch, "doc_id", "text", gate_store, k=5)
+            .filter(F.col("n_overlap") < 3)
+            .drop("n_overlap")
+        )
+        clean_ids.update(r.doc_id for r in clean.select("doc_id").collect())
+        ingest_batch(clean, sig_store, pairs_out)
+
+    store = S.load_signature_store(spark, sig_store)
+    store_ids = {r.id for r in store.select("id").distinct().collect()}
+    # 1) nothing contaminated ever entered the store
+    assert store_ids <= clean_ids
+    # 2) the store equals one built from the clean docs directly
+    #    (docs too short to band are absent from both)
+    direct = S.minhash_signatures(
+        rest.filter(F.col("doc_id").isin(list(clean_ids))), "doc_id", "text"
+    )
+    direct_rows = sorted(
+        (r.id, r.band_no, r.band_hash)
+        for r in S.band_table(direct, "doc_id").collect()
+    )
+    store_rows = sorted(
+        (r.id, r.band_no, r.band_hash) for r in store.collect()
+    )
+    assert store_rows == direct_rows and len(store_rows) > 0
