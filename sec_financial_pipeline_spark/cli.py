@@ -247,6 +247,37 @@ def _cmd_decon(args, spark: SparkSession) -> dict:
     raise SystemExit(f"unknown decon command: {args.decon_cmd}")
 
 
+def _cmd_shuffle(args, spark: SparkSession) -> dict:
+    """Materialize one training epoch: deterministic shuffle of the
+    corpus into ordered shard files (pure function of key + seed, so a
+    re-run — or another engine — produces the identical epoch)."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.sampling import (
+        write_epoch_shards,
+    )
+
+    docs = spark.read.parquet(args.docs)
+    write_epoch_shards(
+        docs, args.key, n_shards=args.shards, seed=args.seed, path=args.out
+    )
+    per_shard = {
+        str(r["shard"]): r["n"]
+        for r in spark.read.parquet(args.out)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("shard")
+        .collect()
+    }
+    return {
+        "out": args.out,
+        "seed": args.seed,
+        "shards": args.shards,
+        "rows": sum(per_shard.values()),
+        "rows_per_shard": per_shard,
+    }
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     p = argparse.ArgumentParser(prog="sec_financial_pipeline_spark")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -306,6 +337,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     deg.add_argument("--k", type=int, default=5)
     deg.add_argument("--min-overlap", type=int, default=3)
 
+    shuf = sub.add_parser(
+        "shuffle",
+        help="materialize a training epoch as ordered shards (§2.9 tooling)",
+    )
+    shuf.add_argument("--docs", required=True, help="input parquet")
+    shuf.add_argument("--out", required=True, help="shard output dir")
+    shuf.add_argument("--shards", type=int, default=8)
+    shuf.add_argument("--seed", default="epoch0")
+    shuf.add_argument("--key", default="doc_id", help="unique key column")
+
     serve = sub.add_parser("serve", help="HTTP facade server (blocking)")
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--port", type=int, default=8000)
@@ -354,6 +395,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             return 0
         if args.cmd == "decon":
             print(json.dumps(_cmd_decon(args, spark), default=str))
+            return 0
+        if args.cmd == "shuffle":
+            print(json.dumps(_cmd_shuffle(args, spark), default=str))
             return 0
         if args.cmd == "serve":
             from sec_financial_pipeline_spark.transport.http import serve as http_serve

@@ -263,3 +263,34 @@ def test_decon_gate_build_and_filter(tmp_path, capsys, spark, sf_dir):
     }
     got_kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got_kept == expect_kept
+
+
+def test_shuffle_writes_deterministic_epoch(tmp_path, capsys, spark, sf_dir):
+    """shuffle: the CLI face of write_epoch_shards — reported counts
+    cover the corpus, and the materialized assignment equals the
+    operator's (pure function of key + seed)."""
+    from sec_financial_pipeline_spark.operators.sampling import epoch_shuffle
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs_dir = str(tmp_path / "docs")
+    d.write.parquet(docs_dir)
+    out = str(tmp_path / "epoch")
+
+    res = _run(
+        capsys, spark,
+        ["shuffle", "--docs", docs_dir, "--out", out,
+         "--shards", "4", "--seed", "e9"],
+    )
+    assert res["rows"] == d.count()
+    assert len(res["rows_per_shard"]) <= 4
+
+    got = {
+        (r.doc_id, r.shard, r.pos)
+        for r in spark.read.parquet(out).collect()
+    }
+    expect = {
+        (r.doc_id, r.shard, r.pos)
+        for r in epoch_shuffle(d, "doc_id", 4, seed="e9").collect()
+    }
+    assert got == expect

@@ -240,3 +240,31 @@ def test_candidate_pair_output_stays_near_linear(spark, sf_dir):
         )
     finally:
         mp_codes.unpersist()
+
+
+def test_contamination_scan_is_column_pruned(spark, sf_dir):
+    """The contamination audit reads only (doc_id, text, source) from
+    the documents scan — payload-width discipline: n_chars/lang never
+    reach the parquet reader."""
+    from sec_financial_pipeline_spark.registry.similarity import (
+        q_doc_contamination,
+    )
+
+    plan = _fn_plan(spark, sf_dir, q_doc_contamination)
+    for chunk in plan.split("ReadSchema: ")[1:]:
+        schema = chunk.splitlines()[0]
+        assert "n_chars" not in schema and "lang" not in schema, schema
+
+
+def test_epoch_shuffle_window_is_partitioned(spark, sf_dir):
+    """The shuffle's rank window is partitioned by shard — never a
+    single-task global window (the zero-unpartitioned-windows rule,
+    asserted directly on this operator's plan)."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.sampling import epoch_shuffle
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    plan = epoch_shuffle(d, "doc_id", 8, seed="audit")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert _unpartitioned_window_specs(plan) == []
