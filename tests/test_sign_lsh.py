@@ -483,3 +483,63 @@ def test_delete_every_row_leaves_readable_empty_store(spark, sf_dir, tmp_path):
     store = spark.read.parquet(store_path)
     assert store.count() == 0
     assert set(store.columns) == {"id", "band_no", "band_hash"}
+
+
+def test_store_lifecycle_torture_sequence(spark, sf_dir, tmp_path):
+    """Every maintenance operation chained on one store — build ->
+    delete-some -> compact -> delete-ALL -> re-append -> delete-some ->
+    compact — with the invariant checked after each step: the store
+    always loads, and its band rows always equal a store built directly
+    from the currently-live documents."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.sources.sink import compact
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    all_ids = [r.doc_id for r in d.collect()]
+    path = str(tmp_path / "store")
+
+    def sigs_of(ids):
+        return S.minhash_signatures(
+            d.filter(F.col("doc_id").isin(list(ids))), "doc_id", "text"
+        )
+
+    def assert_store_equals(ids):
+        store = S.load_signature_store(spark, path)
+        got = sorted(
+            (r.id, r.band_no, r.band_hash) for r in store.collect()
+        )
+        want = sorted(
+            (r.id, r.band_no, r.band_hash)
+            for r in S.band_table(sigs_of(ids), "doc_id").collect()
+        )
+        assert got == want
+
+    live = list(all_ids)
+    S.save_signature_store(sigs_of(live), "doc_id", path)
+    assert_store_equals(live)
+
+    drop1 = live[:15]
+    live = live[15:]
+    S.delete_from_store(spark, path, drop1)
+    assert_store_equals(live)
+
+    compact(spark, path, partition_cols=("band_no",))
+    assert_store_equals(live)
+
+    S.delete_from_store(spark, path, live)  # delete ALL
+    assert_store_equals([])
+
+    live = all_ids[10:50]
+    S.append_to_signature_store(sigs_of(live), "doc_id", path)
+    assert_store_equals(live)
+
+    drop2 = live[:5]
+    live = live[5:]
+    S.delete_from_store(spark, path, drop2)
+    assert_store_equals(live)
+
+    compact(spark, path, partition_cols=("band_no",))
+    assert_store_equals(live)
