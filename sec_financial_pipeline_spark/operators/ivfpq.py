@@ -307,14 +307,18 @@ def search(
 # ---------------------------------------------------------------------------
 
 
-def delete_from_saved_index(spark, path: str, vec_ids: list) -> int:
+def delete_from_saved_index(spark, path: str, vec_ids) -> int:
     """Remove vectors from a persisted index (the deletion half of
     index maintenance — after this, a deleted id can be re-appended
     with fresh data, which is how an UPDATE is expressed): rewrite the
     code table minus the ids via ``sources/sink.py::swap_rewrite``
     (crash-safe two-rename swap over the Hadoop FS API — works on
     remote stores, survives deleting the last vector); codebooks are
-    untouched. Returns code rows remaining."""
+    untouched. ``vec_ids`` is a Python list or a one-column DataFrame;
+    the deletion predicate is a ``left_anti`` join either way (a
+    literal ``~isin`` blows up the plan at GDPR-batch id counts — see
+    ``similarity._ids_df``). Returns code rows remaining."""
+    from sec_financial_pipeline_spark.operators.similarity import _ids_df
     from sec_financial_pipeline_spark.sources.sink import (
         recover_swap,
         swap_rewrite,
@@ -322,8 +326,8 @@ def delete_from_saved_index(spark, path: str, vec_ids: list) -> int:
 
     codes_path = f"{path}/codes"
     recover_swap(spark, codes_path)  # retrying a crashed delete self-heals
-    kept = spark.read.parquet(codes_path).filter(
-        ~F.col("vec_id").isin(list(vec_ids))
+    kept = spark.read.parquet(codes_path).join(
+        _ids_df(spark, vec_ids, "vec_id"), "vec_id", "left_anti"
     )
     swap_rewrite(kept, codes_path, ("cell",))
     return spark.read.parquet(codes_path).count()

@@ -133,26 +133,73 @@ def epoch_shuffle(
 
 
 def write_epoch_shards(
-    df: DataFrame, key: str, n_shards: int, seed: str, path: str
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    seed: str,
+    path: str,
+    files_per_shard: int = 1,
+    check_unique: bool = True,
 ) -> None:
     """Materialize an epoch as the artifact a dataloader actually
     consumes: ``path/shard=K/`` parquet, rows stored in ``pos`` order
     inside each shard, so a worker streams its shard file(s) top to
     bottom and reads the epoch permutation with no sort at load time.
 
-    Layout mechanics: hash-repartition on ``shard`` puts ALL of a
-    shard's rows in one task, and ``sortWithinPartitions`` orders them
-    before ``partitionBy`` splits the task's output into shard dirs —
-    so each shard is one file, written in pos order. At 100 TB, bump
-    the repartition factor to ceil(n_shards * k) and accept k files
-    per shard (file order by task then preserved per file; loaders
-    concatenate files sorted by name).
+    Layout mechanics, ``files_per_shard=1``: hash-repartition on
+    ``shard`` puts ALL of a shard's rows in one task, and
+    ``sortWithinPartitions`` orders them before ``partitionBy`` splits
+    the task's output into shard dirs — each shard is one file, written
+    in pos order, but one task sorts N/n_shards rows (spill-safe, yet a
+    wall-clock tail at 100 TB when n_shards is sized to workers).
+
+    ``files_per_shard=k > 1`` is the scale path: each shard is cut into
+    ``k`` CONTIGUOUS pos ranges (``subshard = floor((pos-1) * k /
+    shard_size)``), repartitioned on (shard, subshard) — n_shards*k
+    parallel sorts of N/(n_shards*k) rows — and written as
+    ``path/shard=K/subshard=J/``. A loader reads a shard's subshard
+    dirs in ascending numeric order and streams each top to bottom;
+    the concatenation is the identical permutation the k=1 layout
+    stores (pinned by tests/test_shuffle_contamination.py at k > 1).
+
+    ``check_unique`` (default on) enforces :func:`epoch_shuffle`'s
+    documented unique-key precondition with two column-pruned jobs:
+    duplicate keys would silently attach ``pos`` values to different
+    rows' columns run-to-run, breaking the deterministic-epoch
+    guarantee this artifact exists to provide — a loud ``ValueError``
+    beats a quiet nondeterminism.
     """
+    if check_unique:
+        n, nd = df.count(), df.select(key).distinct().count()
+        if n != nd:
+            raise ValueError(
+                f"write_epoch_shards: key '{key}' must be unique — "
+                f"{n} rows but {nd} distinct keys; duplicate keys make "
+                f"the (pos -> row) attachment partition-dependent"
+            )
     out = epoch_shuffle(df, key, n_shards, seed=seed)
+    if files_per_shard <= 1:
+        (
+            out.repartition(n_shards, F.col("shard"))
+            .sortWithinPartitions("shard", "pos")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+        return
+    from pyspark.sql import Window
+
+    shard_size = F.count(F.lit(1)).over(Window.partitionBy("shard"))
+    sub = F.floor(
+        (F.col("pos") - 1) * files_per_shard / F.col("__sz")
+    ).cast("int")
     (
-        out.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "pos")
+        out.withColumn("__sz", shard_size)
+        .withColumn("subshard", sub)
+        .drop("__sz")
+        .repartition(n_shards * files_per_shard, F.col("shard"), F.col("subshard"))
+        .sortWithinPartitions("shard", "subshard", "pos")
         .write.mode("overwrite")
-        .partitionBy("shard")
+        .partitionBy("shard", "subshard")
         .parquet(path)
     )

@@ -327,13 +327,31 @@ def save_sign_code_store(codes: DataFrame, id_col: str, path: str) -> None:
     ).parquet(path)
 
 
-def delete_from_store(spark, path: str, ids: list) -> int:
+def _ids_df(spark, ids, col: str) -> DataFrame:
+    """Normalize a deletion id set — a Python list OR a one-column
+    DataFrame — into a distinct single-column DataFrame named ``col``.
+    Deletion then runs as a ``left_anti`` join (broadcast under the
+    threshold, shuffled above it) instead of a literal
+    ``~isin([...])`` In-expression: a million-id GDPR batch as
+    literals inflates the plan tree and the codegen'd predicate,
+    while the anti-join shape is flat at any id count."""
+    if isinstance(ids, DataFrame):
+        src = ids.columns[0]
+        return ids.select(F.col(src).alias(col)).distinct()
+    return spark.createDataFrame(
+        [(i,) for i in ids], f"{col} bigint"
+    ).distinct()
+
+
+def delete_from_store(spark, path: str, ids) -> int:
     """Remove documents/vectors from a persisted band-table store (the
     right-to-be-forgotten path a training-data pipeline owes its
     sources): rewrite the store minus the given ids via
     ``sources/sink.py::swap_rewrite`` (crash-safe two-rename swap over
     the Hadoop FS API — works on remote stores, survives deleting the
-    last row). Returns rows remaining. Works on both the MinHash
+    last row). ``ids`` is a Python list or a one-column DataFrame; the
+    deletion predicate is a ``left_anti`` join either way (see
+    :func:`_ids_df`). Returns rows remaining. Works on both the MinHash
     signature store and the sign-LSH code store (same
     (id, band_no, band_hash) layout)."""
     from sec_financial_pipeline_spark.sources.sink import (
@@ -342,7 +360,9 @@ def delete_from_store(spark, path: str, ids: list) -> int:
     )
 
     recover_swap(spark, path)  # retrying a crashed delete self-heals
-    kept = spark.read.parquet(path).filter(~F.col("id").isin(list(ids)))
+    kept = spark.read.parquet(path).join(
+        _ids_df(spark, ids, "id"), "id", "left_anti"
+    )
     swap_rewrite(kept, path, ("band_no",))
     return spark.read.parquet(path).count()
 

@@ -74,6 +74,103 @@ def _count_parquet_files(spark, path: str) -> int:
     return n
 
 
+# ---------------------------------------------------------------------------
+# Single-writer lease. The swap machinery documents a single-writer
+# contract; the lease makes a violation LOUD instead of silently
+# interleaving renames. A lease is a marker file beside the dataset
+# (``path__lock``) created atomically via the Hadoop FS API
+# (create(overwrite=false) — atomic on local, HDFS, and S3A with
+# conditional writes), carrying the writer pid; its mtime is the
+# heartbeat. A holder that crashed stops heartbeating, so a lease older
+# than ``ttl`` seconds may be broken by the next writer. Re-entrant
+# within a process (compact -> swap_rewrite nests), tracked in _HELD.
+# ---------------------------------------------------------------------------
+
+import contextlib
+import os as _os
+import threading as _threading
+import time as _time
+
+#: lease paths currently held by THIS thread (re-entrancy guard —
+#: per-THREAD, not per-process: nesting like compact -> swap_rewrite is
+#: always same-thread, while two threads of one driver are two writers
+#: and must contend like two processes do)
+_HELD_LOCAL = _threading.local()
+
+
+def _held() -> set[str]:
+    if not hasattr(_HELD_LOCAL, "paths"):
+        _HELD_LOCAL.paths = set()
+    return _HELD_LOCAL.paths
+
+#: a lease whose heartbeat is older than this is presumed crashed
+LEASE_TTL_SEC = 600
+
+
+class WriterContention(IOError):
+    """Another writer holds the dataset's lease — the single-writer
+    contract the swap/append/compact machinery documents is being
+    violated; back off and retry rather than interleave renames."""
+
+
+def _lease_path(path: str) -> str:
+    return path.rstrip("/") + "__lock"
+
+
+def _try_create_lease(fs, Path, lock: str) -> bool:
+    """Atomically create the lease marker; False if it already exists."""
+    try:
+        out = fs.create(Path(lock), False)  # overwrite=False: atomic claim
+        out.write(f"pid={_os.getpid()} t={int(_time.time())}".encode())
+        out.close()
+        return True
+    except Exception:
+        return False
+
+
+@contextlib.contextmanager
+def writer_lease(spark, path: str, ttl: float = LEASE_TTL_SEC):
+    """Hold the single-writer lease for ``path`` for the block's
+    duration. Raises :class:`WriterContention` (with the holder's
+    recorded pid) when a live writer already holds it; a lease whose
+    heartbeat mtime is older than ``ttl`` seconds is presumed crashed
+    and broken. Re-entrant within a process, so compact's inner
+    swap_rewrite shares the outer lease instead of deadlocking."""
+    lock = _lease_path(path)
+    if lock in _held():  # re-entrant: this thread's outer frame owns it
+        yield
+        return
+    fs, Path = _hadoop_fs(spark, path)
+    if not _try_create_lease(fs, Path, lock):
+        # contention — live holder, or a crashed writer's stale lease
+        try:
+            age = _time.time() - fs.getFileStatus(
+                Path(lock)
+            ).getModificationTime() / 1000.0
+        except Exception:
+            age = 0.0  # holder released between our create and stat: retry
+        if age <= ttl and not _try_create_lease(fs, Path, lock):
+            raise WriterContention(
+                f"writer_lease: {path} is locked by another writer "
+                f"(lease {lock}, age {age:.0f}s <= ttl {ttl:.0f}s); "
+                f"the store's single-writer contract forbids concurrent "
+                f"swap/append/compact — retry after the holder finishes"
+            )
+        if age > ttl:
+            fs.delete(Path(lock), False)  # break the crashed writer's lease
+            if not _try_create_lease(fs, Path, lock):
+                raise WriterContention(
+                    f"writer_lease: lost the race re-claiming a stale "
+                    f"lease on {path}"
+                )
+    _held().add(lock)
+    try:
+        yield
+    finally:
+        _held().discard(lock)
+        fs.delete(Path(lock), False)
+
+
 def swap_rewrite(
     df: DataFrame, path: str, partition_cols: tuple[str, ...] = ()
 ) -> None:
@@ -101,32 +198,60 @@ def swap_rewrite(
     spark = df.sparkSession
     tmp = path.rstrip("/") + "__swap_tmp"
     old = path.rstrip("/") + "__old"
-    w = df.write.mode("overwrite")
-    if partition_cols:
-        w = w.partitionBy(*partition_cols)
-    w.parquet(tmp)
-    if partition_cols and _count_parquet_files(spark, tmp) == 0:
-        df.write.mode("overwrite").parquet(tmp)
-    fs, Path = _hadoop_fs(spark, path)
-    if fs.exists(Path(old)):
+    with writer_lease(spark, path):
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(tmp)
+        if partition_cols and _count_parquet_files(spark, tmp) == 0:
+            df.write.mode("overwrite").parquet(tmp)
+        fs, Path = _hadoop_fs(spark, path)
+        if fs.exists(Path(old)):
+            fs.delete(Path(old), True)
+        # Hadoop rename reports failure as False, not an exception — check
+        # both, or a failed swap would silently leave the old contents live.
+        if not fs.rename(Path(path), Path(old)):
+            raise IOError(f"swap_rewrite: rename {path} -> {old} failed")
+        # The second rename can fail as False OR throw (FS-dependent:
+        # RawLocalFileSystem throws FileNotFoundException on a missing
+        # source) — normalize both into `ok`.
+        try:
+            ok = fs.rename(Path(tmp), Path(path))
+        except Exception:
+            ok = False
+        if not ok:
+            # Idempotent finish: a reader's recover_swap racing this
+            # writer inside the between-renames window can roll the
+            # completed tmp forward itself (path absent, tmp had its
+            # _SUCCESS marker). The dataset then already holds exactly
+            # the contents this rename was about to install — success,
+            # not an error. Only when path is still absent (or tmp
+            # still exists unrenamed) did the swap genuinely fail.
+            if not (fs.exists(Path(path)) and not fs.exists(Path(tmp))):
+                raise IOError(f"swap_rewrite: rename {tmp} -> {path} failed")
         fs.delete(Path(old), True)
-    # Hadoop rename reports failure as False, not an exception — check
-    # both, or a failed swap would silently leave the old contents live.
-    if not fs.rename(Path(path), Path(old)):
-        raise IOError(f"swap_rewrite: rename {path} -> {old} failed")
-    if not fs.rename(Path(tmp), Path(path)):
-        raise IOError(f"swap_rewrite: rename {tmp} -> {path} failed")
-    fs.delete(Path(old), True)
 
 
-def recover_swap(spark, path: str) -> str:
+def recover_swap(spark, path: str, missing_ok: bool = False) -> str:
     """Finish or roll back a :func:`swap_rewrite` interrupted by a
     crash, restoring an always-readable dataset at ``path``. Returns
     what was done: ``"clean"`` (path exists — nothing to do),
     ``"forward"`` (the new contents were fully written — ``__swap_tmp``
-    has its ``_SUCCESS`` marker — and are moved into place), or
+    has its ``_SUCCESS`` marker — and are moved into place),
     ``"rollback"`` (the write never finished; the original at
-    ``__old`` is moved back).
+    ``__old`` is moved back), or — with ``missing_ok=True`` —
+    ``"absent"`` (neither ``path`` nor any sibling exists: the dataset
+    was simply never created, which is a normal state for bootstrap
+    callers like the ingest loop). Without ``missing_ok``, the
+    never-created case raises ``FileNotFoundError`` naming the path —
+    NOT a crash-recovery error, since there was no crash.
+
+    CONCURRENCY: reads must not race a live writer's swap. A reader
+    calling this inside a writer's between-renames window sees ``path``
+    absent and may roll the completed ``__swap_tmp`` forward itself;
+    data stays correct (``swap_rewrite`` treats that as an idempotent
+    finish), but the "strict no-op on a healthy store" property only
+    holds while ``path`` exists.
 
     Decision table over which sibling dirs exist after a crash:
 
@@ -164,8 +289,11 @@ def recover_swap(spark, path: str) -> str:
         if fs.exists(Path(tmp)):
             fs.delete(Path(tmp), True)
         return "rollback"
-    raise IOError(
-        f"recover_swap: no recoverable copy at {path}, {tmp}, or {old}"
+    if missing_ok:
+        return "absent"
+    raise FileNotFoundError(
+        f"recover_swap: no dataset at {path} and no crashed-swap "
+        f"siblings ({tmp}, {old}) — the store was never created"
     )
 
 
@@ -182,14 +310,15 @@ def append_partitioned(
     dataset is empty, this overwrites it with the properly-partitioned
     batch instead — restoring delete-all-then-append (= UPDATE)."""
     spark = df.sparkSession
-    fs, Path = _hadoop_fs(spark, path)
-    if fs.exists(Path(path)) and spark.read.parquet(path).isEmpty():
-        # go through the tmp-dir swap rather than mode(overwrite):
-        # ivfpq's append plan READS path (duplicate guard), and Spark
-        # rejects overwriting a path its own plan reads from
-        swap_rewrite(df, path, partition_cols)
-    else:
-        df.write.mode("append").partitionBy(*partition_cols).parquet(path)
+    with writer_lease(spark, path):
+        fs, Path = _hadoop_fs(spark, path)
+        if fs.exists(Path(path)) and spark.read.parquet(path).isEmpty():
+            # go through the tmp-dir swap rather than mode(overwrite):
+            # ivfpq's append plan READS path (duplicate guard), and Spark
+            # rejects overwriting a path its own plan reads from
+            swap_rewrite(df, path, partition_cols)
+        else:
+            df.write.mode("append").partitionBy(*partition_cols).parquet(path)
 
 
 def compact(spark, path: str, target_files_per_partition: int = 1,
@@ -198,13 +327,14 @@ def compact(spark, path: str, target_files_per_partition: int = 1,
     problem"). Rewrites a parquet dataset into ``target_files_per_partition``
     files per partition directory, swapped in via :func:`swap_rewrite`.
     Returns the file count after compaction."""
-    recover_swap(spark, path)
-    df = spark.read.parquet(path)
-    writer = df.repartition(
-        target_files_per_partition, *partition_cols
-    ) if partition_cols else df.coalesce(target_files_per_partition)
-    swap_rewrite(writer, path, partition_cols)
-    return _count_parquet_files(spark, path)
+    with writer_lease(spark, path):
+        recover_swap(spark, path)
+        df = spark.read.parquet(path)
+        writer = df.repartition(
+            target_files_per_partition, *partition_cols
+        ) if partition_cols else df.coalesce(target_files_per_partition)
+        swap_rewrite(writer, path, partition_cols)
+        return _count_parquet_files(spark, path)
 
 
 def to_csv_bytes(df: DataFrame, limit: int = 1_000_000) -> bytes:

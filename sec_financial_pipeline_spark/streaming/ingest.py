@@ -71,11 +71,20 @@ def ingest_batch(
     docs with < k tokens have no shingles and are dropped, matching
     every other MinHash path) and ``pairs_emitted`` (THIS batch's
     pairs, not a cumulative rescan)."""
+    from sec_financial_pipeline_spark.sources.sink import recover_swap
+
     spark = batch_df.sparkSession
     sigs = S.minhash_signatures(batch_df, "doc_id", "text").persist()
     try:
         n_banded = sigs.count()
-        if store_exists(spark, store_path):
+        # recover_swap FIRST, not a bare existence check: after a crashed
+        # delete/compact (path absent, data stranded at __old/__swap_tmp)
+        # a bare store_exists would silently bootstrap a brand-new store
+        # and permanently orphan every pre-crash band — previously
+        # ingested duplicates would never be detected again. Recovery
+        # heals the store when a crashed swap left one; only a genuinely
+        # never-created path ("absent") takes the bootstrap branch.
+        if recover_swap(spark, store_path, missing_ok=True) != "absent":
             store = S.load_signature_store(spark, store_path)
             pairs = S.incremental_candidate_pairs(sigs, "doc_id", store)
         else:

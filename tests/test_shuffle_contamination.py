@@ -210,3 +210,67 @@ def test_contamination_store_k_mismatch_is_a_hard_error(spark, tmp_path):
     save_eval_shingle_store(ev, "text", path, k=5)
     with pytest.raises(ValueError, match="k=5"):
         contamination_vs_store(ev, "doc_id", "text", path, k=4)
+
+
+def test_write_epoch_shards_multi_file_reads_back_in_order(
+    spark, sf_dir, tmp_path
+):
+    """files_per_shard=k > 1 (VERDICT r7 item 5): each shard splits
+    into k CONTIGUOUS pos ranges under shard=K/subshard=J dirs; reading
+    a shard's subshards in ascending numeric order and concatenating
+    yields the identical per-shard permutation the k=1 layout stores —
+    so no single task ever sorts a whole shard at 100 TB."""
+    import glob
+    import re
+
+    import pyarrow.parquet as pq
+
+    from sec_financial_pipeline_spark.operators.sampling import (
+        epoch_shuffle,
+        write_epoch_shards,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    path = str(tmp_path / "epoch_k3")
+    write_epoch_shards(
+        d, "doc_id", n_shards=4, seed="e0", path=path, files_per_shard=3
+    )
+
+    expect = {}
+    for r in epoch_shuffle(d, "doc_id", 4, seed="e0").collect():
+        expect.setdefault(r.shard, []).append((r.pos, r.doc_id))
+    seen = set()
+    for shard, want in expect.items():
+        subs = sorted(
+            glob.glob(f"{path}/shard={shard}/subshard=*"),
+            key=lambda p: int(re.search(r"subshard=(\d+)", p).group(1)),
+        )
+        assert len(subs) == 3, f"shard {shard} should have 3 subshards"
+        got = []
+        for sub in subs:
+            for f in sorted(glob.glob(f"{sub}/*.parquet")):
+                got.extend(
+                    pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+                )
+        assert got == [doc for _, doc in sorted(want)], f"shard {shard} order"
+        seen.update(got)
+    assert seen == {r.doc_id for r in d.collect()}
+
+
+def test_write_epoch_shards_rejects_duplicate_keys(spark, tmp_path):
+    """ADVICE r7: epoch_shuffle's unique-key precondition is enforced
+    where the epoch is materialized — duplicate keys would attach pos
+    values to different rows' columns run-to-run."""
+    import pytest
+
+    from sec_financial_pipeline_spark.operators.sampling import (
+        write_epoch_shards,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="must be unique"):
+        write_epoch_shards(
+            d, "doc_id", n_shards=2, seed="x", path=str(tmp_path / "dup")
+        )

@@ -191,3 +191,221 @@ def test_writer_retry_self_heals_crashed_swap(spark, sf_dir, tmp_path):
     assert remaining > 0
     store = spark.read.parquet(path)
     assert store.filter(F.col("id").isin(ids)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-8: never-created stores, crashed-swap-aware bootstrap, the
+# single-writer lease, and the reader-races-writer idempotent finish.
+# ---------------------------------------------------------------------------
+
+
+def test_recover_swap_absent_status_and_missing_error(spark, tmp_path):
+    """A store that never existed is NOT a crash: missing_ok=True
+    reports 'absent'; the default raises FileNotFoundError naming the
+    path (previously a misleading 'no recoverable copy' IOError)."""
+    import pytest
+
+    from sec_financial_pipeline_spark.sources.sink import recover_swap
+
+    path = str(tmp_path / "never_built")
+    assert recover_swap(spark, path, missing_ok=True) == "absent"
+    with pytest.raises(FileNotFoundError, match="never created"):
+        recover_swap(spark, path)
+
+
+def test_ingest_batch_heals_crashed_swap_instead_of_bootstrapping(
+    spark, sf_dir, tmp_path
+):
+    """The ADVICE r7 medium: a delete/compact crash between the two
+    renames leaves the store path absent with data stranded at
+    __swap_tmp/__old. The next ingest_batch must HEAL the store and
+    probe it — a bare existence check would bootstrap a brand-new
+    store, permanently orphaning every pre-crash band, so duplicates
+    of already-ingested docs would never be detected again."""
+    import shutil
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+    from sec_financial_pipeline_spark.streaming.ingest import ingest_batch
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    # the batch carries an EXACT clone of a corpus doc (new id, same
+    # text): if the pre-crash store survives, the clone MUST pair with
+    # its original — the cross-split duplicate a bootstrap would miss
+    clone_src = corpus.orderBy("doc_id").limit(1).collect()[0]
+    batch = d.filter(F.col("doc_id") % 3 == 0).unionByName(
+        spark.createDataFrame(
+            [(clone_src.doc_id + 100_000, clone_src.text)],
+            "doc_id long, text string",
+        )
+    )
+    store = str(tmp_path / "store")
+    S.save_signature_store(
+        S.minhash_signatures(corpus, "doc_id", "text"), "doc_id", store
+    )
+    # crash a compact between its two renames: full copy at __swap_tmp
+    # (with _SUCCESS), nothing at path
+    spark.read.parquet(store).coalesce(1).write.partitionBy("band_no").parquet(
+        store + "__swap_tmp"
+    )
+    shutil.move(store, store + "__old")
+
+    # expected pairs = probing the HEALED store (old corpus + batch)
+    expect = S.incremental_candidate_pairs(
+        S.minhash_signatures(batch, "doc_id", "text"),
+        "doc_id",
+        spark.read.parquet(store + "__swap_tmp"),
+    ).collect()
+    out = ingest_batch(batch, store, str(tmp_path / "pairs"))
+    got = spark.read.parquet(str(tmp_path / "pairs")).collect()
+    assert sorted((r.id_a, r.id_b) for r in got) == sorted(
+        (r.id_a, r.id_b) for r in expect
+    )
+    # the planted clone pairs with its corpus original — proof the
+    # pre-crash store was healed and probed, not orphaned
+    assert (clone_src.doc_id, clone_src.doc_id + 100_000) in {
+        (r.id_a, r.id_b) for r in got
+    }
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert out["batch_docs"] > 0
+    # and the store now carries corpus + batch bands (healed, appended)
+    n_docs = (
+        spark.read.parquet(store).select("id").distinct().count()
+    )
+    assert n_docs > len(corpus_ids)
+
+
+def test_writer_lease_contention_is_loud(spark, tmp_path):
+    """A live lease held by ANOTHER writer (simulated by creating the
+    lock marker directly — exactly what a second process's lease looks
+    like to this one) makes compact fail fast with WriterContention,
+    not interleave renames."""
+    import pytest
+
+    from sec_financial_pipeline_spark.sources.sink import (
+        WriterContention,
+        compact,
+    )
+
+    path = str(tmp_path / "ds")
+    spark.range(100).withColumn("part", F.col("id") % 2).write.partitionBy(
+        "part"
+    ).parquet(path)
+    with open(path + "__lock", "w") as f:
+        f.write("pid=99999 t=0")
+    with pytest.raises(WriterContention, match="single-writer"):
+        compact(spark, path, partition_cols=("part",))
+    os.remove(path + "__lock")
+    assert compact(spark, path, partition_cols=("part",)) == 2
+    assert not os.path.exists(path + "__lock")  # released on success
+
+
+def test_writer_lease_breaks_stale_lease(spark, tmp_path):
+    """A lease whose heartbeat mtime is older than the TTL belongs to a
+    crashed writer — the next writer breaks it and proceeds."""
+    import time
+
+    from sec_financial_pipeline_spark.sources.sink import compact
+
+    path = str(tmp_path / "ds")
+    spark.range(50).write.parquet(path)
+    lock = path + "__lock"
+    with open(lock, "w") as f:
+        f.write("pid=99999 t=0")
+    stale = time.time() - 100_000
+    os.utime(lock, (stale, stale))
+    assert compact(spark, path) >= 1  # broke the stale lease, compacted
+    assert spark.read.parquet(path).count() == 50
+
+
+def test_concurrent_compacts_cannot_interleave(spark, tmp_path):
+    """Two compacts racing the same store: the lease serializes them —
+    the loser raises WriterContention (it never starts renaming), the
+    winner completes, and the dataset stays healthy. Threads, not
+    processes: the re-entrancy guard is per-thread, so two driver
+    threads contend exactly like two processes."""
+    import threading
+
+    from sec_financial_pipeline_spark.sources.sink import (
+        WriterContention,
+        compact,
+    )
+
+    path = str(tmp_path / "ds")
+    spark.range(10_000).withColumn("part", F.col("id") % 3).repartition(
+        8
+    ).write.partitionBy("part").parquet(path)
+
+    barrier = threading.Barrier(2)
+    results: list[str] = []
+
+    def run():
+        barrier.wait()
+        try:
+            compact(spark, path, partition_cols=("part",))
+            results.append("ok")
+        except WriterContention:
+            results.append("contention")
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert "ok" in results  # somebody finished
+    assert all(r in ("ok", "contention") for r in results)
+    # dataset healthy: readable, full row count, no stranded siblings
+    assert spark.read.parquet(path).count() == 10_000
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__lock")
+
+
+def test_swap_rewrite_idempotent_finish_when_reader_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r7 low: a reader's recover_swap racing a healthy writer
+    inside the between-renames window rolls __swap_tmp forward itself;
+    the writer's second rename then returns False — which must be
+    treated as the idempotent finish it is (path holds exactly the
+    contents the writer was installing), not an IOError. The race is
+    made deterministic by triggering the reader from inside the
+    writer's first rename."""
+    from sec_financial_pipeline_spark.sources import sink
+
+    path = str(tmp_path / "ds")
+    spark.range(10).withColumn("v", F.col("id") * 2).write.parquet(path)
+
+    real_hfs = sink._hadoop_fs
+    state = {"renames": 0}
+
+    class RacingFS:
+        def __init__(self, real):
+            self._real = real
+
+        def rename(self, src, dst):
+            ok = self._real.rename(src, dst)
+            state["renames"] += 1
+            if state["renames"] == 1:
+                # the racing reader: path is absent, tmp is complete ->
+                # recover_swap rolls it forward (reader uses the REAL fs)
+                monkeypatch.setattr(sink, "_hadoop_fs", real_hfs)
+                assert sink.recover_swap(spark, path) == "forward"
+                monkeypatch.setattr(sink, "_hadoop_fs", racing_hfs)
+            return ok
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    def racing_hfs(spark_, p):
+        fs, Path = real_hfs(spark_, p)
+        return RacingFS(fs), Path
+
+    monkeypatch.setattr(sink, "_hadoop_fs", racing_hfs)
+    new = spark.range(5).withColumn("v", F.col("id") * 3)
+    sink.swap_rewrite(new, path)  # must NOT raise
+    monkeypatch.setattr(sink, "_hadoop_fs", real_hfs)
+    got = sorted(r.v for r in spark.read.parquet(path).collect())
+    assert got == [0, 3, 6, 9, 12]  # the new contents, installed once
+    assert not os.path.exists(path + "__swap_tmp")
+    assert not os.path.exists(path + "__lock")
