@@ -374,14 +374,19 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 """
 
 
-def q_emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = max(1, spark.sparkContext.defaultParallelism)
-    e = (
+    return (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("nrm", S.norm(F.col("emb")))
         .repartition(n_part)
     )
+
+
+def _sq_codes(e: DataFrame) -> DataFrame:
+    """Batch half of the SQ lifecycle: int8 codes per (vector, dim)
+    under the per-dim min/max scale params (the 64-row codebook)."""
     long = e.select("vec_id", F.posexplode("emb").alias("pos", "v")).select(
         "vec_id", (F.col("pos") + 1).alias("dim"), "v"
     )
@@ -391,9 +396,50 @@ def q_emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx") > F.col("mn"),
         F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255.0),
     ).otherwise(F.lit(0)).cast("bigint")
-    codes = long.join(F.broadcast(stats), "dim").select(
+    return long.join(F.broadcast(stats), "dim").select(
         "vec_id", "dim", code.alias("code")
     )
+
+
+def q_emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _sq_corpus(spark, sf_dir)
+    return _sq_search(e, _sq_codes(e))
+
+
+def ensure_sq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent build-once half of the SQ serving lifecycle
+    (VERDICT r7 item 1): encode the corpus once — the scale params are
+    baked into the persisted codes, so a search needs only the code
+    table. The query codes ride in the same table (a query IS a corpus
+    vector here), so serve does zero re-encoding."""
+    import os
+
+    cfg = f"sq255q{_SQ_N_QUERIES}"
+    path = _artifact_path("sfp_sq_serve_", sf_dir, "embeddings", cfg)
+    if not os.path.exists(path):
+        e = _sq_corpus(spark, sf_dir)
+        codes = _sq_codes(e)
+        _publish_atomically(
+            lambda p: codes.write.mode("overwrite").parquet(p), path
+        )
+    return path
+
+
+def q_emb_sq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-ONLY SQ ANN latency: first call encodes + persists the int8
+    code table (bench warm-up absorbs it); every later call loads it
+    and searches — no corpus explode, no min/max pass. Bit-identical to
+    ``q_emb_sq_topk`` (asserted by tests/test_ivfpq.py)."""
+    path = ensure_sq_index(spark, sf_dir)
+    e = _sq_corpus(spark, sf_dir)
+    return _sq_search(e, spark.read.parquet(path))
+
+
+def _sq_search(e: DataFrame, codes: DataFrame) -> DataFrame:
+    """Query half of the SQ lifecycle, shared bit-for-bit by the
+    train-in-query row and the serve path: integer approximate dots
+    over the code table -> top ``_SQ_CANDIDATES`` -> exact cosine
+    re-rank against the raw vectors."""
     q_codes = codes.filter(F.col("vec_id") < _SQ_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "dim", F.col("code").alias("q_code")
     )
@@ -1425,23 +1471,9 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 """
 
 
-def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sec_financial_pipeline_spark.operators import kmeans
-
-    n_part = max(1, spark.sparkContext.defaultParallelism)
-    # persisted: feeds the subspace pipeline (training + encode + query
-    # ADC tables) and the exact re-rank — same rationale as the IVF cache
-    e = _track(
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-        .repartition(n_part)
-        .persist()
-    )
-    # ONE row per (vector, subspace): both codebooks train / encode in a
-    # single pass over the corpus (kmeans group_cols), not M sequential
-    # loops — measured ~2x faster and one driver round-trip per iteration
-    # at any M
-    sub = e.select(
+def _pq_subspaces(e: DataFrame) -> DataFrame:
+    """One row per (vector, subspace) with the sliced vector + norm."""
+    return e.select(
         "vec_id",
         F.explode(
             F.array(
@@ -1457,6 +1489,26 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", F.col("s.m").alias("m"), F.col("s.emb").alias("emb")
     ).withColumn("nrm", S.norm(F.col("emb")))
+
+
+def _train_pq(spark: SparkSession, sf_dir: str):
+    """Batch half of the PQ lifecycle: (persisted corpus, per-subspace
+    codebooks, corpus code table). Both codebooks train / encode in a
+    single pass over the corpus (kmeans group_cols), not M sequential
+    loops — measured ~2x faster and one driver round-trip per iteration
+    at any M."""
+    from sec_financial_pipeline_spark.operators import kmeans
+
+    n_part = max(1, spark.sparkContext.defaultParallelism)
+    # persisted: feeds the subspace pipeline (training + encode + query
+    # ADC tables) and the exact re-rank — same rationale as the IVF cache
+    e = _track(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .repartition(n_part)
+        .persist()
+    )
+    sub = _pq_subspaces(e)
     seeds = sub.filter(
         (F.col("vec_id") >= _PQ_SEED_BASE)
         & (F.col("vec_id") < _PQ_SEED_BASE + _PQ_K)
@@ -1468,8 +1520,18 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb = kmeans.lloyd(sub, seeds, n_iter=1, group_cols=["m"])
     code = kmeans.assign_clusters(sub, cb, group_cols=["m"])
+    return e, cb, code
+
+
+def _pq_search(e: DataFrame, cb: DataFrame, code: DataFrame) -> DataFrame:
+    """Query half of the PQ lifecycle, shared bit-for-bit by the
+    train-in-query row and the serve path: ADC-score every encoded
+    vector (query subspace dots against the broadcast codebooks, summed
+    across subspaces), take the top ``_PQ_CAND``, exact-re-rank.
+    ``cb``/``code`` may be live plans or parquet-loaded (the round-trip
+    is exact, so results are identical either way)."""
     qd = (
-        sub.filter(F.col("vec_id") < 5)
+        _pq_subspaces(e.filter(F.col("vec_id") < 5))
         .join(F.broadcast(cb), "m")
         .select(
             F.col("vec_id").alias("query_id"),
@@ -1534,6 +1596,47 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cosine_sim")
     )
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, cb, code = _train_pq(spark, sf_dir)
+    return _pq_search(e, cb, code)
+
+
+def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent build-once half of the PQ serving lifecycle
+    (VERDICT r7 item 1 — the ``ensure_ivfpq_index`` pattern generalized
+    to the PQ family): train the per-subspace codebooks, encode the
+    corpus, persist both (codes partitioned by ``m`` — the ADC probe's
+    leading join key). At 100 TB this is the nightly batch job; every
+    search job afterwards pays ZERO training cost."""
+    import os
+
+    cfg = f"pq{_PQ_K}s{_PQ_SEED_BASE}sl{_PQ_SLICES}"
+    path = _artifact_path("sfp_pq_serve_", sf_dir, "embeddings", cfg)
+    if not os.path.exists(path):
+        _, cb, code = _train_pq(spark, sf_dir)
+
+        def build(p: str) -> None:
+            cb.write.mode("overwrite").parquet(f"{p}/cb")
+            code.write.mode("overwrite").partitionBy("m").parquet(f"{p}/codes")
+
+        _publish_atomically(build, path)
+    return path
+
+
+def q_emb_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-ONLY PQ ANN latency: first call builds + persists codebooks
+    and codes (absorbed by the bench warm-up, mirroring the batch-train
+    job); every later call loads them from parquet and searches — no
+    Lloyd pass, no corpus re-encode, no corpus-wide cache. Results are
+    bit-identical to ``q_emb_pq_topk`` (asserted by
+    tests/test_ivfpq.py::test_pq_serve_path_matches_train_and_query)."""
+    path = ensure_pq_index(spark, sf_dir)
+    e = _ivfpq_corpus(spark, sf_dir, persist=False).drop("nrm")
+    cb = spark.read.parquet(f"{path}/cb")
+    code = spark.read.parquet(f"{path}/codes")
+    return _pq_search(e, cb, code)
 
 
 # ---------------------------------------------------------------------------

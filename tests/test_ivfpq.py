@@ -356,3 +356,44 @@ def test_delete_then_reappend_is_an_update(spark, tmp_path, corpus):
         map(tuple, ivfpq.load_index(spark, path).codes.select(*cols).collect())
     )
     assert restored == original
+
+
+def test_pq_serve_path_matches_train_and_query(spark, sf_dir, monkeypatch, tmp_path):
+    """VERDICT r7 item 1: the PQ serving path (persisted subspace
+    codebooks + code table, no Lloyd pass, no corpus re-encode) returns
+    exactly what the train-in-query path returns, and a second serve
+    call does not rebuild the index."""
+    import os
+    import tempfile
+
+    from sec_financial_pipeline_spark.registry import similarity as sim
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    full = sorted(tuple(r) for r in sim.q_emb_pq_topk(spark, sf_dir).collect())
+    served = sorted(tuple(r) for r in sim.q_emb_pq_serve(spark, sf_dir).collect())
+    assert served == full and len(full) > 0
+    path = sim.ensure_pq_index(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(path, "cb"))
+    again = sorted(tuple(r) for r in sim.q_emb_pq_serve(spark, sf_dir).collect())
+    assert again == full
+    assert os.path.getmtime(os.path.join(path, "cb")) == mtime
+
+
+def test_sq_serve_path_matches_train_and_query(spark, sf_dir, monkeypatch, tmp_path):
+    """SQ twin: the persisted int8 code table serves searches with no
+    corpus explode / min-max pass, bit-identical to the train-in-query
+    row, and the store is built exactly once."""
+    import os
+    import tempfile
+
+    from sec_financial_pipeline_spark.registry import similarity as sim
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    full = sorted(tuple(r) for r in sim.q_emb_sq_topk(spark, sf_dir).collect())
+    served = sorted(tuple(r) for r in sim.q_emb_sq_serve(spark, sf_dir).collect())
+    assert served == full and len(full) > 0
+    path = sim.ensure_sq_index(spark, sf_dir)
+    mtime = os.path.getmtime(path)
+    again = sorted(tuple(r) for r in sim.q_emb_sq_serve(spark, sf_dir).collect())
+    assert again == full
+    assert os.path.getmtime(path) == mtime
