@@ -259,7 +259,8 @@ def _cmd_shuffle(args, spark: SparkSession) -> dict:
 
     docs = spark.read.parquet(args.docs)
     write_epoch_shards(
-        docs, args.key, n_shards=args.shards, seed=args.seed, path=args.out
+        docs, args.key, n_shards=args.shards, seed=args.seed, path=args.out,
+        files_per_shard=args.files_per_shard,
     )
     per_shard = {
         str(r["shard"]): r["n"]
@@ -273,8 +274,57 @@ def _cmd_shuffle(args, spark: SparkSession) -> dict:
         "out": args.out,
         "seed": args.seed,
         "shards": args.shards,
+        "files_per_shard": args.files_per_shard,
         "rows": sum(per_shard.values()),
         "rows_per_shard": per_shard,
+    }
+
+
+def _cmd_boiler(args, spark: SparkSession) -> dict:
+    """Corpus-level boilerplate removal (CCNet/Gopher line dedup): drop
+    lines recurring across >= --min-docs documents, write the cleaned
+    corpus. --segment-width switches the line unit from newline-split
+    lines to fixed token segments (for corpora without newline
+    structure, like the synthetic testdata)."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.dedup import (
+        drop_boilerplate_lines,
+        line_table,
+        reassemble_lines,
+        token_segment_lines,
+    )
+
+    docs = spark.read.parquet(args.docs)
+    if args.segment_width:
+        lines = token_segment_lines(docs, args.key, args.text_col, args.segment_width)
+        sep = " "
+    else:
+        lines = line_table(docs, args.key, args.text_col, sep="\n")
+        sep = "\n"
+    kept = drop_boilerplate_lines(lines, args.key, args.min_docs)
+    clean = reassemble_lines(kept, args.key, sep=sep)
+    out_df = (
+        docs.select(args.key)
+        .join(clean, args.key, "left")
+        .select(
+            args.key,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias(args.text_col),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+    out_df.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    n_docs = back.count()
+    n_emptied = back.filter(F.col("n_kept") == 0).count()
+    return {
+        "docs": n_docs,
+        "emptied": n_emptied,
+        "min_docs": args.min_docs,
+        "line_unit": f"{args.segment_width}-token segments"
+        if args.segment_width
+        else "newline",
+        "out": args.out,
     }
 
 
@@ -346,6 +396,29 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     shuf.add_argument("--shards", type=int, default=8)
     shuf.add_argument("--seed", default="epoch0")
     shuf.add_argument("--key", default="doc_id", help="unique key column")
+    shuf.add_argument(
+        "--files-per-shard",
+        type=int,
+        default=1,
+        help="cut each shard into k contiguous pos ranges (k parallel "
+        "sorts instead of one task sorting the whole shard)",
+    )
+
+    boiler = sub.add_parser(
+        "boiler",
+        help="corpus-level boilerplate removal (CCNet/Gopher line dedup)",
+    )
+    boiler.add_argument("--docs", required=True, help="input parquet")
+    boiler.add_argument("--out", required=True, help="cleaned corpus output")
+    boiler.add_argument("--min-docs", type=int, default=3)
+    boiler.add_argument(
+        "--segment-width",
+        type=int,
+        default=0,
+        help="0 = split on newlines; k > 0 = k-token segments",
+    )
+    boiler.add_argument("--key", default="doc_id")
+    boiler.add_argument("--text-col", default="text")
 
     serve = sub.add_parser("serve", help="HTTP facade server (blocking)")
     serve.add_argument("--host", default="127.0.0.1")
@@ -398,6 +471,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             return 0
         if args.cmd == "shuffle":
             print(json.dumps(_cmd_shuffle(args, spark), default=str))
+            return 0
+        if args.cmd == "boiler":
+            print(json.dumps(_cmd_boiler(args, spark), default=str))
             return 0
         if args.cmd == "serve":
             from sec_financial_pipeline_spark.transport.http import serve as http_serve

@@ -161,6 +161,113 @@ def _overlap_counts(
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate removal (CCNet / Gopher line dedup): drop
+# lines that recur across many documents — navigation chrome, cookie
+# banners, license footers — the standard pretraining-curation pass
+# (Wenzek et al. 2020 §3.1 dedup paragraphs by hash across shards;
+# Rae et al. 2021 §A1.2). Same explode -> count -> anti-join machinery
+# as the contamination audit above, pointed at intra-corpus repetition.
+# ---------------------------------------------------------------------------
+
+
+def line_table(
+    docs: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """``(id, line_no, line)`` — one row per line of each document (the
+    real-corpus path: documents carry newline structure). ``sep`` is a
+    regex, as in ``F.split``."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+    )
+
+
+def token_segment_lines(
+    docs: DataFrame, id_col: str, text_col: str, width: int
+) -> DataFrame:
+    """``(id, line_no, line)`` with lines = non-overlapping ``width``-token
+    segments — the paragraph proxy for corpora without newline structure
+    (the synthetic testdata). Built by exploding tokens and regrouping on
+    ``floor(pos / width)`` rather than per-row HOF slicing: ``slice``
+    referenced inside a lambda re-evaluates per element (O(tokens^2 /
+    width) per document — the doc_profile trap), while explode+group is
+    linear with one partial-aggregable shuffle. The per-group
+    ``collect_list`` is bounded by ``width`` rows."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    return (
+        toks.groupBy(id_col, (F.col("pos") / width).cast("int").alias("line_no"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("line")
+        )
+        .select(id_col, "line_no", "line")
+    )
+
+
+def normalize_line(line: Column) -> Column:
+    """CCNet-style line key: lowercase, trimmed, whitespace-collapsed —
+    so cosmetic variants of the same boilerplate count as one line."""
+    return F.regexp_replace(F.lower(F.trim(line)), r"\s+", " ")
+
+
+def drop_boilerplate_lines(
+    lines: DataFrame, id_col: str, min_docs: int
+) -> DataFrame:
+    """Remove every line whose NORMALIZED form occurs in >= ``min_docs``
+    distinct documents; returns the surviving ``(id, line_no, line)``
+    rows (original text, normalization affects only the key).
+
+    Scale shape: the frequency pass is a partial-aggregable
+    ``count(distinct id)`` grouped on the line key (one hash shuffle on
+    the key — AQE handles hot lines, exactly like hot shingles in the
+    contamination audit); the drop is a ``left_anti`` join against the
+    (small — only lines crossing the threshold) boilerplate set, which
+    broadcasts under the threshold and degrades to shuffle above it.
+    Nothing is ever per-corpus quadratic: every stage is linear in
+    total line count."""
+    keyed = lines.withColumn("__key", normalize_line(F.col("line")))
+    boiler = (
+        keyed.groupBy("__key")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__key")
+    )
+    return keyed.join(boiler, "__key", "left_anti").drop("__key")
+
+
+def reassemble_lines(
+    kept: DataFrame, id_col: str, sep: str = "\n"
+) -> DataFrame:
+    """``(id, clean_text, n_kept)`` — surviving lines of each document
+    concatenated back in line order. Deterministic by construction:
+    ``line_no`` is unique per document, so the ``array_sort`` of
+    (line_no, line) structs admits exactly one order on any
+    partitioning. Documents whose every line was boilerplate disappear
+    (no rows survive); callers LEFT-join from the corpus and coalesce
+    to the empty text. The per-doc ``collect_list`` is bounded by the
+    document's own line count — the same per-doc bound every
+    reassembly (chunk assembly, redaction) carries."""
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
 def save_eval_shingle_store(
     eval_docs: DataFrame, text_col: str, path: str, k: int = 5
 ) -> None:

@@ -26,23 +26,143 @@ from sec_financial_pipeline_spark.sources.testdata import load_table
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "doc_exact_dedup",
-    """
+_EXACT_ORACLE = """
 SELECT doc_id, lang, source, n_chars FROM (
   SELECT doc_id, lang, source, n_chars,
          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
   FROM documents
 ) WHERE rn = 1
-""",
-    survey="§2.9 dedup-exact (hash-group, keep min doc_id)",
-)
-def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def q_doc_exact_dedup_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").withColumn(
         "text_hash", F.md5("text")
     )
     kept = exact_dedup(d, ["text_hash"], keep_min_of="doc_id")
     return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate removal (CCNet/Gopher line dedup; VERDICT r7
+# item 3): lines recurring across >= _BOILER_MIN_DOCS documents are
+# dropped and the text reassembled in line order. The synthetic corpus
+# has no newline structure, so "lines" are non-overlapping
+# _BOILER_LINE_W-token segments (the operator's real-corpus path splits
+# on \n — operators/dedup.py::line_table). Output is per-document:
+# counts plus the md5 fingerprint of the reassembled text, which pins
+# the reassembly order deterministically against the oracle's
+# string_agg(... ORDER BY line_no).
+# ---------------------------------------------------------------------------
+
+_BOILER_LINE_W = 3  # tokens per segment (sf0.01: 7460 distinct lines)
+_BOILER_MIN_DOCS = 3  # a line in >= 3 docs is boilerplate (231 at sf0.01)
+
+_BOILER_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+lines AS (
+  SELECT doc_id, i - 1 AS line_no,
+         array_to_string(w[(i-1)*{_BOILER_LINE_W}+1 : least(i*{_BOILER_LINE_W}, len(w))], ' ') AS line
+  FROM toks,
+  LATERAL (SELECT unnest(generate_series(1,
+             CAST(ceil(len(w) / {_BOILER_LINE_W}.0) AS BIGINT))) AS i)
+),
+freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
+boiler AS (SELECT line FROM freq WHERE nd >= {_BOILER_MIN_DOCS}),
+kept AS (
+  SELECT l.* FROM lines l WHERE l.line NOT IN (SELECT line FROM boiler)
+),
+clean AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(nl.n_lines AS BIGINT) AS n_lines,
+       CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(length(coalesce(c.clean_text, '')) AS INT) AS clean_len,
+       md5(coalesce(c.clean_text, '')) AS clean_fp
+FROM documents d
+JOIN nl ON nl.doc_id = d.doc_id
+LEFT JOIN clean c ON c.doc_id = d.doc_id
+"""
+
+
+def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.dedup import (
+        drop_boilerplate_lines,
+        reassemble_lines,
+        token_segment_lines,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    lines = token_segment_lines(d, "doc_id", "text", _BOILER_LINE_W)
+    kept = drop_boilerplate_lines(lines, "doc_id", _BOILER_MIN_DOCS)
+    clean = reassemble_lines(kept, "doc_id", sep=" ")
+    n_lines = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        d.select("doc_id")
+        .join(n_lines, "doc_id")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.length(F.coalesce(F.col("clean_text"), F.lit("")))
+            .cast("int")
+            .alias("clean_len"),
+            F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_fp"),
+        )
+    )
+
+
+_DEDUP_ROW_SCHEMA = [
+    ("doc_id", "bigint"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "bigint"),
+    ("n_lines", "bigint"),
+    ("n_kept", "bigint"),
+    ("clean_len", "int"),
+    ("clean_fp", "string"),
+]
+
+from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
+    union_sections as _union_sections,
+    union_sections_sql as _union_sections_sql,
+)
+
+
+@register(
+    "doc_exact_dedup",
+    _union_sections_sql(
+        [
+            ("exact", _EXACT_ORACLE, ["doc_id", "lang", "source", "n_chars"]),
+            (
+                "boilerplate",
+                _BOILER_ORACLE,
+                ["doc_id", "n_lines", "n_kept", "clean_len", "clean_fp"],
+            ),
+        ],
+        _DEDUP_ROW_SCHEMA,
+    ),
+    survey=(
+        "§2.9 dedup-exact (hash-group, keep min doc_id) + corpus-level"
+        " boilerplate removal (CCNet/Gopher line dedup: explode to"
+        " normalized lines, drop lines recurring in >= 3 docs,"
+        " reassemble in line order — determinism pinned by the"
+        " reassembled-text md5)"
+    ),
+)
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _union_sections(
+        [
+            ("exact", q_doc_exact_dedup_only(spark, sf_dir)),
+            ("boilerplate", q_doc_boilerplate(spark, sf_dir)),
+        ],
+        _DEDUP_ROW_SCHEMA,
+    )
 
 
 # ---------------------------------------------------------------------------

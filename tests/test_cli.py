@@ -294,3 +294,43 @@ def test_shuffle_writes_deterministic_epoch(tmp_path, capsys, spark, sf_dir):
         for r in epoch_shuffle(d, "doc_id", 4, seed="e9").collect()
     }
     assert got == expect
+
+
+def test_boiler_cleans_corpus(tmp_path, capsys, spark, sf_dir):
+    """boiler: the CLI face of the line-dedup chain — the cleaned
+    corpus matches the operator composition, and docs whose every
+    segment was boilerplate come back as empty text, not dropped rows."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.dedup import (
+        drop_boilerplate_lines,
+        reassemble_lines,
+        token_segment_lines,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    docs_dir = str(tmp_path / "docs")
+    d.write.parquet(docs_dir)
+    out = str(tmp_path / "clean")
+
+    res = _run(
+        capsys, spark,
+        ["boiler", "--docs", docs_dir, "--out", out,
+         "--min-docs", "2", "--segment-width", "3"],
+    )
+    assert res["docs"] == 200
+    assert res["line_unit"] == "3-token segments"
+
+    lines = token_segment_lines(spark.read.parquet(docs_dir), "doc_id", "text", 3)
+    kept = drop_boilerplate_lines(lines, "doc_id", 2)
+    expect = {
+        r.doc_id: r.clean_text
+        for r in reassemble_lines(kept, "doc_id", sep=" ").collect()
+    }
+    back = spark.read.parquet(out)
+    got = {r.doc_id: r.text for r in back.collect()}
+    assert len(got) == 200  # every doc present, emptied ones included
+    for did, text in got.items():
+        assert text == expect.get(did, "")
+    assert res["emptied"] == sum(1 for v in got.values() if v == "")

@@ -84,3 +84,76 @@ def test_kmeans_lloyd_converges_and_is_deterministic(spark):
         assign = kmeans.assign_clusters(e, kmeans.lloyd(e, seeds, 2))
         got = {r.vec_id: r.cluster for r in assign.collect()}
         assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+# ---------------------------------------------------------------------------
+# Round-8: corpus-level boilerplate removal (CCNet/Gopher line dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_removal_matches_bruteforce(spark, sf_dir):
+    """Pure-Python witness over a corpus slice: token-segment lines,
+    drop segments present in >= T distinct docs, reassemble in order —
+    the operator chain must reproduce it exactly, including docs whose
+    every line is boilerplate."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.dedup import (
+        drop_boilerplate_lines,
+        reassemble_lines,
+        token_segment_lines,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    W, T = 3, 2
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(150)
+    docs = {r.doc_id: r.text for r in d.collect()}
+    # brute force
+    seg_docs: dict[str, set] = {}
+    doc_segs: dict[int, list] = {}
+    for did, text in docs.items():
+        w = text.split(" ")
+        segs = [" ".join(w[i : i + W]) for i in range(0, len(w), W)]
+        doc_segs[did] = segs
+        for s in set(segs):
+            seg_docs.setdefault(s, set()).add(did)
+    boiler = {s for s, ds in seg_docs.items() if len(ds) >= T}
+    expect = {
+        did: " ".join(s for s in segs if s not in boiler)
+        for did, segs in doc_segs.items()
+    }
+    # operator chain
+    lines = token_segment_lines(d, "doc_id", "text", W)
+    kept = drop_boilerplate_lines(lines, "doc_id", T)
+    clean = reassemble_lines(kept, "doc_id", sep=" ")
+    got = {r.doc_id: r.clean_text for r in clean.collect()}
+    for did in docs:
+        assert got.get(did, "") == expect[did], f"doc {did}"
+    assert any(v == "" for v in expect.values()) or boiler  # non-vacuous
+
+
+def test_boilerplate_newline_path_drops_recurring_lines(spark):
+    """The real-corpus path: newline-split lines, normalization folds
+    cosmetic variants (case / surrounding whitespace) into one key, the
+    ORIGINAL surviving lines come back in order with \\n separators."""
+    from sec_financial_pipeline_spark.operators.dedup import (
+        drop_boilerplate_lines,
+        line_table,
+        reassemble_lines,
+    )
+
+    rows = [
+        (1, "unique first line\nAccept all cookies \nreal content one"),
+        (2, "accept all cookies\nreal content two"),
+        (3, "ACCEPT ALL COOKIES\nreal content three\nunique tail"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    lines = line_table(d, "doc_id", "text", sep="\n")
+    kept = drop_boilerplate_lines(lines, "doc_id", min_docs=3)
+    out = {
+        r.doc_id: r.clean_text
+        for r in reassemble_lines(kept, "doc_id", sep="\n").collect()
+    }
+    assert out[1] == "unique first line\nreal content one"
+    assert out[2] == "real content two"
+    assert out[3] == "real content three\nunique tail"
