@@ -328,6 +328,47 @@ def _cmd_boiler(args, spark: SparkSession) -> dict:
     }
 
 
+def _cmd_snap(args, spark: SparkSession) -> dict:
+    """Snapshot-table lifecycle (sources/snaptable.py): Delta-semantics
+    commits on plain parquet — create/append/delete/compact/rollback/
+    vacuum/log, each an atomic manifest publish."""
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    if args.snap_cmd == "create":
+        v = T.create(spark.read.parquet(args.data), args.table)
+        return {"table": args.table, "version": v, "op": "create"}
+    if args.snap_cmd == "append":
+        v = T.append(spark.read.parquet(args.data), args.table)
+        return {"table": args.table, "version": v, "op": "append"}
+    if args.snap_cmd == "delete":
+        v = T.delete_where(spark, args.table, args.where)
+        return {
+            "table": args.table,
+            "version": v,
+            "op": "delete",
+            "rows": T.read(spark, args.table).count(),
+        }
+    if args.snap_cmd == "compact":
+        v = T.compact(spark, args.table, target_files=args.target_files)
+        return {"table": args.table, "version": v, "op": "compact"}
+    if args.snap_cmd == "rollback":
+        v = T.rollback(spark, args.table, to_version=args.to_version)
+        return {"table": args.table, "version": v, "op": "rollback"}
+    if args.snap_cmd == "vacuum":
+        n = T.vacuum(
+            spark, args.table, keep_last=args.keep_last,
+            min_age_sec=args.min_age_sec,
+        )
+        return {"table": args.table, "files_deleted": n, "op": "vacuum"}
+    if args.snap_cmd == "log":
+        return {
+            "table": args.table,
+            "versions": T.versions(spark, args.table),
+            "rows_head": T.read(spark, args.table).count(),
+        }
+    raise SystemExit(f"unknown snap command: {args.snap_cmd}")
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     p = argparse.ArgumentParser(prog="sec_financial_pipeline_spark")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -420,6 +461,31 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     boiler.add_argument("--key", default="doc_id")
     boiler.add_argument("--text-col", default="text")
 
+    snap = sub.add_parser(
+        "snap",
+        help="snapshot-manifest parquet table (Delta-semantics commits)",
+    )
+    snap_sub = snap.add_subparsers(dest="snap_cmd", required=True)
+    for name in ("create", "append"):
+        sp = snap_sub.add_parser(name)
+        sp.add_argument("--table", required=True)
+        sp.add_argument("--data", required=True, help="input parquet")
+    sd = snap_sub.add_parser("delete")
+    sd.add_argument("--table", required=True)
+    sd.add_argument("--where", required=True, help="SQL predicate to delete")
+    sc = snap_sub.add_parser("compact")
+    sc.add_argument("--table", required=True)
+    sc.add_argument("--target-files", type=int, default=1)
+    sr = snap_sub.add_parser("rollback")
+    sr.add_argument("--table", required=True)
+    sr.add_argument("--to-version", type=int, required=True)
+    sv = snap_sub.add_parser("vacuum")
+    sv.add_argument("--table", required=True)
+    sv.add_argument("--keep-last", type=int, default=2)
+    sv.add_argument("--min-age-sec", type=float, default=3600.0)
+    sl = snap_sub.add_parser("log")
+    sl.add_argument("--table", required=True)
+
     serve = sub.add_parser("serve", help="HTTP facade server (blocking)")
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--port", type=int, default=8000)
@@ -474,6 +540,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             return 0
         if args.cmd == "boiler":
             print(json.dumps(_cmd_boiler(args, spark), default=str))
+            return 0
+        if args.cmd == "snap":
+            print(json.dumps(_cmd_snap(args, spark), default=str))
             return 0
         if args.cmd == "serve":
             from sec_financial_pipeline_spark.transport.http import serve as http_serve

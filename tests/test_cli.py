@@ -334,3 +334,31 @@ def test_boiler_cleans_corpus(tmp_path, capsys, spark, sf_dir):
     for did, text in got.items():
         assert text == expect.get(did, "")
     assert res["emptied"] == sum(1 for v in got.values() if v == "")
+
+
+def test_snap_lifecycle_via_cli(tmp_path, capsys, spark):
+    """snap: the full snapshot-table lifecycle through the CLI —
+    create -> append -> delete -> rollback -> compact -> vacuum -> log,
+    with time travel surviving until vacuum reaps it."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    data1 = str(tmp_path / "d1")
+    data2 = str(tmp_path / "d2")
+    spark.range(0, 100).select("id", (F.col("id") * 2).alias("v")).write.parquet(data1)
+    spark.range(100, 130).select("id", (F.col("id") * 2).alias("v")).write.parquet(data2)
+    table = str(tmp_path / "t")
+
+    assert _run(capsys, spark, ["snap", "create", "--table", table, "--data", data1])["version"] == 1
+    assert _run(capsys, spark, ["snap", "append", "--table", table, "--data", data2])["version"] == 2
+    res = _run(capsys, spark, ["snap", "delete", "--table", table, "--where", "id >= 100"])
+    assert res["version"] == 3 and res["rows"] == 100
+    assert _run(capsys, spark, ["snap", "rollback", "--table", table, "--to-version", "2"])["version"] == 4
+    assert T.read(spark, table).count() == 130
+    _run(capsys, spark, ["snap", "compact", "--table", table])
+    vac = _run(capsys, spark, ["snap", "vacuum", "--table", table,
+                               "--keep-last", "1", "--min-age-sec", "0"])
+    assert vac["files_deleted"] > 0
+    log = _run(capsys, spark, ["snap", "log", "--table", table])
+    assert log["versions"] == [5] and log["rows_head"] == 130

@@ -1,0 +1,179 @@
+"""Snapshot-manifest parquet table (sources/snaptable.py): atomic
+commits, snapshot isolation, optimistic concurrency, time travel,
+rollback, vacuum — the Delta-semantics layer on plain parquet."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.sources import snaptable as T
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        "id", (F.col("id") * 2).alias("v")
+    )
+
+
+def test_create_append_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    assert T.create(_mk(spark, 0, 100), path) == 1
+    assert T.append(_mk(spark, 100, 150), path) == 2
+    assert T.read(spark, path).count() == 150
+    assert T.versions(spark, path) == [1, 2]
+    got = sorted(r.v for r in T.read(spark, path).collect())
+    assert got == [2 * i for i in range(150)]
+
+
+def test_time_travel_reads_old_snapshot(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    T.append(_mk(spark, 10, 20), path)
+    assert T.read(spark, path, version=1).count() == 10
+    assert T.read(spark, path, version=2).count() == 20
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        T.read(spark, path, version=99)
+
+
+def test_delete_where_is_a_new_version_old_intact(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+    v = T.delete_where(spark, path, "id % 2 = 0")
+    assert v == 2
+    assert T.read(spark, path).count() == 50
+    assert T.read(spark, path).filter("id % 2 = 0").count() == 0
+    # snapshot isolation: the pre-delete version still has every row
+    assert T.read(spark, path, version=1).count() == 100
+
+
+def test_delete_all_then_append_keeps_schema(spark, tmp_path):
+    """The empty-snapshot case that breaks naive partitioned parquet
+    (sources/sink.py::append_partitioned's workaround): here an empty
+    snapshot is first-class — the manifest carries the schema — and a
+    later append just works."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    T.delete_where(spark, path, F.lit(True))
+    empty = T.read(spark, path)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "v"]
+    T.append(_mk(spark, 5, 8), path)
+    assert sorted(r.id for r in T.read(spark, path).collect()) == [5, 6, 7]
+
+
+def test_rollback_restores_old_contents_as_new_version(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    T.delete_where(spark, path, "id >= 5")
+    assert T.read(spark, path).count() == 5
+    v = T.rollback(spark, path, to_version=1)
+    assert v == 3
+    assert T.read(spark, path).count() == 10
+    # history is append-only: the bad version is still inspectable
+    assert T.read(spark, path, version=2).count() == 5
+
+
+def test_concurrent_appends_both_commit_via_rebase(spark, tmp_path):
+    """Two appends racing the same head: the version-name race picks a
+    winner; the loser rebases (its files are disjoint) and retries —
+    BOTH land, no rows lost, no rows duplicated."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def add(lo, hi):
+        try:
+            barrier.wait()
+            T.append(_mk(spark, lo, hi), path)
+        except Exception as e:  # pragma: no cover - diagnostic
+            errors.append(e)
+
+    ts = [
+        threading.Thread(target=add, args=(100, 150)),
+        threading.Thread(target=add, args=(200, 260)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors
+    assert T.read(spark, path).count() == 10 + 50 + 60
+    assert T.versions(spark, path) == [1, 2, 3]
+
+
+def test_rewrite_conflict_is_loud_not_lost_update(spark, tmp_path):
+    """A delete computed against a stale head must NOT silently drop a
+    concurrent append (the lost-update anomaly): publishing it fails
+    with SnapshotConflict. Simulated deterministically by committing an
+    append between the delete's snapshot resolution and its commit."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    base = T._manifest(spark, path, None)  # the delete's snapshot: v1
+    kept = T._df_for(spark, path, base).filter("id < 5")
+    T.append(_mk(spark, 100, 110), path)  # concurrent commit wins v2
+    with pytest.raises(T.SnapshotConflict, match="no longer the head"):
+        T._rewrite_commit(spark, path, kept, "delete", base)
+    # nothing was lost: head still has the original + appended rows
+    assert T.read(spark, path).count() == 20
+
+
+def test_crash_orphans_invisible_and_vacuumed(spark, tmp_path):
+    """Data files written by a writer that died before its commit are
+    invisible to readers and reaped by vacuum (past the age guard)."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    # simulate the crash: files exist, no manifest references them
+    T._write_files(_mk(spark, 900, 950), path)
+    assert T.read(spark, path).count() == 10
+    deleted = T.vacuum(spark, path, keep_last=5, min_age_sec=0.0)
+    assert deleted > 0
+    assert T.read(spark, path).count() == 10
+
+
+def test_vacuum_age_guard_protects_inflight_writer(spark, tmp_path):
+    """An unreferenced file younger than min_age_sec is NOT reaped —
+    it may belong to an in-flight writer between its data write and
+    its manifest commit."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    files = T._write_files(_mk(spark, 900, 910), path)
+    assert T.vacuum(spark, path, keep_last=5, min_age_sec=3600.0) == 0
+    for f in files:
+        assert os.path.exists(os.path.join(path, f))
+
+
+def test_vacuum_drops_old_versions_and_their_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+    T.delete_where(spark, path, "id >= 50")
+    T.compact(spark, path, target_files=1)
+    assert T.versions(spark, path) == [1, 2, 3]
+    n_files_before = len(glob.glob(f"{path}/data/*/*.parquet"))
+    deleted = T.vacuum(spark, path, keep_last=1, min_age_sec=0.0)
+    assert deleted > 0
+    assert T.versions(spark, path) == [3]
+    assert T.read(spark, path).count() == 50
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        T.read(spark, path, version=1)
+    assert len(glob.glob(f"{path}/data/*/*.parquet")) < n_files_before
+
+
+def test_compact_preserves_contents_and_old_readers(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100).repartition(8), path)
+    before = sorted(tuple(r) for r in T.read(spark, path).collect())
+    v = T.compact(spark, path, target_files=1)
+    m = json.loads(
+        open(f"{path}/_snapshots/v{v:012d}.json").read()
+    )
+    assert len(m["files"]) == 1
+    assert sorted(tuple(r) for r in T.read(spark, path).collect()) == before
+    # the pre-compact version still reads through its original files
+    assert T.read(spark, path, version=1).count() == 100
