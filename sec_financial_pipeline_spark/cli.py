@@ -335,7 +335,10 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
     from sec_financial_pipeline_spark.sources import snaptable as T
 
     if args.snap_cmd == "create":
-        v = T.create(spark.read.parquet(args.data), args.table)
+        pcols = tuple(c for c in args.partition_by.split(",") if c)
+        v = T.create(
+            spark.read.parquet(args.data), args.table, partition_cols=pcols
+        )
         return {"table": args.table, "version": v, "op": "create"}
     if args.snap_cmd == "append":
         v = T.append(spark.read.parquet(args.data), args.table)
@@ -470,6 +473,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         sp = snap_sub.add_parser(name)
         sp.add_argument("--table", required=True)
         sp.add_argument("--data", required=True, help="input parquet")
+        if name == "create":
+            sp.add_argument(
+                "--partition-by",
+                default="",
+                help="comma-separated partition columns (fixed for the "
+                "table's lifetime; appends inherit them)",
+            )
     sd = snap_sub.add_parser("delete")
     sd.add_argument("--table", required=True)
     sd.add_argument("--where", required=True, help="SQL predicate to delete")

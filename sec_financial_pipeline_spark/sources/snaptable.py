@@ -116,30 +116,113 @@ def _manifest(spark: SparkSession, path: str, version: int | None) -> dict:
     return m
 
 
-def _write_files(df: DataFrame, path: str) -> list[str]:
+def _file_stats(local_file: str, cols: list[str]) -> dict:
+    """Per-file [min, max] for ``cols`` out of the parquet FOOTER
+    (pyarrow; the bytes are already there — no data read). Local
+    filesystems only; remote stores return {} and simply don't skip.
+    At cluster scale the same numbers come from a tiny Spark job over
+    the fresh files, or from real Delta's stats collection."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(local_file).metadata
+    except Exception:
+        return {}
+    out: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if name not in cols:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except Exception:
+                    continue
+            if not isinstance(mn, (int, float, str)):
+                continue
+            if name in out:
+                out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
+            else:
+                out[name] = [mn, mx]
+    return out
+
+
+def _default_stats_cols(df: DataFrame, partition_cols) -> list[str]:
+    prim = ("byte", "short", "integer", "long", "float", "double", "string")
+    return [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in prim and f.name not in partition_cols
+    ]
+
+
+def _write_files(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple = (),
+    stats_cols: list[str] | None = None,
+) -> list[dict]:
     """Materialize ``df`` as immutable parquet files under a fresh
-    commit dir; returns their table-relative paths. Files become part
-    of the table ONLY when a manifest referencing them commits."""
+    commit dir; returns one manifest entry per file:
+    ``{"path", "base", "partition": {col: str}, "stats": {col: [mn,mx]}}``.
+    Files become part of the table ONLY when a manifest referencing
+    them commits. Partitioned writes use Hive layout inside the commit
+    dir (``c-x/p=1/part-*.parquet``); the partition VALUES are lifted
+    into the manifest so scans prune on metadata without ever listing
+    directories — the 100 TB point of the format."""
+    import os as _os_mod
+
     rel_dir = f"{_DATADIR}/c-{uuid.uuid4().hex[:12]}"
     out_dir = f"{path.rstrip('/')}/{rel_dir}"
-    df.write.mode("overwrite").parquet(out_dir)
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(out_dir)
+    if stats_cols is None:
+        stats_cols = _default_stats_cols(df, partition_cols)
     fs, Path = _hadoop_fs(df.sparkSession, out_dir)
-    files = []
-    for st in fs.listStatus(Path(out_dir)):
-        name = st.getPath().getName()
-        if name.endswith(".parquet"):
-            files.append(f"{rel_dir}/{name}")
-    return sorted(files)
+    entries = []
+    it = fs.listFiles(Path(out_dir), True)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        if not p.endswith(".parquet"):
+            continue
+        tail = p.split(f"/{rel_dir}/", 1)[1]
+        partition = {}
+        for seg in tail.split("/")[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                partition[k] = v
+        rel = f"{rel_dir}/{tail}"
+        local = _os_mod.path.join(path, rel)
+        stats = (
+            _file_stats(local, stats_cols)
+            if stats_cols and _os_mod.path.exists(local)
+            else {}
+        )
+        entries.append(
+            {"path": rel, "base": rel_dir, "partition": partition, "stats": stats}
+        )
+    return sorted(entries, key=lambda e: e["path"])
 
 
 def _try_commit(
     spark: SparkSession,
     path: str,
     version: int,
-    files: list[str],
+    files: list[dict],
     schema_json: str,
     op: str,
     parent: int | None,
+    partition_cols: list[str] = (),
+    stats_cols: list[str] = (),
 ) -> bool:
     """Publish a manifest as version ``version`` — atomic
     create(overwrite=False): exactly one writer can win a version."""
@@ -151,6 +234,8 @@ def _try_commit(
             "schema": schema_json,
             "op": op,
             "parent": parent,
+            "partition_cols": list(partition_cols),
+            "stats_cols": list(stats_cols),
             "committed_at": int(time.time()),
         }
     ).encode("utf-8")
@@ -163,29 +248,60 @@ def _try_commit(
         return False
 
 
-def create(df: DataFrame, path: str) -> int:
+def create(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple = (),
+    stats_cols: list[str] | None = None,
+) -> int:
     """Create a snapshot table at ``path`` with ``df`` as version 1.
-    Fails if any snapshot already exists (use append/overwrite ops on
-    an existing table)."""
+    ``partition_cols`` fixes the table's partitioning for its lifetime
+    (appends inherit it); ``stats_cols`` picks the file-skipping
+    columns (default: every primitive non-partition column). Fails if
+    any snapshot already exists."""
     spark = df.sparkSession
     if versions(spark, path):
         raise FileExistsError(f"snaptable: table already exists at {path}")
-    files = _write_files(df, path)
-    if not _try_commit(spark, path, 1, files, df.schema.json(), "create", None):
+    if stats_cols is None:
+        stats_cols = _default_stats_cols(df, partition_cols)
+    files = _write_files(df, path, partition_cols, stats_cols)
+    if not _try_commit(
+        spark, path, 1, files, df.schema.json(), "create", None,
+        partition_cols, stats_cols,
+    ):
         raise SnapshotConflict(f"snaptable: concurrent create at {path}")
     return 1
 
 
-def _df_for(spark: SparkSession, path: str, m: dict) -> DataFrame:
-    """DataFrame over one resolved manifest's exact file list."""
+def _df_for(
+    spark: SparkSession, path: str, m: dict, entries: list[dict] | None = None
+) -> DataFrame:
+    """DataFrame over a manifest's (possibly pruned) file entries.
+    Partitioned tables read each commit group under its own
+    ``basePath`` so Spark re-derives the partition columns from the
+    Hive dirs; groups = retained commits (bounded, and 1 after a
+    compact), never partition count."""
     from pyspark.sql.types import StructType
 
-    if not m["files"]:
+    if entries is None:
+        entries = m["files"]
+    if not entries:
         schema = StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(
-        *[f"{path.rstrip('/')}/{f}" for f in m["files"]]
-    )
+    root = path.rstrip("/")
+    groups: dict[str, list[str]] = {}
+    for e in entries:
+        groups.setdefault(e["base"], []).append(e["path"])
+    parts = []
+    for base in sorted(groups):
+        r = spark.read
+        if m.get("partition_cols"):
+            r = r.option("basePath", f"{root}/{base}")
+        parts.append(r.parquet(*[f"{root}/{p}" for p in sorted(groups[base])]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -196,13 +312,70 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     return _df_for(spark, path, _manifest(spark, path, version))
 
 
+def _select_entries(
+    m: dict,
+    partitions: dict | None,
+    between: tuple | None,
+) -> list[dict]:
+    """Manifest-level pruning: keep a file iff no available metadata
+    rules it out. Partition equality prunes on the lifted dir values;
+    ``between=(col, lo, hi)`` prunes on footer min/max. A file with no
+    metadata for a requested column is always kept — pruning is an
+    optimization, never a correctness filter."""
+    keep = []
+    for e in m["files"]:
+        if partitions:
+            part = e.get("partition", {})
+            if any(
+                k in part and part[k] != str(v) for k, v in partitions.items()
+            ):
+                continue
+        if between:
+            col, lo, hi = between
+            st = e.get("stats", {}).get(col)
+            if st is not None and (st[1] < lo or st[0] > hi):
+                continue
+        keep.append(e)
+    return keep
+
+
+def scan(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partitions: dict | None = None,
+    between: tuple | None = None,
+) -> DataFrame:
+    """Pruned snapshot scan: files are selected from MANIFEST metadata
+    (partition values + footer min/max) before Spark ever lists or
+    opens anything, then the exact predicates are re-applied on the
+    result — pruning cuts I/O, the filters guarantee exactness. At
+    100 TB this is the difference between touching the 2 probed
+    partitions' files and footer-checking every file in the table."""
+    from pyspark.sql import functions as F
+
+    m = _manifest(spark, path, version)
+    df = _df_for(spark, path, m, _select_entries(m, partitions, between))
+    if partitions:
+        for k, v in partitions.items():
+            df = df.filter(F.col(k).cast("string") == str(v))
+    if between:
+        col, lo, hi = between
+        df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    return df
+
+
 def append(df: DataFrame, path: str) -> int:
     """Transactional append: write immutable files once, then union
     them onto the head manifest. On a version race the append REBASES
     — its files are disjoint from every concurrent change — and
     retries on the new head; data is never written twice."""
     spark = df.sparkSession
-    new_files = _write_files(df, path)
+    head = _manifest(spark, path, None)
+    new_files = _write_files(
+        df, path, tuple(head.get("partition_cols", ())),
+        head.get("stats_cols", []),
+    )
     for _ in range(_MAX_RETRIES):
         head = _manifest(spark, path, None)
         if not _try_commit(
@@ -213,6 +386,8 @@ def append(df: DataFrame, path: str) -> int:
             head["schema"],
             "append",
             head["version"],
+            head.get("partition_cols", ()),
+            head.get("stats_cols", ()),
         ):
             continue  # lost the race: rebase on the new head
         return head["version"] + 1
@@ -233,10 +408,14 @@ def _rewrite_commit(
     which a rewrite computed on a stale snapshot can silently drop a
     concurrent append (the lost-update anomaly). No rebase: unlike an
     append, the surviving-row set is only valid against ``base``."""
-    files = _write_files(kept, path)
+    files = _write_files(
+        kept, path, tuple(base.get("partition_cols", ())),
+        base.get("stats_cols", []),
+    )
     if not _try_commit(
         spark, path, base["version"] + 1, files, base["schema"], op,
-        base["version"],
+        base["version"], base.get("partition_cols", ()),
+        base.get("stats_cols", ()),
     ):
         raise SnapshotConflict(
             f"snaptable: {op} at {path} raced a concurrent commit — "
@@ -265,7 +444,12 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     Readers of older versions are untouched (their manifests still
     reference the original files until vacuum)."""
     base = _manifest(spark, path, None)
-    kept = _df_for(spark, path, base).coalesce(target_files)
+    df = _df_for(spark, path, base)
+    pcols = base.get("partition_cols", ())
+    kept = (
+        df.repartition(target_files, *pcols) if pcols
+        else df.coalesce(target_files)
+    )
     return _rewrite_commit(spark, path, kept, "compact", base)
 
 
@@ -286,6 +470,8 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
         target["schema"],
         f"rollback:{to_version}",
         head["version"],
+        target.get("partition_cols", ()),
+        target.get("stats_cols", ()),
     ):
         raise SnapshotConflict(
             f"snaptable: rollback at {path} raced a concurrent commit; "
@@ -316,7 +502,7 @@ def vacuum(
             fs.delete(Path(_snap_path(path, v)), False)
     referenced = set()
     for v in retained:
-        referenced.update(_manifest(spark, path, v)["files"])
+        referenced.update(e["path"] for e in _manifest(spark, path, v)["files"])
     data_root = Path(f"{path.rstrip('/')}/{_DATADIR}")
     if not fs.exists(data_root):
         return 0

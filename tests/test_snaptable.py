@@ -143,10 +143,10 @@ def test_vacuum_age_guard_protects_inflight_writer(spark, tmp_path):
     its manifest commit."""
     path = str(tmp_path / "t")
     T.create(_mk(spark, 0, 10), path)
-    files = T._write_files(_mk(spark, 900, 910), path)
+    entries = T._write_files(_mk(spark, 900, 910), path)
     assert T.vacuum(spark, path, keep_last=5, min_age_sec=3600.0) == 0
-    for f in files:
-        assert os.path.exists(os.path.join(path, f))
+    for e in entries:
+        assert os.path.exists(os.path.join(path, e["path"]))
 
 
 def test_vacuum_drops_old_versions_and_their_files(spark, tmp_path):
@@ -177,3 +177,118 @@ def test_compact_preserves_contents_and_old_readers(spark, tmp_path):
     assert sorted(tuple(r) for r in T.read(spark, path).collect()) == before
     # the pre-compact version still reads through its original files
     assert T.read(spark, path, version=1).count() == 100
+
+
+def test_partitioned_table_scan_prunes_on_manifest(spark, tmp_path):
+    """Partition values live in the manifest: a partition-filtered scan
+    selects only that partition's files BEFORE Spark opens anything,
+    and the result is exact. Appends inherit the table's partitioning."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        "id", (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    T.create(df, path, partition_cols=("p",))
+    T.append(
+        spark.range(300, 400).select(
+            "id", (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+        ),
+        path,
+    )
+    m = T._manifest(spark, path, None)
+    assert m["partition_cols"] == ["p"]
+    sel = T._select_entries(m, {"p": 1}, None)
+    assert sel and all(e["partition"] == {"p": "1"} for e in sel)
+    assert len(sel) < len(m["files"])  # actually pruned
+    got = T.scan(spark, path, partitions={"p": 1})
+    expect = [i for i in range(400) if i % 3 == 1]
+    assert sorted(r.id for r in got.collect()) == expect
+    # full read restores the partition column from the Hive dirs
+    full = T.read(spark, path)
+    assert set(full.columns) == {"id", "p", "v"}
+    assert full.count() == 400
+
+
+def test_stats_skipping_prunes_files_and_stays_exact(spark, tmp_path):
+    """Footer min/max ride in the manifest: a range scan skips files
+    whose [min,max] cannot overlap, and re-applies the exact predicate
+    on what it reads."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 1000).coalesce(1), path)
+    T.append(_mk(spark, 5000, 6000).coalesce(1), path)
+    T.append(_mk(spark, 9000, 9500).coalesce(1), path)
+    m = T._manifest(spark, path, None)
+    assert all(e["stats"].get("id") for e in m["files"])
+    sel = T._select_entries(m, None, ("id", 5100, 5200))
+    assert len(sel) == 1  # only the middle file can overlap
+    got = T.scan(spark, path, between=("id", 5100, 5200))
+    assert sorted(r.id for r in got.collect()) == list(range(5100, 5201))
+
+
+def test_partitioned_delete_and_compact_keep_layout(spark, tmp_path):
+    """Rewrites inherit the table's partitioning: after delete+compact
+    the table still prunes by partition and reads back exactly."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        "id", (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    T.create(df, path, partition_cols=("p",))
+    T.delete_where(spark, path, "id >= 150")
+    T.compact(spark, path, target_files=1)
+    m = T._manifest(spark, path, None)
+    assert m["partition_cols"] == ["p"]
+    assert {e["partition"]["p"] for e in m["files"]} == {"0", "1", "2"}
+    got = T.scan(spark, path, partitions={"p": 2})
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(150) if i % 3 == 2
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Model-based: random op sequences vs a pure-Python model of the table.
+# Every commit's read() must equal the model; every retained version
+# must time-travel to its historical contents.
+# ---------------------------------------------------------------------------
+
+import tempfile  # noqa: E402
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_OPS = st.lists(
+    st.sampled_from(["append", "delete_mod3", "compact", "rollback_first"]),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(ops=_OPS)
+def test_snaptable_matches_python_model(spark, ops):
+    path = tempfile.mkdtemp(prefix="snapmodel_") + "/t"
+    rows = list(range(10))
+    T.create(
+        spark.createDataFrame([(i,) for i in rows], "id long"), path
+    )
+    history = {1: list(rows)}  # version -> model rows
+    next_id = 1000
+    for op in ops:
+        if op == "append":
+            new = list(range(next_id, next_id + 7))
+            next_id += 7
+            v = T.append(
+                spark.createDataFrame([(i,) for i in new], "id long"), path
+            )
+            rows = rows + new
+        elif op == "delete_mod3":
+            v = T.delete_where(spark, path, "id % 3 = 0")
+            rows = [i for i in rows if i % 3 != 0]
+        elif op == "compact":
+            v = T.compact(spark, path, target_files=1)
+        else:  # rollback_first
+            v = T.rollback(spark, path, to_version=1)
+            rows = list(history[1])
+        history[v] = list(rows)
+        assert sorted(r.id for r in T.read(spark, path).collect()) == sorted(rows)
+    # every retained version time-travels to its recorded contents
+    for v, model in history.items():
+        got = sorted(r.id for r in T.read(spark, path, version=v).collect())
+        assert got == sorted(model), f"version {v}"
