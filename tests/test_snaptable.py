@@ -292,3 +292,70 @@ def test_snaptable_matches_python_model(spark, ops):
     for v, model in history.items():
         got = sorted(r.id for r in T.read(spark, path, version=v).collect())
         assert got == sorted(model), f"version {v}"
+
+
+# ---------------------------------------------------------------------------
+# Integration: the near-dedup signature store runs 1:1 on snaptable —
+# the forward path for the r7 persisted-store machinery (versioned
+# commits + snapshot isolation replace directory swaps; semantics of
+# probe / append / right-to-be-forgotten carry unchanged).
+# ---------------------------------------------------------------------------
+
+
+def test_signature_store_on_snaptable_matches_classic_store(spark, sf_dir, tmp_path):
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+
+    classic = str(tmp_path / "classic")
+    S.save_signature_store(
+        S.minhash_signatures(corpus, "doc_id", "text"), "doc_id", classic
+    )
+    snap = str(tmp_path / "snap")
+    T.create(
+        S.band_table(S.minhash_signatures(corpus, "doc_id", "text"), "doc_id"),
+        snap,
+        partition_cols=("band_no",),
+    )
+
+    batch_sigs = S.minhash_signatures(batch, "doc_id", "text")
+
+    def pairs(store_df):
+        return sorted(
+            (r.id_a, r.id_b)
+            for r in S.incremental_candidate_pairs(
+                batch_sigs, "doc_id", store_df
+            ).collect()
+        )
+
+    want = pairs(S.load_signature_store(spark, classic))
+    assert pairs(T.read(spark, snap)) == want
+
+    # ingest commit: append the batch's bands — one atomic version
+    T.append(S.band_table(batch_sigs, "doc_id"), snap)
+    assert T.read(spark, snap).select("id").distinct().count() == d.count()
+
+    # right-to-be-forgotten: classic delete_from_store vs snaptable
+    # delete_where give identical surviving stores (and the snap one
+    # keeps the pre-delete version readable until vacuum)
+    forget = [r.doc_id for r in corpus.limit(15).collect()]
+    S.append_to_signature_store(batch_sigs, "doc_id", classic)
+    S.delete_from_store(spark, classic, forget)
+    T.delete_where(
+        spark, snap, F.col("id").isin(forget)
+    )
+    a = sorted(
+        tuple(r) for r in spark.read.parquet(classic)
+        .select("id", "band_no", "band_hash").collect()
+    )
+    b = sorted(
+        tuple(r) for r in T.read(spark, snap)
+        .select("id", "band_no", "band_hash").collect()
+    )
+    assert a == b and len(a) > 0
+    assert T.read(spark, snap, version=2).filter(
+        F.col("id").isin(forget)
+    ).count() > 0  # history retained until vacuum
