@@ -80,13 +80,21 @@ HEADLINE = [
     # round-7 widening 2: the train/eval n-gram contamination audit
     # (two shingle explodes + a semi join) becomes regression-visible.
     "doc_contamination",
+    # round-8 widening: corpus-level boilerplate removal (CCNet/Gopher
+    # line dedup: segment explode -> per-line distinct-doc counts ->
+    # anti-join drop -> ordered reassembly) becomes regression-visible.
+    "doc_boilerplate",
 ]
 
 
 def _headline_fns():
     """name -> callable, resolving consolidated constituents directly."""
     from sec_financial_pipeline_spark.registry import all_queries
-    from sec_financial_pipeline_spark.registry import sec_domain, similarity
+    from sec_financial_pipeline_spark.registry import (
+        llm_text,
+        sec_domain,
+        similarity,
+    )
 
     constituents = {
         "sec_metric_series": sec_domain.q_metric_series,
@@ -98,6 +106,7 @@ def _headline_fns():
         "emb_ivfpq_serve": similarity.q_emb_ivfpq_serve,
         "doc_incr_dedup_serve": similarity.q_doc_incr_dedup_serve,
         "doc_contamination": similarity.q_doc_contamination,
+        "doc_boilerplate": llm_text.q_doc_boilerplate,
     }
     queries = all_queries()
     return {

@@ -268,3 +268,20 @@ def test_epoch_shuffle_window_is_partitioned(spark, sf_dir):
     plan = epoch_shuffle(d, "doc_id", 8, seed="audit")._jdf.queryExecution(
     ).executedPlan().toString()
     assert _unpartitioned_window_specs(plan) == []
+
+
+def test_boilerplate_frequency_agg_is_partial_and_drop_is_antijoin(spark, sf_dir):
+    """Boilerplate removal's physical plan: the per-line distinct-doc
+    count must be a two-phase (partial-aggregable) HashAggregate, the
+    drop a LeftAnti join, and nothing may plan a cartesian product —
+    the shapes that keep the operator linear at 100 TB."""
+    from sec_financial_pipeline_spark.registry.llm_text import q_doc_boilerplate
+
+    plan = q_doc_boilerplate(spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # countDistinct plans as the two-exchange partial_count(distinct ...)
+    # shape: partial aggregation markers must be present
+    assert "partial_count" in plan or "partial_" in plan
