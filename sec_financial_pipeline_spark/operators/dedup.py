@@ -268,6 +268,74 @@ def reassemble_lines(
     )
 
 
+def repeated_kgram_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring spans (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": ExactSubstr) — the
+    corpus-wide duplicated-passage detector that catches what document-
+    and line-level dedup both miss (a paragraph pasted into otherwise-
+    distinct pages). For every document, emit the maximal token spans
+    whose every ``k``-token window occurs >= ``min_count`` times across
+    the whole corpus:
+
+    ``(id, span_start, span_end, n_windows)`` — token positions,
+    0-based inclusive; overlapping/abutting duplicated windows merge
+    into one span (window starts p, q belong together iff q - p <= k).
+
+    Scale shape, all linear: per-position k-grams come from the
+    ``token_shingles`` shift-chain (one pass, no per-element re-split);
+    the occurrence count is a partial-aggregable groupBy on the gram;
+    flagging is a ``left_semi`` join of positions against the
+    duplicated grams (output bounded by the flagged positions); span
+    merging is lag + running-sum windows PARTITIONED by document. The
+    100 TB variant joins on ``xxhash64(gram)`` like the contamination
+    audit's ``hash_shingles`` knob (8-byte exchange keys, pinned
+    shuffle join) — the oracled default keeps gram strings exact.
+    """
+    from pyspark.sql import Window
+
+    from sec_financial_pipeline_spark.operators.similarity import (
+        token_shingles,
+    )
+
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+    pos = toks.select(
+        F.col(id_col),
+        F.posexplode(token_shingles(F.col("__w"), k=k, distinct=False)).alias(
+            "pos", "gram"
+        ),
+    )
+    heavy = (
+        pos.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("gram")
+    )
+    flagged = pos.join(heavy, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)
+    ).otherwise(F.lit(1))
+    grouped = flagged.withColumn("__brk", brk).withColumn(
+        "__grp",
+        F.sum("__brk").over(
+            Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return grouped.groupBy(id_col, "__grp").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + (k - 1)).cast("bigint").alias("span_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+    ).select(id_col, "span_start", "span_end", "n_windows")
+
+
 def save_eval_shingle_store(
     eval_docs: DataFrame, text_col: str, path: str, k: int = 5
 ) -> None:

@@ -698,9 +698,7 @@ def q_mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "doc_redact",
-    r"""
+_PII_ORACLE = r"""
 WITH seeded AS (
   SELECT doc_id, source,
          text || CASE
@@ -733,10 +731,10 @@ SELECT source,
        max(md5(redacted)) AS max_redacted_hash
 FROM scrubbed
 GROUP BY source
-""",
-    survey="§2.9 text curation (PII redaction: ordered regex scrub of emails/SSNs/phones, JVM-side codegen, per-source audit counts + byte-exact scrubbed-text hashes)",
-)
-def q_doc_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_financial_pipeline_spark.operators.redact import redact
 
     d = load_table(spark, sf_dir, "documents")
@@ -778,4 +776,108 @@ def q_doc_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phone").cast("bigint").alias("phones_redacted"),
         F.min(F.md5(F.col("redacted"))).alias("min_redacted_hash"),
         F.max(F.md5(F.col("redacted"))).alias("max_redacted_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring spans (Lee et al. 2021 ExactSubstr; merged as
+# the `dup_spans` section of doc_redact — both are text-surgery passes):
+# maximal per-document token spans whose every k-token window occurs
+# >= 2 times corpus-wide. Catches the cross-document pasted passage
+# that document-level AND line-level dedup both miss.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # window tokens (sf0.01: 1,015 duplicated grams, 2,101 hits)
+
+_DUPSPAN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(w[i : i + {_SPAN_K - 1}], ' ') AS gram
+  FROM toks,
+  LATERAL (SELECT unnest(generate_series(1, len(w) - {_SPAN_K - 1})) AS i) u(i)
+),
+heavy AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+flagged AS (
+  SELECT p.doc_id, p.pos FROM pos p
+  WHERE p.gram IN (SELECT gram FROM heavy)
+),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SPAN_K} THEN 0 ELSE 1 END AS b
+  FROM flagged
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM brk
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM grp GROUP BY doc_id, g
+"""
+
+
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.dedup import (
+        repeated_kgram_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return repeated_kgram_spans(d, "doc_id", "text", k=_SPAN_K, min_count=2)
+
+
+_REDACT_ROW_SCHEMA = [
+    ("source", "string"),
+    ("n_docs", "bigint"),
+    ("emails_redacted", "bigint"),
+    ("ssns_redacted", "bigint"),
+    ("phones_redacted", "bigint"),
+    ("min_redacted_hash", "string"),
+    ("max_redacted_hash", "string"),
+    ("doc_id", "bigint"),
+    ("span_start", "bigint"),
+    ("span_end", "bigint"),
+    ("n_windows", "bigint"),
+]
+
+
+@register(
+    "doc_redact",
+    _union_sections_sql(
+        [
+            (
+                "pii",
+                _PII_ORACLE,
+                ["source", "n_docs", "emails_redacted", "ssns_redacted",
+                 "phones_redacted", "min_redacted_hash", "max_redacted_hash"],
+            ),
+            (
+                "dup_spans",
+                _DUPSPAN_ORACLE,
+                ["doc_id", "span_start", "span_end", "n_windows"],
+            ),
+        ],
+        _REDACT_ROW_SCHEMA,
+    ),
+    survey=(
+        "§2.9 text curation (PII redaction: ordered regex scrub of"
+        " emails/SSNs/phones, JVM-side codegen, per-source audit counts"
+        " + byte-exact scrubbed-text hashes) + exact repeated-substring"
+        " spans (Lee et al. 2021 ExactSubstr: per-position k-grams ->"
+        " corpus-wide occurrence counts -> semi-join flag -> overlap-"
+        " merged maximal spans; all linear, windows partitioned by doc)"
+    ),
+)
+def q_doc_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _union_sections(
+        [
+            ("pii", q_doc_redact_pii(spark, sf_dir)),
+            ("dup_spans", q_doc_dup_spans(spark, sf_dir)),
+        ],
+        _REDACT_ROW_SCHEMA,
     )

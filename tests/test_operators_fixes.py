@@ -157,3 +157,60 @@ def test_boilerplate_newline_path_drops_recurring_lines(spark):
     assert out[1] == "unique first line\nreal content one"
     assert out[2] == "real content two"
     assert out[3] == "real content three\nunique tail"
+
+
+def test_repeated_kgram_spans_match_bruteforce(spark, sf_dir):
+    """Pure-Python witness for the ExactSubstr span detector: per-pos
+    k-grams, corpus-wide counts, flag >= 2, merge window starts within
+    k, emit (start, end=max+k-1, n_windows) — the operator must
+    reproduce it exactly on a corpus slice."""
+    from sec_financial_pipeline_spark.operators.dedup import (
+        repeated_kgram_spans,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    K = 6
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(120)
+    # plant duplicates the slice is guaranteed to contain: (a) full-doc
+    # clones (cross-doc duplicated runs), (b) a doc repeating its own
+    # opening phrase (intra-doc span), (c) a shared pasted passage
+    # inside two otherwise-unique docs
+    clones = base.limit(4).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    extra = spark.createDataFrame(
+        [
+            (600_001, f"unique lead {passage} unique tail one x y"),
+            (600_002, f"other opening words {passage} closing run two"),
+            (600_003, "rep one two three four five six rep one two three four five six end"),
+        ],
+        "doc_id long, text string",
+    )
+    d = base.unionByName(clones).unionByName(extra)
+    docs = {r.doc_id: r.text.split(" ") for r in d.collect()}
+    counts: dict[str, int] = {}
+    grams: dict[int, list] = {}
+    for did, w in docs.items():
+        gs = [" ".join(w[i : i + K]) for i in range(len(w) - K + 1)]
+        grams[did] = gs
+        for g in gs:
+            counts[g] = counts.get(g, 0) + 1
+    expect = set()
+    for did, gs in grams.items():
+        flagged = [i for i, g in enumerate(gs) if counts[g] >= 2]
+        span: list = []
+        for p in flagged:
+            if span and p - span[-1] <= K:
+                span.append(p)
+            else:
+                if span:
+                    expect.add((did, span[0], span[-1] + K - 1, len(span)))
+                span = [p]
+        if span:
+            expect.add((did, span[0], span[-1] + K - 1, len(span)))
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in repeated_kgram_spans(d, "doc_id", "text", k=K).collect()
+    }
+    assert got == expect and len(expect) > 0
