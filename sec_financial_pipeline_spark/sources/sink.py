@@ -94,13 +94,15 @@ import time as _time
 #: lease paths currently held by THIS thread (re-entrancy guard —
 #: per-THREAD, not per-process: nesting like compact -> swap_rewrite is
 #: always same-thread, while two threads of one driver are two writers
-#: and must contend like two processes do)
+#: and must contend like two processes do). Maps lock path -> the
+#: acquisition token written into the marker, so release can verify
+#: ownership (see writer_lease).
 _HELD_LOCAL = _threading.local()
 
 
-def _held() -> set[str]:
+def _held() -> dict[str, str]:
     if not hasattr(_HELD_LOCAL, "paths"):
-        _HELD_LOCAL.paths = set()
+        _HELD_LOCAL.paths = {}
     return _HELD_LOCAL.paths
 
 #: a lease whose heartbeat is older than this is presumed crashed
@@ -117,15 +119,34 @@ def _lease_path(path: str) -> str:
     return path.rstrip("/") + "__lock"
 
 
-def _try_create_lease(fs, Path, lock: str) -> bool:
+def _try_create_lease(fs, Path, lock: str, token: str) -> bool:
     """Atomically create the lease marker; False if it already exists."""
     try:
         out = fs.create(Path(lock), False)  # overwrite=False: atomic claim
-        out.write(f"pid={_os.getpid()} t={int(_time.time())}".encode())
+        out.write(
+            f"pid={_os.getpid()} token={token} t={int(_time.time())}".encode()
+        )
         out.close()
         return True
     except Exception:
         return False
+
+
+def _lease_token(spark, fs, Path, lock: str) -> str | None:
+    """The token recorded in the current lease marker (None if absent
+    or unreadable)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        stream = fs.open(Path(lock))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+        body = bytes(baos.toByteArray()).decode("utf-8")
+        for part in body.split():
+            if part.startswith("token="):
+                return part[6:]
+    except Exception:
+        pass
+    return None
 
 
 @contextlib.contextmanager
@@ -136,12 +157,15 @@ def writer_lease(spark, path: str, ttl: float = LEASE_TTL_SEC):
     heartbeat mtime is older than ``ttl`` seconds is presumed crashed
     and broken. Re-entrant within a process, so compact's inner
     swap_rewrite shares the outer lease instead of deadlocking."""
+    import uuid as _uuid
+
     lock = _lease_path(path)
     if lock in _held():  # re-entrant: this thread's outer frame owns it
         yield
         return
+    token = _uuid.uuid4().hex
     fs, Path = _hadoop_fs(spark, path)
-    if not _try_create_lease(fs, Path, lock):
+    if not _try_create_lease(fs, Path, lock, token):
         # contention — live holder, or a crashed writer's stale lease
         try:
             age = _time.time() - fs.getFileStatus(
@@ -149,7 +173,7 @@ def writer_lease(spark, path: str, ttl: float = LEASE_TTL_SEC):
             ).getModificationTime() / 1000.0
         except Exception:
             age = 0.0  # holder released between our create and stat: retry
-        if age <= ttl and not _try_create_lease(fs, Path, lock):
+        if age <= ttl and not _try_create_lease(fs, Path, lock, token):
             raise WriterContention(
                 f"writer_lease: {path} is locked by another writer "
                 f"(lease {lock}, age {age:.0f}s <= ttl {ttl:.0f}s); "
@@ -158,17 +182,23 @@ def writer_lease(spark, path: str, ttl: float = LEASE_TTL_SEC):
             )
         if age > ttl:
             fs.delete(Path(lock), False)  # break the crashed writer's lease
-            if not _try_create_lease(fs, Path, lock):
+            if not _try_create_lease(fs, Path, lock, token):
                 raise WriterContention(
                     f"writer_lease: lost the race re-claiming a stale "
                     f"lease on {path}"
                 )
-    _held().add(lock)
+    _held()[lock] = token
     try:
         yield
     finally:
-        _held().discard(lock)
-        fs.delete(Path(lock), False)
+        _held().pop(lock, None)
+        # Ownership-checked release: an operation that outlived the TTL
+        # may have had its lease broken and re-claimed by another
+        # writer — deleting THE NEW HOLDER'S marker would let a third
+        # writer in concurrently. Only delete a marker still carrying
+        # our token; a lost lease is left for its new owner.
+        if _lease_token(spark, fs, Path, lock) == token:
+            fs.delete(Path(lock), False)
 
 
 def swap_rewrite(

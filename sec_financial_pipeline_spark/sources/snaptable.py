@@ -245,7 +245,14 @@ def _try_commit(
         out.close()
         return True
     except Exception:
-        return False
+        # Disambiguate: a LOST RACE means the version file now exists
+        # (someone else won it) — report False so the caller rebases or
+        # conflicts. Anything else (permissions, disk, network) is a
+        # genuine IO failure and must surface, not masquerade as 20
+        # "lost races" ending in a misleading SnapshotConflict.
+        if fs.exists(Path(_snap_path(path, version))):
+            return False
+        raise
 
 
 def create(

@@ -409,3 +409,28 @@ def test_swap_rewrite_idempotent_finish_when_reader_rolls_forward(
     assert got == [0, 3, 6, 9, 12]  # the new contents, installed once
     assert not os.path.exists(path + "__swap_tmp")
     assert not os.path.exists(path + "__lock")
+
+
+def test_lease_release_is_ownership_checked(spark, tmp_path):
+    """An operation that outlived the TTL and had its lease broken must
+    NOT delete the new holder's marker on exit — only a marker still
+    carrying the releaser's own token is removed."""
+    from sec_financial_pipeline_spark.sources.sink import (
+        _hadoop_fs,
+        writer_lease,
+    )
+
+    path = str(tmp_path / "ds")
+    spark.range(10).write.parquet(path)
+    lock = path + "__lock"
+    fs, Path = _hadoop_fs(spark, path)
+    with writer_lease(spark, path):
+        # simulate: our lease aged out, another writer broke it and
+        # re-claimed with its own token
+        fs.delete(Path(lock), False)
+        with open(lock, "w") as f:
+            f.write("pid=42424 token=someone-elses t=0")
+    # exit must have LEFT the other writer's marker in place
+    assert os.path.exists(lock)
+    assert "someone-elses" in open(lock).read()
+    os.remove(lock)
