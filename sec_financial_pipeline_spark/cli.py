@@ -563,15 +563,30 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             from sec_financial_pipeline_spark.registry import all_queries
 
             qs = all_queries()
+            # bench constituents (e.g. emb_pq_serve) are plan-auditable
+            # too, even when consolidated out of the 50-name registry;
+            # bench.py lives at the repo root, so outside a repo checkout
+            # the extras are simply unavailable
+            try:
+                from bench import _headline_fns
+
+                extras = {
+                    k: v for k, v in _headline_fns().items() if k not in qs
+                }
+            except ImportError:
+                extras = {}
             if args.query == "list":
-                print("\n".join(qs))
+                print("\n".join(list(qs) + sorted(extras)))
                 return 0
-            if args.query not in qs:
-                raise SystemExit(
-                    f"unknown query: {args.query!r} (try 'explain list')"
-                )
-            qs[args.query].fn(spark, args.sf_dir).explain(mode=args.mode)
-            return 0
+            if args.query in qs:
+                qs[args.query].fn(spark, args.sf_dir).explain(mode=args.mode)
+                return 0
+            if args.query in extras:
+                extras[args.query](spark, args.sf_dir).explain(mode=args.mode)
+                return 0
+            raise SystemExit(
+                f"unknown query: {args.query!r} (try 'explain list')"
+            )
         if args.cmd == "tools":
             from sec_financial_pipeline_spark.plans.tools import ToolRegistry
 

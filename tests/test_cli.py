@@ -362,3 +362,19 @@ def test_snap_lifecycle_via_cli(tmp_path, capsys, spark):
     assert vac["files_deleted"] > 0
     log = _run(capsys, spark, ["snap", "log", "--table", table])
     assert log["versions"] == [5] and log["rows_head"] == 130
+
+
+def test_explain_covers_bench_constituents(capsys, spark, sf_dir):
+    """explain resolves bench constituents (serve rows etc.) that are
+    consolidated out of the 50-name registry, and lists them."""
+    from sec_financial_pipeline_spark.cli import main
+
+    assert main(["--sf-dir", sf_dir, "explain", "list"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "emb_pq_serve" in out
+    assert main(
+        ["--sf-dir", sf_dir, "explain", "emb_pq_serve", "--mode", "simple"],
+        spark=spark,
+    ) == 0
+    plan = capsys.readouterr().out
+    assert "Physical Plan" in plan
