@@ -70,6 +70,29 @@ def time_paths(spark, sf_dir: str) -> dict:
     t = time.perf_counter()
     pack_offsets(toks, "doc_id", "n_tok", 1024).count()
     out["packing_sec"] = round(time.perf_counter() - t, 2)
+
+    # r8 per-document hot paths: the line-dedup chain (explode+regroup
+    # segments — NOT per-row HOF slicing, which would be quadratic in
+    # doc length) and the ExactSubstr span detector (per-position
+    # k-grams via the shift-chain). Both must stay flat as avg_tokens
+    # grows at constant total tokens.
+    from sec_financial_pipeline_spark.operators.dedup import (
+        drop_boilerplate_lines,
+        reassemble_lines,
+        repeated_kgram_spans,
+        token_segment_lines,
+    )
+
+    t = time.perf_counter()
+    lines = token_segment_lines(d, "doc_id", "text", 3)
+    reassemble_lines(
+        drop_boilerplate_lines(lines, "doc_id", 3), "doc_id", sep=" "
+    ).count()
+    out["boilerplate_sec"] = round(time.perf_counter() - t, 2)
+
+    t = time.perf_counter()
+    repeated_kgram_spans(d, "doc_id", "text", k=8).count()
+    out["dup_spans_sec"] = round(time.perf_counter() - t, 2)
     return out
 
 
