@@ -107,6 +107,11 @@ def _headline_fns():
         "doc_incr_dedup_serve": similarity.q_doc_incr_dedup_serve,
         "doc_contamination": similarity.q_doc_contamination,
         "doc_boilerplate": llm_text.q_doc_boilerplate,
+        # r8: the registry row gained a `batches` section (length-
+        # bucketed batch assembly); the bench keeps timing the pure
+        # concat-chunk offsets plan under the historical name so the
+        # pack row stays like-for-like round-over-round.
+        "doc_pack_chunks": llm_text.q_doc_pack_offsets,
     }
     queries = all_queries()
     return {

@@ -197,6 +197,63 @@ def pack_offsets(
     )
 
 
+def length_bucketed_batches(
+    df: DataFrame,
+    order_col: str,
+    size_col: str,
+    token_budget: int,
+    pad_multiple: int = 64,
+    max_batch_rows: int | None = None,
+) -> DataFrame:
+    """Padded-batch assembly — the OTHER standard training-data layout
+    beside concat-then-chunk: documents are padded to a length band and
+    grouped into batches under a token budget, so a dataloader reads
+    (batch -> rows) with bounded padding waste and bounded batch
+    memory. fairseq-style length bucketing, made deterministic and
+    distributed:
+
+    - ``band``      = size rounded UP to the next ``pad_multiple``
+      (integer math — exact on any engine, unlike float log2 bands);
+      the band IS the padded per-row cost.
+    - ``capacity``  = how many rows fit a batch:
+      ``max(floor(token_budget / band), 1)`` (an over-budget document
+      gets a solo batch rather than vanishing), optionally capped by
+      ``max_batch_rows``.
+    - ``batch_no``  = ``floor((rank - 1) / capacity)`` where rank is
+      the row's position within its band ordered by ``order_col`` — a
+      pure function of (band, key order), so the same batches come out
+      on any cluster layout. Batch identity is ``(band, batch_no)``.
+
+    Per-batch guarantee: ``count <= capacity`` and, for bands within
+    budget, ``count * band <= token_budget``.
+
+    Scale shape: one partitioned window per band (rank within band) —
+    bands are few and balanced by construction; no global sort, no
+    driver state. Output adds ``band``/``padded_tokens``/``batch_no``/
+    ``batch_capacity``.
+    """
+    band = (
+        (F.ceil(F.col(size_col).cast("long") / pad_multiple) * pad_multiple)
+        .cast("long")
+    )
+    band = F.greatest(band, F.lit(pad_multiple).cast("long"))
+    capacity = F.greatest(
+        F.floor(F.lit(token_budget) / F.col("band")).cast("long"), F.lit(1)
+    )
+    if max_batch_rows is not None:
+        capacity = F.least(capacity, F.lit(max_batch_rows).cast("long"))
+    w = Window.partitionBy("band").orderBy(order_col)
+    return (
+        df.withColumn("band", band)
+        .withColumn("batch_capacity", capacity)
+        .withColumn(
+            "batch_no",
+            F.floor((F.row_number().over(w) - 1) / F.col("batch_capacity")),
+        )
+        .withColumn("padded_tokens", F.col("band"))
+    )
+
+
 def assemble_chunks(
     packed: DataFrame, size_col: str, chunk_tokens: int
 ) -> DataFrame:

@@ -549,9 +549,7 @@ def _pack_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_pack_chunks",
-    f"""
+_OFFSETS_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
 ),
@@ -565,10 +563,10 @@ SELECT doc_id, CAST(off AS BIGINT) AS offset,
        CAST(off // {_CHUNK_TOKENS} AS BIGINT) AS first_chunk,
        CAST((off + greatest(n_tok, 1) - 1) // {_CHUNK_TOKENS} AS BIGINT) AS last_chunk
 FROM cum
-""",
-    survey="§2.9 sequence packing (concat-then-chunk token offsets; two-phase exact prefix sum, no global single-task window)",
-)
-def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def q_doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_financial_pipeline_spark.operators.packing import pack_offsets
 
     d = _pack_sizes(spark, sf_dir)
@@ -577,6 +575,105 @@ def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         reuse=_pack_reuse(spark, sf_dir),
     )
     return packed.select("doc_id", "offset", "first_chunk", "last_chunk")
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed padded-batch assembly (fairseq-style bucketing, made
+# deterministic/distributed) — the `batches` section of doc_pack_chunks:
+# the OTHER standard dataloader layout beside concat-then-chunk.
+# ---------------------------------------------------------------------------
+
+_BATCH_BUDGET = 512  # padded tokens per batch
+_BATCH_PAD = 32  # pad-to-multiple band granularity
+
+_BATCHES_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+banded AS (
+  SELECT doc_id, n_tok,
+         greatest(CAST(ceil(n_tok / {_BATCH_PAD}.0) AS BIGINT) * {_BATCH_PAD},
+                  {_BATCH_PAD}) AS band
+  FROM toks
+),
+capd AS (
+  SELECT *, greatest(CAST(floor({_BATCH_BUDGET}.0 / band) AS BIGINT), 1)
+            AS batch_capacity
+  FROM banded
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rk
+  FROM capd
+)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tok, band, batch_capacity,
+       CAST((rk - 1) // batch_capacity AS BIGINT) AS batch_no,
+       band AS padded_tokens
+FROM ranked
+"""
+
+
+def q_doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    d = _pack_sizes(spark, sf_dir)
+    return length_bucketed_batches(
+        d, order_col="doc_id", size_col="n_tok",
+        token_budget=_BATCH_BUDGET, pad_multiple=_BATCH_PAD,
+    ).select(
+        "doc_id", "n_tok", "band", "batch_capacity", "batch_no",
+        "padded_tokens",
+    )
+
+
+_PACK_ROW_SCHEMA = [
+    ("doc_id", "bigint"),
+    ("offset", "bigint"),
+    ("first_chunk", "bigint"),
+    ("last_chunk", "bigint"),
+    ("n_tok", "int"),
+    ("band", "bigint"),
+    ("batch_capacity", "bigint"),
+    ("batch_no", "bigint"),
+    ("padded_tokens", "bigint"),
+]
+
+
+@register(
+    "doc_pack_chunks",
+    _union_sections_sql(
+        [
+            (
+                "offsets",
+                _OFFSETS_ORACLE,
+                ["doc_id", "offset", "first_chunk", "last_chunk"],
+            ),
+            (
+                "batches",
+                _BATCHES_ORACLE,
+                ["doc_id", "n_tok", "band", "batch_capacity", "batch_no",
+                 "padded_tokens"],
+            ),
+        ],
+        _PACK_ROW_SCHEMA,
+    ),
+    survey=(
+        "§2.9 sequence packing (concat-then-chunk token offsets;"
+        " two-phase exact prefix sum, no global single-task window)"
+        " + length-bucketed padded-batch assembly (pad-to-multiple"
+        " bands, per-band capacity under a token budget, deterministic"
+        " batch ids from band-partitioned ranks)"
+    ),
+)
+def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _union_sections(
+        [
+            ("offsets", q_doc_pack_offsets(spark, sf_dir)),
+            ("batches", q_doc_length_batches(spark, sf_dir)),
+        ],
+        _PACK_ROW_SCHEMA,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -190,3 +190,74 @@ def test_zero_size_rows_pack_and_assemble(spark):
     assert all(r.slice_len == 0 for r in zero_slices)
     total = sum(r.slice_len for r in chunks)
     assert total == sum(n for _, n in rows)
+
+
+def test_length_bucketed_batches_invariants(spark, sf_dir):
+    """Padded-batch assembly: every batch respects its band capacity,
+    every within-budget band's batch fits the token budget exactly by
+    construction, an over-budget doc gets a solo batch, and the batch
+    assignment is a pure function of (band, key) — identical on any
+    partitioning."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    BUDGET, PAD = 512, 32
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+        # plant an over-budget document: must get a solo batch
+        .unionByName(
+            spark.createDataFrame([(990_001, 2000)], "doc_id long, n_tok int")
+        )
+    )
+    out = length_bucketed_batches(
+        d, "doc_id", "n_tok", token_budget=BUDGET, pad_multiple=PAD
+    )
+    rows = out.collect()
+    assert len(rows) == d.count()
+    # band arithmetic: next multiple of PAD, >= PAD
+    for r in rows:
+        assert r.band % PAD == 0 and r.band >= max(r.n_tok, PAD) > r.band - PAD
+    per_batch = (
+        out.groupBy("band", "batch_no")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("batch_capacity").alias("cap"),
+            F.sum("padded_tokens").alias("padded"),
+        )
+        .collect()
+    )
+    for b in per_batch:
+        assert b.n <= b.cap
+        if b.band <= BUDGET:
+            assert b.padded <= BUDGET
+    solo = [r for r in rows if r.doc_id == 990_001]
+    assert solo[0].batch_capacity == 1 and solo[0].band == 2016
+    # determinism across physical layouts
+    a = {
+        (r.doc_id, r.band, r.batch_no)
+        for r in length_bucketed_batches(
+            d.repartition(1), "doc_id", "n_tok", BUDGET, PAD
+        ).collect()
+    }
+    b = {
+        (r.doc_id, r.band, r.batch_no)
+        for r in length_bucketed_batches(
+            d.repartition(17), "doc_id", "n_tok", BUDGET, PAD
+        ).collect()
+    }
+    assert a == b
+    # max_batch_rows cap binds
+    capped = length_bucketed_batches(
+        d, "doc_id", "n_tok", BUDGET, PAD, max_batch_rows=3
+    )
+    assert (
+        capped.groupBy("band", "batch_no")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 3)
+        .count()
+        == 0
+    )
