@@ -191,6 +191,14 @@ def _cmd_dedup(args, spark: SparkSession) -> dict:
         )
         return {"store": args.store, "files_after": n}
     if args.dedup_cmd == "status":
+        from sec_financial_pipeline_spark.streaming.ingest import store_exists
+
+        # a never-built store is a normal answer for a status probe,
+        # not a crash (load_signature_store raises FileNotFoundError);
+        # the check goes through the Hadoop FS API so remote store URIs
+        # answer correctly
+        if not store_exists(spark, args.store):
+            return {"store": args.store, "exists": False}
         store = S.load_signature_store(spark, args.store)
         per_band = {
             str(r["band_no"]): r["n"]

@@ -378,3 +378,13 @@ def test_explain_covers_bench_constituents(capsys, spark, sf_dir):
     ) == 0
     plan = capsys.readouterr().out
     assert "Physical Plan" in plan
+
+
+def test_dedup_status_reports_absent_store(tmp_path, capsys, spark):
+    """status on a never-built store answers {exists: false} instead of
+    surfacing a FileNotFoundError traceback."""
+    res = _run(
+        capsys, spark,
+        ["dedup", "status", "--store", str(tmp_path / "never_built")],
+    )
+    assert res == {"store": str(tmp_path / "never_built"), "exists": False}
