@@ -336,6 +336,58 @@ def repeated_kgram_spans(
     ).select(id_col, "span_start", "span_end", "n_windows")
 
 
+def bigram_support_profile(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    support_cap: int = 100,
+    rare_max: int = 2,
+) -> DataFrame:
+    """Corpus-LM fluency/rarity signal — the integer-exact analog of
+    CCNet's LM-perplexity filter (Wenzek et al. 2020 §3.2 score docs by
+    a language model; here the "model" is the corpus' own bigram
+    counts, the standard self-supervised stand-in when no external LM
+    ships with the engine): per document,
+
+    - ``n_bigrams``    — adjacent token pairs;
+    - ``support_sum``  — sum over its bigrams of min(corpus count,
+      ``support_cap``): high = built from common constructions, low =
+      unusual sequences (the perplexity direction, without floats);
+    - ``n_rare``       — bigrams whose corpus count <= ``rare_max``
+      (near-unique sequences: gibberish, OCR noise, or genuinely novel
+      text).
+
+    Deliberately ALL-INTEGER outputs: log-probabilities would make the
+    score order-dependent (double sums) or rounding-boundary-fragile
+    across engines (a ratio like S/128 lands exactly on a 6-decimal
+    half boundary, where Spark's HALF_UP and a double nearbyint
+    disagree — the class of bug the repo's decimal-sum policy exists
+    for). Consumers threshold or divide driver-side.
+
+    Scale shape: one explode + a doc-partitioned ``lead`` window for
+    bigram pairs; corpus counts are a partial-aggregable groupBy; the
+    score join is an equi-join on the bigram key (AQE handles hot
+    bigrams); per-doc aggregation is map-side combinable.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w1"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    occ = toks.withColumn("w2", F.lead("w1").over(w)).filter(
+        F.col("w2").isNotNull()
+    )
+    c12 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = occ.join(c12, ["w1", "w2"])
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.least(F.col("c12"), F.lit(support_cap))).alias("support_sum"),
+        F.sum((F.col("c12") <= rare_max).cast("long")).alias("n_rare"),
+    )
+
+
 def save_eval_shingle_store(
     eval_docs: DataFrame, text_col: str, path: str, k: int = 5
 ) -> None:

@@ -866,6 +866,45 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-LM fluency/rarity profile (CCNet-style LM filtering with the
+# corpus' own bigram counts as the model; integer-exact by design —
+# see operators/dedup.py::bigram_support_profile). Third section of
+# doc_ngram_jaccard: same n-gram-statistics family, registry stays 50.
+# ---------------------------------------------------------------------------
+
+_FLU_CAP = 100
+_FLU_RARE = 2
+
+_FLUENCY_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+occ AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks,
+  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) u(i)
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY w1, w2)
+SELECT o.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(least(c.c12, {_FLU_CAP})) AS BIGINT) AS support_sum,
+       CAST(sum(CASE WHEN c.c12 <= {_FLU_RARE} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare
+FROM occ o JOIN c12 c ON c.w1 = o.w1 AND c.w2 = o.w2
+GROUP BY o.doc_id
+"""
+
+
+def q_doc_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.dedup import (
+        bigram_support_profile,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_support_profile(
+        d, "doc_id", "text", support_cap=_FLU_CAP, rare_max=_FLU_RARE
+    )
+
+
 _NGRAM_SCHEMA = [
     ("id_a", "bigint"),
     ("id_b", "bigint"),
@@ -875,6 +914,10 @@ _NGRAM_SCHEMA = [
     ("n_contaminated", "bigint"),
     ("contamination_rate", "double"),
     ("max_overlap", "bigint"),
+    ("doc_id", "bigint"),
+    ("n_bigrams", "bigint"),
+    ("support_sum", "bigint"),
+    ("n_rare", "bigint"),
 ]
 
 from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
@@ -891,6 +934,11 @@ _NGRAM_MERGED_ORACLE = union_sections_sql(
             ["source", "n_eval", "n_contaminated", "contamination_rate",
              "max_overlap"],
         ),
+        (
+            "fluency",
+            _FLUENCY_ORACLE,
+            ["doc_id", "n_bigrams", "support_sum", "n_rare"],
+        ),
     ],
     _NGRAM_SCHEMA,
 )
@@ -903,6 +951,9 @@ _NGRAM_MERGED_ORACLE = union_sections_sql(
         "§2.9 dedup-ngram-jaccard (shared-shingle candidates, exact Jaccard)"
         " + train/eval n-gram contamination audit (GPT-3-style overlap"
         " decontamination; hash-split, semi-join counts, per-source rates)"
+        " + corpus-LM bigram fluency/rarity profile (CCNet-style LM"
+        " filtering signal, integer-exact: per-doc capped support sum and"
+        " rare-bigram count against corpus bigram statistics)"
     ),
 )
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,6 +961,7 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("jaccard", q_doc_ngram_jaccard_pairs(spark, sf_dir)),
             ("contamination", q_doc_contamination(spark, sf_dir)),
+            ("fluency", q_doc_fluency(spark, sf_dir)),
         ],
         _NGRAM_SCHEMA,
     )

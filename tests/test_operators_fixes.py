@@ -214,3 +214,39 @@ def test_repeated_kgram_spans_match_bruteforce(spark, sf_dir):
         for r in repeated_kgram_spans(d, "doc_id", "text", k=K).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_bigram_support_profile_matches_bruteforce(spark, sf_dir):
+    """Pure-Python witness for the corpus-LM fluency profile: corpus
+    bigram counts, per-doc capped support sums and rare counts — the
+    operator must reproduce them exactly."""
+    from sec_financial_pipeline_spark.operators.dedup import (
+        bigram_support_profile,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    CAP, RARE = 10, 2
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(150)
+    docs = {r.doc_id: r.text.split(" ") for r in d.collect()}
+    counts: dict[tuple, int] = {}
+    for w in docs.values():
+        for i in range(len(w) - 1):
+            counts[(w[i], w[i + 1])] = counts.get((w[i], w[i + 1]), 0) + 1
+    expect = {}
+    for did, w in docs.items():
+        bgs = [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+        if bgs:
+            expect[did] = (
+                len(bgs),
+                sum(min(counts[b], CAP) for b in bgs),
+                sum(1 for b in bgs if counts[b] <= RARE),
+            )
+    got = {
+        r.doc_id: (r.n_bigrams, r.support_sum, r.n_rare)
+        for r in bigram_support_profile(
+            d, "doc_id", "text", support_cap=CAP, rare_max=RARE
+        ).collect()
+    }
+    assert got == expect and len(expect) > 0
+    # signal sanity: rare bigrams exist AND common ones hit the cap
+    assert any(v[2] > 0 for v in expect.values())
