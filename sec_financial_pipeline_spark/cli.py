@@ -377,6 +377,27 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "versions": T.versions(spark, args.table),
             "rows_head": T.read(spark, args.table).count(),
         }
+    if args.snap_cmd == "scan":
+        partitions = None
+        if args.partition:
+            partitions = dict(kv.split("=", 1) for kv in args.partition)
+        between = None
+        if args.between:
+            col, lo, hi = args.between
+            between = (col, float(lo), float(hi))
+        m = T._manifest(spark, args.table, args.version)
+        pruned = T._select_entries(m, partitions, between)
+        df = T.scan(
+            spark, args.table, version=args.version,
+            partitions=partitions, between=between,
+        )
+        return {
+            "table": args.table,
+            "version": m["version"],
+            "files_total": len(m["files"]),
+            "files_scanned": len(pruned),
+            "rows": df.count(),
+        }
     raise SystemExit(f"unknown snap command: {args.snap_cmd}")
 
 
@@ -503,6 +524,24 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sv.add_argument("--min-age-sec", type=float, default=3600.0)
     sl = snap_sub.add_parser("log")
     sl.add_argument("--table", required=True)
+    ss = snap_sub.add_parser(
+        "scan", help="pruned read: partition equality and/or stats range"
+    )
+    ss.add_argument("--table", required=True)
+    ss.add_argument("--version", type=int, default=None)
+    ss.add_argument(
+        "--partition",
+        action="append",
+        default=[],
+        metavar="COL=VALUE",
+        help="partition equality filter (repeatable)",
+    )
+    ss.add_argument(
+        "--between",
+        nargs=3,
+        metavar=("COL", "LO", "HI"),
+        help="numeric range filter using footer min/max file skipping",
+    )
 
     serve = sub.add_parser("serve", help="HTTP facade server (blocking)")
     serve.add_argument("--host", default="127.0.0.1")

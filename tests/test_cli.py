@@ -388,3 +388,31 @@ def test_dedup_status_reports_absent_store(tmp_path, capsys, spark):
         ["dedup", "status", "--store", str(tmp_path / "never_built")],
     )
     assert res == {"store": str(tmp_path / "never_built"), "exists": False}
+
+
+def test_snap_scan_reports_pruning(tmp_path, capsys, spark):
+    """snap scan: partition and stats filters prune files at the
+    manifest level and report how many files were actually touched."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    data = str(tmp_path / "d")
+    spark.range(0, 300).select(
+        "id", (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+    ).write.parquet(data)
+    table = str(tmp_path / "t")
+    T.create(spark.read.parquet(data), table, partition_cols=("p",))
+
+    res = _run(
+        capsys, spark,
+        ["snap", "scan", "--table", table, "--partition", "p=1"],
+    )
+    assert res["rows"] == 100
+    assert res["files_scanned"] < res["files_total"]
+
+    res2 = _run(
+        capsys, spark,
+        ["snap", "scan", "--table", table, "--between", "id", "10", "19"],
+    )
+    assert res2["rows"] == 10
