@@ -377,6 +377,17 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "versions": T.versions(spark, args.table),
             "rows_head": T.read(spark, args.table).count(),
         }
+    if args.snap_cmd == "merge":
+        v = T.merge_upsert(
+            spark.read.parquet(args.data), args.table,
+            key_cols=args.keys.split(","),
+        )
+        return {
+            "table": args.table,
+            "version": v,
+            "op": "merge",
+            "rows": T.read(spark, args.table).count(),
+        }
     if args.snap_cmd == "scan":
         partitions = None
         if args.partition:
@@ -524,6 +535,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sv.add_argument("--min-age-sec", type=float, default=3600.0)
     sl = snap_sub.add_parser("log")
     sl.add_argument("--table", required=True)
+    sm = snap_sub.add_parser(
+        "merge", help="upsert: replace matching keys + insert, one commit"
+    )
+    sm.add_argument("--table", required=True)
+    sm.add_argument("--data", required=True, help="input parquet")
+    sm.add_argument("--keys", required=True, help="comma-separated key cols")
     ss = snap_sub.add_parser(
         "scan", help="pruned read: partition equality and/or stats range"
     )

@@ -379,6 +379,7 @@ def append(df: DataFrame, path: str) -> int:
     retries on the new head; data is never written twice."""
     spark = df.sparkSession
     head = _manifest(spark, path, None)
+    _check_schema(df, head, "append")
     new_files = _write_files(
         df, path, tuple(head.get("partition_cols", ())),
         head.get("stats_cols", []),
@@ -401,6 +402,53 @@ def append(df: DataFrame, path: str) -> int:
     raise SnapshotConflict(
         f"snaptable: append lost {_MAX_RETRIES} version races at {path}"
     )
+
+
+def _check_schema(df: DataFrame, head: dict, op: str) -> None:
+    """Loud schema guard: committing files whose schema differs from
+    the table's would poison later reads with a parquet schema-merge
+    surprise (missing columns silently null, type widenings engine-
+    dependent). Field ORDER is not significant — reads go through the
+    manifest schema — but names and types are."""
+    table = {
+        (f["name"], json.dumps(f["type"], sort_keys=True))
+        for f in json.loads(head["schema"])["fields"]
+    }
+    incoming = {
+        (f["name"], json.dumps(f["type"], sort_keys=True))
+        for f in json.loads(df.schema.json())["fields"]
+    }
+    if table != incoming:
+        raise ValueError(
+            f"snaptable: {op} schema mismatch — table has "
+            f"{sorted(n for n, _ in table)}, incoming has "
+            f"{sorted(n for n, _ in incoming)} (or a type differs); "
+            f"evolve the table explicitly rather than mixing file schemas"
+        )
+
+
+def merge_upsert(df: DataFrame, path: str, key_cols: list[str]) -> int:
+    """MERGE/upsert in ONE atomic commit: rows of the table whose
+    ``key_cols`` match an incoming row are replaced by it; unmatched
+    incoming rows are inserted. Equivalent to delete-matching + append,
+    but as a single version — a reader can never observe the deleted-
+    but-not-yet-reinserted intermediate state the two-commit form
+    exposes.
+
+    Scale shape: one ``left_anti`` join of the current snapshot against
+    the (typically small, broadcastable) incoming key set, union, one
+    rewrite commit. Like every rewrite, conflicts loudly if any commit
+    raced in after the snapshot was resolved (no silent lost update).
+    """
+    spark = df.sparkSession
+    base = _manifest(spark, path, None)
+    _check_schema(df, base, "merge")
+    from pyspark.sql import functions as F  # noqa: F401
+
+    keys = df.select(*key_cols).distinct()
+    survivors = _df_for(spark, path, base).join(keys, key_cols, "left_anti")
+    merged = survivors.unionByName(df)
+    return _rewrite_commit(spark, path, merged, "merge", base)
 
 
 def _rewrite_commit(

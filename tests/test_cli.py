@@ -416,3 +416,23 @@ def test_snap_scan_reports_pruning(tmp_path, capsys, spark):
         ["snap", "scan", "--table", table, "--between", "id", "10", "19"],
     )
     assert res2["rows"] == 10
+
+
+def test_snap_merge_via_cli(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    data = str(tmp_path / "d")
+    up = str(tmp_path / "u")
+    spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")).write.parquet(data)
+    spark.createDataFrame([(3, 999), (50, 777)], "id long, v long").write.parquet(up)
+    table = str(tmp_path / "t")
+    T.create(spark.read.parquet(data), table)
+    res = _run(
+        capsys, spark,
+        ["snap", "merge", "--table", table, "--data", up, "--keys", "id"],
+    )
+    assert res["version"] == 2 and res["rows"] == 11
+    got = {r.id: r.v for r in T.read(spark, table).collect()}
+    assert got[3] == 999 and got[50] == 777 and got[4] == 8

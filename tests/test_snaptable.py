@@ -359,3 +359,39 @@ def test_signature_store_on_snaptable_matches_classic_store(spark, sf_dir, tmp_p
     assert T.read(spark, snap, version=2).filter(
         F.col("id").isin(forget)
     ).count() > 0  # history retained until vacuum
+
+
+def test_merge_upsert_is_one_atomic_version(spark, tmp_path):
+    """MERGE: matched keys replaced, unmatched inserted, ONE new
+    version — no observable deleted-but-not-reinserted intermediate;
+    the pre-merge snapshot time-travels intact."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)  # v = id * 2
+    incoming = spark.createDataFrame(
+        [(3, 999), (4, 888), (100, 777)], "id long, v long"
+    )
+    v = T.merge_upsert(incoming, path, key_cols=["id"])
+    assert v == 2
+    got = {r.id: r.v for r in T.read(spark, path).collect()}
+    assert got[3] == 999 and got[4] == 888 and got[100] == 777
+    assert got[5] == 10  # untouched row survives
+    assert len(got) == 11  # 10 originals (2 replaced) + 1 insert
+    old = {r.id: r.v for r in T.read(spark, path, version=1).collect()}
+    assert old[3] == 6 and 100 not in old
+
+
+def test_schema_mismatch_is_loud(spark, tmp_path):
+    """Appending or merging a different schema fails with a clear
+    error instead of poisoning later reads with a parquet schema-merge
+    surprise. Field order is not significant."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    wrong = spark.createDataFrame([(1, "x")], "id long, other string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        T.append(wrong, path)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        T.merge_upsert(wrong, path, key_cols=["id"])
+    # reordered columns, same (name, type) set: accepted
+    reordered = spark.createDataFrame([(42, 21)], "v long, id long")
+    T.append(reordered.select("v", "id"), path)
+    assert T.read(spark, path).count() == 11
