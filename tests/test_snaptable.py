@@ -254,7 +254,9 @@ import tempfile  # noqa: E402
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 _OPS = st.lists(
-    st.sampled_from(["append", "delete_mod3", "compact", "rollback_first"]),
+    st.sampled_from(
+        ["append", "delete_mod3", "compact", "rollback_first", "merge"]
+    ),
     min_size=1,
     max_size=5,
 )
@@ -264,34 +266,55 @@ _OPS = st.lists(
 @given(ops=_OPS)
 def test_snaptable_matches_python_model(spark, ops):
     path = tempfile.mkdtemp(prefix="snapmodel_") + "/t"
-    rows = list(range(10))
+    rows = {i: i * 10 for i in range(10)}  # id -> v model
     T.create(
-        spark.createDataFrame([(i,) for i in rows], "id long"), path
+        spark.createDataFrame(
+            [(i, v) for i, v in rows.items()], "id long, v long"
+        ),
+        path,
     )
-    history = {1: list(rows)}  # version -> model rows
+    history = {1: dict(rows)}  # version -> model
     next_id = 1000
     for op in ops:
         if op == "append":
-            new = list(range(next_id, next_id + 7))
+            new = {i: i * 10 for i in range(next_id, next_id + 7)}
             next_id += 7
             v = T.append(
-                spark.createDataFrame([(i,) for i in new], "id long"), path
+                spark.createDataFrame(
+                    [(i, x) for i, x in new.items()], "id long, v long"
+                ),
+                path,
             )
-            rows = rows + new
+            rows = {**rows, **new}
         elif op == "delete_mod3":
             v = T.delete_where(spark, path, "id % 3 = 0")
-            rows = [i for i in rows if i % 3 != 0]
+            rows = {i: x for i, x in rows.items() if i % 3 != 0}
         elif op == "compact":
             v = T.compact(spark, path, target_files=1)
+        elif op == "merge":
+            # replace up to 3 existing rows, insert 2 fresh ids
+            upd = {i: -i for i in sorted(rows)[:3]}
+            ins = {next_id: -next_id, next_id + 1: -(next_id + 1)}
+            next_id += 2
+            inc = {**upd, **ins}
+            v = T.merge_upsert(
+                spark.createDataFrame(
+                    [(i, x) for i, x in inc.items()], "id long, v long"
+                ),
+                path,
+                key_cols=["id"],
+            )
+            rows = {**rows, **inc}
         else:  # rollback_first
             v = T.rollback(spark, path, to_version=1)
-            rows = list(history[1])
-        history[v] = list(rows)
-        assert sorted(r.id for r in T.read(spark, path).collect()) == sorted(rows)
+            rows = dict(history[1])
+        history[v] = dict(rows)
+        got = {r.id: r.v for r in T.read(spark, path).collect()}
+        assert got == rows
     # every retained version time-travels to its recorded contents
     for v, model in history.items():
-        got = sorted(r.id for r in T.read(spark, path, version=v).collect())
-        assert got == sorted(model), f"version {v}"
+        got = {r.id: r.v for r in T.read(spark, path, version=v).collect()}
+        assert got == model, f"version {v}"
 
 
 # ---------------------------------------------------------------------------
