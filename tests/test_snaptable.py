@@ -418,3 +418,23 @@ def test_schema_mismatch_is_loud(spark, tmp_path):
     reordered = spark.createDataFrame([(42, 21)], "v long, id long")
     T.append(reordered.select("v", "id"), path)
     assert T.read(spark, path).count() == 11
+
+
+def test_merge_upsert_on_partitioned_table(spark, tmp_path):
+    """MERGE inherits the table's partitioning: after the upsert the
+    layout still prunes by partition and values are replaced exactly."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 90).select(
+        "id", (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    T.create(df, path, partition_cols=("p",))
+    incoming = spark.createDataFrame(
+        [(6, 0, 999), (500, 2, 777)], "id long, p long, v long"
+    )
+    T.merge_upsert(incoming, path, key_cols=["id"])
+    m = T._manifest(spark, path, None)
+    assert m["partition_cols"] == ["p"]
+    got = {r.id: r.v for r in T.scan(spark, path, partitions={"p": 0}).collect()}
+    assert got[6] == 999 and got[9] == 18
+    assert {r.id: r.v for r in T.scan(spark, path, partitions={"p": 2}).collect()}[500] == 777
+    assert T.read(spark, path).count() == 91
