@@ -119,17 +119,55 @@ def _lease_path(path: str) -> str:
     return path.rstrip("/") + "__lock"
 
 
-def _try_create_lease(fs, Path, lock: str, token: str) -> bool:
-    """Atomically create the lease marker; False if it already exists."""
+def _local_path(p: str) -> str:
+    if p.startswith("file://"):
+        return p[7:]
+    if p.startswith("file:"):
+        return p[5:]
+    return p
+
+
+def atomic_create(fs, Path, target: str, body: bytes) -> bool:
+    """Create-if-absent with REAL atomicity on every scheme; False when
+    the target already exists. The subtlety this wraps:
+    ``FileSystem.create(path, overwrite=false)`` is atomic on HDFS but
+    CHECK-then-create on ``RawLocalFileSystem`` — a TOCTOU window two
+    racing local writers can both slip through (caught by the
+    multi-writer storm test: both 'won' a lease and one compact's
+    _temporary dir was clobbered mid-write). Local paths therefore go
+    through POSIX ``O_CREAT|O_EXCL``, which the kernel makes atomic;
+    remote schemes keep the Hadoop call."""
     try:
-        out = fs.create(Path(lock), False)  # overwrite=False: atomic claim
-        out.write(
-            f"pid={_os.getpid()} token={token} t={int(_time.time())}".encode()
-        )
+        scheme = fs.getScheme()
+    except Exception:
+        scheme = "file"
+    if scheme == "file":
+        try:
+            fd = _os.open(
+                _local_path(target), _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY
+            )
+        except OSError:
+            return False
+        with _os.fdopen(fd, "wb") as f:
+            f.write(body)
+        return True
+    try:
+        out = fs.create(Path(target), False)
+        out.write(body)
         out.close()
         return True
     except Exception:
         return False
+
+
+def _try_create_lease(fs, Path, lock: str, token: str) -> bool:
+    """Atomically create the lease marker; False if it already exists."""
+    return atomic_create(
+        fs,
+        Path,
+        lock,
+        f"pid={_os.getpid()} token={token} t={int(_time.time())}".encode(),
+    )
 
 
 def _lease_token(spark, fs, Path, lock: str) -> str | None:

@@ -239,20 +239,24 @@ def _try_commit(
             "committed_at": int(time.time()),
         }
     ).encode("utf-8")
-    try:
-        out = fs.create(Path(_snap_path(path, version)), False)
-        out.write(body)
-        out.close()
+    # atomic_create, not fs.create(overwrite=false): the Hadoop call is
+    # check-then-create on RawLocalFileSystem — a TOCTOU two racing
+    # local committers could both win, silently LOSING one commit (the
+    # exact anomaly the version protocol exists to prevent). POSIX
+    # O_CREAT|O_EXCL is kernel-atomic locally; HDFS keeps fs.create.
+    from sec_financial_pipeline_spark.sources.sink import atomic_create
+
+    target = _snap_path(path, version)
+    if atomic_create(fs, Path, target, body):
         return True
-    except Exception:
-        # Disambiguate: a LOST RACE means the version file now exists
-        # (someone else won it) — report False so the caller rebases or
-        # conflicts. Anything else (permissions, disk, network) is a
-        # genuine IO failure and must surface, not masquerade as 20
-        # "lost races" ending in a misleading SnapshotConflict.
-        if fs.exists(Path(_snap_path(path, version))):
-            return False
-        raise
+    # Disambiguate: a LOST RACE means the version file now exists
+    # (someone else won it) — report False so the caller rebases or
+    # conflicts. Anything else (permissions, disk, network) is a
+    # genuine IO failure and must surface, not masquerade as 20
+    # "lost races" ending in a misleading SnapshotConflict.
+    if fs.exists(Path(target)):
+        return False
+    raise IOError(f"snaptable: could not create manifest {target}")
 
 
 def create(
