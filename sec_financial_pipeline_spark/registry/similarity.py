@@ -1117,12 +1117,7 @@ FROM labels l JOIN csize c ON c.cluster_rep = l.cluster_rep
 """
 
 
-@register(
-    "doc_dup_clusters",
-    _CLUSTERS_ORACLE,
-    survey="§2.9 dedup (transitive closure: connected components over verified near-dup pairs)",
-)
-def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_dup_clusters_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_financial_pipeline_spark.operators.components import (
         connected_components,
     )
@@ -1134,6 +1129,148 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_rep"),
         "cluster_size",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (the `leakage_split` section):
+# a naive per-document hash split LEAKS — a doc and its near-duplicate
+# land in different splits, so eval rewards memorization. Splitting by
+# the CLUSTER REPRESENTATIVE's hash instead assigns every member of a
+# near-dup cluster to the same split by construction (zero straddling
+# pairs — pinned by tests/test_components.py). Singleton docs (in no
+# near-dup pair) are their own representative.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SALT = "split1"
+_SPLIT_VAL = 0.1  # [0.8, 0.9) -> val
+_SPLIT_TEST = 0.1  # [0.9, 1.0) -> test
+
+
+def _split_expr(ref: str) -> str:
+    u = (
+        f"('0x' || substr(md5('{_SPLIT_SALT}' || CAST({ref} AS VARCHAR)), 1, 8))"
+        f"::BIGINT / 4294967296.0"
+    )
+    return (
+        f"CASE WHEN {u} >= {1.0 - _SPLIT_TEST} THEN 'test' "
+        f"WHEN {u} >= {1.0 - _SPLIT_TEST - _SPLIT_VAL} THEN 'val' "
+        f"ELSE 'train' END"
+    )
+
+
+_LEAKAGE_SPLIT_ORACLE = "WITH RECURSIVE " + _DEDUP_CTES + f""",
+pairs AS (SELECT id_a, id_b FROM verified WHERE jac >= 0.8),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+cc AS (
+  SELECT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, cc.root AS root
+  FROM cc JOIN edges e ON e.src = cc.node
+),
+labels AS (SELECT node AS doc_id, min(root) AS rep FROM cc GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+)
+SELECT {_split_expr('rep')} AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters
+FROM assigned
+GROUP BY 1
+"""
+
+
+def leakage_safe_split(docs: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Per-document split assignment where every near-dup cluster lands
+    whole in one split: label clusters (min-id representative via
+    pointer-jumping CC), default singletons to themselves, hash the
+    REPRESENTATIVE into train/val/test. Returns docs' ids +
+    ``rep`` + ``split``. Scale shape: CC over the (tiny) verified pair
+    set + one broadcastable label join + a per-row hash — the corpus
+    is never shuffled on anything but the label join key."""
+    from sec_financial_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from sec_financial_pipeline_spark.operators.sampling import hash_uniform
+
+    labels = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias(id_col), F.col("label").alias("rep")
+    )
+    assigned = (
+        docs.select(id_col)
+        .join(labels, id_col, "left")
+        .withColumn("rep", F.coalesce(F.col("rep"), F.col(id_col)))
+    )
+    u = hash_uniform(F.col("rep"), _SPLIT_SALT)
+    split = (
+        F.when(u >= 1.0 - _SPLIT_TEST, "test")
+        .when(u >= 1.0 - _SPLIT_TEST - _SPLIT_VAL, "val")
+        .otherwise("train")
+    )
+    return assigned.withColumn("split", split)
+
+
+def q_doc_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, pairs = _near_dup_pairs(spark, sf_dir)
+    assigned = leakage_safe_split(d, "doc_id", pairs)
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("rep").alias("n_clusters"),
+    )
+
+
+from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
+    union_sections,
+    union_sections_sql,
+)
+
+_CLUSTER_ROW_SCHEMA = [
+    ("doc_id", "bigint"),
+    ("cluster_rep", "bigint"),
+    ("cluster_size", "bigint"),
+    ("split", "string"),
+    ("n_docs", "bigint"),
+    ("n_clusters", "bigint"),
+]
+
+
+@register(
+    "doc_dup_clusters",
+    union_sections_sql(
+        [
+            (
+                "clusters",
+                _CLUSTERS_ORACLE,
+                ["doc_id", "cluster_rep", "cluster_size"],
+            ),
+            (
+                "leakage_split",
+                _LEAKAGE_SPLIT_ORACLE,
+                ["split", "n_docs", "n_clusters"],
+            ),
+        ],
+        _CLUSTER_ROW_SCHEMA,
+    ),
+    survey=(
+        "§2.9 dedup (transitive closure: connected components over"
+        " verified near-dup pairs) + leakage-safe train/val/test split"
+        " (split by cluster REPRESENTATIVE hash so a doc and its"
+        " near-duplicates always share a split — zero straddling pairs,"
+        " pinned by test)"
+    ),
+)
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return union_sections(
+        [
+            ("clusters", q_doc_dup_clusters_only(spark, sf_dir)),
+            ("leakage_split", q_doc_leakage_split(spark, sf_dir)),
+        ],
+        _CLUSTER_ROW_SCHEMA,
     )
 
 

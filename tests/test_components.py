@@ -74,3 +74,47 @@ def test_128_chain_logarithmic_rounds(spark):
     )
     out = connected_components(edges, max_iter=10)
     assert _labels(out) == [(i, 0) for i in range(128)]
+
+
+def test_leakage_safe_split_never_straddles_near_dup_pairs(spark, sf_dir):
+    """The point of cluster-keyed splitting: NO verified near-dup pair
+    may straddle train/val/test (a per-document hash split leaks — a
+    doc and its near-duplicate land in different splits and eval
+    rewards memorization). Also: every doc assigned exactly once, and
+    a naive per-doc split on the same corpus DOES straddle (the test
+    is non-vacuous)."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.sampling import hash_uniform
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _near_dup_pairs,
+        leakage_safe_split,
+    )
+
+    d, pairs = _near_dup_pairs(spark, sf_dir)
+    assigned = leakage_safe_split(d, "doc_id", pairs)
+    assert assigned.count() == d.count()
+    assert assigned.select("doc_id").distinct().count() == d.count()
+
+    sp = assigned.select("doc_id", "split")
+    straddle = (
+        pairs.join(sp.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+        .join(sp.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    assert straddle.count() == 0
+    assert pairs.count() > 0  # there ARE pairs to straddle
+
+    # non-vacuity: the naive per-document split DOES leak on this corpus
+    naive = d.select(
+        "doc_id",
+        F.when(hash_uniform(F.col("doc_id"), "split1") >= 0.5, "a")
+        .otherwise("b")
+        .alias("split"),
+    )
+    naive_straddle = (
+        pairs.join(naive.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+        .join(naive.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    assert naive_straddle.count() > 0
