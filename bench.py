@@ -112,6 +112,10 @@ def _headline_fns():
         # concat-chunk offsets plan under the historical name so the
         # pack row stays like-for-like round-over-round.
         "doc_pack_chunks": llm_text.q_doc_pack_offsets,
+        # r8: likewise, the clusters registry row gained the
+        # leakage_split section (a second CC pass); the bench row keeps
+        # timing the pure transitive-closure constituent.
+        "doc_dup_clusters": similarity.q_doc_dup_clusters_only,
     }
     queries = all_queries()
     return {
