@@ -223,9 +223,14 @@ def _try_commit(
     parent: int | None,
     partition_cols: list[str] = (),
     stats_cols: list[str] = (),
+    txn: dict | None = None,
 ) -> bool:
     """Publish a manifest as version ``version`` — atomic
-    create(overwrite=False): exactly one writer can win a version."""
+    create(overwrite=False): exactly one writer can win a version.
+    ``txn`` is the application-transaction watermark map
+    (``{app_id: last_applied_epoch}``, the Delta txnAppId/txnVersion
+    analog); every commit carries the map forward so idempotence
+    survives compaction, rollback and vacuum."""
     fs, Path = _hadoop_fs(spark, path)
     fs.mkdirs(Path(f"{path.rstrip('/')}/{_SNAPDIR}"))
     body = json.dumps(
@@ -236,6 +241,7 @@ def _try_commit(
             "parent": parent,
             "partition_cols": list(partition_cols),
             "stats_cols": list(stats_cols),
+            "txn": dict(txn or {}),
             "committed_at": int(time.time()),
         }
     ).encode("utf-8")
@@ -264,6 +270,7 @@ def create(
     path: str,
     partition_cols: tuple = (),
     stats_cols: list[str] | None = None,
+    txn: tuple | None = None,
 ) -> int:
     """Create a snapshot table at ``path`` with ``df`` as version 1.
     ``partition_cols`` fixes the table's partitioning for its lifetime
@@ -278,7 +285,7 @@ def create(
     files = _write_files(df, path, partition_cols, stats_cols)
     if not _try_commit(
         spark, path, 1, files, df.schema.json(), "create", None,
-        partition_cols, stats_cols,
+        partition_cols, stats_cols, _txn_merged({}, txn),
     ):
         raise SnapshotConflict(f"snaptable: concurrent create at {path}")
     return 1
@@ -376,13 +383,50 @@ def scan(
     return df
 
 
-def append(df: DataFrame, path: str) -> int:
+def last_txn(spark: SparkSession, path: str, app_id: str) -> int | None:
+    """Last applied epoch for ``app_id`` recorded at the head (None if
+    the app has never committed). The restart handshake for exactly-
+    once streaming: a resumed writer asks the TABLE what it has, not a
+    side-channel marker file."""
+    head = _manifest(spark, path, None)
+    v = head.get("txn", {}).get(app_id)
+    return int(v) if v is not None else None
+
+
+def _txn_applied(head: dict, txn: tuple | None) -> bool:
+    if txn is None:
+        return False
+    app_id, epoch = txn
+    last = head.get("txn", {}).get(str(app_id))
+    return last is not None and int(last) >= int(epoch)
+
+
+def _txn_merged(head: dict, txn: tuple | None) -> dict:
+    merged = dict(head.get("txn", {}))
+    if txn is not None:
+        merged[str(txn[0])] = int(txn[1])
+    return merged
+
+
+def append(df: DataFrame, path: str, txn: tuple | None = None) -> int:
     """Transactional append: write immutable files once, then union
     them onto the head manifest. On a version race the append REBASES
     — its files are disjoint from every concurrent change — and
-    retries on the new head; data is never written twice."""
+    retries on the new head; data is never written twice.
+
+    ``txn=(app_id, epoch)`` makes the append IDEMPOTENT (Delta's
+    txnAppId/txnVersion): if the head already records ``app_id`` at an
+    epoch >= ``epoch``, the call is a no-op returning the head version
+    — a replayed foreachBatch epoch (Spark re-delivers the in-flight
+    epoch after a crash) can never double-append. The check runs both
+    before the file write (cheap replay skip) and inside the commit
+    loop (a racing same-app writer that wins first is honored; our
+    already-written files are left uncommitted and age out via
+    vacuum's orphan reaping)."""
     spark = df.sparkSession
     head = _manifest(spark, path, None)
+    if _txn_applied(head, txn):
+        return head["version"]
     _check_schema(df, head, "append")
     new_files = _write_files(
         df, path, tuple(head.get("partition_cols", ())),
@@ -390,6 +434,8 @@ def append(df: DataFrame, path: str) -> int:
     )
     for _ in range(_MAX_RETRIES):
         head = _manifest(spark, path, None)
+        if _txn_applied(head, txn):
+            return head["version"]  # same-app racer won; ours orphans
         if not _try_commit(
             spark,
             path,
@@ -400,6 +446,7 @@ def append(df: DataFrame, path: str) -> int:
             head["version"],
             head.get("partition_cols", ()),
             head.get("stats_cols", ()),
+            _txn_merged(head, txn),
         ):
             continue  # lost the race: rebase on the new head
         return head["version"] + 1
@@ -431,7 +478,9 @@ def _check_schema(df: DataFrame, head: dict, op: str) -> None:
         )
 
 
-def merge_upsert(df: DataFrame, path: str, key_cols: list[str]) -> int:
+def merge_upsert(
+    df: DataFrame, path: str, key_cols: list[str], txn: tuple | None = None
+) -> int:
     """MERGE/upsert in ONE atomic commit: rows of the table whose
     ``key_cols`` match an incoming row are replaced by it; unmatched
     incoming rows are inserted. Equivalent to delete-matching + append,
@@ -443,20 +492,29 @@ def merge_upsert(df: DataFrame, path: str, key_cols: list[str]) -> int:
     the (typically small, broadcastable) incoming key set, union, one
     rewrite commit. Like every rewrite, conflicts loudly if any commit
     raced in after the snapshot was resolved (no silent lost update).
-    """
+
+    ``txn=(app_id, epoch)`` gives the merge the same replay idempotence
+    as :func:`append` — an exactly-once streaming UPSERT sink."""
     spark = df.sparkSession
     base = _manifest(spark, path, None)
+    if _txn_applied(base, txn):
+        return base["version"]
     _check_schema(df, base, "merge")
     from pyspark.sql import functions as F  # noqa: F401
 
     keys = df.select(*key_cols).distinct()
     survivors = _df_for(spark, path, base).join(keys, key_cols, "left_anti")
     merged = survivors.unionByName(df)
-    return _rewrite_commit(spark, path, merged, "merge", base)
+    return _rewrite_commit(spark, path, merged, "merge", base, txn)
 
 
 def _rewrite_commit(
-    spark: SparkSession, path: str, kept: DataFrame, op: str, base: dict
+    spark: SparkSession,
+    path: str,
+    kept: DataFrame,
+    op: str,
+    base: dict,
+    txn: tuple | None = None,
 ) -> int:
     """Shared tail of the rewrite family (delete/compact/rollback):
     materialize the surviving rows as new files and commit a manifest
@@ -474,7 +532,7 @@ def _rewrite_commit(
     if not _try_commit(
         spark, path, base["version"] + 1, files, base["schema"], op,
         base["version"], base.get("partition_cols", ()),
-        base.get("stats_cols", ()),
+        base.get("stats_cols", ()), _txn_merged(base, txn),
     ):
         raise SnapshotConflict(
             f"snaptable: {op} at {path} raced a concurrent commit — "
@@ -518,7 +576,10 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
     O(1): the new manifest references the old version's files. Like
     every rewrite, NON-rebasing: a commit racing in after the head was
     resolved makes this a SnapshotConflict rather than silently
-    discarding that commit's rows."""
+    discarding that commit's rows. The txn watermark map carries
+    forward from the HEAD, not the rollback target: the DATA rolls
+    back, the applied-epoch memory must not — otherwise a replayed
+    streaming epoch would double-apply after a rollback."""
     target = _manifest(spark, path, to_version)
     head = _manifest(spark, path, None)
     if not _try_commit(
@@ -531,6 +592,7 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
         head["version"],
         target.get("partition_cols", ()),
         target.get("stats_cols", ()),
+        head.get("txn", {}),
     ):
         raise SnapshotConflict(
             f"snaptable: rollback at {path} raced a concurrent commit; "

@@ -438,3 +438,143 @@ def test_merge_upsert_on_partitioned_table(spark, tmp_path):
     assert got[6] == 999 and got[9] == 18
     assert {r.id: r.v for r in T.scan(spark, path, partitions={"p": 2}).collect()}[500] == 777
     assert T.read(spark, path).count() == 91
+
+
+# ---------------------------------------------------------------- txn ids
+
+
+def test_txn_append_is_idempotent_on_replay(spark, tmp_path):
+    """The Delta txnAppId/txnVersion analog: a replayed (app, epoch)
+    append is a no-op — the exactly-once contract for foreachBatch."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path, txn=("ingest", 0))
+    v = T.append(_mk(spark, 10, 20), path, txn=("ingest", 1))
+    assert v == 2
+    # replay of epoch 1 (Spark re-delivers the in-flight epoch after a
+    # crash): no new version, no duplicate rows
+    assert T.append(_mk(spark, 10, 20), path, txn=("ingest", 1)) == 2
+    assert T.versions(spark, path) == [1, 2]
+    assert T.read(spark, path).count() == 20
+    # an OLDER epoch replay is equally skipped (watermark, not equality)
+    assert T.append(_mk(spark, 0, 10), path, txn=("ingest", 0)) == 2
+    assert T.read(spark, path).count() == 20
+    # a NEW epoch goes through
+    assert T.append(_mk(spark, 20, 25), path, txn=("ingest", 2)) == 3
+    assert T.read(spark, path).count() == 25
+    assert T.last_txn(spark, path, "ingest") == 2
+    assert T.last_txn(spark, path, "other-app") is None
+
+
+def test_txn_watermarks_are_per_app(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    T.append(_mk(spark, 10, 20), path, txn=("a", 5))
+    # app b at epoch 5 is NOT blocked by app a's watermark
+    assert T.append(_mk(spark, 20, 30), path, txn=("b", 5)) == 3
+    assert T.read(spark, path).count() == 30
+    assert T.last_txn(spark, path, "a") == 5
+    assert T.last_txn(spark, path, "b") == 5
+
+
+def test_txn_memory_survives_compact_and_rollback(spark, tmp_path):
+    """Every commit carries the watermark map forward; rollback keeps
+    the HEAD's map (data rolls back, applied-epoch memory must not)."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path, txn=("ingest", 0))
+    T.append(_mk(spark, 10, 20), path, txn=("ingest", 1))
+    T.compact(spark, path)
+    assert T.last_txn(spark, path, "ingest") == 1
+    assert T.append(_mk(spark, 10, 20), path, txn=("ingest", 1)) == 3  # replay: no-op
+    T.rollback(spark, path, 1)
+    assert T.last_txn(spark, path, "ingest") == 1
+    # post-rollback replay of epoch 1 must STILL be a no-op
+    head = T.versions(spark, path)[-1]
+    assert T.append(_mk(spark, 10, 20), path, txn=("ingest", 1)) == head
+    assert T.read(spark, path).count() == 10  # rollback target's data
+
+
+def test_txn_merge_upsert_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    patch = spark.range(5, 8).select("id", (F.col("id") * 100).alias("v"))
+    v = T.merge_upsert(patch, path, ["id"], txn=("cdc", 7))
+    assert v == 2
+    assert T.merge_upsert(patch, path, ["id"], txn=("cdc", 7)) == 2  # replay
+    assert T.versions(spark, path) == [1, 2]
+    got = {r.id: r.v for r in T.read(spark, path).collect()}
+    assert got[5] == 500 and got[4] == 8
+
+
+def test_txn_same_app_race_lands_exactly_once(spark, tmp_path):
+    """Two writers of the SAME (app, epoch) — e.g. a zombie executor
+    attempt plus its retry — land exactly one copy; the loser's files
+    orphan and vacuum reaps them."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    errs: list[Exception] = []
+
+    def w():
+        try:
+            T.append(_mk(spark, 10, 20), path, txn=("app", 1))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=w) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert T.read(spark, path).count() == 20
+    assert T.last_txn(spark, path, "app") == 1
+    # any orphaned loser files are unreferenced -> vacuum-able
+    T.vacuum(spark, path, keep_last=1, min_age_sec=0.0)
+    assert T.read(spark, path).count() == 20
+
+
+def test_snaptable_sink_stream_end_to_end_exactly_once(spark, tmp_path):
+    """Real readStream -> foreachBatch(SnaptableSink) run, then a
+    simulated epoch re-delivery: the table holds exactly one copy."""
+    from sec_financial_pipeline_spark.streaming.sinks import (
+        SnaptableSink,
+        write_stream_exactly_once,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(0, 50).select("id", (F.col("id") * 2).alias("v")).write.parquet(src)
+    stream = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "table")
+    sink = SnaptableSink(table, app_id="evq")
+    q = write_stream_exactly_once(stream, sink)
+    q.awaitTermination(120)
+    assert T.read(spark, table).count() == 50
+    last = T.last_txn(spark, table, "evq")
+    assert last is not None
+    # crash/replay simulation: foreachBatch re-delivers the last epoch
+    replay = spark.read.parquet(src)
+    sink(replay, last)
+    assert T.read(spark, table).count() == 50  # no double-apply
+    # and the NEXT epoch appends normally
+    sink(spark.range(50, 60).select("id", (F.col("id") * 2).alias("v")), last + 1)
+    assert T.read(spark, table).count() == 60
+
+
+def test_snaptable_sink_bootstrap_and_upsert_mode(spark, tmp_path):
+    from sec_financial_pipeline_spark.streaming.sinks import SnaptableSink
+
+    table = str(tmp_path / "table")
+    sink = SnaptableSink(table, app_id="cdc", key_cols=["id"])
+    sink(_mk(spark, 0, 10), 0)          # bootstrap creates the table
+    assert T.versions(spark, table) == [1]
+    sink(_mk(spark, 0, 10), 0)          # replayed bootstrap epoch: no-op
+    assert T.versions(spark, table) == [1]
+    patch = spark.range(3, 6).select("id", (F.col("id") * 100).alias("v"))
+    sink(patch, 1)                       # upsert epoch
+    got = {r.id: r.v for r in T.read(spark, table).collect()}
+    assert got[3] == 300 and got[9] == 18 and len(got) == 10
+    sink(patch, 1)                       # replayed upsert: no-op
+    assert T.versions(spark, table) == [1, 2]
