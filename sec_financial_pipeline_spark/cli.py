@@ -409,6 +409,22 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "files_scanned": len(pruned),
             "rows": df.count(),
         }
+    if args.snap_cmd == "changes":
+        ch = T.table_changes(
+            spark, args.table, args.since, version=args.at
+        )
+        counts = {r["_change_type"]: r["n"] for r in (
+            ch.groupBy("_change_type").count().withColumnRenamed("count", "n")
+            .collect()
+        )}
+        return {
+            "table": args.table,
+            "since": args.since,
+            "at": args.at,
+            "inserts": int(counts.get("insert", 0)),
+            "deletes": int(counts.get("delete", 0)),
+            "op": "changes",
+        }
     raise SystemExit(f"unknown snap command: {args.snap_cmd}")
 
 
@@ -559,6 +575,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         metavar=("COL", "LO", "HI"),
         help="numeric range filter using footer min/max file skipping",
     )
+    sch = snap_sub.add_parser(
+        "changes",
+        help="row-level change feed between two versions (insert/delete "
+        "counts; cost scales with changed files, not table size)",
+    )
+    sch.add_argument("--table", required=True)
+    sch.add_argument("--since", type=int, required=True)
+    sch.add_argument("--at", type=int, default=None)
 
     serve = sub.add_parser("serve", help="HTTP facade server (blocking)")
     serve.add_argument("--host", default="127.0.0.1")

@@ -364,6 +364,24 @@ def test_snap_lifecycle_via_cli(tmp_path, capsys, spark):
     assert log["versions"] == [5] and log["rows_head"] == 130
 
 
+def test_snap_changes_via_cli(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    data1 = str(tmp_path / "d1")
+    data2 = str(tmp_path / "d2")
+    spark.range(0, 50).select("id", (F.col("id") * 2).alias("v")).write.parquet(data1)
+    spark.range(50, 70).select("id", (F.col("id") * 2).alias("v")).write.parquet(data2)
+    table = str(tmp_path / "t")
+    _run(capsys, spark, ["snap", "create", "--table", table, "--data", data1])
+    _run(capsys, spark, ["snap", "append", "--table", table, "--data", data2])
+    _run(capsys, spark, ["snap", "delete", "--table", table, "--where", "id < 5"])
+    res = _run(capsys, spark, ["snap", "changes", "--table", table, "--since", "1"])
+    assert res["inserts"] == 20 and res["deletes"] == 5
+    res = _run(capsys, spark, ["snap", "changes", "--table", table,
+                               "--since", "1", "--at", "2"])
+    assert res["inserts"] == 20 and res["deletes"] == 0
+
+
 def test_explain_covers_bench_constituents(capsys, spark, sf_dir):
     """explain resolves bench constituents (serve rows etc.) that are
     consolidated out of the 50-name registry, and lists them."""

@@ -578,3 +578,76 @@ def test_snaptable_sink_bootstrap_and_upsert_mode(spark, tmp_path):
     assert got[3] == 300 and got[9] == 18 and len(got) == 10
     sink(patch, 1)                       # replayed upsert: no-op
     assert T.versions(spark, table) == [1, 2]
+
+
+# ------------------------------------------------- incremental reads / CDF
+
+
+def test_read_increment_append_only_fast_path(spark, tmp_path):
+    """Pure-append range: the increment is exactly the appended rows
+    and the plan reads ONLY the new files (no exceptAll diff)."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+    T.append(_mk(spark, 100, 150), path)
+    T.append(_mk(spark, 150, 160), path)
+    inc = T.read_increment(spark, path, since_version=1)
+    assert sorted(r.id for r in inc.collect()) == list(range(100, 160))
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "Except" not in plan  # fast path: straight scan of new files
+    # narrower range
+    inc2 = T.read_increment(spark, path, since_version=2, version=3)
+    assert sorted(r.id for r in inc2.collect()) == list(range(150, 160))
+    # empty range
+    assert T.read_increment(spark, path, since_version=3).count() == 0
+
+
+def test_read_increment_across_rewrites_stays_exact(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)              # v1
+    T.append(_mk(spark, 100, 120), path)            # v2
+    T.delete_where(spark, path, "id < 10")          # v3 (rewrite)
+    T.append(_mk(spark, 120, 130), path)            # v4
+    inc = T.read_increment(spark, path, since_version=1, version=4)
+    # rows(v4) - rows(v1) as a multiset: ids 100..129 added; the 10
+    # deleted rows are a net REMOVAL and must not appear as additions
+    assert sorted(r.id for r in inc.collect()) == list(range(100, 130))
+
+
+def test_table_changes_delete_and_merge_semantics(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)               # v1
+    T.delete_where(spark, path, "id >= 8")          # v2
+    ch = T.table_changes(spark, path, 1, 2).collect()
+    assert sorted((r.id, r._change_type) for r in ch) == [
+        (8, "delete"), (9, "delete")]
+    patch = spark.range(3, 5).select("id", (F.col("id") * 100).alias("v"))
+    T.merge_upsert(patch, path, ["id"])             # v3
+    ch = T.table_changes(spark, path, 2, 3).collect()
+    # update = delete(old) + insert(new); untouched rows absent
+    assert sorted((r.id, r.v, r._change_type) for r in ch) == [
+        (3, 6, "delete"), (3, 300, "insert"),
+        (4, 8, "delete"), (4, 400, "insert")]
+
+
+def test_table_changes_compact_is_invisible(spark, tmp_path):
+    """File-layout maintenance must produce an EMPTY change feed —
+    the property that lets OPTIMIZE run on a table others tail."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 50), path)
+    T.append(_mk(spark, 50, 80), path)
+    T.compact(spark, path)                          # v3: same rows, new files
+    assert T.table_changes(spark, path, 2, 3).count() == 0
+    # and an increment spanning the compact still reports just the rows
+    assert T.read_increment(spark, path, 1, 3).count() == 30
+
+
+def test_incremental_range_errors(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    T.append(_mk(spark, 10, 20), path)
+    with pytest.raises(ValueError, match="backwards"):
+        T.read_increment(spark, path, since_version=2, version=1)
+    T.append(_mk(spark, 20, 30), path)
+    T.vacuum(spark, path, keep_last=1, min_age_sec=0.0)
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        T.read_increment(spark, path, since_version=1)
