@@ -409,6 +409,19 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "files_scanned": len(pruned),
             "rows": df.count(),
         }
+    if args.snap_cmd == "optimize":
+        v = T.optimize_cluster(
+            spark, args.table, cols=args.cols.split(","),
+            target_files=args.target_files,
+        )
+        m = T._manifest(spark, args.table, None)
+        return {
+            "table": args.table,
+            "version": v,
+            "op": "optimize",
+            "zorder_by": args.cols,
+            "files": len(m["files"]),
+        }
     if args.snap_cmd == "changes":
         ch = T.table_changes(
             spark, args.table, args.since, version=args.at
@@ -575,6 +588,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         metavar=("COL", "LO", "HI"),
         help="numeric range filter using footer min/max file skipping",
     )
+    so = snap_sub.add_parser(
+        "optimize",
+        help="z-order clustering rewrite: files cover narrow min/max "
+        "ranges on every clustered column, so scan --between skips",
+    )
+    so.add_argument("--table", required=True)
+    so.add_argument("--cols", required=True, help="comma-separated numeric cols")
+    so.add_argument("--target-files", type=int, default=16)
     sch = snap_sub.add_parser(
         "changes",
         help="row-level change feed between two versions (insert/delete "

@@ -601,6 +601,86 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
     return head["version"] + 1
 
 
+_NUMERIC = ("byte", "short", "integer", "long", "float", "double")
+
+
+def optimize_cluster(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_files: int = 16,
+    bits: int | None = None,
+) -> int:
+    """Z-order clustering as a commit (Delta's ``OPTIMIZE ... ZORDER
+    BY`` analog): rewrite the snapshot with rows ordered along a
+    space-filling curve over ``cols``, so every output file covers a
+    narrow min/max range on EVERY clustered column and
+    ``scan(between=)`` skips files for predicates on any of them — the
+    multi-dimensional version of what a plain sort buys one column.
+
+    Mechanics, all scale-sane: per column, equi-depth bucket
+    boundaries come from one ``approxQuantile`` pass (a driver-side
+    list of at most ``2^bits`` scalars — skew-robust where linear
+    min/max scaling is not); each row's per-column rank is computed
+    JVM-side by counting boundaries <= value (a codegen'd fold over a
+    literal array, no UDF); ranks bit-interleave into a z-value;
+    ``repartitionByRange`` on z cuts ``target_files`` contiguous curve
+    segments. No unpartitioned window anywhere. Like compact, the
+    rewrite is invisible to the change feed (same rows) and old
+    versions stay readable until vacuum.
+
+    ``cols`` must be numeric and among the table's ``stats_cols``
+    (skipping runs on footer stats; clustering a column without stats
+    would order the data and then skip nothing)."""
+    from pyspark.sql import functions as F
+
+    base = _manifest(spark, path, None)
+    stats_cols = base.get("stats_cols", [])
+    missing = [c for c in cols if c not in stats_cols]
+    if missing:
+        raise ValueError(
+            f"snaptable: optimize_cluster cols {missing} are not in the "
+            f"table's stats_cols {stats_cols} — files would be clustered "
+            f"but carry no min/max to skip on"
+        )
+    df = _df_for(spark, path, base)
+    bad = [c for c in cols if df.schema[c].dataType.typeName() not in _NUMERIC]
+    if bad:
+        raise ValueError(
+            f"snaptable: optimize_cluster supports numeric columns; "
+            f"{bad} are not (at scale, strings cluster via a "
+            f"dictionary-rank join — not needed for this surface)"
+        )
+    if bits is None:
+        # enough curve resolution that each file maps to >= 4 curve
+        # cells per dimension; capped so the rank fold stays small
+        bits = max(4, min(8, (max(1, target_files - 1)).bit_length() + 2))
+    nb = (1 << bits) - 1  # boundary count per column
+    probs = [i / (nb + 1) for i in range(1, nb + 1)]
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        bounds = df.stat.approxQuantile(c, probs, 1.0 / (4 * (nb + 1)))
+        if not bounds:
+            continue  # empty table / all-null column: nothing to order on
+        # codegen'd fold: rank = #boundaries <= value (equi-depth bucket)
+        rank = F.aggregate(
+            F.lit(bounds),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(c) >= b, 1).otherwise(0),
+        ).cast("long")
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(rank, i).bitwiseAND(1), i * len(cols) + j
+            )
+    kept = (
+        df.withColumn("__z", z)
+        .repartitionByRange(target_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    return _rewrite_commit(spark, path, kept, f"optimize:{','.join(cols)}", base)
+
+
 def _version_delta(
     spark: SparkSession, path: str, since_version: int, version: int | None
 ) -> tuple:

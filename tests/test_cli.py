@@ -454,3 +454,28 @@ def test_snap_merge_via_cli(tmp_path, capsys, spark):
     assert res["version"] == 2 and res["rows"] == 11
     got = {r.id: r.v for r in T.read(spark, table).collect()}
     assert got[3] == 999 and got[50] == 777 and got[4] == 8
+
+
+def test_snap_optimize_via_cli(tmp_path, capsys, spark):
+    """snap optimize + scan: the z-order rewrite measurably reduces
+    files_scanned for a range predicate, through the CLI alone."""
+    from pyspark.sql import functions as F
+
+    data = str(tmp_path / "d")
+    (spark.range(0, 20000).select(
+        "id",
+        (F.col("id") * 2654435761 % 100000).alias("a"),
+        (F.col("id") * 40503 % 100000).alias("b"),
+    ).repartition(16).write.parquet(data))
+    table = str(tmp_path / "t")
+    _run(capsys, spark, ["snap", "create", "--table", table, "--data", data])
+    pre = _run(capsys, spark, ["snap", "scan", "--table", table,
+                               "--between", "b", "10000", "15000"])
+    assert pre["files_scanned"] == pre["files_total"]
+    res = _run(capsys, spark, ["snap", "optimize", "--table", table,
+                               "--cols", "a,b", "--target-files", "16"])
+    assert res["version"] == 2
+    post = _run(capsys, spark, ["snap", "scan", "--table", table,
+                                "--between", "b", "10000", "15000"])
+    assert post["files_scanned"] <= post["files_total"] // 2
+    assert post["rows"] == pre["rows"]

@@ -255,7 +255,8 @@ from hypothesis import given, settings, strategies as st  # noqa: E402
 
 _OPS = st.lists(
     st.sampled_from(
-        ["append", "delete_mod3", "compact", "rollback_first", "merge"]
+        ["append", "delete_mod3", "compact", "rollback_first", "merge",
+         "optimize"]
     ),
     min_size=1,
     max_size=5,
@@ -291,6 +292,9 @@ def test_snaptable_matches_python_model(spark, ops):
             rows = {i: x for i, x in rows.items() if i % 3 != 0}
         elif op == "compact":
             v = T.compact(spark, path, target_files=1)
+        elif op == "optimize":
+            # z-order rewrite: rows identical, layout changes
+            v = T.optimize_cluster(spark, path, ["v"], target_files=2)
         elif op == "merge":
             # replace up to 3 existing rows, insert 2 fresh ids
             upd = {i: -i for i in sorted(rows)[:3]}
@@ -651,3 +655,71 @@ def test_incremental_range_errors(spark, tmp_path):
     T.vacuum(spark, path, keep_last=1, min_age_sec=0.0)
     with pytest.raises(FileNotFoundError, match="not retained"):
         T.read_increment(spark, path, since_version=1)
+
+
+# ------------------------------------------------------ z-order OPTIMIZE
+
+
+def _zt(spark, n=20000):
+    """Two independent pseudo-uniform numeric columns (Weyl sequences:
+    deterministic, no correlation with id order or each other)."""
+    return spark.range(0, n).select(
+        "id",
+        (F.col("id") * 2654435761 % 100000).alias("a"),
+        (F.col("id") * 40503 % 100000).alias("b"),
+    )
+
+
+def _kept(spark, path, col, lo, hi):
+    m = T._manifest(spark, path, None)
+    return len(T._select_entries(m, None, (col, lo, hi))), len(m["files"])
+
+
+def test_zorder_skips_files_on_every_clustered_column(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _zt(spark).repartition(16)  # round-robin: every file spans both ranges
+    T.create(df, path)
+    k_a, n = _kept(spark, path, "a", 10000, 15000)
+    k_b, _ = _kept(spark, path, "b", 10000, 15000)
+    assert k_a == n and k_b == n  # unclustered: nothing skips
+    before = sorted((r.id, r.a, r.b) for r in T.read(spark, path).collect())
+    v = T.optimize_cluster(spark, path, ["a", "b"], target_files=16)
+    assert v == 2
+    # contents untouched, change feed empty (layout maintenance)
+    after = sorted((r.id, r.a, r.b) for r in T.read(spark, path).collect())
+    assert after == before
+    assert T.table_changes(spark, path, 1, 2).count() == 0
+    # a 5%-wide range predicate on EITHER column now skips most files
+    k_a, n = _kept(spark, path, "a", 10000, 15000)
+    k_b, _ = _kept(spark, path, "b", 10000, 15000)
+    assert k_a <= n // 2, (k_a, n)
+    assert k_b <= n // 2, (k_b, n)
+    # and the pruned scan stays exact
+    got = sorted(
+        r.id for r in T.scan(spark, path, between=("a", 10000, 15000)).collect()
+    )
+    want = sorted(r.id for r in T.read(spark, path)
+                  .filter((F.col("a") >= 10000) & (F.col("a") <= 15000)).collect())
+    assert got == want and len(got) > 0
+
+
+def test_zorder_single_column_is_a_range_sort(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_zt(spark, 5000).repartition(8), path)
+    T.optimize_cluster(spark, path, ["a"], target_files=8)
+    k, n = _kept(spark, path, "a", 0, 12000)
+    assert k <= 2, (k, n)  # ~12% range -> 1-2 of 8 files
+
+
+def test_zorder_guards(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(
+        _zt(spark, 100).withColumn("s", F.lit("x")), path, stats_cols=["a", "b"]
+    )
+    with pytest.raises(ValueError, match="stats_cols"):
+        T.optimize_cluster(spark, path, ["id"])
+    # string columns get stats by default but cannot z-order
+    p2 = str(tmp_path / "t2")
+    T.create(_zt(spark, 100).withColumn("s", F.lit("x")), p2)
+    with pytest.raises(ValueError, match="numeric"):
+        T.optimize_cluster(spark, p2, ["s"])
