@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sec_financial_pipeline_spark.functions.deterministic import dsum_sql
 from sec_financial_pipeline_spark.plans import domain
 from sec_financial_pipeline_spark.registry.core import register
 from sec_financial_pipeline_spark.streaming import incremental
@@ -104,8 +105,74 @@ def q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changed.unionByName(merged)
 
 
-@register(
-    "pipe_freshness_policy",
+# ---------------------------------------------------------------------------
+# snap_cdf: the snapshot-manifest table's change feed, driver-checked.
+# The query drives the REAL lifecycle — create / append / delete_where /
+# table_changes — on a build-once table derived from `orders`, then
+# aggregates the feed; the oracle reproduces the multiset algebra in
+# pure SQL. v1 = orders with o_orderkey % 7 != 0; v2 appends the rest;
+# v3 deletes o_totalprice > 150000 (a rewrite). changes(1 -> 3):
+#   inserts = rows(v3) - rows(v1) = {%7 == 0 AND price <= 150000}
+#   deletes = rows(v1) - rows(v3) = {%7 != 0 AND price >  150000}
+# ---------------------------------------------------------------------------
+
+_SNAP_CDF_ORACLE = f"""
+SELECT 'insert' AS change_type, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_orderkey % 7 = 0 AND o_totalprice <= 150000
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'delete' AS change_type, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_orderkey % 7 <> 0 AND o_totalprice > 150000
+GROUP BY o_orderpriority
+"""
+
+
+def _ensure_snap_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once snaptable with the three-version history above,
+    published atomically (manifest paths are table-relative, so the
+    final directory rename is safe); keyed by sf_dir + orders mtime."""
+    import os
+
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _artifact_path,
+        _publish_atomically,
+    )
+    from sec_financial_pipeline_spark.sources import snaptable as T
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    path = _artifact_path("sfp_snapdemo_", sf_dir, "orders", "mod7;del150000")
+    if not os.path.exists(path):
+        def build(tmp: str) -> None:
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            )
+            T.create(orders.filter(F.col("o_orderkey") % 7 != 0), tmp)
+            T.append(orders.filter(F.col("o_orderkey") % 7 == 0), tmp)
+            T.delete_where(spark, tmp, "o_totalprice > 150000")
+
+        _publish_atomically(build, path)
+    return path
+
+
+def q_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.functions.deterministic import dsum
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    path = _ensure_snap_demo(spark, sf_dir)
+    ch = T.table_changes(spark, path, 1, 3)
+    return ch.groupBy(
+        F.col("_change_type").alias("change_type"), "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+_POLICY_ORACLE = (
     domain.duck_prelude()
     + """
 SELECT cik,
@@ -127,10 +194,65 @@ FROM (
   FROM facts
   GROUP BY cik
 )
-""",
-    survey="T1 (freshness watermark + tiered staleness policy)",
+"""
 )
+
+
 def q_freshness_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = domain.facts_df(spark, sf_dir)
     fresh = incremental.freshness(facts, entity_col="cik")
     return incremental.staleness_policy(fresh, as_of="2002-01-15")
+
+
+_PIPE_ROW_SCHEMA = [
+    ("cik", "string"),
+    ("last_filing_date", "date"),
+    ("n_facts", "bigint"),
+    ("n_years", "bigint"),
+    ("check_interval_days", "int"),
+    ("needs_update", "boolean"),
+    ("change_type", "string"),
+    ("o_orderpriority", "string"),
+    ("n_rows", "bigint"),
+    ("total_price", "double"),
+]
+
+from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
+    union_sections as _union_sections,
+    union_sections_sql as _union_sections_sql,
+)
+
+
+@register(
+    "pipe_freshness_policy",
+    _union_sections_sql(
+        [
+            (
+                "policy",
+                _POLICY_ORACLE,
+                ["cik", "last_filing_date", "n_facts", "n_years",
+                 "check_interval_days", "needs_update"],
+            ),
+            (
+                "snap_cdf",
+                _SNAP_CDF_ORACLE,
+                ["change_type", "o_orderpriority", "n_rows", "total_price"],
+            ),
+        ],
+        _PIPE_ROW_SCHEMA,
+    ),
+    survey=(
+        "T1 (freshness watermark + tiered staleness policy) + snapshot-"
+        "table change feed (create/append/delete lifecycle on the real "
+        "snaptable; table_changes(1,3) aggregated — the oracle replays "
+        "the multiset algebra in pure SQL)"
+    ),
+)
+def q_freshness_and_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _union_sections(
+        [
+            ("policy", q_freshness_policy(spark, sf_dir)),
+            ("snap_cdf", q_snap_cdf(spark, sf_dir)),
+        ],
+        _PIPE_ROW_SCHEMA,
+    )
