@@ -409,6 +409,19 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "files_scanned": len(pruned),
             "rows": df.count(),
         }
+    if args.snap_cmd == "evolve":
+        fields = []
+        for spec in args.add:
+            name, typ = spec.split(":", 1)
+            fields.append((name, typ))
+        v = T.evolve_schema(spark, args.table, fields)
+        return {
+            "table": args.table,
+            "version": v,
+            "op": "evolve",
+            "added": [f"{n}:{t}" for n, t in fields],
+            "columns": T.read(spark, args.table).columns,
+        }
     if args.snap_cmd == "optimize":
         v = T.optimize_cluster(
             spark, args.table, cols=args.cols.split(","),
@@ -587,6 +600,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         nargs=3,
         metavar=("COL", "LO", "HI"),
         help="numeric range filter using footer min/max file skipping",
+    )
+    se = snap_sub.add_parser(
+        "evolve",
+        help="ADD COLUMNS, metadata-only commit: existing rows read the "
+        "new columns as NULL; zero data rewritten",
+    )
+    se.add_argument("--table", required=True)
+    se.add_argument(
+        "--add",
+        action="append",
+        required=True,
+        metavar="NAME:TYPE",
+        help="column to add, e.g. score:double (repeatable)",
     )
     so = snap_sub.add_parser(
         "optimize",

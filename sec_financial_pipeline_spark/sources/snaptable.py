@@ -303,23 +303,51 @@ def _df_for(
 
     if entries is None:
         entries = m["files"]
+    schema = StructType.fromJson(json.loads(m["schema"]))
     if not entries:
-        schema = StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
     root = path.rstrip("/")
     groups: dict[str, list[str]] = {}
     for e in entries:
         groups.setdefault(e["base"], []).append(e["path"])
-    parts = []
-    for base in sorted(groups):
-        r = spark.read
-        if m.get("partition_cols"):
-            r = r.option("basePath", f"{root}/{base}")
-        parts.append(r.parquet(*[f"{root}/{p}" for p in sorted(groups[base])]))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    if not m.get("partition_cols"):
+        # unpartitioned: ONE scan over every selected file — no per-
+        # commit-group union, so an append-heavy history (many commit
+        # dirs) still plans a single FileScan instead of an N-way union
+        # pinning the manifest schema also serves evolution: files
+        # predating an added column surface it as NULL directly in the
+        # parquet reader (no per-file schema inference at all)
+        parts = [
+            spark.read.schema(schema).parquet(
+                *sorted(f"{root}/{e['path']}" for e in entries)
+            )
+        ]
+    else:
+        parts = []
+        for base in sorted(groups):
+            r = spark.read.option("basePath", f"{root}/{base}")
+            parts.append(r.parquet(*[f"{root}/{p}" for p in sorted(groups[base])]))
+    out = None
+    for p in parts:
+        p = _conform(p, schema)
+        out = p if out is None else out.unionByName(p)
     return out
+
+
+def _conform(df: DataFrame, schema) -> DataFrame:
+    """Project a file-group read onto the manifest schema: columns a
+    pre-evolution file lacks become typed NULLs; column order follows
+    the manifest (reads are schema-stable regardless of which files a
+    version happens to reference)."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    cols = [
+        F.col(f.name).cast(f.dataType) if f.name in have
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(*cols)
 
 
 def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -599,6 +627,57 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
             f"re-run against the new head"
         )
     return head["version"] + 1
+
+
+def evolve_schema(
+    spark: SparkSession, path: str, new_fields: list[tuple[str, str]]
+) -> int:
+    """ADD COLUMNS as a metadata-only commit (Delta's schema evolution,
+    additive form): the new manifest references the SAME files under a
+    widened schema; existing rows surface the added columns as NULL via
+    the pinned read schema — zero data rewritten, O(1) regardless of
+    table size. ``new_fields`` is ``[(name, spark_type_string)]``, e.g.
+    ``[("score", "double")]``. Subsequent appends must carry the full
+    current schema (the loud _check_schema guard now expects the added
+    columns); time travel to pre-evolution versions reads the OLD
+    schema — each manifest is self-describing.
+
+    Only additive evolution is offered: renames/drops/type changes
+    silently corrupt downstream consumers' assumptions and are exactly
+    the operations Delta gates behind explicit overwriteSchema. New
+    primitive columns join ``stats_cols`` so future files skip on them
+    (pre-evolution files carry no stats for them and are simply never
+    skipped — pruning stays an optimization, not a correctness
+    filter)."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    base = _manifest(spark, path, None)
+    schema = StructType.fromJson(json.loads(base["schema"]))
+    existing = {f.name for f in schema.fields}
+    fields = list(schema.fields)
+    stats_cols = list(base.get("stats_cols", []))
+    for name, typ in new_fields:
+        if name in existing:
+            raise ValueError(
+                f"snaptable: evolve_schema column '{name}' already exists"
+            )
+        dt = _parse_datatype_string(typ)
+        from pyspark.sql.types import StructField
+
+        fields.append(StructField(name, dt, nullable=True))
+        if dt.typeName() in _NUMERIC or dt.typeName() == "string":
+            stats_cols.append(name)
+    new_schema = StructType(fields)
+    if not _try_commit(
+        spark, path, base["version"] + 1, base["files"], new_schema.json(),
+        f"evolve:{','.join(n for n, _ in new_fields)}", base["version"],
+        base.get("partition_cols", ()), stats_cols, base.get("txn", {}),
+    ):
+        raise SnapshotConflict(
+            f"snaptable: evolve_schema at {path} raced a concurrent "
+            f"commit; re-run against the new head"
+        )
+    return base["version"] + 1
 
 
 _NUMERIC = ("byte", "short", "integer", "long", "float", "double")

@@ -479,3 +479,16 @@ def test_snap_optimize_via_cli(tmp_path, capsys, spark):
                                 "--between", "b", "10000", "15000"])
     assert post["files_scanned"] <= post["files_total"] // 2
     assert post["rows"] == pre["rows"]
+
+
+def test_snap_evolve_via_cli(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    data = str(tmp_path / "d")
+    spark.range(0, 20).select("id", (F.col("id") * 2).alias("v")).write.parquet(data)
+    table = str(tmp_path / "t")
+    _run(capsys, spark, ["snap", "create", "--table", table, "--data", data])
+    res = _run(capsys, spark, ["snap", "evolve", "--table", table,
+                               "--add", "score:double", "--add", "tag:string"])
+    assert res["version"] == 2
+    assert res["columns"] == ["id", "v", "score", "tag"]

@@ -723,3 +723,89 @@ def test_zorder_guards(spark, tmp_path):
     T.create(_zt(spark, 100).withColumn("s", F.lit("x")), p2)
     with pytest.raises(ValueError, match="numeric"):
         T.optimize_cluster(spark, p2, ["s"])
+
+
+# ------------------------------------------------------- schema evolution
+
+
+def test_evolve_schema_add_column_metadata_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    files_before = {e["path"] for e in T._manifest(spark, path, None)["files"]}
+    v = T.evolve_schema(spark, path, [("score", "double")])
+    assert v == 2
+    # metadata-only: same files, zero data rewritten
+    assert {e["path"] for e in T._manifest(spark, path, None)["files"]} == files_before
+    got = T.read(spark, path)
+    assert got.columns == ["id", "v", "score"]
+    assert all(r.score is None for r in got.collect())
+    # time travel reads the PRE-evolution schema
+    assert T.read(spark, path, version=1).columns == ["id", "v"]
+
+
+def test_evolve_then_append_mixes_old_and_new_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    T.evolve_schema(spark, path, [("score", "double")])
+    new = _mk(spark, 10, 15).withColumn("score", F.col("id") * 0.5)
+    T.append(new, path)
+    got = {r.id: r.score for r in T.read(spark, path).collect()}
+    assert got[3] is None and got[12] == 6.0 and len(got) == 15
+    # old-schema appends are LOUDLY rejected post-evolution
+    with pytest.raises(ValueError, match="schema mismatch"):
+        T.append(_mk(spark, 20, 25), path)
+    # merge also works across the file-schema boundary
+    patch = (_mk(spark, 3, 5).withColumn("score", F.lit(9.9)))
+    T.merge_upsert(patch, path, ["id"])
+    got = {r.id: r.score for r in T.read(spark, path).collect()}
+    assert got[3] == 9.9 and got[7] is None
+
+
+def test_evolve_schema_on_partitioned_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _mk(spark, 0, 30).withColumn("p", F.col("id") % 3)
+    T.create(df, path, partition_cols=("p",))
+    T.evolve_schema(spark, path, [("tag", "string")])
+    T.append(
+        _mk(spark, 30, 36).withColumn("p", F.col("id") % 3)
+        .withColumn("tag", F.lit("new")),
+        path,
+    )
+    got = T.read(spark, path)
+    assert set(got.columns) == {"id", "v", "p", "tag"}
+    rows = {r.id: r.tag for r in got.collect()}
+    assert rows[5] is None and rows[33] == "new" and len(rows) == 36
+    # partition pruning still works over mixed-schema groups
+    pr = T.scan(spark, path, partitions={"p": 1})
+    assert sorted(r.id for r in pr.collect()) == [i for i in range(36) if i % 3 == 1]
+
+
+def test_evolve_schema_guards_and_stats(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    with pytest.raises(ValueError, match="already exists"):
+        T.evolve_schema(spark, path, [("v", "double")])
+    T.evolve_schema(spark, path, [("score", "double")])
+    # new column joins stats_cols; post-evolution files carry stats
+    T.append(_mk(spark, 10, 20).withColumn("score", F.col("id") * 1.0), path)
+    m = T._manifest(spark, path, None)
+    assert "score" in m["stats_cols"]
+    newfile_stats = [e["stats"].get("score") for e in m["files"] if e["stats"].get("score")]
+    assert newfile_stats  # at least the appended files have min/max
+    # skipping on the evolved column keeps old (stat-less) files — exact
+    got = T.scan(spark, path, between=("score", 15.0, 19.0))
+    assert sorted(r.id for r in got.collect()) == list(range(15, 20))
+
+
+def test_unpartitioned_many_commit_read_is_single_scan(spark, tmp_path):
+    """Append-heavy history must not plan an N-way union: one FileScan
+    over the manifest's files (the 100 TB read path for ingest
+    tables)."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    for k in range(8):
+        T.append(_mk(spark, 10 * (k + 1), 10 * (k + 2)), path)
+    df = T.read(spark, path)
+    assert df.count() == 90
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1 and "Union" not in plan
