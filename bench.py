@@ -84,6 +84,11 @@ HEADLINE = [
     # line dedup: segment explode -> per-line distinct-doc counts ->
     # anti-join drop -> ordered reassembly) becomes regression-visible.
     "doc_boilerplate",
+    # round-8 widening 2: the snapshot-table change feed — manifest
+    # resolution + file-set diff + exceptAll cancellation + aggregation
+    # over a 3-version table (the warm-up call builds it once under the
+    # artifact cache, like the ANN serve rows).
+    "snap_cdf",
 ]
 
 
@@ -92,6 +97,7 @@ def _headline_fns():
     from sec_financial_pipeline_spark.registry import all_queries
     from sec_financial_pipeline_spark.registry import (
         llm_text,
+        pipeline,
         sec_domain,
         similarity,
     )
@@ -116,6 +122,7 @@ def _headline_fns():
         # leakage_split section (a second CC pass); the bench row keeps
         # timing the pure transitive-closure constituent.
         "doc_dup_clusters": similarity.q_doc_dup_clusters_only,
+        "snap_cdf": pipeline.q_snap_cdf,
     }
     queries = all_queries()
     return {
