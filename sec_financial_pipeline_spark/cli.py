@@ -336,6 +336,51 @@ def _cmd_boiler(args, spark: SparkSession) -> dict:
     }
 
 
+def _cmd_bpe(args, spark: SparkSession) -> dict:
+    """BPE tokenizer lifecycle (operators/bpe.py): train learns an
+    ordered merge list from a parquet corpus (the iterative
+    pair-count/merge loop, one shuffled agg per merge); apply tokenizes
+    a corpus with a saved merge list."""
+    import json as _json
+
+    from sec_financial_pipeline_spark.operators import bpe
+
+    if args.bpe_cmd == "train":
+        docs = spark.read.parquet(args.docs)
+        merges = bpe.train_bpe(
+            docs, args.text_col, n_merges=args.merges,
+            min_pair_freq=args.min_pair_freq,
+        )
+        with open(args.model, "w") as f:
+            _json.dump({"eow": bpe.EOW, "merges": merges}, f)
+        return {
+            "op": "train",
+            "merges_learned": len(merges),
+            "model": args.model,
+        }
+    if args.bpe_cmd == "apply":
+        with open(args.model) as f:
+            model = _json.load(f)
+        merges = [tuple(m) for m in model["merges"]]
+        docs = spark.read.parquet(args.docs)
+        out = bpe.apply_bpe(docs, args.text_col, merges)
+        out.write.mode("overwrite").parquet(args.out)
+        back = spark.read.parquet(args.out)
+        from pyspark.sql import functions as F
+
+        agg = back.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_bpe_tokens").alias("tokens"),
+        ).collect()[0]
+        return {
+            "op": "apply",
+            "docs": int(agg["docs"]),
+            "tokens": int(agg["tokens"]),
+            "out": args.out,
+        }
+    raise SystemExit(f"unknown bpe command: {args.bpe_cmd}")
+
+
 def _cmd_snap(args, spark: SparkSession) -> dict:
     """Snapshot-table lifecycle (sources/snaptable.py): Delta-semantics
     commits on plain parquet — create/append/delete/compact/rollback/
@@ -546,6 +591,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     boiler.add_argument("--key", default="doc_id")
     boiler.add_argument("--text-col", default="text")
 
+    bpe_p = sub.add_parser(
+        "bpe", help="BPE tokenizer: distributed train + corpus apply"
+    )
+    bpe_sub = bpe_p.add_subparsers(dest="bpe_cmd", required=True)
+    bt = bpe_sub.add_parser("train")
+    bt.add_argument("--docs", required=True, help="input parquet corpus")
+    bt.add_argument("--model", required=True, help="merge-list JSON output")
+    bt.add_argument("--merges", type=int, default=200)
+    bt.add_argument("--min-pair-freq", type=int, default=2)
+    bt.add_argument("--text-col", default="text")
+    ba = bpe_sub.add_parser("apply")
+    ba.add_argument("--docs", required=True, help="input parquet corpus")
+    ba.add_argument("--model", required=True, help="merge-list JSON")
+    ba.add_argument("--out", required=True, help="tokenized parquet output")
+    ba.add_argument("--text-col", default="text")
+
     snap = sub.add_parser(
         "snap",
         help="snapshot-manifest parquet table (Delta-semantics commits)",
@@ -685,6 +746,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             return 0
         if args.cmd == "boiler":
             print(json.dumps(_cmd_boiler(args, spark), default=str))
+            return 0
+        if args.cmd == "bpe":
+            print(json.dumps(_cmd_bpe(args, spark), default=str))
             return 0
         if args.cmd == "snap":
             print(json.dumps(_cmd_snap(args, spark), default=str))

@@ -492,3 +492,23 @@ def test_snap_evolve_via_cli(tmp_path, capsys, spark):
                                "--add", "score:double", "--add", "tag:string"])
     assert res["version"] == 2
     assert res["columns"] == ["id", "v", "score", "tag"]
+
+
+def test_bpe_train_apply_via_cli(tmp_path, capsys, spark):
+    docs = str(tmp_path / "docs")
+    corpus = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new newer"),
+        (3, "the lowest and the newest"),
+    ]
+    spark.createDataFrame(corpus, "doc_id long, text string").write.parquet(docs)
+    model = str(tmp_path / "bpe.json")
+    out = str(tmp_path / "toked")
+    res = _run(capsys, spark, ["bpe", "train", "--docs", docs,
+                               "--model", model, "--merges", "10"])
+    assert res["merges_learned"] == 10
+    res = _run(capsys, spark, ["bpe", "apply", "--docs", docs,
+                               "--model", model, "--out", out])
+    assert res["docs"] == 3 and res["tokens"] > 0
+    back = spark.read.parquet(out)
+    assert "tokens" in back.columns and back.count() == 3
