@@ -90,6 +90,76 @@ def stratified_hash_upsample(
     return exploded.drop("__rate", "__copies")
 
 
+def temperature_mixture_thresholds(
+    df: DataFrame, stratum: str, alpha: float
+) -> DataFrame:
+    """Per-stratum selection thresholds for temperature-``alpha``
+    mixture resampling (the multilingual/multi-source reweighting of
+    Conneau & Lample 2019: sample stratum i with probability
+    ``p_i = n_i^alpha / sum_j n_j^alpha``, flattening the natural
+    distribution toward uniform as alpha -> 0). The target corpus size
+    is the ORIGINAL total, so expected multiplicity for stratum i is
+    ``total * n_i^(alpha-1) / S`` — above 1 for rare strata (they
+    repeat), below 1 for dominant ones (they thin).
+
+    Multiplicities are returned as INTEGER thresholds in u32 hash
+    space (``threshold = floor(2^32 * multiplicity)``): the per-row
+    keep/copy decision becomes pure integer arithmetic against the
+    row-hash, so cross-engine float divergence is confined to one
+    floor per STRATUM (a handful of values), never per row.
+
+    Scale shape: one groupBy-count over the corpus + a 1-row scalar
+    cross join; output is a tiny broadcastable table."""
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("__total"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("__S"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        stratum,
+        "n_docs",
+        F.floor(
+            F.lit(_U32)
+            * F.col("__total").cast("double")
+            * F.pow(F.col("n_docs").cast("double"), F.lit(alpha - 1.0))
+            / F.col("__S")
+        )
+        .cast("long")
+        .alias("threshold"),
+    )
+
+
+def temperature_mixture(
+    df: DataFrame, key: str, stratum: str, alpha: float, salt: str = ""
+) -> DataFrame:
+    """Resample the corpus to its own size under a temperature-``alpha``
+    stratum distribution: each row emits ``threshold >> 32`` full
+    copies plus one more when its u32 key-hash falls below
+    ``threshold & 0xffffffff`` — expected multiplicity exactly
+    ``threshold / 2^32``, decided engine- and partitioning-
+    independently. Adds 1-based ``copy_no`` (like
+    :func:`stratified_hash_upsample`)."""
+    th = temperature_mixture_thresholds(df, stratum, alpha)
+    joined = df.join(F.broadcast(th.select(stratum, "threshold")), stratum)
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    copies = (
+        F.shiftright(F.col("threshold"), 32)
+        + (u32 < F.col("threshold").bitwiseAND(F.lit(0xFFFFFFFF))).cast("long")
+    ).cast("int").alias("__copies")
+    return (
+        joined.withColumn("__copies", copies)
+        .filter(F.col("__copies") >= 1)
+        .withColumn("copy_no", F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+        .drop("__copies", "threshold")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame, key: str, n_shards: int, seed: str = ""
 ) -> DataFrame:

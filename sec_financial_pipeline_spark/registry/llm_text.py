@@ -393,7 +393,66 @@ _SAMPLE_SCHEMA = [
     ("n_docs", "bigint"),
     ("first_doc", "bigint"),
     ("checksum", "bigint"),
+    ("threshold", "bigint"),
+    ("n_selected", "bigint"),
 ]
+
+#: temperature mixture (Conneau & Lample 2019 resampling): alpha + salt
+_TEMP_ALPHA = 0.7
+_TEMP_SALT = "temp1"
+
+_TEMP_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS DOUBLE) AS total,
+         sum(pow(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA})) AS S
+  FROM counts
+),
+th AS (
+  SELECT lang, n_docs,
+         CAST(floor(4294967296.0 * total
+                    * pow(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA} - 1.0) / S)
+              AS BIGINT) AS threshold
+  FROM counts, tot
+),
+sel AS (
+  SELECT d.lang, th.threshold, th.n_docs,
+         (th.threshold // 4294967296)
+         + CASE WHEN ('0x' || substr(md5('{_TEMP_SALT}' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     < th.threshold % 4294967296
+                THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN th ON d.lang = th.lang
+)
+SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
+       CAST(max(threshold) AS BIGINT) AS threshold,
+       CAST(sum(copies) AS BIGINT) AS n_selected
+FROM sel GROUP BY lang
+"""
+
+
+def q_doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+        temperature_mixture_thresholds,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    th = temperature_mixture_thresholds(d, "lang", _TEMP_ALPHA)
+    picked = temperature_mixture(
+        d, key="doc_id", stratum="lang", alpha=_TEMP_ALPHA, salt=_TEMP_SALT
+    )
+    sel = picked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected")
+    )
+    return th.join(sel, "lang", "left").select(
+        "lang",
+        F.col("n_docs").cast("bigint"),
+        F.col("threshold").cast("bigint"),
+        F.coalesce(F.col("n_selected"), F.lit(0)).cast("bigint")
+        .alias("n_selected"),
+    )
 
 from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
     union_sections,
@@ -409,6 +468,8 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
              ["lang", "n_kept", "rate", "n_upsampled", "up_rate"]),
             ("epoch_shuffle", _SHUF_ORACLE,
              ["shard", "n_docs", "first_doc", "checksum"]),
+            ("temperature", _TEMP_ORACLE,
+             ["lang", "n_docs", "threshold", "n_selected"]),
         ],
         _SAMPLE_SCHEMA,
     ),
@@ -419,6 +480,9 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         " + deterministic epoch shuffle to ordered shards (dataloader"
         " permutation as a pure function of (key, seed); partitioned"
         " per-shard sort, no global window)"
+        " + temperature-alpha mixture resampling (Conneau & Lample 2019:"
+        " p_i ~ n_i^alpha; integer u32 thresholds so the per-row decision"
+        " is float-free)"
     ),
 )
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,6 +490,7 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("mix", q_doc_corpus_mix(spark, sf_dir)),
             ("epoch_shuffle", q_doc_epoch_shuffle(spark, sf_dir)),
+            ("temperature", q_doc_temperature_mix(spark, sf_dir)),
         ],
         _SAMPLE_SCHEMA,
     )

@@ -581,3 +581,67 @@ def test_delete_from_store_antijoin_scales_to_large_id_batches(
         S._ids_df(spark, ids_df, "id"), "id", "left_anti"
     )._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in kept_plan
+
+
+def test_temperature_mixture_matches_python_witness(spark, sf_dir):
+    """Temperature-alpha resampling: per-row multiplicity replicated in
+    pure Python (md5 u32 + integer threshold arithmetic), and the
+    flattening property holds — rare strata gain expected multiplicity
+    > 1, the dominant stratum < 1, total expectation == corpus size."""
+    import hashlib as _hl
+    import math
+
+    from sec_financial_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+        temperature_mixture_thresholds,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    alpha, salt = 0.6, "tw"
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rows = [(r.doc_id, r.lang) for r in d.collect()]
+    counts: dict[str, int] = {}
+    for _, lang in rows:
+        counts[lang] = counts.get(lang, 0) + 1
+    total = sum(counts.values())
+    S = sum(n**alpha for n in counts.values())
+    th_py = {
+        lang: math.floor(2**32 * total * n ** (alpha - 1.0) / S)
+        for lang, n in counts.items()
+    }
+    th = {
+        r.lang: r.threshold
+        for r in temperature_mixture_thresholds(d, "lang", alpha).collect()
+    }
+    assert th == th_py
+    # the flattening property (documents has a skewed lang mix)
+    mult = {lang: t / 2**32 for lang, t in th.items()}
+    assert max(mult.values()) > 1.0 and min(mult.values()) < 1.0
+    assert abs(sum(mult[lang] * counts[lang] for lang in counts) - total) < 1.0
+
+    def copies(doc_id, lang):
+        u = int(_hl.md5(f"{salt}{doc_id}".encode()).hexdigest()[:8], 16)
+        t = th_py[lang]
+        return (t >> 32) + (1 if u < (t & 0xFFFFFFFF) else 0)
+
+    want = sorted(
+        (doc_id, k)
+        for doc_id, lang in rows
+        for k in range(1, copies(doc_id, lang) + 1)
+    )
+    got = sorted(
+        (r.doc_id, r.copy_no)
+        for r in temperature_mixture(
+            d, key="doc_id", stratum="lang", alpha=alpha, salt=salt
+        ).collect()
+    )
+    assert got == want
+    # partitioning-invariance: same emitted multiset after repartition
+    got2 = sorted(
+        (r.doc_id, r.copy_no)
+        for r in temperature_mixture(
+            d.repartition(13), key="doc_id", stratum="lang",
+            alpha=alpha, salt=salt,
+        ).collect()
+    )
+    assert got2 == want
