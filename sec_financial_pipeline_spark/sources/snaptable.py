@@ -805,7 +805,13 @@ def read_increment(
     added_df = _df_for(spark, path, head, added)
     if not removed:
         return added_df
-    return added_df.exceptAll(_df_for(spark, path, base, removed))
+    # conform the base-side files to the HEAD schema: across a schema
+    # evolution the diff compares rows under the current schema (pre-
+    # evolution rows surface added columns as NULL on both sides, so an
+    # untouched-but-rewritten row still cancels)
+    return added_df.exceptAll(
+        _df_for(spark, path, {**base, "schema": head["schema"]}, removed)
+    )
 
 
 def table_changes(
@@ -823,7 +829,8 @@ def table_changes(
 
     base, head, added, removed = _version_delta(spark, path, since_version, version)
     added_df = _df_for(spark, path, head, added)
-    removed_df = _df_for(spark, path, base, removed)
+    # base-side files conform to the HEAD schema (see read_increment)
+    removed_df = _df_for(spark, path, {**base, "schema": head["schema"]}, removed)
     if not removed:
         ins, dels = added_df, added_df.limit(0)
     else:

@@ -809,3 +809,47 @@ def test_unpartitioned_many_commit_read_is_single_scan(spark, tmp_path):
     assert df.count() == 90
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1 and "Union" not in plan
+
+
+def test_incremental_reads_across_schema_evolution(spark, tmp_path):
+    """A CDF range spanning an evolve compares rows under the HEAD
+    schema: pre-evolution rows carry NULL for added columns on both
+    sides, so evolution alone (metadata-only) yields an empty feed, and
+    later deletes/appends report correctly."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)                      # v1
+    T.evolve_schema(spark, path, [("score", "double")])    # v2 (same files)
+    assert T.table_changes(spark, path, 1, 2).count() == 0
+    T.append(_mk(spark, 10, 13).withColumn("score", F.lit(1.5)), path)  # v3
+    T.delete_where(spark, path, "id = 2")                  # v4 (rewrite)
+    ch = T.table_changes(spark, path, 1, 4).collect()
+    got = sorted((r.id, r.score, r._change_type) for r in ch)
+    assert got == [
+        (2, None, "delete"),
+        (10, 1.5, "insert"), (11, 1.5, "insert"), (12, 1.5, "insert"),
+    ]
+    inc = T.read_increment(spark, path, 1, 4)
+    assert sorted(r.id for r in inc.collect()) == [10, 11, 12]
+
+
+def test_zorder_on_partitioned_table(spark, tmp_path):
+    """optimize_cluster composes with hive partitioning: rows are
+    preserved, the layout keeps the partition dirs, and stats-range
+    skipping works within the surviving files."""
+    path = str(tmp_path / "t")
+    df = _zt(spark).withColumn("p", F.col("id") % 2)
+    T.create(df.repartition(8), path, partition_cols=("p",))
+    before = sorted((r.id, r.a, r.b, r.p) for r in T.read(spark, path).collect())
+    T.optimize_cluster(spark, path, ["a", "b"], target_files=8)
+    after = sorted((r.id, r.a, r.b, r.p) for r in T.read(spark, path).collect())
+    assert after == before
+    m = T._manifest(spark, path, None)
+    assert all(e["partition"].get("p") in ("0", "1") for e in m["files"])
+    k, n = _kept(spark, path, "a", 10000, 15000)
+    assert k < n
+    # partition pruning still composes with the new layout
+    got = T.scan(spark, path, partitions={"p": 1},
+                 between=("a", 10000, 15000))
+    want = [x for x in before
+            if x[3] == 1 and 10000 <= x[1] <= 15000]
+    assert sorted((r.id, r.a, r.b, r.p) for r in got.collect()) == want
