@@ -853,3 +853,49 @@ def test_zorder_on_partitioned_table(spark, tmp_path):
     want = [x for x in before
             if x[3] == 1 and 10000 <= x[1] <= 15000]
     assert sorted((r.id, r.a, r.b, r.p) for r in got.collect()) == want
+
+
+def test_streaming_ingest_concurrent_with_compaction(spark, tmp_path):
+    """The docstring claim, pinned: table maintenance (compact) racing
+    a streaming writer neither loses an epoch nor breaks the epoch
+    memory. Appends rebase through the maintenance commits; a compact
+    computed on a stale head conflicts loudly and simply retries."""
+    from sec_financial_pipeline_spark.streaming.sinks import SnaptableSink
+
+    table = str(tmp_path / "t")
+    sink = SnaptableSink(table, app_id="stream")
+    n_epochs = 8
+    errs: list = []
+    stop = threading.Event()
+
+    def ingest():
+        try:
+            for ep in range(n_epochs):
+                sink(_mk(spark, ep * 100, ep * 100 + 100), ep)
+                # replay every other epoch mid-stream (crash re-delivery)
+                if ep % 2 == 0:
+                    sink(_mk(spark, ep * 100, ep * 100 + 100), ep)
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+        finally:
+            stop.set()
+
+    def maintain():
+        while not stop.is_set():
+            try:
+                if T.versions(spark, table):
+                    T.compact(spark, table, target_files=2)
+            except (T.SnapshotConflict, FileNotFoundError):
+                continue  # stale snapshot or table not yet bootstrapped
+            except Exception as e:  # pragma: no cover - diagnostic
+                errs.append(e)
+                return
+
+    ti = threading.Thread(target=ingest)
+    tm = threading.Thread(target=maintain)
+    ti.start(); tm.start()
+    ti.join(); tm.join()
+    assert not errs
+    got = sorted(r.id for r in T.read(spark, table).collect())
+    assert got == list(range(n_epochs * 100))  # every epoch exactly once
+    assert T.last_txn(spark, table, "stream") == n_epochs - 1
