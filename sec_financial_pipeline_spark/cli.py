@@ -439,8 +439,9 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             partitions = dict(kv.split("=", 1) for kv in args.partition)
         between = None
         if args.between:
-            col, lo, hi = args.between
-            between = (col, float(lo), float(hi))
+            between = [
+                (col, float(lo), float(hi)) for col, lo, hi in args.between
+            ]
         m = T._manifest(spark, args.table, args.version)
         pruned = T._select_entries(m, partitions, between)
         df = T.scan(
@@ -659,8 +660,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     ss.add_argument(
         "--between",
         nargs=3,
+        action="append",
         metavar=("COL", "LO", "HI"),
-        help="numeric range filter using footer min/max file skipping",
+        help="numeric range filter using footer min/max file skipping "
+        "(repeatable; multiple ranges AND together and skip "
+        "multiplicatively on a z-ordered table)",
     )
     se = snap_sub.add_parser(
         "evolve",

@@ -358,16 +358,30 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     return _df_for(spark, path, _manifest(spark, path, version))
 
 
+def _norm_between(between) -> list[tuple]:
+    """Accept one ``(col, lo, hi)`` or a list of them (compound range
+    predicates — the shape z-order clustering exists to serve)."""
+    if not between:
+        return []
+    if isinstance(between, tuple) and len(between) == 3 and isinstance(
+        between[0], str
+    ):
+        return [between]
+    return list(between)
+
+
 def _select_entries(
     m: dict,
     partitions: dict | None,
-    between: tuple | None,
+    between=None,
 ) -> list[dict]:
     """Manifest-level pruning: keep a file iff no available metadata
     rules it out. Partition equality prunes on the lifted dir values;
-    ``between=(col, lo, hi)`` prunes on footer min/max. A file with no
-    metadata for a requested column is always kept — pruning is an
-    optimization, never a correctness filter."""
+    ``between=(col, lo, hi)`` — or a LIST of such triples, ANDed —
+    prunes on footer min/max. A file with no metadata for a requested
+    column is always kept — pruning is an optimization, never a
+    correctness filter."""
+    ranges = _norm_between(between)
     keep = []
     for e in m["files"]:
         if partitions:
@@ -376,11 +390,14 @@ def _select_entries(
                 k in part and part[k] != str(v) for k, v in partitions.items()
             ):
                 continue
-        if between:
-            col, lo, hi = between
+        pruned = False
+        for col, lo, hi in ranges:
             st = e.get("stats", {}).get(col)
             if st is not None and (st[1] < lo or st[0] > hi):
-                continue
+                pruned = True
+                break
+        if pruned:
+            continue
         keep.append(e)
     return keep
 
@@ -390,14 +407,16 @@ def scan(
     path: str,
     version: int | None = None,
     partitions: dict | None = None,
-    between: tuple | None = None,
+    between=None,
 ) -> DataFrame:
     """Pruned snapshot scan: files are selected from MANIFEST metadata
     (partition values + footer min/max) before Spark ever lists or
     opens anything, then the exact predicates are re-applied on the
     result — pruning cuts I/O, the filters guarantee exactness. At
     100 TB this is the difference between touching the 2 probed
-    partitions' files and footer-checking every file in the table."""
+    partitions' files and footer-checking every file in the table.
+    ``between`` takes one ``(col, lo, hi)`` or a list of them (ANDed) —
+    compound ranges skip multiplicatively on a z-ordered table."""
     from pyspark.sql import functions as F
 
     m = _manifest(spark, path, version)
@@ -405,8 +424,7 @@ def scan(
     if partitions:
         for k, v in partitions.items():
             df = df.filter(F.col(k).cast("string") == str(v))
-    if between:
-        col, lo, hi = between
+    for col, lo, hi in _norm_between(between):
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     return df
 

@@ -899,3 +899,24 @@ def test_streaming_ingest_concurrent_with_compaction(spark, tmp_path):
     got = sorted(r.id for r in T.read(spark, table).collect())
     assert got == list(range(n_epochs * 100))  # every epoch exactly once
     assert T.last_txn(spark, table, "stream") == n_epochs - 1
+
+
+def test_scan_compound_ranges_multiply_skipping(spark, tmp_path):
+    """A 2-range predicate on a z-ordered table prunes to (roughly) the
+    intersection of each range's file set, and the result stays exact."""
+    path = str(tmp_path / "t")
+    T.create(_zt(spark).repartition(16), path)
+    T.optimize_cluster(spark, path, ["a", "b"], target_files=16)
+    m = T._manifest(spark, path, None)
+    ranges = [("a", 10000, 25000), ("b", 40000, 55000)]
+    k_a = len(T._select_entries(m, None, ranges[0]))
+    k_b = len(T._select_entries(m, None, ranges[1]))
+    k_ab = len(T._select_entries(m, None, ranges))
+    assert k_ab <= min(k_a, k_b)
+    got = sorted(r.id for r in T.scan(spark, path, between=ranges).collect())
+    want = sorted(
+        r.id for r in T.read(spark, path).filter(
+            (F.col("a").between(10000, 25000)) & (F.col("b").between(40000, 55000))
+        ).collect()
+    )
+    assert got == want and got
