@@ -123,6 +123,10 @@ def _headline_fns():
         # timing the pure transitive-closure constituent.
         "doc_dup_clusters": similarity.q_doc_dup_clusters_only,
         "snap_cdf": pipeline.q_snap_cdf,
+        # r8: the cosine registry row gained the `hybrid` RRF section;
+        # the bench row keeps timing the pure brute-force cosine
+        # constituent like-for-like.
+        "emb_cosine_topk": similarity.q_emb_cosine_topk,
     }
     queries = all_queries()
     return {

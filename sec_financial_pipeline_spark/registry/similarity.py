@@ -66,11 +66,6 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 """
 
 
-@register(
-    "emb_cosine_topk",
-    _COSINE_ORACLE,
-    survey="§2.9 similarity-search (brute-force cosine top-k baseline)",
-)
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precompute per-vector norms ONCE behind an exchange: array folds are
     # interpreted (no codegen), and cosine-per-pair would otherwise
@@ -108,6 +103,223 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical (3-gram Jaccard) leg + vector (cosine) leg
+# fused by reciprocal-rank fusion (RRF, Cormack et al. 2009) — the
+# standard keyword+vector search shape. documents.doc_id and
+# embeddings.vec_id are the aligned id space of the synthetic corpus.
+# Determinism: Jaccard is a ratio of small ints (bit-identical in any
+# IEEE engine), cosine is the rounded-6 convention, RRF adds two exact
+# reciprocals of integers — every rank tie breaks (score desc, id asc).
+# ---------------------------------------------------------------------------
+
+_HY_KLEG = 20   # per-leg candidate depth
+_RRF_K = 60
+
+_HYBRID_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM toks
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+lexshared AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, count(*) AS n_shared
+  FROM sh q JOIN sh c ON q.shingle = c.shingle AND q.doc_id <> c.doc_id
+  WHERE q.doc_id < {_N_QUERIES}
+  GROUP BY q.doc_id, c.doc_id
+),
+lexrank AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           CAST(n_shared AS DOUBLE) / (sq.n_shingles + sc.n_shingles - n_shared) DESC,
+           cand_id ASC) AS lex_rank
+  FROM lexshared l
+  JOIN sizes sq ON l.query_id = sq.doc_id
+  JOIN sizes sc ON l.cand_id = sc.doc_id
+),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+cosrank AS (
+  SELECT query_id, cand_id, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC, cand_id ASC
+         ) AS cos_rank
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           round(
+             list_sum(list_transform(generate_series(1, len(q.emb)), i -> q.emb[i] * c.emb[i]))
+             / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.emb, x -> x * x)))), 6) AS cosine_sim
+    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+  )
+),
+fused AS (
+  SELECT coalesce(l.query_id, c.query_id) AS query_id,
+         coalesce(l.cand_id, c.cand_id) AS neighbor_id,
+         l.lex_rank, c.cos_rank,
+         coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0)
+         + coalesce(1.0 / ({_RRF_K} + c.cos_rank), 0) AS rrf_score
+  FROM (SELECT * FROM lexrank WHERE lex_rank <= {_HY_KLEG}) l
+  FULL OUTER JOIN (SELECT * FROM cosrank WHERE cos_rank <= {_HY_KLEG}) c
+    ON l.query_id = c.query_id AND l.cand_id = c.cand_id
+)
+SELECT query_id, neighbor_id, CAST(lex_rank AS INTEGER) AS lex_rank,
+       CAST(cos_rank AS INTEGER) AS cos_rank, rrf_score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf_score DESC, neighbor_id ASC) AS rn
+  FROM fused
+) WHERE rn <= {_TOP_K}
+"""
+
+
+def q_emb_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF hybrid search. Scale shape: the lexical leg is the shared-
+    shingle equi-join (query side tiny — broadcast), the vector leg the
+    broadcast-query cosine; both legs truncate to ``_HY_KLEG`` per query
+    BEFORE fusion, so the full-outer fuse touches <= 2 * KLEG rows per
+    query regardless of corpus size; windows are partitioned by query."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(S.shingles(F.col("text"))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    qsh = sh.filter(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "shingle"
+    )
+    shared = (
+        F.broadcast(qsh)
+        .join(sh, "shingle")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("nq") + F.col("nc") - F.col("n_shared")
+    )
+    wq = Window.partitionBy("query_id")
+    lex = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("query_id"),
+                         F.col("n_shingles").alias("nq")), "query_id")
+        .join(
+            sizes.select(F.col("doc_id").alias("cand_id"),
+                         F.col("n_shingles").alias("nc")), "cand_id")
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(wq.orderBy(jac.desc(), F.col("cand_id").asc())),
+        )
+        .filter(F.col("lex_rank") <= _HY_KLEG)
+        .select("query_id", "cand_id", "lex_rank")
+    )
+    n_part = max(1, spark.sparkContext.defaultParallelism)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("nrm", S.norm(F.col("emb")))
+        .repartition(n_part)
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                S.dot(F.col("emb"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .withColumn(
+            "cos_rank",
+            F.row_number().over(
+                wq.orderBy(F.col("cosine_sim").desc(), F.col("cand_id").asc())
+            ),
+        )
+        .filter(F.col("cos_rank") <= _HY_KLEG)
+        .select("query_id", "cand_id", "cos_rank")
+    )
+    fused = lex.join(cos, ["query_id", "cand_id"], "full_outer").select(
+        "query_id",
+        F.col("cand_id").alias("neighbor_id"),
+        F.col("lex_rank").cast("int").alias("lex_rank"),
+        F.col("cos_rank").cast("int").alias("cos_rank"),
+        (
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("cos_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return (
+        fused.withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(F.col("rrf_score").desc(), F.col("neighbor_id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "lex_rank", "cos_rank", "rrf_score")
+    )
+
+
+_EMB_TOPK_SCHEMA = [
+    ("query_id", "bigint"),
+    ("neighbor_id", "bigint"),
+    ("cosine_sim", "double"),
+    ("lex_rank", "int"),
+    ("cos_rank", "int"),
+    ("rrf_score", "double"),
+]
+
+from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
+    union_sections as _u_sections,
+    union_sections_sql as _u_sections_sql,
+)
+
+
+@register(
+    "emb_cosine_topk",
+    _u_sections_sql(
+        [
+            ("cosine", _COSINE_ORACLE,
+             ["query_id", "neighbor_id", "cosine_sim"]),
+            ("hybrid", _HYBRID_ORACLE,
+             ["query_id", "neighbor_id", "lex_rank", "cos_rank", "rrf_score"]),
+        ],
+        _EMB_TOPK_SCHEMA,
+    ),
+    survey=(
+        "§2.9 similarity-search (brute-force cosine top-k baseline)"
+        " + hybrid keyword+vector retrieval (3-gram Jaccard leg and"
+        " cosine leg truncated to 20/query, fused by reciprocal-rank"
+        " fusion k=60 — Cormack et al. 2009)"
+    ),
+)
+def q_emb_cosine_and_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _u_sections(
+        [
+            ("cosine", q_emb_cosine_topk(spark, sf_dir)),
+            ("hybrid", q_emb_hybrid_topk(spark, sf_dir)),
+        ],
+        _EMB_TOPK_SCHEMA,
     )
 
 
