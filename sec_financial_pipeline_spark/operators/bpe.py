@@ -199,11 +199,20 @@ def apply_bpe(
             memo[w] = syms
             return syms
 
+        # split EXACTLY like training's Java regex \s+ (ASCII whitespace
+        # only): Python str.split() matches Unicode whitespace (U+00A0,
+        # U+2009, ...), which would cut words training fused — the
+        # trained merges would then never apply to them
+        import re as _re
+
+        _ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
         out = []
         for t in texts:
             toks: list[str] = []
-            for w in (t or "").split():
-                toks.extend(word_tokens(w))
+            for w in _ws.split(t or ""):
+                if w:
+                    toks.extend(word_tokens(w))
             out.append(toks)
         return pd.Series(out)
 

@@ -130,7 +130,12 @@ def temperature_mixture_thresholds(
 
 
 def temperature_mixture(
-    df: DataFrame, key: str, stratum: str, alpha: float, salt: str = ""
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    alpha: float,
+    salt: str = "",
+    thresholds: DataFrame | None = None,
 ) -> DataFrame:
     """Resample the corpus to its own size under a temperature-``alpha``
     stratum distribution: each row emits ``threshold >> 32`` full
@@ -138,8 +143,14 @@ def temperature_mixture(
     ``threshold & 0xffffffff`` — expected multiplicity exactly
     ``threshold / 2^32``, decided engine- and partitioning-
     independently. Adds 1-based ``copy_no`` (like
-    :func:`stratified_hash_upsample`)."""
-    th = temperature_mixture_thresholds(df, stratum, alpha)
+    :func:`stratified_hash_upsample`). Pass a precomputed
+    ``thresholds`` table to avoid re-running the corpus count when the
+    caller already built one."""
+    th = (
+        thresholds
+        if thresholds is not None
+        else temperature_mixture_thresholds(df, stratum, alpha)
+    )
     joined = df.join(F.broadcast(th.select(stratum, "threshold")), stratum)
     u32 = F.conv(
         F.substring(

@@ -439,9 +439,15 @@ def q_doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    th = temperature_mixture_thresholds(d, "lang", _TEMP_ALPHA)
+    # one thresholds build, shared by the report columns and the
+    # selection (localCheckpoint: the tiny table would otherwise
+    # recompute its corpus count in both branches)
+    th = temperature_mixture_thresholds(d, "lang", _TEMP_ALPHA).localCheckpoint(
+        eager=True
+    )
     picked = temperature_mixture(
-        d, key="doc_id", stratum="lang", alpha=_TEMP_ALPHA, salt=_TEMP_SALT
+        d, key="doc_id", stratum="lang", alpha=_TEMP_ALPHA, salt=_TEMP_SALT,
+        thresholds=th,
     )
     sel = picked.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_selected")

@@ -193,9 +193,15 @@ def q_emb_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
+    n_part = max(1, spark.sparkContext.defaultParallelism)
+    # the exchange is a materialization barrier: sh feeds FOUR branches
+    # (query side, probe side, two sizes joins) and Catalyst does not
+    # dedupe common subtrees — without it the interpreted shingle HOF
+    # re-runs per branch (the measured 7-17x trap minhash_signatures
+    # documents); with it the later branches hit a ReusedExchange
     sh = d.select(
         "doc_id", F.explode(S.shingles(F.col("text"))).alias("shingle")
-    )
+    ).repartition(n_part, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     qsh = sh.filter(F.col("doc_id") < _N_QUERIES).select(
         F.col("doc_id").alias("query_id"), "shingle"
@@ -225,7 +231,6 @@ def q_emb_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lex_rank") <= _HY_KLEG)
         .select("query_id", "cand_id", "lex_rank")
     )
-    n_part = max(1, spark.sparkContext.defaultParallelism)
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))

@@ -671,14 +671,19 @@ def evolve_schema(
 
     base = _manifest(spark, path, None)
     schema = StructType.fromJson(json.loads(base["schema"]))
-    existing = {f.name for f in schema.fields}
+    # case-INSENSITIVE collision guard: Spark resolves columns case-
+    # insensitively by default, so committing 'V' beside 'v' would brick
+    # every subsequent read with COLUMN_ALREADY_EXISTS
+    existing = {f.name.lower() for f in schema.fields}
     fields = list(schema.fields)
     stats_cols = list(base.get("stats_cols", []))
     for name, typ in new_fields:
-        if name in existing:
+        if name.lower() in existing:
             raise ValueError(
-                f"snaptable: evolve_schema column '{name}' already exists"
+                f"snaptable: evolve_schema column '{name}' already exists "
+                f"(column resolution is case-insensitive)"
             )
+        existing.add(name.lower())
         dt = _parse_datatype_string(typ)
         from pyspark.sql.types import StructField
 
@@ -752,11 +757,17 @@ def optimize_cluster(
         # enough curve resolution that each file maps to >= 4 curve
         # cells per dimension; capped so the rank fold stays small
         bits = max(4, min(8, (max(1, target_files - 1)).bit_length() + 2))
+    # the top interleaved bit position is bits*len(cols)-1; past bit 62
+    # it would shift into the long sign bit and silently invert the
+    # curve order for high-rank rows
+    bits = min(bits, 62 // max(1, len(cols)))
     nb = (1 << bits) - 1  # boundary count per column
     probs = [i / (nb + 1) for i in range(1, nb + 1)]
+    # ONE stats pass for every clustered column (list form)
+    all_bounds = df.stat.approxQuantile(list(cols), probs, 1.0 / (4 * (nb + 1)))
     z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
-        bounds = df.stat.approxQuantile(c, probs, 1.0 / (4 * (nb + 1)))
+        bounds = all_bounds[j]
         if not bounds:
             continue  # empty table / all-null column: nothing to order on
         # codegen'd fold: rank = #boundaries <= value (equi-depth bucket)

@@ -81,16 +81,42 @@ class SnaptableSink:
                 pass  # racing bootstrap lost; fall through (the txn
                 # check inside append/merge makes the retry safe)
         if self.key_cols:
-            T.merge_upsert(batch_df, self.path, self.key_cols, txn=txn)
+            # merge is a REWRITE: unlike append it cannot rebase, so a
+            # maintenance commit (compact/optimize) racing in between
+            # head resolution and publish conflicts. Retry — the merge
+            # recomputes against the new head each time, and the txn
+            # check turns an already-applied retry into a no-op —
+            # instead of letting SnapshotConflict kill the whole
+            # streaming query.
+            import time as _time
+
+            for attempt in range(20):
+                try:
+                    T.merge_upsert(batch_df, self.path, self.key_cols, txn=txn)
+                    return
+                except T.SnapshotConflict:
+                    # linear backoff: a merge recomputes a full rewrite
+                    # per attempt, so without yielding it can starve
+                    # against back-to-back maintenance commits
+                    _time.sleep(0.05 * (attempt + 1))
+                    continue
+            raise T.SnapshotConflict(
+                f"snaptable sink: merge epoch {epoch_id} lost 20 head "
+                f"races at {self.path}"
+            )
         else:
             T.append(batch_df, self.path, txn=txn)
 
     def committed_epochs(self, spark) -> list[int]:
         """Epochs applied per the head manifest (at most one watermark
-        per app — returned as [last] to mirror EpochParquetSink)."""
+        per app — returned as [last] to mirror EpochParquetSink,
+        including [] before the table is bootstrapped)."""
         from sec_financial_pipeline_spark.sources import snaptable as T
 
-        last = T.last_txn(spark, self.path, self.app_id)
+        try:
+            last = T.last_txn(spark, self.path, self.app_id)
+        except FileNotFoundError:
+            return []  # cold start: no table yet, nothing committed
         return [] if last is None else [last]
 
 

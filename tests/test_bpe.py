@@ -115,3 +115,23 @@ def test_train_on_documents_table(spark, sf_dir):
     # merges on a real corpus the token count sits strictly between
     # word count and character count
     assert row.n_bpe > row.n_words
+
+
+def test_apply_splits_words_exactly_like_training(spark):
+    """Java \\s+ (training) does NOT match U+00A0; Python str.split()
+    does. The apply path must mirror training's ASCII-only split, or
+    words the trainer fused would be cut and their merges never apply
+    (review finding, reproduced live)."""
+    text = "net income rose net income fell net income up"
+    df = spark.createDataFrame([(text,)], "text string")
+    wf = {r.word: r.freq for r in bpe.word_freq_table(df, "text").collect()}
+    assert "net income" in wf and wf["net income"] == 3
+    merges = bpe.train_bpe(df, "text", n_merges=12, min_pair_freq=2)
+    toked = bpe.apply_bpe(df, "text", merges).collect()[0]
+    # the fused word must round-trip as ONE word (exactly one EOW token
+    # boundary per corpus word, 6 words total)
+    assert sum(1 for t in toked.tokens if t.endswith(bpe.EOW)) == 6
+    joined = "".join(toked.tokens)
+    assert "net income" + bpe.EOW in joined or any(
+        "net income" in t for t in toked.tokens
+    )

@@ -920,3 +920,74 @@ def test_scan_compound_ranges_multiply_skipping(spark, tmp_path):
         ).collect()
     )
     assert got == want and got
+
+
+def test_evolve_schema_case_insensitive_collision_guard(spark, tmp_path):
+    """Spark resolves columns case-insensitively: committing 'V' beside
+    'v' would brick every later read with COLUMN_ALREADY_EXISTS, so the
+    guard must reject it (review finding, reproduced live)."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 5), path)
+    with pytest.raises(ValueError, match="already exists"):
+        T.evolve_schema(spark, path, [("V", "double")])
+    with pytest.raises(ValueError, match="already exists"):
+        T.evolve_schema(spark, path, [("x", "double"), ("X", "string")])
+    assert T.read(spark, path).count() == 5  # table untouched
+
+
+def test_zorder_bits_capped_below_sign_bit(spark, tmp_path):
+    """8 clustered columns x default bits would interleave into bit 63
+    (the long sign bit), inverting the curve order; the cap keeps the
+    top bit below it and the rewrite exact."""
+    path = str(tmp_path / "t")
+    cols = [f"c{i}" for i in range(8)]
+    df = spark.range(0, 2000).select(
+        "id", *[(F.col("id") * (2 * i + 3) % 1000).alias(c)
+                for i, c in enumerate(cols)]
+    )
+    T.create(df.repartition(8), path)
+    before = sorted(tuple(r) for r in T.read(spark, path).collect())
+    T.optimize_cluster(spark, path, cols, target_files=8)
+    after = sorted(tuple(r) for r in T.read(spark, path).collect())
+    assert after == before
+
+
+def test_snaptable_sink_cold_start_and_merge_conflict_retry(spark, tmp_path):
+    from sec_financial_pipeline_spark.streaming.sinks import SnaptableSink
+
+    table = str(tmp_path / "t")
+    sink = SnaptableSink(table, app_id="cdc", key_cols=["id"])
+    assert sink.committed_epochs(spark) == []  # cold start: no crash
+    sink(_mk(spark, 0, 10), 0)
+    # merge epochs racing a compact loop must not kill the "query"
+    stop = threading.Event()
+    errs: list = []
+
+    def maintain():
+        import time as _time
+
+        while not stop.is_set():
+            try:
+                T.compact(spark, table, target_files=1)
+            except T.SnapshotConflict:
+                pass
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+                return
+            _time.sleep(0.2)  # realistic cadence, not a busy loop
+
+    tm = threading.Thread(target=maintain)
+    tm.start()
+    try:
+        for ep in range(1, 5):
+            patch = spark.range(0, 3).select(
+                "id", (F.col("id") * 100 * ep).alias("v")
+            )
+            sink(patch, ep)
+    finally:
+        stop.set()
+        tm.join()
+    assert not errs
+    got = {r.id: r.v for r in T.read(spark, table).collect()}
+    assert got[0] == 0 and got[1] == 400 and got[2] == 800 and got[9] == 18
+    assert sink.committed_epochs(spark) == [4]
