@@ -1,0 +1,116 @@
+"""Engine-independent HyperLogLog distinct-count sketch (Flajolet et
+al. 2007) — the mergeable-state aggregation a 100 TB pipeline needs for
+distinct users/documents/keys without a shuffle-the-world exact count.
+
+Spark ships `approx_count_distinct`, but its HLL++ registers are
+JVM-internal: no cross-engine oracle can check them, and sketches from
+another engine cannot merge with them. This construction is defined
+entirely in portable SQL semantics, so DuckDB (the correctness oracle)
+computes BIT-IDENTICAL registers and estimates:
+
+- hash   = first 32 bits of md5(key)  (the same engine-independent
+  hash family every dedup/sampling operator here uses)
+- bucket = top ``b`` bits; rho = position of the first 1-bit in the
+  remaining ``32-b`` bits, computed as an INTEGER via binary-string
+  length (no log2 — float libs disagree at powers of two)
+- register M_j = max(rho) per bucket — a partial-aggregable max, so
+  the sketch state is m integers regardless of input size, and
+  UNION-of-datasets == elementwise max of registers (mergeability,
+  pinned by test)
+- estimate = alpha_m * m^2 / (zeros + sum 2^-M_j). Every 2^-M_j is an
+  exact power of two and the sum has at most m one-bit terms spanning
+  < 53 bits, so it is EXACT in double arithmetic in any order — the
+  estimate is deterministic across engines and partitionings. The
+  small-range LinearCounting correction is intentionally NOT applied
+  inside the operator (java.lang.Math.log and libm log may differ in
+  the last ulp); callers that want it apply ``m * ln(m/zeros)``
+  driver-side from the returned ``n_zero`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_rho(key: Column, b: int = 6) -> tuple[Column, Column]:
+    """(bucket, rho) for one key — the per-row sketch contribution."""
+    h32 = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    width = 32 - b
+    bucket = F.shiftright(h32, width)
+    rest = h32.bitwiseAND(F.lit((1 << width) - 1))
+    blen = F.when(rest == 0, F.lit(0)).otherwise(
+        F.length(F.conv(rest, 10, 2))
+    )
+    rho = F.lit(width + 1) - blen
+    return bucket.cast("int").alias("bucket"), rho.cast("int").alias("rho")
+
+
+def hll_registers(
+    df: DataFrame, key: str, group_cols: list[str] | None = None, b: int = 6
+) -> DataFrame:
+    """Sketch state: one ``(group..., bucket, M)`` row per non-empty
+    register. Partial-aggregable (map-side combine shrinks every
+    partition to <= m rows before the shuffle)."""
+    group_cols = list(group_cols or [])
+    bucket, rho = hll_rho(F.col(key), b)
+    return (
+        df.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_merge(*register_sets: DataFrame) -> DataFrame:
+    """Merge sketches: union the register tables, keep max(M) per
+    (group, bucket). sketch(A ∪ B) == merge(sketch(A), sketch(B)) —
+    the property that lets per-shard/per-day sketches roll up without
+    touching raw data."""
+    out = register_sets[0]
+    for r in register_sets[1:]:
+        out = out.unionByName(r)
+    keys = [c for c in out.columns if c != "M"]
+    return out.groupBy(*keys).agg(F.max("M").alias("M"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None, b: int = 6
+) -> DataFrame:
+    """(group..., hll_distinct, n_registers, n_zero) from a register
+    table. ``hll_distinct`` is the raw HLL estimate (deterministic —
+    see module docstring); ``n_zero`` = empty registers, for callers
+    applying the LinearCounting small-range correction themselves."""
+    group_cols = list(group_cols or [])
+    m = 1 << b
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("__sumpow"),
+    )
+    z = (F.lit(m) - F.col("n_registers")).cast("double") + F.col("__sumpow")
+    return agg.select(
+        *group_cols,
+        F.round(F.lit(_alpha(m) * m * m) / z, 4).alias("hll_distinct"),
+        "n_registers",
+        (F.lit(m) - F.col("n_registers")).cast("int").alias("n_zero"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, key: str, group_cols: list[str] | None = None, b: int = 6
+) -> DataFrame:
+    """One-shot convenience: registers + estimate."""
+    return hll_estimate(
+        hll_registers(df, key, group_cols, b), group_cols, b
+    )

@@ -20,6 +20,43 @@ from sec_financial_pipeline_spark.sources.testdata import load_table
 # ---------------------------------------------------------------------------
 
 
+#: HLL-64 sketch of distinct users per event type (operators/sketches.py):
+#: bucket = top 6 bits of the 32-bit md5 prefix, rho via INTEGER
+#: binary-string length (no float log2), registers = max(rho), raw
+#: estimate alpha*m^2/(zeros + sum 2^-M) — the 2^-M sum is exact in
+#: double (<= 64 one-bit terms), so both engines produce bit-identical
+#: estimates. exact_distinct rides along to witness the accuracy.
+_HLL_SQL = f"""
+SELECT 'hll' AS section, r.event_type,
+       CAST(NULL AS TIMESTAMP) AS window_start,
+       CAST(NULL AS BIGINT) AS n_events,
+       CAST(NULL AS BIGINT) AS sum_k,
+       CAST(NULL AS DOUBLE) AS total_value,
+       round(0.709 * 64 * 64 /
+             ((64 - count(*)) + sum(pow(2.0, -r.M))), 4) AS hll_distinct,
+       CAST(count(*) AS INTEGER) AS n_registers,
+       x.exact_distinct
+FROM (
+  SELECT event_type, bucket, max(rho) AS M FROM (
+    SELECT event_type,
+           h32 // 67108864 AS bucket,
+           CASE WHEN h32 % 67108864 = 0 THEN 27
+                ELSE 27 - length(format('{{:b}}', h32 % 67108864)) END AS rho
+    FROM (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h32
+      FROM events
+    )
+  ) GROUP BY event_type, bucket
+) r
+JOIN (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+) x ON r.event_type = x.event_type
+GROUP BY r.event_type, x.exact_distinct
+"""
+
+
 @register(
     "evt_windows",
     f"""
@@ -27,7 +64,10 @@ SELECT 'by_type' AS section, event_type,
        CAST(NULL AS TIMESTAMP) AS window_start,
        count(*) AS n_events,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-       {dsum_sql('value')} AS total_value
+       {dsum_sql('value')} AS total_value,
+       CAST(NULL AS DOUBLE) AS hll_distinct,
+       CAST(NULL AS INTEGER) AS n_registers,
+       CAST(NULL AS BIGINT) AS exact_distinct
 FROM events
 GROUP BY event_type
 UNION ALL
@@ -35,14 +75,31 @@ SELECT 'hourly' AS section, event_type,
        CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        count(*) AS n_events,
        CAST(NULL AS BIGINT) AS sum_k,
-       {dsum_sql('value')} AS total_value
+       {dsum_sql('value')} AS total_value,
+       CAST(NULL AS DOUBLE) AS hll_distinct,
+       CAST(NULL AS INTEGER) AS n_registers,
+       CAST(NULL AS BIGINT) AS exact_distinct
 FROM events
 GROUP BY 1, 2, 3
+UNION ALL
+{_HLL_SQL}
 """,
-    survey="C5 §2.7 (JSON path extraction + typed agg; tumbling window agg — streaming twin in streaming/events.py)",
+    survey=(
+        "C5 §2.7 (JSON path extraction + typed agg; tumbling window agg —"
+        " streaming twin in streaming/events.py) + engine-independent HLL"
+        " distinct-user sketch (md5 registers, integer rho, exact 2^-M"
+        " sum — bit-identical across engines; mergeable state)"
+    ),
 )
 def q_evt_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.sketches import hll_distinct
+
     e = load_table(spark, sf_dir, "events")
+    pad = [
+        F.lit(None).cast("double").alias("hll_distinct"),
+        F.lit(None).cast("int").alias("n_registers"),
+        F.lit(None).cast("bigint").alias("exact_distinct"),
+    ]
     k = F.get_json_object("props", "$.k").cast("int")
     by_type = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -55,6 +112,7 @@ def q_evt_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_k",
         "total_value",
+        *pad,
     )
     hourly = e.groupBy(
         F.date_trunc("hour", "ts").alias("window_start"), "event_type"
@@ -68,8 +126,25 @@ def q_evt_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.lit(None).cast("bigint").alias("sum_k"),
         "total_value",
+        *pad,
     )
-    return by_type.unionByName(hourly)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    hll = hll_distinct(e, "user_id", ["event_type"], b=6).join(
+        exact, "event_type"
+    ).select(
+        F.lit("hll").alias("section"),
+        "event_type",
+        F.lit(None).cast("timestamp").alias("window_start"),
+        F.lit(None).cast("bigint").alias("n_events"),
+        F.lit(None).cast("bigint").alias("sum_k"),
+        F.lit(None).cast("double").alias("total_value"),
+        "hll_distinct",
+        "n_registers",
+        "exact_distinct",
+    )
+    return by_type.unionByName(hourly).unionByName(hll)
 
 
 # ---------------------------------------------------------------------------
