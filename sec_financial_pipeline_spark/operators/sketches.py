@@ -114,3 +114,69 @@ def hll_distinct(
     return hll_estimate(
         hll_registers(df, key, group_cols, b), group_cols, b
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — frequency estimation
+# / heavy-hitter probing with the same engine-independence discipline as
+# the HLL above, and even stronger: the whole sketch is INTEGER state
+# (d x w counters, partial-aggregable sums), so there is no float
+# anywhere. Guarantees: est >= true (one-sided), est <= true + eps*N
+# w.p. 1-delta for w = e/eps, d = ln(1/delta). Merge = elementwise sum.
+# At 100 TB: the sketch is d*w longs per group however large the input,
+# and the probe join touches d rows per probed key.
+# ---------------------------------------------------------------------------
+
+
+def _cms_counter(key: Column, i: int, w: int) -> Column:
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{i}#"), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % w).cast("int")
+
+
+def cms_counters(
+    df: DataFrame,
+    key: str,
+    d: int = 4,
+    w: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sketch state: ``(group..., row, counter, cnt)`` — at most d*w
+    rows per group."""
+    group_cols = list(group_cols or [])
+    arr = F.array(*[_cms_counter(F.col(key), i, w) for i in range(d)])
+    ex = df.select(*group_cols, F.posexplode(arr).alias("row", "counter"))
+    return ex.groupBy(*group_cols, "row", "counter").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """cms(A ∪ B) == merge(cms(A), cms(B)): elementwise counter sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def cms_lookup(
+    counters: DataFrame, probes: DataFrame, key: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Estimated frequency for each probe key: min over the d row
+    estimates (missing counter = 0). ``probes`` is a one-column
+    DataFrame of keys — typically tiny and broadcast."""
+    arr = F.array(*[_cms_counter(F.col(key), i, w) for i in range(d)])
+    pl = probes.select(
+        F.col(key), F.posexplode(arr).alias("row", "counter")
+    )
+    return (
+        pl.join(counters, ["row", "counter"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est"))
+    )

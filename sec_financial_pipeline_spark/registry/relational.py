@@ -56,16 +56,107 @@ def q_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "rel_skewed_agg",
-    """
+_SALTED_ORACLE = """
 SELECT l_returnflag,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
        count(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag
-""",
-    survey="A5 + skew (two-phase salted aggregation over 3-hot-key column; exact-decimal partials make salting invisible)",
+"""
+
+#: Count-Min frequency probes (operators/sketches.py): d=4 salted
+#: md5 hash rows x w=256 counters over l_suppkey; probe keys 1..10 get
+#: min-over-rows estimates, with true counts riding along to witness
+#: the one-sided error (est >= true always; overcount bounded by
+#: collisions). All-integer state — bit-identical across engines.
+_CMS_D, _CMS_W = 4, 256
+_CMS_ORACLE = f"""
+WITH rows_i AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS row_i),
+cnt AS (
+  SELECT row_i, counter, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT r.row_i,
+           ('0x' || substr(md5(CAST(r.row_i AS VARCHAR) || '#' ||
+                               CAST(l.l_suppkey AS VARCHAR)), 1, 8))::BIGINT
+             % {_CMS_W} AS counter
+    FROM lineitem l, rows_i r
+  ) GROUP BY row_i, counter
+),
+probes AS (SELECT unnest(generate_series(1, 10)) AS k),
+pl AS (
+  SELECT p.k, r.row_i,
+         ('0x' || substr(md5(CAST(r.row_i AS VARCHAR) || '#' ||
+                             CAST(p.k AS VARCHAR)), 1, 8))::BIGINT
+           % {_CMS_W} AS counter
+  FROM probes p, rows_i r
+),
+est AS (
+  SELECT k, min(coalesce(c, 0)) AS cms_est
+  FROM pl LEFT JOIN cnt USING (row_i, counter) GROUP BY k
+),
+tru AS (
+  SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM lineitem WHERE l_suppkey BETWEEN 1 AND 10 GROUP BY l_suppkey
+)
+SELECT CAST(est.k AS BIGINT) AS probe_key,
+       CAST(est.cms_est AS BIGINT) AS cms_est,
+       CAST(coalesce(tru.true_cnt, 0) AS BIGINT) AS true_cnt
+FROM est LEFT JOIN tru ON est.k = tru.k
+"""
+
+_SKEW_SCHEMA = [
+    ("l_returnflag", "string"),
+    ("sum_price", "double"),
+    ("n_rows", "bigint"),
+    ("probe_key", "bigint"),
+    ("cms_est", "bigint"),
+    ("true_cnt", "bigint"),
+]
+
+from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
+    union_sections as _u_sections,
+    union_sections_sql as _u_sections_sql,
+)
+
+
+def q_cms_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.sketches import (
+        cms_counters,
+        cms_lookup,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counters = cms_counters(li, "l_suppkey", d=_CMS_D, w=_CMS_W)
+    probes = spark.range(1, 11).select(F.col("id").alias("l_suppkey"))
+    est = cms_lookup(counters, probes, "l_suppkey", d=_CMS_D, w=_CMS_W)
+    tru = (
+        li.filter(F.col("l_suppkey").between(1, 10))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+    )
+    return est.join(tru, "l_suppkey", "left").select(
+        F.col("l_suppkey").cast("bigint").alias("probe_key"),
+        "cms_est",
+        F.coalesce(F.col("true_cnt"), F.lit(0)).cast("bigint").alias("true_cnt"),
+    )
+
+
+@register(
+    "rel_skewed_agg",
+    _u_sections_sql(
+        [
+            ("salted", _SALTED_ORACLE,
+             ["l_returnflag", "sum_price", "n_rows"]),
+            ("cms", _CMS_ORACLE, ["probe_key", "cms_est", "true_cnt"]),
+        ],
+        _SKEW_SCHEMA,
+    ),
+    survey=(
+        "A5 + skew (two-phase salted aggregation over 3-hot-key column;"
+        " exact-decimal partials make salting invisible) + Count-Min"
+        " frequency sketch (Cormode 2005: d=4 x w=256 integer counters,"
+        " partial-aggregable, mergeable; one-sided error witnessed by"
+        " true counts)"
+    ),
 )
 def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_financial_pipeline_spark.operators.skew import salted_sum
@@ -80,8 +171,15 @@ def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_source="l_orderkey",
     )
     counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
-    return sums.join(counts, "l_returnflag").select(
+    salted = sums.join(counts, "l_returnflag").select(
         "l_returnflag", "sum_price", "n_rows"
+    )
+    return _u_sections(
+        [
+            ("salted", salted),
+            ("cms", q_cms_probes(spark, sf_dir)),
+        ],
+        _SKEW_SCHEMA,
     )
 
 

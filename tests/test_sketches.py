@@ -91,3 +91,76 @@ def test_grouped_sketch_partial_aggregable(spark):
     for g in ("g0", "g1", "g2"):
         solo = _py_registers([k for gg, k in rows if gg == g])
         assert {b: m for (gg, b), m in whole.items() if gg == g} == solo
+
+
+# ------------------------------------------------------------- Count-Min
+
+
+def _py_cms(keys, d=4, w=256):
+    cnt = {}
+    for k in keys:
+        for i in range(d):
+            c = int(hashlib.md5(f"{i}#{k}".encode()).hexdigest()[:8], 16) % w
+            cnt[(i, c)] = cnt.get((i, c), 0) + 1
+    return cnt
+
+
+def _py_cms_est(cnt, k, d=4, w=256):
+    return min(
+        cnt.get(
+            (i, int(hashlib.md5(f"{i}#{k}".encode()).hexdigest()[:8], 16) % w),
+            0,
+        )
+        for i in range(d)
+    )
+
+
+def test_cms_counters_and_lookup_match_python_witness(spark):
+    keys = [f"k{i % 40}" for i in range(2000)]  # skewed: k0.. repeat
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    counters = sketches.cms_counters(df, "k")
+    got = {(r.row, r.counter): r.cnt for r in counters.collect()}
+    assert got == _py_cms(keys)
+    probes = spark.createDataFrame([(f"k{i}",) for i in range(45)], "k string")
+    est = {
+        r.k: r.cms_est
+        for r in sketches.cms_lookup(counters, probes, "k").collect()
+    }
+    for i in range(45):
+        assert est[f"k{i}"] == _py_cms_est(_py_cms(keys), f"k{i}")
+    # one-sided error: never under the true count
+    true = {f"k{i}": keys.count(f"k{i}") for i in range(45)}
+    assert all(est[k] >= true[k] for k in true)
+
+
+def test_cms_one_sided_error_under_forced_collisions(spark):
+    """w=16 with 500 distinct keys FORCES collisions: estimates must
+    overcount (never undercount), bounded by the collision mass."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(F.concat(F.lit("u"), "id").alias("k"))
+    counters = sketches.cms_counters(df, "k", d=4, w=16)
+    probes = df.limit(50)
+    est = sketches.cms_lookup(counters, probes, "k", d=4, w=16)
+    rows = est.collect()
+    assert all(r.cms_est >= 1 for r in rows)
+    assert any(r.cms_est > 1 for r in rows)  # collisions really happened
+    assert all(r.cms_est <= 500 for r in rows)
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    from pyspark.sql import functions as F
+
+    a = spark.range(300).select(F.concat(F.lit("x"), "id").alias("k"))
+    b = spark.range(100, 700).select(F.concat(F.lit("x"), "id").alias("k"))
+    merged = {
+        (r.row, r.counter): r.cnt
+        for r in sketches.cms_merge(
+            sketches.cms_counters(a, "k"), sketches.cms_counters(b, "k")
+        ).collect()
+    }
+    union = {
+        (r.row, r.counter): r.cnt
+        for r in sketches.cms_counters(a.unionByName(b), "k").collect()
+    }
+    assert merged == union
