@@ -165,6 +165,54 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy(*keys).agg(F.sum("cnt").cast("bigint").alias("cnt"))
 
 
+def kmv_sketch(df: DataFrame, key: str, k: int = 64) -> DataFrame:
+    """KMV (k-minimum-values / theta) sketch: the ``k`` smallest 32-bit
+    md5 hashes of the column's DISTINCT values — one tiny sorted table
+    per set, built with TakeOrdered (orderBy+limit: per-partition top-k
+    merged on the driver; no window, no full sort). |S| is estimated by
+    ``(k-1) * 2^32 / theta`` (theta = the kth hash); two sketches
+    estimate INTERSECTION without ever joining the raw sets:
+    J = |A_sk ∩ B_sk within the k smallest of the union| / k and
+    |A ∩ B| ~= J * |A ∪ B|. Everything up to the final division is
+    integer arithmetic — deterministic across engines."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    )
+
+
+def kmv_overlap(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> DataFrame:
+    """One-row overlap estimate from two KMV sketches (outputs of
+    :func:`kmv_sketch` with the same ``k``): est_union, est_jaccard,
+    est_intersection (rounded 4), plus the match/theta internals."""
+    u = a.unionByName(b).distinct().orderBy("h").limit(k)
+    theta = u.agg(F.max("h").alias("theta"), F.count(F.lit(1)).alias("ku"))
+    matches = (
+        u.join(a, "h", "left_semi")
+        .join(b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    # unsaturated sketch (union smaller than k): the sketch IS the set,
+    # count exactly instead of extrapolating from theta
+    est_union = F.when(
+        F.col("ku") < k, F.col("ku").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 32)) / F.col("theta")
+    )
+    est_j = F.col("matches").cast("double") / F.col("ku")
+    return theta.crossJoin(matches).select(
+        F.col("ku").cast("int").alias("k_used"),
+        F.col("matches").cast("bigint").alias("kmv_matches"),
+        F.round(est_union, 4).alias("est_union"),
+        F.round(est_j, 4).alias("est_jaccard"),
+        F.round(est_j * est_union, 4).alias("est_intersection"),
+    )
+
+
 def cms_lookup(
     counters: DataFrame, probes: DataFrame, key: str, d: int = 4, w: int = 256
 ) -> DataFrame:

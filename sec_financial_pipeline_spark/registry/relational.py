@@ -718,34 +718,140 @@ def q_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: KMV (k-minimum-values) set-overlap sketch between the customer key
+#: set and the ordering-customer key set — intersection/Jaccard
+#: estimated from two 64-hash sketches, never joining the raw sets
+#: (operators/sketches.py). Exact counts ride along as the witness.
+_KMV_K = 64
+_KMV_ORACLE = f"""
+WITH ha AS (
+  SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM (SELECT DISTINCT c_custkey FROM customer)
+  ORDER BY h LIMIT {_KMV_K}
+),
+hb AS (
+  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM (SELECT DISTINCT o_custkey FROM orders)
+  ORDER BY h LIMIT {_KMV_K}
+),
+u AS (
+  SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
+  ORDER BY h LIMIT {_KMV_K}
+),
+stats AS (
+  SELECT max(h) AS theta, count(*) AS ku FROM u
+),
+m AS (
+  SELECT count(*) AS matches FROM u
+  WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)
+),
+x AS (
+  SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_b,
+         CAST((SELECT count(DISTINCT c_custkey) FROM customer) AS BIGINT)
+           AS exact_a,
+         CAST(count(DISTINCT CASE WHEN o_custkey IN
+              (SELECT c_custkey FROM customer) THEN o_custkey END) AS BIGINT)
+           AS exact_inter
+  FROM orders
+)
+SELECT CAST(stats.ku AS INTEGER) AS k_used,
+       CAST(m.matches AS BIGINT) AS kmv_matches,
+       round(CASE WHEN stats.ku < {_KMV_K} THEN CAST(stats.ku AS DOUBLE)
+                  ELSE {float(_KMV_K - 1)} * 4294967296.0 / stats.theta END,
+             4) AS est_union,
+       round(CAST(m.matches AS DOUBLE) / stats.ku, 4) AS est_jaccard,
+       round((CAST(m.matches AS DOUBLE) / stats.ku)
+             * CASE WHEN stats.ku < {_KMV_K} THEN CAST(stats.ku AS DOUBLE)
+                    ELSE {float(_KMV_K - 1)} * 4294967296.0 / stats.theta END,
+             4) AS est_intersection,
+       x.exact_inter AS exact_intersection
+FROM stats, m, x
+"""
+
+
 @register(
     "rel_existence_joins",
-    """
-SELECT 'semi' AS mode, c_custkey, c_name, c_mktsegment
+    f"""
+SELECT 'semi' AS mode, c_custkey, c_name, c_mktsegment,
+       CAST(NULL AS INTEGER) AS k_used, CAST(NULL AS BIGINT) AS kmv_matches,
+       CAST(NULL AS DOUBLE) AS est_union, CAST(NULL AS DOUBLE) AS est_jaccard,
+       CAST(NULL AS DOUBLE) AS est_intersection,
+       CAST(NULL AS BIGINT) AS exact_intersection
 FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
 UNION ALL
-SELECT 'anti' AS mode, c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_mktsegment
+SELECT 'anti' AS mode, c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_mktsegment,
+       CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'kmv' AS mode, CAST(NULL AS BIGINT) AS c_custkey,
+       CAST(NULL AS VARCHAR) AS c_name, CAST(NULL AS VARCHAR) AS c_mktsegment,
+       k_used, kmv_matches, est_union, est_jaccard, est_intersection,
+       exact_intersection
+FROM ({_KMV_ORACLE})
 """,
-    survey="J-family (left-semi == EXISTS, no row multiplication; left-anti == NOT EXISTS, incremental-ETL shape)",
+    survey=(
+        "J-family (left-semi == EXISTS, no row multiplication; left-anti"
+        " == NOT EXISTS, incremental-ETL shape) + KMV/theta set-overlap"
+        " sketch (intersection and Jaccard estimated from two 64-hash"
+        " sketches without joining the raw sets; exact witness rides"
+        " along)"
+    ),
 )
 def q_existence_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    pad = [
+        F.lit(None).cast("int").alias("k_used"),
+        F.lit(None).cast("bigint").alias("kmv_matches"),
+        F.lit(None).cast("double").alias("est_union"),
+        F.lit(None).cast("double").alias("est_jaccard"),
+        F.lit(None).cast("double").alias("est_intersection"),
+        F.lit(None).cast("bigint").alias("exact_intersection"),
+    ]
     big = o.filter(F.col("o_totalprice") > 400000)
     semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
-        F.lit("semi").alias("mode"), "c_custkey", "c_name", "c_mktsegment"
+        F.lit("semi").alias("mode"), "c_custkey", "c_name", "c_mktsegment",
+        *pad,
     )
     anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         F.lit("anti").alias("mode"),
         "c_custkey",
         "c_name",
         F.lit(None).cast("string").alias("c_mktsegment"),
+        *pad,
     )
-    return semi.unionByName(anti)
+    exact_inter = (
+        o.select(F.col("o_custkey").alias("k")).distinct()
+        .join(c.select(F.col("c_custkey").alias("k")).distinct(), "k",
+              "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    kmv = kmv_overlap(
+        kmv_sketch(c, "c_custkey", _KMV_K),
+        kmv_sketch(o, "o_custkey", _KMV_K),
+        _KMV_K,
+    ).crossJoin(exact_inter).select(
+        F.lit("kmv").alias("mode"),
+        F.lit(None).cast("bigint").alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        "k_used",
+        "kmv_matches",
+        "est_union",
+        "est_jaccard",
+        "est_intersection",
+        "exact_intersection",
+    )
+    return semi.unionByName(anti).unionByName(kmv)
 
 
 @register(

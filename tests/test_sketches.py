@@ -164,3 +164,53 @@ def test_cms_merge_equals_sketch_of_union(spark):
         for r in sketches.cms_counters(a.unionByName(b), "k").collect()
     }
     assert merged == union
+
+
+# ------------------------------------------------------------------ KMV
+
+
+def _py_kmv(keys, k=64):
+    hs = sorted({int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+                 for x in keys})
+    return hs[:k]
+
+
+def test_kmv_sketch_matches_python_witness(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(F.concat(F.lit("v"), "id").alias("k"))
+    got = [r.h for r in sketches.kmv_sketch(df, "k").collect()]
+    assert sorted(got) == _py_kmv([f"v{i}" for i in range(5000)])
+
+
+def test_kmv_overlap_estimates_partial_intersection(spark):
+    """A = 0..5999, B = 3000..8999: true Jaccard 1/3, intersection
+    3000, union 9000 — estimates within 4 standard errors
+    (~1/sqrt(k-2) ~ 12.7%) of truth."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 6000).select(F.col("id").alias("k"))
+    b = spark.range(3000, 9000).select(F.col("id").alias("k"))
+    est = sketches.kmv_overlap(
+        sketches.kmv_sketch(a, "k"), sketches.kmv_sketch(b, "k")
+    ).collect()[0]
+    se = 4 * 1.0 / (62 ** 0.5)
+    assert est.k_used == 64
+    assert abs(est.est_union - 9000) / 9000 < se, est
+    assert abs(est.est_jaccard - 1 / 3) < se, est
+    assert abs(est.est_intersection - 3000) / 3000 < 2 * se, est
+
+
+def test_kmv_unsaturated_sets_are_exact(spark):
+    """Union smaller than k: the sketch IS the set — union exact,
+    Jaccard exact."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 30).select(F.col("id").alias("k"))
+    b = spark.range(20, 50).select(F.col("id").alias("k"))
+    est = sketches.kmv_overlap(
+        sketches.kmv_sketch(a, "k"), sketches.kmv_sketch(b, "k")
+    ).collect()[0]
+    assert est.k_used == 50 and est.est_union == 50.0
+    assert est.est_jaccard == round(10 / 50, 4)
+    assert est.est_intersection == 10.0
