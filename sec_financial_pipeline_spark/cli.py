@@ -442,11 +442,19 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             between = [
                 (col, float(lo), float(hi)) for col, lo, hi in args.between
             ]
+        point = None
+        if args.point:
+            col, val = args.point
+            try:
+                val = int(val)
+            except ValueError:
+                pass
+            point = (col, val)
         m = T._manifest(spark, args.table, args.version)
-        pruned = T._select_entries(m, partitions, between)
+        pruned = T._select_entries(m, partitions, between, point)
         df = T.scan(
             spark, args.table, version=args.version,
-            partitions=partitions, between=between,
+            partitions=partitions, between=between, point=point,
         )
         return {
             "table": args.table,
@@ -454,6 +462,16 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "files_total": len(m["files"]),
             "files_scanned": len(pruned),
             "rows": df.count(),
+        }
+    if args.snap_cmd == "bloom":
+        v = T.add_bloom_index(
+            spark, args.table, args.col, bits=args.bits, k=args.k
+        )
+        return {
+            "table": args.table,
+            "version": v,
+            "op": "bloom",
+            "col": args.col,
         }
     if args.snap_cmd == "evolve":
         fields = []
@@ -666,6 +684,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "(repeatable; multiple ranges AND together and skip "
         "multiplicatively on a z-ordered table)",
     )
+    ss.add_argument(
+        "--point",
+        nargs=2,
+        metavar=("COL", "VALUE"),
+        help="equality probe using the column's Bloom sidecars "
+        "(see snap bloom)",
+    )
+    sb = snap_sub.add_parser(
+        "bloom",
+        help="per-file Bloom sidecars for point-lookup file skipping "
+        "(metadata-only commit)",
+    )
+    sb.add_argument("--table", required=True)
+    sb.add_argument("--col", required=True)
+    sb.add_argument("--bits", type=int, default=4096)
+    sb.add_argument("--k", type=int, default=5)
     se = snap_sub.add_parser(
         "evolve",
         help="ADD COLUMNS, metadata-only commit: existing rows read the "

@@ -374,14 +374,20 @@ def _select_entries(
     m: dict,
     partitions: dict | None,
     between=None,
+    point: tuple | None = None,
 ) -> list[dict]:
     """Manifest-level pruning: keep a file iff no available metadata
     rules it out. Partition equality prunes on the lifted dir values;
     ``between=(col, lo, hi)`` — or a LIST of such triples, ANDed —
-    prunes on footer min/max. A file with no metadata for a requested
-    column is always kept — pruning is an optimization, never a
-    correctness filter."""
+    prunes on footer min/max; ``point=(col, value)`` prunes on the
+    file's Bloom sidecar (and min/max when present). A file with no
+    metadata for a requested column is always kept — pruning is an
+    optimization, never a correctness filter."""
     ranges = _norm_between(between)
+    if point is not None:
+        pcol, pval = point
+        if isinstance(pval, (int, float)) and not isinstance(pval, bool):
+            ranges = ranges + [(pcol, pval, pval)]
     keep = []
     for e in m["files"]:
         if partitions:
@@ -396,6 +402,8 @@ def _select_entries(
             if st is not None and (st[1] < lo or st[0] > hi):
                 pruned = True
                 break
+        if not pruned and point is not None:
+            pruned = _bloom_rules_out(e, point[0], point[1])
         if pruned:
             continue
         keep.append(e)
@@ -408,6 +416,7 @@ def scan(
     version: int | None = None,
     partitions: dict | None = None,
     between=None,
+    point: tuple | None = None,
 ) -> DataFrame:
     """Pruned snapshot scan: files are selected from MANIFEST metadata
     (partition values + footer min/max) before Spark ever lists or
@@ -416,16 +425,21 @@ def scan(
     100 TB this is the difference between touching the 2 probed
     partitions' files and footer-checking every file in the table.
     ``between`` takes one ``(col, lo, hi)`` or a list of them (ANDed) —
-    compound ranges skip multiplicatively on a z-ordered table."""
+    compound ranges skip multiplicatively on a z-ordered table.
+    ``point=(col, value)`` is the equality probe: prunes via the
+    column's Bloom sidecars (see :func:`add_bloom_index`) plus min/max
+    when the value is numeric."""
     from pyspark.sql import functions as F
 
     m = _manifest(spark, path, version)
-    df = _df_for(spark, path, m, _select_entries(m, partitions, between))
+    df = _df_for(spark, path, m, _select_entries(m, partitions, between, point))
     if partitions:
         for k, v in partitions.items():
             df = df.filter(F.col(k).cast("string") == str(v))
     for col, lo, hi in _norm_between(between):
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    if point is not None:
+        df = df.filter(F.col(point[0]) == point[1])
     return df
 
 
@@ -701,6 +715,112 @@ def evolve_schema(
             f"commit; re-run against the new head"
         )
     return base["version"] + 1
+
+
+def _bloom_positions(value, bits: int, k: int) -> list[int]:
+    """k bit positions for a value — md5-salted, identical in any
+    engine/language (the repo's standard hash family)."""
+    import hashlib as _hl
+
+    return [
+        int(_hl.md5(f"{i}#{value}".encode()).hexdigest()[:8], 16) % bits
+        for i in range(k)
+    ]
+
+
+def add_bloom_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    bits: int = 4096,
+    k: int = 5,
+) -> int:
+    """Per-file Bloom sidecars for POINT lookups (Delta's bloom-filter
+    index analog): footer min/max skip ranges, but an equality probe on
+    a high-cardinality key whose values span every file (the usual
+    unclustered layout) skips nothing. This commit records, per data
+    file, a ``bits``-wide Bloom bitmap of the column's values in the
+    MANIFEST (same files — metadata-only), and ``scan(point=)`` prunes
+    files whose bitmap misses any of the probe's k positions. False
+    positives only (a kept file may lack the value; the exact filter
+    handles it) — never a false negative (pinned by test).
+
+    Mechanics: one Spark pass over the snapshot computes each row's k
+    bit positions JVM-side (md5-salted, the repo's standard hash
+    family); positions group by ``input_file_name`` into per-file
+    position sets (bounded by ``bits``), and the driver packs them into
+    hex bitmaps — metadata O(n_files * bits/8), data moved: none.
+    Rewrites (compact/optimize/merge) produce new files WITHOUT blooms
+    — point scans stay correct (unbloomied files are always kept) and
+    re-indexing is one more metadata commit."""
+    from pyspark.sql import functions as F
+
+    base = _manifest(spark, path, None)
+    df = _df_for(spark, path, base)
+    pos_arr = F.array(*[
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}#"), F.col(col).cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % bits
+        ).cast("int")
+        for i in range(k)
+    ])
+    per_file = (
+        df.select(
+            F.input_file_name().alias("__file"),
+            F.explode(pos_arr).alias("__pos"),
+        )
+        .groupBy("__file")
+        .agg(F.collect_set("__pos").alias("__positions"))
+        .collect()
+    )
+    root = path.rstrip("/")
+    blooms: dict[str, str] = {}
+    for r in per_file:
+        rel = r["__file"].split(f"/{_DATADIR}/", 1)
+        if len(rel) != 2:
+            continue
+        mask = bytearray(bits // 8)
+        for p in r["__positions"]:
+            mask[p // 8] |= 1 << (p % 8)
+        blooms[f"{_DATADIR}/{rel[1]}"] = bytes(mask).hex()
+    files = []
+    for e in base["files"]:
+        e = dict(e)
+        bl = dict(e.get("bloom", {}))
+        if e["path"] in blooms:
+            bl[col] = {"bits": bits, "k": k, "mask": blooms[e["path"]]}
+        e["bloom"] = bl
+        files.append(e)
+    if not _try_commit(
+        spark, path, base["version"] + 1, files, base["schema"],
+        f"bloom:{col}", base["version"], base.get("partition_cols", ()),
+        base.get("stats_cols", ()), base.get("txn", {}),
+    ):
+        raise SnapshotConflict(
+            f"snaptable: add_bloom_index at {path} raced a concurrent "
+            f"commit; re-run against the new head"
+        )
+    return base["version"] + 1
+
+
+def _bloom_rules_out(e: dict, col: str, value) -> bool:
+    """True iff this file's bloom PROVES the value is absent."""
+    meta = e.get("bloom", {}).get(col)
+    if not meta:
+        return False  # no bloom: always keep
+    mask = bytes.fromhex(meta["mask"])
+    for p in _bloom_positions(value, meta["bits"], meta["k"]):
+        if not (mask[p // 8] >> (p % 8)) & 1:
+            return True
+    return False
 
 
 _NUMERIC = ("byte", "short", "integer", "long", "float", "double")

@@ -512,3 +512,22 @@ def test_bpe_train_apply_via_cli(tmp_path, capsys, spark):
     assert res["docs"] == 3 and res["tokens"] > 0
     back = spark.read.parquet(out)
     assert "tokens" in back.columns and back.count() == 3
+
+
+def test_snap_bloom_point_scan_via_cli(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    data = str(tmp_path / "d")
+    (spark.range(0, 10000).select(F.col("id").alias("doc_id"))
+     .repartition(8).write.parquet(data))
+    table = str(tmp_path / "t")
+    _run(capsys, spark, ["snap", "create", "--table", table, "--data", data])
+    pre = _run(capsys, spark, ["snap", "scan", "--table", table,
+                               "--point", "doc_id", "4242"])
+    assert pre["files_scanned"] == pre["files_total"] and pre["rows"] == 1
+    res = _run(capsys, spark, ["snap", "bloom", "--table", table,
+                               "--col", "doc_id"])
+    assert res["version"] == 2
+    post = _run(capsys, spark, ["snap", "scan", "--table", table,
+                                "--point", "doc_id", "4242"])
+    assert post["files_scanned"] < post["files_total"] and post["rows"] == 1

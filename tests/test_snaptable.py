@@ -991,3 +991,66 @@ def test_snaptable_sink_cold_start_and_merge_conflict_retry(spark, tmp_path):
     got = {r.id: r.v for r in T.read(spark, table).collect()}
     assert got[0] == 0 and got[1] == 400 and got[2] == 800 and got[9] == 18
     assert sink.committed_epochs(spark) == [4]
+
+
+# --------------------------------------------------------- bloom sidecars
+
+
+def test_bloom_index_point_lookup_skips_files_never_loses_rows(spark, tmp_path):
+    """High-cardinality point lookups: min/max can't skip an unclustered
+    key that spans every file, Bloom sidecars can. Zero false negatives
+    across every present key; absent keys prune everything (modulo
+    false positives) and return empty."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 997).alias("v")
+    )
+    T.create(df.repartition(16), path)
+    m = T._manifest(spark, path, None)
+    # unclustered: id spans every file -> min/max alone keeps all 16
+    assert len(T._select_entries(m, None, None, ("doc_id", 12345))) == 16
+    v = T.add_bloom_index(spark, path, "doc_id")
+    assert v == 2
+    m = T._manifest(spark, path, None)
+    kept_counts = []
+    for probe in (3, 777, 12345, 19999):
+        kept = T._select_entries(m, None, None, ("doc_id", probe))
+        kept_counts.append(len(kept))
+        got = T.scan(spark, path, point=("doc_id", probe)).collect()
+        assert [r.doc_id for r in got] == [probe]  # exact, never lost
+    # bloom + min/max prune hard: a point probe touches few files
+    assert max(kept_counts) <= 4, kept_counts
+    # absent key: exact-empty result
+    assert T.scan(spark, path, point=("doc_id", 10_000_000)).count() == 0
+    # string keys work through the same hash family
+    path2 = str(tmp_path / "t2")
+    sdf = spark.range(0, 5000).select(
+        F.concat(F.lit("doc-"), "id").alias("name"), "id"
+    )
+    T.create(sdf.repartition(8), path2)
+    T.add_bloom_index(spark, path2, "name")
+    m2 = T._manifest(spark, path2, None)
+    kept = T._select_entries(m2, None, None, ("name", "doc-4242"))
+    assert len(kept) < 8
+    got = T.scan(spark, path2, point=("name", "doc-4242")).collect()
+    assert [r.id for r in got] == [4242]
+
+
+def test_bloom_survives_append_and_degrades_after_compact(spark, tmp_path):
+    """Appended files lack blooms until re-indexed (kept, correct);
+    compact rewrites files without blooms (kept, correct); re-indexing
+    is one metadata commit."""
+    path = str(tmp_path / "t")
+    T.create(spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+             .repartition(4), path)
+    T.add_bloom_index(spark, path, "doc_id")
+    T.append(spark.range(1000, 1200).select(F.col("id").alias("doc_id")), path)
+    # new file has no bloom -> always kept; old files still prune
+    got = T.scan(spark, path, point=("doc_id", 1100)).collect()
+    assert [r.doc_id for r in got] == [1100]
+    T.compact(spark, path, target_files=2)
+    got = T.scan(spark, path, point=("doc_id", 500)).collect()
+    assert [r.doc_id for r in got] == [500]  # correct, just unpruned
+    T.add_bloom_index(spark, path, "doc_id")
+    m = T._manifest(spark, path, None)
+    assert all(e.get("bloom", {}).get("doc_id") for e in m["files"])
