@@ -990,6 +990,44 @@ def table_changes(
     )
 
 
+class TableTailer:
+    """Incremental consumer: repeatedly ``poll()`` a table and receive
+    only the rows added since the previous poll — the batch analog of a
+    streaming source over the table, built on :func:`read_increment`
+    (pure-append polls read exactly the new files).
+
+    The cursor is just the last-seen version number. Persist it
+    (``tailer.cursor``) beside the consumer's own output and pass it
+    back on restart for exactly-once consumption — the same
+    version-watermark discipline the txn map gives writers. Retention
+    contract: poll at least as often as vacuum's ``keep_last`` horizon
+    retains versions, or the increment raises FileNotFoundError (the
+    consumer fell behind history — like falling off a Kafka retention
+    window; recover by reprocessing the full snapshot and resetting the
+    cursor to its version)."""
+
+    def __init__(self, path: str, cursor: int | None = None):
+        self.path = path
+        self.cursor = cursor
+
+    def poll(self, spark: SparkSession) -> DataFrame | None:
+        """Rows added since the last poll, or None when nothing new
+        (callers skip the no-op batch without running a job). First
+        poll with no cursor returns the full current snapshot."""
+        vs = versions(spark, self.path)
+        if not vs:
+            return None
+        head = vs[-1]
+        if self.cursor is None:
+            self.cursor = head
+            return read(spark, self.path, head)
+        if head == self.cursor:
+            return None
+        inc = read_increment(spark, self.path, self.cursor, head)
+        self.cursor = head
+        return inc
+
+
 def vacuum(
     spark: SparkSession,
     path: str,

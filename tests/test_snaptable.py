@@ -1054,3 +1054,36 @@ def test_bloom_survives_append_and_degrades_after_compact(spark, tmp_path):
     T.add_bloom_index(spark, path, "doc_id")
     m = T._manifest(spark, path, None)
     assert all(e.get("bloom", {}).get("doc_id") for e in m["files"])
+
+
+def test_table_tailer_consumes_each_row_exactly_once(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+    tail = T.TableTailer(path)
+    first = tail.poll(spark)
+    assert first.count() == 100  # bootstrap: full snapshot
+    assert tail.poll(spark) is None  # nothing new
+    T.append(_mk(spark, 100, 130), path)
+    T.append(_mk(spark, 130, 150), path)
+    inc = tail.poll(spark)
+    assert sorted(r.id for r in inc.collect()) == list(range(100, 150))
+    # maintenance between polls is invisible (compact: same rows)
+    T.compact(spark, path)
+    assert tail.poll(spark).count() == 0  # version moved, zero row delta
+    # deletes show as a net-negative increment (no added rows)
+    T.delete_where(spark, path, "id >= 140")
+    assert tail.poll(spark).count() == 0
+    T.append(_mk(spark, 150, 160), path)
+    assert sorted(r.id for r in tail.poll(spark).collect()) == list(range(150, 160))
+    # restart from a persisted cursor: exactly-once resumes
+    cursor = tail.cursor
+    T.append(_mk(spark, 160, 170), path)
+    resumed = T.TableTailer(path, cursor=cursor)
+    assert sorted(r.id for r in resumed.poll(spark).collect()) == list(range(160, 170))
+    # falling behind retention is loud, not silently lossy
+    T.append(_mk(spark, 170, 180), path)
+    T.append(_mk(spark, 180, 190), path)
+    T.vacuum(spark, path, keep_last=1, min_age_sec=0.0)
+    behind = T.TableTailer(path, cursor=cursor)
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        behind.poll(spark)
