@@ -450,10 +450,13 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             except ValueError:
                 pass
             point = (col, val)
+        # ONE manifest resolution: the scan pins the resolved version so
+        # a commit racing in cannot make rows/files_scanned describe
+        # different snapshots (and the pruning work isn't done twice)
         m = T._manifest(spark, args.table, args.version)
         pruned = T._select_entries(m, partitions, between, point)
         df = T.scan(
-            spark, args.table, version=args.version,
+            spark, args.table, version=m["version"],
             partitions=partitions, between=between, point=point,
         )
         return {

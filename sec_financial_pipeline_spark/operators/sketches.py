@@ -128,7 +128,15 @@ def hll_distinct(
 # ---------------------------------------------------------------------------
 
 
-def _cms_counter(key: Column, i: int, w: int) -> Column:
+def salted_position(key: Column, i: int, mod: int) -> Column:
+    """The repo's standard salted hash family, JVM-side:
+    ``u32(md5("{i}#" || key)) % mod``. The documented Python mirror is
+    ``int(md5(f"{i}#{v}".encode()).hexdigest()[:8], 16) % mod`` — the
+    two agree iff the STRING RENDERING of the key agrees, which holds
+    for integers and strings but NOT doubles/booleans (Java '1.0E7' /
+    'true' vs Python '10000000.0' / 'True'); callers bridging the two
+    sides must restrict to int/string keys (snaptable's bloom index
+    enforces this)."""
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"{i}#"), key.cast("string"))), 1, 8
@@ -136,7 +144,11 @@ def _cms_counter(key: Column, i: int, w: int) -> Column:
         16,
         10,
     ).cast("long")
-    return (h % w).cast("int")
+    return (h % mod).cast("int")
+
+
+def _cms_counter(key: Column, i: int, w: int) -> Column:
+    return salted_position(key, i, w)
 
 
 def cms_counters(
@@ -189,7 +201,15 @@ def kmv_overlap(
     """One-row overlap estimate from two KMV sketches (outputs of
     :func:`kmv_sketch` with the same ``k``): est_union, est_jaccard,
     est_intersection (rounded 4), plus the match/theta internals."""
-    u = a.unionByName(b).distinct().orderBy("h").limit(k)
+    # materialize the (<= k-row) sketches once: theta and matches are
+    # separate branches, and without the checkpoint each would re-run
+    # the full distinct+top-k scan that produced its inputs
+    a = a.localCheckpoint(eager=True)
+    b = b.localCheckpoint(eager=True)
+    u = (
+        a.unionByName(b).distinct().orderBy("h").limit(k)
+        .localCheckpoint(eager=True)
+    )
     theta = u.agg(F.max("h").alias("theta"), F.count(F.lit(1)).alias("ku"))
     matches = (
         u.join(a, "h", "left_semi")
@@ -197,13 +217,16 @@ def kmv_overlap(
         .agg(F.count(F.lit(1)).alias("matches"))
     )
     # unsaturated sketch (union smaller than k): the sketch IS the set,
-    # count exactly instead of extrapolating from theta
+    # count exactly instead of extrapolating from theta; two EMPTY
+    # sketches report zeros, not 0/0 nulls
     est_union = F.when(
         F.col("ku") < k, F.col("ku").cast("double")
     ).otherwise(
         F.lit(float(k - 1)) * F.lit(float(1 << 32)) / F.col("theta")
     )
-    est_j = F.col("matches").cast("double") / F.col("ku")
+    est_j = F.when(F.col("ku") == 0, F.lit(0.0)).otherwise(
+        F.col("matches").cast("double") / F.col("ku")
+    )
     return theta.crossJoin(matches).select(
         F.col("ku").cast("int").alias("k_used"),
         F.col("matches").cast("bigint").alias("kmv_matches"),

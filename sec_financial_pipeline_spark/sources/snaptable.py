@@ -399,9 +399,15 @@ def _select_entries(
         pruned = False
         for col, lo, hi in ranges:
             st = e.get("stats", {}).get(col)
-            if st is not None and (st[1] < lo or st[0] > hi):
-                pruned = True
-                break
+            try:
+                if st is not None and (st[1] < lo or st[0] > hi):
+                    pruned = True
+                    break
+            except TypeError:
+                # probe/stat type mismatch (e.g. numeric probe against a
+                # string column's stats): metadata can't rule the file
+                # out, so keep it — pruning stays an optimization
+                continue
         if not pruned and point is not None:
             pruned = _bloom_rules_out(e, point[0], point[1])
         if pruned:
@@ -746,32 +752,41 @@ def add_bloom_index(
     handles it) — never a false negative (pinned by test).
 
     Mechanics: one Spark pass over the snapshot computes each row's k
-    bit positions JVM-side (md5-salted, the repo's standard hash
-    family); positions group by ``input_file_name`` into per-file
-    position sets (bounded by ``bits``), and the driver packs them into
-    hex bitmaps — metadata O(n_files * bits/8), data moved: none.
-    Rewrites (compact/optimize/merge) produce new files WITHOUT blooms
-    — point scans stay correct (unbloomied files are always kept) and
-    re-indexing is one more metadata commit."""
+    bit positions JVM-side (``sketches.salted_position``, the repo's
+    standard hash family); positions group by ``input_file_name`` into
+    per-file position sets (bounded by ``bits``), and the driver packs
+    them into hex bitmaps — metadata O(n_files * bits/8), data moved:
+    none. Rewrites (compact/optimize/merge) produce new files WITHOUT
+    blooms — point scans stay correct (unbloomied files are always
+    kept) and re-indexing is one more metadata commit.
+
+    Restricted to INTEGER and STRING columns: the probe side hashes
+    with Python string rendering, which agrees with Spark's
+    cast-to-string only for those types (doubles render '1.0E7' vs
+    '10000000.0' — a silent false-negative factory)."""
     from pyspark.sql import functions as F
 
+    from sec_financial_pipeline_spark.operators.sketches import (
+        salted_position,
+    )
+
+    if bits <= 0 or bits % 8 != 0 or k < 1:
+        raise ValueError(
+            f"snaptable: bloom bits must be a positive multiple of 8 and "
+            f"k >= 1 (got bits={bits}, k={k})"
+        )
     base = _manifest(spark, path, None)
     df = _df_for(spark, path, base)
-    pos_arr = F.array(*[
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}#"), F.col(col).cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % bits
-        ).cast("int")
-        for i in range(k)
-    ])
+    tname = df.schema[col].dataType.typeName()
+    if tname not in ("byte", "short", "integer", "long", "string"):
+        raise ValueError(
+            f"snaptable: bloom index supports integer and string columns; "
+            f"'{col}' is {tname} (float/boolean renderings differ between "
+            f"the JVM index side and the Python probe side)"
+        )
+    pos_arr = F.array(
+        *[salted_position(F.col(col), i, bits) for i in range(k)]
+    )
     per_file = (
         df.select(
             F.input_file_name().alias("__file"),
@@ -781,22 +796,37 @@ def add_bloom_index(
         .agg(F.collect_set("__pos").alias("__positions"))
         .collect()
     )
-    root = path.rstrip("/")
+    # map scan URIs back to manifest entries by part-file BASENAME:
+    # part names carry a per-write UUID, so they are unique within the
+    # table — unlike splitting on '/data/', this survives a table root
+    # that itself contains a 'data' segment, and URI-encoding differences
+    by_basename = {e["path"].rsplit("/", 1)[-1]: e["path"] for e in base["files"]}
     blooms: dict[str, str] = {}
+    unmatched = 0
     for r in per_file:
-        rel = r["__file"].split(f"/{_DATADIR}/", 1)
-        if len(rel) != 2:
+        rel = by_basename.get(r["__file"].rsplit("/", 1)[-1])
+        if rel is None:
+            unmatched += 1
             continue
         mask = bytearray(bits // 8)
         for p in r["__positions"]:
             mask[p // 8] |= 1 << (p % 8)
-        blooms[f"{_DATADIR}/{rel[1]}"] = bytes(mask).hex()
+        blooms[rel] = bytes(mask).hex()
+    if per_file and not blooms:
+        raise IOError(
+            f"snaptable: bloom build could not map any scanned file back "
+            f"to a manifest entry at {path} ({unmatched} unmatched) — "
+            f"refusing to commit a no-op index"
+        )
     files = []
     for e in base["files"]:
         e = dict(e)
         bl = dict(e.get("bloom", {}))
         if e["path"] in blooms:
-            bl[col] = {"bits": bits, "k": k, "mask": blooms[e["path"]]}
+            bl[col] = {
+                "bits": bits, "k": k, "mask": blooms[e["path"]],
+                "type": "int" if tname != "string" else "string",
+            }
         e["bloom"] = bl
         files.append(e)
     if not _try_commit(
@@ -812,10 +842,24 @@ def add_bloom_index(
 
 
 def _bloom_rules_out(e: dict, col: str, value) -> bool:
-    """True iff this file's bloom PROVES the value is absent."""
+    """True iff this file's bloom PROVES the value is absent. The probe
+    value is normalized to the indexed column's rendering (int columns
+    hash str(int(v)) — so a float probe like 4242.0 against a long
+    column matches the indexed '4242'; a non-integral float probe can
+    never match an int column and rules every bloomed file out)."""
     meta = e.get("bloom", {}).get(col)
     if not meta:
         return False  # no bloom: always keep
+    if meta.get("type") == "int":
+        try:
+            iv = int(value)
+        except (TypeError, ValueError):
+            return True  # non-numeric probe of an int column: absent
+        if iv != value and not isinstance(value, str):
+            return True  # non-integral float probe: cannot exist
+        value = iv
+    else:
+        value = str(value)
     mask = bytes.fromhex(meta["mask"])
     for p in _bloom_positions(value, meta["bits"], meta["k"]):
         if not (mask[p // 8] >> (p % 8)) & 1:

@@ -1087,3 +1087,45 @@ def test_table_tailer_consumes_each_row_exactly_once(spark, tmp_path):
     behind = T.TableTailer(path, cursor=cursor)
     with pytest.raises(FileNotFoundError, match="not retained"):
         behind.poll(spark)
+
+
+def test_bloom_type_domain_and_probe_normalization(spark, tmp_path):
+    """Review findings pinned: float/bool columns are rejected (their
+    JVM vs Python renderings diverge -> silent false negatives); float
+    probes of int columns normalize (4242.0 finds 4242, 4242.5 is
+    provably absent); numeric probes against string-stat columns never
+    crash the pruner; bits must be a positive multiple of 8."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 1.5).alias("score")
+    )
+    T.create(df.repartition(4), path)
+    with pytest.raises(ValueError, match="integer and string"):
+        T.add_bloom_index(spark, path, "score")
+    with pytest.raises(ValueError, match="multiple of 8"):
+        T.add_bloom_index(spark, path, "doc_id", bits=1001)
+    T.add_bloom_index(spark, path, "doc_id")
+    got = T.scan(spark, path, point=("doc_id", 424.0)).collect()
+    assert [r.doc_id for r in got] == [424]  # float probe, int column
+    assert T.scan(spark, path, point=("doc_id", 424.5)).count() == 0
+    # string column with string stats + numeric probe: no TypeError
+    p2 = str(tmp_path / "t2")
+    sdf = spark.range(0, 100).select(
+        F.concat(F.lit("doc-"), "id").alias("name"), "id"
+    )
+    T.create(sdf.repartition(4), p2)
+    T.add_bloom_index(spark, p2, "name")
+    assert T.scan(spark, p2, point=("name", 4242)).count() == 0  # no crash
+
+
+def test_kmv_empty_sketches_report_zeros(spark):
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators import sketches
+
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    est = sketches.kmv_overlap(
+        sketches.kmv_sketch(empty, "k"), sketches.kmv_sketch(empty, "k")
+    ).collect()[0]
+    assert est.k_used == 0 and est.est_union == 0.0
+    assert est.est_jaccard == 0.0 and est.est_intersection == 0.0
