@@ -466,6 +466,33 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "files_scanned": len(pruned),
             "rows": df.count(),
         }
+    if args.snap_cmd == "tail":
+        import os as _os
+
+        cursor = None
+        if _os.path.exists(args.cursor_file):
+            with open(args.cursor_file) as f:
+                cursor = int(f.read().strip())
+        tailer = T.TableTailer(args.table, cursor=cursor)
+        inc = tailer.poll(spark)
+        new_rows = int(inc.count()) if inc is not None else 0
+        out_total = 0
+        if inc is not None and args.out:
+            inc.write.mode("append").parquet(args.out)
+            out_total = int(spark.read.parquet(args.out).count())
+        # persist the cursor AFTER the output is durable: a crash
+        # between write and cursor update re-delivers the batch
+        # (at-least-once); exactly-once callers write output + cursor
+        # into one snaptable commit instead
+        with open(args.cursor_file, "w") as f:
+            f.write(str(tailer.cursor))
+        return {
+            "table": args.table,
+            "op": "tail",
+            "new_rows": new_rows,
+            "cursor": tailer.cursor,
+            "out_rows_total": out_total,
+        }
     if args.snap_cmd == "bloom":
         v = T.add_bloom_index(
             spark, args.table, args.col, bits=args.bits, k=args.k
@@ -694,6 +721,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         help="equality probe using the column's Bloom sidecars "
         "(see snap bloom)",
     )
+    stl = snap_sub.add_parser(
+        "tail",
+        help="incremental consumption: emit only rows added since the "
+        "cursor file's version (first run = full snapshot)",
+    )
+    stl.add_argument("--table", required=True)
+    stl.add_argument("--cursor-file", required=True)
+    stl.add_argument("--out", default=None, help="append new rows to this parquet")
     sb = snap_sub.add_parser(
         "bloom",
         help="per-file Bloom sidecars for point-lookup file skipping "

@@ -531,3 +531,31 @@ def test_snap_bloom_point_scan_via_cli(tmp_path, capsys, spark):
     post = _run(capsys, spark, ["snap", "scan", "--table", table,
                                 "--point", "doc_id", "4242"])
     assert post["files_scanned"] < post["files_total"] and post["rows"] == 1
+
+
+def test_snap_tail_via_cli(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    data = str(tmp_path / "d")
+    spark.range(0, 100).select("id").write.parquet(data)
+    table = str(tmp_path / "t")
+    cursor = str(tmp_path / "cursor")
+    out = str(tmp_path / "sink")
+    _run(capsys, spark, ["snap", "create", "--table", table, "--data", data])
+    res = _run(capsys, spark, ["snap", "tail", "--table", table,
+                               "--cursor-file", cursor, "--out", out])
+    assert res["new_rows"] == 100 and res["out_rows_total"] == 100
+    # nothing new: no rows, no output growth
+    res = _run(capsys, spark, ["snap", "tail", "--table", table,
+                               "--cursor-file", cursor, "--out", out])
+    assert res["new_rows"] == 0 and res["cursor"] == 1
+    d2 = str(tmp_path / "d2")
+    spark.range(100, 130).select("id").write.parquet(d2)
+    _run(capsys, spark, ["snap", "append", "--table", table, "--data", d2])
+    res = _run(capsys, spark, ["snap", "tail", "--table", table,
+                               "--cursor-file", cursor, "--out", out])
+    assert res["new_rows"] == 30 and res["out_rows_total"] == 130
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(130))  # each row delivered exactly once
