@@ -417,9 +417,21 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
         )
         return {"table": args.table, "files_deleted": n, "op": "vacuum"}
     if args.snap_cmd == "log":
+        history = []
+        for v in T.versions(spark, args.table):
+            m = T._manifest(spark, args.table, v)
+            history.append({
+                "version": v,
+                "op": m.get("op"),
+                "parent": m.get("parent"),
+                "n_files": len(m["files"]),
+                "txn": m.get("txn", {}),
+                "committed_at": m.get("committed_at"),
+            })
         return {
             "table": args.table,
-            "versions": T.versions(spark, args.table),
+            "versions": [h["version"] for h in history],
+            "history": history,
             "rows_head": T.read(spark, args.table).count(),
         }
     if args.snap_cmd == "merge":
