@@ -396,6 +396,14 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
     if args.snap_cmd == "append":
         v = T.append(spark.read.parquet(args.data), args.table)
         return {"table": args.table, "version": v, "op": "append"}
+    if args.snap_cmd == "overwrite":
+        v = T.overwrite(spark.read.parquet(args.data), args.table)
+        return {
+            "table": args.table,
+            "version": v,
+            "op": "overwrite",
+            "rows": T.read(spark, args.table).count(),
+        }
     if args.snap_cmd == "delete":
         v = T.delete_where(spark, args.table, args.where)
         return {
@@ -673,7 +681,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         help="snapshot-manifest parquet table (Delta-semantics commits)",
     )
     snap_sub = snap.add_subparsers(dest="snap_cmd", required=True)
-    for name in ("create", "append"):
+    for name in ("create", "append", "overwrite"):
         sp = snap_sub.add_parser(name)
         sp.add_argument("--table", required=True)
         sp.add_argument("--data", required=True, help="input parquet")

@@ -608,6 +608,22 @@ def _rewrite_commit(
     return base["version"] + 1
 
 
+def overwrite(df: DataFrame, path: str, txn: tuple | None = None) -> int:
+    """INSERT OVERWRITE: replace the table's entire contents in ONE
+    atomic commit (the full-refresh T4 shape — truncate+reload without
+    the window where readers see a truncated table). Schema must match
+    the table's (evolve first); like every rewrite it is non-rebasing —
+    a concurrent commit makes it conflict loudly rather than silently
+    discarding that commit. ``txn=(app_id, epoch)`` gives replay
+    idempotence, so a scheduled refresh job can re-run safely."""
+    spark = df.sparkSession
+    base = _manifest(spark, path, None)
+    if _txn_applied(base, txn):
+        return base["version"]
+    _check_schema(df, base, "overwrite")
+    return _rewrite_commit(spark, path, df, "overwrite", base, txn)
+
+
 def delete_where(spark: SparkSession, path: str, condition) -> int:
     """Transactional DELETE: commit a snapshot holding only the rows
     NOT matching ``condition`` (a Column or SQL string). Old versions

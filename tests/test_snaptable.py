@@ -1129,3 +1129,23 @@ def test_kmv_empty_sketches_report_zeros(spark):
     ).collect()[0]
     assert est.k_used == 0 and est.est_union == 0.0
     assert est.est_jaccard == 0.0 and est.est_intersection == 0.0
+
+
+def test_overwrite_replaces_contents_atomically(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+    v = T.overwrite(_mk(spark, 500, 520), path)
+    assert v == 2
+    assert sorted(r.id for r in T.read(spark, path).collect()) == list(range(500, 520))
+    assert T.read(spark, path, version=1).count() == 100  # time travel
+    # change feed sees the full replacement
+    ch = T.table_changes(spark, path, 1, 2)
+    assert ch.filter("_change_type = 'delete'").count() == 100
+    assert ch.filter("_change_type = 'insert'").count() == 20
+    # schema guard + txn idempotence
+    with pytest.raises(ValueError, match="schema mismatch"):
+        T.overwrite(_mk(spark, 0, 5).withColumn("extra", F.lit(1)), path)
+    T.overwrite(_mk(spark, 0, 5), path, txn=("refresh", 7))
+    head = T.versions(spark, path)[-1]
+    assert T.overwrite(_mk(spark, 0, 5), path, txn=("refresh", 7)) == head
+    assert T.read(spark, path).count() == 5
