@@ -151,6 +151,32 @@ def main() -> None:
             f"post: {post_files}/32 files {post:.3f}s "
             f"(2nd clustered col probes {pk_files}/32 files)"
         )
+        # ---- 4. bloom point-lookup skipping -------------------------
+        pb = f"{work}/bl"
+        T.create(
+            li.select("l_orderkey", "l_extendedprice").repartition(32), pb
+        )
+        m = T._manifest(spark, pb, None)
+        # a real key from the middle of the range: min/max can't skip it
+        # (every round-robin file spans the full key range)
+        probe = int(
+            li.filter("l_orderkey % 1000 = 1")
+            .agg(F.max("l_orderkey")).collect()[0][0]
+        )
+        pre_files = len(T._select_entries(m, None, None, ("l_orderkey", probe)))
+        pre = _t(lambda: T.scan(spark, pb, point=("l_orderkey", probe)).count())
+        # sizing: ~19k distinct keys/file x k=5 saturates the 4096-bit
+        # default (every bit set -> no pruning); ~10 bits/key keeps the
+        # all-k-bits-set false-positive rate ~1%%
+        T.add_bloom_index(spark, pb, "l_orderkey", bits=1 << 18)
+        m = T._manifest(spark, pb, None)
+        post_files = len(T._select_entries(m, None, None, ("l_orderkey", probe)))
+        post = _t(lambda: T.scan(spark, pb, point=("l_orderkey", probe)).count())
+        print(
+            f"bloom_point_lookup: rows=600000 files=32 "
+            f"pre: {pre_files}/32 files {pre:.3f}s -> "
+            f"post: {post_files}/32 files {post:.3f}s"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

@@ -779,7 +779,13 @@ def add_bloom_index(
     Restricted to INTEGER and STRING columns: the probe side hashes
     with Python string rendering, which agrees with Spark's
     cast-to-string only for those types (doubles render '1.0E7' vs
-    '10000000.0' — a silent false-negative factory)."""
+    '10000000.0' — a silent false-negative factory).
+
+    SIZING RULE: use ~10 bits per distinct key per file (k=5 then gives
+    ~1% false-positive keep rate). An undersized bloom saturates (every
+    bit set) and silently prunes NOTHING — measured: 19k keys/file
+    against the 4096-bit default skipped 0/32 files, against 2^18 bits
+    skipped 26/32. Cost: bits/8 bytes per file of manifest metadata."""
     from pyspark.sql import functions as F
 
     from sec_financial_pipeline_spark.operators.sketches import (
