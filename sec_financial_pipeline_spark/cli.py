@@ -402,7 +402,9 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "table": args.table,
             "version": v,
             "op": "overwrite",
-            "rows": T.read(spark, args.table).count(),
+            # pin the committed version: an unpinned head read could
+            # count a concurrent commit's rows under this version number
+            "rows": T.read(spark, args.table, version=v).count(),
         }
     if args.snap_cmd == "delete":
         v = T.delete_where(spark, args.table, args.where)
@@ -425,9 +427,16 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
         )
         return {"table": args.table, "files_deleted": n, "op": "vacuum"}
     if args.snap_cmd == "log":
+        # ONE directory listing; each manifest read directly (going
+        # through _manifest would re-list per version — O(V^2) metadata
+        # ops) and tolerantly (a concurrent vacuum may reap a version
+        # between the listing and the read: report survivors, don't die)
         history = []
         for v in T.versions(spark, args.table):
-            m = T._manifest(spark, args.table, v)
+            try:
+                m = T._read_json(spark, T._snap_path(args.table, v))
+            except Exception:
+                continue  # vacuumed mid-listing
             history.append({
                 "version": v,
                 "op": m.get("op"),
@@ -470,15 +479,22 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             except ValueError:
                 pass
             point = (col, val)
-        # ONE manifest resolution: the scan pins the resolved version so
-        # a commit racing in cannot make rows/files_scanned describe
-        # different snapshots (and the pruning work isn't done twice)
+        # the resolved version is PINNED so a commit racing in cannot
+        # make rows/files_scanned describe different snapshots, and the
+        # frame is built from the already-pruned entries (no second
+        # manifest read or pruning pass)
+        from pyspark.sql import functions as F
+
         m = T._manifest(spark, args.table, args.version)
         pruned = T._select_entries(m, partitions, between, point)
-        df = T.scan(
-            spark, args.table, version=m["version"],
-            partitions=partitions, between=between, point=point,
-        )
+        df = T._df_for(spark, args.table, m, pruned)
+        if partitions:
+            for kk, vv in partitions.items():
+                df = df.filter(F.col(kk).cast("string") == str(vv))
+        for col, lo, hi in T._norm_between(between):
+            df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        if point is not None:
+            df = df.filter(F.col(point[0]) == point[1])
         return {
             "table": args.table,
             "version": m["version"],
@@ -487,31 +503,44 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "rows": df.count(),
         }
     if args.snap_cmd == "tail":
+        import json as _json
         import os as _os
 
-        cursor = None
+        cursor, delivered = None, 0
         if _os.path.exists(args.cursor_file):
             with open(args.cursor_file) as f:
-                cursor = int(f.read().strip())
+                raw = f.read().strip()
+            try:
+                state = _json.loads(raw)
+                cursor, delivered = state["cursor"], state.get("delivered", 0)
+            except (ValueError, KeyError, TypeError):
+                cursor = int(raw)  # pre-JSON cursor files: bare version
         tailer = T.TableTailer(args.table, cursor=cursor)
         inc = tailer.poll(spark)
-        new_rows = int(inc.count()) if inc is not None else 0
-        out_total = 0
-        if inc is not None and args.out:
-            inc.write.mode("append").parquet(args.out)
-            out_total = int(spark.read.parquet(args.out).count())
+        new_rows = 0
+        if inc is not None:
+            # one execution of the increment plan: checkpoint, then both
+            # the count and the sink write reuse the materialized rows
+            inc = inc.localCheckpoint(eager=True)
+            new_rows = int(inc.count())
+            if args.out and new_rows:
+                inc.write.mode("append").parquet(args.out)
+        delivered += new_rows
         # persist the cursor AFTER the output is durable: a crash
         # between write and cursor update re-delivers the batch
         # (at-least-once); exactly-once callers write output + cursor
-        # into one snaptable commit instead
-        with open(args.cursor_file, "w") as f:
-            f.write(str(tailer.cursor))
+        # into one snaptable commit instead. Nothing is written while
+        # the table does not exist yet (a 'None' cursor would poison
+        # every later run).
+        if tailer.cursor is not None:
+            with open(args.cursor_file, "w") as f:
+                _json.dump({"cursor": tailer.cursor, "delivered": delivered}, f)
         return {
             "table": args.table,
             "op": "tail",
             "new_rows": new_rows,
             "cursor": tailer.cursor,
-            "out_rows_total": out_total,
+            "out_rows_total": delivered,
         }
     if args.snap_cmd == "bloom":
         v = T.add_bloom_index(

@@ -818,15 +818,31 @@ def add_bloom_index(
         .agg(F.collect_set("__pos").alias("__positions"))
         .collect()
     )
-    # map scan URIs back to manifest entries by part-file BASENAME:
-    # part names carry a per-write UUID, so they are unique within the
-    # table — unlike splitting on '/data/', this survives a table root
-    # that itself contains a 'data' segment, and URI-encoding differences
-    by_basename = {e["path"].rsplit("/", 1)[-1]: e["path"] for e in base["files"]}
+    # map scan URIs back to manifest entries by FULL relative path
+    # suffix: basenames alone collide on partitioned tables (one Spark
+    # write reuses part-00000-<uuid> in every partition dir — keying by
+    # basename attributed masks to the wrong files and silently lost
+    # rows on point scans), while suffix matching both disambiguates
+    # and survives a table root containing a 'data' segment and URI
+    # encoding (%xx) in input_file_name
+    from urllib.parse import unquote as _unquote
+
+    cands: dict[str, list[str]] = {}
+    for e in base["files"]:
+        cands.setdefault(e["path"].rsplit("/", 1)[-1], []).append(e["path"])
+
+    def _match(uri: str) -> str | None:
+        dec = _unquote(uri)
+        for name in {uri.rsplit("/", 1)[-1], dec.rsplit("/", 1)[-1]}:
+            for p in cands.get(name, ()):
+                if uri.endswith("/" + p) or dec.endswith("/" + p):
+                    return p
+        return None
+
     blooms: dict[str, str] = {}
     unmatched = 0
     for r in per_file:
-        rel = by_basename.get(r["__file"].rsplit("/", 1)[-1])
+        rel = _match(r["__file"])
         if rel is None:
             unmatched += 1
             continue

@@ -1149,3 +1149,31 @@ def test_overwrite_replaces_contents_atomically(spark, tmp_path):
     head = T.versions(spark, path)[-1]
     assert T.overwrite(_mk(spark, 0, 5), path, txn=("refresh", 7)) == head
     assert T.read(spark, path).count() == 5
+
+
+def test_bloom_on_partitioned_table_no_false_negatives(spark, tmp_path):
+    """Review finding, reproduced pre-fix: one Spark write reuses the
+    same part-file BASENAME in every partition directory, so a
+    basename-keyed file mapping attributed bloom masks to the wrong
+    files and point scans silently lost rows (17/100 keys in the
+    reproduction). Mapping now keys on the full relative path suffix;
+    every present key must be found."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).alias("p")
+    )
+    T.create(df.repartition(2), path, partition_cols=("p",))
+    T.add_bloom_index(spark, path, "doc_id")
+    m = T._manifest(spark, path, None)
+    assert len(m["files"]) >= 4  # multiple partition dirs share basenames
+    missing = []
+    for probe in range(0, 400, 7):
+        got = [r.doc_id for r in
+               T.scan(spark, path, point=("doc_id", probe)).collect()]
+        if got != [probe]:
+            missing.append(probe)
+    assert not missing, f"false negatives: {missing}"
+    # and skipping still happens on at least some probes
+    kept = [len(T._select_entries(m, None, None, ("doc_id", p)))
+            for p in range(0, 400, 13)]
+    assert min(kept) < len(m["files"])
