@@ -451,6 +451,39 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "history": history,
             "rows_head": T.read(spark, args.table).count(),
         }
+    if args.snap_cmd == "stats":
+        m = T._manifest(spark, args.table, None)
+        fs, Path = T._hadoop_fs(spark, args.table)
+        root = args.table.rstrip("/")
+        total_bytes = 0
+        per_partition: dict[str, int] = {}
+        bloomed: dict[str, int] = {}
+        for e in m["files"]:
+            try:
+                total_bytes += fs.getFileStatus(
+                    Path(f"{root}/{e['path']}")
+                ).getLen()
+            except Exception:
+                pass  # racing vacuum: report what survives
+            key = ",".join(
+                f"{k}={v}" for k, v in sorted(e.get("partition", {}).items())
+            ) or "<unpartitioned>"
+            per_partition[key] = per_partition.get(key, 0) + 1
+            for c in e.get("bloom", {}):
+                bloomed[c] = bloomed.get(c, 0) + 1
+        return {
+            "table": args.table,
+            "version": m["version"],
+            "op": m.get("op"),
+            "rows": T.read(spark, args.table, version=m["version"]).count(),
+            "n_files": len(m["files"]),
+            "total_bytes": int(total_bytes),
+            "files_per_partition": per_partition,
+            "stats_cols": m.get("stats_cols", []),
+            "bloom_cols": {c: f"{n}/{len(m['files'])} files"
+                           for c, n in bloomed.items()},
+            "txn": m.get("txn", {}),
+        }
     if args.snap_cmd == "merge":
         v = T.merge_upsert(
             spark.read.parquet(args.data), args.table,
@@ -736,6 +769,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sv.add_argument("--min-age-sec", type=float, default=3600.0)
     sl = snap_sub.add_parser("log")
     sl.add_argument("--table", required=True)
+    sst = snap_sub.add_parser(
+        "stats",
+        help="table statistics from the manifest: files/bytes per "
+        "partition, stats/bloom coverage, txn watermarks",
+    )
+    sst.add_argument("--table", required=True)
     sm = snap_sub.add_parser(
         "merge", help="upsert: replace matching keys + insert, one commit"
     )

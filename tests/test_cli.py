@@ -559,3 +559,21 @@ def test_snap_tail_via_cli(tmp_path, capsys, spark):
     assert res["new_rows"] == 30 and res["out_rows_total"] == 130
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == list(range(130))  # each row delivered exactly once
+
+
+def test_snap_stats_via_cli(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    data = str(tmp_path / "d")
+    (spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("p")
+    ).write.parquet(data))
+    table = str(tmp_path / "t")
+    _run(capsys, spark, ["snap", "create", "--table", table, "--data", data,
+                         "--partition-by", "p"])
+    _run(capsys, spark, ["snap", "bloom", "--table", table, "--col", "doc_id"])
+    res = _run(capsys, spark, ["snap", "stats", "--table", table])
+    assert res["rows"] == 300 and res["version"] == 2
+    assert res["total_bytes"] > 0 and res["n_files"] >= 3
+    assert set(res["files_per_partition"]) == {"p=0", "p=1", "p=2"}
+    assert "doc_id" in res["bloom_cols"]
