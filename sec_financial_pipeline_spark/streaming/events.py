@@ -68,6 +68,42 @@ def windowed_counts(
     )
 
 
+def windowed_hll_registers(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    b: int = 6,
+) -> DataFrame:
+    """Streaming distinct-user sketch: HyperLogLog registers per
+    (window, event_type) as a NATIVE watermarked aggregation — the
+    register update is ``max(rho)``, which Structured Streaming
+    supports in append mode with bounded state, so the sketch streams
+    and merges for free (operators/sketches.py builds the identical
+    registers in batch; the twin-equality is the test). Exact
+    ``count_distinct`` is NOT available as a streaming agg without
+    keeping every user id in state — this is the textbook case for the
+    sketch: state per group is <= 2^b integers, period.
+
+    The sink-side estimate (alpha * m^2 / (zeros + sum 2^-M)) runs on
+    the <= 2^b register rows per group — trivially cheap wherever the
+    query's results land."""
+    from sec_financial_pipeline_spark.operators.sketches import hll_rho
+
+    bucket, rho = hll_rho(F.col("user_id"), b)
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "event_type", bucket, rho)
+        .groupBy(F.window("ts", window).alias("w"), "event_type", "bucket")
+        .agg(F.max("rho").alias("M"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "bucket",
+            "M",
+        )
+    )
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
