@@ -326,8 +326,9 @@ def delete_from_saved_index(spark, path: str, vec_ids) -> int:
 
     codes_path = f"{path}/codes"
     recover_swap(spark, codes_path)  # retrying a crashed delete self-heals
-    kept = spark.read.parquet(codes_path).join(
-        _ids_df(spark, vec_ids, "vec_id"), "vec_id", "left_anti"
+    codes = spark.read.parquet(codes_path)
+    kept = codes.join(
+        _ids_df(spark, vec_ids, "vec_id", like=codes), "vec_id", "left_anti"
     )
     swap_rewrite(kept, codes_path, ("cell",))
     return spark.read.parquet(codes_path).count()

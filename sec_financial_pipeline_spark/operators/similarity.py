@@ -327,20 +327,32 @@ def save_sign_code_store(codes: DataFrame, id_col: str, path: str) -> None:
     ).parquet(path)
 
 
-def _ids_df(spark, ids, col: str) -> DataFrame:
+def _ids_df(spark, ids, col: str, like: DataFrame | None = None) -> DataFrame:
     """Normalize a deletion id set — a Python list OR a one-column
     DataFrame — into a distinct single-column DataFrame named ``col``.
     Deletion then runs as a ``left_anti`` join (broadcast under the
     threshold, shuffled above it) instead of a literal
     ``~isin([...])`` In-expression: a million-id GDPR batch as
     literals inflates the plan tree and the codegen'd predicate,
-    while the anti-join shape is flat at any id count."""
+    while the anti-join shape is flat at any id count.
+
+    ``like`` is the store DataFrame whose ``col`` type the ids must
+    carry: the id column is whatever type the caller built the store
+    with (string doc-ids are first-class), so the type is inferred
+    from the TARGET, never hardcoded — a list of strings against a
+    string-id store must not hit a bigint cast."""
+    tgt = dict(like.dtypes).get(col) if like is not None else None
     if isinstance(ids, DataFrame):
         src = ids.columns[0]
-        return ids.select(F.col(src).alias(col)).distinct()
-    return spark.createDataFrame(
-        [(i,) for i in ids], f"{col} bigint"
-    ).distinct()
+        out = ids.select(F.col(src).alias(col)).distinct()
+    else:
+        ids = list(ids)
+        if not ids:
+            return spark.createDataFrame([], f"{col} {tgt or 'bigint'}")
+        out = spark.createDataFrame([(i,) for i in ids], [col]).distinct()
+    if tgt is not None:
+        out = out.select(F.col(col).cast(tgt).alias(col))
+    return out
 
 
 def delete_from_store(spark, path: str, ids) -> int:
@@ -360,9 +372,8 @@ def delete_from_store(spark, path: str, ids) -> int:
     )
 
     recover_swap(spark, path)  # retrying a crashed delete self-heals
-    kept = spark.read.parquet(path).join(
-        _ids_df(spark, ids, "id"), "id", "left_anti"
-    )
+    store = spark.read.parquet(path)
+    kept = store.join(_ids_df(spark, ids, "id", like=store), "id", "left_anti")
     swap_rewrite(kept, path, ("band_no",))
     return spark.read.parquet(path).count()
 

@@ -129,6 +129,15 @@ def _file_stats(local_file: str, cols: list[str]) -> dict:
     except Exception:
         return {}
     out: dict = {}
+    # A column whose stats are missing/unusable in ANY row group must
+    # be dropped from the file's entry entirely: merging only the row
+    # groups that carry stats records a range NARROWER than the file's
+    # true range, and _select_entries would then prune a file that
+    # actually contains matching rows (parquet writers legitimately
+    # drop binary stats per row group for oversized values). Unknown
+    # means keep — pruning is an optimization, never a correctness
+    # filter.
+    incomplete: set = set()
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
@@ -138,20 +147,35 @@ def _file_stats(local_file: str, cols: list[str]) -> dict:
                 continue
             st = col.statistics
             if st is None or not st.has_min_max:
+                incomplete.add(name)
                 continue
             mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
                 except Exception:
+                    incomplete.add(name)
                     continue
             if not isinstance(mn, (int, float, str)):
+                incomplete.add(name)
                 continue
             if name in out:
                 out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
             else:
                 out[name] = [mn, mx]
+    for name in incomplete:
+        out.pop(name, None)
     return out
+
+
+def _unquote_hive(v: str) -> str:
+    """Invert Spark's Hive path escaping (%XX per escaped char).
+    urllib's unquote decodes the same %-hex scheme; errors='strict'
+    is not needed — a stray '%' not followed by hex passes through
+    unchanged, matching how it would have been written ('%25')."""
+    from urllib.parse import unquote
+
+    return unquote(v)
 
 
 def _default_stats_cols(df: DataFrame, partition_cols) -> list[str]:
@@ -199,7 +223,17 @@ def _write_files(
         for seg in tail.split("/")[:-1]:
             if "=" in seg:
                 k, v = seg.split("=", 1)
-                partition[k] = v
+                # Spark %-escapes special chars (':', '#', '%', ...) in
+                # Hive dir names and writes __HIVE_DEFAULT_PARTITION__
+                # for nulls; lift the TRUE value into the manifest so a
+                # probe for "a:b" (or None) matches instead of pruning
+                # every file. unquote is the exact inverse of Spark's
+                # escapePathName (literal '%' arrives as '%25').
+                partition[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else _unquote_hive(v)
+                )
         rel = f"{rel_dir}/{tail}"
         local = _os_mod.path.join(path, rel)
         stats = (
@@ -392,8 +426,13 @@ def _select_entries(
     for e in m["files"]:
         if partitions:
             part = e.get("partition", {})
+            # lifted values are the TRUE (unescaped) strings, or None
+            # for __HIVE_DEFAULT_PARTITION__; a None probe matches only
+            # the null partition and vice versa
             if any(
-                k in part and part[k] != str(v) for k, v in partitions.items()
+                k in part
+                and part[k] != (None if v is None else str(v))
+                for k, v in partitions.items()
             ):
                 continue
         pruned = False
@@ -441,7 +480,10 @@ def scan(
     df = _df_for(spark, path, m, _select_entries(m, partitions, between, point))
     if partitions:
         for k, v in partitions.items():
-            df = df.filter(F.col(k).cast("string") == str(v))
+            if v is None:
+                df = df.filter(F.col(k).isNull())
+            else:
+                df = df.filter(F.col(k).cast("string") == str(v))
     for col, lo, hi in _norm_between(between):
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     if point is not None:
@@ -1138,16 +1180,28 @@ def vacuum(
         return 0
     now = time.time()
     deleted = 0
+    # table-relative path via the QUALIFIED data root prefix, not by
+    # splitting on the first '/data/': a table rooted under a 'data'
+    # directory (e.g. /warehouse/data/tbl) would otherwise compute a
+    # bogus-prefixed rel for every live file, match nothing in the
+    # referenced set, and reap the whole table once past min_age_sec.
+    # Prefix strip is exact; the rsplit fallback (LAST occurrence —
+    # commit dirs never nest another bare "data/" segment, Hive
+    # partition dirs are always "col=value") covers a qualification
+    # mismatch; anything still unattributable is SKIPPED, never deleted.
+    root_str = fs.makeQualified(data_root).toString().rstrip("/")
     it = fs.listFiles(data_root, True)
     while it.hasNext():
         st = it.next()
         p = st.getPath()
-        # table-relative path, scheme-agnostic: everything after the
-        # table's data/ root (commit dirs never nest another "data/")
-        tail = p.toString().split(f"/{_DATADIR}/", 1)
-        if len(tail) != 2:
-            continue
-        rel = f"{_DATADIR}/{tail[1]}"
+        p_str = p.toString()
+        if p_str.startswith(root_str + "/"):
+            rel = f"{_DATADIR}/{p_str[len(root_str) + 1:]}"
+        else:
+            tail = p_str.rsplit(f"/{_DATADIR}/", 1)
+            if len(tail) != 2:
+                continue
+            rel = f"{_DATADIR}/{tail[1]}"
         if rel in referenced:
             continue
         if now - st.getModificationTime() / 1000.0 < min_age_sec:

@@ -645,3 +645,38 @@ def test_temperature_mixture_matches_python_witness(spark, sf_dir):
         ).collect()
     )
     assert got2 == want
+
+
+def test_delete_from_store_with_string_ids(spark, tmp_path):
+    """The id column is whatever type the store was built with —
+    string doc-ids are first-class. _ids_df previously hardcoded a
+    'bigint' schema for Python-list ids, so deletion from a string-id
+    store raised TypeError in createDataFrame; the schema now comes
+    from the target column (list AND DataFrame inputs)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sec_financial_pipeline_spark.operators import similarity as S
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i:03d}", f"text body number {i} " * 8) for i in range(40)],
+        "doc_id string, text string",
+    )
+    path = str(tmp_path / "store")
+    S.save_signature_store(
+        S.minhash_signatures(docs, "doc_id", "text"), "doc_id", path
+    )
+    forget = [f"doc-{i:03d}" for i in range(0, 40, 4)]
+    remaining = S.delete_from_store(spark, path, forget)
+    store = S.load_signature_store(spark, path)
+    assert dict(store.dtypes)["id"] == "string"
+    assert store.filter(F.col("id").isin(forget)).count() == 0
+    assert store.count() == remaining
+    assert remaining > 0
+    # DataFrame-shaped ids against the same string store also work
+    more = spark.createDataFrame(
+        [(f"doc-{i:03d}",) for i in range(1, 40, 8)], "x string"
+    )
+    remaining2 = S.delete_from_store(spark, path, more)
+    assert remaining2 < remaining
+    # deleting ids absent from the store is a no-op, not an error
+    assert S.delete_from_store(spark, path, ["nope"]) == remaining2

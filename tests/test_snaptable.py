@@ -1177,3 +1177,155 @@ def test_bloom_on_partitioned_table_no_false_negatives(spark, tmp_path):
     kept = [len(T._select_entries(m, None, None, ("doc_id", p)))
             for p in range(0, 400, 13)]
     assert min(kept) < len(m["files"])
+
+
+# ---------------------------------------------------------------------------
+# Round-9 advice regressions: vacuum under a 'data'-rooted table, partial
+# row-group stats, Hive-escaped partition values.
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_safe_when_table_root_contains_data_segment(spark, tmp_path):
+    """A table rooted under a directory named 'data' (e.g.
+    /warehouse/data/tbl) must NOT have its live files reaped: splitting
+    the file URI on the FIRST '/data/' occurrence computed a
+    bogus-prefixed rel path that matched nothing in the referenced set,
+    so vacuum deleted every referenced file once past min_age_sec —
+    total table destruction. The rel path now comes from stripping the
+    qualified data-root prefix."""
+    path = str(tmp_path / "data" / "tbl")
+    T.create(_mk(spark, 0, 100), path)
+    T.append(_mk(spark, 100, 150), path)
+    # min_age_sec=0 removes the age guard: only the referenced-set
+    # matching protects live files here
+    T.vacuum(spark, path, keep_last=5, min_age_sec=0.0)
+    assert T.read(spark, path).count() == 150
+    got = sorted(r.v for r in T.read(spark, path).collect())
+    assert got == [2 * i for i in range(150)]
+    # and vacuum still reaps a genuinely dropped version's files
+    T.compact(spark, path, target_files=1)
+    deleted = T.vacuum(spark, path, keep_last=1, min_age_sec=0.0)
+    assert deleted > 0
+    assert T.read(spark, path).count() == 150
+
+
+def test_vacuum_reaps_orphans_under_data_rooted_table(spark, tmp_path):
+    """Same 'data'-rooted table: crash orphans are still identified
+    and reaped (the prefix-strip attributes them correctly too)."""
+    path = str(tmp_path / "data" / "tbl")
+    T.create(_mk(spark, 0, 10), path)
+    T._write_files(_mk(spark, 900, 950), path)  # orphaned: no commit
+    deleted = T.vacuum(spark, path, keep_last=5, min_age_sec=0.0)
+    assert deleted > 0
+    assert T.read(spark, path).count() == 10
+
+
+def test_file_stats_drops_column_when_any_row_group_lacks_stats(tmp_path):
+    """A column with unusable stats in ANY row group is dropped from
+    the file entry entirely (unknown = keep): merging only the row
+    groups that carry stats records a NARROWER range than the file's
+    true range, and pruning would then skip a file containing matching
+    rows. Natural repro: a binary column whose rg-2 min is invalid
+    UTF-8 (the decode-failure arm), while 'x' keeps full-file stats."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = str(tmp_path / "mix.parquet")
+    t1 = pa.table({"s": pa.array([b"aa", b"bb"], pa.binary()), "x": [1, 2]})
+    t2 = pa.table(
+        {"s": pa.array([b"\xff\xfe", b"dd"], pa.binary()), "x": [3, 4]}
+    )
+    w = pq.ParquetWriter(f, t1.schema)
+    w.write_table(t1)
+    w.write_table(t2)
+    w.close()
+    st = T._file_stats(f, ["s", "x"])
+    assert "s" not in st  # partial stats -> unknown -> keep the file
+    assert st["x"] == [1, 4]
+
+
+def test_file_stats_drops_column_on_missing_min_max_row_group(monkeypatch):
+    """The has_min_max=False arm of the same rule, witnessed with a
+    crafted footer (parquet writers drop binary stats per row group for
+    oversized values): rg1 carries [10, 20] for 'a', rg2 carries
+    nothing — the file entry must NOT record [10, 20]."""
+    import pyarrow.parquet as pq
+
+    class _St:
+        def __init__(self, mn, mx):
+            self.has_min_max = mn is not None
+            self.min, self.max = mn, mx
+
+    class _Col:
+        def __init__(self, name, st):
+            self.path_in_schema = name
+            self.statistics = st
+
+    class _Rg:
+        def __init__(self, cols):
+            self._cols = cols
+            self.num_columns = len(cols)
+
+        def column(self, i):
+            return self._cols[i]
+
+    class _Md:
+        num_row_groups = 2
+
+        def row_group(self, i):
+            return [
+                _Rg([_Col("a", _St(10, 20)), _Col("b", _St(1, 2))]),
+                _Rg([_Col("a", _St(None, None)), _Col("b", _St(3, 9))]),
+            ][i]
+
+    class _Pf:
+        def __init__(self, _):
+            self.metadata = _Md()
+
+    monkeypatch.setattr(pq, "ParquetFile", _Pf)
+    st = T._file_stats("ignored", ["a", "b"])
+    assert "a" not in st
+    assert st["b"] == [1, 9]
+
+
+def test_partition_values_with_special_chars_scan_correctly(spark, tmp_path):
+    """Spark %-escapes ':', '#', '%', ... in Hive partition dir names;
+    the manifest must lift the TRUE value or a probe for 'a:b' prunes
+    every file and returns zero rows silently."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "x#y"), (3, "100%"), (4, "plain")],
+        "id bigint, p string",
+    )
+    T.create(df, path, partition_cols=("p",))
+    for want_id, val in [(1, "a:b"), (2, "x#y"), (3, "100%"), (4, "plain")]:
+        got = [r.id for r in T.scan(spark, path, partitions={"p": val}).collect()]
+        assert got == [want_id], f"probe {val!r} -> {got}"
+    # manifest-level pruning actually selects exactly one file per value
+    m = T._manifest(spark, path, None)
+    assert len(T._select_entries(m, {"p": "a:b"})) < len(m["files"])
+
+
+def test_null_partition_value_scans_via_none_probe(spark, tmp_path):
+    """A null partition value lands in __HIVE_DEFAULT_PARTITION__; the
+    manifest records it as None, probe partitions={'p': None} returns
+    exactly the null rows, and a non-null probe never matches it."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "v"), (2, None), (3, None)], "id bigint, p string"
+    )
+    T.create(df, path, partition_cols=("p",))
+    got = sorted(
+        r.id for r in T.scan(spark, path, partitions={"p": None}).collect()
+    )
+    assert got == [2, 3]
+    got_v = [r.id for r in T.scan(spark, path, partitions={"p": "v"}).collect()]
+    assert got_v == [1]
+    # the literal directory token must NOT be a probeable value
+    tok = [
+        r.id
+        for r in T.scan(
+            spark, path, partitions={"p": "__HIVE_DEFAULT_PARTITION__"}
+        ).collect()
+    ]
+    assert tok == []
