@@ -56,6 +56,7 @@ from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
 
 _SNAPDIR = "_snapshots"
 _DATADIR = "data"
+_DVDIR = "dv"
 _MAX_RETRIES = 20
 
 
@@ -326,20 +327,80 @@ def create(
 
 
 def _df_for(
-    spark: SparkSession, path: str, m: dict, entries: list[dict] | None = None
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    entries: list[dict] | None = None,
+    with_meta: bool = False,
 ) -> DataFrame:
     """DataFrame over a manifest's (possibly pruned) file entries.
     Partitioned tables read each commit group under its own
     ``basePath`` so Spark re-derives the partition columns from the
     Hive dirs; groups = retained commits (bounded, and 1 after a
-    compact), never partition count."""
+    compact), never partition count.
+
+    Entries carrying deletion vectors (``e["dv"]``: sidecar refs of
+    (path, pos) parquet written by ``delete_where(mode='dv')``) read
+    MERGE-ON-READ: their rows anti-join the union of their sidecars on
+    (file rel path, physical row position) — deleted rows vanish from
+    every reader (read/scan/CDF) without the files ever having been
+    rewritten. Plain entries never pay the join.
+
+    ``with_meta=True`` appends ``__rel`` (table-relative file path)
+    and ``__pos`` (physical row index) columns — the handles the
+    write paths (touch detection, DV construction) need; they are
+    selected DURING the scan, so they survive the anti-join (calling
+    ``input_file_name()`` after a join is undefined)."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     if entries is None:
         entries = m["files"]
     schema = StructType.fromJson(json.loads(m["schema"]))
     if not entries:
-        return spark.createDataFrame([], schema)
+        base_df = spark.createDataFrame([], schema)
+        if with_meta:
+            base_df = base_df.withColumn(
+                "__rel", F.lit(None).cast("string")
+            ).withColumn("__pos", F.lit(None).cast("long"))
+        return base_df
+    plain = [e for e in entries if not e.get("dv")]
+    dved = [e for e in entries if e.get("dv")]
+    out = None
+    if plain:
+        out = _files_df(spark, path, m, plain, schema, with_meta)
+    if dved:
+        root = path.rstrip("/")
+        raw = _files_df(spark, path, m, dved, schema, True)
+        refs = sorted({r for e in dved for r in e["dv"]})
+        dv = spark.read.schema("path string, pos long").parquet(
+            *[f"{root}/{r}" for r in refs]
+        )
+        alive = raw.join(
+            dv,
+            (raw["__rel"] == dv["path"]) & (raw["__pos"] == dv["pos"]),
+            "left_anti",
+        )
+        if not with_meta:
+            alive = alive.drop("__rel", "__pos")
+        out = alive if out is None else out.unionByName(alive)
+    return out
+
+
+def _files_df(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    entries: list[dict],
+    schema,
+    with_meta: bool,
+) -> DataFrame:
+    """One (or few) FileScans over ``entries`` conformed to
+    ``schema``; optionally carrying ``__rel``/``__pos`` from the
+    parquet reader's ``_metadata`` column (physical row positions —
+    the deletion-vector coordinate system, same as Delta's)."""
+    from pyspark.sql import functions as F
+
     root = path.rstrip("/")
     groups: dict[str, list[str]] = {}
     for e in entries:
@@ -361,9 +422,24 @@ def _df_for(
         for base in sorted(groups):
             r = spark.read.option("basePath", f"{root}/{base}")
             parts.append(r.parquet(*[f"{root}/{p}" for p in sorted(groups[base])]))
+    meta = []
+    if with_meta:
+        # rel path = qualified URI minus the qualified table root: the
+        # read paths are driver-constructed as root/<entry path>, and
+        # Hadoop Path rendering round-trips its own output, so the
+        # stripped suffix IS the manifest entry path (test-pinned,
+        # including %-escaped partition dirs and 'data'-rooted tables)
+        fs, Path = _hadoop_fs(spark, path)
+        qroot = fs.makeQualified(Path(root)).toString().rstrip("/")
+        meta = [
+            F.expr(
+                f"substring(_metadata.file_path, {len(qroot) + 2})"
+            ).alias("__rel"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
     out = None
     for p in parts:
-        p = _conform(p, schema)
+        p = _conform_plus(p, schema, meta)
         out = p if out is None else out.unionByName(p)
     return out
 
@@ -373,6 +449,13 @@ def _conform(df: DataFrame, schema) -> DataFrame:
     pre-evolution file lacks become typed NULLs; column order follows
     the manifest (reads are schema-stable regardless of which files a
     version happens to reference)."""
+    return _conform_plus(df, schema, [])
+
+
+def _conform_plus(df: DataFrame, schema, extra_cols: list) -> DataFrame:
+    """:func:`_conform` plus pass-through extra columns (the metadata
+    handles) selected in the same projection so they materialize from
+    the scan itself."""
     from pyspark.sql import functions as F
 
     have = set(df.columns)
@@ -381,7 +464,7 @@ def _conform(df: DataFrame, schema) -> DataFrame:
         else F.lit(None).cast(f.dataType).alias(f.name)
         for f in schema.fields
     ]
-    return df.select(*cols)
+    return df.select(*cols, *extra_cols)
 
 
 def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -586,6 +669,146 @@ def _check_schema(df: DataFrame, head: dict, op: str) -> None:
         )
 
 
+def _rel_resolver(entries: list[dict]):
+    """URI → manifest rel-path resolver (factored from the bloom
+    builder): match by FULL relative-path suffix, not basename —
+    basenames collide on partitioned tables (one Spark write reuses
+    part-00000-<uuid> in every partition dir), while suffix matching
+    disambiguates and survives a table root containing a 'data'
+    segment plus URI %xx encoding in ``input_file_name``."""
+    from urllib.parse import unquote as _unquote
+
+    cands: dict[str, list[str]] = {}
+    for e in entries:
+        cands.setdefault(e["path"].rsplit("/", 1)[-1], []).append(e["path"])
+
+    def resolve(uri: str) -> str | None:
+        dec = _unquote(uri)
+        for name in {uri.rsplit("/", 1)[-1], dec.rsplit("/", 1)[-1]}:
+            for p in cands.get(name, ()):
+                if uri.endswith("/" + p) or dec.endswith("/" + p):
+                    return p
+        return None
+
+    return resolve
+
+
+def _touched_paths(
+    spark: SparkSession,
+    path: str,
+    base: dict,
+    candidates: list[dict],
+    touch_cond,
+) -> set[str]:
+    """Rel paths of candidate files holding >= 1 row where
+    ``touch_cond`` is TRUE — the copy-on-write write-set. One
+    column-pruned scan (Catalyst reads only the condition's columns)
+    ending in a distinct over the scan-materialized ``__rel`` column
+    (NOT ``input_file_name()``, which is undefined after the
+    deletion-vector anti-join); a rel that cannot be mapped back to a
+    manifest entry is a hard error, because treating it as untouched
+    would silently keep rows a rewrite was supposed to replace."""
+    if not candidates:
+        return set()
+    rels = [
+        r[0]
+        for r in _df_for(spark, path, base, candidates, with_meta=True)
+        .filter(touch_cond)
+        .select("__rel")
+        .distinct()
+        .collect()
+    ]
+    return _attribute_rels(path, candidates, rels, "copy-on-write rewrite")
+
+
+def _attribute_rels(
+    path: str, candidates: list[dict], rels: list[str], what: str
+) -> set[str]:
+    """Map scan-side ``__rel`` values to manifest entry paths: normally
+    an exact match (the qualified-prefix strip round-trips the entry
+    path), but ``_metadata.file_path`` URI-encodes the on-disk name —
+    a Hive-escaped partition dir like ``p=a%3Ab`` arrives doubly
+    escaped as ``p=a%253Ab`` — so a decoded exact match is tried next,
+    then the suffix resolver; an unattributable rel is a HARD error —
+    treating it as untouched would silently keep rows a rewrite was
+    supposed to replace."""
+    from urllib.parse import unquote as _unquote
+
+    known = {e["path"] for e in candidates}
+    resolve = _rel_resolver(candidates)
+    touched = set()
+    for rel in rels:
+        if rel in known:
+            touched.add(rel)
+            continue
+        dec = _unquote(rel)
+        if dec in known:
+            touched.add(dec)
+            continue
+        got = resolve(rel)
+        if got is None:
+            raise IOError(
+                f"snaptable: {what} at {path} could not map scanned file "
+                f"{rel!r} back to a manifest entry — refusing to proceed "
+                f"(an unattributed file would keep stale rows)"
+            )
+        touched.add(got)
+    return touched
+
+
+def _partial_rewrite_commit(
+    spark: SparkSession,
+    path: str,
+    new_rows: DataFrame,
+    carried: list[dict],
+    op: str,
+    base: dict,
+    txn: tuple | None = None,
+) -> int:
+    """Copy-on-write tail shared by delete/merge: materialize only the
+    REWRITTEN rows as new files and commit a manifest of carried
+    (untouched, by reference — keeping their stats and bloom sidecars;
+    the files are immutable so the metadata stays exact) + new entries.
+    Same non-rebasing base+1 conflict check as :func:`_rewrite_commit`:
+    the surviving-row set is only valid against ``base``. At 100 TB
+    this is the difference between rewriting the 3 files a MERGE
+    touches and rewriting the table."""
+    files = _write_files(
+        new_rows, path, tuple(base.get("partition_cols", ())),
+        base.get("stats_cols", []),
+    )
+    all_files = sorted(carried + files, key=lambda e: e["path"])
+    return _publish_rewrite(spark, path, all_files, op, base, txn)
+
+
+def _prune_by_key_bounds(
+    entries: list[dict], key_cols: list[str], bounds: dict
+) -> tuple[list[dict], list[dict]]:
+    """Manifest-level pre-prune for MERGE: a file whose footer range
+    for ANY key column is disjoint from the source batch's [min, max]
+    for that column cannot contain a matching key (a full-key match
+    needs every column equal), so it skips the confirming scan
+    entirely. Unknown stats keep the file as a candidate — pruning is
+    an optimization, never a correctness filter. Returns
+    (candidates, ruled_out)."""
+    cand, out = [], []
+    for e in entries:
+        ruled = False
+        for c in key_cols:
+            st = e.get("stats", {}).get(c)
+            b = bounds.get(c)
+            if st is None or b is None or b[0] is None:
+                continue
+            try:
+                if st[1] < b[0] or st[0] > b[1]:
+                    ruled = True
+                    break
+            except TypeError:
+                continue
+        (out if ruled else cand).append(e)
+    return cand, out
+
+
 def merge_upsert(
     df: DataFrame, path: str, key_cols: list[str], txn: tuple | None = None
 ) -> int:
@@ -596,10 +819,19 @@ def merge_upsert(
     but-not-yet-reinserted intermediate state the two-commit form
     exposes.
 
-    Scale shape: one ``left_anti`` join of the current snapshot against
-    the (typically small, broadcastable) incoming key set, union, one
-    rewrite commit. Like every rewrite, conflicts loudly if any commit
-    raced in after the snapshot was resolved (no silent lost update).
+    Scale shape — COPY-ON-WRITE, the Delta/Iceberg MERGE discipline:
+    (1) footer min/max pre-prune rules out files whose key range is
+    disjoint from the batch's (metadata only, no I/O); (2) one
+    column-pruned semi-join scan of the remaining candidates against
+    the (typically small, broadcastable) incoming key set finds the
+    files actually holding matches; (3) ONLY those files' rows are
+    rewritten (survivors via ``left_anti`` + the full batch) — every
+    other file is carried into the new manifest by reference, stats
+    and bloom sidecars intact. Write amplification is O(touched
+    files + batch), not O(table); a pure-insert batch (no key
+    matches) writes exactly the batch. Like every rewrite, conflicts
+    loudly if any commit raced in after the snapshot was resolved (no
+    silent lost update).
 
     ``txn=(app_id, epoch)`` gives the merge the same replay idempotence
     as :func:`append` — an exactly-once streaming UPSERT sink."""
@@ -608,12 +840,112 @@ def merge_upsert(
     if _txn_applied(base, txn):
         return base["version"]
     _check_schema(df, base, "merge")
-    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import functions as F
 
     keys = df.select(*key_cols).distinct()
-    survivors = _df_for(spark, path, base).join(keys, key_cols, "left_anti")
-    merged = survivors.unionByName(df)
-    return _rewrite_commit(spark, path, merged, "merge", base, txn)
+    row = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in key_cols],
+        *[F.max(c).alias(f"mx_{c}") for c in key_cols],
+    ).collect()[0]
+    bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in key_cols}
+    cand, ruled_out = _prune_by_key_bounds(base["files"], key_cols, bounds)
+    matched = _merge_touched(spark, path, base, cand, keys, key_cols)
+    touched = [e for e in cand if e["path"] in matched]
+    carried = ruled_out + [e for e in cand if e["path"] not in matched]
+    survivors = _df_for(spark, path, base, touched).join(
+        keys, key_cols, "left_anti"
+    )
+    return _partial_rewrite_commit(
+        spark, path, survivors.unionByName(df), carried, "merge", base, txn
+    )
+
+
+def _merge_touched(
+    spark: SparkSession,
+    path: str,
+    base: dict,
+    candidates: list[dict],
+    keys: DataFrame,
+    key_cols: list[str],
+) -> set[str]:
+    """Files among ``candidates`` holding >= 1 row whose key appears in
+    ``keys`` — the MERGE write-set, found by one column-pruned
+    ``left_semi`` scan grouped by the scan-materialized ``__rel``
+    (same attribution contract as :func:`_touched_paths`)."""
+    if not candidates:
+        return set()
+    rels = [
+        r[0]
+        for r in _df_for(spark, path, base, candidates, with_meta=True)
+        .join(keys, key_cols, "left_semi")
+        .select("__rel")
+        .distinct()
+        .collect()
+    ]
+    return _attribute_rels(path, candidates, rels, "merge")
+
+
+def _is_row_preserving(op: str) -> bool:
+    """Layout/metadata-only commits — same logical rows before and
+    after. A rewrite whose base was superseded ONLY by these can
+    republish (rebase) without recompute; anything else (append,
+    merge, delete, overwrite, rollback, evolve) changes rows or schema
+    and must conflict."""
+    return (
+        op == "compact"
+        or op == "purge"
+        or op.startswith("optimize:")
+        or op.startswith("bloom:")
+    )
+
+
+def _publish_rewrite(
+    spark: SparkSession,
+    path: str,
+    files: list[dict],
+    op: str,
+    base: dict,
+    txn: tuple | None,
+) -> int:
+    """Commit ``files`` at head+1 with LOGICAL conflict detection (the
+    Delta/Iceberg OCC discipline): on a version race, inspect every
+    commit that landed after ``base`` — if ALL are row-preserving
+    (compact / optimize / bloom), the rewrite's row set is still
+    exactly right, so it republishes against the new head rather than
+    failing. Republishing re-exposes this rewrite's file references,
+    which is a logical revert of the raced LAYOUT op, never of rows —
+    a maintenance loop (OPTIMIZE every N minutes) can no longer starve
+    writers. Any interleaved row-changing commit still conflicts
+    loudly: there is no window in which a rewrite computed on a stale
+    snapshot can silently drop a concurrent append (the lost-update
+    anomaly).
+
+    Vacuum interaction: a rebase re-references files the raced compact
+    dropped; they are protected from vacuum as long as the base
+    version is still retained — run vacuum with ``keep_last >= 2``
+    when maintenance races live writers (the default)."""
+    cur = base
+    for _ in range(10):
+        if _try_commit(
+            spark, path, cur["version"] + 1, files, base["schema"], op,
+            cur["version"], base.get("partition_cols", ()),
+            base.get("stats_cols", ()), _txn_merged(cur, txn),
+        ):
+            return cur["version"] + 1
+        head = _manifest(spark, path, None)
+        for v in range(cur["version"] + 1, head["version"] + 1):
+            if not _is_row_preserving(_manifest(spark, path, v).get("op", "")):
+                raise SnapshotConflict(
+                    f"snaptable: {op} at {path} raced a concurrent "
+                    f"row-changing commit (version {v}) — its "
+                    f"surviving-row set was computed against version "
+                    f"{base['version']}, which is no longer the head; re-run"
+                )
+        cur = head
+    raise SnapshotConflict(
+        f"snaptable: {op} at {path} lost 10 consecutive rebase races "
+        f"against maintenance commits; re-run"
+    )
 
 
 def _rewrite_commit(
@@ -624,30 +956,15 @@ def _rewrite_commit(
     base: dict,
     txn: tuple | None = None,
 ) -> int:
-    """Shared tail of the rewrite family (delete/compact/rollback):
-    materialize the surviving rows as new files and commit a manifest
-    listing ONLY them, AT ``base["version"] + 1``. The atomic manifest
-    create is the whole concurrency check: if ANY other commit landed
-    after ``base`` was resolved, version base+1 already exists, the
-    create fails, and the conflict surfaces — there is no window in
-    which a rewrite computed on a stale snapshot can silently drop a
-    concurrent append (the lost-update anomaly). No rebase: unlike an
-    append, the surviving-row set is only valid against ``base``."""
+    """Shared tail of the FULL rewrite family (compact/rollback/
+    overwrite): materialize the surviving rows as new files and commit
+    a manifest listing ONLY them via :func:`_publish_rewrite` (atomic
+    version create + logical conflict detection)."""
     files = _write_files(
         kept, path, tuple(base.get("partition_cols", ())),
         base.get("stats_cols", []),
     )
-    if not _try_commit(
-        spark, path, base["version"] + 1, files, base["schema"], op,
-        base["version"], base.get("partition_cols", ()),
-        base.get("stats_cols", ()), _txn_merged(base, txn),
-    ):
-        raise SnapshotConflict(
-            f"snaptable: {op} at {path} raced a concurrent commit — "
-            f"its surviving-row set was computed against version "
-            f"{base['version']}, which is no longer the head; re-run"
-        )
-    return base["version"] + 1
+    return _publish_rewrite(spark, path, files, op, base, txn)
 
 
 def overwrite(df: DataFrame, path: str, txn: tuple | None = None) -> int:
@@ -666,18 +983,91 @@ def overwrite(df: DataFrame, path: str, txn: tuple | None = None) -> int:
     return _rewrite_commit(spark, path, df, "overwrite", base, txn)
 
 
-def delete_where(spark: SparkSession, path: str, condition) -> int:
-    """Transactional DELETE: commit a snapshot holding only the rows
-    NOT matching ``condition`` (a Column or SQL string). Old versions
+def delete_where(
+    spark: SparkSession, path: str, condition, mode: str = "cow"
+) -> int:
+    """Transactional DELETE: commit a snapshot without the rows
+    matching ``condition`` (a Column or SQL string). Old versions
     keep the deleted rows until vacuumed — which is exactly the
     right-to-be-forgotten caveat: deletion is logical at commit time
-    and physical at vacuum time."""
+    and physical at vacuum time.
+
+    ANSI DELETE semantics: a row is deleted iff the condition is TRUE;
+    NULL-condition rows SURVIVE (null-safe ``<=>`` comparison, matching
+    SQL ``DELETE WHERE``).
+
+    Two scale shapes, both O(touched), never O(table):
+
+    - ``mode="cow"`` (copy-on-write, the default): one column-pruned
+      scan finds the files holding >= 1 matching row; ONLY those are
+      rewritten, everything else is carried into the new manifest by
+      reference with stats and bloom sidecars intact. Best when
+      deletes cluster into few files.
+    - ``mode="dv"`` (merge-on-read deletion vectors — Delta's DV /
+      Iceberg's position-delete analog): NO data file is rewritten at
+      all; the commit writes a (file, physical row position) sidecar
+      and attaches it to the touched entries, and every reader
+      anti-joins it during the scan. Write cost O(deleted rows) — the
+      shape for small scattered deletes over huge files; reads pay a
+      (usually broadcast) anti-join until :func:`purge_deletes` or
+      :func:`compact` materializes the survivors.
+
+    A delete that matches nothing commits nothing and returns the
+    current head version."""
     from pyspark.sql import functions as F
 
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"snaptable: delete mode must be cow|dv, got {mode!r}")
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    is_del = cond.eqNullSafe(F.lit(True))
     base = _manifest(spark, path, None)
-    kept = _df_for(spark, path, base).filter(~cond)
-    return _rewrite_commit(spark, path, kept, "delete", base)
+    matched = _touched_paths(spark, path, base, base["files"], is_del)
+    if not matched:
+        return base["version"]
+    touched = [e for e in base["files"] if e["path"] in matched]
+    carried = [e for e in base["files"] if e["path"] not in matched]
+    if mode == "cow":
+        kept = _df_for(spark, path, base, touched).filter(~is_del)
+        return _partial_rewrite_commit(
+            spark, path, kept, carried, "delete", base
+        )
+    # dv: write the deleted (rel, pos) pairs as a parquet sidecar —
+    # positions are PHYSICAL row indexes, and this scan already applies
+    # prior DVs, so re-deleting an already-deleted position is
+    # impossible; successive DVs on one file are disjoint and stack as
+    # a list of refs the reader unions
+    dv_rel = f"{_DVDIR}/c-{uuid.uuid4().hex[:12]}"
+    (
+        _df_for(spark, path, base, touched, with_meta=True)
+        .filter(is_del)
+        .select(F.col("__rel").alias("path"), F.col("__pos").alias("pos"))
+        .write.parquet(f"{path.rstrip('/')}/{dv_rel}")
+    )
+    new_touched = [
+        {**e, "dv": list(e.get("dv", [])) + [dv_rel]} for e in touched
+    ]
+    return _publish_rewrite(
+        spark, path, sorted(carried + new_touched, key=lambda e: e["path"]),
+        "delete", base, None,
+    )
+
+
+def purge_deletes(spark: SparkSession, path: str) -> int:
+    """Materialize every deletion vector: rewrite ONLY the DV-carrying
+    files as their surviving rows (plain entries carried by reference)
+    and commit — after which reads pay no anti-join and vacuum can
+    reap the old files and sidecars. Row-preserving (same logical
+    rows), so it rebases over concurrent maintenance and produces an
+    EMPTY change feed — layout hygiene invisible to downstream
+    consumers, like :func:`compact`. No-op (no commit) on a DV-free
+    table."""
+    base = _manifest(spark, path, None)
+    dved = [e for e in base["files"] if e.get("dv")]
+    if not dved:
+        return base["version"]
+    carried = [e for e in base["files"] if not e.get("dv")]
+    alive = _df_for(spark, path, base, dved)
+    return _partial_rewrite_commit(spark, path, alive, carried, "purge", base)
 
 
 def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
@@ -861,25 +1251,9 @@ def add_bloom_index(
         .collect()
     )
     # map scan URIs back to manifest entries by FULL relative path
-    # suffix: basenames alone collide on partitioned tables (one Spark
-    # write reuses part-00000-<uuid> in every partition dir — keying by
-    # basename attributed masks to the wrong files and silently lost
-    # rows on point scans), while suffix matching both disambiguates
-    # and survives a table root containing a 'data' segment and URI
-    # encoding (%xx) in input_file_name
-    from urllib.parse import unquote as _unquote
-
-    cands: dict[str, list[str]] = {}
-    for e in base["files"]:
-        cands.setdefault(e["path"].rsplit("/", 1)[-1], []).append(e["path"])
-
-    def _match(uri: str) -> str | None:
-        dec = _unquote(uri)
-        for name in {uri.rsplit("/", 1)[-1], dec.rsplit("/", 1)[-1]}:
-            for p in cands.get(name, ()):
-                if uri.endswith("/" + p) or dec.endswith("/" + p):
-                    return p
-        return None
+    # suffix (shared _rel_resolver contract — see its docstring for why
+    # basenames alone are not enough)
+    _match = _rel_resolver(base["files"])
 
     blooms: dict[str, str] = {}
     unmatched = 0
@@ -1051,10 +1425,19 @@ def _version_delta(
             f"snaptable: incremental range is backwards "
             f"(since={base['version']} > at={head['version']})"
         )
-    base_paths = {e["path"] for e in base["files"]}
-    head_paths = {e["path"] for e in head["files"]}
-    added = [e for e in head["files"] if e["path"] not in base_paths]
-    removed = [e for e in base["files"] if e["path"] not in head_paths]
+    # entry identity = (path, deletion-vector refs): a DV commit changes
+    # ROWS without changing file paths, so keying on path alone would
+    # make a dv-delete invisible to the change feed. An entry whose DV
+    # set changed appears as removed(old view) + added(new view); the
+    # exceptAll sides then cancel everything but the dv-deleted rows —
+    # still proportional to TOUCHED files.
+    def _ekey(e: dict) -> tuple:
+        return (e["path"], tuple(e.get("dv", ())))
+
+    base_keys = {_ekey(e) for e in base["files"]}
+    head_keys = {_ekey(e) for e in head["files"]}
+    added = [e for e in head["files"] if _ekey(e) not in base_keys]
+    removed = [e for e in base["files"] if _ekey(e) not in head_keys]
     return base, head, added, removed
 
 
@@ -1163,7 +1546,9 @@ def vacuum(
     crash-orphaned files (written by a writer that died before its
     commit). ``min_age_sec`` protects an in-flight writer: a file
     younger than it is never reaped even if unreferenced, mirroring
-    Delta's retention guard. Returns data files deleted."""
+    Delta's retention guard. Deletion-vector sidecar dirs referenced
+    by no retained manifest are reaped whole under the same age guard.
+    Returns data files + sidecar dirs deleted."""
     fs, Path = _hadoop_fs(spark, path)
     vs = versions(spark, path)
     if not vs:
@@ -1173,13 +1558,27 @@ def vacuum(
         if v not in retained:
             fs.delete(Path(_snap_path(path, v)), False)
     referenced = set()
+    referenced_dv = set()
     for v in retained:
-        referenced.update(e["path"] for e in _manifest(spark, path, v)["files"])
-    data_root = Path(f"{path.rstrip('/')}/{_DATADIR}")
-    if not fs.exists(data_root):
-        return 0
+        for e in _manifest(spark, path, v)["files"]:
+            referenced.add(e["path"])
+            referenced_dv.update(e.get("dv", ()))
     now = time.time()
     deleted = 0
+    dv_root = Path(f"{path.rstrip('/')}/{_DVDIR}")
+    if fs.exists(dv_root):
+        for st in fs.listStatus(dv_root):
+            name = st.getPath().getName()
+            rel = f"{_DVDIR}/{name}"
+            if rel in referenced_dv:
+                continue
+            if now - st.getModificationTime() / 1000.0 < min_age_sec:
+                continue
+            if fs.delete(st.getPath(), True):
+                deleted += 1
+    data_root = Path(f"{path.rstrip('/')}/{_DATADIR}")
+    if not fs.exists(data_root):
+        return deleted
     # table-relative path via the QUALIFIED data root prefix, not by
     # splitting on the first '/data/': a table rooted under a 'data'
     # directory (e.g. /warehouse/data/tbl) would otherwise compute a

@@ -1329,3 +1329,253 @@ def test_null_partition_value_scans_via_none_probe(spark, tmp_path):
         ).collect()
     ]
     assert tok == []
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write rewrites: MERGE/DELETE rewrite only touched files, carry
+# the rest by reference; rewrites rebase over maintenance commits.
+# ---------------------------------------------------------------------------
+
+
+def _paths(spark, path):
+    return {e["path"] for e in T._manifest(spark, path, None)["files"]}
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """COW DELETE: files with no matching row are carried into the new
+    manifest BY REFERENCE (identical entry paths), only files holding
+    matches are rewritten — write amplification O(touched), not
+    O(table)."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    T.create(df.repartitionByRange(4, "p"), path)
+    before = _paths(spark, path)
+    assert len(before) >= 4
+    T.delete_where(spark, path, "p = 1 AND id < 100")
+    after = _paths(spark, path)
+    carried = before & after
+    assert carried, "untouched files must be carried by reference"
+    assert after != before, "touched files must be rewritten"
+    # only the files actually holding p=1 rows were replaced
+    assert len(before - after) < len(before)
+    got = sorted(r.id for r in T.read(spark, path).collect())
+    assert got == [i for i in range(1000) if not (i % 4 == 1 and i < 100)]
+    # snapshot isolation intact
+    assert T.read(spark, path, version=1).count() == 1000
+
+
+def test_delete_where_matching_nothing_is_a_noop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 50), path)
+    v = T.delete_where(spark, path, "id > 10000")
+    assert v == 1  # head version unchanged, no empty rewrite committed
+    assert T.versions(spark, path) == [1]
+    assert T.read(spark, path).count() == 50
+
+
+def test_delete_where_null_condition_rows_survive(spark, tmp_path):
+    """ANSI DELETE: a row is deleted iff the condition is TRUE — a
+    NULL condition (here: NULL v compared to a number) keeps the row."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99)], "id bigint, v int"
+    )
+    T.create(df, path)
+    T.delete_where(spark, path, "v > 50")
+    got = sorted(r.id for r in T.read(spark, path).collect())
+    assert got == [1, 2]  # id=2 has NULL condition -> survives
+
+
+def test_merge_upsert_carries_unmatched_files_by_reference(spark, tmp_path):
+    """COW MERGE: footer min/max pre-prune + semi-join scan confine the
+    rewrite to files that actually hold matched keys; disjoint-range
+    files keep their manifest entries (and stats) verbatim."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)       # ids 0..99
+    T.append(_mk(spark, 1000, 1100), path)   # ids 1000..1099, separate files
+    before = _paths(spark, path)
+    patch = spark.createDataFrame(
+        [(1050, -1), (2000, -2)], "id bigint, v bigint"
+    )
+    T.merge_upsert(patch, path, ["id"])
+    after = _paths(spark, path)
+    carried = before & after
+    assert carried, "low-range files must be carried by reference"
+    got = {r.id: r.v for r in T.read(spark, path).collect()}
+    assert got[1050] == -1 and got[2000] == -2     # update + insert
+    assert got[0] == 0 and got[1000] == 2000       # untouched rows intact
+    assert len(got) == 201
+    # carried entries keep their stats (metadata preserved verbatim)
+    m = T._manifest(spark, path, None)
+    for e in m["files"]:
+        if e["path"] in carried:
+            assert e.get("stats"), "carried entry lost its stats"
+
+
+def test_merge_pure_insert_batch_writes_only_the_batch(spark, tmp_path):
+    """A batch with NO key matches touches nothing: every pre-existing
+    file is carried by reference and the commit adds only the batch's
+    files — MERGE degenerates to an append-shaped write."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+    before = _paths(spark, path)
+    patch = spark.createDataFrame([(5000, 1), (5001, 2)], "id bigint, v bigint")
+    T.merge_upsert(patch, path, ["id"])
+    after = _paths(spark, path)
+    assert before <= after, "no pre-existing file may be rewritten"
+    assert T.read(spark, path).count() == 102
+
+
+def test_rewrite_rebases_over_raced_compact(spark, tmp_path):
+    """Logical conflict detection: a compact (row-preserving) landing
+    between a merge's snapshot resolution and its publish no longer
+    kills the merge — it rebases and republishes; rows are exactly the
+    recompute's. Deterministic version of the sink race."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+    base = T._manifest(spark, path, None)
+    kept = T._df_for(spark, path, base).filter("id >= 10")
+    T.compact(spark, path, target_files=1)  # raced maintenance: v2
+    v = T._rewrite_commit(spark, path, kept, "delete", base)
+    assert v == 3  # rebased onto the compact's head
+    assert T.read(spark, path).count() == 90
+    # and a ROW-CHANGING raced commit still conflicts loudly
+    base2 = T._manifest(spark, path, None)
+    kept2 = T._df_for(spark, path, base2).filter("id >= 20")
+    T.append(_mk(spark, 500, 510), path)
+    with pytest.raises(T.SnapshotConflict, match="row-changing"):
+        T._rewrite_commit(spark, path, kept2, "delete", base2)
+    assert T.read(spark, path).count() == 100  # nothing lost
+
+
+def test_cdf_after_cow_delete_shows_only_deleted_rows(spark, tmp_path):
+    """The change feed across a COW delete: carried files appear in
+    neither diff side, so the feed is exactly the deleted rows — cost
+    proportional to TOUCHED files."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    T.create(df.repartitionByRange(4, "p"), path)
+    T.delete_where(spark, path, "p = 2")
+    ch = T.table_changes(spark, path, since_version=1)
+    rows = ch.collect()
+    assert all(r._change_type == "delete" for r in rows)
+    assert sorted(r.id for r in rows) == [i for i in range(400) if i % 4 == 2]
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors: merge-on-read position deletes (Delta DV / Iceberg v2
+# position-delete analog) — no data file rewritten, readers anti-join a
+# (file, pos) sidecar, purge/compact materialize.
+# ---------------------------------------------------------------------------
+
+
+def test_dv_delete_rewrites_no_data_file(spark, tmp_path):
+    """mode='dv': the commit writes only a position sidecar — every
+    pre-existing data file entry survives by path — yet all readers
+    (read/scan/time-travel) see the rows gone."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 1000).repartition(4), path)
+    before = _paths(spark, path)
+    v = T.delete_where(spark, path, "id % 10 = 3", mode="dv")
+    assert v == 2
+    after = _paths(spark, path)
+    assert after == before, "a DV delete must not rewrite any data file"
+    got = sorted(r.id for r in T.read(spark, path).collect())
+    assert got == [i for i in range(1000) if i % 10 != 3]
+    # snapshot isolation: pre-delete version still has every row
+    assert T.read(spark, path, version=1).count() == 1000
+    # scan() inherits the DV filter
+    assert T.scan(spark, path, between=("id", 0, 49)).count() == 45
+
+
+def test_dv_deletes_stack_and_purge_materializes(spark, tmp_path):
+    """Successive DVs on the same files stack (physical positions are
+    disjoint because the second delete scans the DV-filtered view);
+    purge_deletes rewrites ONLY the DV-carrying files, drops the refs,
+    and yields an EMPTY change feed (row-preserving maintenance)."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100).coalesce(1), path)
+    T.delete_where(spark, path, "id < 10", mode="dv")
+    T.delete_where(spark, path, "id >= 90", mode="dv")
+    m = T._manifest(spark, path, None)
+    assert any(len(e.get("dv", [])) == 2 for e in m["files"])
+    assert sorted(r.id for r in T.read(spark, path).collect()) == list(range(10, 90))
+    v = T.purge_deletes(spark, path)
+    m2 = T._manifest(spark, path, None)
+    assert all(not e.get("dv") for e in m2["files"])
+    assert sorted(r.id for r in T.read(spark, path).collect()) == list(range(10, 90))
+    # purge is invisible to downstream consumers
+    assert T.table_changes(spark, path, since_version=v - 1, version=v).count() == 0
+    # idempotent no-op on a DV-free table
+    assert T.purge_deletes(spark, path) == v
+
+
+def test_dv_cdf_shows_exactly_deleted_rows(spark, tmp_path):
+    """A DV commit changes rows without changing file paths; the diff
+    keys on (path, dv) so the feed is exactly the dv-deleted rows."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 200).repartition(2), path)
+    T.delete_where(spark, path, "id % 7 = 0", mode="dv")
+    ch = T.table_changes(spark, path, since_version=1).collect()
+    assert all(r._change_type == "delete" for r in ch)
+    assert sorted(r.id for r in ch) == [i for i in range(200) if i % 7 == 0]
+    inc = T.read_increment(spark, path, since_version=1)
+    assert inc.count() == 0  # nothing ADDED by a delete
+
+
+def test_dv_then_merge_does_not_resurrect(spark, tmp_path):
+    """MERGE over a DV'd table: survivors come from the DV-filtered
+    view, so a dv-deleted row never resurrects in the rewrite."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+    T.delete_where(spark, path, "id = 5", mode="dv")
+    patch = spark.createDataFrame([(7, -7)], "id bigint, v bigint")
+    T.merge_upsert(patch, path, ["id"])
+    got = {r.id: r.v for r in T.read(spark, path).collect()}
+    assert 5 not in got
+    assert got[7] == -7 and got[6] == 12
+    assert len(got) == 99
+
+
+def test_dv_on_partitioned_table_with_special_chars(spark, tmp_path):
+    """The DV coordinate (rel path from the qualified-prefix strip)
+    must round-trip through %-escaped Hive partition dirs AND a table
+    rooted under a 'data' directory."""
+    path = str(tmp_path / "data" / "t")
+    df = spark.createDataFrame(
+        [(i, "a:b" if i % 2 == 0 else "x#y") for i in range(40)],
+        "id bigint, p string",
+    )
+    T.create(df, path, partition_cols=("p",))
+    T.delete_where(spark, path, "id < 4", mode="dv")
+    got = sorted(r.id for r in T.read(spark, path).collect())
+    assert got == list(range(4, 40))
+    assert sorted(
+        r.id for r in T.scan(spark, path, partitions={"p": "a:b"}).collect()
+        if r.id < 10
+    ) == [4, 6, 8]
+    T.purge_deletes(spark, path)
+    assert sorted(r.id for r in T.read(spark, path).collect()) == list(range(4, 40))
+
+
+def test_vacuum_reaps_unreferenced_dv_sidecars(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+    T.delete_where(spark, path, "id < 10", mode="dv")
+    assert os.path.isdir(f"{path}/dv")
+    assert len(os.listdir(f"{path}/dv")) == 1
+    T.purge_deletes(spark, path)
+    # head no longer references the sidecar; keep_last=1 drops v2 too
+    deleted = T.vacuum(spark, path, keep_last=1, min_age_sec=0.0)
+    assert deleted > 0
+    assert os.listdir(f"{path}/dv") == []
+    assert T.read(spark, path).count() == 90
+    # a RETAINED manifest's sidecar is protected
+    T.delete_where(spark, path, "id >= 95", mode="dv")
+    assert T.vacuum(spark, path, keep_last=2, min_age_sec=0.0) == 0 or \
+        len(os.listdir(f"{path}/dv")) == 1
+    assert sorted(r.id for r in T.read(spark, path).collect()) == list(range(10, 95))
