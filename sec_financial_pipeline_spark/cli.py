@@ -407,11 +407,20 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "rows": T.read(spark, args.table, version=v).count(),
         }
     if args.snap_cmd == "delete":
-        v = T.delete_where(spark, args.table, args.where)
+        v = T.delete_where(spark, args.table, args.where, mode=args.mode)
         return {
             "table": args.table,
             "version": v,
             "op": "delete",
+            "mode": args.mode,
+            "rows": T.read(spark, args.table).count(),
+        }
+    if args.snap_cmd == "purge":
+        v = T.purge_deletes(spark, args.table)
+        return {
+            "table": args.table,
+            "version": v,
+            "op": "purge",
             "rows": T.read(spark, args.table).count(),
         }
     if args.snap_cmd == "compact":
@@ -757,6 +766,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sd = snap_sub.add_parser("delete")
     sd.add_argument("--table", required=True)
     sd.add_argument("--where", required=True, help="SQL predicate to delete")
+    sd.add_argument(
+        "--mode", choices=("cow", "dv"), default="cow",
+        help="cow rewrites touched files; dv writes a deletion-vector "
+        "sidecar (merge-on-read, no file rewritten)",
+    )
+    spg = snap_sub.add_parser(
+        "purge", help="materialize deletion vectors (rewrite only DV files)"
+    )
+    spg.add_argument("--table", required=True)
     sc = snap_sub.add_parser("compact")
     sc.add_argument("--table", required=True)
     sc.add_argument("--target-files", type=int, default=1)

@@ -130,6 +130,21 @@ FROM orders WHERE o_orderkey % 7 <> 0 AND o_totalprice > 150000
 GROUP BY o_orderpriority
 """
 
+# changes(3 -> 5): v4 is a DELETION-VECTOR delete (no file rewritten;
+# the commit attaches a (file, row position) sidecar), v5 is
+# purge_deletes (row-preserving materialization — contributes NOTHING
+# to the feed). The net feed is therefore exactly the dv-deleted rows:
+# live-at-v3 rows (price <= 150000) with o_orderkey % 11 = 0. The
+# oracle replaying that in pure SQL proves dv-delete visibility,
+# (path, dv)-keyed diffing AND purge neutrality in one section.
+_SNAP_DV_ORACLE = f"""
+SELECT 'delete' AS change_type, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_totalprice <= 150000 AND o_orderkey % 11 = 0
+GROUP BY o_orderpriority
+"""
+
 
 def _ensure_snap_demo(spark: SparkSession, sf_dir: str) -> str:
     """Build-once snaptable with the three-version history above,
@@ -144,7 +159,9 @@ def _ensure_snap_demo(spark: SparkSession, sf_dir: str) -> str:
     from sec_financial_pipeline_spark.sources import snaptable as T
     from sec_financial_pipeline_spark.sources.testdata import load_table
 
-    path = _artifact_path("sfp_snapdemo_", sf_dir, "orders", "mod7;del150000")
+    path = _artifact_path(
+        "sfp_snapdemo_", sf_dir, "orders", "mod7;del150000;dv11;purge"
+    )
     if not os.path.exists(path):
         def build(tmp: str) -> None:
             orders = load_table(spark, sf_dir, "orders").select(
@@ -153,23 +170,35 @@ def _ensure_snap_demo(spark: SparkSession, sf_dir: str) -> str:
             T.create(orders.filter(F.col("o_orderkey") % 7 != 0), tmp)
             T.append(orders.filter(F.col("o_orderkey") % 7 == 0), tmp)
             T.delete_where(spark, tmp, "o_totalprice > 150000")
+            # v4: merge-on-read — a sidecar commit, zero files rewritten
+            T.delete_where(spark, tmp, "o_orderkey % 11 = 0", mode="dv")
+            # v5: materialize the DVs (row-preserving, CDF-invisible)
+            T.purge_deletes(spark, tmp)
 
         _publish_atomically(build, path)
     return path
 
 
-def q_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cdf_rollup(spark: SparkSession, sf_dir: str, lo: int, hi: int) -> DataFrame:
     from sec_financial_pipeline_spark.functions.deterministic import dsum
     from sec_financial_pipeline_spark.sources import snaptable as T
 
     path = _ensure_snap_demo(spark, sf_dir)
-    ch = T.table_changes(spark, path, 1, 3)
+    ch = T.table_changes(spark, path, lo, hi)
     return ch.groupBy(
         F.col("_change_type").alias("change_type"), "o_orderpriority"
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+def q_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cdf_rollup(spark, sf_dir, 1, 3)
+
+
+def q_snap_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cdf_rollup(spark, sf_dir, 3, 5)
 
 
 _POLICY_ORACLE = (
@@ -238,14 +267,21 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
                 _SNAP_CDF_ORACLE,
                 ["change_type", "o_orderpriority", "n_rows", "total_price"],
             ),
+            (
+                "snap_dv",
+                _SNAP_DV_ORACLE,
+                ["change_type", "o_orderpriority", "n_rows", "total_price"],
+            ),
         ],
         _PIPE_ROW_SCHEMA,
     ),
     survey=(
         "T1 (freshness watermark + tiered staleness policy) + snapshot-"
-        "table change feed (create/append/delete lifecycle on the real "
-        "snaptable; table_changes(1,3) aggregated — the oracle replays "
-        "the multiset algebra in pure SQL)"
+        "table change feed (create/append/delete/dv-delete/purge "
+        "lifecycle on the real snaptable; table_changes(1,3) and (3,5) "
+        "aggregated — the oracle replays the multiset algebra in pure "
+        "SQL, the dv section proving deletion-vector visibility and "
+        "purge neutrality)"
     ),
 )
 def q_freshness_and_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,6 +289,7 @@ def q_freshness_and_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("policy", q_freshness_policy(spark, sf_dir)),
             ("snap_cdf", q_snap_cdf(spark, sf_dir)),
+            ("snap_dv", q_snap_dv(spark, sf_dir)),
         ],
         _PIPE_ROW_SCHEMA,
     )

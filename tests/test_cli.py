@@ -362,6 +362,16 @@ def test_snap_lifecycle_via_cli(tmp_path, capsys, spark):
     assert vac["files_deleted"] > 0
     log = _run(capsys, spark, ["snap", "log", "--table", table])
     assert log["versions"] == [5] and log["rows_head"] == 130
+    # dv delete: sidecar commit, no data file rewritten; purge drops it
+    dv = _run(capsys, spark, ["snap", "delete", "--table", table,
+                              "--where", "id < 10", "--mode", "dv"])
+    assert dv["mode"] == "dv" and dv["rows"] == 120
+    m = T._manifest(spark, table, None)
+    assert any(e.get("dv") for e in m["files"])
+    pg = _run(capsys, spark, ["snap", "purge", "--table", table])
+    assert pg["rows"] == 120
+    assert all(not e.get("dv")
+               for e in T._manifest(spark, table, None)["files"])
 
 
 def test_snap_changes_via_cli(tmp_path, capsys, spark):
