@@ -1,0 +1,189 @@
+"""Spark 4 Python DataSource over snaptable
+(sources/snap_datasource.py): format("snaptable") batch reads with
+time travel + deletion vectors, and the Structured Streaming source
+with version offsets, checkpointed exactly-once resume, maintenance
+invisibility and Delta-style skipChangeCommits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.sources import snaptable as T
+from sec_financial_pipeline_spark.sources.snap_datasource import (
+    register_snaptable_source,
+)
+
+
+@pytest.fixture()
+def snapds(spark):
+    register_snaptable_source(spark)
+    return spark
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select("id", (F.col("id") * 2).alias("v"))
+
+
+def _drain(spark, path, name, checkpoint, **opts):
+    reader = spark.readStream.format("snaptable")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _drain_to_parquet(spark, path, outdir, checkpoint, **opts):
+    """Resumable drain: the memory sink cannot recover from a
+    checkpoint, the file sink can — so exactly-once RESUME tests go
+    through parquet and read the cumulative output back."""
+    reader = spark.readStream.format("snaptable")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(path)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        return spark.read.parquet(outdir)
+    except Exception:  # zero batches ever written
+        return spark.createDataFrame([], "id bigint, v bigint")
+
+
+def test_batch_read_matches_native_with_dv_and_time_travel(snapds, tmp_path):
+    spark = snapds
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+    T.append(_mk(spark, 100, 150), path)
+    T.delete_where(spark, path, "id % 10 = 3", mode="dv")
+    df = spark.read.format("snaptable").load(path)
+    assert sorted(tuple(r) for r in df.collect()) == sorted(
+        tuple(r) for r in T.read(spark, path).collect()
+    )
+    assert df.count() == 135
+    # time travel via option
+    assert (
+        spark.read.format("snaptable").option("version", "1").load(path).count()
+        == 100
+    )
+
+
+def test_batch_read_partitioned_with_special_chars_and_nulls(snapds, tmp_path):
+    """Hive partition values (incl. %-escaped and NULL) are attached
+    as typed constants from the manifest — the file itself lacks the
+    column."""
+    spark = snapds
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, None), (3, "plain"), (4, "a:b")],
+        "id bigint, p string",
+    )
+    T.create(df, path, partition_cols=("p",))
+    got = spark.read.format("snaptable").load(path)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in T.read(spark, path).collect()
+    )
+    assert got.filter(F.col("p") == "a:b").count() == 2
+    assert got.filter(F.col("p").isNull()).count() == 1
+
+
+def test_stream_tails_appends_with_exactly_once_resume(snapds, tmp_path):
+    """availableNow drains the history; after more appends a SECOND
+    run from the same checkpoint ships ONLY the new rows (version
+    offsets are durable); a compact between runs contributes nothing."""
+    spark = snapds
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    T.create(_mk(spark, 0, 50), path)
+    T.append(_mk(spark, 50, 80), path)
+    out = _drain_to_parquet(spark, path, out_dir, ckpt)
+    assert sorted(r.id for r in out.collect()) == list(range(80))
+    # maintenance + new appends; resume must ship exactly 80..100
+    T.compact(spark, path, target_files=1)
+    T.append(_mk(spark, 80, 100), path)
+    out2 = _drain_to_parquet(spark, path, out_dir, ckpt)
+    ids = sorted(r.id for r in out2.collect())
+    assert ids == list(range(100)), "exactly-once: no dup, no loss"
+    # third run with nothing new: no new rows, no error
+    out3 = _drain_to_parquet(spark, path, out_dir, ckpt)
+    assert out3.count() == 100
+
+
+def test_stream_fails_loud_on_rewrite_unless_skipped(snapds, tmp_path):
+    spark = snapds
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 50), path)
+    T.delete_where(spark, path, "id < 5")  # row-changing rewrite (cow)
+    T.append(_mk(spark, 50, 60), path)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="row-changing"):
+        q = (
+            spark.readStream.format("snaptable")
+            .load(path)
+            .writeStream.format("memory")
+            .queryName("snapds_fail")
+            .option("checkpointLocation", str(tmp_path / "c1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    # skipChangeCommits: the rewrite commit is skipped entirely; the
+    # stream ships the create (pre-delete rows) and the append
+    out = _drain(
+        spark, path, "snapds_skip", str(tmp_path / "c2"),
+        skipChangeCommits="true",
+    )
+    assert sorted(r.id for r in out.collect()) == list(range(60))
+
+
+def test_stream_starting_version_latest(snapds, tmp_path):
+    """startingVersion=latest consumes only commits after stream
+    start — the tail-from-now mode."""
+    spark = snapds
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    T.create(_mk(spark, 0, 50), path)
+    out = _drain_to_parquet(
+        spark, path, out_dir, ckpt, startingVersion="latest"
+    )
+    assert out.count() == 0
+    T.append(_mk(spark, 50, 70), path)
+    out2 = _drain_to_parquet(
+        spark, path, out_dir, ckpt, startingVersion="latest"
+    )
+    assert sorted(r.id for r in out2.collect()) == list(range(50, 70))
+
+
+def test_stream_dv_append_only_history_includes_sidecar_free_files(
+    snapds, tmp_path
+):
+    """Appends AFTER a dv-delete (skipped via skipChangeCommits) ship
+    clean; the dv'd file's rows stream as appended at their append
+    version (pre-delete content — streaming replays history, exactly
+    like Delta)."""
+    spark = snapds
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 40), path)
+    T.delete_where(spark, path, "id = 1", mode="dv")
+    T.append(_mk(spark, 40, 50), path)
+    out = _drain(
+        spark, path, "snapds_dv", str(tmp_path / "c"),
+        skipChangeCommits="true",
+    )
+    assert sorted(r.id for r in out.collect()) == list(range(50))
