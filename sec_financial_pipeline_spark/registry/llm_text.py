@@ -466,6 +466,104 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
 )
 
 
+# ---------------------------------------------------------------------------
+# dsir: DSIR-style importance resampling (Xie et al. 2023) — select the
+# raw-pool (non-en) documents whose hashed unigram+bigram distribution
+# is most en-like, via integer milli-nat log-ratio weights and Gumbel
+# top-k. Every post-ln quantity is BIGINT (the float-determinism
+# firewall: JVM vs libm ln differ by 1 ulp on ~1% of inputs, measured);
+# the oracle replays the identical milli-nat pipeline in SQL. Output is
+# the per-lang rollup of the SELECTED set: count, sum of doc_ids
+# (checksum — pins the exact selection), sum of selection keys
+# (threshold column reused as the key-sum).
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 512
+_DSIR_RATE = 0.25
+_DSIR_SALT = "dsir1"
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(w) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS bucket
+  FROM grams
+),
+tc AS (SELECT bucket, count(*) AS nt FROM b WHERE lang = 'en' GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS nr FROM b WHERE lang <> 'en' GROUP BY bucket),
+tot AS (SELECT (SELECT CAST(coalesce(sum(nt), 0) AS DOUBLE) FROM tc) AS t_tot,
+               (SELECT CAST(coalesce(sum(nr), 0) AS DOUBLE) FROM rc) AS r_tot),
+wt AS (
+  SELECT rc.bucket,
+         CAST(round((ln(coalesce(nt, 0) + 1.0) - ln(nr + 1.0)
+                     - ln(t_tot + {_DSIR_BUCKETS})
+                     + ln(r_tot + {_DSIR_BUCKETS})) * 1000.0, 0) AS BIGINT)
+           AS w_milli
+  FROM rc LEFT JOIN tc USING (bucket), tot
+),
+dbc AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM b WHERE lang <> 'en' GROUP BY doc_id, bucket
+),
+score AS (
+  SELECT doc_id, sum(cnt * w_milli) AS score_milli
+  FROM dbc JOIN wt USING (bucket) GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id,
+         score_milli
+         + CAST(round((-ln(-ln((('0x' || substr(md5('{_DSIR_SALT}'
+             || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+             / 4294967296.0))) * 1000.0, 0) AS BIGINT) AS key_milli
+  FROM score
+),
+ranked AS (
+  SELECT doc_id, key_milli,
+         row_number() OVER (ORDER BY key_milli DESC, doc_id) AS rk
+  FROM keyed
+),
+sel AS (
+  SELECT r.doc_id, r.key_milli FROM ranked r
+  WHERE r.rk <= (SELECT CAST(floor(count(*) * {_DSIR_RATE}) AS BIGINT)
+                 FROM documents WHERE lang <> 'en')
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.doc_id) AS BIGINT) AS checksum,
+       CAST(sum(s.key_milli) AS BIGINT) AS threshold
+FROM sel s JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.selection import dsir_select
+
+    d = load_table(spark, sf_dir, "documents")
+    sel = dsir_select(
+        d.select("doc_id", "text", "lang"),
+        "doc_id",
+        "text",
+        is_target=F.col("lang") == "en",
+        rate=_DSIR_RATE,
+        n_buckets=_DSIR_BUCKETS,
+        salt=_DSIR_SALT,
+    )
+    return sel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("checksum"),
+        F.sum("key_milli").cast("bigint").alias("threshold"),
+    )
+
+
 @register(
     "doc_stratified_sample",
     union_sections_sql(
@@ -476,6 +574,8 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
              ["shard", "n_docs", "first_doc", "checksum"]),
             ("temperature", _TEMP_ORACLE,
              ["lang", "n_docs", "threshold", "n_selected"]),
+            ("dsir", _DSIR_ORACLE,
+             ["lang", "n_docs", "checksum", "threshold"]),
         ],
         _SAMPLE_SCHEMA,
     ),
@@ -489,6 +589,9 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         " + temperature-alpha mixture resampling (Conneau & Lample 2019:"
         " p_i ~ n_i^alpha; integer u32 thresholds so the per-row decision"
         " is float-free)"
+        " + DSIR importance resampling (Xie et al. 2023: hashed-ngram"
+        " log-ratio weights in integer milli-nats, Gumbel top-k without"
+        " replacement; TakeOrderedAndProject, no global sort)"
     ),
 )
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,6 +600,7 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("mix", q_doc_corpus_mix(spark, sf_dir)),
             ("epoch_shuffle", q_doc_epoch_shuffle(spark, sf_dir)),
             ("temperature", q_doc_temperature_mix(spark, sf_dir)),
+            ("dsir", q_doc_dsir(spark, sf_dir)),
         ],
         _SAMPLE_SCHEMA,
     )
