@@ -423,6 +423,18 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "op": "purge",
             "rows": T.read(spark, args.table).count(),
         }
+    if args.snap_cmd == "constraint":
+        if args.constraint_cmd == "add":
+            v = T.add_constraint(spark, args.table, args.name, args.expr)
+            return {"table": args.table, "version": v,
+                    "op": f"constraint:add:{args.name}"}
+        if args.constraint_cmd == "drop":
+            v = T.drop_constraint(spark, args.table, args.name)
+            return {"table": args.table, "version": v,
+                    "op": f"constraint:drop:{args.name}"}
+        m = T._manifest(spark, args.table, None)
+        return {"table": args.table,
+                "constraints": m.get("constraints", {})}
     if args.snap_cmd == "compact":
         v = T.compact(spark, args.table, target_files=args.target_files)
         return {"table": args.table, "version": v, "op": "compact"}
@@ -775,6 +787,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "purge", help="materialize deletion vectors (rewrite only DV files)"
     )
     spg.add_argument("--table", required=True)
+    scon = snap_sub.add_parser(
+        "constraint", help="CHECK constraints (add/drop/list)"
+    )
+    scon_sub = scon.add_subparsers(dest="constraint_cmd", required=True)
+    sca = scon_sub.add_parser("add")
+    sca.add_argument("--table", required=True)
+    sca.add_argument("--name", required=True)
+    sca.add_argument("--expr", required=True, help="SQL CHECK expression")
+    scd = scon_sub.add_parser("drop")
+    scd.add_argument("--table", required=True)
+    scd.add_argument("--name", required=True)
+    scl = scon_sub.add_parser("list")
+    scl.add_argument("--table", required=True)
     sc = snap_sub.add_parser("compact")
     sc.add_argument("--table", required=True)
     sc.add_argument("--target-files", type=int, default=1)

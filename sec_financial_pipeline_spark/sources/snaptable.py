@@ -259,13 +259,16 @@ def _try_commit(
     partition_cols: list[str] = (),
     stats_cols: list[str] = (),
     txn: dict | None = None,
+    constraints: dict | None = None,
 ) -> bool:
     """Publish a manifest as version ``version`` — atomic
     create(overwrite=False): exactly one writer can win a version.
     ``txn`` is the application-transaction watermark map
     (``{app_id: last_applied_epoch}``, the Delta txnAppId/txnVersion
     analog); every commit carries the map forward so idempotence
-    survives compaction, rollback and vacuum."""
+    survives compaction, rollback and vacuum. ``constraints`` is the
+    table's CHECK-constraint map ({name: sql_expr}), likewise carried
+    forward by every commit."""
     fs, Path = _hadoop_fs(spark, path)
     fs.mkdirs(Path(f"{path.rstrip('/')}/{_SNAPDIR}"))
     body = json.dumps(
@@ -277,6 +280,7 @@ def _try_commit(
             "partition_cols": list(partition_cols),
             "stats_cols": list(stats_cols),
             "txn": dict(txn or {}),
+            "constraints": dict(constraints or {}),
             "committed_at": int(time.time()),
         }
     ).encode("utf-8")
@@ -320,7 +324,7 @@ def create(
     files = _write_files(df, path, partition_cols, stats_cols)
     if not _try_commit(
         spark, path, 1, files, df.schema.json(), "create", None,
-        partition_cols, stats_cols, _txn_merged({}, txn),
+        partition_cols, stats_cols, _txn_merged({}, txn), {},
     ):
         raise SnapshotConflict(f"snaptable: concurrent create at {path}")
     return 1
@@ -467,12 +471,57 @@ def _conform_plus(df: DataFrame, schema, extra_cols: list) -> DataFrame:
     return df.select(*cols, *extra_cols)
 
 
-def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of=None,
+) -> DataFrame:
     """Snapshot-isolated read: resolve one manifest, scan exactly its
     files. ``version=None`` reads the head; any retained version time-
-    travels. An empty snapshot returns an empty DataFrame carrying the
-    schema the manifest recorded."""
+    travels; ``as_of`` (epoch seconds, ISO 'YYYY-MM-DD[ HH:MM:SS]'
+    string, or datetime — Delta's TIMESTAMP AS OF) resolves the latest
+    version committed at or before that instant. An empty snapshot
+    returns an empty DataFrame carrying the schema the manifest
+    recorded."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError(
+                "snaptable: pass version OR as_of, not both"
+            )
+        version = version_at(spark, path, as_of)
     return _df_for(spark, path, _manifest(spark, path, version))
+
+
+def version_at(spark: SparkSession, path: str, as_of) -> int:
+    """Latest retained version with ``committed_at <= as_of``
+    (TIMESTAMP AS OF resolution; commit times are whole seconds, ties
+    resolve to the highest version in that second). Raises if every
+    retained commit is newer — the history before the requested
+    instant has been vacuumed or never existed."""
+    import datetime as _dt
+
+    if isinstance(as_of, str):
+        s = as_of.replace("T", " ")
+        fmt = "%Y-%m-%d %H:%M:%S" if " " in s else "%Y-%m-%d"
+        ts = _dt.datetime.strptime(s, fmt).replace(
+            tzinfo=_dt.timezone.utc
+        ).timestamp()
+    elif isinstance(as_of, _dt.datetime):
+        ts = as_of.timestamp()
+    else:
+        ts = float(as_of)
+    best = None
+    for v in versions(spark, path):
+        m = _read_json(spark, _snap_path(path, v))
+        if m.get("committed_at", 0) <= ts:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"snaptable: no retained version at {path} committed at or "
+            f"before {as_of!r} (earlier history may have been vacuumed)"
+        )
+    return best
 
 
 def _norm_between(between) -> list[tuple]:
@@ -619,6 +668,7 @@ def append(df: DataFrame, path: str, txn: tuple | None = None) -> int:
     if _txn_applied(head, txn):
         return head["version"]
     _check_schema(df, head, "append")
+    _check_constraints(df, head, "append")
     new_files = _write_files(
         df, path, tuple(head.get("partition_cols", ())),
         head.get("stats_cols", []),
@@ -638,6 +688,7 @@ def append(df: DataFrame, path: str, txn: tuple | None = None) -> int:
             head.get("partition_cols", ()),
             head.get("stats_cols", ()),
             _txn_merged(head, txn),
+            head.get("constraints", {}),
         ):
             continue  # lost the race: rebase on the new head
         return head["version"] + 1
@@ -667,6 +718,103 @@ def _check_schema(df: DataFrame, head: dict, op: str) -> None:
             f"{sorted(n for n, _ in incoming)} (or a type differs); "
             f"evolve the table explicitly rather than mixing file schemas"
         )
+
+
+class ConstraintViolation(ValueError):
+    """A write's rows violate a table CHECK constraint — the commit is
+    refused before any manifest publish."""
+
+
+def _check_constraints(df: DataFrame, head: dict, op: str) -> None:
+    """Enforce the table's CHECK constraints on an incoming batch
+    BEFORE committing (Delta's write-time enforcement): SQL CHECK
+    semantics — a row violates only when the expression is FALSE
+    (NULL passes). All constraints validate in ONE pass: a single
+    filter ORing the negations, counted per constraint via
+    conditional aggregation."""
+    from pyspark.sql import functions as F
+
+    cons = head.get("constraints", {})
+    if not cons:
+        return
+    aggs = [
+        F.sum(
+            F.when(
+                F.coalesce(F.expr(e), F.lit(True)) == False,  # noqa: E712
+                1,
+            ).otherwise(0)
+        ).alias(name)
+        for name, e in cons.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {name: int(row[name] or 0) for name in cons if (row[name] or 0) > 0}
+    if bad:
+        raise ConstraintViolation(
+            f"snaptable: {op} violates CHECK constraint(s) "
+            + ", ".join(
+                f"{n!r} ({c} rows; expr: {cons[n]})" for n, c in bad.items()
+            )
+            + " — no rows were committed"
+        )
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (Delta's CHECK analog): verify the
+    EXISTING data satisfies ``expr`` (one scan; NULL passes, SQL CHECK
+    semantics), then commit the constraint into the manifest metadata
+    — every subsequent create/append/merge/overwrite validates its
+    batch against it before publishing. Metadata-only when the scan
+    passes; the constraint map is carried forward by every commit
+    (compact, rollback, evolve included), so time travel sees each
+    version's own constraint set."""
+    base = _manifest(spark, path, None)
+    cons = dict(base.get("constraints", {}))
+    if name in cons:
+        raise ValueError(
+            f"snaptable: constraint {name!r} already exists at {path} "
+            f"(expr: {cons[name]}) — drop it first"
+        )
+    trial = {**base, "constraints": {name: expr}}
+    _check_constraints(_df_for(spark, path, base), trial, "add_constraint")
+    cons[name] = expr
+    if not _try_commit(
+        spark, path, base["version"] + 1, base["files"], base["schema"],
+        f"constraint:add:{name}", base["version"],
+        base.get("partition_cols", ()), base.get("stats_cols", ()),
+        base.get("txn", {}), cons,
+    ):
+        raise SnapshotConflict(
+            f"snaptable: add_constraint at {path} raced a concurrent "
+            f"commit; re-run against the new head"
+        )
+    return base["version"] + 1
+
+
+def drop_constraint(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metadata-only commit removing the
+    named CHECK; unknown names are a loud error (a typo must not
+    silently leave the constraint enforced)."""
+    base = _manifest(spark, path, None)
+    cons = dict(base.get("constraints", {}))
+    if name not in cons:
+        raise ValueError(
+            f"snaptable: no constraint {name!r} at {path} "
+            f"(have: {sorted(cons)})"
+        )
+    del cons[name]
+    if not _try_commit(
+        spark, path, base["version"] + 1, base["files"], base["schema"],
+        f"constraint:drop:{name}", base["version"],
+        base.get("partition_cols", ()), base.get("stats_cols", ()),
+        base.get("txn", {}), cons,
+    ):
+        raise SnapshotConflict(
+            f"snaptable: drop_constraint at {path} raced a concurrent "
+            f"commit; re-run against the new head"
+        )
+    return base["version"] + 1
 
 
 def _rel_resolver(entries: list[dict]):
@@ -840,6 +988,7 @@ def merge_upsert(
     if _txn_applied(base, txn):
         return base["version"]
     _check_schema(df, base, "merge")
+    _check_constraints(df, base, "merge")
     from pyspark.sql import functions as F
 
     keys = df.select(*key_cols).distinct()
@@ -930,6 +1079,7 @@ def _publish_rewrite(
             spark, path, cur["version"] + 1, files, base["schema"], op,
             cur["version"], base.get("partition_cols", ()),
             base.get("stats_cols", ()), _txn_merged(cur, txn),
+            cur.get("constraints", {}),
         ):
             return cur["version"] + 1
         head = _manifest(spark, path, None)
@@ -980,6 +1130,7 @@ def overwrite(df: DataFrame, path: str, txn: tuple | None = None) -> int:
     if _txn_applied(base, txn):
         return base["version"]
     _check_schema(df, base, "overwrite")
+    _check_constraints(df, base, "overwrite")
     return _rewrite_commit(spark, path, df, "overwrite", base, txn)
 
 
@@ -1093,7 +1244,12 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
     discarding that commit's rows. The txn watermark map carries
     forward from the HEAD, not the rollback target: the DATA rolls
     back, the applied-epoch memory must not — otherwise a replayed
-    streaming epoch would double-apply after a rollback."""
+    streaming epoch would double-apply after a rollback. CHECK
+    constraints likewise carry from the HEAD (table policy outlives a
+    data restore); note the restored data itself is NOT re-verified —
+    restoring a version that predates a constraint may re-expose rows
+    that would fail it today (the same caveat Delta documents for
+    RESTORE on constrained tables)."""
     target = _manifest(spark, path, to_version)
     head = _manifest(spark, path, None)
     if not _try_commit(
@@ -1107,6 +1263,7 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
         target.get("partition_cols", ()),
         target.get("stats_cols", ()),
         head.get("txn", {}),
+        head.get("constraints", {}),
     ):
         raise SnapshotConflict(
             f"snaptable: rollback at {path} raced a concurrent commit; "
@@ -1163,6 +1320,7 @@ def evolve_schema(
         spark, path, base["version"] + 1, base["files"], new_schema.json(),
         f"evolve:{','.join(n for n, _ in new_fields)}", base["version"],
         base.get("partition_cols", ()), stats_cols, base.get("txn", {}),
+        base.get("constraints", {}),
     ):
         raise SnapshotConflict(
             f"snaptable: evolve_schema at {path} raced a concurrent "
@@ -1287,6 +1445,7 @@ def add_bloom_index(
         spark, path, base["version"] + 1, files, base["schema"],
         f"bloom:{col}", base["version"], base.get("partition_cols", ()),
         base.get("stats_cols", ()), base.get("txn", {}),
+        base.get("constraints", {}),
     ):
         raise SnapshotConflict(
             f"snaptable: add_bloom_index at {path} raced a concurrent "

@@ -587,3 +587,27 @@ def test_snap_stats_via_cli(tmp_path, capsys, spark):
     assert res["total_bytes"] > 0 and res["n_files"] >= 3
     assert set(res["files_per_partition"]) == {"p=0", "p=1", "p=2"}
     assert "doc_id" in res["bloom_cols"]
+
+
+def test_snap_constraint_via_cli(tmp_path, capsys, spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    data = str(tmp_path / "d")
+    spark.range(0, 20).select("id", (F.col("id") * 2).alias("v")).write.parquet(data)
+    table = str(tmp_path / "t")
+    _run(capsys, spark, ["snap", "create", "--table", table, "--data", data])
+    res = _run(capsys, spark, ["snap", "constraint", "add", "--table", table,
+                               "--name", "v_nonneg", "--expr", "v >= 0"])
+    assert res["version"] == 2
+    lst = _run(capsys, spark, ["snap", "constraint", "list", "--table", table])
+    assert lst["constraints"] == {"v_nonneg": "v >= 0"}
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([(99, -5)], "id bigint, v bigint").write.parquet(bad)
+    with pytest.raises(T.ConstraintViolation):
+        _run(capsys, spark, ["snap", "append", "--table", table, "--data", bad])
+    _run(capsys, spark, ["snap", "constraint", "drop", "--table", table,
+                         "--name", "v_nonneg"])
+    assert _run(capsys, spark, ["snap", "constraint", "list", "--table", table])["constraints"] == {}

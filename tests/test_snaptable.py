@@ -1579,3 +1579,84 @@ def test_vacuum_reaps_unreferenced_dv_sidecars(spark, tmp_path):
     assert T.vacuum(spark, path, keep_last=2, min_age_sec=0.0) == 0 or \
         len(os.listdir(f"{path}/dv")) == 1
     assert sorted(r.id for r in T.read(spark, path).collect()) == list(range(10, 95))
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints + TIMESTAMP AS OF time travel.
+# ---------------------------------------------------------------------------
+
+
+def test_check_constraints_enforced_on_writes(spark, tmp_path):
+    """ADD CONSTRAINT verifies existing data once, then every write
+    path (append / merge / overwrite) validates its batch BEFORE
+    publishing — a violating batch commits nothing."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 50), path)
+    v = T.add_constraint(spark, path, "v_nonneg", "v >= 0")
+    assert v == 2
+    # clean append passes
+    T.append(_mk(spark, 50, 60), path)
+    # violating append is refused atomically
+    bad = spark.createDataFrame([(999, -1)], "id bigint, v bigint")
+    with pytest.raises(T.ConstraintViolation, match="v_nonneg"):
+        T.append(bad, path)
+    assert T.read(spark, path).count() == 60  # nothing leaked
+    with pytest.raises(T.ConstraintViolation, match="v_nonneg"):
+        T.merge_upsert(bad, path, ["id"])
+    with pytest.raises(T.ConstraintViolation, match="v_nonneg"):
+        T.overwrite(bad, path)
+    assert T.read(spark, path).count() == 60
+    # SQL CHECK semantics: NULL passes
+    nullish = spark.createDataFrame([(1000, None)], "id bigint, v bigint")
+    T.append(nullish, path)
+    assert T.read(spark, path).count() == 61
+    # drop -> the violating batch is accepted
+    T.drop_constraint(spark, path, "v_nonneg")
+    T.append(bad, path)
+    assert T.read(spark, path).count() == 62
+    with pytest.raises(ValueError, match="no constraint"):
+        T.drop_constraint(spark, path, "nope")
+
+
+def test_add_constraint_verifies_existing_data(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 50), path)  # v = 2*id, all >= 0
+    with pytest.raises(T.ConstraintViolation, match="v_small"):
+        T.add_constraint(spark, path, "v_small", "v < 10")
+    # failed add leaves no constraint behind
+    assert T._manifest(spark, path, None).get("constraints", {}) == {}
+    T.add_constraint(spark, path, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        T.add_constraint(spark, path, "v_nonneg", "v >= 1")
+
+
+def test_constraints_survive_maintenance_and_rollback(spark, tmp_path):
+    """The constraint map rides every commit — compact and rollback
+    keep enforcing it."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 50), path)
+    T.add_constraint(spark, path, "v_nonneg", "v >= 0")
+    T.compact(spark, path, target_files=1)
+    T.rollback(spark, path, to_version=2)
+    bad = spark.createDataFrame([(999, -1)], "id bigint, v bigint")
+    with pytest.raises(T.ConstraintViolation):
+        T.append(bad, path)
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    import time as _time
+
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    t1 = _time.time()
+    _time.sleep(1.2)  # committed_at is whole seconds
+    T.append(_mk(spark, 10, 20), path)
+    assert T.read(spark, path, as_of=t1).count() == 10
+    assert T.read(spark, path, as_of=_time.time()).count() == 20
+    assert T.version_at(spark, path, t1) == 1
+    with pytest.raises(FileNotFoundError, match="before"):
+        T.version_at(spark, path, t1 - 10000)
+    with pytest.raises(ValueError, match="not both"):
+        T.read(spark, path, version=1, as_of=t1)
+    # ISO string form resolves (far future -> head)
+    assert T.read(spark, path, as_of="2100-01-01").count() == 20
