@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Iterator, Sequence
 
@@ -48,7 +49,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -209,6 +213,12 @@ class SnaptableDataSource(DataSource):
     def streamReader(self, schema: StructType) -> "SnapStreamReader":
         return SnapStreamReader(self._path(), self.options, schema)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "SnapBatchWriter":
+        return SnapBatchWriter(self._path(), self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "SnapStreamWriter":
+        return SnapStreamWriter(self._path(), self.options, schema)
+
 
 class SnapBatchReader(DataSourceReader):
     def __init__(self, path: str, options, schema: StructType):
@@ -310,6 +320,248 @@ class SnapStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the query checkpoint, not here
+
+
+# ---------------------------------------------------------------------------
+# Writers: df.write.format("snaptable") and writeStream.format
+# ("snaptable") with exactly-once epoch transactions. Everything is
+# session-free — the datasource driver-side hooks (commit/abort) run in
+# a Python worker with no JVM session, so the manifest commit protocol
+# is replicated over plain file IO (POSIX O_CREAT|O_EXCL gives the same
+# kernel-atomic version-create the JVM path uses on local filesystems).
+# The JVM-backed SnaptableSink (streaming/sinks.py) remains the fast
+# path and the one that enforces CHECK constraints; this writer REFUSES
+# constrained tables loudly rather than skipping enforcement.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SnapWriteMessage(WriterCommitMessage):
+    rel: str | None
+    base: str | None
+    rows: int
+    stats: dict
+
+
+def _arrow_stats(tbl) -> dict:
+    """min/max per primitive column from the in-memory batch — the
+    manifest skip-stats the JVM path gets from parquet footers. A
+    column that is all-null (or non-primitive) records nothing
+    (unknown = keep)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = {}
+    for i, f in enumerate(tbl.schema):
+        if not (
+            pa.types.is_integer(f.type)
+            or pa.types.is_floating(f.type)
+            or pa.types.is_string(f.type)
+            or pa.types.is_large_string(f.type)
+        ):
+            continue
+        col = tbl.column(i)
+        if col.null_count == len(col):
+            continue
+        mm = pc.min_max(col)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if mn is not None:
+            out[f.name] = [mn, mx]
+    return out
+
+
+def _write_task(path: str, schema: StructType, iterator) -> SnapWriteMessage:
+    """Executor half: drain this partition's rows into one parquet
+    file inside its own fresh commit dir. Files become table data ONLY
+    if the driver commit publishes a manifest referencing them —
+    uncommitted files are crash orphans that vacuum reaps."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    names = [f.name for f in schema.fields]
+    cols: list[list] = [[] for _ in names]
+    n = 0
+    for row in iterator:
+        for i, name in enumerate(names):
+            cols[i].append(row[i])
+        n += 1
+    if n == 0:
+        return SnapWriteMessage(rel=None, base=None, rows=0, stats={})
+    arrays = [
+        pa.array(cols[i], type=target.field(i).type) for i in range(len(names))
+    ]
+    tbl = pa.Table.from_arrays(arrays, schema=target)
+    base = f"data/c-{_uuid.uuid4().hex[:12]}"
+    os.makedirs(os.path.join(path, base), exist_ok=True)
+    rel = f"{base}/part-0.parquet"
+    pq.write_table(tbl, os.path.join(path, rel))
+    return SnapWriteMessage(rel=rel, base=base, rows=n, stats=_arrow_stats(tbl))
+
+
+def _schema_guard(head: dict, schema: StructType, op: str) -> None:
+    have = {
+        (f["name"], json.dumps(f["type"], sort_keys=True))
+        for f in json.loads(head["schema"])["fields"]
+    }
+    want = {
+        (f["name"], json.dumps(f["type"], sort_keys=True))
+        for f in json.loads(schema.json())["fields"]
+    }
+    if have != want:
+        raise ValueError(
+            f"snaptable writer: {op} schema mismatch — table has "
+            f"{sorted(n for n, _ in have)}, incoming "
+            f"{sorted(n for n, _ in want)} (or a type differs)"
+        )
+
+
+def _commit_files(
+    path: str,
+    schema: StructType,
+    messages,
+    op: str,
+    txn: tuple | None,
+    overwrite: bool = False,
+    retries: int = 20,
+) -> int:
+    """Driver half, session-free: publish the tasks' files as one
+    atomic version — bootstrap-create on an empty path, append (or
+    full replace for overwrite) otherwise; ``txn=(app_id, epoch)``
+    makes replays no-ops (the staged files orphan; vacuum reaps). The
+    version file is created with O_CREAT|O_EXCL, the same
+    kernel-atomic race the JVM path uses locally."""
+    new_files = sorted(
+        (
+            {"path": m.rel, "base": m.base, "partition": {}, "stats": m.stats}
+            for m in messages
+            if m is not None and m.rel is not None
+        ),
+        key=lambda e: e["path"],
+    )
+    os.makedirs(os.path.join(path, _SNAPDIR), exist_ok=True)
+    for _ in range(retries):
+        vs = _versions(path)
+        if not vs:
+            head = None
+            version, files, parent = 1, new_files, None
+            txn_map = {}
+        else:
+            head = _manifest(path, vs[-1])
+            if head.get("constraints"):
+                raise ValueError(
+                    f"snaptable writer: table at {path} has CHECK "
+                    f"constraints {sorted(head['constraints'])} — the "
+                    f"session-free datasource writer cannot evaluate SQL "
+                    f"constraints; write through snaptable.append / "
+                    f"SnaptableSink instead"
+                )
+            if head.get("partition_cols"):
+                raise ValueError(
+                    f"snaptable writer: partitioned tables are not "
+                    f"supported by the datasource writer (use "
+                    f"snaptable.append, which plans a Hive-layout write)"
+                )
+            _schema_guard(head, schema, op)
+            txn_map = dict(head.get("txn", {}))
+            if txn is not None:
+                last = txn_map.get(str(txn[0]))
+                if last is not None and int(last) >= int(txn[1]):
+                    return head["version"]  # replay: already applied
+            version = head["version"] + 1
+            parent = head["version"]
+            files = new_files if overwrite else head["files"] + new_files
+        if txn is not None:
+            txn_map[str(txn[0])] = int(txn[1])
+        body = json.dumps(
+            {
+                "files": files,
+                "schema": schema.json() if head is None else head["schema"],
+                "op": op if head is not None else "create",
+                "parent": parent,
+                "partition_cols": [],
+                "stats_cols": (
+                    head.get("stats_cols", []) if head is not None
+                    else [f.name for f in schema.fields]
+                ),
+                "txn": txn_map,
+                "constraints": {},
+                "committed_at": int(time.time()),
+            }
+        ).encode("utf-8")
+        target = os.path.join(path, _SNAPDIR, f"v{version:012d}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except OSError:
+            continue  # lost the version race: re-resolve the head
+        with os.fdopen(fd, "wb") as f:
+            f.write(body)
+        return version
+    raise IOError(
+        f"snaptable writer: lost {retries} version races at {path}"
+    )
+
+
+class SnapStreamWriter(DataSourceStreamWriter):
+    """Exactly-once streaming sink: each epoch's files commit as ONE
+    version carrying txn=(app_id, batchId); a replayed epoch is a
+    no-op (its files orphan for vacuum). app_id defaults to
+    'snapds-write' — set option('txnAppId', ...) when several queries
+    feed one table."""
+
+    def __init__(self, path: str, options, schema: StructType):
+        self.path = path
+        self.schema = schema
+        self.app_id = options.get("txnAppId", "snapds-write")
+
+    def write(self, iterator) -> SnapWriteMessage:
+        return _write_task(self.path, self.schema, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        _commit_files(
+            self.path, self.schema, messages, "append",
+            (self.app_id, batchId),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.rel is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.rel))
+                except OSError:
+                    pass
+
+
+class SnapBatchWriter(DataSourceWriter):
+    """df.write.format("snaptable").mode("append"|"overwrite"): one
+    atomic version per save; overwrite replaces the whole snapshot
+    (INSERT OVERWRITE semantics, old versions retained)."""
+
+    def __init__(self, path: str, options, schema: StructType, overwrite: bool):
+        self.path = path
+        self.schema = schema
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> SnapWriteMessage:
+        return _write_task(self.path, self.schema, iterator)
+
+    def commit(self, messages) -> None:
+        _commit_files(
+            self.path, self.schema, messages,
+            "overwrite" if self.overwrite else "append",
+            None, overwrite=self.overwrite,
+        )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.rel is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.rel))
+                except OSError:
+                    pass
 
 
 def register_snaptable_source(spark) -> None:

@@ -187,3 +187,81 @@ def test_stream_dv_append_only_history_includes_sidecar_free_files(
         skipChangeCommits="true",
     )
     assert sorted(r.id for r in out.collect()) == list(range(50))
+
+
+# ------------------------------------------------------------- writers
+
+
+def test_batch_writer_create_append_overwrite(snapds, tmp_path):
+    spark = snapds
+    path = str(tmp_path / "t")
+    _mk(spark, 0, 50).write.format("snaptable").mode("append").save(path)
+    assert T.read(spark, path).count() == 50
+    assert T.versions(spark, path) == [1]
+    _mk(spark, 50, 70).write.format("snaptable").mode("append").save(path)
+    assert sorted(r.id for r in T.read(spark, path).collect()) == list(range(70))
+    _mk(spark, 0, 5).write.format("snaptable").mode("overwrite").save(path)
+    assert T.read(spark, path).count() == 5
+    # snapshot history: the overwrite is a version, not an erasure
+    assert T.versions(spark, path) == [1, 2, 3]
+    assert T.read(spark, path, version=2).count() == 70
+    # manifest stats landed (arrow-side min/max)
+    m = T._manifest(spark, path, None)
+    assert all(e["stats"].get("id") for e in m["files"])
+
+
+def test_batch_writer_schema_mismatch_is_loud(snapds, tmp_path):
+    spark = snapds
+    path = str(tmp_path / "t")
+    _mk(spark, 0, 10).write.format("snaptable").mode("append").save(path)
+    bad = spark.createDataFrame([(1, "x")], "id bigint, other string")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="schema mismatch"):
+        bad.write.format("snaptable").mode("append").save(path)
+    assert T.read(spark, path).count() == 10
+
+
+def test_batch_writer_refuses_constrained_table(snapds, tmp_path):
+    """The session-free writer cannot evaluate SQL CHECK expressions —
+    it must refuse, not skip enforcement."""
+    spark = snapds
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    T.add_constraint(spark, path, "v_nonneg", "v >= 0")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="CHECK"):
+        _mk(spark, 10, 20).write.format("snaptable").mode("append").save(path)
+    assert T.read(spark, path).count() == 10
+
+
+def test_stream_writer_exactly_once_table_to_table(snapds, tmp_path):
+    """snaptable -> snaptable streaming pipeline: version offsets on
+    the read side, epoch txns on the write side; a resumed
+    availableNow run ships only the new appends, and a replayed epoch
+    commits nothing twice."""
+    spark = snapds
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    T.create(_mk(spark, 0, 30), src)
+
+    def run():
+        q = (
+            spark.readStream.format("snaptable").load(src)
+            .writeStream.format("snaptable").option("path", dst)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(r.id for r in T.read(spark, dst).collect()) == list(range(30))
+    assert T.last_txn(spark, dst, "snapds-write") == 0
+    T.append(_mk(spark, 30, 40), src)
+    run()
+    assert sorted(r.id for r in T.read(spark, dst).collect()) == list(range(40))
+    # nothing new: a third run must not duplicate or error
+    run()
+    assert T.read(spark, dst).count() == 40
