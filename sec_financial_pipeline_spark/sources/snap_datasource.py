@@ -226,19 +226,78 @@ class SnapBatchReader(DataSourceReader):
         self.schema = schema
         v = options.get("version")
         self.version = int(v) if v is not None else None
+        self._part_probe: dict = {}
+        self._ranges: list = []
+        self._points: list = []
+
+    def pushFilters(self, filters):
+        """PRUNING-ONLY pushdown: supported predicates shrink the file
+        list in :meth:`partitions` via the manifest's partition values,
+        footer min/max stats and Bloom sidecars — the same
+        `_select_entries` machinery the native `scan()` uses — but
+        EVERY filter is returned as residual, so Spark re-applies the
+        exact predicate on the scanned rows. Pruning stays an
+        optimization, never a correctness filter (a file with no stats
+        for the probed column is always kept)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        m = self._m()
+        pcols = set(m.get("partition_cols", []) or [])
+        for f in filters:
+            attr = getattr(f, "attribute", ())
+            if len(attr) != 1:
+                continue
+            col = attr[0]
+            v = getattr(f, "value", None)
+            if isinstance(f, EqualTo):
+                if col in pcols:
+                    self._part_probe[col] = v
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    self._ranges.append((col, v, v))
+                self._points.append((col, v))
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    self._ranges.append((col, v, float("inf")))
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    self._ranges.append((col, float("-inf"), v))
+        return filters  # ALL residual: Spark re-applies exactly
+
+    def _m(self) -> dict:
+        return _manifest(
+            self.path,
+            self.version
+            if self.version is not None
+            else _head_version(self.path),
+        )
 
     def partitions(self) -> Sequence[InputPartition]:
-        m = _manifest(
-            self.path,
-            self.version if self.version is not None else _head_version(self.path),
+        from sec_financial_pipeline_spark.sources.snaptable import (
+            _bloom_rules_out,
+            _select_entries,
         )
+
+        m = self._m()
+        entries = _select_entries(
+            m,
+            self._part_probe or None,
+            self._ranges or None,
+        )
+        for col, v in self._points:
+            entries = [e for e in entries if not _bloom_rules_out(e, col, v)]
         return [
             SnapFilePartition(
                 rel=e["path"],
                 partition=e.get("partition", {}),
                 dv=tuple(e.get("dv", ())),
             )
-            for e in m["files"]
+            for e in entries
         ]
 
     def read(self, partition: SnapFilePartition) -> Iterator:
@@ -565,5 +624,13 @@ class SnapBatchWriter(DataSourceWriter):
 
 
 def register_snaptable_source(spark) -> None:
-    """Idempotently register ``format("snaptable")`` on this session."""
+    """Idempotently register ``format("snaptable")`` on this session.
+    Also enables Python-datasource filter pushdown (off by default in
+    Spark 4.1) so the reader's manifest-level pruning participates in
+    planning; harmless for every other source — pushFilters is opt-in
+    per reader."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # older Spark without the conf: pushdown simply stays off
     spark.dataSource.register(SnaptableDataSource)

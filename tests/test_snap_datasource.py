@@ -265,3 +265,79 @@ def test_stream_writer_exactly_once_table_to_table(snapds, tmp_path):
     # nothing new: a third run must not duplicate or error
     run()
     assert T.read(spark, dst).count() == 40
+
+
+# ----------------------------------------------------- filter pushdown
+
+
+def test_pushdown_prunes_files_results_stay_exact(snapds, tmp_path):
+    """pushFilters shrinks the planned file set via manifest metadata
+    (partition values, min/max stats, blooms) while every predicate
+    stays residual — results identical to the unfiltered-scan filter,
+    but fewer partitions planned."""
+    from sec_financial_pipeline_spark.sources.snap_datasource import (
+        SnapBatchReader,
+    )
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    spark = snapds
+    path = str(tmp_path / "t")
+    df = spark.range(0, 4000).select(
+        "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    T.create(df.repartitionByRange(4, "id"), path)
+
+    # range pushdown: id >= 3500 lives in the last range file
+    rd = SnapBatchReader(path, {}, T.read(spark, path).schema)
+    total = len(rd.partitions())
+    residual = list(rd.pushFilters([GreaterThan(("id",), 3500)]))
+    assert len(residual) == 1  # everything residual
+    pruned = len(rd.partitions())
+    assert pruned < total
+    got = (
+        spark.read.format("snaptable").load(path)
+        .filter("id >= 3500").count()
+    )
+    assert got == 500
+
+    # partitioned table: equality on the partition column prunes dirs
+    p2 = str(tmp_path / "t2")
+    T.create(df, p2, partition_cols=("p",))
+    rd2 = SnapBatchReader(p2, {}, T.read(spark, p2).schema)
+    t2 = len(rd2.partitions())
+    list(rd2.pushFilters([EqualTo(("p",), 2)]))
+    assert len(rd2.partitions()) < t2
+    got2 = (
+        spark.read.format("snaptable").load(p2)
+        .filter(F.col("p") == 2)
+    )
+    native = T.read(spark, p2).filter(F.col("p") == 2)
+    assert sorted(r.id for r in got2.collect()) == sorted(
+        r.id for r in native.collect()
+    )
+
+
+def test_pushdown_bloom_point_probe(snapds, tmp_path):
+    """An EqualTo probe on a bloom-indexed column prunes through the
+    sidecars with zero false negatives."""
+    from sec_financial_pipeline_spark.sources.snap_datasource import (
+        SnapBatchReader,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    spark = snapds
+    path = str(tmp_path / "t")
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 997).alias("v")
+    )
+    T.create(df.repartition(16), path)
+    T.add_bloom_index(spark, path, "doc_id", bits=1 << 18)
+    rd = SnapBatchReader(path, {}, T.read(spark, path).schema)
+    total = len(rd.partitions())
+    list(rd.pushFilters([EqualTo(("doc_id",), 12345)]))
+    assert len(rd.partitions()) < total  # bloom actually skipped files
+    got = (
+        spark.read.format("snaptable").load(path)
+        .filter("doc_id = 12345").collect()
+    )
+    assert [r.doc_id for r in got] == [12345]
