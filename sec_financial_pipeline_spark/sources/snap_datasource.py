@@ -57,7 +57,11 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 _SNAPDIR = "_snapshots"
-_ROW_PRESERVING_PREFIXES = ("optimize:", "bloom:")
+# commits the STREAM skips because they change no rows: layout
+# maintenance plus metadata-only constraint commits (schema evolution
+# deliberately NOT here — a schema change must fail a running stream,
+# Delta semantics)
+_ROW_PRESERVING_PREFIXES = ("optimize:", "bloom:", "constraint:")
 _ROW_PRESERVING = ("compact", "purge")
 
 

@@ -341,3 +341,18 @@ def test_pushdown_bloom_point_probe(snapds, tmp_path):
         .filter("doc_id = 12345").collect()
     )
     assert [r.doc_id for r in got] == [12345]
+
+
+def test_stream_skips_constraint_commits(snapds, tmp_path):
+    """A metadata-only constraint commit changes no rows — the stream
+    must pass over it, not die."""
+    spark = snapds
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    T.create(_mk(spark, 0, 20), path)
+    T.add_constraint(spark, path, "v_nonneg", "v >= 0")
+    T.append(_mk(spark, 20, 30), path)
+    T.drop_constraint(spark, path, "v_nonneg")
+    out = _drain_to_parquet(spark, path, out_dir, ckpt)
+    assert sorted(r.id for r in out.collect()) == list(range(30))
