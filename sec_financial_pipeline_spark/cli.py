@@ -503,6 +503,8 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "stats_cols": m.get("stats_cols", []),
             "bloom_cols": {c: f"{n}/{len(m['files'])} files"
                            for c, n in bloomed.items()},
+            "dv_files": sum(1 for e in m["files"] if e.get("dv")),
+            "constraints": m.get("constraints", {}),
             "txn": m.get("txn", {}),
         }
     if args.snap_cmd == "merge":

@@ -998,6 +998,26 @@ def merge_upsert(
     ).collect()[0]
     bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in key_cols}
     cand, ruled_out = _prune_by_key_bounds(base["files"], key_cols, bounds)
+    # partition-key pruning: when a merge key IS a partition column,
+    # files in partition dirs outside the batch's value set cannot
+    # match — skip them before the confirming scan (capped: a batch
+    # with more distinct partition values than files gains nothing)
+    part_keys = [
+        c for c in key_cols if c in (base.get("partition_cols") or [])
+    ]
+    if part_keys and len(cand) > 1:
+        for c in part_keys:
+            vals = keys.select(c).distinct()
+            if vals.limit(len(cand) + 1).count() > len(cand):
+                continue
+            have = {
+                None if r[0] is None else str(r[0]) for r in vals.collect()
+            }
+            still, out = [], []
+            for e in cand:
+                pv = e.get("partition", {})
+                (still if c not in pv or pv[c] in have else out).append(e)
+            cand, ruled_out = still, ruled_out + out
     matched = _merge_touched(spark, path, base, cand, keys, key_cols)
     touched = [e for e in cand if e["path"] in matched]
     carried = ruled_out + [e for e in cand if e["path"] not in matched]

@@ -1660,3 +1660,29 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         T.read(spark, path, version=1, as_of=t1)
     # ISO string form resolves (far future -> head)
     assert T.read(spark, path, as_of="2100-01-01").count() == 20
+
+
+def test_merge_on_partition_key_prunes_partitions(spark, tmp_path):
+    """A merge whose key IS the partition column carries every
+    non-matching partition dir by reference without scanning it."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    T.create(df, path, partition_cols=("p",))
+    before = _paths(spark, path)
+    patch = spark.createDataFrame(
+        [(1001, 2, -1), (1002, 2, -2)], "id bigint, p bigint, v bigint"
+    )
+    T.merge_upsert(patch, path, ["p", "id"])
+    after = _paths(spark, path)
+    carried = before & after
+    # the p=0/1/3 files must be carried verbatim
+    m = T._manifest(spark, path, None)
+    for e in m["files"]:
+        if e["path"] in carried:
+            continue
+        assert e.get("partition", {}).get("p") == "2", e["path"]
+    got = T.read(spark, path)
+    assert got.count() == 402
+    assert got.filter("id >= 1000").count() == 2
