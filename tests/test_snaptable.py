@@ -1686,3 +1686,88 @@ def test_merge_on_partition_key_prunes_partitions(spark, tmp_path):
     got = T.read(spark, path)
     assert got.count() == 402
     assert got.filter("id >= 1000").count() == 2
+
+
+def test_snaptable_storm_with_cow_dv_merge_maintenance(spark, tmp_path):
+    """Concurrency torture over the r9 surface: appends, a COW delete,
+    a DV delete, a MERGE, and a compact+purge maintenance loop hammer
+    one table. Rewrites retry on SnapshotConflict (the documented
+    contract — rebase absorbs maintenance races, row-changing races
+    recompute); whatever the interleaving, the final row set is exactly
+    the algebra of the ops, and every retained version stays readable."""
+    import threading
+
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+    barrier = threading.Barrier(6)
+    errors: list = []
+
+    def with_retry(fn, attempts=40):
+        import time as _time
+
+        for i in range(attempts):
+            try:
+                return fn()
+            except T.SnapshotConflict:
+                _time.sleep(0.05 * (i + 1))
+        raise AssertionError("writer starved beyond retry budget")
+
+    def run(fn):
+        def inner():
+            try:
+                barrier.wait()
+                fn()
+            except Exception as e:  # pragma: no cover - diagnostic
+                errors.append(e)
+        return inner
+
+    def appender():
+        T.append(_mk(spark, 1000, 1050), path)  # append self-rebases
+
+    def cow_deleter():
+        with_retry(lambda: T.delete_where(spark, path, "id >= 50 AND id < 60"))
+
+    def dv_deleter():
+        with_retry(
+            lambda: T.delete_where(spark, path, "id < 10", mode="dv")
+        )
+
+    def merger():
+        patch = spark.createDataFrame(
+            [(i, -1) for i in range(90, 95)], "id bigint, v bigint"
+        )
+        with_retry(lambda: T.merge_upsert(patch, path, ["id"]))
+
+    def maintainer():
+        import time as _time
+
+        for _ in range(4):
+            try:
+                T.compact(spark, path, target_files=2)
+                T.purge_deletes(spark, path)
+            except T.SnapshotConflict:
+                pass
+            _time.sleep(0.1)
+
+    threads = [
+        threading.Thread(target=run(f))
+        for f in (appender, cow_deleter, dv_deleter, merger, maintainer,
+                  maintainer)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    got = {r.id: r.v for r in T.read(spark, path).collect()}
+    expect_ids = (
+        set(range(10, 50)) | set(range(60, 100)) | set(range(1000, 1050))
+    )
+    assert set(got) == expect_ids
+    for i in range(90, 95):
+        assert got[i] == -1
+    for i in range(60, 90):
+        assert got[i] == 2 * i
+    # every retained version still reads (no torn manifests/files)
+    for v in T.versions(spark, path):
+        T.read(spark, path, version=v).count()
