@@ -160,7 +160,10 @@ def dsir_select(
     target = docs.filter(is_target)
     raw = docs.filter(~is_target)
     tc = doc_gram_buckets(target, id_col, text_col, n_buckets)
-    rc = doc_gram_buckets(raw, id_col, text_col, n_buckets)
+    # rc feeds three consumers (raw totals, the weight join, the score
+    # aggregation) — persist so the explode+agg tokenization pass over
+    # the raw pool runs once, not three times
+    rc = doc_gram_buckets(raw, id_col, text_col, n_buckets).persist()
     w = dsir_bucket_weights(tc, rc, n_buckets)
     scores = dsir_scores(rc, w, salt)
     k = int(raw.count() * rate)
