@@ -89,6 +89,11 @@ HEADLINE = [
     # over a 3-version table (the warm-up call builds it once under the
     # artifact cache, like the ANN serve rows).
     "snap_cdf",
+    # round-9 widening: the merge-on-read read path — a scan over a
+    # table whose head carries live deletion vectors pays the per-file
+    # sidecar anti-join; this row keeps that tax regression-visible
+    # (build-once dv'd table under the artifact cache).
+    "snap_dv_read",
 ]
 
 
@@ -123,6 +128,7 @@ def _headline_fns():
         # timing the pure transitive-closure constituent.
         "doc_dup_clusters": similarity.q_doc_dup_clusters_only,
         "snap_cdf": pipeline.q_snap_cdf,
+        "snap_dv_read": pipeline.q_snap_dv_read,
         # r8: the cosine registry row gained the `hybrid` RRF section;
         # the bench row keeps timing the pure brute-force cosine
         # constituent like-for-like.

@@ -197,6 +197,47 @@ def q_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cdf_rollup(spark, sf_dir, 1, 3)
 
 
+def _ensure_snap_dv_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once snaptable whose HEAD carries live deletion vectors
+    (unlike the purged snap demo): orders in 16 range-clustered files,
+    dv-delete of o_orderkey % 13 = 0 — the merge-on-read read path a
+    bench row keeps regression-visible."""
+    import os
+
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _artifact_path,
+        _publish_atomically,
+    )
+    from sec_financial_pipeline_spark.sources import snaptable as T
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    path = _artifact_path("sfp_snapdv_", sf_dir, "orders", "dv13;16files")
+    if not os.path.exists(path):
+        def build(tmp: str) -> None:
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            )
+            T.create(orders.repartitionByRange(16, "o_orderkey"), tmp)
+            T.delete_where(spark, tmp, "o_orderkey % 13 = 0", mode="dv")
+
+        _publish_atomically(build, path)
+    return path
+
+
+def q_snap_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench constituent (not a registry row — the window is full at
+    50): read a DV-carrying table (per-file sidecar anti-join inside
+    the scan) and aggregate — the merge-on-read tax, measured."""
+    from sec_financial_pipeline_spark.functions.deterministic import dsum
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    path = _ensure_snap_dv_demo(spark, sf_dir)
+    return T.read(spark, path).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
 def q_snap_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cdf_rollup(spark, sf_dir, 3, 5)
 

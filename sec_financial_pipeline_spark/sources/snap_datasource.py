@@ -190,7 +190,13 @@ class SnaptableDataSource(DataSource):
     """``format("snaptable")``: batch reads a snapshot (``version``
     option time-travels), streaming tails appends with version
     offsets. ``path`` is the table root (``.load(path)`` or
-    ``option("path", ...)``)."""
+    ``option("path", ...)``).
+
+    Register via :func:`register_snaptable_source`, not
+    ``spark.dataSource.register`` directly: because the reader
+    implements ``pushFilters``, Spark 4.1 REFUSES any read while
+    ``spark.sql.python.filterPushdown.enabled`` is false — the helper
+    enables it."""
 
     @classmethod
     def name(cls) -> str:
