@@ -126,7 +126,70 @@ _DEDUP_ROW_SCHEMA = [
     ("n_kept", "bigint"),
     ("clean_len", "int"),
     ("clean_fp", "string"),
+    ("ppl_milli", "bigint"),
+    ("n_bigrams", "bigint"),
+    ("avg_milli", "bigint"),
+    ("ppl_bucket", "string"),
 ]
+
+# ---------------------------------------------------------------------------
+# ppl: CCNet-style LM perplexity filter (Wenzek et al. 2020) — a
+# Laplace-smoothed bigram LM trained on the en subset scores EVERY
+# document's bigram stream; per-bigram negative log-likelihood
+# ln(c1+V) - ln(c2+1) is quantized to integer milli-nats (the same
+# JVM-vs-libm ln firewall as DSIR) so the per-doc total and the
+# integer per-bigram average are exact BIGINT on both engines, then
+# head/middle/tail bucketing on fixed thresholds.
+# ---------------------------------------------------------------------------
+
+_PPL_GOOD = 3400
+_PPL_MID = 3500
+
+_PPL_ORACLE = f"""
+WITH train_toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE lang = 'en'
+),
+uni AS (SELECT w AS w1, count(*) AS c1 FROM train_toks GROUP BY w),
+vv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM train_toks),
+doc_toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bigram
+  FROM doc_toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+train_grams AS (
+  SELECT w[i] || ' ' || w[i+1] AS bigram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE lang = 'en') t,
+  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+bi AS (SELECT bigram, count(*) AS c2 FROM train_grams GROUP BY bigram),
+nll AS (
+  SELECT doc_id,
+         CAST(round((ln(coalesce(c1, 0) + v)
+                     - ln(coalesce(c2, 0) + 1.0)) * 1000.0, 0) AS BIGINT) AS m
+  FROM grams LEFT JOIN bi USING (bigram) LEFT JOIN uni USING (w1), vv
+),
+agg AS (
+  SELECT doc_id, CAST(sum(m) AS BIGINT) AS ppl_milli,
+         CAST(count(*) AS BIGINT) AS n_bigrams
+  FROM nll GROUP BY doc_id
+)
+SELECT doc_id, ppl_milli, n_bigrams,
+       CAST(ppl_milli // n_bigrams AS BIGINT) AS avg_milli,
+       CASE WHEN ppl_milli // n_bigrams < {_PPL_GOOD} THEN 'head'
+            WHEN ppl_milli // n_bigrams < {_PPL_MID} THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM agg
+"""
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.lm import score_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return score_documents(
+        d, "doc_id", "text", d.filter(F.col("lang") == "en"),
+        good=_PPL_GOOD, mid=_PPL_MID,
+    ).withColumnRenamed("id", "doc_id")
 
 from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
     union_sections as _union_sections,
@@ -144,6 +207,12 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
                 _BOILER_ORACLE,
                 ["doc_id", "n_lines", "n_kept", "clean_len", "clean_fp"],
             ),
+            (
+                "ppl",
+                _PPL_ORACLE,
+                ["doc_id", "ppl_milli", "n_bigrams", "avg_milli",
+                 "ppl_bucket"],
+            ),
         ],
         _DEDUP_ROW_SCHEMA,
     ),
@@ -153,6 +222,9 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         " normalized lines, drop lines recurring in >= 3 docs,"
         " reassemble in line order — determinism pinned by the"
         " reassembled-text md5)"
+        " + CCNet LM perplexity filter (Wenzek et al. 2020: Laplace"
+        " bigram LM trained on the en subset, per-doc NLL in integer"
+        " milli-nats — engine-exact — with head/middle/tail bucketing)"
     ),
 )
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,6 +232,7 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("exact", q_doc_exact_dedup_only(spark, sf_dir)),
             ("boilerplate", q_doc_boilerplate(spark, sf_dir)),
+            ("ppl", q_doc_perplexity(spark, sf_dir)),
         ],
         _DEDUP_ROW_SCHEMA,
     )
