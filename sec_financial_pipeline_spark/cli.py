@@ -415,6 +415,20 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "mode": args.mode,
             "rows": T.read(spark, args.table).count(),
         }
+    if args.snap_cmd == "update":
+        assignments = {}
+        for a in args.set:
+            if "=" not in a:
+                raise SystemExit(f"snap update --set needs col=expr, got {a!r}")
+            k, expr = a.split("=", 1)
+            assignments[k.strip()] = expr.strip()
+        v = T.update_where(spark, args.table, args.where, assignments)
+        return {
+            "table": args.table,
+            "version": v,
+            "op": "update",
+            "rows": T.read(spark, args.table).count(),
+        }
     if args.snap_cmd == "purge":
         v = T.purge_deletes(spark, args.table)
         return {
@@ -789,6 +803,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "purge", help="materialize deletion vectors (rewrite only DV files)"
     )
     spg.add_argument("--table", required=True)
+    sup = snap_sub.add_parser("update", help="COW UPDATE ... SET ... WHERE")
+    sup.add_argument("--table", required=True)
+    sup.add_argument("--where", required=True)
+    sup.add_argument(
+        "--set", action="append", required=True,
+        help="col=sql_expr (repeatable)",
+    )
     scon = snap_sub.add_parser(
         "constraint", help="CHECK constraints (add/drop/list)"
     )

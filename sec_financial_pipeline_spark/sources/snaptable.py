@@ -1223,6 +1223,63 @@ def delete_where(
     )
 
 
+def update_where(
+    spark: SparkSession, path: str, condition, assignments: dict
+) -> int:
+    """Transactional UPDATE (the third leg of the DML triad):
+    ``assignments`` maps column -> SQL expression string or Column,
+    applied to rows where ``condition`` is TRUE (ANSI semantics: NULL
+    condition leaves the row untouched). COPY-ON-WRITE like
+    :func:`delete_where`: one column-pruned scan finds the touched
+    files, only they are rewritten (matched rows with assignments
+    applied, unmatched rows verbatim), everything else carried by
+    reference. The change feed shows an update as delete(old) +
+    insert(new) — the minimal CDF model. Updating a partition column
+    is allowed (rows migrate dirs in the rewrite); assigned columns
+    must already exist (evolve first), and the incoming expressions
+    are cast back to the column's manifest type so a rewrite can never
+    drift the schema. Validates CHECK constraints on the REWRITTEN
+    rows before publishing. A no-match update commits nothing."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    is_upd = cond.eqNullSafe(F.lit(True))
+    base = _manifest(spark, path, None)
+    schema = StructType.fromJson(json.loads(base["schema"]))
+    types = {f.name: f.dataType for f in schema.fields}
+    for c in assignments:
+        if c not in types:
+            raise ValueError(
+                f"snaptable: update_where assigns unknown column {c!r} "
+                f"(have {sorted(types)}; evolve_schema first)"
+            )
+    matched = _touched_paths(spark, path, base, base["files"], is_upd)
+    if not matched:
+        return base["version"]
+    touched = [e for e in base["files"] if e["path"] in matched]
+    carried = [e for e in base["files"] if e["path"] not in matched]
+    rows = _df_for(spark, path, base, touched)
+    out_cols = []
+    for f in schema.fields:
+        if f.name in assignments:
+            a = assignments[f.name]
+            new_v = a if isinstance(a, Column) else F.expr(a)
+            out_cols.append(
+                F.when(is_upd, new_v.cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+        else:
+            out_cols.append(F.col(f.name))
+    rewritten = rows.select(*out_cols)
+    _check_constraints(rewritten, base, "update")
+    return _partial_rewrite_commit(
+        spark, path, rewritten, carried, "update", base
+    )
+
+
 def purge_deletes(spark: SparkSession, path: str) -> int:
     """Materialize every deletion vector: rewrite ONLY the DV-carrying
     files as their surviving rows (plain entries carried by reference)

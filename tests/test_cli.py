@@ -611,3 +611,19 @@ def test_snap_constraint_via_cli(tmp_path, capsys, spark):
     _run(capsys, spark, ["snap", "constraint", "drop", "--table", table,
                          "--name", "v_nonneg"])
     assert _run(capsys, spark, ["snap", "constraint", "list", "--table", table])["constraints"] == {}
+
+
+def test_snap_update_via_cli(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    data = str(tmp_path / "d")
+    spark.range(0, 20).select("id", (F.col("id") * 2).alias("v")).write.parquet(data)
+    table = str(tmp_path / "t")
+    _run(capsys, spark, ["snap", "create", "--table", table, "--data", data])
+    res = _run(capsys, spark, ["snap", "update", "--table", table,
+                               "--where", "id < 5", "--set", "v=v+100"])
+    assert res["version"] == 2 and res["rows"] == 20
+    got = {r.id: r.v for r in T.read(spark, table).collect()}
+    assert got[0] == 100 and got[4] == 108 and got[5] == 10

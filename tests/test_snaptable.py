@@ -1771,3 +1771,75 @@ def test_snaptable_storm_with_cow_dv_merge_maintenance(spark, tmp_path):
     # every retained version still reads (no torn manifests/files)
     for v in T.versions(spark, path):
         T.read(spark, path, version=v).count()
+
+
+def test_update_where_cow_semantics(spark, tmp_path):
+    """UPDATE: matched rows get the assignments, unmatched rows (and
+    untouched FILES) survive verbatim; NULL-condition rows untouched;
+    the feed shows delete(old)+insert(new); no-match commits nothing."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    T.create(df.repartitionByRange(4, "id"), path)
+    before = _paths(spark, path)
+    v = T.update_where(
+        spark, path, "id < 100 AND p = 1", {"v": "v + 1000000"}
+    )
+    assert v == 2
+    after = _paths(spark, path)
+    assert before & after, "untouched files carried by reference"
+    got = {r.id: r.v for r in T.read(spark, path).collect()}
+    assert len(got) == 1000
+    for i in range(1000):
+        want = 2 * i + (1000000 if (i < 100 and i % 4 == 1) else 0)
+        assert got[i] == want, i
+    ch = T.table_changes(spark, path, 1, 2)
+    rows = ch.collect()
+    upd_ids = [i for i in range(100) if i % 4 == 1]
+    assert sorted(r.id for r in rows if r._change_type == "delete") == upd_ids
+    assert sorted(r.id for r in rows if r._change_type == "insert") == upd_ids
+    # no-match: no commit
+    assert T.update_where(spark, path, "id > 1000000000", {"v": "0"}) == 2
+    # unknown column: loud
+    with pytest.raises(ValueError, match="unknown column"):
+        T.update_where(spark, path, "id = 1", {"nope": "1"})
+
+
+def test_update_where_null_condition_rows_untouched(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(
+        spark.createDataFrame([(1, 10), (2, None), (3, 99)], "id bigint, v int"),
+        path,
+    )
+    T.update_where(spark, path, "v > 50", {"v": "0"})
+    got = {r.id: r.v for r in T.read(spark, path).collect()}
+    assert got == {1: 10, 2: None, 3: 0}
+
+
+def test_update_where_respects_constraints(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 50), path)
+    T.add_constraint(spark, path, "v_nonneg", "v >= 0")
+    with pytest.raises(T.ConstraintViolation, match="v_nonneg"):
+        T.update_where(spark, path, "id = 3", {"v": "-5"})
+    assert T.read(spark, path).filter("v < 0").count() == 0
+    T.update_where(spark, path, "id = 3", {"v": "5"})
+    assert {r.v for r in T.read(spark, path).filter("id = 3").collect()} == {5}
+
+
+def test_update_where_can_move_partition_value(spark, tmp_path):
+    """Updating a partition column migrates rows between dirs in the
+    rewrite; scans on the new value find them."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "id bigint, p bigint"
+    )
+    T.create(df, path, partition_cols=("p",))
+    T.update_where(spark, path, "id = 2", {"p": "7"})
+    assert sorted(
+        r.id for r in T.scan(spark, path, partitions={"p": 7}).collect()
+    ) == [2]
+    assert sorted(
+        r.id for r in T.scan(spark, path, partitions={"p": 0}).collect()
+    ) == [1]
