@@ -1223,6 +1223,132 @@ def delete_where(
     )
 
 
+def merge_into(
+    source: DataFrame,
+    path: str,
+    key_cols: list[str],
+    when_matched="replace",
+    when_not_matched: str = "insert",
+    txn: tuple | None = None,
+) -> int:
+    """Full MERGE INTO clause semantics (Delta's WHEN MATCHED / WHEN
+    NOT MATCHED), one atomic copy-on-write commit:
+
+    - ``when_matched="replace"``: matched target rows are replaced by
+      the source row (:func:`merge_upsert`'s behavior);
+    - ``when_matched="delete"``: matched target rows are removed;
+    - ``when_matched={col: sql_expr}``: matched rows are UPDATED —
+      expressions may reference target columns as ``t.col`` and source
+      columns as ``s.col`` (unqualified names resolve to the target);
+    - ``when_not_matched="insert"``: source rows with no target match
+      are appended; ``"ignore"``: they are dropped.
+
+    Same COW scale shape as :func:`merge_upsert`: key-bounds +
+    partition pre-prune, one semi-join confirm scan, only touched
+    files rewritten. Source must carry exactly the table schema for
+    replace/insert (schema guard); for update/delete-only merges with
+    ``when_not_matched="ignore"`` the source needs only the key and
+    referenced columns. Requires unique keys on the source side (the
+    Delta precondition — two source rows matching one target row is
+    ambiguous): enforced with one aggregation, loud error."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    spark = source.sparkSession
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"snaptable: when_not_matched must be insert|ignore, got "
+            f"{when_not_matched!r}"
+        )
+    base = _manifest(spark, path, None)
+    if _txn_applied(base, txn):
+        return base["version"]
+    needs_full_source = when_matched == "replace" or when_not_matched == "insert"
+    if needs_full_source:
+        _check_schema(source, base, "merge")
+    dupes = (
+        source.groupBy(*key_cols).count().filter(F.col("count") > 1).count()
+    )
+    if dupes:
+        raise ValueError(
+            f"snaptable: merge_into source has {dupes} duplicate key "
+            f"group(s) on {key_cols} — multiple source rows matching one "
+            f"target row is ambiguous (dedupe the source first)"
+        )
+    keys = source.select(*key_cols).distinct()
+    row = source.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in key_cols],
+        *[F.max(c).alias(f"mx_{c}") for c in key_cols],
+    ).collect()[0]
+    bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in key_cols}
+    cand, ruled_out = _prune_by_key_bounds(base["files"], key_cols, bounds)
+    matched_paths = _merge_touched(spark, path, base, cand, keys, key_cols)
+    touched = [e for e in cand if e["path"] in matched_paths]
+    carried = ruled_out + [e for e in cand if e["path"] not in matched_paths]
+    schema = StructType.fromJson(json.loads(base["schema"]))
+    t_rows = _df_for(spark, path, base, touched)
+
+    if when_matched == "replace":
+        kept = t_rows.join(keys, key_cols, "left_anti")
+        new_rows = kept.unionByName(
+            source.join(keys, key_cols, "left_semi") if when_not_matched == "ignore"
+            else source
+        )
+        # replace+insert == merge_upsert; replace+ignore keeps only
+        # matched source rows
+    elif when_matched == "delete":
+        new_rows = t_rows.join(keys, key_cols, "left_anti")
+        if when_not_matched == "insert":
+            inserts = source.join(
+                _df_for(spark, path, base).select(*key_cols).distinct(),
+                key_cols,
+                "left_anti",
+            )
+            new_rows = new_rows.unionByName(inserts)
+    elif isinstance(when_matched, dict):
+        for c in when_matched:
+            if c not in {f.name for f in schema.fields}:
+                raise ValueError(
+                    f"snaptable: merge_into updates unknown column {c!r}"
+                )
+        # explicit match marker: probing "any source column not null"
+        # would misclassify a matched source row whose non-key values
+        # are legitimately NULL
+        joined = t_rows.alias("t").join(
+            source.withColumn("__m", F.lit(1)).alias("s"), key_cols, "left"
+        )
+        is_m = F.col("s.__m").isNotNull()
+        out_cols = []
+        for f in schema.fields:
+            if f.name in when_matched:
+                a = when_matched[f.name]
+                expr = F.expr(a) if isinstance(a, str) else a
+                out_cols.append(
+                    F.when(is_m, expr.cast(f.dataType))
+                    .otherwise(F.col(f"t.`{f.name}`"))
+                    .alias(f.name)
+                )
+            else:
+                out_cols.append(F.col(f"t.`{f.name}`").alias(f.name))
+        new_rows = joined.select(*out_cols)
+        if when_not_matched == "insert":
+            inserts = source.join(
+                _df_for(spark, path, base).select(*key_cols).distinct(),
+                key_cols,
+                "left_anti",
+            ).select(*[f.name for f in schema.fields])
+            new_rows = new_rows.unionByName(inserts)
+    else:
+        raise ValueError(
+            f"snaptable: when_matched must be replace|delete|{{col: expr}}, "
+            f"got {when_matched!r}"
+        )
+    _check_constraints(new_rows, base, "merge")
+    return _partial_rewrite_commit(
+        spark, path, new_rows, carried, "merge", base, txn
+    )
+
+
 def update_where(
     spark: SparkSession, path: str, condition, assignments: dict
 ) -> int:

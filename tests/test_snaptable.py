@@ -1843,3 +1843,98 @@ def test_update_where_can_move_partition_value(spark, tmp_path):
     assert sorted(
         r.id for r in T.scan(spark, path, partitions={"p": 0}).collect()
     ) == [1]
+
+
+# --------------------------------------------------------- MERGE INTO
+
+
+def test_merge_into_update_clause_with_source_refs(spark, tmp_path):
+    """WHEN MATCHED THEN UPDATE SET v = t.v + s.delta — expressions
+    reference both sides; unmatched target rows and untouched files
+    survive verbatim; unmatched source rows insert (full schema)."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+    T.append(_mk(spark, 1000, 1100), path)  # disjoint range: pre-pruned
+    before = _paths(spark, path)
+    src = spark.createDataFrame(
+        [(5, 7), (6, 8)], "id bigint, delta bigint"
+    )
+    T.merge_into(
+        src, path, ["id"],
+        when_matched={"v": "t.v + s.delta"},
+        when_not_matched="ignore",
+    )
+    after = _paths(spark, path)
+    assert before & after
+    got = {r.id: r.v for r in T.read(spark, path).collect()}
+    assert got[5] == 17 and got[6] == 20 and got[7] == 14
+    assert len(got) == 200
+
+
+def test_merge_into_update_with_insert_needs_full_schema(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    src = spark.createDataFrame(
+        [(5, -5), (500, -500)], "id bigint, v bigint"
+    )
+    T.merge_into(src, path, ["id"], when_matched={"v": "s.v"},
+                 when_not_matched="insert")
+    got = {r.id: r.v for r in T.read(spark, path).collect()}
+    assert got[5] == -5 and got[500] == -500 and got[4] == 8
+    assert len(got) == 11
+
+
+def test_merge_into_delete_clause(spark, tmp_path):
+    """WHEN MATCHED THEN DELETE; unmatched source inserts."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    src = spark.createDataFrame(
+        [(3, 0), (4, 0), (77, 154)], "id bigint, v bigint"
+    )
+    T.merge_into(src, path, ["id"], when_matched="delete")
+    got = {r.id: r.v for r in T.read(spark, path).collect()}
+    assert 3 not in got and 4 not in got
+    assert got[77] == 154
+    assert len(got) == 9
+    # delete + ignore: pure anti-delete
+    src2 = spark.createDataFrame([(5, 0)], "id bigint, v bigint")
+    T.merge_into(src2, path, ["id"], when_matched="delete",
+                 when_not_matched="ignore")
+    assert T.read(spark, path).count() == 8
+
+
+def test_merge_into_replace_matches_merge_upsert(spark, tmp_path):
+    path1 = str(tmp_path / "a")
+    path2 = str(tmp_path / "b")
+    T.create(_mk(spark, 0, 50), path1)
+    T.create(_mk(spark, 0, 50), path2)
+    src = spark.createDataFrame([(3, -3), (600, -600)], "id bigint, v bigint")
+    T.merge_into(src, path1, ["id"], when_matched="replace")
+    T.merge_upsert(src, path2, ["id"])
+    a = sorted(tuple(r) for r in T.read(spark, path1).collect())
+    b = sorted(tuple(r) for r in T.read(spark, path2).collect())
+    assert a == b
+
+
+def test_merge_into_duplicate_source_keys_are_loud(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    src = spark.createDataFrame(
+        [(1, 1), (1, 2)], "id bigint, v bigint"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        T.merge_into(src, path, ["id"], when_matched="replace")
+
+
+def test_merge_into_matched_row_with_null_source_value(spark, tmp_path):
+    """A matched source row whose payload is NULL must still match
+    (the marker join, not a value-nullness probe)."""
+    path = str(tmp_path / "t")
+    T.create(
+        spark.createDataFrame([(1, 10), (2, 20)], "id bigint, v bigint"), path
+    )
+    src = spark.createDataFrame([(1, None)], "id bigint, v bigint")
+    T.merge_into(src, path, ["id"], when_matched={"v": "s.v"},
+                 when_not_matched="ignore")
+    got = {r.id: r.v for r in T.read(spark, path).collect()}
+    assert got == {1: None, 2: 20}
