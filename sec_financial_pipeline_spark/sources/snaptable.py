@@ -1290,12 +1290,18 @@ def merge_into(
 
     if when_matched == "replace":
         kept = t_rows.join(keys, key_cols, "left_anti")
+        # replace+insert == merge_upsert; replace+ignore keeps only the
+        # source rows that matched a TARGET row (every match lives in a
+        # touched file, so t_rows' keys are the full matched-key set —
+        # NOT `keys`, which is the source's own key set and would make
+        # the semi-join a no-op)
         new_rows = kept.unionByName(
-            source.join(keys, key_cols, "left_semi") if when_not_matched == "ignore"
+            source.join(
+                t_rows.select(*key_cols).distinct(), key_cols, "left_semi"
+            )
+            if when_not_matched == "ignore"
             else source
         )
-        # replace+insert == merge_upsert; replace+ignore keeps only
-        # matched source rows
     elif when_matched == "delete":
         new_rows = t_rows.join(keys, key_cols, "left_anti")
         if when_not_matched == "insert":

@@ -1938,3 +1938,20 @@ def test_merge_into_matched_row_with_null_source_value(spark, tmp_path):
                  when_not_matched="ignore")
     got = {r.id: r.v for r in T.read(spark, path).collect()}
     assert got == {1: None, 2: 20}
+
+
+def test_merge_into_replace_ignore_drops_unmatched_source(spark, tmp_path):
+    """replace + ignore: matched target rows are replaced, UNMATCHED
+    source rows are dropped (regression: the semi-join originally ran
+    against the source's own keys — a no-op that inserted them)."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    src = spark.createDataFrame(
+        [(3, -3), (999, -999)], "id bigint, v bigint"
+    )
+    T.merge_into(src, path, ["id"], when_matched="replace",
+                 when_not_matched="ignore")
+    got = {r.id: r.v for r in T.read(spark, path).collect()}
+    assert got[3] == -3
+    assert 999 not in got
+    assert len(got) == 10
