@@ -51,9 +51,11 @@ def train_bigram_lm(
     the train vocabulary size (distinct tokens — the Laplace
     denominator)."""
     toks = train.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    # persist: the vocabulary-size action below and the scoring join
+    # both consume this aggregation — one tokenization pass, not two
     uni = toks.groupBy(F.col("w").alias("w1")).agg(
         F.count(F.lit(1)).alias("c1")
-    )
+    ).persist()
     v = uni.count()
     bi = (
         _doc_bigrams(

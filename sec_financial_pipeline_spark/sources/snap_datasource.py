@@ -441,9 +441,11 @@ def _arrow_stats(tbl) -> dict:
 
 def _write_task(path: str, schema: StructType, iterator) -> SnapWriteMessage:
     """Executor half: drain this partition's rows into one parquet
-    file inside its own fresh commit dir. Files become table data ONLY
-    if the driver commit publishes a manifest referencing them —
-    uncommitted files are crash orphans that vacuum reaps."""
+    file inside its own fresh commit dir, FLUSHING A ROW GROUP every
+    64k rows so a large partition never sits whole in Python lists.
+    Files become table data ONLY if the driver commit publishes a
+    manifest referencing them — uncommitted files are crash orphans
+    that vacuum reaps."""
     import uuid as _uuid
 
     import pyarrow as pa
@@ -451,24 +453,51 @@ def _write_task(path: str, schema: StructType, iterator) -> SnapWriteMessage:
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(schema)
-    names = [f.name for f in schema.fields]
-    cols: list[list] = [[] for _ in names]
-    n = 0
+    n_cols = len(schema.fields)
+    base = f"data/c-{_uuid.uuid4().hex[:12]}"
+    rel = f"{base}/part-0.parquet"
+    chunk = 65536
+    writer = None
+    stats: dict = {}
+    cols: list[list] = [[] for _ in range(n_cols)]
+    n = buffered = 0
+
+    def _flush():
+        nonlocal writer, buffered, stats
+        if not buffered:
+            return
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(cols[i], type=target.field(i).type)
+                for i in range(n_cols)
+            ],
+            schema=target,
+        )
+        if writer is None:
+            os.makedirs(os.path.join(path, base), exist_ok=True)
+            writer = pq.ParquetWriter(os.path.join(path, rel), target)
+        writer.write_table(tbl)
+        for name, (mn, mx) in _arrow_stats(tbl).items():
+            if name in stats:
+                stats[name] = [min(stats[name][0], mn), max(stats[name][1], mx)]
+            else:
+                stats[name] = [mn, mx]
+        for c in cols:
+            c.clear()
+        buffered = 0
+
     for row in iterator:
-        for i, name in enumerate(names):
+        for i in range(n_cols):
             cols[i].append(row[i])
         n += 1
-    if n == 0:
+        buffered += 1
+        if buffered >= chunk:
+            _flush()
+    _flush()
+    if writer is None:
         return SnapWriteMessage(rel=None, base=None, rows=0, stats={})
-    arrays = [
-        pa.array(cols[i], type=target.field(i).type) for i in range(len(names))
-    ]
-    tbl = pa.Table.from_arrays(arrays, schema=target)
-    base = f"data/c-{_uuid.uuid4().hex[:12]}"
-    os.makedirs(os.path.join(path, base), exist_ok=True)
-    rel = f"{base}/part-0.parquet"
-    pq.write_table(tbl, os.path.join(path, rel))
-    return SnapWriteMessage(rel=rel, base=base, rows=n, stats=_arrow_stats(tbl))
+    writer.close()
+    return SnapWriteMessage(rel=rel, base=base, rows=n, stats=stats)
 
 
 def _schema_guard(head: dict, schema: StructType, op: str) -> None:
