@@ -453,8 +453,17 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
         v = T.compact(spark, args.table, target_files=args.target_files)
         return {"table": args.table, "version": v, "op": "compact"}
     if args.snap_cmd == "rollback":
-        v = T.rollback(spark, args.table, to_version=args.to_version)
-        return {"table": args.table, "version": v, "op": "rollback"}
+        target = args.to_version
+        if (target is None) == (args.to_timestamp is None):
+            raise SystemExit(
+                "snap rollback needs exactly one of --to-version / "
+                "--to-timestamp"
+            )
+        if target is None:
+            target = T.version_at(spark, args.table, args.to_timestamp)
+        v = T.rollback(spark, args.table, to_version=target)
+        return {"table": args.table, "version": v, "op": "rollback",
+                "restored_version": target}
     if args.snap_cmd == "vacuum":
         n = T.vacuum(
             spark, args.table, keep_last=args.keep_last,
@@ -828,7 +837,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sc.add_argument("--target-files", type=int, default=1)
     sr = snap_sub.add_parser("rollback")
     sr.add_argument("--table", required=True)
-    sr.add_argument("--to-version", type=int, required=True)
+    sr.add_argument("--to-version", type=int)
+    sr.add_argument("--to-timestamp",
+                    help="ISO instant; restores the version current then")
     sv = snap_sub.add_parser("vacuum")
     sv.add_argument("--table", required=True)
     sv.add_argument("--keep-last", type=int, default=2)

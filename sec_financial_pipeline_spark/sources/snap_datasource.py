@@ -327,6 +327,9 @@ class SnapStreamReader(DataSourceStreamReader):
         self.skip_change = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
+        mv = options.get("maxVersionsPerTrigger")
+        self.max_versions = int(mv) if mv is not None else None
+        self._committed: int | None = None
         sv = options.get("startingVersion")
         # startingVersion=latest: consume only commits AFTER stream
         # start; an integer N: start from version N (inclusive)
@@ -341,7 +344,21 @@ class SnapStreamReader(DataSourceStreamReader):
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": _head_version(self.path)}
+        """Head version, optionally capped to ``maxVersionsPerTrigger``
+        versions past the last committed offset (Delta's
+        maxFilesPerTrigger discipline, at version granularity) so a
+        backfill over a long history proceeds in bounded micro-batches
+        instead of one giant batch. The first trigger after a RESTART
+        is uncapped (the reader only learns its position from commit()
+        calls); every subsequent trigger is bounded."""
+        head = _head_version(self.path)
+        if self.max_versions is None or self._committed is None:
+            # first trigger (incl. after restart): the reader does not
+            # know the checkpointed position, and capping relative to
+            # startingVersion could place latest BELOW the restart
+            # offset — a permanent stall. Uncapped once; bounded after.
+            return {"version": head}
+        return {"version": min(head, self._committed + self.max_versions)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
@@ -388,7 +405,9 @@ class SnapStreamReader(DataSourceStreamReader):
         yield from _read_entry(self.path, partition, self.schema)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are durable in the query checkpoint, not here
+        # offsets are durable in the query checkpoint; remembering the
+        # committed position here only drives the rate-limit cap
+        self._committed = int(end["version"])
 
 
 # ---------------------------------------------------------------------------

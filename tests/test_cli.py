@@ -627,3 +627,30 @@ def test_snap_update_via_cli(tmp_path, capsys, spark):
     assert res["version"] == 2 and res["rows"] == 20
     got = {r.id: r.v for r in T.read(spark, table).collect()}
     assert got[0] == 100 and got[4] == 108 and got[5] == 10
+
+
+def test_snap_rollback_to_timestamp_via_cli(tmp_path, capsys, spark):
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    data1 = str(tmp_path / "d1")
+    data2 = str(tmp_path / "d2")
+    spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")).write.parquet(data1)
+    spark.range(10, 30).select("id", (F.col("id") * 2).alias("v")).write.parquet(data2)
+    table = str(tmp_path / "t")
+    _run(capsys, spark, ["snap", "create", "--table", table, "--data", data1])
+    t1 = _time.time()
+    _time.sleep(1.2)
+    _run(capsys, spark, ["snap", "append", "--table", table, "--data", data2])
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(t1, dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    res = _run(capsys, spark, ["snap", "rollback", "--table", table,
+                               "--to-timestamp", iso])
+    assert res["restored_version"] == 1
+    assert T.read(spark, table).count() == 10

@@ -356,3 +356,68 @@ def test_stream_skips_constraint_commits(snapds, tmp_path):
     T.drop_constraint(spark, path, "v_nonneg")
     out = _drain_to_parquet(spark, path, out_dir, ckpt)
     assert sorted(r.id for r in out.collect()) == list(range(30))
+
+
+def test_max_versions_per_trigger_bounds_batches(snapds, tmp_path):
+    """maxVersionsPerTrigger: after the first (uncapped) trigger, each
+    micro-batch advances at most K versions — a long-history backfill
+    proceeds in bounded steps instead of one giant batch."""
+    from sec_financial_pipeline_spark.sources.snap_datasource import (
+        SnapStreamReader,
+    )
+
+    spark = snapds
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    for i in range(1, 6):
+        T.append(_mk(spark, 10 * i, 10 * i + 10), path)  # head = 6
+    rd = SnapStreamReader(
+        path, {"maxVersionsPerTrigger": "2"}, T.read(spark, path).schema
+    )
+    assert rd.initialOffset() == {"version": 0}
+    # first trigger: uncapped (restart-safety — the reader cannot know
+    # the checkpointed position)
+    assert rd.latestOffset() == {"version": 6}
+    rd.commit({"version": 2})
+    assert rd.latestOffset() == {"version": 4}
+    rd.commit({"version": 4})
+    assert rd.latestOffset() == {"version": 6}
+    rd.commit({"version": 6})
+    assert rd.latestOffset() == {"version": 6}  # caught up, capped at head
+    # end-to-end: the capped stream still drains everything
+    out = _drain_to_parquet(
+        spark, path, str(tmp_path / "out"), str(tmp_path / "ck"),
+        maxVersionsPerTrigger="2",
+    )
+    assert sorted(r.id for r in out.collect()) == sorted(
+        list(range(10)) + [10 * i + j for i in range(1, 6) for j in range(10)]
+    )
+
+
+def test_stream_composes_with_watermark_window_agg(snapds, tmp_path):
+    """The source composes with event-time machinery: watermark +
+    tumbling-window aggregation over streamed table rows."""
+    spark = snapds
+    path = str(tmp_path / "t")
+    df = spark.range(0, 120).select(
+        F.col("id"),
+        F.to_timestamp(
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("id") * 30)
+        ).alias("ts"),
+    )
+    T.create(df, path)
+    q = (
+        spark.readStream.format("snaptable").load(path)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory").queryName("snapds_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT n FROM snapds_win").collect()
+    assert sorted(r.n for r in rows) == [20, 20, 20, 20, 20, 20]
