@@ -373,6 +373,14 @@ class SnapStreamReader(DataSourceStreamReader):
                 prev_keys = {_ekey(e) for e in m["files"]}
                 continue
             if op not in ("create", "append"):
+                if op.startswith("evolve:"):
+                    raise ValueError(
+                        f"snaptable source: version {v} at {self.path} "
+                        f"evolved the table schema ({op!r}); restart the "
+                        f"stream to pick up the new schema (schema changes "
+                        f"fail a running stream by design — Delta "
+                        f"semantics; skipChangeCommits does not apply)"
+                    )
                 if self.skip_change:
                     prev_keys = {_ekey(e) for e in m["files"]}
                     continue

@@ -1154,8 +1154,32 @@ def overwrite(df: DataFrame, path: str, txn: tuple | None = None) -> int:
     return _rewrite_commit(spark, path, df, "overwrite", base, txn)
 
 
+def _pruned_candidates(base: dict, prune: dict | None) -> list[dict]:
+    """Apply scan()-style manifest hints to the touch-detection
+    candidate set (see delete_where/update_where docstrings for the
+    over-approximation contract)."""
+    if not prune:
+        return base["files"]
+    unknown = set(prune) - {"partitions", "between", "point"}
+    if unknown:
+        raise ValueError(
+            f"snaptable: unknown prune hint(s) {sorted(unknown)} "
+            f"(allowed: partitions, between, point)"
+        )
+    return _select_entries(
+        base,
+        prune.get("partitions"),
+        prune.get("between"),
+        prune.get("point"),
+    )
+
+
 def delete_where(
-    spark: SparkSession, path: str, condition, mode: str = "cow"
+    spark: SparkSession,
+    path: str,
+    condition,
+    mode: str = "cow",
+    prune: dict | None = None,
 ) -> int:
     """Transactional DELETE: commit a snapshot without the rows
     matching ``condition`` (a Column or SQL string). Old versions
@@ -1184,7 +1208,17 @@ def delete_where(
       :func:`compact` materializes the survivors.
 
     A delete that matches nothing commits nothing and returns the
-    current head version."""
+    current head version.
+
+    ``prune`` (optional): scan()-style manifest hints —
+    ``{"partitions": {...}, "between": (col, lo, hi) | [...],
+    "point": (col, v)}`` — that confine even the TOUCH-DETECTION scan
+    to the matching files (without it, detection reads the condition's
+    columns across the whole table — column-pruned, but O(table) I/O).
+    CONTRACT: the hints must OVER-approximate the condition — a row
+    matching ``condition`` in a file the hints exclude will NOT be
+    deleted. Use for the partition-confined / range-confined deletes
+    that dominate at 100 TB."""
     from pyspark.sql import functions as F
 
     if mode not in ("cow", "dv"):
@@ -1192,7 +1226,8 @@ def delete_where(
     cond = F.expr(condition) if isinstance(condition, str) else condition
     is_del = cond.eqNullSafe(F.lit(True))
     base = _manifest(spark, path, None)
-    matched = _touched_paths(spark, path, base, base["files"], is_del)
+    candidates = _pruned_candidates(base, prune)
+    matched = _touched_paths(spark, path, base, candidates, is_del)
     if not matched:
         return base["version"]
     touched = [e for e in base["files"] if e["path"] in matched]
@@ -1356,7 +1391,11 @@ def merge_into(
 
 
 def update_where(
-    spark: SparkSession, path: str, condition, assignments: dict
+    spark: SparkSession,
+    path: str,
+    condition,
+    assignments: dict,
+    prune: dict | None = None,
 ) -> int:
     """Transactional UPDATE (the third leg of the DML triad):
     ``assignments`` maps column -> SQL expression string or Column,
@@ -1371,7 +1410,9 @@ def update_where(
     must already exist (evolve first), and the incoming expressions
     are cast back to the column's manifest type so a rewrite can never
     drift the schema. Validates CHECK constraints on the REWRITTEN
-    rows before publishing. A no-match update commits nothing."""
+    rows before publishing. A no-match update commits nothing.
+    ``prune`` takes the same over-approximating manifest hints as
+    :func:`delete_where` to confine the touch-detection scan."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
@@ -1387,7 +1428,9 @@ def update_where(
                 f"snaptable: update_where assigns unknown column {c!r} "
                 f"(have {sorted(types)}; evolve_schema first)"
             )
-    matched = _touched_paths(spark, path, base, base["files"], is_upd)
+    matched = _touched_paths(
+        spark, path, base, _pruned_candidates(base, prune), is_upd
+    )
     if not matched:
         return base["version"]
     touched = [e for e in base["files"] if e["path"] in matched]

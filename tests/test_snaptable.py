@@ -1955,3 +1955,35 @@ def test_merge_into_replace_ignore_drops_unmatched_source(spark, tmp_path):
     assert got[3] == -3
     assert 999 not in got
     assert len(got) == 10
+
+
+def test_delete_where_prune_hint_confines_detection(spark, tmp_path):
+    """The prune hint keeps even touch detection O(matching files);
+    hints are manifest-level only, so exact results are unchanged when
+    they over-approximate, and (documented contract) rows outside the
+    hinted set are not deleted."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    T.create(df, path, partition_cols=("p",))
+    T.delete_where(
+        spark, path, "p = 2 AND id < 100",
+        prune={"partitions": {"p": 2}},
+    )
+    got = sorted(r.id for r in T.read(spark, path).collect())
+    assert got == [i for i in range(400) if not (i % 4 == 2 and i < 100)]
+    # the contract edge: a hint EXCLUDING matching files leaves them
+    T.delete_where(
+        spark, path, "id = 101",  # lives in p=1
+        prune={"partitions": {"p": 0}},
+    )
+    assert T.read(spark, path).filter("id = 101").count() == 1
+    # update_where accepts the same hints
+    T.update_where(
+        spark, path, "p = 3 AND id = 3", {"v": "0"},
+        prune={"partitions": {"p": 3}},
+    )
+    assert T.read(spark, path).filter("id = 3").collect()[0].v == 0
+    with pytest.raises(ValueError, match="unknown prune hint"):
+        T.delete_where(spark, path, "id = 0", prune={"nope": 1})
