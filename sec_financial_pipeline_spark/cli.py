@@ -467,9 +467,10 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
     if args.snap_cmd == "vacuum":
         n = T.vacuum(
             spark, args.table, keep_last=args.keep_last,
-            min_age_sec=args.min_age_sec,
+            min_age_sec=args.min_age_sec, dry_run=args.dry_run,
         )
-        return {"table": args.table, "files_deleted": n, "op": "vacuum"}
+        return {"table": args.table, "files_deleted": n, "op": "vacuum",
+                "dry_run": args.dry_run}
     if args.snap_cmd == "log":
         # ONE directory listing; each manifest read directly (going
         # through _manifest would re-list per version — O(V^2) metadata
@@ -844,6 +845,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sv.add_argument("--table", required=True)
     sv.add_argument("--keep-last", type=int, default=2)
     sv.add_argument("--min-age-sec", type=float, default=3600.0)
+    sv.add_argument("--dry-run", action="store_true")
     sl = snap_sub.add_parser("log")
     sl.add_argument("--table", required=True)
     sst = snap_sub.add_parser(

@@ -1946,11 +1946,96 @@ class TableTailer:
         return inc
 
 
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """The commit log as a DataFrame (Delta's DESCRIBE HISTORY /
+    Iceberg's snapshots metadata table): one row per retained version
+    with op, parent, file count, DV count, committed_at and the txn
+    map rendered as JSON. Driver-side manifest reads (bounded by
+    retention), distributed nothing — metadata is small by design."""
+    rows = []
+    for v in versions(spark, path):
+        try:
+            m = _read_json(spark, _snap_path(path, v))
+        except Exception:
+            continue  # vacuumed mid-listing
+        rows.append((
+            v,
+            m.get("op"),
+            m.get("parent"),
+            len(m["files"]),
+            sum(1 for e in m["files"] if e.get("dv")),
+            json.dumps(m.get("txn", {}), sort_keys=True),
+            json.dumps(m.get("constraints", {}), sort_keys=True),
+            m.get("committed_at"),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "version bigint, op string, parent bigint, n_files int, "
+        "n_dv_files int, txn string, constraints string, "
+        "committed_at bigint",
+    )
+
+
+def files_df(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """A snapshot's manifest entries as a DataFrame (Iceberg's files
+    metadata table): rel path, commit group, partition values (JSON),
+    per-column stats (JSON), DV refs, bloom-indexed columns."""
+    m = _manifest(spark, path, version)
+    rows = [
+        (
+            e["path"],
+            e.get("base"),
+            json.dumps(e.get("partition", {}), sort_keys=True),
+            json.dumps(e.get("stats", {}), sort_keys=True),
+            list(e.get("dv", [])),
+            sorted(e.get("bloom", {})),
+        )
+        for e in m["files"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "path string, base string, partition string, stats string, "
+        "dv array<string>, bloom_cols array<string>",
+    )
+
+
+def clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+    as_of=None,
+) -> int:
+    """Materialize a snapshot of ``src`` as a NEW independent table at
+    ``dst`` (Delta's CLONE / RESTORE-as-new-table): rows come from the
+    chosen version (``version`` or ``as_of`` time travel), partitioning
+    and CHECK constraints carry over, layout is re-derived (deletion
+    vectors materialize away). The clone shares no files with the
+    source — vacuuming either table never affects the other."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("snaptable: pass version OR as_of, not both")
+        version = version_at(spark, src, as_of)
+    m = _manifest(spark, src, version)
+    df = _df_for(spark, src, m)
+    v = create(
+        df, dst,
+        partition_cols=tuple(m.get("partition_cols", ()) or ()),
+        stats_cols=list(m.get("stats_cols", []) or []) or None,
+    )
+    for name, expr in m.get("constraints", {}).items():
+        add_constraint(spark, dst, name, expr)
+    return v
+
+
 def vacuum(
     spark: SparkSession,
     path: str,
     keep_last: int = 2,
     min_age_sec: float = 3600.0,
+    dry_run: bool = False,
 ) -> int:
     """Physically delete data files referenced by NO retained manifest
     (older manifests beyond ``keep_last`` are dropped first), plus
@@ -1959,15 +2044,18 @@ def vacuum(
     younger than it is never reaped even if unreferenced, mirroring
     Delta's retention guard. Deletion-vector sidecar dirs referenced
     by no retained manifest are reaped whole under the same age guard.
-    Returns data files + sidecar dirs deleted."""
+    ``dry_run=True`` counts what WOULD be deleted (files + sidecar
+    dirs) without touching anything — manifests included. Returns
+    data files + sidecar dirs deleted (or would-be-deleted)."""
     fs, Path = _hadoop_fs(spark, path)
     vs = versions(spark, path)
     if not vs:
         return 0
     retained = vs[-keep_last:] if keep_last > 0 else vs[-1:]
-    for v in vs:
-        if v not in retained:
-            fs.delete(Path(_snap_path(path, v)), False)
+    if not dry_run:
+        for v in vs:
+            if v not in retained:
+                fs.delete(Path(_snap_path(path, v)), False)
     referenced = set()
     referenced_dv = set()
     for v in retained:
@@ -1985,7 +2073,9 @@ def vacuum(
                 continue
             if now - st.getModificationTime() / 1000.0 < min_age_sec:
                 continue
-            if fs.delete(st.getPath(), True):
+            if dry_run:
+                deleted += 1
+            elif fs.delete(st.getPath(), True):
                 deleted += 1
     data_root = Path(f"{path.rstrip('/')}/{_DATADIR}")
     if not fs.exists(data_root):
@@ -2016,6 +2106,8 @@ def vacuum(
             continue
         if now - st.getModificationTime() / 1000.0 < min_age_sec:
             continue  # possibly an in-flight writer's uncommitted files
-        if fs.delete(p, False):
+        if dry_run:
+            deleted += 1
+        elif fs.delete(p, False):
             deleted += 1
     return deleted

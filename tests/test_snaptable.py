@@ -1987,3 +1987,63 @@ def test_delete_where_prune_hint_confines_detection(spark, tmp_path):
     assert T.read(spark, path).filter("id = 3").collect()[0].v == 0
     with pytest.raises(ValueError, match="unknown prune hint"):
         T.delete_where(spark, path, "id = 0", prune={"nope": 1})
+
+
+def test_history_and_files_metadata_tables(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 50), path)
+    T.append(_mk(spark, 50, 60), path)
+    T.delete_where(spark, path, "id < 5", mode="dv")
+    h = T.history(spark, path).orderBy("version").collect()
+    assert [r.op for r in h] == ["create", "append", "delete"]
+    assert h[-1].n_dv_files >= 1
+    assert all(r.committed_at for r in h)
+    f = T.files_df(spark, path).collect()
+    assert len(f) == h[-1].n_files
+    assert any(r.dv for r in f)
+    # time travel reflects that version's entries
+    assert all(not r.dv for r in T.files_df(spark, path, version=2).collect())
+
+
+def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+    T.compact(spark, path, target_files=1)
+    would = T.vacuum(spark, path, keep_last=1, min_age_sec=0.0, dry_run=True)
+    assert would > 0
+    # nothing was touched: history intact, files intact
+    assert T.versions(spark, path) == [1, 2]
+    did = T.vacuum(spark, path, keep_last=1, min_age_sec=0.0)
+    assert did == would
+    assert T.versions(spark, path) == [2]
+
+
+def test_clone_snapshot_to_new_table(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(0, 100).select(
+        "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    T.create(df, src, partition_cols=("p",))
+    T.add_constraint(spark, src, "v_nonneg", "v >= 0")
+    T.delete_where(spark, src, "id < 10", mode="dv")
+    T.clone(spark, src, dst)
+    got = sorted(r.id for r in T.read(spark, dst).collect())
+    assert got == list(range(10, 100))
+    m = T._manifest(spark, dst, None)
+    assert m.get("partition_cols") == ["p"]
+    assert all(not e.get("dv") for e in m["files"])  # DVs materialized
+    # constraints carried and ENFORCED on the clone
+    with pytest.raises(T.ConstraintViolation):
+        T.append(
+            spark.createDataFrame([(1, 0, -1)], "id bigint, p bigint, v bigint"),
+            dst,
+        )
+    # clone of an OLD version (pre-dv)
+    dst2 = str(tmp_path / "dst2")
+    T.clone(spark, src, dst2, version=1)
+    assert T.read(spark, dst2).count() == 100
+    # independence: vacuuming the source never touches the clone
+    T.compact(spark, src, target_files=1)
+    T.vacuum(spark, src, keep_last=1, min_age_sec=0.0)
+    assert sorted(r.id for r in T.read(spark, dst).collect()) == list(range(10, 100))
