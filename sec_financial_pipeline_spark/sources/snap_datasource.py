@@ -116,6 +116,11 @@ class SnapFilePartition(InputPartition):
     rel: str
     partition: dict = field(default_factory=dict)
     dv: tuple = ()
+    # change-feed streaming: tag every row of this partition
+    change_type: str | None = None
+    commit_version: int | None = None
+    # when set, `rel` is a cdf sidecar DIR (rows already tagged)
+    is_cdf_sidecar: bool = False
 
 
 def _dv_positions(root: str, rel: str, dv_refs) -> set[int]:
@@ -136,19 +141,49 @@ def _dv_positions(root: str, rel: str, dv_refs) -> set[int]:
     return out
 
 
+def _conform_table(tbl, target, consts: dict):
+    """Project an arrow table onto ``target``: present columns cast,
+    ``consts`` (partition values, change-feed tags) become constant
+    arrays, anything else typed NULLs."""
+    import pyarrow as pa
+
+    rows = tbl.num_rows
+    cols = []
+    for f in target:
+        if f.name in tbl.column_names:
+            cols.append(tbl.column(f.name).cast(f.type))
+        elif f.name in consts and consts[f.name] is not None:
+            v = consts[f.name]
+            src_type = pa.string() if isinstance(v, str) else None
+            arr = pa.array([v] * rows, type=src_type)
+            cols.append(arr.cast(f.type))
+        else:
+            cols.append(pa.nulls(rows, type=f.type))
+    return pa.Table.from_arrays(cols, schema=target)
+
+
 def _read_entry(
     root: str, part: SnapFilePartition, schema: StructType
 ) -> Iterator:
     """Arrow batches for one manifest entry, conformed to ``schema``:
-    missing columns (pre-evolution files, Hive partition columns)
-    surface as typed constants/NULLs; deletion vectors drop rows by
-    physical position (running row index over the file's batches —
-    the same coordinate `_metadata.row_index` uses)."""
+    missing columns (pre-evolution files, Hive partition columns,
+    change-feed tags) surface as typed constants/NULLs; deletion
+    vectors drop rows by physical position (running row index over
+    the file's batches — the same coordinate `_metadata.row_index`
+    uses). A ``is_cdf_sidecar`` partition reads a whole change-sidecar
+    dir whose rows already carry ``_change_type``."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(schema)
+    consts: dict = dict(part.partition)
+    consts["_change_type"] = part.change_type
+    consts["_commit_version"] = part.commit_version
+    if part.is_cdf_sidecar:
+        tbl = pq.read_table(os.path.join(root, part.rel))
+        yield from _conform_table(tbl, target, consts).to_batches()
+        return
     dead = _dv_positions(root, part.rel, part.dv) if part.dv else set()
     pf = pq.ParquetFile(os.path.join(root, part.rel))
     offset = 0
@@ -162,23 +197,7 @@ def _read_entry(
             alive = [i for i in range(n) if (offset + i) not in dead]
             tbl = tbl.take(pa.array(alive, type=pa.int64()))
         offset += n
-        rows = tbl.num_rows
-        cols = []
-        for f in target:
-            if f.name in tbl.column_names:
-                cols.append(tbl.column(f.name).cast(f.type))
-            elif f.name in part.partition:
-                v = part.partition[f.name]
-                if v is None:
-                    cols.append(pa.nulls(rows, type=f.type))
-                else:
-                    cols.append(
-                        pa.array([v] * rows, type=pa.string()).cast(f.type)
-                    )
-            else:
-                cols.append(pa.nulls(rows, type=f.type))
-        out = pa.Table.from_arrays(cols, schema=target)
-        yield from out.to_batches()
+        yield from _conform_table(tbl, target, consts).to_batches()
 
 
 # ---------------------------------------------------------------------------
@@ -211,11 +230,27 @@ class SnaptableDataSource(DataSource):
             )
         return p.rstrip("/")
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readChangeFeed", "false")).lower() == "true"
+        )
+
     def schema(self) -> StructType:
+        from pyspark.sql.types import IntegerType, StringType, StructField
+
         path = self._path()
         v = self.options.get("version")
         m = _manifest(path, int(v) if v is not None else _head_version(path))
-        return StructType.fromJson(json.loads(m["schema"]))
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if self._cdf():
+            schema = StructType(
+                list(schema.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", IntegerType()),
+                ]
+            )
+        return schema
 
     def reader(self, schema: StructType) -> "SnapBatchReader":
         return SnapBatchReader(self._path(), self.options, schema)
@@ -327,6 +362,9 @@ class SnapStreamReader(DataSourceStreamReader):
         self.skip_change = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
+        self.read_cdf = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
+        )
         mv = options.get("maxVersionsPerTrigger")
         self.max_versions = int(mv) if mv is not None else None
         self._committed: int | None = None
@@ -367,8 +405,9 @@ class SnapStreamReader(DataSourceStreamReader):
         for v in range(lo + 1, hi + 1):
             m = _manifest(self.path, v)
             op = m.get("op", "")
-            if op in _ROW_PRESERVING or op.startswith(
-                _ROW_PRESERVING_PREFIXES
+            if (
+                op in _ROW_PRESERVING
+                or op.startswith(_ROW_PRESERVING_PREFIXES)
             ):
                 prev_keys = {_ekey(e) for e in m["files"]}
                 continue
@@ -381,15 +420,37 @@ class SnapStreamReader(DataSourceStreamReader):
                         f"fail a running stream by design — Delta "
                         f"semantics; skipChangeCommits does not apply)"
                     )
+                if self.read_cdf and m.get("cdf"):
+                    # change-feed mode: the DML's persisted sidecar IS
+                    # the batch (rows already tagged _change_type)
+                    parts.append(
+                        SnapFilePartition(
+                            rel=m["cdf"],
+                            commit_version=v,
+                            is_cdf_sidecar=True,
+                        )
+                    )
+                    prev_keys = {_ekey(e) for e in m["files"]}
+                    continue
                 if self.skip_change:
                     prev_keys = {_ekey(e) for e in m["files"]}
                     continue
                 raise ValueError(
                     f"snaptable source: version {v} at {self.path} is a "
-                    f"row-changing rewrite ({op!r}); a streaming read "
-                    f"tails APPENDS only — set skipChangeCommits=true to "
-                    f"skip such commits (Delta semantics), or consume the "
-                    f"change feed via snaptable.table_changes instead"
+                    f"row-changing rewrite ({op!r}) "
+                    + (
+                        "committed WITHOUT a change sidecar; re-run the DML "
+                        "with cdf=True for streaming change feeds, or use "
+                        "snaptable.change_feed/table_changes for batch "
+                        "diffs"
+                        if self.read_cdf
+                        else "; a streaming read tails APPENDS only — set "
+                        "skipChangeCommits=true to skip such commits "
+                        "(Delta semantics), set readChangeFeed=true to "
+                        "stream persisted change sidecars, or consume "
+                        "the change feed via snaptable.table_changes "
+                        "instead"
+                    )
                 )
             if prev_keys is None:
                 prev_keys = (
@@ -404,6 +465,8 @@ class SnapStreamReader(DataSourceStreamReader):
                             rel=e["path"],
                             partition=e.get("partition", {}),
                             dv=tuple(e.get("dv", ())),
+                            change_type="insert" if self.read_cdf else None,
+                            commit_version=v if self.read_cdf else None,
                         )
                     )
             prev_keys = {_ekey(e) for e in m["files"]}

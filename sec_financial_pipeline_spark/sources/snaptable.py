@@ -57,6 +57,7 @@ from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
 _SNAPDIR = "_snapshots"
 _DATADIR = "data"
 _DVDIR = "dv"
+_CDFDIR = "cdf"
 _MAX_RETRIES = 20
 
 
@@ -260,6 +261,7 @@ def _try_commit(
     stats_cols: list[str] = (),
     txn: dict | None = None,
     constraints: dict | None = None,
+    cdf: str | None = None,
 ) -> bool:
     """Publish a manifest as version ``version`` — atomic
     create(overwrite=False): exactly one writer can win a version.
@@ -268,22 +270,24 @@ def _try_commit(
     analog); every commit carries the map forward so idempotence
     survives compaction, rollback and vacuum. ``constraints`` is the
     table's CHECK-constraint map ({name: sql_expr}), likewise carried
-    forward by every commit."""
+    forward by every commit. ``cdf`` is THIS commit's persisted
+    change-sidecar ref (per-commit, never carried forward)."""
     fs, Path = _hadoop_fs(spark, path)
     fs.mkdirs(Path(f"{path.rstrip('/')}/{_SNAPDIR}"))
-    body = json.dumps(
-        {
-            "files": files,
-            "schema": schema_json,
-            "op": op,
-            "parent": parent,
-            "partition_cols": list(partition_cols),
-            "stats_cols": list(stats_cols),
-            "txn": dict(txn or {}),
-            "constraints": dict(constraints or {}),
-            "committed_at": int(time.time()),
-        }
-    ).encode("utf-8")
+    body_dict = {
+        "files": files,
+        "schema": schema_json,
+        "op": op,
+        "parent": parent,
+        "partition_cols": list(partition_cols),
+        "stats_cols": list(stats_cols),
+        "txn": dict(txn or {}),
+        "constraints": dict(constraints or {}),
+        "committed_at": int(time.time()),
+    }
+    if cdf is not None:
+        body_dict["cdf"] = cdf
+    body = json.dumps(body_dict).encode("utf-8")
     # atomic_create, not fs.create(overwrite=false): the Hadoop call is
     # check-then-create on RawLocalFileSystem — a TOCTOU two racing
     # local committers could both win, silently LOSING one commit (the
@@ -912,6 +916,7 @@ def _partial_rewrite_commit(
     op: str,
     base: dict,
     txn: tuple | None = None,
+    cdf: str | None = None,
 ) -> int:
     """Copy-on-write tail shared by delete/merge: materialize only the
     REWRITTEN rows as new files and commit a manifest of carried
@@ -926,7 +931,7 @@ def _partial_rewrite_commit(
         base.get("stats_cols", []),
     )
     all_files = sorted(carried + files, key=lambda e: e["path"])
-    return _publish_rewrite(spark, path, all_files, op, base, txn)
+    return _publish_rewrite(spark, path, all_files, op, base, txn, cdf)
 
 
 def _prune_by_key_bounds(
@@ -958,7 +963,11 @@ def _prune_by_key_bounds(
 
 
 def merge_upsert(
-    df: DataFrame, path: str, key_cols: list[str], txn: tuple | None = None
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    txn: tuple | None = None,
+    cdf: bool = False,
 ) -> int:
     """MERGE/upsert in ONE atomic commit: rows of the table whose
     ``key_cols`` match an incoming row are replaced by it; unmatched
@@ -1021,11 +1030,20 @@ def merge_upsert(
     matched = _merge_touched(spark, path, base, cand, keys, key_cols)
     touched = [e for e in cand if e["path"] in matched]
     carried = ruled_out + [e for e in cand if e["path"] not in matched]
-    survivors = _df_for(spark, path, base, touched).join(
-        keys, key_cols, "left_anti"
+    t_rows = _df_for(spark, path, base, touched)
+    survivors = t_rows.join(keys, key_cols, "left_anti")
+    cdf_rel = (
+        _write_changes(
+            spark, path,
+            _tag(t_rows.join(keys, key_cols, "left_semi"), "delete")
+            .unionByName(_tag(df, "insert")),
+        )
+        if cdf
+        else None
     )
     return _partial_rewrite_commit(
-        spark, path, survivors.unionByName(df), carried, "merge", base, txn
+        spark, path, survivors.unionByName(df), carried, "merge", base, txn,
+        cdf=cdf_rel,
     )
 
 
@@ -1075,6 +1093,7 @@ def _publish_rewrite(
     op: str,
     base: dict,
     txn: tuple | None,
+    cdf: str | None = None,
 ) -> int:
     """Commit ``files`` at head+1 with LOGICAL conflict detection (the
     Delta/Iceberg OCC discipline): on a version race, inspect every
@@ -1099,7 +1118,7 @@ def _publish_rewrite(
             spark, path, cur["version"] + 1, files, base["schema"], op,
             cur["version"], base.get("partition_cols", ()),
             base.get("stats_cols", ()), _txn_merged(cur, txn),
-            cur.get("constraints", {}),
+            cur.get("constraints", {}), cdf,
         ):
             return cur["version"] + 1
         head = _manifest(spark, path, None)
@@ -1154,6 +1173,25 @@ def overwrite(df: DataFrame, path: str, txn: tuple | None = None) -> int:
     return _rewrite_commit(spark, path, df, "overwrite", base, txn)
 
 
+def _write_changes(spark: SparkSession, path: str, tagged: DataFrame) -> str:
+    """Persist a DML commit's change rows (table columns +
+    ``_change_type``) as a parquet sidecar under ``cdf/`` — Delta's
+    Change Data Feed discipline: appends need no sidecar (their added
+    files ARE the inserts), rewrites record exactly what changed so
+    downstream feeds never pay an exceptAll over rewritten files.
+    Returns the sidecar's table-relative ref (recorded per-commit in
+    the manifest, reaped by vacuum when its version drops)."""
+    rel = f"{_CDFDIR}/c-{uuid.uuid4().hex[:12]}"
+    tagged.write.parquet(f"{path.rstrip('/')}/{rel}")
+    return rel
+
+
+def _tag(df: DataFrame, change_type: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return df.withColumn("_change_type", F.lit(change_type))
+
+
 def _pruned_candidates(base: dict, prune: dict | None) -> list[dict]:
     """Apply scan()-style manifest hints to the touch-detection
     candidate set (see delete_where/update_where docstrings for the
@@ -1180,6 +1218,7 @@ def delete_where(
     condition,
     mode: str = "cow",
     prune: dict | None = None,
+    cdf: bool = False,
 ) -> int:
     """Transactional DELETE: commit a snapshot without the rows
     matching ``condition`` (a Column or SQL string). Old versions
@@ -1218,7 +1257,12 @@ def delete_where(
     CONTRACT: the hints must OVER-approximate the condition — a row
     matching ``condition`` in a file the hints exclude will NOT be
     deleted. Use for the partition-confined / range-confined deletes
-    that dominate at 100 TB."""
+    that dominate at 100 TB.
+
+    ``cdf=True`` additionally persists the deleted rows as a tagged
+    change sidecar (Delta Change Data Feed): :func:`change_feed` and
+    ``readChangeFeed`` streaming then serve this commit without any
+    diff computation."""
     from pyspark.sql import functions as F
 
     if mode not in ("cow", "dv"):
@@ -1232,10 +1276,18 @@ def delete_where(
         return base["version"]
     touched = [e for e in base["files"] if e["path"] in matched]
     carried = [e for e in base["files"] if e["path"] not in matched]
+    cdf_rel = (
+        _write_changes(
+            spark, path,
+            _tag(_df_for(spark, path, base, touched).filter(is_del), "delete"),
+        )
+        if cdf
+        else None
+    )
     if mode == "cow":
         kept = _df_for(spark, path, base, touched).filter(~is_del)
         return _partial_rewrite_commit(
-            spark, path, kept, carried, "delete", base
+            spark, path, kept, carried, "delete", base, cdf=cdf_rel
         )
     # dv: write the deleted (rel, pos) pairs as a parquet sidecar —
     # positions are PHYSICAL row indexes, and this scan already applies
@@ -1254,7 +1306,7 @@ def delete_where(
     ]
     return _publish_rewrite(
         spark, path, sorted(carried + new_touched, key=lambda e: e["path"]),
-        "delete", base, None,
+        "delete", base, None, cdf_rel,
     )
 
 
@@ -1265,6 +1317,7 @@ def merge_into(
     when_matched="replace",
     when_not_matched: str = "insert",
     txn: tuple | None = None,
+    cdf: bool = False,
 ) -> int:
     """Full MERGE INTO clause semantics (Delta's WHEN MATCHED / WHEN
     NOT MATCHED), one atomic copy-on-write commit:
@@ -1385,8 +1438,33 @@ def merge_into(
             f"got {when_matched!r}"
         )
     _check_constraints(new_rows, base, "merge")
+    cdf_rel = None
+    if cdf:
+        # change rows = matched target rows (pre-image, tagged delete)
+        # + the rows the merge adds (post-image/inserts). Unmatched
+        # target rows never appear — no rewrite churn in the feed.
+        pre = _tag(t_rows.join(keys, key_cols, "left_semi"), "delete")
+        if when_matched == "delete":
+            post_matched = pre.limit(0).drop("_change_type")
+        elif when_matched == "replace":
+            post_matched = source.join(
+                t_rows.select(*key_cols).distinct(), key_cols, "left_semi"
+            )
+        else:
+            post_matched = joined.filter(is_m).select(*out_cols)
+        changes = pre.unionByName(_tag(post_matched, "insert"))
+        if when_not_matched == "insert":
+            not_matched = (
+                source.join(
+                    _df_for(spark, path, base).select(*key_cols).distinct(),
+                    key_cols,
+                    "left_anti",
+                ).select(*[f.name for f in schema.fields])
+            )
+            changes = changes.unionByName(_tag(not_matched, "insert"))
+        cdf_rel = _write_changes(spark, path, changes)
     return _partial_rewrite_commit(
-        spark, path, new_rows, carried, "merge", base, txn
+        spark, path, new_rows, carried, "merge", base, txn, cdf=cdf_rel
     )
 
 
@@ -1396,6 +1474,7 @@ def update_where(
     condition,
     assignments: dict,
     prune: dict | None = None,
+    cdf: bool = False,
 ) -> int:
     """Transactional UPDATE (the third leg of the DML triad):
     ``assignments`` maps column -> SQL expression string or Column,
@@ -1450,8 +1529,17 @@ def update_where(
             out_cols.append(F.col(f.name))
     rewritten = rows.select(*out_cols)
     _check_constraints(rewritten, base, "update")
+    cdf_rel = None
+    if cdf:
+        # pre-image (matched rows, tagged delete) + post-image (the
+        # same rows with assignments applied, tagged insert)
+        pre = rows.filter(is_upd)
+        post = pre.select(*out_cols)
+        cdf_rel = _write_changes(
+            spark, path, _tag(pre, "delete").unionByName(_tag(post, "insert"))
+        )
     return _partial_rewrite_commit(
-        spark, path, rewritten, carried, "update", base
+        spark, path, rewritten, carried, "update", base, cdf=cdf_rel
     )
 
 
@@ -1908,6 +1996,87 @@ def table_changes(
     )
 
 
+def change_feed(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Per-COMMIT change feed (Delta CDF semantics): every commit in
+    ``(since_version, version]`` contributes its own changes tagged
+    with ``_change_type`` and ``_commit_version`` — unlike
+    :func:`table_changes`, which returns the NET multiset diff of the
+    whole range (an insert-then-delete nets out there but appears
+    twice here). Per version:
+
+    - append/create: the added files' rows AS the inserts — no diff
+      computation, no sidecar needed (the Delta trick);
+    - row-preserving maintenance (compact/optimize/bloom/purge) and
+      constraint commits: nothing;
+    - DML committed with ``cdf=True``: the persisted sidecar verbatim
+      (exact, zero diff cost at read time);
+    - DML without a sidecar: per-version fallback through
+      :func:`table_changes` (exact, pays the rewritten-file reads).
+
+    All parts conform to the HEAD schema (pre-evolution rows surface
+    added columns as NULL)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    lo = _manifest(spark, path, since_version)["version"]
+    head = _manifest(spark, path, version)
+    until = head["version"]
+    if until < lo:
+        raise ValueError(
+            f"snaptable: change_feed range is backwards "
+            f"(since={lo} > at={until})"
+        )
+    schema = StructType.fromJson(json.loads(head["schema"]))
+    sidecar_schema = StructType(
+        list(schema.fields) + [StructField("_change_type", StringType())]
+    )
+    root = path.rstrip("/")
+    parts = []
+    for v in range(lo + 1, until + 1):
+        m = _manifest(spark, path, v)
+        op = m.get("op", "")
+        if _is_row_preserving(op) or op.startswith("constraint:") or \
+                op.startswith("evolve:"):
+            continue
+        if op in ("create", "append"):
+            if v == 1:
+                added = m["files"]
+            else:
+                _, _, added, _ = _version_delta(spark, path, v - 1, v)
+            part = _df_for(
+                spark, path, {**m, "schema": head["schema"]}, added
+            ).withColumn("_change_type", F.lit("insert"))
+        elif m.get("cdf"):
+            part = spark.read.schema(sidecar_schema).parquet(
+                f"{root}/{m['cdf']}"
+            )
+        else:
+            part = table_changes(spark, path, v - 1, v)
+        parts.append(part.withColumn("_commit_version", F.lit(v)))
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                list(sidecar_schema.fields)
+                + [StructField("_commit_version", IntegerType())]
+            ),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 class TableTailer:
     """Incremental consumer: repeatedly ``poll()`` a table and receive
     only the rows added since the previous poll — the batch analog of a
@@ -2042,8 +2211,9 @@ def vacuum(
     crash-orphaned files (written by a writer that died before its
     commit). ``min_age_sec`` protects an in-flight writer: a file
     younger than it is never reaped even if unreferenced, mirroring
-    Delta's retention guard. Deletion-vector sidecar dirs referenced
-    by no retained manifest are reaped whole under the same age guard.
+    Delta's retention guard. Deletion-vector and change-feed
+    sidecar dirs referenced by no retained manifest are reaped whole
+    under the same age guard.
     ``dry_run=True`` counts what WOULD be deleted (files + sidecar
     dirs) without touching anything — manifests included. Returns
     data files + sidecar dirs deleted (or would-be-deleted)."""
@@ -2058,18 +2228,24 @@ def vacuum(
                 fs.delete(Path(_snap_path(path, v)), False)
     referenced = set()
     referenced_dv = set()
+    referenced_cdf = set()
     for v in retained:
-        for e in _manifest(spark, path, v)["files"]:
+        m = _manifest(spark, path, v)
+        if m.get("cdf"):
+            referenced_cdf.add(m["cdf"])
+        for e in m["files"]:
             referenced.add(e["path"])
             referenced_dv.update(e.get("dv", ()))
     now = time.time()
     deleted = 0
-    dv_root = Path(f"{path.rstrip('/')}/{_DVDIR}")
-    if fs.exists(dv_root):
-        for st in fs.listStatus(dv_root):
+    for subdir, ref_set in ((_DVDIR, referenced_dv), (_CDFDIR, referenced_cdf)):
+        sub_root = Path(f"{path.rstrip('/')}/{subdir}")
+        if not fs.exists(sub_root):
+            continue
+        for st in fs.listStatus(sub_root):
             name = st.getPath().getName()
-            rel = f"{_DVDIR}/{name}"
-            if rel in referenced_dv:
+            rel = f"{subdir}/{name}"
+            if rel in ref_set:
                 continue
             if now - st.getModificationTime() / 1000.0 < min_age_sec:
                 continue

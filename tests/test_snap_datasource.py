@@ -421,3 +421,55 @@ def test_stream_composes_with_watermark_window_agg(snapds, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT n FROM snapds_win").collect()
     assert sorted(r.n for r in rows) == [20, 20, 20, 20, 20, 20]
+
+
+def test_read_change_feed_streaming(snapds, tmp_path):
+    """readChangeFeed=true: appends stream as tagged inserts, DMLs
+    committed with cdf=True stream their persisted sidecars — the full
+    per-commit change feed as a Structured Streaming source."""
+    spark = snapds
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 20), path)                      # v1
+    T.delete_where(spark, path, "id < 3", cdf=True)        # v2
+    T.update_where(spark, path, "id = 5", {"v": "v + 100"},
+                   cdf=True)                               # v3
+    T.compact(spark, path, target_files=1)                 # v4 silent
+    T.append(_mk(spark, 20, 25), path)                     # v5
+    q = (
+        spark.readStream.format("snaptable")
+        .option("readChangeFeed", "true").load(path)
+        .writeStream.format("memory").queryName("snapds_cdf")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM snapds_cdf").collect()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r._commit_version, []).append(r)
+    assert sorted(by_v) == [1, 2, 3, 5]
+    assert len(by_v[1]) == 20
+    assert all(r._change_type == "insert" for r in by_v[1])
+    assert sorted(r.id for r in by_v[2]) == [0, 1, 2]
+    assert all(r._change_type == "delete" for r in by_v[2])
+    assert sorted((r._change_type, r.v) for r in by_v[3]) == [
+        ("delete", 10), ("insert", 110)]
+    assert sorted(r.id for r in by_v[5]) == [20, 21, 22, 23, 24]
+
+
+def test_read_change_feed_fails_without_sidecar(snapds, tmp_path):
+    spark = snapds
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)
+    T.delete_where(spark, path, "id = 1")  # no cdf sidecar
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="cdf=True"):
+        q = (
+            spark.readStream.format("snaptable")
+            .option("readChangeFeed", "true").load(path)
+            .writeStream.format("memory").queryName("snapds_cdf_fail")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)

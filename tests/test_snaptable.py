@@ -2047,3 +2047,87 @@ def test_clone_snapshot_to_new_table(spark, tmp_path):
     T.compact(spark, src, target_files=1)
     T.vacuum(spark, src, keep_last=1, min_age_sec=0.0)
     assert sorted(r.id for r in T.read(spark, dst).collect()) == list(range(10, 100))
+
+
+# ----------------------------------------------------- persisted CDF
+
+
+def test_change_feed_per_commit_with_sidecars(spark, tmp_path):
+    """change_feed is PER-COMMIT (intermediate churn appears, unlike
+    table_changes' net diff), and DMLs committed with cdf=True serve
+    the feed from their persisted sidecars — results identical to the
+    diff-computed fallback, pinned by running the same ops on a twin
+    table without sidecars."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    for path, use_cdf in ((a, True), (b, False)):
+        T.create(_mk(spark, 0, 50), path)                      # v1
+        T.append(_mk(spark, 50, 60), path)                     # v2
+        T.delete_where(spark, path, "id < 5", cdf=use_cdf)     # v3
+        T.update_where(spark, path, "id = 7", {"v": "v + 100"},
+                       cdf=use_cdf)                            # v4
+        T.compact(spark, path, target_files=1)                 # v5 (silent)
+        patch = spark.createDataFrame([(8, -8), (500, -500)],
+                                      "id bigint, v bigint")
+        T.merge_upsert(patch, path, ["id"], cdf=use_cdf)       # v6
+    m = T._manifest(spark, a, 3)
+    assert m.get("cdf"), "cdf sidecar must be recorded in the manifest"
+    assert not T._manifest(spark, b, 3).get("cdf")
+    fa = sorted(
+        tuple(r) for r in T.change_feed(spark, a, 1).collect()
+    )
+    fb = sorted(
+        tuple(r) for r in T.change_feed(spark, b, 1).collect()
+    )
+    assert fa == fb, "sidecar feed must equal the diff-computed feed"
+    # per-commit semantics: v2 inserts 10, v3 deletes 5, v4 is a
+    # delete+insert pair, v6 is delete(8)+insert(8,-8)+insert(500)
+    by_v = {}
+    for r in T.change_feed(spark, a, 1).collect():
+        by_v.setdefault(r._commit_version, []).append(r)
+    assert len(by_v[2]) == 10
+    assert len(by_v[3]) == 5
+    assert sorted((r._change_type, r.id) for r in by_v[4]) == [
+        ("delete", 7), ("insert", 7)]
+    assert 5 not in by_v  # compact is invisible
+    assert sorted((r._change_type, r.id) for r in by_v[6]) == [
+        ("delete", 8), ("insert", 8), ("insert", 500)]
+    # the updated post-image carries the new value
+    post = [r for r in by_v[4] if r._change_type == "insert"][0]
+    assert post.v == 114
+
+
+def test_change_feed_dv_delete_with_sidecar(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 40).coalesce(1), path)
+    T.delete_where(spark, path, "id % 7 = 0", mode="dv", cdf=True)
+    feed = T.change_feed(spark, path, 1).collect()
+    assert sorted(r.id for r in feed) == [0, 7, 14, 21, 28, 35]
+    assert all(r._change_type == "delete" for r in feed)
+    # net diff agrees
+    net = T.table_changes(spark, path, 1).collect()
+    assert sorted(r.id for r in net) == sorted(r.id for r in feed)
+
+
+def test_merge_into_cdf_sidecar(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 20), path)
+    src = spark.createDataFrame([(3, 1), (300, 1)], "id bigint, delta bigint")
+    T.merge_into(src, path, ["id"], when_matched={"v": "t.v + s.delta"},
+                 when_not_matched="ignore", cdf=True)
+    feed = T.change_feed(spark, path, 1).collect()
+    assert sorted((r._change_type, r.id, r.v) for r in feed) == [
+        ("delete", 3, 6), ("insert", 3, 7)]
+
+
+def test_vacuum_reaps_unreferenced_cdf_sidecars(spark, tmp_path):
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 50), path)
+    T.delete_where(spark, path, "id < 5", cdf=True)
+    assert len(os.listdir(f"{path}/cdf")) == 1
+    # keep_last=1 drops the delete's version? No: head IS the delete's
+    # version; its sidecar stays referenced. Add one more commit so the
+    # delete version can fall out of retention.
+    T.compact(spark, path, target_files=1)
+    T.vacuum(spark, path, keep_last=1, min_age_sec=0.0)
+    assert os.listdir(f"{path}/cdf") == []
