@@ -407,7 +407,7 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "rows": T.read(spark, args.table, version=v).count(),
         }
     if args.snap_cmd == "delete":
-        v = T.delete_where(spark, args.table, args.where, mode=args.mode)
+        v = T.delete_where(spark, args.table, args.where, mode=args.mode, cdf=args.cdf)
         return {
             "table": args.table,
             "version": v,
@@ -659,6 +659,26 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "files": len(m["files"]),
         }
     if args.snap_cmd == "changes":
+        if args.per_commit:
+            ch = T.change_feed(spark, args.table, args.since, version=args.at)
+            per = {
+                int(r["_commit_version"]): {r["_change_type"]: int(r["n"])}
+                for r in []
+            }
+            rows = (
+                ch.groupBy("_commit_version", "_change_type").count()
+                .withColumnRenamed("count", "n").collect()
+            )
+            for r in rows:
+                per.setdefault(int(r["_commit_version"]), {})[
+                    r["_change_type"]] = int(r["n"])
+            return {
+                "table": args.table,
+                "since": args.since,
+                "at": args.at,
+                "per_commit": {str(k): per[k] for k in sorted(per)},
+                "op": "changes",
+            }
         ch = T.table_changes(
             spark, args.table, args.since, version=args.at
         )
@@ -804,6 +824,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sd = snap_sub.add_parser("delete")
     sd.add_argument("--table", required=True)
     sd.add_argument("--where", required=True, help="SQL predicate to delete")
+    sd.add_argument("--cdf", action="store_true",
+                    help="persist a change sidecar for this commit")
     sd.add_argument(
         "--mode", choices=("cow", "dv"), default="cow",
         help="cow rewrites touched files; dv writes a deletion-vector "
@@ -933,6 +955,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     )
     sch.add_argument("--table", required=True)
     sch.add_argument("--since", type=int, required=True)
+    sch.add_argument(
+        "--per-commit", action="store_true",
+        help="per-commit feed (change_feed) instead of the net diff",
+    )
     sch.add_argument("--at", type=int, default=None)
 
     serve = sub.add_parser("serve", help="HTTP facade server (blocking)")

@@ -654,3 +654,18 @@ def test_snap_rollback_to_timestamp_via_cli(tmp_path, capsys, spark):
                                "--to-timestamp", iso])
     assert res["restored_version"] == 1
     assert T.read(spark, table).count() == 10
+
+
+def test_snap_changes_per_commit_via_cli(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    data = str(tmp_path / "d")
+    spark.range(0, 20).select("id", (F.col("id") * 2).alias("v")).write.parquet(data)
+    table = str(tmp_path / "t")
+    _run(capsys, spark, ["snap", "create", "--table", table, "--data", data])
+    _run(capsys, spark, ["snap", "delete", "--table", table,
+                         "--where", "id < 3", "--cdf"])
+    res = _run(capsys, spark, ["snap", "changes", "--table", table,
+                               "--since", "0", "--per-commit"])
+    assert res["per_commit"]["1"] == {"insert": 20}
+    assert res["per_commit"]["2"] == {"delete": 3}
