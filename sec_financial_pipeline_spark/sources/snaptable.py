@@ -2019,7 +2019,8 @@ def change_feed(
       :func:`table_changes` (exact, pays the rewritten-file reads).
 
     All parts conform to the HEAD schema (pre-evolution rows surface
-    added columns as NULL)."""
+    added columns as NULL). ``since_version=0`` feeds from the very
+    first retained commit (the create included)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
         IntegerType,
@@ -2028,7 +2029,11 @@ def change_feed(
         StructType,
     )
 
-    lo = _manifest(spark, path, since_version)["version"]
+    lo = (
+        0
+        if since_version == 0
+        else _manifest(spark, path, since_version)["version"]
+    )
     head = _manifest(spark, path, version)
     until = head["version"]
     if until < lo:
