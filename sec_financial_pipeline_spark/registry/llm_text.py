@@ -617,6 +617,120 @@ GROUP BY d.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# drift: per-lang Population Stability Index between the corpus' even
+# and odd doc_id halves over the hashed unigram+bigram bucket space —
+# the standing distribution-drift monitor (snapshot A vs snapshot B) in
+# integer micro-units (IEEE division is exactly specified; ln terms are
+# quantized once — the same firewall as dsir/ppl).
+# ---------------------------------------------------------------------------
+
+_DRIFT_BUCKETS = 256
+
+_DRIFT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, doc_id % 2 AS half, string_split(text, ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT lang, half, unnest(w) AS g FROM toks
+  UNION ALL
+  SELECT lang, half, w[i] || ' ' || w[i+1] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+),
+bkt AS (
+  SELECT lang, half,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DRIFT_BUCKETS} AS bucket,
+         count(*) AS c
+  FROM grams GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT lang, half, CAST(sum(c) AS DOUBLE) AS t FROM bkt GROUP BY 1, 2
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+tots AS (
+  SELECT l.lang,
+         coalesce((SELECT t FROM tot WHERE tot.lang = l.lang AND half = 0), 0)
+           + {_DRIFT_BUCKETS} AS ta,
+         coalesce((SELECT t FROM tot WHERE tot.lang = l.lang AND half = 1), 0)
+           + {_DRIFT_BUCKETS} AS tb
+  FROM langs l
+),
+pair AS (
+  SELECT coalesce(x.lang, y.lang) AS lang,
+         coalesce(x.bucket, y.bucket) AS bucket,
+         coalesce(x.c, 0) AS ca, coalesce(y.c, 0) AS cb
+  FROM (SELECT lang, bucket, c FROM bkt WHERE half = 0) x
+  FULL JOIN (SELECT lang, bucket, c FROM bkt WHERE half = 1) y
+    ON x.lang = y.lang AND x.bucket = y.bucket
+),
+terms AS (
+  SELECT p.lang,
+         CAST(round((((ca + 1.0) / ta - (cb + 1.0) / tb)
+                     * (ln(ca + 1.0) - ln(cb + 1.0) - ln(ta) + ln(tb)))
+                    * 1000000.0, 0) AS BIGINT) AS m
+  FROM pair p JOIN tots ON tots.lang = p.lang
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(m) AS BIGINT) AS threshold
+FROM terms GROUP BY lang
+"""
+
+
+def q_doc_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.selection import (
+        doc_gram_buckets,
+    )
+
+    B = _DRIFT_BUCKETS
+    d = load_table(spark, sf_dir, "documents")
+    g = doc_gram_buckets(d.select("doc_id", "text"), "doc_id", "text", B)
+    dim = d.select(
+        F.col("doc_id").alias("id"), "lang", (F.col("doc_id") % 2).alias("half")
+    )
+    bkt = (
+        g.join(dim, "id")
+        .groupBy("lang", "half", "bucket")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    tot = bkt.groupBy("lang").pivot("half", [0, 1]).agg(F.sum("c"))
+    tots = tot.select(
+        "lang",
+        (F.coalesce(F.col("0"), F.lit(0)) + float(B)).alias("ta"),
+        (F.coalesce(F.col("1"), F.lit(0)) + float(B)).alias("tb"),
+    )
+    x = bkt.filter(F.col("half") == 0).select("lang", "bucket", F.col("c").alias("ca"))
+    y = bkt.filter(F.col("half") == 1).select("lang", "bucket", F.col("c").alias("cb"))
+    pair = x.join(y, ["lang", "bucket"], "outer").fillna(
+        0, subset=["ca", "cb"]
+    )
+    terms = pair.join(F.broadcast(tots), "lang").select(
+        "lang",
+        F.round(
+            (
+                (
+                    (F.col("ca") + 1.0) / F.col("ta")
+                    - (F.col("cb") + 1.0) / F.col("tb")
+                )
+                * (
+                    F.log(F.col("ca") + 1.0)
+                    - F.log(F.col("cb") + 1.0)
+                    - F.log(F.col("ta"))
+                    + F.log(F.col("tb"))
+                )
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("m"),
+    )
+    return terms.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("m").cast("bigint").alias("threshold"),
+    )
+
+
 def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_financial_pipeline_spark.operators.selection import dsir_select
 
@@ -649,6 +763,8 @@ def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
              ["lang", "n_docs", "threshold", "n_selected"]),
             ("dsir", _DSIR_ORACLE,
              ["lang", "n_docs", "checksum", "threshold"]),
+            ("drift", _DRIFT_ORACLE,
+             ["lang", "n_docs", "threshold"]),
         ],
         _SAMPLE_SCHEMA,
     ),
@@ -665,6 +781,9 @@ def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + DSIR importance resampling (Xie et al. 2023: hashed-ngram"
         " log-ratio weights in integer milli-nats, Gumbel top-k without"
         " replacement; TakeOrderedAndProject, no global sort)"
+        " + per-lang PSI drift monitor between corpus halves (hashed"
+        " bucket space; per-bucket terms quantized to integer"
+        " micro-units — the ln firewall — then exact BIGINT rollup)"
     ),
 )
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,6 +793,7 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("epoch_shuffle", q_doc_epoch_shuffle(spark, sf_dir)),
             ("temperature", q_doc_temperature_mix(spark, sf_dir)),
             ("dsir", q_doc_dsir(spark, sf_dir)),
+            ("drift", q_doc_drift(spark, sf_dir)),
         ],
         _SAMPLE_SCHEMA,
     )

@@ -111,3 +111,49 @@ def test_dsir_selection_plan_uses_take_ordered(spark):
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort [key_milli" not in plan
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    """PSI drift monitor: identical corpora score ~0; a vocabulary
+    shift scores large; totals replicate in pure Python (three-engine
+    agreement via the micro-unit quantization)."""
+    import math
+    from collections import Counter
+
+    from sec_financial_pipeline_spark.operators import drift
+
+    same = [(i, "alpha beta gamma delta " * 5) for i in range(30)]
+    shifted = [(i, "zeta eta theta iota " * 5) for i in range(100, 130)]
+    a = spark.createDataFrame(same, "doc_id bigint, text string")
+    b_same = spark.createDataFrame(
+        [(i + 500, t) for i, t in same], "doc_id bigint, text string"
+    )
+    b_shift = spark.createDataFrame(shifted, "doc_id bigint, text string")
+    B = 64
+    t_same = drift.psi_total(
+        drift.psi_bucket_terms(a, b_same, "doc_id", "text", B)
+    ).collect()[0]
+    t_shift = drift.psi_total(
+        drift.psi_bucket_terms(a, b_shift, "doc_id", "text", B)
+    ).collect()[0]
+    assert t_same.psi_micro < 10_000       # < 0.01 PSI: stable
+    assert t_shift.psi_micro > 250_000     # > 0.25 PSI: major shift
+    # pure-Python replication of the shifted report
+    def grams(text):
+        w = text.split(" ")
+        return w + [f"{x} {y}" for x, y in zip(w, w[1:])]
+    import hashlib
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+    ca = Counter(bucket(g) for _, t in same for g in grams(t))
+    cb = Counter(bucket(g) for _, t in shifted for g in grams(t))
+    at = float(sum(ca.values()) + B)
+    bt = float(sum(cb.values()) + B)
+    want = sum(
+        round((((ca.get(k, 0) + 1.0) / at - (cb.get(k, 0) + 1.0) / bt)
+               * (math.log(ca.get(k, 0) + 1.0) - math.log(cb.get(k, 0) + 1.0)
+                  - math.log(at) + math.log(bt))) * 1000000.0)
+        for k in set(ca) | set(cb)
+    )
+    assert t_shift.psi_micro == want
