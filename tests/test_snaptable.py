@@ -256,10 +256,10 @@ from hypothesis import given, settings, strategies as st  # noqa: E402
 _OPS = st.lists(
     st.sampled_from(
         ["append", "delete_mod3", "compact", "rollback_first", "merge",
-         "optimize"]
+         "optimize", "delete_dv", "update", "purge", "merge_clause"]
     ),
     min_size=1,
-    max_size=5,
+    max_size=6,
 )
 
 
@@ -309,6 +309,34 @@ def test_snaptable_matches_python_model(spark, ops):
                 key_cols=["id"],
             )
             rows = {**rows, **inc}
+        elif op == "delete_dv":
+            v = T.delete_where(spark, path, "id % 4 = 1", mode="dv")
+            rows = {i: x for i, x in rows.items() if i % 4 != 1}
+        elif op == "update":
+            v = T.update_where(spark, path, "id % 5 = 2", {"v": "v + 1"})
+            rows = {
+                i: (x + 1 if i % 5 == 2 else x) for i, x in rows.items()
+            }
+        elif op == "purge":
+            v = T.purge_deletes(spark, path)  # no-op when DV-free
+        elif op == "merge_clause":
+            targets = sorted(rows)[:2]
+            src = spark.createDataFrame(
+                [(i, 1000) for i in targets] or [(None, None)],
+                "id long, delta long",
+            ).filter("id IS NOT NULL")
+            if targets:
+                v = T.merge_into(
+                    src, path, ["id"],
+                    when_matched={"v": "t.v + s.delta"},
+                    when_not_matched="ignore",
+                )
+                rows = {
+                    i: (x + 1000 if i in targets else x)
+                    for i, x in rows.items()
+                }
+            else:
+                v = max(history)
         else:  # rollback_first
             v = T.rollback(spark, path, to_version=1)
             rows = dict(history[1])
