@@ -90,6 +90,17 @@ def _manifest(path: str, version: int) -> dict:
     with open(fpath, "r", encoding="utf-8") as f:
         m = json.load(f)
     m["version"] = version
+    if "files" not in m:
+        # manifest-list form (snaptable._SPLIT_THRESHOLD exceeded):
+        # materialize the referenced parts — session-free local reads,
+        # same dict shape as the inline form afterwards.
+        files: list[dict] = []
+        for p in m.get("files_parts", []):
+            with open(
+                os.path.join(path, _SNAPDIR, p["ref"]), "r", encoding="utf-8"
+            ) as pf:
+                files.extend(json.load(pf)["entries"])
+        m["files"] = files
     return m
 
 
@@ -615,6 +626,7 @@ def _commit_files(
     txn: tuple | None,
     overwrite: bool = False,
     retries: int = 20,
+    split_threshold: int | None = None,
 ) -> int:
     """Driver half, session-free: publish the tasks' files as one
     atomic version — bootstrap-create on an empty path, append (or
@@ -664,9 +676,35 @@ def _commit_files(
             files = new_files if overwrite else head["files"] + new_files
         if txn is not None:
             txn_map[str(txn[0])] = int(txn[1])
+        from sec_financial_pipeline_spark.sources.snaptable import (
+            _PARTSSUB,
+            _SPLIT_THRESHOLD,
+            _split_entries,
+        )
+
+        thr = _SPLIT_THRESHOLD if split_threshold is None else split_threshold
+        if len(files) > thr:
+            # same manifest-list form the JVM path writes: parts first
+            # (uuid names, orphaned on a lost race, vacuum reaps), then
+            # the version JSON carrying only summaries.
+            import uuid as _uuid
+
+            parts_dir = os.path.join(path, _SNAPDIR, _PARTSSUB)
+            os.makedirs(parts_dir, exist_ok=True)
+            parts_meta = []
+            for summary, chunk in _split_entries(files):
+                ref = f"{_PARTSSUB}/m-{_uuid.uuid4().hex[:16]}.json"
+                with open(
+                    os.path.join(path, _SNAPDIR, ref), "w", encoding="utf-8"
+                ) as pf:
+                    json.dump({"entries": chunk}, pf)
+                parts_meta.append({"ref": ref, **summary})
+            files_body: dict = {"files_parts": parts_meta}
+        else:
+            files_body = {"files": files}
         body = json.dumps(
             {
-                "files": files,
+                **files_body,
                 "schema": schema.json() if head is None else head["schema"],
                 "op": op if head is not None else "create",
                 "parent": parent,
@@ -704,6 +742,8 @@ class SnapStreamWriter(DataSourceStreamWriter):
         self.path = path
         self.schema = schema
         self.app_id = options.get("txnAppId", "snapds-write")
+        st = options.get("splitThreshold")
+        self.split_threshold = int(st) if st is not None else None
 
     def write(self, iterator) -> SnapWriteMessage:
         return _write_task(self.path, self.schema, iterator)
@@ -712,6 +752,7 @@ class SnapStreamWriter(DataSourceStreamWriter):
         _commit_files(
             self.path, self.schema, messages, "append",
             (self.app_id, batchId),
+            split_threshold=self.split_threshold,
         )
 
     def abort(self, messages, batchId: int) -> None:
@@ -732,6 +773,8 @@ class SnapBatchWriter(DataSourceWriter):
         self.path = path
         self.schema = schema
         self.overwrite = overwrite
+        st = options.get("splitThreshold")
+        self.split_threshold = int(st) if st is not None else None
 
     def write(self, iterator) -> SnapWriteMessage:
         return _write_task(self.path, self.schema, iterator)
@@ -741,6 +784,7 @@ class SnapBatchWriter(DataSourceWriter):
             self.path, self.schema, messages,
             "overwrite" if self.overwrite else "append",
             None, overwrite=self.overwrite,
+            split_threshold=self.split_threshold,
         )
 
     def abort(self, messages) -> None:

@@ -55,10 +55,23 @@ from pyspark.sql import DataFrame, SparkSession
 from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
 
 _SNAPDIR = "_snapshots"
+_PARTSSUB = "parts"  # manifest-list part files live in _snapshots/parts/
 _DATADIR = "data"
 _DVDIR = "dv"
 _CDFDIR = "cdf"
 _MAX_RETRIES = 20
+
+# Iceberg-style manifest lists: a commit whose entry count exceeds
+# _SPLIT_THRESHOLD stores its entries in part files of ~_PART_TARGET
+# entries each (sorted by partition, so partition pruning drops whole
+# parts), and the version JSON carries only per-part summaries. The
+# single-JSON manifest is measured comfortable to ~10k files (PERF.md);
+# past that, head parse cost grows with the TABLE instead of the query,
+# which is exactly the failure mode manifest lists remove: a pruned
+# scan loads only the parts whose summary ranges survive the probe.
+_SPLIT_THRESHOLD = 4096
+_PART_TARGET = 2048
+_PART_VALS_CAP = 32  # distinct partition values summarized per part/col
 
 
 class SnapshotConflict(IOError):
@@ -102,7 +115,19 @@ def versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
-def _manifest(spark: SparkSession, path: str, version: int | None) -> dict:
+def _manifest(
+    spark: SparkSession,
+    path: str,
+    version: int | None,
+    load_parts: bool = True,
+) -> dict:
+    """Resolve one version's manifest dict. A manifest either inlines
+    its entries (``files``) or references manifest-list parts
+    (``files_parts`` — commits past ``_SPLIT_THRESHOLD`` entries).
+    With ``load_parts=True`` (every existing consumer) the parts are
+    materialized into ``files`` so the dict shape is identical either
+    way; ``scan`` passes ``load_parts=False`` to prune parts by their
+    summaries BEFORE loading any of them."""
     vs = versions(spark, path)
     if not vs:
         raise FileNotFoundError(f"snaptable: no snapshots at {path}")
@@ -115,7 +140,122 @@ def _manifest(spark: SparkSession, path: str, version: int | None) -> dict:
         )
     m = _read_json(spark, _snap_path(path, version))
     m["version"] = version
+    if "files" not in m and load_parts:
+        m["files"] = _load_parts(
+            spark, path, [p["ref"] for p in m.get("files_parts", [])]
+        )
     return m
+
+
+def _load_parts(spark: SparkSession, path: str, refs: list[str]) -> list[dict]:
+    out: list[dict] = []
+    for ref in refs:
+        out.extend(
+            _read_json(spark, f"{path.rstrip('/')}/{_SNAPDIR}/{ref}")["entries"]
+        )
+    return out
+
+
+def _entry_part_key(e: dict) -> tuple:
+    return (json.dumps(e.get("partition", {}), sort_keys=True), e["path"])
+
+
+def _part_summary(chunk: list[dict]) -> dict:
+    """Per-part pruning summary (Iceberg's manifest-file stats analog):
+    distinct partition values per column (omitted past _PART_VALS_CAP
+    or when any entry lacks the column — unknown means keep) and
+    merged stats ranges over columns EVERY entry carries (the same
+    incomplete-drop rule as _file_stats: a partial merge would record
+    a range narrower than the part's truth and prune a live part)."""
+    summ: dict = {"n": len(chunk)}
+    pcols: set = set()
+    for e in chunk:
+        pcols.update(e.get("partition", {}).keys())
+    partitions: dict = {}
+    for col in pcols:
+        vals: set = set()
+        complete = True
+        for e in chunk:
+            if col not in e.get("partition", {}):
+                complete = False
+                break
+            vals.add(e["partition"][col])
+        if complete and len(vals) <= _PART_VALS_CAP:
+            partitions[col] = sorted(v for v in vals if v is not None) + (
+                [None] if None in vals else []
+            )
+    if partitions:
+        summ["partitions"] = partitions
+    scols = None
+    for e in chunk:
+        es = set(e.get("stats", {}))
+        scols = es if scols is None else scols & es
+    stats: dict = {}
+    for col in scols or ():
+        try:
+            stats[col] = [
+                min(e["stats"][col][0] for e in chunk),
+                max(e["stats"][col][1] for e in chunk),
+            ]
+        except TypeError:  # mixed-type stats can't order: unknown = keep
+            continue
+    if stats:
+        summ["stats"] = stats
+    return summ
+
+
+def _split_entries(
+    files: list[dict], part_target: int | None = None
+) -> list[tuple[dict, list[dict]]]:
+    """Chunk entries into manifest-list parts. Sorting by (partition,
+    path) first makes parts partition-coherent, so a partition probe
+    eliminates whole parts instead of finding every part mixed."""
+    part_target = part_target or _PART_TARGET
+    ordered = sorted(files, key=_entry_part_key)
+    return [
+        (_part_summary(ordered[i : i + part_target]), ordered[i : i + part_target])
+        for i in range(0, len(ordered), part_target)
+    ]
+
+
+def _effective_ranges(between, point: tuple | None) -> list[tuple]:
+    ranges = _norm_between(between)
+    if point is not None:
+        pcol, pval = point
+        if isinstance(pval, (int, float)) and not isinstance(pval, bool):
+            ranges = ranges + [(pcol, pval, pval)]
+    return ranges
+
+
+def _prune_part_summaries(
+    parts: list[dict], partitions: dict | None, ranges: list[tuple]
+) -> list[dict]:
+    """Keep a part iff no summary metadata rules it out — the same
+    over-approximation contract as _select_entries, one level up. The
+    per-entry pass still runs on whatever these parts contain, so part
+    pruning is purely an optimization."""
+    keep = []
+    for p in parts:
+        if partitions:
+            pvals = p.get("partitions", {})
+            if any(
+                k in pvals
+                and (None if v is None else str(v)) not in pvals[k]
+                for k, v in partitions.items()
+            ):
+                continue
+        pruned = False
+        for col, lo, hi in ranges:
+            st = p.get("stats", {}).get(col)
+            try:
+                if st is not None and (st[1] < lo or st[0] > hi):
+                    pruned = True
+                    break
+            except TypeError:
+                continue
+        if not pruned:
+            keep.append(p)
+    return keep
 
 
 def _file_stats(local_file: str, cols: list[str]) -> dict:
@@ -274,8 +414,9 @@ def _try_commit(
     change-sidecar ref (per-commit, never carried forward)."""
     fs, Path = _hadoop_fs(spark, path)
     fs.mkdirs(Path(f"{path.rstrip('/')}/{_SNAPDIR}"))
-    body_dict = {
-        "files": files,
+    from sec_financial_pipeline_spark.sources.sink import atomic_create as _ac
+
+    body_dict: dict = {
         "schema": schema_json,
         "op": op,
         "parent": parent,
@@ -287,14 +428,30 @@ def _try_commit(
     }
     if cdf is not None:
         body_dict["cdf"] = cdf
+    if len(files) > _SPLIT_THRESHOLD:
+        # manifest list: entries go to part files, the version JSON
+        # carries only per-part summaries. Parts are written BEFORE the
+        # version file — a lost race or crash orphans them (uuid names
+        # can't collide with a winner's) and vacuum reaps them later.
+        parts_dir = f"{path.rstrip('/')}/{_SNAPDIR}/{_PARTSSUB}"
+        fs.mkdirs(Path(parts_dir))
+        parts_meta = []
+        for summary, chunk in _split_entries(files):
+            ref = f"{_PARTSSUB}/m-{uuid.uuid4().hex[:16]}.json"
+            pbody = json.dumps({"entries": chunk}).encode("utf-8")
+            if not _ac(fs, Path, f"{path.rstrip('/')}/{_SNAPDIR}/{ref}", pbody):
+                raise IOError(f"snaptable: could not create manifest part {ref}")
+            parts_meta.append({"ref": ref, **summary})
+        body_dict["files_parts"] = parts_meta
+    else:
+        body_dict["files"] = files
     body = json.dumps(body_dict).encode("utf-8")
     # atomic_create, not fs.create(overwrite=false): the Hadoop call is
     # check-then-create on RawLocalFileSystem — a TOCTOU two racing
     # local committers could both win, silently LOSING one commit (the
     # exact anomaly the version protocol exists to prevent). POSIX
     # O_CREAT|O_EXCL is kernel-atomic locally; HDFS keeps fs.create.
-    from sec_financial_pipeline_spark.sources.sink import atomic_create
-
+    atomic_create = _ac
     target = _snap_path(path, version)
     if atomic_create(fs, Path, target, body):
         return True
@@ -553,11 +710,7 @@ def _select_entries(
     file's Bloom sidecar (and min/max when present). A file with no
     metadata for a requested column is always kept — pruning is an
     optimization, never a correctness filter."""
-    ranges = _norm_between(between)
-    if point is not None:
-        pcol, pval = point
-        if isinstance(pval, (int, float)) and not isinstance(pval, bool):
-            ranges = ranges + [(pcol, pval, pval)]
+    ranges = _effective_ranges(between, point)
     keep = []
     for e in m["files"]:
         if partitions:
@@ -612,7 +765,19 @@ def scan(
     when the value is numeric."""
     from pyspark.sql import functions as F
 
-    m = _manifest(spark, path, version)
+    m = _manifest(spark, path, version, load_parts=False)
+    if "files" not in m:
+        # manifest-list fast path: prune parts by summary BEFORE loading
+        # any — a probed scan of a 100k-file table parses the probed
+        # partitions' parts, not the table's whole entry set. The
+        # per-entry _select_entries pass below re-checks whatever the
+        # kept parts contain, so this stays an over-approximation.
+        kept = _prune_part_summaries(
+            m.get("files_parts", []),
+            partitions,
+            _effective_ranges(between, point),
+        )
+        m["files"] = _load_parts(spark, path, [p["ref"] for p in kept])
     df = _df_for(spark, path, m, _select_entries(m, partitions, between, point))
     if partitions:
         for k, v in partitions.items():
@@ -2234,15 +2399,32 @@ def vacuum(
     referenced = set()
     referenced_dv = set()
     referenced_cdf = set()
+    referenced_parts = set()
     for v in retained:
         m = _manifest(spark, path, v)
         if m.get("cdf"):
             referenced_cdf.add(m["cdf"])
+        referenced_parts.update(p["ref"] for p in m.get("files_parts", ()))
         for e in m["files"]:
             referenced.add(e["path"])
             referenced_dv.update(e.get("dv", ()))
     now = time.time()
     deleted = 0
+    # manifest-list parts referenced by no retained version (dropped
+    # snapshots, lost commit races, crashed writers) reap under the
+    # same age guard; a referenced part is never touched.
+    parts_root = Path(f"{path.rstrip('/')}/{_SNAPDIR}/{_PARTSSUB}")
+    if fs.exists(parts_root):
+        for st in fs.listStatus(parts_root):
+            rel = f"{_PARTSSUB}/{st.getPath().getName()}"
+            if rel in referenced_parts:
+                continue
+            if now - st.getModificationTime() / 1000.0 < min_age_sec:
+                continue
+            if dry_run:
+                deleted += 1
+            elif fs.delete(st.getPath(), False):
+                deleted += 1
     for subdir, ref_set in ((_DVDIR, referenced_dv), (_CDFDIR, referenced_cdf)):
         sub_root = Path(f"{path.rstrip('/')}/{subdir}")
         if not fs.exists(sub_root):
