@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Metadata-only receipt for Iceberg-style manifest lists
+(sources/snaptable.py): at what file count does the monolithic
+manifest's parse cost matter, and what does summary-pruned part
+loading buy a probed scan?
+
+Synthesizes N entries (100 partitions, range-clustered id stats — the
+layout a partitioned, compacted 100 TB table actually has), writes
+both forms to disk, then times the full metadata path a probed scan
+pays before Spark plans anything:
+
+- monolithic: parse the whole version JSON, per-entry prune;
+- manifest list: parse the head (summaries only), prune parts by
+  summary, parse ONLY the surviving parts, per-entry prune the
+  remainder.
+
+Usage: python scripts/bench_manifest_parts.py [n_entries]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from sec_financial_pipeline_spark.sources import snaptable as T  # noqa: E402
+
+
+def _t(fn, reps=5):
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        out.append(time.perf_counter() - t0)
+    return min(out)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_parts = 100
+    per = max(1, n // n_parts)
+    entries = [
+        {
+            "path": f"data/c-{i // per:04d}/p={i // per}/part-{i:06d}.parquet",
+            "base": f"data/c-{i // per:04d}",
+            "partition": {"p": str(i // per)},
+            "stats": {"id": [i * 1000, i * 1000 + 999]},
+        }
+        for i in range(n)
+    ]
+    work = tempfile.mkdtemp(prefix="manifest_bench_")
+
+    mono_path = os.path.join(work, "mono.json")
+    with open(mono_path, "w") as f:
+        json.dump({"files": entries}, f)
+    mono_bytes = os.path.getsize(mono_path)
+
+    parts_meta = []
+    for summary, chunk in T._split_entries(entries):
+        ref = f"m-{len(parts_meta):04d}.json"
+        with open(os.path.join(work, ref), "w") as f:
+            json.dump({"entries": chunk}, f)
+        parts_meta.append({"ref": ref, **summary})
+    head_path = os.path.join(work, "head.json")
+    with open(head_path, "w") as f:
+        json.dump({"files_parts": parts_meta}, f)
+    head_bytes = os.path.getsize(head_path)
+
+    probe = {"p": "42"}
+
+    def mono_scan():
+        with open(mono_path) as f:
+            m = {"files": json.load(f)["files"]}
+        return T._select_entries(m, probe)
+
+    def parts_scan():
+        with open(head_path) as f:
+            head = json.load(f)
+        kept = T._prune_part_summaries(head["files_parts"], probe, [])
+        files = []
+        for p in kept:
+            with open(os.path.join(work, p["ref"])) as pf:
+                files.extend(json.load(pf)["entries"])
+        return T._select_entries({"files": files}, probe)
+
+    want = sorted(e["path"] for e in mono_scan())
+    got = sorted(e["path"] for e in parts_scan())
+    assert want == got and len(want) == per, (len(want), len(got), per)
+
+    kept_parts = len(T._prune_part_summaries(parts_meta, probe, []))
+    print(
+        json.dumps(
+            {
+                "n_entries": n,
+                "mono_bytes": mono_bytes,
+                "head_bytes_parts_form": head_bytes,
+                "n_parts": len(parts_meta),
+                "parts_loaded_for_probe": kept_parts,
+                "mono_probe_sec": round(_t(mono_scan), 4),
+                "parts_probe_sec": round(_t(parts_scan), 4),
+                "matching_files": len(want),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
