@@ -58,10 +58,13 @@ from pyspark.sql.types import StructType
 
 _SNAPDIR = "_snapshots"
 # commits the STREAM skips because they change no rows: layout
-# maintenance plus metadata-only constraint commits (schema evolution
-# deliberately NOT here — a schema change must fail a running stream,
-# Delta semantics)
-_ROW_PRESERVING_PREFIXES = ("optimize:", "bloom:", "constraint:")
+# maintenance plus metadata-only constraint and partition-spec
+# commits (schema evolution deliberately NOT here — a schema change
+# must fail a running stream, Delta semantics; a partition-spec change
+# alters neither rows nor schema, only future write layout)
+_ROW_PRESERVING_PREFIXES = (
+    "optimize:", "bloom:", "constraint:", "partition-spec:"
+)
 _ROW_PRESERVING = ("compact", "purge")
 
 

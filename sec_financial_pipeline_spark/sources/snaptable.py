@@ -567,26 +567,32 @@ def _files_df(
     from pyspark.sql import functions as F
 
     root = path.rstrip("/")
-    groups: dict[str, list[str]] = {}
-    for e in entries:
-        groups.setdefault(e["base"], []).append(e["path"])
-    if not m.get("partition_cols"):
-        # unpartitioned: ONE scan over every selected file — no per-
-        # commit-group union, so an append-heavy history (many commit
-        # dirs) still plans a single FileScan instead of an N-way union
-        # pinning the manifest schema also serves evolution: files
-        # predating an added column surface it as NULL directly in the
-        # parquet reader (no per-file schema inference at all)
-        parts = [
+    # layout is a PER-ENTRY property, not a head property: under
+    # partition evolution (set_partition_spec) one snapshot holds
+    # files written under different specs — each entry's lifted
+    # partition dict says how ITS file must be read. Hive-laid-out
+    # entries read per commit group under that group's basePath so
+    # Spark re-derives the dir columns; flat entries take ONE
+    # pinned-schema scan (no per-commit-group union, so an
+    # append-heavy unpartitioned history still plans a single
+    # FileScan). Pinning the manifest schema also serves evolution:
+    # files predating an added column surface it as NULL directly in
+    # the parquet reader (no per-file schema inference at all).
+    flat = [e for e in entries if not e.get("partition")]
+    hive = [e for e in entries if e.get("partition")]
+    parts = []
+    if flat:
+        parts.append(
             spark.read.schema(schema).parquet(
-                *sorted(f"{root}/{e['path']}" for e in entries)
+                *sorted(f"{root}/{e['path']}" for e in flat)
             )
-        ]
-    else:
-        parts = []
-        for base in sorted(groups):
-            r = spark.read.option("basePath", f"{root}/{base}")
-            parts.append(r.parquet(*[f"{root}/{p}" for p in sorted(groups[base])]))
+        )
+    groups: dict[str, list[str]] = {}
+    for e in hive:
+        groups.setdefault(e["base"], []).append(e["path"])
+    for base in sorted(groups):
+        r = spark.read.option("basePath", f"{root}/{base}")
+        parts.append(r.parquet(*[f"{root}/{p}" for p in sorted(groups[base])]))
     meta = []
     if with_meta:
         # rel path = qualified URI minus the qualified table root: the
@@ -1834,6 +1840,54 @@ def evolve_schema(
     return base["version"] + 1
 
 
+def set_partition_spec(
+    spark: SparkSession, path: str, new_cols: tuple
+) -> int:
+    """Iceberg-style PARTITION EVOLUTION: change the partition spec for
+    FUTURE writes as a metadata-only commit — zero files rewritten,
+    O(1) regardless of table size. Existing files stay in their
+    original layout; every manifest entry self-describes its own
+    lifted partition values, so reads mix specs transparently
+    (_files_df groups by each entry's actual layout) and
+    ``scan(partitions=...)`` keeps pruning: entries written under the
+    probed spec prune by dir value, entries from other specs are kept
+    (unknown = keep) and the post-scan filter — the probed column is a
+    DATA column in those files — guarantees exactness. A later
+    ``compact``/``optimize_cluster`` rewrites everything under the
+    current spec, converging the layout. ``new_cols=()`` un-partitions
+    future writes.
+
+    At 100 TB this is the operation that saves a full-table rewrite
+    when the query pattern shifts (e.g. daily → hourly partitioning):
+    new data lands in the new layout immediately, old data converges
+    through routine compaction. Iceberg's partition-spec-evolution
+    semantics; Delta requires a full overwriteSchema rewrite here."""
+    from pyspark.sql.types import StructType
+
+    base = _manifest(spark, path, None)
+    schema = StructType.fromJson(json.loads(base["schema"]))
+    names = {f.name for f in schema.fields}
+    for c in new_cols:
+        if c not in names:
+            raise ValueError(
+                f"snaptable: set_partition_spec column '{c}' is not a "
+                f"table column (have {sorted(names)})"
+            )
+    if tuple(base.get("partition_cols", ())) == tuple(new_cols):
+        return base["version"]  # already the active spec: no-op
+    if not _try_commit(
+        spark, path, base["version"] + 1, base["files"], base["schema"],
+        f"partition-spec:{','.join(new_cols)}", base["version"],
+        tuple(new_cols), base.get("stats_cols", ()), base.get("txn", {}),
+        base.get("constraints", {}),
+    ):
+        raise SnapshotConflict(
+            f"snaptable: set_partition_spec at {path} raced a concurrent "
+            f"commit; re-run against the new head"
+        )
+    return base["version"] + 1
+
+
 def _bloom_positions(value, bits: int, k: int) -> list[int]:
     """k bit positions for a value — md5-salted, identical in any
     engine/language (the repo's standard hash family)."""
@@ -2216,7 +2270,7 @@ def change_feed(
         m = _manifest(spark, path, v)
         op = m.get("op", "")
         if _is_row_preserving(op) or op.startswith("constraint:") or \
-                op.startswith("evolve:"):
+                op.startswith("evolve:") or op.startswith("partition-spec:"):
             continue
         if op in ("create", "append"):
             if v == 1:
