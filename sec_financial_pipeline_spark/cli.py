@@ -449,6 +449,16 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
         m = T._manifest(spark, args.table, None)
         return {"table": args.table,
                 "constraints": m.get("constraints", {})}
+    if args.snap_cmd == "spec":
+        pcols = tuple(c for c in args.partition_by.split(",") if c)
+        v = T.set_partition_spec(spark, args.table, pcols)
+        return {"table": args.table, "version": v,
+                "op": f"partition-spec:{','.join(pcols)}"}
+    if args.snap_cmd == "convert":
+        pcols = tuple(c for c in args.partition_by.split(",") if c)
+        v = T.convert_in_place(spark, args.table, partition_cols=pcols)
+        return {"table": args.table, "version": v, "op": "convert",
+                "rows": T.read(spark, args.table, version=v).count()}
     if args.snap_cmd == "compact":
         v = T.compact(spark, args.table, target_files=args.target_files)
         return {"table": args.table, "version": v, "op": "compact"}
@@ -855,6 +865,26 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     scd.add_argument("--name", required=True)
     scl = scon_sub.add_parser("list")
     scl.add_argument("--table", required=True)
+    ssp = snap_sub.add_parser(
+        "spec",
+        help="partition evolution: set the spec for FUTURE writes "
+        "(metadata-only commit; existing files keep their layout)",
+    )
+    ssp.add_argument("--table", required=True)
+    ssp.add_argument(
+        "--partition-by", default="",
+        help="comma-separated columns; empty un-partitions future writes",
+    )
+    scv = snap_sub.add_parser(
+        "convert",
+        help="register an existing parquet dir as a snaptable IN PLACE "
+        "(zero rewrite; CONVERT TO DELTA analog)",
+    )
+    scv.add_argument("--table", required=True, help="the parquet dir itself")
+    scv.add_argument(
+        "--partition-by", default="",
+        help="comma-separated Hive partition columns of the existing layout",
+    )
     sc = snap_sub.add_parser("compact")
     sc.add_argument("--table", required=True)
     sc.add_argument("--target-files", type=int, default=1)

@@ -591,7 +591,9 @@ def _files_df(
     for e in hive:
         groups.setdefault(e["base"], []).append(e["path"])
     for base in sorted(groups):
-        r = spark.read.option("basePath", f"{root}/{base}")
+        # base == "" is a converted-in-place group: its basePath is the
+        # table root itself (original Hive dirs sit directly under it)
+        r = spark.read.option("basePath", f"{root}/{base}".rstrip("/"))
         parts.append(r.parquet(*[f"{root}/{p}" for p in sorted(groups[base])]))
     meta = []
     if with_meta:
@@ -1838,6 +1840,120 @@ def evolve_schema(
             f"commit; re-run against the new head"
         )
     return base["version"] + 1
+
+
+def convert_in_place(
+    spark: SparkSession,
+    path: str,
+    partition_cols: tuple = (),
+    stats_cols: list[str] | None = None,
+    schema=None,
+) -> int:
+    """CONVERT-TO-DELTA analog: register an existing parquet directory
+    as a snaptable IN PLACE — zero bytes rewritten, metadata-only. The
+    version-1 manifest references the original files where they sit
+    (``base=""``: one basePath group rooted at the table, so Hive dirs
+    keep deriving partition columns); stats lift from the parquet
+    footers, partition values lift (Hive-unescaped) from dir names.
+    At 100 TB this is the on-ramp: an existing parquet lake gains
+    atomic commits, time travel, DML, and pruned scans without a
+    rewrite — new writes land under ``data/`` beside the originals.
+
+    The original files are NEVER physically deleted by vacuum (it
+    walks only ``data/``) — deliberately: they predate the table and
+    may have outside readers. Reclaim their space by rewriting
+    (``compact``/``optimize_cluster``) and then removing the original
+    dirs yourself once no retained version references them
+    (``files_df`` shows what each version still needs).
+
+    Mirrors the reference's adoption path of serving from existing
+    parquet snapshots without re-ingest (SURVEY.md §2.1: the parquet
+    store IS the source of truth)."""
+    spark_path = path.rstrip("/")
+    if versions(spark, path):
+        raise FileExistsError(f"snaptable: table already exists at {path}")
+    fs, Path = _hadoop_fs(spark, path)
+    if not fs.exists(Path(spark_path)):
+        raise FileNotFoundError(f"snaptable: nothing to convert at {path}")
+    import os as _os_mod
+
+    reserved = (_SNAPDIR, _DATADIR, _DVDIR, _CDFDIR)
+    rels = []
+    it = fs.listFiles(Path(spark_path), True)
+    qroot = fs.makeQualified(Path(spark_path)).toString().rstrip("/")
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        if not p.endswith(".parquet") or not p.startswith(qroot + "/"):
+            continue
+        rel = p[len(qroot) + 1 :]
+        if rel.split("/", 1)[0] in reserved:
+            raise ValueError(
+                f"snaptable: convert_in_place found files under reserved "
+                f"dir '{rel.split('/', 1)[0]}' at {path}"
+            )
+        rels.append(rel)
+    if not rels:
+        raise FileNotFoundError(f"snaptable: no parquet files under {path}")
+    want = set(partition_cols)
+    entries = []
+    for rel in sorted(rels):
+        partition = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                partition[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else _unquote_hive(v)
+                )
+        if set(partition) != want:
+            hint = (
+                f"pass partition_cols={sorted(set(partition))}"
+                if partition
+                else "the file is not Hive-partitioned"
+            )
+            raise ValueError(
+                f"snaptable: convert_in_place file '{rel}' has partition "
+                f"dirs {sorted(partition)} but partition_cols is "
+                f"{sorted(want)} — {hint}"
+            )
+        entries.append({"path": rel, "base": "", "partition": partition})
+    if schema is None:
+        # mergeSchema unions heterogeneous file footers; note partition
+        # column TYPES are Spark's dir-string inference (ints come back
+        # INT even if the writer's column was LONG — Hive layout drops
+        # the logical type). Pass ``schema`` (StructType or DDL string)
+        # to pin the intended types instead.
+        reader = spark.read.option("mergeSchema", "true")
+        if partition_cols:
+            reader = reader.option("basePath", spark_path)
+        schema = reader.parquet(
+            *[f"{spark_path}/{e['path']}" for e in entries]
+        ).schema
+    elif isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if stats_cols is None:
+        prim = ("byte", "short", "integer", "long", "float", "double", "string")
+        stats_cols = [
+            f.name
+            for f in schema.fields
+            if f.dataType.typeName() in prim and f.name not in partition_cols
+        ]
+    for e in entries:
+        local = _os_mod.path.join(path, e["path"])
+        e["stats"] = (
+            _file_stats(local, stats_cols)
+            if stats_cols and _os_mod.path.exists(local)
+            else {}
+        )
+    if not _try_commit(
+        spark, path, 1, entries, schema.json(), "convert", None,
+        tuple(partition_cols), stats_cols, {}, {},
+    ):
+        raise SnapshotConflict(f"snaptable: concurrent create at {path}")
+    return 1
 
 
 def set_partition_spec(

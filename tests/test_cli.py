@@ -374,6 +374,37 @@ def test_snap_lifecycle_via_cli(tmp_path, capsys, spark):
                for e in T._manifest(spark, table, None)["files"])
 
 
+def test_snap_convert_and_spec_via_cli(tmp_path, capsys, spark):
+    """snap convert registers an existing parquet dir in place; snap
+    spec evolves the partition spec for future writes."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    lake = str(tmp_path / "lake")
+    # p as INT: Hive dir-string inference types partition cols int
+    spark.range(30).select(
+        "id", (F.col("id") % 3).cast("int").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    ).write.partitionBy("p").parquet(lake)
+    res = _run(capsys, spark, ["snap", "convert", "--table", lake,
+                               "--partition-by", "p"])
+    assert res["version"] == 1 and res["rows"] == 30
+    res = _run(capsys, spark, ["snap", "spec", "--table", lake,
+                               "--partition-by", "v"])
+    assert res["version"] == 2 and res["op"] == "partition-spec:v"
+    data = str(tmp_path / "d")
+    spark.range(30, 40).select(
+        "id", (F.col("id") % 3).cast("int").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    ).write.parquet(data)
+    _run(capsys, spark, ["snap", "append", "--table", lake, "--data", data])
+    assert T.read(spark, lake).count() == 40
+    specs = {frozenset(e.get("partition", {}))
+             for e in T._manifest(spark, lake, None)["files"]}
+    assert specs == {frozenset({"p"}), frozenset({"v"})}
+
+
 def test_snap_changes_via_cli(tmp_path, capsys, spark):
     from pyspark.sql import functions as F
 
