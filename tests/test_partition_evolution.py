@@ -130,6 +130,34 @@ def test_validation_noop_and_time_travel(spark, tmp_path):
     assert _got(spark, path) == _expected(0, 20)
 
 
+def test_update_partition_column_after_respec(spark, tmp_path):
+    """Directed worst case: evolve to partition on v, then UPDATE v
+    itself — rewritten rows must land in their NEW partition dirs and
+    reads stay exact across the mixed layout; a rollback then restores
+    the pre-update contents."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 30), path)
+    T.set_partition_spec(spark, path, ("v",))
+    T.append(_mk(spark, 30, 40), path)
+    v_before = T._manifest(spark, path, None)["version"]
+    T.update_where(spark, path, "id % 10 = 0", {"v": "v + 1"})
+    want = {
+        i: i * 7 + (1 if i % 10 == 0 else 0) for i in range(40)
+    }
+    assert {r.id: r.v for r in T.read(spark, path).collect()} == want
+    # updated rows live under their new v= dirs
+    m = T._manifest(spark, path, None)
+    moved = [
+        e for e in m["files"]
+        if e.get("partition", {}).get("v") in {"1", "71", "141", "211"}
+    ]
+    assert moved
+    T.rollback(spark, path, to_version=v_before)
+    assert {r.id: r.v for r in T.read(spark, path).collect()} == {
+        i: i * 7 for i in range(40)
+    }
+
+
 def test_spec_commit_is_metadata_only_for_feeds(spark, tmp_path):
     path = str(tmp_path / "t")
     T.create(_mk(spark, 0, 20), path)

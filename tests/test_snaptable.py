@@ -256,7 +256,8 @@ from hypothesis import given, settings, strategies as st  # noqa: E402
 _OPS = st.lists(
     st.sampled_from(
         ["append", "delete_mod3", "compact", "rollback_first", "merge",
-         "optimize", "delete_dv", "update", "purge", "merge_clause"]
+         "optimize", "delete_dv", "update", "purge", "merge_clause",
+         "respec"]
     ),
     min_size=1,
     max_size=6,
@@ -319,6 +320,14 @@ def test_snaptable_matches_python_model(spark, ops):
             }
         elif op == "purge":
             v = T.purge_deletes(spark, path)  # no-op when DV-free
+        elif op == "respec":
+            # partition evolution mid-sequence: rows unchanged, every
+            # later write lands under the flipped spec — subsequent
+            # DML/compact/rollback must stay exact over mixed layouts
+            cur = tuple(
+                T._manifest(spark, path, None).get("partition_cols", ())
+            )
+            v = T.set_partition_spec(spark, path, () if cur else ("v",))
         elif op == "merge_clause":
             targets = sorted(rows)[:2]
             src = spark.createDataFrame(
