@@ -656,9 +656,25 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "columns": T.read(spark, args.table).columns,
         }
     if args.snap_cmd == "optimize":
+        prune = {}
+        if args.partition:
+            parts = {}
+            for kv in args.partition:
+                if "=" not in kv:
+                    raise SystemExit(
+                        f"snap optimize --partition needs COL=VALUE, got {kv!r}"
+                    )
+                k, val = kv.split("=", 1)
+                parts[k] = val
+            prune["partitions"] = parts
+        if args.between:
+            prune["between"] = [
+                (c, float(lo), float(hi)) for c, lo, hi in args.between
+            ]
         v = T.optimize_cluster(
             spark, args.table, cols=args.cols.split(","),
             target_files=args.target_files,
+            prune=prune or None,
         )
         m = T._manifest(spark, args.table, None)
         return {
@@ -666,6 +682,7 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "version": v,
             "op": "optimize",
             "zorder_by": args.cols,
+            "scoped": bool(prune),
             "files": len(m["files"]),
         }
     if args.snap_cmd == "changes":
@@ -978,6 +995,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     so.add_argument("--table", required=True)
     so.add_argument("--cols", required=True, help="comma-separated numeric cols")
     so.add_argument("--target-files", type=int, default=16)
+    so.add_argument(
+        "--partition", action="append", default=[], metavar="COL=VALUE",
+        help="scope the rewrite to matching files (OPTIMIZE ... WHERE; "
+        "repeatable); unscoped rewrites the whole snapshot",
+    )
+    so.add_argument(
+        "--between", nargs=3, action="append", metavar=("COL", "LO", "HI"),
+        help="scope the rewrite to files whose footer range intersects "
+        "(repeatable)",
+    )
     sch = snap_sub.add_parser(
         "changes",
         help="row-level change feed between two versions (insert/delete "

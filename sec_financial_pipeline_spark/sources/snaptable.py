@@ -2164,6 +2164,7 @@ def optimize_cluster(
     cols: list[str],
     target_files: int = 16,
     bits: int | None = None,
+    prune: dict | None = None,
 ) -> int:
     """Z-order clustering as a commit (Delta's ``OPTIMIZE ... ZORDER
     BY`` analog): rewrite the snapshot with rows ordered along a
@@ -2185,7 +2186,19 @@ def optimize_cluster(
 
     ``cols`` must be numeric and among the table's ``stats_cols``
     (skipping runs on footer stats; clustering a column without stats
-    would order the data and then skip nothing)."""
+    would order the data and then skip nothing).
+
+    ``prune`` scopes the rewrite (Delta's ``OPTIMIZE ... WHERE``):
+    scan()-style hints ({"partitions": ..., "between": ..., "point":
+    ...}) select which FILES to re-cluster; everything else carries by
+    reference, untouched. At 100 TB this is the only way OPTIMIZE is
+    ever run — cluster the partition that just closed, not the table.
+    The hint is a file selector, not a row filter, so the usual
+    over-approximation is harmless here too: a loosely-matching hint
+    rewrites a few extra files, never loses a row (rows in = rows
+    out; the commit stays an ``optimize:`` row-preserving op).
+    ``target_files`` then applies to the SCOPED subset. An empty
+    selection is a no-op returning the current version."""
     from pyspark.sql import functions as F
 
     base = _manifest(spark, path, None)
@@ -2197,7 +2210,19 @@ def optimize_cluster(
             f"table's stats_cols {stats_cols} — files would be clustered "
             f"but carry no min/max to skip on"
         )
-    df = _df_for(spark, path, base)
+    cand = _pruned_candidates(base, prune)
+    if not cand:
+        return base["version"]  # nothing selected: no-op
+    carried = (
+        []
+        if len(cand) == len(base["files"])
+        else [
+            e
+            for e in base["files"]
+            if e["path"] not in {c["path"] for c in cand}
+        ]
+    )
+    df = _df_for(spark, path, base, cand)
     bad = [c for c in cols if df.schema[c].dataType.typeName() not in _NUMERIC]
     if bad:
         raise ValueError(
@@ -2238,7 +2263,10 @@ def optimize_cluster(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    return _rewrite_commit(spark, path, kept, f"optimize:{','.join(cols)}", base)
+    op = f"optimize:{','.join(cols)}"
+    if carried:
+        return _partial_rewrite_commit(spark, path, kept, carried, op, base)
+    return _rewrite_commit(spark, path, kept, op, base)
 
 
 def _version_delta(

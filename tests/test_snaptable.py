@@ -243,6 +243,47 @@ def test_partitioned_delete_and_compact_keep_layout(spark, tmp_path):
     ]
 
 
+def test_scoped_optimize_rewrites_only_selected_files(spark, tmp_path):
+    """OPTIMIZE ... WHERE: the prune hint selects which files to
+    re-cluster; everything else carries by reference (entry identity
+    preserved), rows are bit-identical, and the scoped subset gains
+    the z-order skipping property."""
+    path = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        "id",
+        (F.col("id") % 2).alias("p"),
+        ((F.col("id") * 37) % 1000).alias("a"),
+        ((F.col("id") * 91) % 1000).alias("b"),
+    )
+    T.create(df.repartition(8), path, partition_cols=("p",))
+    before = T._manifest(spark, path, None)
+    keep_paths = {
+        e["path"] for e in before["files"] if e["partition"]["p"] != "1"
+    }
+    v = T.optimize_cluster(
+        spark, path, ["a", "b"], target_files=4,
+        prune={"partitions": {"p": 1}},
+    )
+    after = T._manifest(spark, path, v)
+    # p=0 files carried byte-identically (same entries), p=1 rewritten
+    assert keep_paths < {e["path"] for e in after["files"]}
+    rewritten = [
+        e for e in after["files"] if e["path"] not in keep_paths
+    ]
+    assert all(e["partition"]["p"] == "1" for e in rewritten)
+    got = sorted((r.id, r.a, r.b) for r in T.read(spark, path).collect())
+    assert got == sorted(
+        (i, (i * 37) % 1000, (i * 91) % 1000) for i in range(4000)
+    )
+    # the scoped files now skip on a range probe within p=1
+    kept = T._select_entries(after, {"p": 1}, between=("a", 0, 99))
+    assert len(kept) < len(rewritten)
+    # empty selection is a version-preserving no-op
+    assert T.optimize_cluster(
+        spark, path, ["a"], prune={"partitions": {"p": 99}}
+    ) == v
+
+
 # ---------------------------------------------------------------------------
 # Model-based: random op sequences vs a pure-Python model of the table.
 # Every commit's read() must equal the model; every retained version
