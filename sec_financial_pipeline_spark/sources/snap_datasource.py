@@ -254,7 +254,17 @@ class SnaptableDataSource(DataSource):
 
         path = self._path()
         v = self.options.get("version")
-        m = _manifest(path, int(v) if v is not None else _head_version(path))
+        ts = self.options.get("timestampAsOf")
+        if v is not None:
+            ver = int(v)
+        elif ts is not None:
+            # time travel must also pin the SCHEMA of that instant —
+            # reading a pre-evolution version under the head schema
+            # would invent NULL columns the snapshot never had
+            ver = _version_at(path, ts)
+        else:
+            ver = _head_version(path)
+        m = _manifest(path, ver)
         schema = StructType.fromJson(json.loads(m["schema"]))
         if self._cdf():
             schema = StructType(
@@ -279,12 +289,53 @@ class SnaptableDataSource(DataSource):
         return SnapStreamWriter(self._path(), self.options, schema)
 
 
+def _version_at(path: str, as_of) -> int:
+    """Session-free TIMESTAMP AS OF resolution: latest version with
+    ``committed_at <= as_of`` (same semantics as snaptable.version_at
+    — whole-second commit times, ties to the highest version)."""
+    import datetime as _dt
+
+    try:
+        ts = float(as_of)  # options arrive as strings: epoch seconds
+    except (TypeError, ValueError):
+        s = str(as_of).replace("T", " ")
+        fmt = "%Y-%m-%d %H:%M:%S" if " " in s else "%Y-%m-%d"
+        ts = (
+            _dt.datetime.strptime(s, fmt)
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
+        )
+    best = None
+    for v in _versions(path):
+        fpath = os.path.join(path, _SNAPDIR, f"v{v:012d}.json")
+        with open(fpath, "r", encoding="utf-8") as f:
+            m = json.load(f)
+        if m.get("committed_at", 0) <= ts:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"snaptable source: no retained version at {path} committed "
+            f"at or before {as_of!r}"
+        )
+    return best
+
+
 class SnapBatchReader(DataSourceReader):
     def __init__(self, path: str, options, schema: StructType):
         self.path = path
         self.schema = schema
         v = options.get("version")
-        self.version = int(v) if v is not None else None
+        ts = options.get("timestampAsOf")
+        if v is not None and ts is not None:
+            raise ValueError(
+                "snaptable source: pass option 'version' OR "
+                "'timestampAsOf', not both"
+            )
+        self.version = (
+            int(v)
+            if v is not None
+            else (_version_at(path, ts) if ts is not None else None)
+        )
         self._part_probe: dict = {}
         self._ranges: list = []
         self._points: list = []

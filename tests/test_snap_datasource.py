@@ -473,3 +473,37 @@ def test_read_change_feed_fails_without_sidecar(snapds, tmp_path):
             .trigger(availableNow=True).start()
         )
         q.awaitTermination(120)
+
+
+def test_timestamp_as_of_batch_read(snapds, tmp_path):
+    """Delta's TIMESTAMP AS OF on the datasource surface: resolve the
+    version current at the instant, including its SCHEMA (a
+    pre-evolution snapshot must not surface post-evolution columns)."""
+    import time as _time
+
+    path = str(tmp_path / "t")
+    T.create(_mk(snapds, 0, 10), path)
+    t1 = T._manifest(snapds, path, 1)["committed_at"]
+    _time.sleep(1.1)
+    T.evolve_schema(snapds, path, [("score", "double")])
+    T.append(
+        _mk(snapds, 10, 20).withColumn("score", F.lit(0.5)), path
+    )
+    old = (
+        snapds.read.format("snaptable")
+        .option("timestampAsOf", str(t1)).load(path)
+    )
+    assert old.count() == 10 and "score" not in old.columns
+    head = snapds.read.format("snaptable").load(path)
+    assert head.count() == 20 and "score" in head.columns
+    with pytest.raises(Exception, match="not both"):
+        (
+            snapds.read.format("snaptable")
+            .option("timestampAsOf", str(t1)).option("version", "1")
+            .load(path).count()
+        )
+    with pytest.raises(Exception, match="at or before"):
+        (
+            snapds.read.format("snaptable")
+            .option("timestampAsOf", "2001-01-01").load(path).count()
+        )

@@ -1777,7 +1777,7 @@ def test_snaptable_storm_with_cow_dv_merge_maintenance(spark, tmp_path):
 
     path = str(tmp_path / "t")
     T.create(_mk(spark, 0, 100), path)
-    barrier = threading.Barrier(6)
+    barrier = threading.Barrier(7)
     errors: list = []
 
     def with_retry(fn, attempts=40):
@@ -1827,10 +1827,18 @@ def test_snaptable_storm_with_cow_dv_merge_maintenance(spark, tmp_path):
                 pass
             _time.sleep(0.1)
 
+    def respecer():
+        # partition evolution racing the DML storm: a spec flip is a
+        # plain commit (conflicts surface, retry wins), later writes
+        # land under whatever spec is current — reads stay exact over
+        # the resulting layout mix
+        with_retry(lambda: T.set_partition_spec(spark, path, ("v",)))
+        with_retry(lambda: T.set_partition_spec(spark, path, ()))
+
     threads = [
         threading.Thread(target=run(f))
         for f in (appender, cow_deleter, dv_deleter, merger, maintainer,
-                  maintainer)
+                  maintainer, respecer)
     ]
     for t in threads:
         t.start()
