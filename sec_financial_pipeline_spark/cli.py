@@ -530,7 +530,8 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "table": args.table,
             "version": m["version"],
             "op": m.get("op"),
-            "rows": T.read(spark, args.table, version=m["version"]).count(),
+            # metadata-only where entries carry footer counts; exact
+            "rows": T.count_rows(spark, args.table, version=m["version"]),
             "n_files": len(m["files"]),
             "total_bytes": int(total_bytes),
             "files_per_partition": per_partition,

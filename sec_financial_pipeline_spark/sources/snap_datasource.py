@@ -690,7 +690,8 @@ def _commit_files(
     kernel-atomic race the JVM path uses locally."""
     new_files = sorted(
         (
-            {"path": m.rel, "base": m.base, "partition": {}, "stats": m.stats}
+            {"path": m.rel, "base": m.base, "partition": {},
+             "stats": m.stats, "rows": m.rows}
             for m in messages
             if m is not None and m.rel is not None
         ),

@@ -259,17 +259,23 @@ def _prune_part_summaries(
 
 
 def _file_stats(local_file: str, cols: list[str]) -> dict:
-    """Per-file [min, max] for ``cols`` out of the parquet FOOTER
-    (pyarrow; the bytes are already there — no data read). Local
-    filesystems only; remote stores return {} and simply don't skip.
-    At cluster scale the same numbers come from a tiny Spark job over
-    the fresh files, or from real Delta's stats collection."""
+    return _footer_meta(local_file, cols)[0]
+
+
+def _footer_meta(
+    local_file: str, cols: list[str]
+) -> tuple[dict, int | None]:
+    """Per-file ([min, max] for ``cols``, row count) out of the parquet
+    FOOTER (pyarrow; the bytes are already there — no data read). Local
+    filesystems only; remote stores return ({}, None) and simply don't
+    skip. At cluster scale the same numbers come from a tiny Spark job
+    over the fresh files, or from real Delta's stats collection."""
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(local_file).metadata
     except Exception:
-        return {}
+        return {}, None
     out: dict = {}
     # A column whose stats are missing/unusable in ANY row group must
     # be dropped from the file's entry entirely: merging only the row
@@ -307,7 +313,7 @@ def _file_stats(local_file: str, cols: list[str]) -> dict:
                 out[name] = [mn, mx]
     for name in incomplete:
         out.pop(name, None)
-    return out
+    return out, md.num_rows
 
 
 def _unquote_hive(v: str) -> str:
@@ -378,14 +384,19 @@ def _write_files(
                 )
         rel = f"{rel_dir}/{tail}"
         local = _os_mod.path.join(path, rel)
-        stats = (
-            _file_stats(local, stats_cols)
-            if stats_cols and _os_mod.path.exists(local)
-            else {}
+        stats, rows = (
+            _footer_meta(local, stats_cols or [])
+            if _os_mod.path.exists(local)
+            else ({}, None)
         )
-        entries.append(
-            {"path": rel, "base": rel_dir, "partition": partition, "stats": stats}
-        )
+        entry = {
+            "path": rel, "base": rel_dir, "partition": partition,
+            "stats": stats,
+        }
+        if rows is not None:
+            # footer row count -> metadata-only COUNT(*) (count_rows)
+            entry["rows"] = rows
+        entries.append(entry)
     return sorted(entries, key=lambda e: e["path"])
 
 
@@ -1943,11 +1954,14 @@ def convert_in_place(
         ]
     for e in entries:
         local = _os_mod.path.join(path, e["path"])
-        e["stats"] = (
-            _file_stats(local, stats_cols)
-            if stats_cols and _os_mod.path.exists(local)
-            else {}
+        stats, rows = (
+            _footer_meta(local, stats_cols or [])
+            if _os_mod.path.exists(local)
+            else ({}, None)
         )
+        e["stats"] = stats
+        if rows is not None:
+            e["rows"] = rows
     if not _try_commit(
         spark, path, 1, entries, schema.json(), "convert", None,
         tuple(partition_cols), stats_cols, {}, {},
@@ -2536,6 +2550,27 @@ def files_df(
         "path string, base string, partition string, stats string, "
         "dv array<string>, bloom_cols array<string>",
     )
+
+
+def count_rows(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """COUNT(*) from manifest metadata where possible (Delta's
+    stats-based count): entries carrying a footer ``rows`` count and no
+    deletion vector sum driver-side with ZERO files opened — at 100 TB
+    a table count is a metadata lookup, not a scan. Entries that can't
+    be counted from metadata (DV'd files — their sidecars may hold
+    positions for since-rewritten files, so sidecar row counts
+    over-subtract; or entries from writers that recorded no count)
+    fall back to one Spark count over JUST those entries. Always
+    exact; metadata-only in the common case."""
+    m = _manifest(spark, path, version)
+    meta = [e for e in m["files"] if "rows" in e and not e.get("dv")]
+    rest = [e for e in m["files"] if "rows" not in e or e.get("dv")]
+    total = sum(e["rows"] for e in meta)
+    if rest:
+        total += _df_for(spark, path, m, rest).count()
+    return total
 
 
 def clone(

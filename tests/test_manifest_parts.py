@@ -207,6 +207,9 @@ def test_datasource_writer_splits(spark, tmp_path, small_split):
     )
     raw = _head_raw(path)
     assert "files_parts" in raw
+    # datasource-written entries carry exact row counts (count_rows
+    # stays metadata-only across writer surfaces)
+    assert T.count_rows(spark, path) == 50
     got = sorted(
         r.v for r in spark.read.format("snaptable").load(path).collect()
     )

@@ -243,6 +243,58 @@ def test_partitioned_delete_and_compact_keep_layout(spark, tmp_path):
     ]
 
 
+def test_count_rows_metadata_only_and_fallback(spark, tmp_path):
+    """count_rows: exact always; metadata-only (zero files opened) when
+    every entry carries a footer row count and no DV. DV entries fall
+    back to a scan of just those entries — sidecar row counts may
+    include positions for since-rewritten files, so they are never
+    trusted arithmetically."""
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+    m = T._manifest(spark, path, None)
+    assert all("rows" in e for e in m["files"])
+    assert sum(e["rows"] for e in m["files"]) == 100
+    assert T.count_rows(spark, path) == 100
+    # COW delete: rewritten entries carry fresh counts, still metadata
+    T.delete_where(spark, path, "id < 10")
+    assert T.count_rows(spark, path) == 90
+    assert all(
+        "rows" in e and not e.get("dv")
+        for e in T._manifest(spark, path, None)["files"]
+    )
+    # DV delete: affected entries fall back to a scan, count stays exact
+    T.delete_where(spark, path, "id % 7 = 0", mode="dv")
+    expect = sum(1 for i in range(10, 100) if i % 7 != 0)
+    assert T.count_rows(spark, path) == expect
+    # purge rewrites the DV'd files: metadata-only again
+    T.purge_deletes(spark, path)
+    m2 = T._manifest(spark, path, None)
+    assert all("rows" in e and not e.get("dv") for e in m2["files"])
+    assert sum(e["rows"] for e in m2["files"]) == expect
+    # time travel counts the historical snapshot
+    assert T.count_rows(spark, path, version=1) == 100
+    # simulated legacy entry (no recorded count): fallback path, exact
+    legacy = dict(m2)
+    legacy["files"] = [
+        {k: v for k, v in e.items() if k != "rows"} for e in m2["files"]
+    ]
+    meta = [e for e in legacy["files"] if "rows" in e]
+    assert not meta
+    got = T._df_for(spark, path, legacy).count()
+    assert got == expect
+
+
+def test_count_rows_on_converted_table(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    spark.range(77).select("id", (F.col("id") * 2).alias("v")).write.parquet(
+        path
+    )
+    T.convert_in_place(spark, path)
+    m = T._manifest(spark, path, None)
+    assert all("rows" in e for e in m["files"])
+    assert T.count_rows(spark, path) == 77
+
+
 def test_scoped_optimize_rewrites_only_selected_files(spark, tmp_path):
     """OPTIMIZE ... WHERE: the prune hint selects which files to
     re-cluster; everything else carries by reference (entry identity
