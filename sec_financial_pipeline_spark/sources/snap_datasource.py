@@ -88,22 +88,36 @@ def _versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def _manifest(path: str, version: int) -> dict:
+def _raw_manifest(path: str, version: int) -> dict:
+    """Version JSON as-is: parts NOT materialized (the manifest-list
+    head is tiny; loading parts is the expensive half a pruned read
+    can skip)."""
     fpath = os.path.join(path, _SNAPDIR, f"v{version:012d}.json")
     with open(fpath, "r", encoding="utf-8") as f:
         m = json.load(f)
     m["version"] = version
+    return m
+
+
+def _load_parts(path: str, refs) -> list[dict]:
+    files: list[dict] = []
+    for ref in refs:
+        with open(
+            os.path.join(path, _SNAPDIR, ref), "r", encoding="utf-8"
+        ) as pf:
+            files.extend(json.load(pf)["entries"])
+    return files
+
+
+def _manifest(path: str, version: int) -> dict:
+    m = _raw_manifest(path, version)
     if "files" not in m:
         # manifest-list form (snaptable._SPLIT_THRESHOLD exceeded):
         # materialize the referenced parts — session-free local reads,
         # same dict shape as the inline form afterwards.
-        files: list[dict] = []
-        for p in m.get("files_parts", []):
-            with open(
-                os.path.join(path, _SNAPDIR, p["ref"]), "r", encoding="utf-8"
-            ) as pf:
-                files.extend(json.load(pf)["entries"])
-        m["files"] = files
+        m["files"] = _load_parts(
+            path, [p["ref"] for p in m.get("files_parts", [])]
+        )
     return m
 
 
@@ -357,7 +371,9 @@ class SnapBatchReader(DataSourceReader):
             LessThanOrEqual,
         )
 
-        m = self._m()
+        # head only — partition_cols lives in the version JSON; no
+        # reason to materialize manifest-list parts here
+        m = _raw_manifest(self.path, self._ver())
         pcols = set(m.get("partition_cols", []) or [])
         for f in filters:
             attr = getattr(f, "attribute", ())
@@ -379,21 +395,34 @@ class SnapBatchReader(DataSourceReader):
                     self._ranges.append((col, float("-inf"), v))
         return filters  # ALL residual: Spark re-applies exactly
 
-    def _m(self) -> dict:
-        return _manifest(
-            self.path,
+    def _ver(self) -> int:
+        return (
             self.version
             if self.version is not None
-            else _head_version(self.path),
+            else _head_version(self.path)
         )
+
+    def _m(self) -> dict:
+        return _manifest(self.path, self._ver())
 
     def partitions(self) -> Sequence[InputPartition]:
         from sec_financial_pipeline_spark.sources.snaptable import (
             _bloom_rules_out,
+            _prune_part_summaries,
             _select_entries,
         )
 
-        m = self._m()
+        m = _raw_manifest(self.path, self._ver())
+        if "files" not in m:
+            # manifest-list fast path, mirrored from the native scan:
+            # prune parts by summary with the pushed filters BEFORE
+            # loading any; _select_entries then re-checks per entry
+            kept = _prune_part_summaries(
+                m.get("files_parts", []),
+                self._part_probe or None,
+                self._ranges or [],
+            )
+            m["files"] = _load_parts(self.path, [p["ref"] for p in kept])
         entries = _select_entries(
             m,
             self._part_probe or None,

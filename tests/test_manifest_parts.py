@@ -216,3 +216,19 @@ def test_datasource_writer_splits(spark, tmp_path, small_split):
     assert got == [2 * i for i in range(50)]
     # and the JVM-native reader agrees
     assert T.read(spark, path).count() == 50
+
+
+def test_datasource_pushdown_over_parts_table(spark, tmp_path, small_split):
+    """The interop reader mirrors the native scan's manifest-list fast
+    path: pushed filters prune part summaries before any part loads,
+    and Spark's residual re-apply keeps results exact."""
+    register_snaptable_source(spark)
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, n=120, parts=6), path, partition_cols=("p",))
+    assert "files_parts" in _head_raw(path)
+    df = spark.read.format("snaptable").load(path).filter("p = 2")
+    got = sorted(r.id for r in df.collect())
+    assert got == [i for i in range(120) if i % 6 == 2]
+    # range pushdown over footer stats, same table
+    df2 = spark.read.format("snaptable").load(path).filter("id < 10")
+    assert sorted(r.id for r in df2.collect()) == list(range(10))
