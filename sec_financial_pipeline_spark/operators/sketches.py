@@ -251,3 +251,123 @@ def cms_lookup(
         .groupBy(key)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR log-bucket quantile histogram (HdrHistogram, Gil Tene) — mergeable
+# quantile estimation completing the sketch family (HLL=distinct,
+# CMS=frequency, KMV=overlap, HDR=quantiles). Bucket id = (bit length of
+# |v|, next sub_bits bits after the MSB): values below 2^(sub_bits+1)
+# map EXACTLY (one value per bucket), larger values land in buckets of
+# relative width 2^-sub_bits — bounded relative error at any scale,
+# which equi-width histograms can't give on skewed data. The whole
+# state is integer (bucket -> count), partial-aggregable, mergeable by
+# count-sum, and bit-identical across engines: bit length comes from
+# length(bin(v)) — the binary-string trick the HLL rho uses — and the
+# sub-bucket from integer shift/mask; no log2, no float anywhere.
+# At 100 TB: state is <= 64 * 2^sub_bits ints per group regardless of
+# input size (vs exact percentile's full sort), and the quantile walk
+# is a driver-side loop over that bounded state.
+# ---------------------------------------------------------------------------
+
+
+def hdr_bucket(col: Column, sub_bits: int = 5) -> Column:
+    """Signed HDR bucket id for an integral column (codegen'd: bin() +
+    shift/mask, no UDF). Negative values mirror to negative buckets so
+    bucket order == value order across the full signed range."""
+    mask = (1 << sub_bits) - 1
+    scale = 1 << sub_bits
+
+    def _pos(c):
+        m = F.length(F.bin(c))
+        shift = F.greatest(m - F.lit(1 + sub_bits), F.lit(0))
+        # call_function: the Python F.shiftright wrapper wants an int
+        # literal; the SQL function takes a column shift
+        shifted = F.call_function("shiftright", c, shift)
+        return (m * scale + shifted.bitwiseAND(F.lit(mask))).cast("long")
+
+    v = col.cast("long")
+    return (
+        F.when(v == 0, F.lit(0).cast("long"))
+        .when(v > 0, _pos(v))
+        .otherwise(-_pos(-v))
+    )
+
+
+def hdr_histogram(
+    df: DataFrame, value: Column | str, by: list[str] | None = None,
+    sub_bits: int = 5,
+) -> DataFrame:
+    """(group..., hdr_bucket, hdr_cnt) — ONE partial-aggregated groupBy;
+    merge two histograms by unioning and re-summing (`hdr_merge`)."""
+    col = F.col(value) if isinstance(value, str) else value
+    keys = list(by or []) + ["hdr_bucket"]
+    return (
+        df.select(*(by or []), hdr_bucket(col, sub_bits).alias("hdr_bucket"))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hdr_cnt"))
+    )
+
+
+def hdr_merge(*hists: DataFrame) -> DataFrame:
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    keys = [c for c in out.columns if c != "hdr_cnt"]
+    return out.groupBy(*keys).agg(
+        F.sum("hdr_cnt").cast("bigint").alias("hdr_cnt")
+    )
+
+
+def hdr_bucket_py(v: int, sub_bits: int = 5) -> int:
+    """Pure-Python mirror of :func:`hdr_bucket` (the witness)."""
+    if v == 0:
+        return 0
+    sign = 1 if v > 0 else -1
+    v = abs(v)
+    m = v.bit_length()
+    shift = max(m - 1 - sub_bits, 0)
+    return sign * (m * (1 << sub_bits) + ((v >> shift) & ((1 << sub_bits) - 1)))
+
+
+def hdr_bounds(bucket: int, sub_bits: int = 5) -> tuple[int, int]:
+    """[lower, upper] value range a bucket covers (inclusive)."""
+    if bucket == 0:
+        return 0, 0
+    sign = 1 if bucket > 0 else -1
+    b = abs(bucket)
+    scale = 1 << sub_bits
+    m, rem = divmod(b, scale)
+    if m <= sub_bits + 1:
+        lo = rem if m <= sub_bits else scale + rem
+        hi = lo
+    else:
+        shift = m - 1 - sub_bits
+        lo = (scale + rem) << shift
+        hi = lo + (1 << shift) - 1
+    return (sign * lo, sign * hi) if sign > 0 else (sign * hi, sign * lo)
+
+
+def hdr_quantiles(
+    buckets: list[tuple[int, int]], qs: list[float], sub_bits: int = 5
+) -> list[int]:
+    """Quantile estimates from collected (bucket, count) state — a
+    driver-side walk over <= 64*2^sub_bits entries. Returns each
+    bucket's LOWER bound; error <= one bucket width (relative
+    2^-sub_bits; exact below 2^(sub_bits+1))."""
+    import math
+
+    ordered = sorted(buckets)
+    total = sum(c for _, c in ordered)
+    out = []
+    for q in qs:
+        rank = max(1, math.ceil(q * total))
+        acc = 0
+        val = None
+        for b, c in ordered:
+            acc += c
+            if acc >= rank:
+                val = hdr_bounds(b, sub_bits)[0]
+                break
+        out.append(val if val is not None else hdr_bounds(ordered[-1][0], sub_bits)[0])
+    return out

@@ -103,6 +103,21 @@ SELECT CAST(est.k AS BIGINT) AS probe_key,
 FROM est LEFT JOIN tru ON est.k = tru.k
 """
 
+#: HDR log-bucket quantile histogram (operators/sketches.py, the
+#: HdrHistogram pattern): bucket = (bit length via bin(), next 5 bits
+#: after the MSB) of price-in-cents — integer state, mergeable by
+#: count-sum, bit-identical across engines (bin()/shift/mask only; the
+#: binary-string trick replaces log2). Bounded relative error 2^-5 at
+#: any scale; the quantile walk is a driver loop over <= 64*32 buckets.
+_HDR_ORACLE = """
+SELECT CAST((length(bin(v)) * 32) +
+            ((v >> greatest(length(bin(v)) - 6, 0)) & 31) AS BIGINT)
+         AS hdr_bucket,
+       CAST(count(*) AS BIGINT) AS hdr_cnt
+FROM (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v FROM lineitem)
+GROUP BY 1
+"""
+
 _SKEW_SCHEMA = [
     ("l_returnflag", "string"),
     ("sum_price", "double"),
@@ -110,6 +125,8 @@ _SKEW_SCHEMA = [
     ("probe_key", "bigint"),
     ("cms_est", "bigint"),
     ("true_cnt", "bigint"),
+    ("hdr_bucket", "bigint"),
+    ("hdr_cnt", "bigint"),
 ]
 
 from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
@@ -147,6 +164,7 @@ def q_cms_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("salted", _SALTED_ORACLE,
              ["l_returnflag", "sum_price", "n_rows"]),
             ("cms", _CMS_ORACLE, ["probe_key", "cms_est", "true_cnt"]),
+            ("hdr", _HDR_ORACLE, ["hdr_bucket", "hdr_cnt"]),
         ],
         _SKEW_SCHEMA,
     ),
@@ -155,7 +173,9 @@ def q_cms_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         " exact-decimal partials make salting invisible) + Count-Min"
         " frequency sketch (Cormode 2005: d=4 x w=256 integer counters,"
         " partial-aggregable, mergeable; one-sided error witnessed by"
-        " true counts)"
+        " true counts) + HDR log-bucket quantile histogram (HdrHistogram:"
+        " bit-length + 5 sub-bits via bin()/shift/mask, integer mergeable"
+        " state, relative error 2^-5; quantiles from bounded state)"
     ),
 )
 def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,10 +194,16 @@ def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = sums.join(counts, "l_returnflag").select(
         "l_returnflag", "sum_price", "n_rows"
     )
+    from sec_financial_pipeline_spark.operators.sketches import hdr_histogram
+
+    hdr = hdr_histogram(
+        li, (F.col("l_extendedprice") * 100).cast("long"), sub_bits=5
+    )
     return _u_sections(
         [
             ("salted", salted),
             ("cms", q_cms_probes(spark, sf_dir)),
+            ("hdr", hdr),
         ],
         _SKEW_SCHEMA,
     )

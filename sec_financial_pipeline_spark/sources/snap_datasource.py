@@ -345,11 +345,15 @@ class SnapBatchReader(DataSourceReader):
                 "snaptable source: pass option 'version' OR "
                 "'timestampAsOf', not both"
             )
-        self.version = (
-            int(v)
-            if v is not None
-            else (_version_at(path, ts) if ts is not None else None)
-        )
+        if v is not None:
+            self.version = int(v)
+        elif ts is not None:
+            self.version = _version_at(path, ts)
+        else:
+            # pin the head ONCE: pushFilters and partitions() must see
+            # the same snapshot, or a commit landing between the two
+            # calls skews the probe against a different file set
+            self.version = _head_version(path)
         self._part_probe: dict = {}
         self._ranges: list = []
         self._points: list = []

@@ -214,3 +214,86 @@ def test_kmv_unsaturated_sets_are_exact(spark):
     assert est.k_used == 50 and est.est_union == 50.0
     assert est.est_jaccard == round(10 / 50, 4)
     assert est.est_intersection == 10.0
+
+
+# ---------------------------------------------------------------------------
+# HDR log-bucket quantile histogram
+# ---------------------------------------------------------------------------
+
+
+def test_hdr_bucket_spark_matches_python_mirror(spark):
+    import random
+
+    random.seed(11)
+    vals = [random.randint(-(10**12), 10**12) for _ in range(2000)] + [
+        0, 1, 2, 31, 32, 33, 63, 64, 65, -1, -32, -64,
+    ]
+    df = spark.createDataFrame([(v,) for v in set(vals)], "v long")
+    got = {
+        r.v: r.b
+        for r in df.select(
+            "v", sketches.hdr_bucket(F.col("v")).alias("b")
+        ).collect()
+    }
+    for v, b in got.items():
+        assert b == sketches.hdr_bucket_py(v), v
+        lo, hi = sketches.hdr_bounds(b)
+        assert lo <= v <= hi, (v, b, lo, hi)
+
+
+def test_hdr_bucket_order_and_exact_small_values():
+    # bucket order == value order; values below 2^6 map one-per-bucket
+    vals = sorted(set(list(range(-80, 81)) + [10**k for k in range(1, 13)]))
+    bs = [sketches.hdr_bucket_py(v) for v in vals]
+    assert bs == sorted(bs)
+    small = [v for v in vals if 0 <= v < 64]
+    assert len({sketches.hdr_bucket_py(v) for v in small}) == len(small)
+    for v in small:
+        assert sketches.hdr_bounds(sketches.hdr_bucket_py(v)) == (v, v)
+
+
+def test_hdr_merge_equals_union(spark):
+    a = spark.range(0, 5000).select((F.col("id") * 37 % 9973).alias("v"))
+    b = spark.range(0, 3000).select((F.col("id") * 91 + 10**6).alias("v"))
+    ha = sketches.hdr_histogram(a, "v")
+    hb = sketches.hdr_histogram(b, "v")
+    merged = {
+        r.hdr_bucket: r.hdr_cnt
+        for r in sketches.hdr_merge(ha, hb).collect()
+    }
+    union = {
+        r.hdr_bucket: r.hdr_cnt
+        for r in sketches.hdr_histogram(a.unionAll(b), "v").collect()
+    }
+    assert merged == union
+
+
+def test_hdr_quantiles_within_relative_bucket_error(spark):
+    # heavy-tailed values — the case equi-width histograms lose
+    vals = [int(1.5**k) + j for k in range(1, 40) for j in range(3)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    state = [
+        (r.hdr_bucket, r.hdr_cnt)
+        for r in sketches.hdr_histogram(df, "v").collect()
+    ]
+    assert len(state) <= 64 * 32  # bounded regardless of input size
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = sketches.hdr_quantiles(state, qs)
+    exact = sorted(vals)
+    for q, e in zip(qs, est):
+        true = exact[min(len(exact) - 1, max(0, math.ceil(q * len(exact)) - 1))]
+        assert e <= true  # lower-bound estimate
+        assert true <= e * (1 + 2 ** -5) + 1, (q, e, true)
+
+
+def test_hdr_partitioning_invariant(spark):
+    vals = [(v,) for v in range(1, 4001)]
+    one = sketches.hdr_histogram(
+        spark.createDataFrame(vals, "v long").coalesce(1), "v"
+    ).collect()
+    many = sketches.hdr_histogram(
+        spark.createDataFrame(vals, "v long").repartition(13), "v"
+    ).collect()
+    assert {(r.hdr_bucket, r.hdr_cnt) for r in one} == {
+        (r.hdr_bucket, r.hdr_cnt) for r in many
+    }
