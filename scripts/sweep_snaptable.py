@@ -177,6 +177,61 @@ def main() -> None:
             f"pre: {pre_files}/32 files {pre:.3f}s -> "
             f"post: {post_files}/32 files {post:.3f}s"
         )
+        # ---- 5. convert_in_place: on-ramp cost is metadata, not data -
+        import time as _time
+
+        lake = f"{work}/lake"
+        li.repartition(16).write.parquet(lake)
+        sizes_before = {
+            e: _os.path.getsize(f"{lake}/{e}")
+            for e in _os.listdir(lake) if e.endswith(".parquet")
+        }
+        t0 = _time.perf_counter()
+        T.convert_in_place(spark, lake)
+        t_conv = _time.perf_counter() - t0
+        sizes_after = {
+            e: _os.path.getsize(f"{lake}/{e}")
+            for e in _os.listdir(lake) if e.endswith(".parquet")
+        }
+        assert sizes_before == sizes_after  # zero bytes moved
+        t0 = _time.perf_counter()
+        full_create = f"{work}/lake_copy"
+        T.create(spark.read.parquet(lake), full_create)
+        t_create = _time.perf_counter() - t0
+        print(
+            f"convert_in_place: rows={li.count()} files=16 "
+            f"convert={t_conv:.3f}s (0 bytes rewritten) vs "
+            f"create-by-copy={t_create:.3f}s "
+            f"({t_create / max(t_conv, 1e-9):.1f}x)"
+        )
+        # ---- 6. scoped OPTIMIZE: rewrite cost O(selected), not O(table)
+        ps = f"{work}/sopt"
+        T.create(
+            li.withColumn("bucket", F.col("l_orderkey") % 8)
+            .repartition(4),  # 4 tasks x 8 Hive dirs -> ~32 files
+            ps, partition_cols=("bucket",),
+        )
+        m = T._manifest(spark, ps, None)
+        n_files_total = len(m["files"])
+        t0 = _time.perf_counter()
+        T.optimize_cluster(
+            spark, ps, ["l_extendedprice"], target_files=4,
+            prune={"partitions": {"bucket": 3}},
+        )
+        t_scoped = _time.perf_counter() - t0
+        m2 = T._manifest(spark, ps, None)
+        carried = len(
+            {e["path"] for e in m["files"]} & {e["path"] for e in m2["files"]}
+        )
+        t0 = _time.perf_counter()
+        T.optimize_cluster(spark, ps, ["l_extendedprice"], target_files=32)
+        t_full = _time.perf_counter() - t0
+        print(
+            f"scoped_optimize: files={n_files_total} "
+            f"scoped(bucket=3)={t_scoped:.3f}s carried_untouched="
+            f"{carried}/{n_files_total} vs full_rewrite={t_full:.3f}s "
+            f"({t_full / max(t_scoped, 1e-9):.1f}x)"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

@@ -114,9 +114,13 @@ SELECT CAST((length(bin(v)) * 32) +
             ((v >> greatest(length(bin(v)) - 6, 0)) & 31) AS BIGINT)
          AS hdr_bucket,
        CAST(count(*) AS BIGINT) AS hdr_cnt
-FROM (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v FROM lineitem)
+FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem)
 GROUP BY 1
 """
+# ^ round() BEFORE the cast: DuckDB's double->BIGINT cast rounds while
+# Spark's truncates (33k rows diverge at sf0.1, measured); rounding
+# first makes the value integral so both casts are exact.
 
 _SKEW_SCHEMA = [
     ("l_returnflag", "string"),
@@ -197,7 +201,9 @@ def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_financial_pipeline_spark.operators.sketches import hdr_histogram
 
     hdr = hdr_histogram(
-        li, (F.col("l_extendedprice") * 100).cast("long"), sub_bits=5
+        li,
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        sub_bits=5,
     )
     return _u_sections(
         [
