@@ -1401,6 +1401,7 @@ def test_file_stats_drops_column_on_missing_min_max_row_group(monkeypatch):
 
     class _Md:
         num_row_groups = 2
+        num_rows = 4  # _footer_meta also lifts the file row count
 
         def row_group(self, i):
             return [
