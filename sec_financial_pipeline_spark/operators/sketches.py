@@ -274,7 +274,10 @@ def cms_lookup(
 def hdr_bucket(col: Column, sub_bits: int = 5) -> Column:
     """Signed HDR bucket id for an integral column (codegen'd: bin() +
     shift/mask, no UDF). Negative values mirror to negative buckets so
-    bucket order == value order across the full signed range."""
+    bucket order == value order across the full signed range. Domain:
+    (Long.MIN, Long.MAX] — Long.MIN itself can't be negated in 64-bit
+    arithmetic (the one value where the JVM and Python's bignum mirror
+    would disagree); counts/ids/prices never reach it."""
     mask = (1 << sub_bits) - 1
     scale = 1 << sub_bits
 
@@ -359,6 +362,8 @@ def hdr_quantiles(
 
     ordered = sorted(buckets)
     total = sum(c for _, c in ordered)
+    if total == 0:
+        return [None] * len(qs)  # empty state: no quantiles to report
     out = []
     for q in qs:
         rank = max(1, math.ceil(q * total))

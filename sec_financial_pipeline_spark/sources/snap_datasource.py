@@ -322,8 +322,11 @@ def _version_at(path: str, as_of) -> int:
     best = None
     for v in _versions(path):
         fpath = os.path.join(path, _SNAPDIR, f"v{v:012d}.json")
-        with open(fpath, "r", encoding="utf-8") as f:
-            m = json.load(f)
+        try:
+            with open(fpath, "r", encoding="utf-8") as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            continue  # a concurrent vacuum dropped it between list/open
         if m.get("committed_at", 0) <= ts:
             best = v
     if best is None:

@@ -116,6 +116,34 @@ def test_convert_schema_override_pins_partition_type(spark, tmp_path):
     assert T.read(spark, path).count() == 70
 
 
+def test_bloom_index_on_converted_partitioned_table(spark, tmp_path):
+    """The r8 critical bug shape on the converted surface: one Spark
+    write reuses part-00000-<uuid> in EVERY partition dir, so bloom
+    mask attribution must match full relative paths, not basenames —
+    here on entries whose base is the table root itself. Every present
+    key must stay findable after indexing (false negatives are the
+    failure mode)."""
+    path = str(tmp_path / "lake")
+    df = spark.range(2000).select(
+        "id",
+        (F.col("id") % 4).cast("int").alias("p"),
+        (F.col("id") * 7).alias("v"),
+    )
+    df.coalesce(1).write.partitionBy("p").mode("overwrite").parquet(path)
+    T.convert_in_place(spark, path, partition_cols=("p",))
+    m = T._manifest(spark, path, None)
+    names = {e["path"].rsplit("/", 1)[-1] for e in m["files"]}
+    assert len(names) < len(m["files"])  # basenames DO collide
+    T.add_bloom_index(spark, path, "id", bits=1 << 14)
+    m2 = T._manifest(spark, path, None)
+    assert all(e.get("bloom", {}).get("id") for e in m2["files"])
+    for probe in (0, 1, 999, 1234, 1999):
+        assert T.scan(spark, path, point=("id", probe)).count() == 1, probe
+    kept = T._select_entries(m2, None, None, ("id", 1234))
+    assert len(kept) < len(m2["files"])  # the index actually prunes
+    assert T.scan(spark, path, point=("id", 999999)).count() == 0
+
+
 def test_convert_unescapes_hive_values(spark, tmp_path):
     path = str(tmp_path / "lake")
     df = spark.createDataFrame(
