@@ -303,10 +303,12 @@ class SnaptableDataSource(DataSource):
         return SnapStreamWriter(self._path(), self.options, schema)
 
 
-def _version_at(path: str, as_of) -> int:
+def _version_at(path: str, as_of, before: bool = False) -> int:
     """Session-free TIMESTAMP AS OF resolution: latest version with
     ``committed_at <= as_of`` (same semantics as snaptable.version_at
-    — whole-second commit times, ties to the highest version)."""
+    — whole-second commit times, ties to the highest version).
+    ``before=True`` uses a strict ``<`` instead — the base for Delta's
+    startingTimestamp, where a commit AT the instant must stream."""
     import datetime as _dt
 
     try:
@@ -327,7 +329,8 @@ def _version_at(path: str, as_of) -> int:
                 m = json.load(f)
         except FileNotFoundError:
             continue  # a concurrent vacuum dropped it between list/open
-        if m.get("committed_at", 0) <= ts:
+        c = m.get("committed_at", 0)
+        if (c < ts) if before else (c <= ts):
             best = v
     if best is None:
         raise FileNotFoundError(
@@ -470,9 +473,22 @@ class SnapStreamReader(DataSourceStreamReader):
         self.max_versions = int(mv) if mv is not None else None
         self._committed: int | None = None
         sv = options.get("startingVersion")
+        st = options.get("startingTimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "snaptable source: pass option 'startingVersion' OR "
+                "'startingTimestamp', not both"
+            )
         # startingVersion=latest: consume only commits AFTER stream
-        # start; an integer N: start from version N (inclusive)
-        if sv is None:
+        # start; an integer N: start from version N (inclusive);
+        # startingTimestamp: start from the first commit strictly
+        # AFTER the version current at that instant (Delta semantics)
+        if st is not None:
+            try:
+                self._start = _version_at(path, st, before=True)
+            except FileNotFoundError:
+                self._start = 0  # instant predates all history: all of it
+        elif sv is None:
             self._start = 0
         elif str(sv).lower() == "latest":
             self._start = _head_version(path)

@@ -770,6 +770,7 @@ def scan(
     partitions: dict | None = None,
     between=None,
     point: tuple | None = None,
+    as_of=None,
 ) -> DataFrame:
     """Pruned snapshot scan: files are selected from MANIFEST metadata
     (partition values + footer min/max) before Spark ever lists or
@@ -784,6 +785,10 @@ def scan(
     when the value is numeric."""
     from pyspark.sql import functions as F
 
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("snaptable: pass version OR as_of, not both")
+        version = version_at(spark, path, as_of)
     m = _manifest(spark, path, version, load_parts=False)
     if "files" not in m:
         # manifest-list fast path: prune parts by summary BEFORE loading

@@ -232,3 +232,26 @@ def test_datasource_pushdown_over_parts_table(spark, tmp_path, small_split):
     # range pushdown over footer stats, same table
     df2 = spark.read.format("snaptable").load(path).filter("id < 10")
     assert sorted(r.id for r in df2.collect()) == list(range(10))
+
+
+def test_parts_with_partition_evolution_and_dml(spark, tmp_path, small_split):
+    """Integration: manifest-list form + spec evolution + DML + pruned
+    scan + scan-time travel (as_of) all compose."""
+    import time as _time
+
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, n=120, parts=6), path, partition_cols=("p",))
+    t1 = T._manifest(spark, path, 1)["committed_at"]
+    _time.sleep(1.1)
+    T.set_partition_spec(spark, path, ("v",))
+    T.delete_where(spark, path, "id >= 100")
+    assert "files_parts" in _head_raw(path)
+    got = sorted(
+        r.id for r in T.scan(spark, path, partitions={"p": 2}).collect()
+    )
+    assert got == [i for i in range(100) if i % 6 == 2]
+    # scan-level TIMESTAMP AS OF resolves the pre-evolution snapshot
+    old = T.scan(spark, path, partitions={"p": 2}, as_of=t1)
+    assert sorted(r.id for r in old.collect()) == [
+        i for i in range(120) if i % 6 == 2
+    ]

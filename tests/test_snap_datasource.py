@@ -507,3 +507,33 @@ def test_timestamp_as_of_batch_read(snapds, tmp_path):
             snapds.read.format("snaptable")
             .option("timestampAsOf", "2001-01-01").load(path).count()
         )
+
+
+def test_starting_timestamp_streams_from_the_instant(snapds, tmp_path):
+    """Delta's startingTimestamp: commits AT or AFTER the instant
+    stream; earlier history does not."""
+    import time as _time
+
+    spark = snapds
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 10), path)          # v1 (history)
+    _time.sleep(1.1)
+    T.append(_mk(spark, 10, 20), path)          # v2 (at/after instant)
+    t2 = T._manifest(spark, path, 2)["committed_at"]
+    T.append(_mk(spark, 20, 30), path)          # v3
+    got = _drain(
+        spark, path, "st_ts", str(tmp_path / "cp"),
+        startingTimestamp=str(t2),
+    )
+    assert sorted(r.id for r in got.collect()) == list(range(10, 30))
+    # an instant before all history streams everything
+    got_all = _drain(
+        spark, path, "st_ts_all", str(tmp_path / "cp2"),
+        startingTimestamp="2001-01-01",
+    )
+    assert got_all.count() == 30
+    with pytest.raises(Exception, match="not both"):
+        _drain(
+            spark, path, "st_ts_bad", str(tmp_path / "cp3"),
+            startingTimestamp=str(t2), startingVersion="1",
+        )
