@@ -1,0 +1,323 @@
+"""Incrementally-maintained materialized aggregate views over snaptables.
+
+The serving layer the reference keeps warm with response caches
+(reference: app/cache.py — TTL'd whole-response memoization) has a
+stronger distributed analog: a MATERIALIZED VIEW whose refresh cost is
+O(rows changed since the last refresh), not O(source table). This
+module maintains a grouped-aggregate snaptable on top of any source
+snaptable using the table's own change feed:
+
+- ``create_matview`` runs the aggregation once at the source's current
+  version and records that version as an exactly-once transaction id
+  (``txn=("matview", src_version)``) on the VIEW table itself — the
+  cursor lives in the view's manifest, not a side-channel file, so a
+  crashed refresh can never be double-applied (same discipline as the
+  streaming sinks' epoch ids).
+- ``refresh_matview`` reads ``table_changes(src, last, head)`` — the
+  net multiset diff, O(changed rows) for append/DV commits — and folds
+  it into the view with ONE atomic conditional ``merge_into``:
+  a group whose row count reaches zero is DELETED, an existing group
+  is UPDATED by pure delta arithmetic, a new group is INSERTED. At
+  100 TB the refresh touches |delta| feed rows + the view files whose
+  key ranges the changed groups hit (copy-on-write confinement) — the
+  source table is never rescanned on the algebraic path.
+
+Aggregate kinds:
+
+- ``count`` / ``sum`` / ``avg`` are ALGEBRAIC: maintained by delta
+  addition alone. Sums are stored as ``DECIMAL(30,6)`` (the repo-wide
+  deterministic-sum firewall, ``functions/deterministic.py``): decimal
+  addition is exact and order-independent, so the incrementally
+  maintained value is BIT-IDENTICAL to a from-scratch recompute —
+  double sums would drift by accumulation order. ``avg`` derives as
+  exact-sum / non-null-count at read time. SQL null semantics hold
+  exactly: each sum/avg carries a non-null counter so a group whose
+  last non-null value is deleted reads NULL again, not 0.
+- ``min`` / ``max`` are HOLISTIC (a delete can raise a min, which the
+  delta alone cannot reveal): the refresh recomputes ONLY the groups
+  the feed touched — one semi-join-confined scan of the source — and
+  merges those rows in. Still O(touched groups' data), never O(table).
+
+The stored view schema is ``group_cols + [__n BIGINT] + one column per
+aggregate (+ __nn_<alias> BIGINT per sum/avg)``; ``read_matview``
+projects the user-facing shape (sums/avgs as DOUBLE via one final
+rounding, the dsum/davg contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.sources import snaptable as T
+
+_SPEC_FILE = "matview.json"
+_APP = "matview"
+_DEC = "decimal(30,6)"
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+_ALGEBRAIC = ("count", "sum", "avg")
+_HOLISTIC = ("min", "max")
+
+
+class MatviewError(RuntimeError):
+    pass
+
+
+def _validate_spec(group_cols, aggs) -> list[dict]:
+    if not group_cols:
+        raise MatviewError("matview: at least one group column required")
+    norm = []
+    seen = set(group_cols) | {"__n"}
+    for kind, col, alias in aggs:
+        if kind not in _ALGEBRAIC + _HOLISTIC:
+            raise MatviewError(f"matview: unknown aggregate kind {kind!r}")
+        if kind != "count" and not col:
+            raise MatviewError(f"matview: {kind} needs a column")
+        if not _IDENT.match(alias) or alias in seen:
+            raise MatviewError(
+                f"matview: alias {alias!r} must be a fresh simple identifier"
+            )
+        for name in (col,) if col else ():
+            if not _IDENT.match(name):
+                raise MatviewError(
+                    f"matview: column {name!r} must be a simple identifier"
+                )
+        seen.add(alias)
+        norm.append({"kind": kind, "col": col, "alias": alias})
+    for g in group_cols:
+        if not _IDENT.match(g):
+            raise MatviewError(
+                f"matview: group column {g!r} must be a simple identifier"
+            )
+    return norm
+
+
+def _stored_agg_exprs(aggs: list[dict]) -> list:
+    """The stored-shape aggregation: exact, order-independent state."""
+    exprs = [F.count(F.lit(1)).alias("__n")]
+    for a in aggs:
+        kind, col, alias = a["kind"], a["col"], a["alias"]
+        if kind == "count":
+            exprs.append(
+                (F.count(col) if col else F.count(F.lit(1))).alias(alias)
+            )
+        elif kind in ("sum", "avg"):
+            exprs.append(
+                F.coalesce(
+                    F.sum(F.col(col).cast(_DEC)), F.lit(0).cast(_DEC)
+                ).cast(_DEC).alias(alias)
+            )
+            exprs.append(F.count(col).alias(f"__nn_{alias}"))
+        else:  # min / max
+            exprs.append(getattr(F, kind)(col).alias(alias))
+    return exprs
+
+
+def _full_aggregate(df: DataFrame, spec: dict) -> DataFrame:
+    return df.groupBy(*spec["group_cols"]).agg(
+        *_stored_agg_exprs(spec["aggs"])
+    )
+
+
+def _spec_path(dst: str) -> str:
+    return os.path.join(dst, _SPEC_FILE)
+
+
+def _load_spec(dst: str) -> dict:
+    p = _spec_path(dst)
+    if not os.path.exists(p):
+        raise MatviewError(
+            f"matview: no {_SPEC_FILE} at {dst} — not a materialized view "
+            "(create_matview writes it)"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def create_matview(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    group_cols: list[str],
+    aggs: list[tuple],
+    range_files: int | None = None,
+) -> int:
+    """Full initial build at the source's CURRENT version; returns that
+    version (the view's cursor). ``aggs`` is a list of
+    ``(kind, col, alias)`` with kind in count/sum/avg/min/max
+    (``col=None`` for ``count(*)``).
+
+    ``range_files`` range-clusters the view by its group key into that
+    many files — the 100 TB layout knob: with group-key-clustered files
+    the refresh merge's footer min/max pre-prune confines the copy-on-
+    write rewrite to the few files whose key range the delta actually
+    hits, carrying the rest by reference."""
+    norm = _validate_spec(group_cols, aggs)
+    src_head = T._manifest(spark, src_path, None)["version"]
+    spec = {
+        "src": os.path.abspath(src_path),
+        "group_cols": list(group_cols),
+        "aggs": norm,
+    }
+    df = _full_aggregate(T.read(spark, src_path, version=src_head), spec)
+    if range_files:
+        df = df.repartitionByRange(range_files, *group_cols)
+    T.create(df, dst_path, txn=(_APP, src_head))
+    tmp = _spec_path(dst_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(spec, f, indent=1, sort_keys=True)
+    os.replace(tmp, _spec_path(dst_path))
+    return src_head
+
+
+def _algebraic_delta(feed: DataFrame, spec: dict) -> DataFrame:
+    """Per-group delta of every stored column from the net change feed:
+    +row for inserts, -row for deletes. Exact (decimal / integer) —
+    adding it to the stored state reproduces the full recompute bit-
+    for-bit."""
+    sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    exprs = [F.sum(sgn).alias("d___n")]
+    for a in spec["aggs"]:
+        kind, col, alias = a["kind"], a["col"], a["alias"]
+        nn = (
+            F.sum(
+                F.when(F.col(col).isNotNull(), sgn).otherwise(F.lit(0))
+            )
+            if col
+            else F.sum(sgn)
+        )
+        if kind == "count":
+            exprs.append(nn.alias(f"d_{alias}"))
+        else:  # sum / avg
+            exprs.append(
+                F.coalesce(
+                    F.sum(sgn.cast(_DEC) * F.col(col).cast(_DEC)),
+                    F.lit(0).cast(_DEC),
+                ).cast(_DEC).alias(f"d_{alias}")
+            )
+            exprs.append(nn.alias(f"d___nn_{alias}"))
+    return feed.groupBy(*spec["group_cols"]).agg(*exprs)
+
+
+def refresh_matview(spark: SparkSession, dst_path: str) -> int:
+    """Fold every source commit since the last refresh into the view;
+    returns the new cursor (source version). No-op — no Spark job —
+    when the source hasn't moved. Crash-safe: the commit carries
+    ``txn=("matview", head)``, so a replayed refresh of an already-
+    applied range is a no-op by the table's own transaction map."""
+    spec = _load_spec(dst_path)
+    src = spec["src"]
+    last = T.last_txn(spark, dst_path, _APP)
+    if last is None:
+        raise MatviewError(
+            f"matview: {dst_path} carries no '{_APP}' transaction — "
+            "was the table created by create_matview?"
+        )
+    head = T._manifest(spark, src, None)["version"]
+    if head <= last:
+        return last
+    groups = spec["group_cols"]
+    feed = T.table_changes(spark, src, last, head)
+    holistic = [a for a in spec["aggs"] if a["kind"] in _HOLISTIC]
+    if not holistic:
+        delta = _algebraic_delta(feed, spec)
+        # an all-zero delta group (e.g. an update that changed only
+        # columns the view ignores) is a no-op — dropping it keeps the
+        # copy-on-write rewrite confined to files of groups that moved
+        nonzero = F.col("d___n") != 0
+        for c in delta.columns:
+            if c.startswith("d_") and c != "d___n":
+                nonzero = nonzero | (F.col(c) != 0)
+        delta = delta.filter(nonzero)
+        updates = {"__n": "t.__n + s.d___n"}
+        for a in spec["aggs"]:
+            al = a["alias"]
+            updates[al] = f"t.`{al}` + s.`d_{al}`"
+            if a["kind"] in ("sum", "avg"):
+                updates[f"__nn_{al}"] = (
+                    f"t.`__nn_{al}` + s.`d___nn_{al}`"
+                )
+        inserts = {"__n": "s.d___n"}
+        for a in spec["aggs"]:
+            al = a["alias"]
+            inserts[al] = f"s.`d_{al}`"
+            if a["kind"] in ("sum", "avg"):
+                inserts[f"__nn_{al}"] = f"s.`d___nn_{al}`"
+        T.merge_into(
+            delta,
+            dst_path,
+            key_cols=groups,
+            when_matched=[
+                ("t.__n + s.d___n = 0", "delete"),
+                (None, updates),
+            ],
+            when_not_matched=inserts,
+            txn=(_APP, head),
+        )
+    else:
+        # a delete can raise a min — recompute ONLY the touched groups
+        # from the source head (semi-join-confined scan), then merge:
+        # vanished groups (no source rows left) delete, the rest
+        # replace, new groups insert.
+        touched = feed.select(*groups).distinct()
+        fresh = _full_aggregate(
+            T.read(spark, src, version=head).join(
+                touched, groups, "left_semi"
+            ),
+            spec,
+        )
+        merged_src = touched.join(fresh, groups, "left")
+        stored_cols = [c for c in fresh.columns if c not in groups]
+        T.merge_into(
+            merged_src,
+            dst_path,
+            key_cols=groups,
+            when_matched=[
+                ("s.__n IS NULL", "delete"),
+                (None, {c: f"s.`{c}`" for c in stored_cols}),
+            ],
+            when_not_matched={c: f"s.`{c}`" for c in stored_cols},
+            txn=(_APP, head),
+        )
+    return head
+
+
+def read_matview(
+    spark: SparkSession, dst_path: str, version: int | None = None
+) -> DataFrame:
+    """User-facing projection of the stored state: group columns, then
+    each aggregate under its alias — counts as BIGINT, sums as DOUBLE
+    (one final rounding of the exact decimal, NULL when the group holds
+    no non-null values), avgs as exact-sum / non-null-count."""
+    spec = _load_spec(dst_path)
+    df = T.read(spark, dst_path, version=version)
+    cols = [F.col(g) for g in spec["group_cols"]]
+    for a in spec["aggs"]:
+        kind, alias = a["kind"], a["alias"]
+        if kind == "count":
+            cols.append(F.col(alias).cast("bigint").alias(alias))
+        elif kind == "sum":
+            cols.append(
+                F.when(F.col(f"__nn_{alias}") > 0, F.col(alias))
+                .cast("double")
+                .alias(alias)
+            )
+        elif kind == "avg":
+            cols.append(
+                (
+                    F.col(alias).cast("double")
+                    / F.when(
+                        F.col(f"__nn_{alias}") > 0, F.col(f"__nn_{alias}")
+                    )
+                ).alias(alias)
+            )
+        else:
+            cols.append(F.col(alias))
+    return df.select(*cols)

@@ -1180,7 +1180,13 @@ def merge_upsert(
     silent lost update).
 
     ``txn=(app_id, epoch)`` gives the merge the same replay idempotence
-    as :func:`append` — an exactly-once streaming UPSERT sink."""
+    as :func:`append` — an exactly-once streaming UPSERT sink.
+
+    Note: in the ``t.``/``s.`` expression forms of :func:`merge_into`,
+    a table or source column literally named ``t`` or ``s`` shadows
+    the alias (Spark resolves the name ambiguously) — rename such a
+    column before merging with expressions."""
+    key_cols = list(key_cols)
     spark = df.sparkSession
     base = _manifest(spark, path, None)
     if _txn_applied(base, txn):
@@ -1499,6 +1505,85 @@ def delete_where(
     )
 
 
+def _norm_matched_clauses(when_matched, schema) -> list[tuple]:
+    """Normalize ``when_matched`` dict/clause-list forms to
+    ``[(cond_sql_or_None, "delete" | update_dict), ...]`` and validate
+    update targets against the table schema. ``"replace"`` inside a
+    clause list expands to the all-columns-from-source update dict."""
+    names = {f.name for f in schema.fields}
+    raw = (
+        [(None, when_matched)]
+        if isinstance(when_matched, dict)
+        else list(when_matched)
+    )
+    out = []
+    for item in raw:
+        if not isinstance(item, (tuple, list)) or len(item) != 2:
+            raise ValueError(
+                "snaptable: each when_matched clause must be a "
+                f"(condition, action) pair, got {item!r}"
+            )
+        cond, act = item
+        if act == "replace":
+            act = {f.name: f"s.`{f.name}`" for f in schema.fields}
+        if act != "delete" and not isinstance(act, dict):
+            raise ValueError(
+                "snaptable: clause action must be 'delete', 'replace' "
+                f"or an update dict, got {act!r}"
+            )
+        if isinstance(act, dict):
+            for c in act:
+                if c not in names:
+                    raise ValueError(
+                        f"snaptable: merge_into updates unknown column {c!r}"
+                    )
+        out.append((cond, act))
+    if not out:
+        raise ValueError("snaptable: when_matched clause list is empty")
+    return out
+
+
+def _not_matched_rows(
+    spark: SparkSession,
+    path: str,
+    base: dict,
+    source: DataFrame,
+    key_cols: list[str],
+    when_not_matched,
+    schema,
+) -> DataFrame | None:
+    """Rows :func:`merge_into` inserts for source keys absent from the
+    TARGET (anti-join against the full key set — matches can live in
+    any file, not only touched ones). ``"insert"`` takes the source row
+    verbatim (full-schema guard upstream); a dict builds each table
+    column from its expression over the aliased source (``s.`` or bare
+    names), defaulting absent columns to the same-named source column
+    when one exists, else a typed NULL. Returns None for ``"ignore"``."""
+    from pyspark.sql import functions as F
+
+    if when_not_matched == "ignore":
+        return None
+    unmatched = source.join(
+        _df_for(spark, path, base).select(*key_cols).distinct(),
+        key_cols,
+        "left_anti",
+    )
+    if when_not_matched == "insert":
+        return unmatched.select(*[f.name for f in schema.fields])
+    aliased = unmatched.alias("s")
+    cols = []
+    for f in schema.fields:
+        if f.name in when_not_matched:
+            a = when_not_matched[f.name]
+            e = F.expr(a) if isinstance(a, str) else a
+        elif f.name in source.columns:
+            e = F.col(f"s.`{f.name}`")
+        else:
+            e = F.lit(None)
+        cols.append(e.cast(f.dataType).alias(f.name))
+    return aliased.select(*cols)
+
+
 def merge_into(
     source: DataFrame,
     path: str,
@@ -1517,8 +1602,19 @@ def merge_into(
     - ``when_matched={col: sql_expr}``: matched rows are UPDATED —
       expressions may reference target columns as ``t.col`` and source
       columns as ``s.col`` (unqualified names resolve to the target);
+    - ``when_matched=[(cond, action), ...]``: CONDITIONAL clauses
+      (Delta's ``WHEN MATCHED AND cond THEN ...``), evaluated in order
+      with first-match-wins per row; ``cond`` is a SQL boolean over
+      ``t.``/``s.`` (``None`` = always), ``action`` is ``"delete"`` or
+      an update dict. A matched row satisfying NO clause is left
+      unchanged (Delta semantics) and never appears in the change feed;
     - ``when_not_matched="insert"``: source rows with no target match
-      are appended; ``"ignore"``: they are dropped.
+      are appended; ``"ignore"``: they are dropped;
+    - ``when_not_matched={col: sql_expr}``: INSERT with expressions
+      (Delta's ``WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)``) —
+      expressions over the source row (``s.`` or bare names); table
+      columns absent from the dict default to the same-named source
+      column when one exists, else typed NULL.
 
     Same COW scale shape as :func:`merge_upsert`: key-bounds +
     partition pre-prune, one semi-join confirm scan, only touched
@@ -1531,11 +1627,20 @@ def merge_into(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    key_cols = list(key_cols)
     spark = source.sparkSession
-    if when_not_matched not in ("insert", "ignore"):
+    if not isinstance(when_not_matched, dict) and when_not_matched not in (
+        "insert", "ignore",
+    ):
         raise ValueError(
-            f"snaptable: when_not_matched must be insert|ignore, got "
-            f"{when_not_matched!r}"
+            f"snaptable: when_not_matched must be insert|ignore|{{col: "
+            f"expr}}, got {when_not_matched!r}"
+        )
+    if when_matched == "replace" and isinstance(when_not_matched, dict):
+        raise ValueError(
+            "snaptable: when_matched='replace' requires a full-schema "
+            "source; combine insert expressions with clause-list or "
+            "dict when_matched forms instead"
         )
     base = _manifest(spark, path, None)
     if _txn_applied(base, txn):
@@ -1581,19 +1686,13 @@ def merge_into(
         )
     elif when_matched == "delete":
         new_rows = t_rows.join(keys, key_cols, "left_anti")
-        if when_not_matched == "insert":
-            inserts = source.join(
-                _df_for(spark, path, base).select(*key_cols).distinct(),
-                key_cols,
-                "left_anti",
-            )
+        inserts = _not_matched_rows(
+            spark, path, base, source, key_cols, when_not_matched, schema
+        )
+        if inserts is not None:
             new_rows = new_rows.unionByName(inserts)
-    elif isinstance(when_matched, dict):
-        for c in when_matched:
-            if c not in {f.name for f in schema.fields}:
-                raise ValueError(
-                    f"snaptable: merge_into updates unknown column {c!r}"
-                )
+    elif isinstance(when_matched, (dict, list)):
+        clauses = _norm_matched_clauses(when_matched, schema)
         # explicit match marker: probing "any source column not null"
         # would misclassify a matched source row whose non-key values
         # are legitimately NULL
@@ -1601,38 +1700,72 @@ def merge_into(
             source.withColumn("__m", F.lit(1)).alias("s"), key_cols, "left"
         )
         is_m = F.col("s.__m").isNotNull()
+        # first-match-wins clause index per row: -1 = untouched (row
+        # unmatched, or matched but satisfying no clause — Delta keeps
+        # those verbatim). CaseWhen picks the FIRST true branch, so a
+        # later clause's s.-referencing condition never fires on rows
+        # an earlier clause claimed.
+        idx = F.when(~is_m, F.lit(-1))
+        for i, (cond, _act) in enumerate(clauses):
+            c = F.lit(True) if cond is None else F.expr(cond)
+            idx = idx.when(c, F.lit(i))
+        marked = joined.withColumn("__c", idx.otherwise(F.lit(-1)))
+        del_idx = [i for i, (_c, a) in enumerate(clauses) if a == "delete"]
+        survivors = (
+            marked.filter(~F.col("__c").isin(del_idx))
+            if del_idx
+            else marked
+        )
         out_cols = []
         for f in schema.fields:
-            if f.name in when_matched:
-                a = when_matched[f.name]
-                expr = F.expr(a) if isinstance(a, str) else a
-                out_cols.append(
-                    F.when(is_m, expr.cast(f.dataType))
-                    .otherwise(F.col(f"t.`{f.name}`"))
-                    .alias(f.name)
-                )
-            else:
-                out_cols.append(F.col(f"t.`{f.name}`").alias(f.name))
-        new_rows = joined.select(*out_cols)
-        if when_not_matched == "insert":
-            inserts = source.join(
-                _df_for(spark, path, base).select(*key_cols).distinct(),
-                key_cols,
-                "left_anti",
-            ).select(*[f.name for f in schema.fields])
+            expr = None
+            for i, (_cond, act) in enumerate(clauses):
+                if isinstance(act, dict) and f.name in act:
+                    a = act[f.name]
+                    e = (F.expr(a) if isinstance(a, str) else a).cast(
+                        f.dataType
+                    )
+                    expr = (
+                        F.when(F.col("__c") == i, e)
+                        if expr is None
+                        else expr.when(F.col("__c") == i, e)
+                    )
+            base_col = F.col(f"t.`{f.name}`")
+            out_cols.append(
+                (expr.otherwise(base_col) if expr is not None else base_col)
+                .alias(f.name)
+            )
+        new_rows = survivors.select(*out_cols)
+        inserts = _not_matched_rows(
+            spark, path, base, source, key_cols, when_not_matched, schema
+        )
+        if inserts is not None:
             new_rows = new_rows.unionByName(inserts)
     else:
         raise ValueError(
-            f"snaptable: when_matched must be replace|delete|{{col: expr}}, "
-            f"got {when_matched!r}"
+            f"snaptable: when_matched must be replace|delete|{{col: expr}}|"
+            f"[(cond, action), ...], got {when_matched!r}"
         )
     _check_constraints(new_rows, base, "merge")
     cdf_rel = None
     if cdf:
-        # change rows = matched target rows (pre-image, tagged delete)
-        # + the rows the merge adds (post-image/inserts). Unmatched
-        # target rows never appear — no rewrite churn in the feed.
-        pre = _tag(t_rows.join(keys, key_cols, "left_semi"), "delete")
+        # change rows = matched target rows a clause actually CLAIMED
+        # (pre-image, tagged delete) + the rows the merge adds
+        # (post-image/inserts). Unmatched target rows — and, in the
+        # clause form, matched rows no clause applied to — never
+        # appear: no rewrite churn in the feed.
+        if when_matched in ("delete", "replace"):
+            pre = _tag(t_rows.join(keys, key_cols, "left_semi"), "delete")
+        else:
+            pre = _tag(
+                marked.filter(F.col("__c") >= 0).select(
+                    *[
+                        F.col(f"t.`{f.name}`").alias(f.name)
+                        for f in schema.fields
+                    ]
+                ),
+                "delete",
+            )
         if when_matched == "delete":
             post_matched = pre.limit(0).drop("_change_type")
         elif when_matched == "replace":
@@ -1640,17 +1773,23 @@ def merge_into(
                 t_rows.select(*key_cols).distinct(), key_cols, "left_semi"
             )
         else:
-            post_matched = joined.filter(is_m).select(*out_cols)
+            upd_idx = [
+                i for i, (_c, a) in enumerate(clauses) if isinstance(a, dict)
+            ]
+            post_matched = marked.filter(F.col("__c").isin(upd_idx)).select(
+                *out_cols
+            )
         changes = pre.unionByName(_tag(post_matched, "insert"))
-        if when_not_matched == "insert":
-            not_matched = (
-                source.join(
+        if when_matched == "replace":
+            if when_not_matched == "insert":
+                not_matched = source.join(
                     _df_for(spark, path, base).select(*key_cols).distinct(),
                     key_cols,
                     "left_anti",
                 ).select(*[f.name for f in schema.fields])
-            )
-            changes = changes.unionByName(_tag(not_matched, "insert"))
+                changes = changes.unionByName(_tag(not_matched, "insert"))
+        elif inserts is not None:
+            changes = changes.unionByName(_tag(inserts, "insert"))
         cdf_rel = _write_changes(spark, path, changes)
     return _partial_rewrite_commit(
         spark, path, new_rows, carried, "merge", base, txn, cdf=cdf_rel

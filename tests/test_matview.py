@@ -1,0 +1,344 @@
+"""Incrementally-maintained materialized views (sources/matview.py) and
+the conditional MERGE clauses (snaptable.merge_into clause lists /
+insert-expression dicts) that give them their single-commit refresh.
+
+The standing witness: after EVERY refresh, read_matview must equal a
+from-scratch recompute of the same aggregation over the source head —
+bit-identically (sums ride the decimal firewall, so incremental
+addition and full recomputation agree exactly).
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.sources import matview as MV
+from sec_financial_pipeline_spark.sources import snaptable as T
+
+_SCHEMA = "k bigint, g string, v double"
+
+
+def _src_rows():
+    return [
+        (1, "A", 10.0), (2, "A", 20.5), (3, "A", None),
+        (4, "B", 7.25), (5, "B", 2.75),
+        (6, "C", 100.0),
+        (7, "E", None), (8, "E", None),
+    ]
+
+
+def _expected(spark, src_path):
+    """Independent full recompute in the user-facing shape."""
+    df = T.read(spark, src_path)
+    dec = F.col("v").cast("decimal(30,6)")
+    return df.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("v").cast("bigint").alias("nv"),
+        F.sum(dec).cast("double").alias("sv"),
+        (F.sum(dec).cast("double") / F.count("v")).alias("av"),
+    )
+
+
+def _assert_view_matches(spark, src, dst):
+    got = sorted(
+        map(tuple, MV.read_matview(spark, dst).collect())
+    )
+    want = sorted(map(tuple, _expected(spark, src).collect()))
+    assert got == want
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return str(tmp_path / "src"), str(tmp_path / "view")
+
+
+_AGGS = [
+    ("count", None, "n"),
+    ("count", "v", "nv"),
+    ("sum", "v", "sv"),
+    ("avg", "v", "av"),
+]
+
+
+def test_algebraic_matview_tracks_a_dml_storm(spark, paths):
+    src, dst = paths
+    T.create(spark.createDataFrame(_src_rows(), _SCHEMA), src)
+    cur = MV.create_matview(spark, src, dst, ["g"], _AGGS)
+    assert cur == 1
+    _assert_view_matches(spark, src, dst)
+
+    # no source movement -> no-op, cursor unchanged, no new version
+    v_before = T._manifest(spark, dst, None)["version"]
+    assert MV.refresh_matview(spark, dst) == cur
+    assert T._manifest(spark, dst, None)["version"] == v_before
+
+    # append: existing group grows, a new group appears
+    T.append(
+        spark.createDataFrame(
+            [(9, "A", 1.5), (10, "D", 40.0), (11, "D", None)], _SCHEMA
+        ),
+        src,
+    )
+    MV.refresh_matview(spark, dst)
+    _assert_view_matches(spark, src, dst)
+
+    # copy-on-write delete wipes group B entirely -> view row deleted
+    T.delete_where(spark, src, "g = 'B'")
+    MV.refresh_matview(spark, dst)
+    _assert_view_matches(spark, src, dst)
+    assert not [
+        r for r in MV.read_matview(spark, dst).collect() if r["g"] == "B"
+    ]
+
+    # deletion-vector delete (merge-on-read commit) folds identically
+    T.delete_where(spark, src, "k = 2", mode="dv")
+    MV.refresh_matview(spark, dst)
+    _assert_view_matches(spark, src, dst)
+
+    # UPDATE moving values within a group, then one moving rows ACROSS
+    # groups (delete-from-C + insert-into-D in the net feed)
+    T.update_where(spark, src, "k = 1", {"v": "v + 5.0"})
+    MV.refresh_matview(spark, dst)
+    _assert_view_matches(spark, src, dst)
+    T.update_where(spark, src, "g = 'C'", {"g": "'D'"})
+    MV.refresh_matview(spark, dst)
+    _assert_view_matches(spark, src, dst)
+    assert not [
+        r for r in MV.read_matview(spark, dst).collect() if r["g"] == "C"
+    ]
+
+    # merge-upsert: replace one key, insert another, then several
+    # commits folded by ONE refresh
+    T.merge_upsert(
+        spark.createDataFrame([(3, "A", 9.0), (12, "F", 3.25)], _SCHEMA),
+        src,
+        key_cols=("k",),
+    )
+    T.append(spark.createDataFrame([(13, "F", None)], _SCHEMA), src)
+    T.delete_where(spark, src, "k = 10")
+    MV.refresh_matview(spark, dst)
+    _assert_view_matches(spark, src, dst)
+
+    # a vanished group re-appearing is a plain re-insert
+    T.append(spark.createDataFrame([(14, "B", 8.0)], _SCHEMA), src)
+    MV.refresh_matview(spark, dst)
+    _assert_view_matches(spark, src, dst)
+
+
+def test_sum_null_semantics_survive_incremental_maintenance(spark, paths):
+    src, dst = paths
+    T.create(spark.createDataFrame(_src_rows(), _SCHEMA), src)
+    MV.create_matview(spark, src, dst, ["g"], _AGGS)
+    by_g = {r["g"]: r for r in MV.read_matview(spark, dst).collect()}
+    assert by_g["E"]["sv"] is None and by_g["E"]["av"] is None
+
+    # the group's first non-null value arrives, then is deleted again:
+    # a naive t.sum + delta would read 0.0, not NULL — the __nn counter
+    # is what makes the round trip exact
+    T.append(spark.createDataFrame([(20, "E", 6.5)], _SCHEMA), src)
+    MV.refresh_matview(spark, dst)
+    by_g = {r["g"]: r for r in MV.read_matview(spark, dst).collect()}
+    assert by_g["E"]["sv"] == 6.5
+    T.delete_where(spark, src, "k = 20")
+    MV.refresh_matview(spark, dst)
+    by_g = {r["g"]: r for r in MV.read_matview(spark, dst).collect()}
+    assert by_g["E"]["sv"] is None and by_g["E"]["av"] is None
+    assert by_g["E"]["n"] == 2
+    _assert_view_matches(spark, src, dst)
+
+
+def test_refresh_is_exactly_once_and_replay_safe(spark, paths):
+    src, dst = paths
+    T.create(spark.createDataFrame(_src_rows(), _SCHEMA), src)
+    MV.create_matview(spark, src, dst, ["g"], _AGGS)
+    T.append(spark.createDataFrame([(30, "A", 2.0)], _SCHEMA), src)
+    cur = MV.refresh_matview(spark, dst)
+    v = T._manifest(spark, dst, None)["version"]
+    # replay of the SAME range: cursor and table version both unchanged
+    assert MV.refresh_matview(spark, dst) == cur
+    assert T._manifest(spark, dst, None)["version"] == v
+    # the txn guard also absorbs a crash-replay of the merge itself
+    assert T.last_txn(spark, dst, "matview") == cur
+    _assert_view_matches(spark, src, dst)
+
+
+def test_holistic_min_max_recomputes_only_touched_groups(spark, paths):
+    src, dst = paths
+    T.create(spark.createDataFrame(_src_rows(), _SCHEMA), src)
+    aggs = [
+        ("count", None, "n"),
+        ("sum", "v", "sv"),
+        ("min", "v", "lo"),
+        ("max", "v", "hi"),
+    ]
+    MV.create_matview(spark, src, dst, ["g"], aggs)
+
+    def expected():
+        df = T.read(spark, src)
+        dec = F.col("v").cast("decimal(30,6)")
+        return sorted(
+            map(
+                tuple,
+                df.groupBy("g").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum(dec).cast("double").alias("sv"),
+                    F.min("v").alias("lo"),
+                    F.max("v").alias("hi"),
+                ).collect(),
+            )
+        )
+
+    def got():
+        return sorted(map(tuple, MV.read_matview(spark, dst).collect()))
+
+    assert got() == expected()
+    # deleting the current minimum RAISES the min — the case no delta
+    # arithmetic can maintain, hence the touched-group recompute
+    T.delete_where(spark, src, "k = 4")  # B's min (7.25 -> 2.75 stays)
+    T.delete_where(spark, src, "k = 5")  # ...then B vanishes entirely
+    MV.refresh_matview(spark, dst)
+    assert got() == expected()
+    T.append(
+        spark.createDataFrame([(40, "A", -3.5), (41, "G", 0.25)], _SCHEMA),
+        src,
+    )
+    T.update_where(spark, src, "k = 6", {"v": "0.125"})
+    MV.refresh_matview(spark, dst)
+    assert got() == expected()
+
+
+def test_refresh_carries_untouched_view_files(spark, paths):
+    """Copy-on-write confinement: a refresh whose delta hits one group
+    must carry view files holding only other groups by reference."""
+    src, dst = paths
+    rows = [(i, f"g{i % 40:02d}", float(i)) for i in range(400)]
+    T.create(
+        spark.createDataFrame(rows, _SCHEMA).repartitionByRange(8, "g"), src
+    )
+    MV.create_matview(
+        spark, src, dst, ["g"], [("sum", "v", "sv")], range_files=8
+    )
+    before = {e["path"] for e in T._manifest(spark, dst, None)["files"]}
+    T.append(spark.createDataFrame([(1000, "g00", 5.0)], _SCHEMA), src)
+    MV.refresh_matview(spark, dst)
+    after = {e["path"] for e in T._manifest(spark, dst, None)["files"]}
+    carried = before & after
+    assert len(before) > 1, "need a multi-file view for this witness"
+    assert carried, "refresh rewrote every view file for a 1-group delta"
+    _assert_ = MV.read_matview(spark, dst)  # still readable
+
+
+def test_matview_guards(spark, paths):
+    src, dst = paths
+    T.create(spark.createDataFrame(_src_rows(), _SCHEMA), src)
+    with pytest.raises(MV.MatviewError, match="unknown aggregate"):
+        MV.create_matview(spark, src, dst, ["g"], [("median", "v", "m")])
+    with pytest.raises(MV.MatviewError, match="identifier"):
+        MV.create_matview(spark, src, dst, ["g"], [("sum", "v", "bad name")])
+    with pytest.raises(MV.MatviewError, match="group column"):
+        MV.create_matview(spark, src, dst, ["g; drop"], [("sum", "v", "s")])
+    with pytest.raises(MV.MatviewError, match="not a materialized view"):
+        MV.refresh_matview(spark, str(dst) + "_nope")
+
+
+# ---------------------------------------------------------------------------
+# merge_into conditional clauses / insert-expression dicts
+# ---------------------------------------------------------------------------
+
+
+def _mk(spark, tmp_path, rows):
+    p = str(tmp_path / "t")
+    T.create(spark.createDataFrame(rows, "k bigint, n bigint, lbl string"), p)
+    return p
+
+
+def test_merge_clause_list_first_match_wins(spark, tmp_path):
+    p = _mk(spark, tmp_path, [(1, 5, "a"), (2, 0, "b"), (3, 9, "c")])
+    src = spark.createDataFrame(
+        [(1, -5), (2, 3), (3, 1), (4, 7)], "k bigint, d bigint"
+    )
+    T.merge_into(
+        src,
+        p,
+        key_cols=["k"],
+        when_matched=[
+            ("t.n + s.d = 0", "delete"),       # k=1: 5 + -5 -> deleted
+            ("t.n + s.d > 9", {"lbl": "'big'"}),  # k=3: 10 -> s updated
+            (None, {"n": "t.n + s.d"}),         # k=2: plain delta update
+        ],
+        when_not_matched={"k": "s.k", "n": "s.d", "lbl": "'fresh'"},
+    )
+    got = {r["k"]: (r["n"], r["lbl"]) for r in T.read(spark, p).collect()}
+    assert got == {2: (3, "b"), 3: (9, "big"), 4: (7, "fresh")}
+
+
+def test_merge_clause_no_match_leaves_row_and_feed_untouched(spark, tmp_path):
+    p = _mk(spark, tmp_path, [(1, 5, "a"), (2, 6, "b")])
+    src = spark.createDataFrame([(1, 1), (2, 2)], "k bigint, d bigint")
+    v = T.merge_into(
+        src,
+        p,
+        key_cols=["k"],
+        when_matched=[("s.d > 1", {"n": "t.n + s.d"})],
+        when_not_matched="ignore",
+        cdf=True,
+    )
+    got = {r["k"]: r["n"] for r in T.read(spark, p).collect()}
+    assert got == {1: 5, 2: 8}
+    feed = T.change_feed(spark, p, v - 1, v).collect()
+    ks = {(r["k"], r["_change_type"]) for r in feed}
+    # k=1 satisfied no clause: unchanged AND absent from the feed
+    assert ks == {(2, "delete"), (2, "insert")}
+
+
+def test_merge_insert_dict_defaults_and_null_pad(spark, tmp_path):
+    p = _mk(spark, tmp_path, [(1, 5, "a")])
+    src = spark.createDataFrame([(9, 4)], "k bigint, d bigint")
+    T.merge_into(
+        src,
+        p,
+        key_cols=["k"],
+        when_matched="delete",
+        when_not_matched={"n": "s.d * 10"},  # k defaults to source k; lbl -> NULL
+    )
+    got = {r["k"]: (r["n"], r["lbl"]) for r in T.read(spark, p).collect()}
+    assert got == {1: (5, "a"), 9: (40, None)}
+
+
+def test_merge_clause_validation(spark, tmp_path):
+    p = _mk(spark, tmp_path, [(1, 5, "a")])
+    src = spark.createDataFrame([(1, 1)], "k bigint, d bigint")
+    with pytest.raises(ValueError, match="unknown column"):
+        T.merge_into(
+            src, p, ["k"], when_matched=[(None, {"zz": "1"})],
+            when_not_matched="ignore",
+        )
+    with pytest.raises(ValueError, match="clause list is empty"):
+        T.merge_into(
+            src, p, ["k"], when_matched=[], when_not_matched="ignore"
+        )
+    with pytest.raises(ValueError, match="condition, action"):
+        T.merge_into(
+            src, p, ["k"], when_matched=["delete"], when_not_matched="ignore"
+        )
+    with pytest.raises(ValueError, match="full-schema"):
+        T.merge_into(
+            src, p, ["k"], when_matched="replace",
+            when_not_matched={"n": "s.d"},
+        )
+
+
+def test_merge_clause_replace_action_inside_list(spark, tmp_path):
+    p = _mk(spark, tmp_path, [(1, 5, "a"), (2, 6, "b")])
+    src = spark.createDataFrame(
+        [(1, 50, "x"), (2, 60, "y")], "k bigint, n bigint, lbl string"
+    )
+    T.merge_into(
+        src,
+        p,
+        key_cols=["k"],
+        when_matched=[("s.n >= 60", "replace")],
+        when_not_matched="ignore",
+    )
+    got = {r["k"]: (r["n"], r["lbl"]) for r in T.read(spark, p).collect()}
+    assert got == {1: (5, "a"), 2: (60, "y")}
