@@ -722,6 +722,40 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "deletes": int(counts.get("delete", 0)),
             "op": "changes",
         }
+    if args.snap_cmd == "matview":
+        from sec_financial_pipeline_spark.sources import matview as MV
+
+        if args.matview_cmd == "create":
+            aggs = []
+            for a in args.agg:
+                parts = a.split(":")
+                if len(parts) != 3:
+                    raise SystemExit(
+                        f"snap matview --agg needs KIND:COL:ALIAS, got {a!r}"
+                    )
+                kind, col, alias = (s.strip() for s in parts)
+                aggs.append((kind, col or None, alias))
+            try:
+                cur = MV.create_matview(
+                    spark, args.src, args.view,
+                    [c for c in args.group_by.split(",") if c], aggs,
+                )
+            except MV.MatviewError as e:
+                raise SystemExit(str(e))
+            return {"view": args.view, "src": args.src,
+                    "cursor": cur, "op": "matview:create"}
+        if args.matview_cmd == "refresh":
+            try:
+                cur = MV.refresh_matview(spark, args.view)
+            except MV.MatviewError as e:
+                raise SystemExit(str(e))
+            return {"view": args.view, "cursor": cur, "op": "matview:refresh"}
+        df = MV.read_matview(spark, args.view)
+        return {
+            "view": args.view,
+            "rows": [r.asDict() for r in df.limit(args.limit).collect()],
+            "op": "matview:show",
+        }
     raise SystemExit(f"unknown snap command: {args.snap_cmd}")
 
 
@@ -930,6 +964,29 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sm.add_argument("--table", required=True)
     sm.add_argument("--data", required=True, help="input parquet")
     sm.add_argument("--keys", required=True, help="comma-separated key cols")
+    smv = snap_sub.add_parser(
+        "matview",
+        help="incrementally-maintained materialized aggregate view "
+        "(refresh cost is O(rows changed), never O(source table))",
+    )
+    smv_sub = smv.add_subparsers(dest="matview_cmd", required=True)
+    mvc = smv_sub.add_parser("create")
+    mvc.add_argument("--src", required=True, help="source snaptable")
+    mvc.add_argument("--view", required=True, help="view table to create")
+    mvc.add_argument("--group-by", required=True, help="comma-separated cols")
+    mvc.add_argument(
+        "--agg",
+        action="append",
+        required=True,
+        metavar="KIND:COL:ALIAS",
+        help="aggregate, e.g. sum:price:total or count::n (repeatable; "
+        "kinds: count sum avg min max)",
+    )
+    mvr = smv_sub.add_parser("refresh")
+    mvr.add_argument("--view", required=True)
+    mvs = smv_sub.add_parser("show")
+    mvs.add_argument("--view", required=True)
+    mvs.add_argument("--limit", type=int, default=20)
     ss = snap_sub.add_parser(
         "scan", help="pruned read: partition equality and/or stats range"
     )

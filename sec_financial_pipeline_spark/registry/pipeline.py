@@ -242,6 +242,70 @@ def q_snap_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cdf_rollup(spark, sf_dir, 3, 5)
 
 
+# ---------------------------------------------------------------------------
+# matview: incrementally-maintained materialized aggregate view.
+# v1 of the source = orders with o_orderkey % 3 != 0; the view is
+# created THERE (cursor = v1), then the source gains the remaining
+# rows (v2 append) and loses o_orderkey % 5 = 0 (v3 delete) — ONE
+# refresh folds both commits through the change feed by delta
+# arithmetic (never rescanning the source). The oracle recomputes the
+# same aggregate over the source's FINAL state in pure SQL: equality
+# proves the incremental fold is exact, including the decimal-sum
+# firewall (incremental addition == recompute, bit-for-bit).
+# ---------------------------------------------------------------------------
+
+_MATVIEW_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_orderkey % 5 <> 0
+GROUP BY o_orderpriority
+"""
+
+
+def _ensure_matview_demo(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _artifact_path,
+        _publish_atomically,
+    )
+    from sec_financial_pipeline_spark.sources import matview as MV
+    from sec_financial_pipeline_spark.sources import snaptable as T
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    path = _artifact_path(
+        "sfp_mvdemo_", sf_dir, "orders", "mod3;del5;onerefresh"
+    )
+    if not os.path.exists(path):
+        def build(tmp: str) -> None:
+            src, view = f"{tmp}/src", f"{tmp}/view"
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            )
+            T.create(orders.filter(F.col("o_orderkey") % 3 != 0), src)
+            MV.create_matview(
+                spark, src, view, ["o_orderpriority"],
+                [
+                    ("count", None, "n_rows"),
+                    ("sum", "o_totalprice", "total_price"),
+                ],
+            )
+            T.append(orders.filter(F.col("o_orderkey") % 3 == 0), src)
+            T.delete_where(spark, src, "o_orderkey % 5 = 0")
+            MV.refresh_matview(spark, view)
+
+        _publish_atomically(build, path)
+    return path
+
+
+def q_snap_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    path = _ensure_matview_demo(spark, sf_dir)
+    return MV.read_matview(spark, f"{path}/view")
+
+
 _POLICY_ORACLE = (
     domain.duck_prelude()
     + """
@@ -313,6 +377,11 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
                 _SNAP_DV_ORACLE,
                 ["change_type", "o_orderpriority", "n_rows", "total_price"],
             ),
+            (
+                "matview",
+                _MATVIEW_ORACLE,
+                ["o_orderpriority", "n_rows", "total_price"],
+            ),
         ],
         _PIPE_ROW_SCHEMA,
     ),
@@ -322,7 +391,10 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         "lifecycle on the real snaptable; table_changes(1,3) and (3,5) "
         "aggregated — the oracle replays the multiset algebra in pure "
         "SQL, the dv section proving deletion-vector visibility and "
-        "purge neutrality)"
+        "purge neutrality) + incrementally-maintained materialized view "
+        "(one refresh folds an append + a delete through the change "
+        "feed by exact delta arithmetic; the oracle recomputes the "
+        "aggregate over the final source state from scratch)"
     ),
 )
 def q_freshness_and_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,6 +403,7 @@ def q_freshness_and_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("policy", q_freshness_policy(spark, sf_dir)),
             ("snap_cdf", q_snap_cdf(spark, sf_dir)),
             ("snap_dv", q_snap_dv(spark, sf_dir)),
+            ("matview", q_snap_matview(spark, sf_dir)),
         ],
         _PIPE_ROW_SCHEMA,
     )

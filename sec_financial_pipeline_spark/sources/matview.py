@@ -235,7 +235,14 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
         for c in delta.columns:
             if c.startswith("d_") and c != "d___n":
                 nonzero = nonzero | (F.col(c) != 0)
-        delta = delta.filter(nonzero)
+        # merge_into runs several internal jobs over its source (key
+        # bounds, touch confirm, the rewrite itself) — pin the delta
+        # once instead of re-reading the change feed and re-aggregating
+        # per job, and collapse a small delta to one partition so each
+        # of those jobs schedules 1 task, not shuffle-partition-many
+        delta = delta.filter(nonzero).localCheckpoint(eager=True)
+        if delta.count() <= 100_000:
+            delta = delta.coalesce(1)
         updates = {"__n": "t.__n + s.d___n"}
         for a in spec["aggs"]:
             al = a["alias"]
@@ -260,6 +267,7 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
             ],
             when_not_matched=inserts,
             txn=(_APP, head),
+            unique_source=True,  # delta is a groupBy on exactly groups
         )
     else:
         # a delete can raise a min — recompute ONLY the touched groups
@@ -273,7 +281,9 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
             ),
             spec,
         )
-        merged_src = touched.join(fresh, groups, "left")
+        merged_src = touched.join(fresh, groups, "left").localCheckpoint(
+            eager=True
+        )
         stored_cols = [c for c in fresh.columns if c not in groups]
         T.merge_into(
             merged_src,
@@ -285,6 +295,7 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
             ],
             when_not_matched={c: f"s.`{c}`" for c in stored_cols},
             txn=(_APP, head),
+            unique_source=True,  # touched is a distinct() on groups
         )
     return head
 

@@ -1592,6 +1592,7 @@ def merge_into(
     when_not_matched: str = "insert",
     txn: tuple | None = None,
     cdf: bool = False,
+    unique_source: bool = False,
 ) -> int:
     """Full MERGE INTO clause semantics (Delta's WHEN MATCHED / WHEN
     NOT MATCHED), one atomic copy-on-write commit:
@@ -1623,7 +1624,12 @@ def merge_into(
     ``when_not_matched="ignore"`` the source needs only the key and
     referenced columns. Requires unique keys on the source side (the
     Delta precondition — two source rows matching one target row is
-    ambiguous): enforced with one aggregation, loud error."""
+    ambiguous): enforced with one aggregation, loud error —
+    ``unique_source=True`` skips that job when uniqueness is
+    STRUCTURAL (the source is a groupBy on exactly ``key_cols``, a
+    primary-keyed extract, ...); passing it with a duplicated source
+    silently picks arbitrary rows, so only assert what the plan
+    guarantees."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -1648,15 +1654,19 @@ def merge_into(
     needs_full_source = when_matched == "replace" or when_not_matched == "insert"
     if needs_full_source:
         _check_schema(source, base, "merge")
-    dupes = (
-        source.groupBy(*key_cols).count().filter(F.col("count") > 1).count()
-    )
-    if dupes:
-        raise ValueError(
-            f"snaptable: merge_into source has {dupes} duplicate key "
-            f"group(s) on {key_cols} — multiple source rows matching one "
-            f"target row is ambiguous (dedupe the source first)"
+    if not unique_source:
+        dupes = (
+            source.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
+        if dupes:
+            raise ValueError(
+                f"snaptable: merge_into source has {dupes} duplicate key "
+                f"group(s) on {key_cols} — multiple source rows matching "
+                f"one target row is ambiguous (dedupe the source first)"
+            )
     keys = source.select(*key_cols).distinct()
     row = source.agg(
         *[F.min(c).alias(f"mn_{c}") for c in key_cols],

@@ -700,3 +700,39 @@ def test_snap_changes_per_commit_via_cli(tmp_path, capsys, spark):
                                "--since", "0", "--per-commit"])
     assert res["per_commit"]["1"] == {"insert": 20}
     assert res["per_commit"]["2"] == {"delete": 3}
+
+
+def test_snap_matview_lifecycle_via_cli(tmp_path, capsys, spark, sf_dir):
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    src = str(tmp_path / "mv_src")
+    view = str(tmp_path / "mv_view")
+    T.create(
+        spark.createDataFrame(
+            [(1, "a", 2.0), (2, "a", 3.5), (3, "b", 10.0)],
+            "k bigint, g string, v double",
+        ),
+        src,
+    )
+    out = _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "snap", "matview", "create", "--src", src,
+         "--view", view, "--group-by", "g",
+         "--agg", "count::n", "--agg", "sum:v:total"],
+    )
+    assert out["cursor"] == 1
+    T.append(
+        spark.createDataFrame([(4, "b", 1.0)], "k bigint, g string, v double"),
+        src,
+    )
+    out = _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "snap", "matview", "refresh", "--view", view],
+    )
+    assert out["cursor"] == 2
+    out = _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "snap", "matview", "show", "--view", view],
+    )
+    got = {r["g"]: (r["n"], r["total"]) for r in out["rows"]}
+    assert got == {"a": (2, 5.5), "b": (2, 11.0)}
