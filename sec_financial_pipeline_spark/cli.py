@@ -722,6 +722,14 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "deletes": int(counts.get("delete", 0)),
             "op": "changes",
         }
+    if args.snap_cmd == "bounds":
+        b = T.column_bounds(spark, args.table, args.col, version=args.version)
+        return {
+            "table": args.table,
+            "bounds": {c: [str(v) if v is not None else None for v in mm]
+                       for c, mm in b.items()},
+            "op": "bounds",
+        }
     if args.snap_cmd == "matview":
         from sec_financial_pipeline_spark.sources import matview as MV
 
@@ -964,6 +972,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sm.add_argument("--table", required=True)
     sm.add_argument("--data", required=True, help="input parquet")
     sm.add_argument("--keys", required=True, help="comma-separated key cols")
+    sbn = snap_sub.add_parser(
+        "bounds",
+        help="exact per-column MIN/MAX from manifest metadata (zero "
+        "files opened in the common case; DV'd or statless entries "
+        "fall back to one confined scan)",
+    )
+    sbn.add_argument("--table", required=True)
+    sbn.add_argument("--col", action="append", required=True)
+    sbn.add_argument("--version", type=int, default=None)
     smv = snap_sub.add_parser(
         "matview",
         help="incrementally-maintained materialized aggregate view "

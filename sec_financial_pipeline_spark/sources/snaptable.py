@@ -2727,6 +2727,95 @@ def count_rows(
     return total
 
 
+def column_bounds(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    version: int | None = None,
+) -> dict:
+    """Exact per-column (min, max) from manifest metadata where
+    possible — Delta's stats-based SELECT MIN/MAX optimization, the
+    companion of :func:`count_rows`: a file's footer min/max IS the
+    file's true range (the ``_file_stats`` incomplete-drop rule
+    guarantees recorded stats are never narrower than the file), so
+    folding entry stats driver-side answers with ZERO files opened.
+    Two entry shapes can't be answered from metadata:
+
+    - an entry with no recorded stats for the column (pre-evolution
+      files for an added column, converted tables whose footers lacked
+      stats, non-stats_cols columns);
+    - an entry carrying a deletion vector — the min/max row itself may
+      be among the deleted positions, so footer stats are only BOUNDS.
+
+    Those fall back to ONE column-pruned Spark aggregation over JUST
+    the unanswerable entries, folded with the metadata of the rest.
+    Always exact; metadata-only in the common case. Partition columns
+    also take the scan path (their lifted manifest values are strings
+    — ordering them as the column's real type would need a cast layer
+    the one column-pruned job makes unnecessary). SQL semantics:
+    min/max ignore NULLs; an empty table (or all-NULL column) yields
+    (None, None).
+
+    Assumes the parquet writer records UNtruncated binary stats (Spark
+    / parquet-mr default) — the same contract the scan pruning already
+    relies on."""
+    from pyspark.sql import functions as F
+
+    m = _manifest(spark, path, version)
+    want = list(cols)
+    schema_names = {
+        f["name"] for f in json.loads(m["schema"])["fields"]
+    }
+    for c in want:
+        if c not in schema_names:
+            raise ValueError(f"snaptable: column_bounds of unknown column {c!r}")
+    out = {c: (None, None) for c in want}
+    need_scan: dict = {c: [] for c in want}
+    for e in m["files"]:
+        dv = bool(e.get("dv"))
+        for c in want:
+            st = e.get("stats", {}).get(c)
+            if dv or st is None:
+                # DV'd entry, or no recorded range (all-NULL and
+                # never-recorded look the same) — only a scan can tell
+                need_scan[c].append(e)
+                continue
+            lo, hi = st[0], st[1]
+            mn, mx = out[c]
+            out[c] = (
+                lo if mn is None or lo < mn else mn,
+                hi if mx is None or hi > mx else mx,
+            )
+    # group columns by their exact unanswerable-entry subset and run
+    # ONE column-pruned aggregation per distinct subset (in practice
+    # one: the same DV'd/statless entries usually block every column)
+    by_subset: dict = {}
+    for c in want:
+        if need_scan[c]:
+            key = tuple(sorted(e["path"] for e in need_scan[c]))
+            by_subset.setdefault(key, (need_scan[c], []))[1].append(c)
+    for ents, cs in by_subset.values():
+        row = _df_for(spark, path, m, ents).agg(
+            *[
+                a
+                for c in cs
+                for a in (
+                    F.min(c).alias(f"mn_{c}"),
+                    F.max(c).alias(f"mx_{c}"),
+                )
+            ]
+        ).collect()[0]
+        for c in cs:
+            lo, hi = row[f"mn_{c}"], row[f"mx_{c}"]
+            mn, mx = out[c]
+            if lo is not None:
+                out[c] = (
+                    lo if mn is None or lo < mn else mn,
+                    hi if mx is None or hi > mx else mx,
+                )
+    return out
+
+
 def clone(
     spark: SparkSession,
     src: str,

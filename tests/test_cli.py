@@ -736,3 +736,21 @@ def test_snap_matview_lifecycle_via_cli(tmp_path, capsys, spark, sf_dir):
     )
     got = {r["g"]: (r["n"], r["total"]) for r in out["rows"]}
     assert got == {"a": (2, 5.5), "b": (2, 11.0)}
+
+
+def test_snap_bounds_via_cli(tmp_path, capsys, spark, sf_dir):
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    path = str(tmp_path / "bnd")
+    T.create(
+        spark.createDataFrame(
+            [(5, 2.5), (9, -1.0), (2, 7.0)], "k bigint, v double"
+        ),
+        path,
+    )
+    out = _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "snap", "bounds", "--table", path,
+         "--col", "k", "--col", "v"],
+    )
+    assert out["bounds"] == {"k": ["2", "9"], "v": ["-1.0", "7.0"]}

@@ -2270,3 +2270,69 @@ def test_vacuum_reaps_unreferenced_cdf_sidecars(spark, tmp_path):
     T.compact(spark, path, target_files=1)
     T.vacuum(spark, path, keep_last=1, min_age_sec=0.0)
     assert os.listdir(f"{path}/cdf") == []
+
+
+def test_column_bounds_metadata_only_and_fallbacks(spark, tmp_path):
+    """column_bounds: exact always; zero files opened when every entry
+    carries stats and no DVs (pinned by deleting the data files);
+    DV'd / statless entries fold through one confined scan."""
+    import shutil
+
+    path = str(tmp_path / "cb")
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5, f"s{i:03d}") for i in range(100)],
+        "k bigint, v double, s string",
+    ).repartitionByRange(4, "k")
+    T.create(df, path)
+    assert T.column_bounds(spark, path, ["k", "v", "s"]) == {
+        "k": (0, 99), "v": (0.0, 148.5), "s": ("s000", "s099"),
+    }
+
+    # metadata-only receipt: physically remove the data files — the
+    # answer must still come (nothing is opened on the fast path)
+    twin = str(tmp_path / "cb_twin")
+    shutil.copytree(path, twin)
+    shutil.rmtree(f"{twin}/data")
+    assert T.column_bounds(spark, twin, ["k", "v"]) == {
+        "k": (0, 99), "v": (0.0, 148.5),
+    }
+
+    # a DV delete removing the current max: footer stats become mere
+    # bounds for that file — the fallback scan restores exactness
+    T.delete_where(spark, path, "k >= 95", mode="dv")
+    assert T.column_bounds(spark, path, ["k"]) == {"k": (0, 94)}
+
+    # an evolved column has no stats in pre-evolution files (all-NULL
+    # there): bounds must come from the post-evolution files only
+    T.evolve_schema(spark, path, [("w", "bigint")])
+    T.append(
+        spark.createDataFrame(
+            [(1000, 1.0, "zz", 7), (1001, 2.0, "aa", -7)],
+            "k bigint, v double, s string, w bigint",
+        ),
+        path,
+    )
+    got = T.column_bounds(spark, path, ["w", "k"])
+    assert got["w"] == (-7, 7)
+    assert got["k"] == (0, 1001)
+
+    # time travel sees the old snapshot's bounds
+    assert T.column_bounds(spark, path, ["k"], version=1) == {"k": (0, 99)}
+
+    with pytest.raises(ValueError, match="unknown column"):
+        T.column_bounds(spark, path, ["nope"])
+
+
+def test_column_bounds_empty_and_all_null(spark, tmp_path):
+    path = str(tmp_path / "cbn")
+    T.create(
+        spark.createDataFrame(
+            [(1, None), (2, None)], "k bigint, v double"
+        ),
+        path,
+    )
+    got = T.column_bounds(spark, path, ["v", "k"])
+    assert got["v"] == (None, None)
+    assert got["k"] == (1, 2)
+    T.delete_where(spark, path, "k >= 1")
+    assert T.column_bounds(spark, path, ["k"]) == {"k": (None, None)}
