@@ -541,7 +541,12 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "dv_files": sum(1 for e in m["files"] if e.get("dv")),
             "constraints": m.get("constraints", {}),
             "txn": m.get("txn", {}),
+            "statistics": T.table_statistics(spark, args.table),
         }
+    if args.snap_cmd == "analyze":
+        cols = args.col or None
+        stats = T.analyze_table(spark, args.table, cols=cols, hll_b=args.b)
+        return {"table": args.table, "op": "analyze", **stats}
     if args.snap_cmd == "merge":
         v = T.merge_upsert(
             spark.read.parquet(args.data), args.table,
@@ -972,6 +977,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sm.add_argument("--table", required=True)
     sm.add_argument("--data", required=True, help="input parquet")
     sm.add_argument("--keys", required=True, help="comma-separated key cols")
+    san = snap_sub.add_parser(
+        "analyze",
+        help="ANALYZE TABLE: exact null counts + min/max (metadata "
+        "fast paths) and HLL distinct-count estimates (one scan for "
+        "all columns), persisted beside the manifests",
+    )
+    san.add_argument("--table", required=True)
+    san.add_argument("--col", action="append", default=None)
+    san.add_argument("--b", type=int, default=12, help="HLL register bits")
     sbn = snap_sub.add_parser(
         "bounds",
         help="exact per-column MIN/MAX from manifest metadata (zero "

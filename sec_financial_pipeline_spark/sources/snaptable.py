@@ -264,18 +264,22 @@ def _file_stats(local_file: str, cols: list[str]) -> dict:
 
 def _footer_meta(
     local_file: str, cols: list[str]
-) -> tuple[dict, int | None]:
-    """Per-file ([min, max] for ``cols``, row count) out of the parquet
-    FOOTER (pyarrow; the bytes are already there — no data read). Local
-    filesystems only; remote stores return ({}, None) and simply don't
-    skip. At cluster scale the same numbers come from a tiny Spark job
-    over the fresh files, or from real Delta's stats collection."""
+) -> tuple[dict, int | None, dict]:
+    """Per-file ([min, max] for ``cols``, row count, null count per
+    col) out of the parquet FOOTER (pyarrow; the bytes are already
+    there — no data read). Null counts are independent of min/max
+    availability (an all-NULL column has no min/max but an exact null
+    count) and are recorded only when EVERY row group carries one —
+    a partial sum would silently under-count. Local filesystems only;
+    remote stores return ({}, None, {}) and simply don't skip. At
+    cluster scale the same numbers come from a tiny Spark job over the
+    fresh files, or from real Delta's stats collection."""
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(local_file).metadata
     except Exception:
-        return {}, None
+        return {}, None, {}
     out: dict = {}
     # A column whose stats are missing/unusable in ANY row group must
     # be dropped from the file's entry entirely: merging only the row
@@ -286,6 +290,8 @@ def _footer_meta(
     # means keep — pruning is an optimization, never a correctness
     # filter.
     incomplete: set = set()
+    nulls: dict = {}
+    null_incomplete: set = set()
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
@@ -294,6 +300,15 @@ def _footer_meta(
             if name not in cols:
                 continue
             st = col.statistics
+            nc = (
+                st.null_count
+                if st is not None and getattr(st, "has_null_count", False)
+                else None
+            )
+            if nc is None:
+                null_incomplete.add(name)
+            else:
+                nulls[name] = nulls.get(name, 0) + int(nc)
             if st is None or not st.has_min_max:
                 incomplete.add(name)
                 continue
@@ -313,7 +328,9 @@ def _footer_meta(
                 out[name] = [mn, mx]
     for name in incomplete:
         out.pop(name, None)
-    return out, md.num_rows
+    for name in null_incomplete:
+        nulls.pop(name, None)
+    return out, md.num_rows, nulls
 
 
 def _unquote_hive(v: str) -> str:
@@ -384,10 +401,10 @@ def _write_files(
                 )
         rel = f"{rel_dir}/{tail}"
         local = _os_mod.path.join(path, rel)
-        stats, rows = (
+        stats, rows, nulls = (
             _footer_meta(local, stats_cols or [])
             if _os_mod.path.exists(local)
-            else ({}, None)
+            else ({}, None, {})
         )
         entry = {
             "path": rel, "base": rel_dir, "partition": partition,
@@ -396,6 +413,9 @@ def _write_files(
         if rows is not None:
             # footer row count -> metadata-only COUNT(*) (count_rows)
             entry["rows"] = rows
+        if nulls:
+            # footer null counts -> metadata-only null_counts()
+            entry["nulls"] = nulls
         entries.append(entry)
     return sorted(entries, key=lambda e: e["path"])
 
@@ -2108,14 +2128,16 @@ def convert_in_place(
         ]
     for e in entries:
         local = _os_mod.path.join(path, e["path"])
-        stats, rows = (
+        stats, rows, nulls = (
             _footer_meta(local, stats_cols or [])
             if _os_mod.path.exists(local)
-            else ({}, None)
+            else ({}, None, {})
         )
         e["stats"] = stats
         if rows is not None:
             e["rows"] = rows
+        if nulls:
+            e["nulls"] = nulls
     if not _try_commit(
         spark, path, 1, entries, schema.json(), "convert", None,
         tuple(partition_cols), stats_cols, {}, {},
@@ -2814,6 +2836,169 @@ def column_bounds(
                     hi if mx is None or hi > mx else mx,
                 )
     return out
+
+
+def null_counts(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    version: int | None = None,
+) -> dict:
+    """Exact per-column NULL counts, metadata-only where possible: the
+    parquet footer records each column chunk's null count, and the
+    writers lift the per-file sum into the manifest (``nulls`` entry
+    key) — so the common case folds driver-side with zero files
+    opened, the same contract as :func:`count_rows`/:func:`column_bounds`.
+    Entries that can't answer (DV'd — deleted positions may be the
+    NULLs; written before the key existed; footer withheld the count)
+    fall back to one conditional-aggregation scan over just those
+    entries. Always exact."""
+    from pyspark.sql import functions as F
+
+    m = _manifest(spark, path, version)
+    schema_names = {f["name"] for f in json.loads(m["schema"])["fields"]}
+    for c in cols:
+        if c not in schema_names:
+            raise ValueError(
+                f"snaptable: null_counts of unknown column {c!r}"
+            )
+    out = {c: 0 for c in cols}
+    need_scan: dict = {c: [] for c in cols}
+    for e in m["files"]:
+        dv = bool(e.get("dv"))
+        nulls = e.get("nulls", {})
+        rows = e.get("rows")
+        parts = e.get("partition") or {}
+        for c in cols:
+            if not dv and c in nulls:
+                out[c] += nulls[c]
+            elif not dv and c in parts and rows is not None:
+                # a partition column is constant per file: NULL dirs
+                # (__HIVE_DEFAULT_PARTITION__) lift as None
+                out[c] += rows if parts[c] is None else 0
+            else:
+                need_scan[c].append(e)
+    by_subset: dict = {}
+    for c in cols:
+        if need_scan[c]:
+            key = tuple(sorted(e["path"] for e in need_scan[c]))
+            by_subset.setdefault(key, (need_scan[c], []))[1].append(c)
+    for ents, cs in by_subset.values():
+        row = _df_for(spark, path, m, ents).agg(
+            *[
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"n_{c}")
+                for c in cs
+            ]
+        ).collect()[0]
+        for c in cs:
+            out[c] += row[f"n_{c}"]
+    return out
+
+
+_ANALYZE_FILE = "analyze.json"
+
+
+def analyze_table(
+    spark: SparkSession,
+    path: str,
+    cols: list[str] | None = None,
+    hll_b: int = 12,
+) -> dict:
+    """ANALYZE TABLE ... COMPUTE STATISTICS (FOR COLUMNS): per-column
+    row count, exact null count, exact min/max, and an HLL
+    distinct-count estimate (2^hll_b registers; ~1.04/sqrt(m) standard
+    error — b=12 gives ~1.6%), persisted as an ``analyze.json`` sidecar
+    beside the manifests (the metastore-statistics analog; versioned
+    tables keep data and statistics separate exactly like Spark/Hive
+    ANALYZE). Nulls and bounds ride the metadata fast paths
+    (:func:`null_counts`, :func:`column_bounds`) — usually zero data
+    I/O; the NDV sketch is ONE scan for ALL columns: values stack into
+    (column, value) rows and the partial-aggregable HLL registers fold
+    map-side, so the pass ships <= n_cols * 2^hll_b register rows
+    however large the table. The sidecar records ``at_version``;
+    readers compare it to the head to detect staleness (statistics are
+    advisory — nothing correctness-bearing consumes them)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    m = _manifest(spark, path, None)
+    fields = json.loads(m["schema"])["fields"]
+    names = [f["name"] for f in fields]
+    if cols is None:
+        prim = {"byte", "short", "integer", "long", "float", "double",
+                "string", "date", "boolean"}
+        cols = [
+            f["name"] for f in fields
+            if isinstance(f["type"], str) and f["type"] in prim
+        ]
+    for c in cols:
+        if c not in names:
+            raise ValueError(f"snaptable: analyze of unknown column {c!r}")
+    total = count_rows(spark, path, version=m["version"])
+    nulls = null_counts(spark, path, cols, version=m["version"])
+    bounds = column_bounds(spark, path, cols, version=m["version"])
+    df = _df_for(spark, path, m)
+    stacked = df.selectExpr(
+        "stack({}, {}) AS (col_name, col_value)".format(
+            len(cols),
+            ", ".join(
+                f"'{c}', CAST(`{c}` AS STRING)" for c in cols
+            ),
+        )
+    ).filter(F.col("col_value").isNotNull())
+    import math
+
+    m_regs = 1 << hll_b
+    ndv = {}
+    for r in hll_distinct(
+        stacked, "col_value", ["col_name"], b=hll_b
+    ).collect():
+        est, n_zero = float(r["hll_distinct"]), int(r["n_zero"])
+        if n_zero > 0 and est <= 2.5 * m_regs:
+            # LinearCounting small-range correction (advisory stats —
+            # the float ln the oracled sketch rows firewall away is
+            # fine here)
+            est = m_regs * math.log(m_regs / n_zero)
+        ndv[r["col_name"]] = int(round(est))
+    stats = {
+        "at_version": m["version"],
+        "rows": total,
+        "hll_b": hll_b,
+        "columns": {
+            c: {
+                "nulls": nulls[c],
+                "min": bounds[c][0],
+                "max": bounds[c][1],
+                "ndv": ndv.get(c, 0),
+            }
+            for c in cols
+        },
+    }
+    tmp = os.path.join(path, _ANALYZE_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=1, sort_keys=True, default=str)
+    os.replace(tmp, os.path.join(path, _ANALYZE_FILE))
+    return stats
+
+
+def table_statistics(spark: SparkSession, path: str) -> dict | None:
+    """The last :func:`analyze_table` snapshot (None if never analyzed),
+    with ``stale`` set when commits landed since."""
+    import os
+
+    p = os.path.join(path, _ANALYZE_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        stats = json.load(f)
+    head = _manifest(spark, path, None)["version"]
+    stats["stale"] = head > stats.get("at_version", 0)
+    return stats
 
 
 def clone(

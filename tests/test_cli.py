@@ -754,3 +754,30 @@ def test_snap_bounds_via_cli(tmp_path, capsys, spark, sf_dir):
          "--col", "k", "--col", "v"],
     )
     assert out["bounds"] == {"k": ["2", "9"], "v": ["-1.0", "7.0"]}
+
+
+def test_snap_analyze_via_cli(tmp_path, capsys, spark, sf_dir):
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    path = str(tmp_path / "anl")
+    T.create(
+        spark.createDataFrame(
+            [(i, None if i % 4 == 0 else float(i)) for i in range(200)],
+            "k bigint, v double",
+        ),
+        path,
+    )
+    out = _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "snap", "analyze", "--table", path],
+    )
+    assert out["rows"] == 200
+    assert out["columns"]["v"]["nulls"] == 50
+    assert out["columns"]["k"]["min"] == 0
+    # stats now ride along in snap stats, fresh
+    out = _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "snap", "stats", "--table", path],
+    )
+    assert out["statistics"]["stale"] is False
+    assert out["statistics"]["columns"]["v"]["nulls"] == 50

@@ -2336,3 +2336,81 @@ def test_column_bounds_empty_and_all_null(spark, tmp_path):
     assert got["k"] == (1, 2)
     T.delete_where(spark, path, "k >= 1")
     assert T.column_bounds(spark, path, ["k"]) == {"k": (None, None)}
+
+
+def test_null_counts_metadata_only_and_fallbacks(spark, tmp_path):
+    import shutil
+
+    path = str(tmp_path / "nc")
+    rows = [(i, float(i) if i % 3 else None, None if i % 5 == 0 else f"s{i}")
+            for i in range(90)]
+    T.create(
+        spark.createDataFrame(rows, "k bigint, v double, s string")
+        .repartitionByRange(3, "k"),
+        path,
+    )
+    want_v = sum(1 for _, v, _ in rows if v is None)
+    want_s = sum(1 for _, _, s in rows if s is None)
+    assert T.null_counts(spark, path, ["k", "v", "s"]) == {
+        "k": 0, "v": want_v, "s": want_s,
+    }
+
+    # metadata-only: still answers with the data files gone
+    twin = str(tmp_path / "nc_twin")
+    shutil.copytree(path, twin)
+    shutil.rmtree(f"{twin}/data")
+    assert T.null_counts(spark, twin, ["v"]) == {"v": want_v}
+
+    # DV delete of rows INCLUDING nulls -> fallback restores exactness
+    T.delete_where(spark, path, "k < 30", mode="dv")
+    live = [r for r in rows if r[0] >= 30]
+    assert T.null_counts(spark, path, ["v", "s"]) == {
+        "v": sum(1 for _, v, _ in live if v is None),
+        "s": sum(1 for _, _, s in live if s is None),
+    }
+    with pytest.raises(ValueError, match="unknown column"):
+        T.null_counts(spark, path, ["zz"])
+
+
+def test_null_counts_partition_column_incl_null_dir(spark, tmp_path):
+    path = str(tmp_path / "ncp")
+    T.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")],
+            "k bigint, p string",
+        ),
+        path,
+        partition_cols=("p",),
+    )
+    assert T.null_counts(spark, path, ["p", "k"]) == {"p": 2, "k": 0}
+
+
+def test_analyze_table_stats_and_staleness(spark, tmp_path):
+    path = str(tmp_path / "an")
+    n = 5000
+    df = spark.createDataFrame(
+        [(i, i % 97, None if i % 10 == 0 else f"u{i}") for i in range(n)],
+        "k bigint, b bigint, s string",
+    )
+    T.create(df, path)
+    stats = T.analyze_table(spark, path)
+    assert stats["rows"] == n
+    c = stats["columns"]
+    assert c["k"]["nulls"] == 0 and c["s"]["nulls"] == n // 10
+    assert c["k"]["min"] == 0 and c["k"]["max"] == n - 1
+    assert c["b"]["min"] == 0 and c["b"]["max"] == 96
+    # NDV within the HLL+LinearCounting envelope (b=12 -> ~1.6% sigma;
+    # allow 5%)
+    assert abs(c["k"]["ndv"] - n) / n < 0.05
+    assert abs(c["b"]["ndv"] - 97) / 97 < 0.05
+    assert abs(c["s"]["ndv"] - (n - n // 10)) / (n - n // 10) < 0.05
+
+    got = T.table_statistics(spark, path)
+    assert got["stale"] is False
+    T.append(spark.createDataFrame([(n + 1, 1, "x")], df.schema), path)
+    assert T.table_statistics(spark, path)["stale"] is True
+    # re-analyze refreshes the snapshot
+    stats = T.analyze_table(spark, path, cols=["k"])
+    assert stats["at_version"] == 2
+    assert stats["rows"] == n + 1
+    assert T.table_statistics(spark, path)["stale"] is False
