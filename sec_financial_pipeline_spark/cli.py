@@ -381,6 +381,25 @@ def _cmd_bpe(args, spark: SparkSession) -> dict:
     raise SystemExit(f"unknown bpe command: {args.bpe_cmd}")
 
 
+
+def _split_specs(s: str) -> tuple:
+    """Comma-split a partition-spec list RESPECTING parentheses:
+    'bucket(16,k),days(ts)' -> ('bucket(16,k)', 'days(ts)')."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur).strip())
+    return tuple(c for c in out if c)
+
+
 def _cmd_snap(args, spark: SparkSession) -> dict:
     """Snapshot-table lifecycle (sources/snaptable.py): Delta-semantics
     commits on plain parquet — create/append/delete/compact/rollback/
@@ -388,7 +407,7 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
     from sec_financial_pipeline_spark.sources import snaptable as T
 
     if args.snap_cmd == "create":
-        pcols = tuple(c for c in args.partition_by.split(",") if c)
+        pcols = _split_specs(args.partition_by)
         v = T.create(
             spark.read.parquet(args.data), args.table, partition_cols=pcols
         )
@@ -450,12 +469,12 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
         return {"table": args.table,
                 "constraints": m.get("constraints", {})}
     if args.snap_cmd == "spec":
-        pcols = tuple(c for c in args.partition_by.split(",") if c)
+        pcols = _split_specs(args.partition_by)
         v = T.set_partition_spec(spark, args.table, pcols)
         return {"table": args.table, "version": v,
                 "op": f"partition-spec:{','.join(pcols)}"}
     if args.snap_cmd == "convert":
-        pcols = tuple(c for c in args.partition_by.split(",") if c)
+        pcols = _split_specs(args.partition_by)
         v = T.convert_in_place(spark, args.table, partition_cols=pcols)
         return {"table": args.table, "version": v, "op": "convert",
                 "rows": T.read(spark, args.table, version=v).count()}

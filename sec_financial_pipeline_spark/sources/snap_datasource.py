@@ -382,9 +382,19 @@ class SnapBatchReader(DataSourceReader):
         )
 
         # head only — partition_cols lives in the version JSON; no
-        # reason to materialize manifest-list parts here
+        # reason to materialize manifest-list parts here. Probes are
+        # recorded against the SOURCE column of each spec entry:
+        # hidden-partitioning transforms (bucket/truncate/days/months)
+        # prune through the Python transform mirror in _select_entries.
+        from sec_financial_pipeline_spark.sources.snaptable import (
+            _parse_spec_entry,
+        )
+
         m = _raw_manifest(self.path, self._ver())
-        pcols = set(m.get("partition_cols", []) or [])
+        pcols = {
+            _parse_spec_entry(str(s))[1]
+            for s in (m.get("partition_cols", []) or [])
+        }
         for f in filters:
             attr = getattr(f, "attribute", ())
             if len(attr) != 1:

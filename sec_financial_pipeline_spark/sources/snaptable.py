@@ -333,6 +333,163 @@ def _footer_meta(
     return out, md.num_rows, nulls
 
 
+import re as _re
+
+#: Iceberg-style HIDDEN-PARTITIONING transforms. A partition-spec entry
+#: is either a plain column (identity) or a transform over one:
+#: ``bucket(N, col)`` (md5-family hash mod N — the repo's engine-
+#: independent hash, mirrored bit-for-bit in Python for probe-time
+#: pruning), ``truncate(W, col)`` (strings: prefix; integers: floor to
+#: a multiple of W), ``days(col)`` / ``months(col)`` (calendar dirs
+#: from a date/timestamp). The data files keep the SOURCE column —
+#: only the directory layout is derived — so queries filter on the raw
+#: column and the engine prunes the transformed dirs without the user
+#: ever knowing the layout (the Iceberg pitch: partitioning without
+#: partition-column discipline).
+_X_BUCKET_TRUNC = _re.compile(
+    r"^(bucket|truncate)\(\s*(\d+)\s*,\s*(\w+)\s*\)$"
+)
+_X_TEMPORAL = _re.compile(r"^(days|months)\(\s*(\w+)\s*\)$")
+#: derived-dir-name patterns, keyed for probe-time recovery
+_X_DERIVED = _re.compile(r"^(?P<src>\w+)_(?:bucket|trunc)_(?P<n>\d+)$")
+
+
+def _parse_spec_entry(s: str) -> tuple:
+    """``spec string -> (kind, src_col, param, derived_dir_name)``;
+    plain columns parse as ``("identity", col, None, col)``."""
+    s = s.strip()
+    m = _X_BUCKET_TRUNC.match(s)
+    if m:
+        kind, param, src = m.group(1), int(m.group(2)), m.group(3)
+        if param <= 0:
+            raise ValueError(f"snaptable: {kind} width must be > 0 in {s!r}")
+        tag = "bucket" if kind == "bucket" else "trunc"
+        return kind, src, param, f"{src}_{tag}_{param}"
+    m = _X_TEMPORAL.match(s)
+    if m:
+        kind, src = m.group(1), m.group(2)
+        return kind, src, None, f"{src}_{'day' if kind == 'days' else 'month'}"
+    if not _re.match(r"^\w+$", s):
+        raise ValueError(
+            f"snaptable: unparseable partition-spec entry {s!r} (expected "
+            f"a column, bucket(N, col), truncate(W, col), days(col) or "
+            f"months(col))"
+        )
+    return "identity", s, None, s
+
+
+def _transform_expr(kind: str, src: str, param, src_type: str):
+    """The Spark column computing a transform's derived dir value."""
+    from pyspark.sql import functions as F
+
+    c = F.col(src)
+    if kind == "bucket":
+        return F.pmod(
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(param),
+        )
+    if kind == "truncate":
+        if src_type == "string":
+            return F.substring(c, 1, param)
+        return c - F.pmod(c, F.lit(param))
+    if kind == "days":
+        return F.date_format(c, "yyyy-MM-dd")
+    return F.date_format(c, "yyyy-MM")  # months
+
+
+def _transform_py(kind: str, param, v):
+    """Python mirror of :func:`_transform_expr` — identical output for
+    identical input, so manifest pruning can compute the dir value a
+    probe WOULD have landed in. None maps to None (the NULL dir)."""
+    import hashlib as _hl
+
+    if v is None:
+        return None
+    if kind == "bucket":
+        return int(_hl.md5(str(v).encode()).hexdigest()[:8], 16) % param
+    if kind == "truncate":
+        if isinstance(v, str):
+            return v[:param]
+        return v - (v % param)  # Python % is non-negative for param > 0
+    s = _temporal_iso(v)
+    if s is None:
+        return None
+    return s[:10] if kind == "days" else s[:7]
+
+
+def _temporal_iso(v) -> str | None:
+    """ISO rendering of a date/datetime/ISO-string probe value (None if
+    the value can't be read temporally — pruning then just keeps)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, str) and _re.match(r"^\d{4}-\d{2}", v):
+        return v
+    return None
+
+
+def _derived_probe(part_key: str, probe_col: str) -> tuple | None:
+    """Recover (kind, param) when ``part_key`` is a derived dir of
+    ``probe_col`` — the stateless inverse of the spec's derived names
+    (works for entries written under ANY retained spec)."""
+    if part_key == f"{probe_col}_day":
+        return ("days", None)
+    if part_key == f"{probe_col}_month":
+        return ("months", None)
+    m = _X_DERIVED.match(part_key)
+    if m and m.group("src") == probe_col:
+        kind = "bucket" if "_bucket_" in part_key else "truncate"
+        return (kind, int(m.group("n")))
+    return None
+
+
+_BUCKETABLE = {"byte", "short", "integer", "long", "string", "date"}
+_TRUNCATABLE = {"byte", "short", "integer", "long", "string"}
+_TEMPORAL_T = {"date", "timestamp", "timestamp_ntz"}
+
+
+def _validate_partition_spec(schema, partition_cols) -> None:
+    """Shared spec validation for create/set_partition_spec: source
+    columns exist, transform types make sense, derived dir names can't
+    shadow real columns (a table column named ``k_bucket_16`` beside
+    ``bucket(16, k)`` would make reads ambiguous)."""
+    names = {f.name: f.dataType.typeName() for f in schema.fields}
+    derived = set()
+    for s in partition_cols:
+        kind, src, param, dname = _parse_spec_entry(str(s))
+        if src not in names:
+            raise ValueError(
+                f"snaptable: partition-spec column '{src}' is not a "
+                f"table column (have {sorted(names)})"
+            )
+        t = names[src]
+        if kind == "bucket" and t not in _BUCKETABLE:
+            raise ValueError(
+                f"snaptable: bucket() needs an int/string/date column, "
+                f"got {src}: {t} (float renderings differ across engines)"
+            )
+        if kind == "truncate" and t not in _TRUNCATABLE:
+            raise ValueError(
+                f"snaptable: truncate() needs an int/string column, "
+                f"got {src}: {t}"
+            )
+        if kind in ("days", "months") and t not in _TEMPORAL_T:
+            raise ValueError(
+                f"snaptable: {kind}() needs a date/timestamp column, "
+                f"got {src}: {t}"
+            )
+        if kind != "identity" and (dname in names or dname in derived):
+            raise ValueError(
+                f"snaptable: derived partition dir '{dname}' collides "
+                f"with an existing column or another spec entry"
+            )
+        derived.add(dname)
+
+
 def _unquote_hive(v: str) -> str:
     """Invert Spark's Hive path escaping (%XX per escaped char).
     urllib's unquote decodes the same %-hex scheme; errors='strict'
@@ -370,12 +527,29 @@ def _write_files(
 
     rel_dir = f"{_DATADIR}/c-{uuid.uuid4().hex[:12]}"
     out_dir = f"{path.rstrip('/')}/{rel_dir}"
-    w = df.write.mode("overwrite")
-    if partition_cols:
-        w = w.partitionBy(*partition_cols)
-    w.parquet(out_dir)
     if stats_cols is None:
+        # from the USER schema — a transform's derived dir column must
+        # never leak into the recorded stats columns
         stats_cols = _default_stats_cols(df, partition_cols)
+    phys_cols = []
+    if partition_cols:
+        types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+        for s in partition_cols:
+            kind, src, param, dname = _parse_spec_entry(str(s))
+            if kind == "identity":
+                phys_cols.append(src)
+            else:
+                # hidden partitioning: derive the dir column; the data
+                # files keep the SOURCE column (partitionBy extracts
+                # only the derived one into the layout)
+                df = df.withColumn(
+                    dname, _transform_expr(kind, src, param, types[src])
+                )
+                phys_cols.append(dname)
+    w = df.write.mode("overwrite")
+    if phys_cols:
+        w = w.partitionBy(*phys_cols)
+    w.parquet(out_dir)
     fs, Path = _hadoop_fs(df.sparkSession, out_dir)
     entries = []
     it = fs.listFiles(Path(out_dir), True)
@@ -511,6 +685,8 @@ def create(
     spark = df.sparkSession
     if versions(spark, path):
         raise FileExistsError(f"snaptable: table already exists at {path}")
+    if partition_cols:
+        _validate_partition_spec(df.schema, partition_cols)
     if stats_cols is None:
         stats_cols = _default_stats_cols(df, partition_cols)
     files = _write_files(df, path, partition_cols, stats_cols)
@@ -724,6 +900,54 @@ def version_at(spark: SparkSession, path: str, as_of) -> int:
     return best
 
 
+def _partition_rules_out(part: dict, partitions: dict) -> bool:
+    """True when an entry's lifted dir values are INCOMPATIBLE with an
+    equality probe. Identity dirs compare the raw value; hidden-
+    partitioning dirs compare the value's TRANSFORM (computed by the
+    bit-identical Python mirror), so a probe on the SOURCE column
+    prunes bucket/truncate/day/month layouts without the caller
+    knowing the spec. Lifted values are the TRUE (unescaped) strings,
+    or None for __HIVE_DEFAULT_PARTITION__; a None probe matches only
+    the null partition and vice versa. Entries with no dir for the
+    probed column (other specs, unpartitioned epochs) are kept —
+    pruning is never a correctness filter."""
+    for k, v in partitions.items():
+        if k in part:
+            if part[k] != (None if v is None else str(v)):
+                return True
+            continue
+        for pk, pv in part.items():
+            t = _derived_probe(pk, k)
+            if t is None:
+                continue
+            try:
+                exp = _transform_py(t[0], t[1], v)
+            except (TypeError, ValueError):
+                continue  # untransformable probe value: keep
+            if v is not None and exp is None:
+                continue  # temporal mirror couldn't read the value: keep
+            if pv != (None if exp is None else str(exp)):
+                return True
+    return False
+
+
+def _temporal_dirs_rule_out(part: dict, col: str, lo, hi) -> bool:
+    """Day/month hidden-partition dirs prune RANGE probes on the source
+    column: ISO renderings compare lexicographically, so a file whose
+    calendar dir lies outside [lo, hi]'s calendar window cannot hold a
+    matching row. NULL dirs and unreadable bounds are kept."""
+    for suffix, width in (("_day", 10), ("_month", 7)):
+        pv = part.get(f"{col}{suffix}")
+        if pv is None:
+            continue
+        lo_s, hi_s = _temporal_iso(lo), _temporal_iso(hi)
+        if lo_s is None or hi_s is None:
+            continue
+        if pv < lo_s[:width] or pv > hi_s[:width]:
+            return True
+    return False
+
+
 def _norm_between(between) -> list[tuple]:
     """Accept one ``(col, lo, hi)`` or a list of them (compound range
     predicates — the shape z-order clustering exists to serve)."""
@@ -752,17 +976,9 @@ def _select_entries(
     ranges = _effective_ranges(between, point)
     keep = []
     for e in m["files"]:
-        if partitions:
-            part = e.get("partition", {})
-            # lifted values are the TRUE (unescaped) strings, or None
-            # for __HIVE_DEFAULT_PARTITION__; a None probe matches only
-            # the null partition and vice versa
-            if any(
-                k in part
-                and part[k] != (None if v is None else str(v))
-                for k, v in partitions.items()
-            ):
-                continue
+        part = e.get("partition", {})
+        if partitions and _partition_rules_out(part, partitions):
+            continue
         pruned = False
         for col, lo, hi in ranges:
             st = e.get("stats", {}).get(col)
@@ -775,6 +991,9 @@ def _select_entries(
                 # string column's stats): metadata can't rule the file
                 # out, so keep it — pruning stays an optimization
                 continue
+            if _temporal_dirs_rule_out(part, col, lo, hi):
+                pruned = True
+                break
         if not pruned and point is not None:
             pruned = _bloom_rules_out(e, point[0], point[1])
         if pruned:
@@ -1923,13 +2142,26 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     """Small-file compaction as a commit: same rows, fewer files.
     Readers of older versions are untouched (their manifests still
     reference the original files until vacuum)."""
+    from pyspark.sql import functions as F
+
     base = _manifest(spark, path, None)
     df = _df_for(spark, path, base)
     pcols = base.get("partition_cols", ())
-    kept = (
-        df.repartition(target_files, *pcols) if pcols
-        else df.coalesce(target_files)
-    )
+    if pcols:
+        # repartition on the spec's PHYSICAL expressions: a hidden-
+        # partitioning entry like bucket(4,k) clusters by its derived
+        # value, not by a (nonexistent) column of that name
+        types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+        exprs = []
+        for s in pcols:
+            kind, src, param, _d = _parse_spec_entry(str(s))
+            exprs.append(
+                F.col(src) if kind == "identity"
+                else _transform_expr(kind, src, param, types[src])
+            )
+        kept = df.repartition(target_files, *exprs)
+    else:
+        kept = df.coalesce(target_files)
     return _rewrite_commit(spark, path, kept, "compact", base)
 
 
@@ -2055,6 +2287,14 @@ def convert_in_place(
     parquet snapshots without re-ingest (SURVEY.md §2.1: the parquet
     store IS the source of truth)."""
     spark_path = path.rstrip("/")
+    for s in partition_cols:
+        if _parse_spec_entry(str(s))[0] != "identity":
+            raise ValueError(
+                "snaptable: convert_in_place registers an EXISTING Hive "
+                f"layout — transform spec {s!r} can't describe it; "
+                "convert with the identity columns, then "
+                "set_partition_spec for future writes"
+            )
     if versions(spark, path):
         raise FileExistsError(f"snaptable: table already exists at {path}")
     fs, Path = _hadoop_fs(spark, path)
@@ -2172,13 +2412,8 @@ def set_partition_spec(
 
     base = _manifest(spark, path, None)
     schema = StructType.fromJson(json.loads(base["schema"]))
-    names = {f.name for f in schema.fields}
-    for c in new_cols:
-        if c not in names:
-            raise ValueError(
-                f"snaptable: set_partition_spec column '{c}' is not a "
-                f"table column (have {sorted(names)})"
-            )
+    if new_cols:
+        _validate_partition_spec(schema, new_cols)
     if tuple(base.get("partition_cols", ())) == tuple(new_cols):
         return base["version"]  # already the active spec: no-op
     if not _try_commit(

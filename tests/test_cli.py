@@ -781,3 +781,24 @@ def test_snap_analyze_via_cli(tmp_path, capsys, spark, sf_dir):
     )
     assert out["statistics"]["stale"] is False
     assert out["statistics"]["columns"]["v"]["nulls"] == 50
+
+
+def test_snap_create_with_transform_spec_via_cli(tmp_path, capsys, spark, sf_dir):
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    data = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        [(i, f"u{i}") for i in range(40)], "k bigint, s string"
+    ).write.parquet(data)
+    table = str(tmp_path / "hp")
+    out = _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "snap", "create", "--table", table,
+         "--data", data, "--partition-by", "bucket(4,k),truncate(2,s)"],
+    )
+    assert out["version"] == 1
+    m = T._manifest(spark, table, None)
+    assert all(
+        set(e["partition"]) == {"k_bucket_4", "s_trunc_2"}
+        for e in m["files"]
+    )
