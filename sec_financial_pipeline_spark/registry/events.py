@@ -57,6 +57,42 @@ GROUP BY r.event_type, x.exact_distinct
 """
 
 
+#: SAMPLE-BY resample with LOCF gap fill (operators/resample.py): dense
+#: 15-minute grid per event type from each type's first to last bucket;
+#: empty intervals exist as n_events=0 rows carrying the last seen sum.
+#: Buckets are floor(epoch seconds) — DuckDB's double->BIGINT cast
+#: ROUNDS, so the floor is explicit.
+_RESAMPLE_SQL = f"""
+SELECT 'resample' AS section, event_type,
+       CAST(to_timestamp(b) AS TIMESTAMP) AS window_start,
+       n_events,
+       CAST(NULL AS BIGINT) AS sum_k,
+       total_value,
+       CAST(NULL AS DOUBLE) AS hll_distinct,
+       CAST(NULL AS INTEGER) AS n_registers,
+       CAST(NULL AS BIGINT) AS exact_distinct
+FROM (
+  WITH bk AS (
+    SELECT event_type,
+           (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS b,
+           count(*) AS n, {dsum_sql('value')} AS v
+    FROM events GROUP BY 1, 2
+  ), sp AS (
+    SELECT event_type, min(b) AS mn, max(b) AS mx FROM bk GROUP BY 1
+  ), g AS (
+    SELECT event_type, unnest(range(mn, mx + 900, 900)) AS b FROM sp
+  )
+  SELECT g.event_type, g.b,
+         CAST(coalesce(bk.n, 0) AS BIGINT) AS n_events,
+         last_value(bk.v IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS total_value
+  FROM g LEFT JOIN bk ON g.event_type = bk.event_type AND g.b = bk.b
+)
+"""
+
+
 @register(
     "evt_windows",
     f"""
@@ -83,12 +119,17 @@ FROM events
 GROUP BY 1, 2, 3
 UNION ALL
 {_HLL_SQL}
+UNION ALL
+{_RESAMPLE_SQL}
 """,
     survey=(
         "C5 §2.7 (JSON path extraction + typed agg; tumbling window agg —"
         " streaming twin in streaming/events.py) + engine-independent HLL"
         " distinct-user sketch (md5 registers, integer rho, exact 2^-M"
-        " sum — bit-identical across engines; mergeable state)"
+        " sum — bit-identical across engines; mergeable state) + SAMPLE-BY"
+        " resample with gap fill (dense 15-min grid per event type,"
+        " LOCF carry-forward — operators/resample.py; n_events=0 rows"
+        " witness the densification)"
     ),
 )
 def q_evt_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,7 +185,20 @@ def q_evt_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_registers",
         "exact_distinct",
     )
-    return by_type.unionByName(hourly).unionByName(hll)
+    from sec_financial_pipeline_spark.operators.resample import resample_fill
+
+    rs = resample_fill(
+        e, "ts", "value", 900, ["event_type"], fill="locf"
+    ).select(
+        F.lit("resample").alias("section"),
+        "event_type",
+        F.col("bucket_ts").alias("window_start"),
+        "n_events",
+        F.lit(None).cast("bigint").alias("sum_k"),
+        F.col("value").alias("total_value"),
+        *pad,
+    )
+    return by_type.unionByName(hourly).unionByName(hll).unionByName(rs)
 
 
 # ---------------------------------------------------------------------------

@@ -3221,6 +3221,86 @@ def analyze_table(
     return stats
 
 
+def table_bytes(spark: SparkSession, path: str, version: int | None = None) -> int:
+    """Total on-disk bytes of a snapshot's referenced files — driver-
+    side file-status calls over the manifest's entry list (O(files),
+    zero data read). The size input to join planning."""
+    m = _manifest(spark, path, version)
+    fs, Path = _hadoop_fs(spark, path)
+    root = path.rstrip("/")
+    total = 0
+    for e in m["files"]:
+        try:
+            total += fs.getFileStatus(Path(f"{root}/{e['path']}")).getLen()
+        except Exception:
+            pass  # racing vacuum: size what survives
+    return int(total)
+
+
+def suggest_join(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    broadcast_threshold: int = 32 << 20,
+) -> dict:
+    """Statistics-driven join-strategy advice (the cost-based decision
+    Spark can't make well from file sizes alone once filters/DVs skew
+    them): per side, rows come from ANALYZE statistics when fresh,
+    else the metadata-exact :func:`count_rows`; bytes from
+    :func:`table_bytes`. The smaller side broadcasts when its size
+    clears the threshold — at 100 TB this is the difference between
+    shipping a 10 MB dimension to every executor and shuffling the
+    fact table. Returns the decision with its inputs (advisory;
+    :func:`join_tables` applies it)."""
+    sides = {}
+    for tag, p in (("left", left_path), ("right", right_path)):
+        stats = table_statistics(spark, p)
+        rows = (
+            stats["rows"]
+            if stats and not stats.get("stale")
+            else count_rows(spark, p)
+        )
+        sides[tag] = {
+            "path": p,
+            "rows": rows,
+            "bytes": table_bytes(spark, p),
+            "stats_fresh": bool(stats and not stats.get("stale")),
+        }
+    small = min(sides, key=lambda t: sides[t]["bytes"])
+    strategy = (
+        f"broadcast_{small}"
+        if sides[small]["bytes"] <= broadcast_threshold
+        else "shuffle"
+    )
+    return {**sides, "strategy": strategy,
+            "threshold_bytes": broadcast_threshold}
+
+
+def join_tables(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    on,
+    how: str = "inner",
+    broadcast_threshold: int = 32 << 20,
+) -> DataFrame:
+    """Join two snaptables with the statistics-driven strategy from
+    :func:`suggest_join` applied: the under-threshold smaller side gets
+    an explicit broadcast hint (authoritative even where Spark's own
+    size estimate — inflated by DV'd or soon-filtered files — would
+    have picked a shuffle); otherwise the join is left to the planner
+    (AQE can still re-plan at runtime)."""
+    from pyspark.sql import functions as F
+
+    plan = suggest_join(spark, left_path, right_path, broadcast_threshold)
+    left, right = read(spark, left_path), read(spark, right_path)
+    if plan["strategy"] == "broadcast_left":
+        left = F.broadcast(left)
+    elif plan["strategy"] == "broadcast_right":
+        right = F.broadcast(right)
+    return left.join(right, on, how)
+
+
 def table_statistics(spark: SparkSession, path: str) -> dict | None:
     """The last :func:`analyze_table` snapshot (None if never analyzed),
     with ``stale`` set when commits landed since."""

@@ -117,3 +117,49 @@ def test_interval_overlap_join_semantics(spark):
     )
     # each overlapping pair exactly ONCE despite multi-bucket coverage
     assert got == [(1, 10), (1, 12), (2, 10)]
+
+
+def test_resample_fill_modes_and_gap_rows(spark):
+    """operators/resample.py: dense grid, n_events=0 gap rows, three
+    fill modes, guards. Witnessed against a hand-computed series."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from sec_financial_pipeline_spark.operators.resample import resample_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", t0, 1.0),
+        ("a", t0 + dt.timedelta(seconds=30), 2.0),      # same bucket
+        ("a", t0 + dt.timedelta(seconds=180), 10.0),    # bucket 3 (gap 1-2)
+        ("b", t0 + dt.timedelta(seconds=60), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = resample_fill(df, "ts", "v", 60, ["g"], fill="locf").collect()
+    a = sorted(
+        [(r["bucket_ts"], r["n_events"], r["value"]) for r in out
+         if r["g"] == "a"]
+    )
+    assert [(x[1], x[2]) for x in a] == [
+        (2, 3.0), (0, 3.0), (0, 3.0), (1, 10.0),
+    ]
+    assert a[0][0] == t0 and a[-1][0] == t0 + dt.timedelta(seconds=180)
+    b = [(r["n_events"], r["value"]) for r in out if r["g"] == "b"]
+    assert b == [(1, 5.0)]
+
+    zero = resample_fill(df, "ts", "v", 60, ["g"], fill="zero").collect()
+    az = sorted(
+        [(r["bucket_ts"], r["value"]) for r in zero if r["g"] == "a"]
+    )
+    assert [x[1] for x in az] == [3.0, 0.0, 0.0, 10.0]
+    nul = resample_fill(df, "ts", "v", 60, ["g"], fill="null").collect()
+    an = sorted([(r["bucket_ts"], r["value"]) for r in nul if r["g"] == "a"])
+    assert [x[1] for x in an] == [3.0, None, None, 10.0]
+
+    with _pt.raises(ValueError, match="group_cols"):
+        resample_fill(df, "ts", "v", 60, [])
+    with _pt.raises(ValueError, match="fill"):
+        resample_fill(df, "ts", "v", 60, ["g"], fill="interp")
+    with _pt.raises(ValueError, match="interval"):
+        resample_fill(df, "ts", "v", 0, ["g"])

@@ -2414,3 +2414,47 @@ def test_analyze_table_stats_and_staleness(spark, tmp_path):
     assert stats["at_version"] == 2
     assert stats["rows"] == n + 1
     assert T.table_statistics(spark, path)["stale"] is False
+
+
+def test_statistics_driven_join_planning(spark, tmp_path):
+    """suggest_join reads sizes from the manifests (not Spark's file
+    estimate) and join_tables applies the decision: with Spark's own
+    auto-broadcast OFF, the dimension side still hash-broadcasts."""
+    dim = str(tmp_path / "dim")
+    fact = str(tmp_path / "fact")
+    T.create(
+        spark.createDataFrame(
+            [(i, f"name{i}") for i in range(50)], "id bigint, name string"
+        ),
+        dim,
+    )
+    T.create(
+        spark.createDataFrame(
+            [(i, i % 50, float(i)) for i in range(20000)],
+            "k bigint, id bigint, v double",
+        ),
+        fact,
+    )
+    plan = T.suggest_join(spark, fact, dim)
+    assert plan["strategy"] == "broadcast_right"
+    assert plan["right"]["rows"] == 50 and plan["left"]["rows"] == 20000
+    assert plan["right"]["bytes"] < plan["left"]["bytes"]
+    # fresh ANALYZE statistics take over the row estimate
+    T.analyze_table(spark, dim, cols=["id"])
+    assert T.suggest_join(spark, fact, dim)["right"]["stats_fresh"]
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = T.join_tables(spark, fact, dim, on="id")
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in phys
+        assert j.count() == 20000
+        # above-threshold sides: decision is shuffle, no hint applied
+        plan = T.suggest_join(spark, fact, dim, broadcast_threshold=1)
+        assert plan["strategy"] == "shuffle"
+        j2 = T.join_tables(spark, fact, dim, on="id", broadcast_threshold=1)
+        phys2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in phys2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
