@@ -562,6 +562,12 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "txn": m.get("txn", {}),
             "statistics": T.table_statistics(spark, args.table),
         }
+    if args.snap_cmd == "maintain":
+        return T.auto_maintain(
+            spark, args.table, max_files=args.max_files,
+            target_files=args.target_files, reanalyze=args.reanalyze,
+            vacuum_keep_last=args.vacuum_keep_last,
+        )
     if args.snap_cmd == "analyze":
         cols = args.col or None
         stats = T.analyze_table(spark, args.table, cols=cols, hll_b=args.b)
@@ -996,6 +1002,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sm.add_argument("--table", required=True)
     sm.add_argument("--data", required=True, help="input parquet")
     sm.add_argument("--keys", required=True, help="comma-separated key cols")
+    smt = snap_sub.add_parser(
+        "maintain",
+        help="one-call health pass: compact past --max-files, re-bloom "
+        "uncovered indexed columns, optionally re-analyze and vacuum",
+    )
+    smt.add_argument("--table", required=True)
+    smt.add_argument("--max-files", type=int, default=64)
+    smt.add_argument("--target-files", type=int, default=8)
+    smt.add_argument("--reanalyze", action="store_true")
+    smt.add_argument("--vacuum-keep-last", type=int, default=None)
     san = snap_sub.add_parser(
         "analyze",
         help="ANALYZE TABLE: exact null counts + min/max (metadata "

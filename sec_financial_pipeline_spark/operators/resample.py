@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from sec_financial_pipeline_spark.functions.deterministic import dsum
 
-_FILLS = ("locf", "zero", "null")
+_FILLS = ("locf", "zero", "null", "interp")
 
 
 def resample_fill(
@@ -40,7 +40,11 @@ def resample_fill(
     - ``locf``: last observation carried forward (the monitoring/
       market-data default);
     - ``zero``: empty interval = 0.0 (rates/counts semantics);
-    - ``null``: gaps stay NULL (downstream interpolation's input).
+    - ``null``: gaps stay NULL (downstream interpolation's input);
+    - ``interp``: linear interpolation between the surrounding
+      observed buckets (every gap is interior — the grid starts and
+      ends at observed buckets by construction — so both neighbors
+      always exist).
 
     ``group_cols`` must be non-empty: the carry-forward window
     partitions by it (a global resample would be an unpartitioned
@@ -70,15 +74,30 @@ def resample_fill(
         ).alias("__b"),
     )
     j = grid.join(b, [*group_cols, "__b"], "left")
+    wb = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     if fill == "locf":
-        w = (
-            Window.partitionBy(*group_cols)
-            .orderBy("__b")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        val = F.last("__v", ignorenulls=True).over(w)
+        val = F.last("__v", ignorenulls=True).over(wb)
     elif fill == "zero":
         val = F.coalesce(F.col("__v"), F.lit(0.0))
+    elif fill == "interp":
+        wf = (
+            Window.partitionBy(*group_cols)
+            .orderBy("__b")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        ob = F.when(F.col("__v").isNotNull(), F.col("__b"))
+        pv = F.last("__v", ignorenulls=True).over(wb)
+        pb = F.last(ob, ignorenulls=True).over(wb)
+        nv = F.first("__v", ignorenulls=True).over(wf)
+        nb = F.first(ob, ignorenulls=True).over(wf)
+        frac = (F.col("__b") - pb).cast("double") / (nb - pb).cast("double")
+        val = F.when(
+            F.col("__v").isNotNull(), F.col("__v").cast("double")
+        ).otherwise(pv.cast("double") + (nv - pv).cast("double") * frac)
     else:
         val = F.col("__v")
     return j.select(

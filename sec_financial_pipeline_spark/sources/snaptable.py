@@ -509,11 +509,29 @@ def _default_stats_cols(df: DataFrame, partition_cols) -> list[str]:
     ]
 
 
+def _spec_exprs(df: DataFrame, partition_cols) -> list:
+    """Physical partitioning expressions for a spec (identity columns
+    as-is, transforms derived) — what a write clusters by and what
+    compact repartitions on."""
+    from pyspark.sql import functions as F
+
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    out = []
+    for s in partition_cols:
+        kind, src, param, _d = _parse_spec_entry(str(s))
+        out.append(
+            F.col(src) if kind == "identity"
+            else _transform_expr(kind, src, param, types[src])
+        )
+    return out
+
+
 def _write_files(
     df: DataFrame,
     path: str,
     partition_cols: tuple = (),
     stats_cols: list[str] | None = None,
+    distribute: bool = False,
 ) -> list[dict]:
     """Materialize ``df`` as immutable parquet files under a fresh
     commit dir; returns one manifest entry per file:
@@ -531,6 +549,13 @@ def _write_files(
         # from the USER schema — a transform's derived dir column must
         # never leak into the recorded stats columns
         stats_cols = _default_stats_cols(df, partition_cols)
+    if distribute and partition_cols:
+        # optimized write (Delta's optimizeWrite): shuffle rows to
+        # their partition value BEFORE partitionBy, so each dir is
+        # written by ~one task instead of every task writing to every
+        # dir (N_tasks x N_dirs small files — the classic partitioned-
+        # write explosion at cluster scale)
+        df = df.repartition(*_spec_exprs(df, partition_cols))
     phys_cols = []
     if partition_cols:
         types = {f.name: f.dataType.typeName() for f in df.schema.fields}
@@ -676,6 +701,7 @@ def create(
     partition_cols: tuple = (),
     stats_cols: list[str] | None = None,
     txn: tuple | None = None,
+    optimize_write: bool = False,
 ) -> int:
     """Create a snapshot table at ``path`` with ``df`` as version 1.
     ``partition_cols`` fixes the table's partitioning for its lifetime
@@ -689,7 +715,9 @@ def create(
         _validate_partition_spec(df.schema, partition_cols)
     if stats_cols is None:
         stats_cols = _default_stats_cols(df, partition_cols)
-    files = _write_files(df, path, partition_cols, stats_cols)
+    files = _write_files(
+        df, path, partition_cols, stats_cols, distribute=optimize_write
+    )
     if not _try_commit(
         spark, path, 1, files, df.schema.json(), "create", None,
         partition_cols, stats_cols, _txn_merged({}, txn), {},
@@ -1080,7 +1108,12 @@ def _txn_merged(head: dict, txn: tuple | None) -> dict:
     return merged
 
 
-def append(df: DataFrame, path: str, txn: tuple | None = None) -> int:
+def append(
+    df: DataFrame,
+    path: str,
+    txn: tuple | None = None,
+    optimize_write: bool = False,
+) -> int:
     """Transactional append: write immutable files once, then union
     them onto the head manifest. On a version race the append REBASES
     — its files are disjoint from every concurrent change — and
@@ -1104,6 +1137,7 @@ def append(df: DataFrame, path: str, txn: tuple | None = None) -> int:
     new_files = _write_files(
         df, path, tuple(head.get("partition_cols", ())),
         head.get("stats_cols", []),
+        distribute=optimize_write,
     )
     for _ in range(_MAX_RETRIES):
         head = _manifest(spark, path, None)
@@ -2142,27 +2176,84 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     """Small-file compaction as a commit: same rows, fewer files.
     Readers of older versions are untouched (their manifests still
     reference the original files until vacuum)."""
-    from pyspark.sql import functions as F
-
     base = _manifest(spark, path, None)
     df = _df_for(spark, path, base)
     pcols = base.get("partition_cols", ())
-    if pcols:
-        # repartition on the spec's PHYSICAL expressions: a hidden-
-        # partitioning entry like bucket(4,k) clusters by its derived
-        # value, not by a (nonexistent) column of that name
-        types = {f.name: f.dataType.typeName() for f in df.schema.fields}
-        exprs = []
-        for s in pcols:
-            kind, src, param, _d = _parse_spec_entry(str(s))
-            exprs.append(
-                F.col(src) if kind == "identity"
-                else _transform_expr(kind, src, param, types[src])
-            )
-        kept = df.repartition(target_files, *exprs)
-    else:
-        kept = df.coalesce(target_files)
+    kept = (
+        # the spec's PHYSICAL expressions: a hidden-partitioning entry
+        # like bucket(4,k) clusters by its derived value, not by a
+        # (nonexistent) column of that name
+        df.repartition(target_files, *_spec_exprs(df, pcols)) if pcols
+        else df.coalesce(target_files)
+    )
     return _rewrite_commit(spark, path, kept, "compact", base)
+
+
+def auto_maintain(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 64,
+    target_files: int = 8,
+    rebloom: bool = True,
+    reanalyze: bool = False,
+    vacuum_keep_last: int | None = None,
+    min_age_sec: float = 3600.0,
+) -> dict:
+    """One-call table health pass (the OPTIMIZE-scheduler loop every
+    lakehouse runs): compact when the snapshot's file count exceeds
+    ``max_files``; re-bloom every previously indexed column whose
+    coverage compaction broke (fresh files carry no bitmaps); refresh
+    ANALYZE statistics when they've gone stale (opt-in — NDV costs a
+    scan); optionally vacuum aged unreferenced files. Each action is
+    its own commit; nothing row-changing happens (compact/bloom are
+    row-preserving, so concurrent writers rebase right over them).
+    Returns the actions taken with before/after numbers — an empty
+    ``actions`` list means the table was already healthy (and nothing
+    was committed)."""
+    m = _manifest(spark, path, None)
+    actions = []
+    bloom_cols = sorted(
+        {c for e in m["files"] for c in e.get("bloom", {})}
+    )
+    if len(m["files"]) > max_files:
+        v = compact(spark, path, target_files=target_files)
+        actions.append({
+            "action": "compact", "version": v,
+            "files_before": len(m["files"]),
+            "files_after": len(_manifest(spark, path, None)["files"]),
+        })
+    if rebloom and bloom_cols:
+        m2 = _manifest(spark, path, None)
+        for c in bloom_cols:
+            uncovered = sum(
+                1 for e in m2["files"] if c not in e.get("bloom", {})
+            )
+            if uncovered:
+                v = add_bloom_index(spark, path, c)
+                actions.append({
+                    "action": f"bloom:{c}", "version": v,
+                    "files_covered": uncovered,
+                })
+    if reanalyze:
+        stats = table_statistics(spark, path)
+        if stats is not None and stats.get("stale"):
+            analyze_table(
+                spark, path,
+                cols=list(stats.get("columns", {})) or None,
+                hll_b=stats.get("hll_b", 12),
+            )
+            actions.append({
+                "action": "analyze",
+                "at_version": _manifest(spark, path, None)["version"],
+            })
+    if vacuum_keep_last is not None:
+        n = vacuum(
+            spark, path, keep_last=vacuum_keep_last,
+            min_age_sec=min_age_sec,
+        )
+        if n:
+            actions.append({"action": "vacuum", "reaped": n})
+    return {"table": path, "actions": actions}
 
 
 def rollback(spark: SparkSession, path: str, to_version: int) -> int:

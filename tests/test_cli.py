@@ -802,3 +802,21 @@ def test_snap_create_with_transform_spec_via_cli(tmp_path, capsys, spark, sf_dir
         set(e["partition"]) == {"k_bucket_4", "s_trunc_2"}
         for e in m["files"]
     )
+
+
+def test_snap_maintain_via_cli(tmp_path, capsys, spark, sf_dir):
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    path = str(tmp_path / "mnt")
+    T.create(
+        spark.createDataFrame([(i,) for i in range(20)], "k bigint"), path
+    )
+    for i in range(5):
+        T.append(spark.createDataFrame([(100 + i,)], "k bigint"), path)
+    out = _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "snap", "maintain", "--table", path,
+         "--max-files", "3", "--target-files", "1"],
+    )
+    assert out["actions"][0]["action"] == "compact"
+    assert T.read(spark, path).count() == 25

@@ -163,3 +163,23 @@ def test_resample_fill_modes_and_gap_rows(spark):
         resample_fill(df, "ts", "v", 60, ["g"], fill="interp")
     with _pt.raises(ValueError, match="interval"):
         resample_fill(df, "ts", "v", 0, ["g"])
+
+
+def test_resample_interp_fill(spark):
+    import datetime as dt
+
+    from sec_financial_pipeline_spark.operators.resample import resample_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, 0.0),
+        ("a", t0 + dt.timedelta(seconds=180), 9.0),  # 2 interior gaps
+        ("a", t0 + dt.timedelta(seconds=240), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = sorted(
+        (r["bucket_ts"], r["value"])
+        for r in resample_fill(df, "ts", "v", 60, ["g"], fill="interp")
+        .collect()
+    )
+    assert [v for _, v in out] == [0.0, 3.0, 6.0, 9.0, 5.0]

@@ -2458,3 +2458,60 @@ def test_statistics_driven_join_planning(spark, tmp_path):
         assert "BroadcastHashJoin" not in phys2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_optimize_write_collapses_partitioned_small_files(spark, tmp_path):
+    """Without the pre-write shuffle, N input tasks x M dirs explode
+    into up to N*M files; optimize_write keys the shuffle on the
+    partition expressions so each dir is written by ~one task."""
+    naive = str(tmp_path / "naive")
+    opt = str(tmp_path / "opt")
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(4000)], "k bigint, g bigint"
+    ).repartition(8)  # 8 writer tasks, 4 dirs
+    T.create(df, naive, partition_cols=("g",))
+    T.create(df, opt, partition_cols=("g",), optimize_write=True)
+    n_naive = len(T._manifest(spark, naive, None)["files"])
+    n_opt = len(T._manifest(spark, opt, None)["files"])
+    assert n_naive > 4, "naive write should explode past one file per dir"
+    assert n_opt == 4
+    assert T.read(spark, opt).count() == 4000
+    # works through hidden partitioning too
+    hp = str(tmp_path / "hp")
+    T.create(df, hp, partition_cols=("bucket(4,k)",), optimize_write=True)
+    assert len(T._manifest(spark, hp, None)["files"]) == 4
+    T.append(df.limit(100), hp, optimize_write=True)
+    assert T.read(spark, hp).count() == 4100
+
+
+def test_auto_maintain_policies(spark, tmp_path):
+    path = str(tmp_path / "am")
+    T.create(
+        spark.createDataFrame([(i, i) for i in range(50)], "k bigint, v bigint")
+        .repartition(4),
+        path,
+    )
+    T.add_bloom_index(spark, path, "k")
+    T.analyze_table(spark, path, cols=["k"])
+    # healthy table: nothing to do, nothing committed
+    v0 = T._manifest(spark, path, None)["version"]
+    out = T.auto_maintain(spark, path, max_files=64, reanalyze=True)
+    assert out["actions"] == []
+    assert T._manifest(spark, path, None)["version"] == v0
+
+    # blow up the file count; bloom coverage and stats go stale
+    for i in range(6):
+        T.append(
+            spark.createDataFrame([(100 + i, i)], "k bigint, v bigint"), path
+        )
+    out = T.auto_maintain(
+        spark, path, max_files=8, target_files=2, reanalyze=True
+    )
+    acts = [a["action"] for a in out["actions"]]
+    assert acts[0] == "compact" and "bloom:k" in acts and "analyze" in acts
+    m = T._manifest(spark, path, None)
+    assert len(m["files"]) <= 2 + 1  # hash split tolerance
+    assert all("k" in e.get("bloom", {}) for e in m["files"])
+    assert T.table_statistics(spark, path)["stale"] is False
+    # the point probe still works post-maintenance
+    assert T.scan(spark, path, point=("k", 103)).count() == 1
