@@ -562,6 +562,13 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "txn": m.get("txn", {}),
             "statistics": T.table_statistics(spark, args.table),
         }
+    if args.snap_cmd == "rename":
+        v = T.rename_column(spark, args.table, args.old, args.new)
+        return {"table": args.table, "version": v,
+                "op": f"rename:{args.old}->{args.new}"}
+    if args.snap_cmd == "drop-column":
+        v = T.drop_column(spark, args.table, args.col)
+        return {"table": args.table, "version": v, "op": f"drop:{args.col}"}
     if args.snap_cmd == "maintain":
         return T.auto_maintain(
             spark, args.table, max_files=args.max_files,
@@ -1002,6 +1009,21 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sm.add_argument("--table", required=True)
     sm.add_argument("--data", required=True, help="input parquet")
     sm.add_argument("--keys", required=True, help="comma-separated key cols")
+    srn = snap_sub.add_parser(
+        "rename",
+        help="RENAME COLUMN, metadata-only (column-mapping): old files "
+        "keep their physical name, readers coalesce",
+    )
+    srn.add_argument("--table", required=True)
+    srn.add_argument("--old", required=True)
+    srn.add_argument("--new", required=True)
+    sdc = snap_sub.add_parser(
+        "drop-column",
+        help="DROP COLUMN, metadata-only: reads project it away; the "
+        "physical name is tombstoned against re-adding",
+    )
+    sdc.add_argument("--table", required=True)
+    sdc.add_argument("--col", required=True)
     smt = snap_sub.add_parser(
         "maintain",
         help="one-call health pass: compact past --max-files, re-bloom "

@@ -169,17 +169,27 @@ def _dv_positions(root: str, rel: str, dv_refs) -> set[int]:
     return out
 
 
-def _conform_table(tbl, target, consts: dict):
-    """Project an arrow table onto ``target``: present columns cast,
-    ``consts`` (partition values, change-feed tags) become constant
-    arrays, anything else typed NULLs."""
+def _conform_table(tbl, target, consts: dict, colmap: dict | None = None):
+    """Project an arrow table onto ``target``: present columns cast
+    (renamed columns resolve through ``colmap`` — pre-rename files
+    carry the physical name), ``consts`` (partition values,
+    change-feed tags) become constant arrays, anything else typed
+    NULLs."""
     import pyarrow as pa
 
+    colmap = colmap or {}
     rows = tbl.num_rows
     cols = []
     for f in target:
-        if f.name in tbl.column_names:
-            cols.append(tbl.column(f.name).cast(f.type))
+        src = (
+            f.name
+            if f.name in tbl.column_names
+            else colmap.get(f.name)
+            if colmap.get(f.name) in tbl.column_names
+            else None
+        )
+        if src is not None:
+            cols.append(tbl.column(src).cast(f.type))
         elif f.name in consts and consts[f.name] is not None:
             v = consts[f.name]
             src_type = pa.string() if isinstance(v, str) else None
@@ -191,7 +201,10 @@ def _conform_table(tbl, target, consts: dict):
 
 
 def _read_entry(
-    root: str, part: SnapFilePartition, schema: StructType
+    root: str,
+    part: SnapFilePartition,
+    schema: StructType,
+    colmap: dict | None = None,
 ) -> Iterator:
     """Arrow batches for one manifest entry, conformed to ``schema``:
     missing columns (pre-evolution files, Hive partition columns,
@@ -205,19 +218,25 @@ def _read_entry(
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(schema)
+    colmap = colmap or {}
     consts: dict = dict(part.partition)
     consts["_change_type"] = part.change_type
     consts["_commit_version"] = part.commit_version
     if part.is_cdf_sidecar:
         tbl = pq.read_table(os.path.join(root, part.rel))
-        yield from _conform_table(tbl, target, consts).to_batches()
+        yield from _conform_table(tbl, target, consts, colmap).to_batches()
         return
     dead = _dv_positions(root, part.rel, part.dv) if part.dv else set()
     pf = pq.ParquetFile(os.path.join(root, part.rel))
     offset = 0
-    want = [f.name for f in target]
     have = set(pf.schema_arrow.names)
-    read_cols = [c for c in want if c in have]
+    read_cols = sorted(
+        {
+            f.name if f.name in have else colmap[f.name]
+            for f in target
+            if f.name in have or colmap.get(f.name) in have
+        }
+    )
     for batch in pf.iter_batches(columns=read_cols):
         n = batch.num_rows
         tbl = pa.Table.from_batches([batch])
@@ -225,7 +244,7 @@ def _read_entry(
             alive = [i for i in range(n) if (offset + i) not in dead]
             tbl = tbl.take(pa.array(alive, type=pa.int64()))
         offset += n
-        yield from _conform_table(tbl, target, consts).to_batches()
+        yield from _conform_table(tbl, target, consts, colmap).to_batches()
 
 
 # ---------------------------------------------------------------------------
@@ -363,6 +382,11 @@ class SnapBatchReader(DataSourceReader):
         self._part_probe: dict = {}
         self._ranges: list = []
         self._points: list = []
+        from sec_financial_pipeline_spark.sources.snaptable import _colmap
+
+        # logical -> physical names for renamed columns (rides the
+        # pickled reader to the executors; read() consults it per file)
+        self._cmap = _colmap(_raw_manifest(self.path, self.version))
 
     def pushFilters(self, filters):
         """PRUNING-ONLY pushdown: supported predicates shrink the file
@@ -460,7 +484,9 @@ class SnapBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: SnapFilePartition) -> Iterator:
-        yield from _read_entry(self.path, partition, self.schema)
+        yield from _read_entry(
+            self.path, partition, self.schema, getattr(self, "_cmap", None)
+        )
 
 
 class SnapStreamReader(DataSourceStreamReader):

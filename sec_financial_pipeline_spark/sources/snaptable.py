@@ -632,6 +632,7 @@ def _try_commit(
     txn: dict | None = None,
     constraints: dict | None = None,
     cdf: str | None = None,
+    tbl_meta: dict | None = None,
 ) -> bool:
     """Publish a manifest as version ``version`` — atomic
     create(overwrite=False): exactly one writer can win a version.
@@ -641,11 +642,22 @@ def _try_commit(
     survives compaction, rollback and vacuum. ``constraints`` is the
     table's CHECK-constraint map ({name: sql_expr}), likewise carried
     forward by every commit. ``cdf`` is THIS commit's persisted
-    change-sidecar ref (per-commit, never carried forward)."""
+    change-sidecar ref (per-commit, never carried forward).
+    ``tbl_meta`` (column mapping + dropped-name tombstones) carries
+    forward AUTOMATICALLY from the parent when not explicitly passed —
+    unlike txn/constraints it predates no call site, so the carry
+    lives here rather than in fifteen callers."""
     fs, Path = _hadoop_fs(spark, path)
     fs.mkdirs(Path(f"{path.rstrip('/')}/{_SNAPDIR}"))
     from sec_financial_pipeline_spark.sources.sink import atomic_create as _ac
 
+    if tbl_meta is None and parent is not None:
+        try:
+            tbl_meta = _manifest(spark, path, parent, load_parts=False).get(
+                "tbl_meta"
+            )
+        except Exception:
+            tbl_meta = None
     body_dict: dict = {
         "schema": schema_json,
         "op": op,
@@ -656,6 +668,8 @@ def _try_commit(
         "constraints": dict(constraints or {}),
         "committed_at": int(time.time()),
     }
+    if tbl_meta:
+        body_dict["tbl_meta"] = tbl_meta
     if cdf is not None:
         body_dict["cdf"] = cdf
     if len(files) > _SPLIT_THRESHOLD:
@@ -815,10 +829,26 @@ def _files_df(
     # the parquet reader (no per-file schema inference at all).
     flat = [e for e in entries if not e.get("partition")]
     hive = [e for e in entries if e.get("partition")]
+    colmap = _colmap(m)
+    read_schema = schema
+    if colmap:
+        # pinned-schema reads match by NAME, so renamed columns need
+        # BOTH names in the read schema: pre-rename files populate the
+        # physical field, post-rename files the logical one, and the
+        # conform projection coalesces them
+        from pyspark.sql.types import StructField, StructType
+
+        extra = [
+            StructField(p, f.dataType, True)
+            for f in schema.fields
+            for p in (colmap.get(f.name),)
+            if p and p != f.name
+        ]
+        read_schema = StructType(list(schema.fields) + extra)
     parts = []
     if flat:
         parts.append(
-            spark.read.schema(schema).parquet(
+            spark.read.schema(read_schema).parquet(
                 *sorted(f"{root}/{e['path']}" for e in flat)
             )
         )
@@ -847,31 +877,72 @@ def _files_df(
         ]
     out = None
     for p in parts:
-        p = _conform_plus(p, schema, meta)
+        p = _conform_plus(p, schema, meta, colmap)
         out = p if out is None else out.unionByName(p)
     return out
 
 
-def _conform(df: DataFrame, schema) -> DataFrame:
+def _colmap(m: dict) -> dict:
+    """Logical -> PHYSICAL column names for renamed columns (Delta
+    column-mapping analog; empty for never-renamed tables). Files
+    written before a rename carry the physical name, files after it
+    the logical one — the conform projection coalesces the two."""
+    return dict((m.get("tbl_meta") or {}).get("colmap", {}))
+
+
+def _phys_namespace(m: dict) -> set:
+    """Every physical column name live in retained files or ever
+    dropped: the names ADD COLUMN must refuse, because a parquet file
+    already carrying that physical column would resurface its old data
+    under the new logical column."""
+    meta = m.get("tbl_meta") or {}
+    out = set(meta.get("dropped", []))
+    out |= set(meta.get("colmap", {}).values())
+    out |= {f["name"] for f in json.loads(m["schema"])["fields"]}
+    return out
+
+
+def _conform(df: DataFrame, schema, colmap: dict | None = None) -> DataFrame:
     """Project a file-group read onto the manifest schema: columns a
     pre-evolution file lacks become typed NULLs; column order follows
     the manifest (reads are schema-stable regardless of which files a
     version happens to reference)."""
-    return _conform_plus(df, schema, [])
+    return _conform_plus(df, schema, [], colmap)
 
 
-def _conform_plus(df: DataFrame, schema, extra_cols: list) -> DataFrame:
+def _conform_plus(
+    df: DataFrame, schema, extra_cols: list, colmap: dict | None = None
+) -> DataFrame:
     """:func:`_conform` plus pass-through extra columns (the metadata
     handles) selected in the same projection so they materialize from
-    the scan itself."""
+    the scan itself. ``colmap`` maps renamed logical names to their
+    physical (pre-rename) names: a column present under either name
+    resolves to the logical one (per file exactly one is populated, so
+    ``coalesce`` is exact — a genuinely NULL value stays NULL either
+    way)."""
     from pyspark.sql import functions as F
 
     have = set(df.columns)
-    cols = [
-        F.col(f.name).cast(f.dataType) if f.name in have
-        else F.lit(None).cast(f.dataType).alias(f.name)
-        for f in schema.fields
-    ]
+    colmap = colmap or {}
+    cols = []
+    for f in schema.fields:
+        cands = [f.name]
+        p = colmap.get(f.name)
+        if p and p != f.name:
+            cands.append(p)
+        present = [c for c in cands if c in have]
+        if not present:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif len(present) == 1:
+            cols.append(
+                F.col(f"`{present[0]}`").cast(f.dataType).alias(f.name)
+            )
+        else:
+            cols.append(
+                F.coalesce(*[F.col(f"`{c}`") for c in present])
+                .cast(f.dataType)
+                .alias(f.name)
+            )
     return df.select(*cols, *extra_cols)
 
 
@@ -1002,14 +1073,33 @@ def _select_entries(
     metadata for a requested column is always kept — pruning is an
     optimization, never a correctness filter."""
     ranges = _effective_ranges(between, point)
+    colmap = _colmap(m)
+    # probes name LOGICAL columns; entries written before a rename key
+    # their stats/dirs/blooms by the PHYSICAL name — probe both
+    probe_names = {
+        c: [c] + ([colmap[c]] if colmap.get(c, c) != c else [])
+        for c in set(
+            list(partitions or {})
+            + [r[0] for r in ranges]
+            + ([point[0]] if point else [])
+        )
+    }
     keep = []
     for e in m["files"]:
         part = e.get("partition", {})
-        if partitions and _partition_rules_out(part, partitions):
+        if partitions and any(
+            _partition_rules_out(part, {n: v})
+            for k, v in partitions.items()
+            for n in probe_names[k]
+        ):
             continue
         pruned = False
         for col, lo, hi in ranges:
-            st = e.get("stats", {}).get(col)
+            st = None
+            for n in probe_names[col]:
+                st = e.get("stats", {}).get(n)
+                if st is not None:
+                    break
             try:
                 if st is not None and (st[1] < lo or st[0] > hi):
                     pruned = True
@@ -1019,11 +1109,17 @@ def _select_entries(
                 # string column's stats): metadata can't rule the file
                 # out, so keep it — pruning stays an optimization
                 continue
-            if _temporal_dirs_rule_out(part, col, lo, hi):
+            if any(
+                _temporal_dirs_rule_out(part, n, lo, hi)
+                for n in probe_names[col]
+            ):
                 pruned = True
                 break
         if not pruned and point is not None:
-            pruned = _bloom_rules_out(e, point[0], point[1])
+            pruned = any(
+                _bloom_rules_out(e, n, point[1])
+                for n in probe_names[point[0]]
+            )
         if pruned:
             continue
         keep.append(e)
@@ -1397,7 +1493,10 @@ def _partial_rewrite_commit(
 
 
 def _prune_by_key_bounds(
-    entries: list[dict], key_cols: list[str], bounds: dict
+    entries: list[dict],
+    key_cols: list[str],
+    bounds: dict,
+    colmap: dict | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Manifest-level pre-prune for MERGE: a file whose footer range
     for ANY key column is disjoint from the source batch's [min, max]
@@ -1406,11 +1505,14 @@ def _prune_by_key_bounds(
     entirely. Unknown stats keep the file as a candidate — pruning is
     an optimization, never a correctness filter. Returns
     (candidates, ruled_out)."""
+    colmap = colmap or {}
     cand, out = [], []
     for e in entries:
         ruled = False
         for c in key_cols:
             st = e.get("stats", {}).get(c)
+            if st is None and colmap.get(c, c) != c:
+                st = e.get("stats", {}).get(colmap[c])
             b = bounds.get(c)
             if st is None or b is None or b[0] is None:
                 continue
@@ -1474,7 +1576,9 @@ def merge_upsert(
         *[F.max(c).alias(f"mx_{c}") for c in key_cols],
     ).collect()[0]
     bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in key_cols}
-    cand, ruled_out = _prune_by_key_bounds(base["files"], key_cols, bounds)
+    cand, ruled_out = _prune_by_key_bounds(
+        base["files"], key_cols, bounds, _colmap(base)
+    )
     # partition-key pruning: when a merge key IS a partition column,
     # files in partition dirs outside the batch's value set cannot
     # match — skip them before the confirming scan (capped: a batch
@@ -1946,7 +2050,9 @@ def merge_into(
         *[F.max(c).alias(f"mx_{c}") for c in key_cols],
     ).collect()[0]
     bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in key_cols}
-    cand, ruled_out = _prune_by_key_bounds(base["files"], key_cols, bounds)
+    cand, ruled_out = _prune_by_key_bounds(
+        base["files"], key_cols, bounds, _colmap(base)
+    )
     matched_paths = _merge_touched(spark, path, base, cand, keys, key_cols)
     touched = [e for e in cand if e["path"] in matched_paths]
     carried = ruled_out + [e for e in cand if e["path"] not in matched_paths]
@@ -2321,6 +2427,10 @@ def evolve_schema(
     # insensitively by default, so committing 'V' beside 'v' would brick
     # every subsequent read with COLUMN_ALREADY_EXISTS
     existing = {f.name.lower() for f in schema.fields}
+    # physical-namespace tombstones: a dropped (or renamed-away) name
+    # may still exist as a column INSIDE retained parquet files — a new
+    # logical column with that name would resurrect the dead data there
+    phys = {n.lower() for n in _phys_namespace(base)}
     fields = list(schema.fields)
     stats_cols = list(base.get("stats_cols", []))
     for name, typ in new_fields:
@@ -2328,6 +2438,12 @@ def evolve_schema(
             raise ValueError(
                 f"snaptable: evolve_schema column '{name}' already exists "
                 f"(column resolution is case-insensitive)"
+            )
+        if name.lower() in phys:
+            raise ValueError(
+                f"snaptable: evolve_schema column '{name}' collides with "
+                f"a dropped or renamed-away physical column still present "
+                f"in retained files — pick another name"
             )
         existing.add(name.lower())
         dt = _parse_datatype_string(typ)
@@ -2345,6 +2461,135 @@ def evolve_schema(
     ):
         raise SnapshotConflict(
             f"snaptable: evolve_schema at {path} raced a concurrent "
+            f"commit; re-run against the new head"
+        )
+    return base["version"] + 1
+
+
+def _rename_in_spec(partition_cols, old: str, new: str) -> list:
+    """Rewrite a partition spec for a column rename: identity entries
+    and transform SOURCE columns follow the logical name."""
+    out = []
+    for s in partition_cols:
+        kind, src, param, _d = _parse_spec_entry(str(s))
+        if src != old:
+            out.append(str(s))
+        elif kind == "identity":
+            out.append(new)
+        elif kind in ("bucket", "truncate"):
+            out.append(f"{kind}({param},{new})")
+        else:
+            out.append(f"{kind}({new})")
+    return out
+
+
+def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN as a metadata-only commit (Delta
+    column-mapping analog): the manifest records ``colmap[new] =
+    <original physical name>`` and every reader coalesces the two —
+    files written before the rename carry the physical column, files
+    after it the logical one; zero bytes rewritten at any table size.
+    Constraints referencing the old name are refused (their SQL would
+    silently stop binding); stats_cols and the partition spec follow
+    the rename. Time travel to pre-rename versions reads the old
+    schema — each manifest is self-describing."""
+    from pyspark.sql.types import StructField, StructType
+
+    base = _manifest(spark, path, None)
+    schema = StructType.fromJson(json.loads(base["schema"]))
+    names = {f.name for f in schema.fields}
+    if old not in names:
+        raise ValueError(f"snaptable: rename of unknown column {old!r}")
+    if not _re.match(r"^\w+$", new):
+        raise ValueError(f"snaptable: invalid column name {new!r}")
+    own_phys = (base.get("tbl_meta") or {}).get("colmap", {}).get(old, old)
+    taken = {n.lower() for n in names} | {
+        n.lower() for n in _phys_namespace(base)
+    }
+    # renaming BACK to the column's own physical name is always legal —
+    # that name's file data IS this column's data
+    taken.discard(own_phys.lower())
+    if new.lower() in taken:
+        raise ValueError(
+            f"snaptable: rename target '{new}' collides with an existing, "
+            f"dropped or renamed-away column"
+        )
+    for cname, expr in (base.get("constraints") or {}).items():
+        if _re.search(rf"\b{_re.escape(old)}\b", expr):
+            raise ValueError(
+                f"snaptable: constraint {cname!r} references '{old}' — "
+                f"drop it before renaming and re-add against '{new}'"
+            )
+    meta = dict(base.get("tbl_meta") or {})
+    colmap = dict(meta.get("colmap", {}))
+    # chained renames keep pointing at the ORIGINAL physical name
+    colmap[new] = colmap.pop(old, old)
+    if colmap.get(new) == new:
+        colmap.pop(new)  # renamed back to its physical name: identity
+    meta["colmap"] = colmap
+    fields = [
+        StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+        for f in schema.fields
+    ]
+    stats_cols = [
+        new if c == old else c for c in base.get("stats_cols", [])
+    ]
+    pcols = _rename_in_spec(base.get("partition_cols", ()), old, new)
+    if not _try_commit(
+        spark, path, base["version"] + 1, base["files"],
+        StructType(fields).json(), f"rename:{old}->{new}", base["version"],
+        pcols, stats_cols, base.get("txn", {}),
+        base.get("constraints", {}), tbl_meta=meta,
+    ):
+        raise SnapshotConflict(
+            f"snaptable: rename_column at {path} raced a concurrent "
+            f"commit; re-run against the new head"
+        )
+    return base["version"] + 1
+
+
+def drop_column(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN as a metadata-only commit: the field
+    leaves the schema (reads project it away — the bytes stay in the
+    files until rewrites retire them) and its PHYSICAL name joins the
+    tombstone list so a later ADD COLUMN can't resurrect the dead data
+    hiding in retained files. Partition-spec members and
+    constraint-referenced columns are refused."""
+    from pyspark.sql.types import StructType
+
+    base = _manifest(spark, path, None)
+    schema = StructType.fromJson(json.loads(base["schema"]))
+    if name not in {f.name for f in schema.fields}:
+        raise ValueError(f"snaptable: drop of unknown column {name!r}")
+    if len(schema.fields) == 1:
+        raise ValueError("snaptable: cannot drop the table's only column")
+    for s in base.get("partition_cols", ()) or ():
+        if _parse_spec_entry(str(s))[1] == name:
+            raise ValueError(
+                f"snaptable: '{name}' is in the partition spec — "
+                f"set_partition_spec away from it first"
+            )
+    for cname, expr in (base.get("constraints") or {}).items():
+        if _re.search(rf"\b{_re.escape(name)}\b", expr):
+            raise ValueError(
+                f"snaptable: constraint {cname!r} references '{name}' — "
+                f"drop the constraint first"
+            )
+    meta = dict(base.get("tbl_meta") or {})
+    colmap = dict(meta.get("colmap", {}))
+    phys = colmap.pop(name, name)
+    meta["colmap"] = colmap
+    meta["dropped"] = sorted(set(meta.get("dropped", [])) | {phys})
+    fields = [f for f in schema.fields if f.name != name]
+    stats_cols = [c for c in base.get("stats_cols", []) if c != name]
+    if not _try_commit(
+        spark, path, base["version"] + 1, base["files"],
+        StructType(fields).json(), f"drop:{name}", base["version"],
+        base.get("partition_cols", ()), stats_cols, base.get("txn", {}),
+        base.get("constraints", {}), tbl_meta=meta,
+    ):
+        raise SnapshotConflict(
+            f"snaptable: drop_column at {path} raced a concurrent "
             f"commit; re-run against the new head"
         )
     return base["version"] + 1
@@ -2930,7 +3175,8 @@ def change_feed(
         m = _manifest(spark, path, v)
         op = m.get("op", "")
         if _is_row_preserving(op) or op.startswith("constraint:") or \
-                op.startswith("evolve:") or op.startswith("partition-spec:"):
+                op.startswith("evolve:") or op.startswith("partition-spec:") \
+                or op.startswith("rename:") or op.startswith("drop:"):
             continue
         if op in ("create", "append"):
             if v == 1:
@@ -3117,12 +3363,15 @@ def column_bounds(
     for c in want:
         if c not in schema_names:
             raise ValueError(f"snaptable: column_bounds of unknown column {c!r}")
+    cmap = _colmap(m)
     out = {c: (None, None) for c in want}
     need_scan: dict = {c: [] for c in want}
     for e in m["files"]:
         dv = bool(e.get("dv"))
         for c in want:
             st = e.get("stats", {}).get(c)
+            if st is None and cmap.get(c, c) != c:
+                st = e.get("stats", {}).get(cmap[c])  # pre-rename files
             if dv or st is None:
                 # DV'd entry, or no recorded range (all-NULL and
                 # never-recorded look the same) — only a scan can tell
@@ -3188,6 +3437,7 @@ def null_counts(
             raise ValueError(
                 f"snaptable: null_counts of unknown column {c!r}"
             )
+    cmap = _colmap(m)
     out = {c: 0 for c in cols}
     need_scan: dict = {c: [] for c in cols}
     for e in m["files"]:
@@ -3196,8 +3446,9 @@ def null_counts(
         rows = e.get("rows")
         parts = e.get("partition") or {}
         for c in cols:
-            if not dv and c in nulls:
-                out[c] += nulls[c]
+            p = cmap.get(c, c)
+            if not dv and (c in nulls or p in nulls):
+                out[c] += nulls.get(c, nulls.get(p))
             elif not dv and c in parts and rows is not None:
                 # a partition column is constant per file: NULL dirs
                 # (__HIVE_DEFAULT_PARTITION__) lift as None

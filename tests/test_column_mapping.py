@@ -1,0 +1,201 @@
+"""RENAME / DROP COLUMN as metadata-only commits (Delta column-mapping
+analog): the manifest's colmap resolves renamed logical names to the
+physical column old files still carry; dropped physical names become
+tombstones ADD COLUMN must refuse."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_financial_pipeline_spark.sources import snaptable as T
+
+
+def _mk(spark, tmp_path, n=100, files=4):
+    path = str(tmp_path / "cm")
+    T.create(
+        spark.createDataFrame(
+            [(i, float(i), f"s{i:03d}") for i in range(n)],
+            "a bigint, v double, s string",
+        ).repartitionByRange(files, "a"),
+        path,
+    )
+    return path
+
+
+def test_rename_is_metadata_only_and_reads_mixed_files(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    files_before = {e["path"] for e in T._manifest(spark, path, None)["files"]}
+    v = T.rename_column(spark, path, "a", "k")
+    m = T._manifest(spark, path, None)
+    assert {e["path"] for e in m["files"]} == files_before  # zero rewrite
+    assert m["tbl_meta"]["colmap"] == {"k": "a"}
+    got = T.read(spark, path)
+    assert got.columns == ["k", "v", "s"]
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(100))
+
+    # post-rename appends write the LOGICAL name; both generations read
+    T.append(
+        spark.createDataFrame(
+            [(1000, 1.0, "zz")], "k bigint, v double, s string"
+        ),
+        path,
+    )
+    got = T.read(spark, path)
+    assert got.count() == 101
+    assert got.filter(F.col("k") == 1000).count() == 1
+    assert got.filter(F.col("k") == 50).count() == 1  # pre-rename file
+
+    # time travel to the pre-rename version shows the OLD schema
+    assert T.read(spark, path, version=v - 1).columns == ["a", "v", "s"]
+
+
+def test_rename_keeps_stats_pruning_and_metadata_aggregates(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    T.rename_column(spark, path, "a", "k")
+    m = T._manifest(spark, path, None)
+    # old entries' stats are keyed by the PHYSICAL name; probes on the
+    # logical name still prune through the colmap
+    kept = T._select_entries(m, None, ("k", 10, 20), None)
+    assert 0 < len(kept) < len(m["files"])
+    assert T.scan(spark, path, between=("k", 10, 20)).count() == 11
+    # metadata aggregates resolve through the map too
+    assert T.column_bounds(spark, path, ["k"]) == {"k": (0, 99)}
+    assert T.null_counts(spark, path, ["k"]) == {"k": 0}
+    assert T.count_rows(spark, path) == 100
+
+
+def test_dml_and_matview_survive_rename(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    T.rename_column(spark, path, "v", "val")
+    T.update_where(spark, path, "a = 1", {"val": "val + 100.0"})
+    T.delete_where(spark, path, "a >= 90")
+    T.merge_upsert(
+        spark.createDataFrame(
+            [(1, 500.0, "x"), (2000, 1.0, "y")],
+            "a bigint, val double, s string",
+        ),
+        path,
+        key_cols=["a"],
+    )
+    got = {r["a"]: r["val"] for r in T.read(spark, path).collect()}
+    assert got[1] == 500.0 and got[2000] == 1.0 and 90 not in got
+    assert len(got) == 91
+
+
+def test_chained_rename_and_rename_back(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    T.rename_column(spark, path, "a", "b")
+    T.rename_column(spark, path, "b", "c")
+    m = T._manifest(spark, path, None)
+    assert m["tbl_meta"]["colmap"] == {"c": "a"}  # original physical
+    assert T.read(spark, path).agg(F.sum("c")).collect()[0][0] == 4950
+    # renaming back to the physical name collapses to identity
+    T.rename_column(spark, path, "c", "a")
+    m = T._manifest(spark, path, None)
+    assert m["tbl_meta"]["colmap"] == {}
+    assert T.read(spark, path).agg(F.sum("a")).collect()[0][0] == 4950
+
+
+def test_drop_column_hides_data_and_tombstones_the_name(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    v = T.drop_column(spark, path, "s")
+    got = T.read(spark, path)
+    assert got.columns == ["a", "v"]
+    assert got.count() == 100
+    # time travel still sees it
+    assert "s" in T.read(spark, path, version=v - 1).columns
+    # re-adding the dropped name is refused — old files still carry it
+    with pytest.raises(ValueError, match="dropped or renamed-away"):
+        T.evolve_schema(spark, path, [("s", "string")])
+    # a renamed-away physical name is equally refused
+    T.rename_column(spark, path, "v", "val")
+    with pytest.raises(ValueError, match="dropped or renamed-away"):
+        T.evolve_schema(spark, path, [("v", "double")])
+    # but a genuinely fresh name is fine, and appends carry on
+    T.evolve_schema(spark, path, [("w", "bigint")])
+    T.append(
+        spark.createDataFrame(
+            [(1000, 1.0, 7)], "a bigint, val double, w bigint"
+        ),
+        path,
+    )
+    assert T.read(spark, path).count() == 101
+
+
+def test_rename_drop_guards(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="unknown column"):
+        T.rename_column(spark, path, "zz", "x")
+    with pytest.raises(ValueError, match="collides"):
+        T.rename_column(spark, path, "a", "v")
+    with pytest.raises(ValueError, match="invalid column name"):
+        T.rename_column(spark, path, "a", "bad name")
+    T.add_constraint(spark, path, "pos", "a >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        T.rename_column(spark, path, "a", "k")
+    with pytest.raises(ValueError, match="constraint"):
+        T.drop_column(spark, path, "a")
+    T.drop_constraint(spark, path, "pos")
+    with pytest.raises(ValueError, match="only column"):
+        p2 = str(tmp_path / "one")
+        T.create(spark.createDataFrame([(1,)], "x bigint"), p2)
+        T.drop_column(spark, p2, "x")
+    p3 = str(tmp_path / "pc")
+    T.create(
+        spark.createDataFrame([(1, 2)], "k bigint, g bigint"),
+        p3,
+        partition_cols=("g",),
+    )
+    with pytest.raises(ValueError, match="partition spec"):
+        T.drop_column(spark, p3, "g")
+
+
+def test_rename_partition_column_follows_spec(spark, tmp_path):
+    path = str(tmp_path / "rp")
+    T.create(
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(30)], "k bigint, g bigint"
+        ),
+        path,
+        partition_cols=("g",),
+    )
+    T.rename_column(spark, path, "g", "grp")
+    m = T._manifest(spark, path, None)
+    assert list(m["partition_cols"]) == ["grp"]
+    got = T.read(spark, path)
+    assert got.filter(F.col("grp") == 1).count() == 10
+    # new appends land under the NEW dir name; both layouts read
+    T.append(
+        spark.createDataFrame([(100, 1)], "k bigint, grp bigint"), path
+    )
+    assert T.read(spark, path).filter(F.col("grp") == 1).count() == 11
+    assert T.scan(spark, path, partitions={"grp": 1}).count() == 11
+
+
+def test_datasource_reads_renamed_mixed_files(spark, tmp_path):
+    from sec_financial_pipeline_spark.sources.snap_datasource import (
+        register_snaptable_source,
+    )
+
+    register_snaptable_source(spark)
+    path = _mk(spark, tmp_path)
+    T.rename_column(spark, path, "a", "k")
+    T.append(
+        spark.createDataFrame(
+            [(1000, 1.0, "zz")], "k bigint, v double, s string"
+        ),
+        path,
+    )
+    df = spark.read.format("snaptable").load(path)
+    assert df.columns == ["k", "v", "s"]
+    assert df.count() == 101
+    assert df.agg(F.sum("k")).collect()[0][0] == sum(range(100)) + 1000
+
+
+def test_change_feed_skips_rename_and_drop_commits(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=10, files=1)
+    v0 = T._manifest(spark, path, None)["version"]
+    T.rename_column(spark, path, "a", "k")
+    T.drop_column(spark, path, "s")
+    v1 = T._manifest(spark, path, None)["version"]
+    assert T.change_feed(spark, path, v0, v1).count() == 0
