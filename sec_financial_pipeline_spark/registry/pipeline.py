@@ -306,6 +306,73 @@ def q_snap_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MV.read_matview(spark, f"{path}/view")
 
 
+# ---------------------------------------------------------------------------
+# colmap: the column-mapping schema lifecycle, driver-checked. v1 =
+# orders columns (o_orderkey, o_orderpriority, price0=o_totalprice) for
+# o_orderkey % 4 != 0; RENAME price0 -> total_price (metadata-only —
+# v1's files keep the physical name); dv-delete total_price > 180000
+# (probing the RENAMED column against pre-rename files); append the
+# %4 == 0 rows under the NEW name. The head read mixes both file
+# generations; the oracle recomputes the final state in pure SQL.
+# ---------------------------------------------------------------------------
+
+_COLMAP_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE o_orderkey % 4 = 0 OR o_totalprice <= 180000
+GROUP BY o_orderpriority
+"""
+
+
+def _ensure_colmap_demo(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _artifact_path,
+        _publish_atomically,
+    )
+    from sec_financial_pipeline_spark.sources import snaptable as T
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    path = _artifact_path(
+        "sfp_colmapdemo_", sf_dir, "orders", "mod4;rename;dvdel180000"
+    )
+    if not os.path.exists(path):
+        def build(tmp: str) -> None:
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.col("o_totalprice").alias("price0"),
+            )
+            T.create(orders.filter(F.col("o_orderkey") % 4 != 0), tmp)
+            T.rename_column(spark, tmp, "price0", "total_price")
+            # dv-delete probes the RENAMED name against v1's physical
+            # files — only pre-rename rows can match (> 180000 appended
+            # rows arrive after), proving the delete's read path maps
+            T.delete_where(spark, tmp, "total_price > 180000", mode="dv")
+            T.append(
+                orders.filter(F.col("o_orderkey") % 4 == 0)
+                .withColumnRenamed("price0", "total_price"),
+                tmp,
+            )
+
+        _publish_atomically(build, path)
+    return path
+
+
+def q_snap_colmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.functions.deterministic import dsum
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    path = _ensure_colmap_demo(spark, sf_dir)
+    return T.read(spark, path).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("total_price").alias("total_price"),
+    )
+
+
 _POLICY_ORACLE = (
     domain.duck_prelude()
     + """
@@ -382,6 +449,11 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
                 _MATVIEW_ORACLE,
                 ["o_orderpriority", "n_rows", "total_price"],
             ),
+            (
+                "colmap",
+                _COLMAP_ORACLE,
+                ["o_orderpriority", "n_rows", "total_price"],
+            ),
         ],
         _PIPE_ROW_SCHEMA,
     ),
@@ -394,7 +466,11 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         "purge neutrality) + incrementally-maintained materialized view "
         "(one refresh folds an append + a delete through the change "
         "feed by exact delta arithmetic; the oracle recomputes the "
-        "aggregate over the final source state from scratch)"
+        "aggregate over the final source state from scratch) + "
+        "column-mapping schema lifecycle (metadata-only RENAME, a "
+        "dv-delete probing the renamed name against pre-rename files, "
+        "a post-rename append — the head read mixes both file "
+        "generations)"
     ),
 )
 def q_freshness_and_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +480,7 @@ def q_freshness_and_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("snap_cdf", q_snap_cdf(spark, sf_dir)),
             ("snap_dv", q_snap_dv(spark, sf_dir)),
             ("matview", q_snap_matview(spark, sf_dir)),
+            ("colmap", q_snap_colmap(spark, sf_dir)),
         ],
         _PIPE_ROW_SCHEMA,
     )

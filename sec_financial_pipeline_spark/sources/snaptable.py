@@ -1666,6 +1666,7 @@ def _publish_rewrite(
     base: dict,
     txn: tuple | None,
     cdf: str | None = None,
+    tbl_meta: dict | None = None,
 ) -> int:
     """Commit ``files`` at head+1 with LOGICAL conflict detection (the
     Delta/Iceberg OCC discipline): on a version race, inspect every
@@ -1690,7 +1691,7 @@ def _publish_rewrite(
             spark, path, cur["version"] + 1, files, base["schema"], op,
             cur["version"], base.get("partition_cols", ()),
             base.get("stats_cols", ()), _txn_merged(cur, txn),
-            cur.get("constraints", {}), cdf,
+            cur.get("constraints", {}), cdf, tbl_meta=tbl_meta,
         ):
             return cur["version"] + 1
         head = _manifest(spark, path, None)
@@ -1717,15 +1718,22 @@ def _rewrite_commit(
     base: dict,
     txn: tuple | None = None,
 ) -> int:
-    """Shared tail of the FULL rewrite family (compact/rollback/
-    overwrite): materialize the surviving rows as new files and commit
+    """Shared tail of the FULL rewrite family (compact/overwrite/full
+    optimize): materialize the surviving rows as new files and commit
     a manifest listing ONLY them via :func:`_publish_rewrite` (atomic
-    version create + logical conflict detection)."""
+    version create + logical conflict detection). A full rewrite
+    CONVERGES the column mapping: every new file carries the logical
+    names, so the new manifest's colmap clears (external parquet
+    readers can export again); dropped-name tombstones stay — they
+    cost nothing and keep guarding re-adds across rollbacks to
+    pre-rewrite versions."""
     files = _write_files(
         kept, path, tuple(base.get("partition_cols", ())),
         base.get("stats_cols", []),
     )
-    return _publish_rewrite(spark, path, files, op, base, txn)
+    meta = dict(base.get("tbl_meta") or {})
+    meta.pop("colmap", None)
+    return _publish_rewrite(spark, path, files, op, base, txn, tbl_meta=meta)
 
 
 def overwrite(df: DataFrame, path: str, txn: tuple | None = None) -> int:
@@ -2376,7 +2384,10 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
     data restore); note the restored data itself is NOT re-verified —
     restoring a version that predates a constraint may re-expose rows
     that would fail it today (the same caveat Delta documents for
-    RESTORE on constrained tables)."""
+    RESTORE on constrained tables). The column mapping (tbl_meta)
+    restores WITH the target: the mapping describes the target's
+    files, so reviving pre-rename files under the head's (possibly
+    cleared) map would read their renamed columns as NULL."""
     target = _manifest(spark, path, to_version)
     head = _manifest(spark, path, None)
     if not _try_commit(
@@ -2391,6 +2402,7 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
         target.get("stats_cols", ()),
         head.get("txn", {}),
         head.get("constraints", {}),
+        tbl_meta=target.get("tbl_meta") or {},
     ):
         raise SnapshotConflict(
             f"snaptable: rollback at {path} raced a concurrent commit; "
@@ -3561,6 +3573,56 @@ def analyze_table(
         json.dump(stats, f, indent=1, sort_keys=True, default=str)
     os.replace(tmp, os.path.join(path, _ANALYZE_FILE))
     return stats
+
+
+def export_file_list(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """Interop export (Delta's symlink_format_manifest analog): the
+    exact parquet files one snapshot references, for engines that read
+    raw parquet (DuckDB, Trino's hive connector, pandas). Writes
+    ``export/manifest-v<N>.txt`` (one absolute path per line, atomic
+    rename) and returns ``{"version", "files", "manifest",
+    "duckdb_sql"}`` — the SQL is a ready ``read_parquet([...],
+    union_by_name=true)`` (union_by_name pads pre-evolution files'
+    missing columns with NULL, matching this engine's own conform).
+
+    REFUSED for snapshots an external engine would read WRONG:
+    deletion vectors (the deleted rows would resurrect) and column
+    mapping (pre-rename files answer under the physical name). Purge
+    the DVs / compact after the rename first — both converge the files
+    to plainly-readable form."""
+    import os
+
+    m = _manifest(spark, path, version)
+    if any(e.get("dv") for e in m["files"]):
+        raise ValueError(
+            "snaptable: export_file_list refused — snapshot carries "
+            "deletion vectors an external parquet reader cannot apply "
+            "(run purge_deletes first)"
+        )
+    if _colmap(m):
+        raise ValueError(
+            "snaptable: export_file_list refused — renamed columns "
+            "resolve through the manifest's column mapping, which an "
+            "external parquet reader cannot see (compact to converge "
+            "the files first)"
+        )
+    root = os.path.abspath(path.rstrip("/"))
+    files = sorted(os.path.join(root, e["path"]) for e in m["files"])
+    os.makedirs(os.path.join(root, "export"), exist_ok=True)
+    dst = os.path.join(root, "export", f"manifest-v{m['version']}.txt")
+    tmp = dst + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(files) + "\n")
+    os.replace(tmp, dst)
+    listing = ", ".join(f"'{p}'" for p in files)
+    return {
+        "version": m["version"],
+        "files": files,
+        "manifest": dst,
+        "duckdb_sql": f"read_parquet([{listing}], union_by_name=true)",
+    }
 
 
 def table_bytes(spark: SparkSession, path: str, version: int | None = None) -> int:

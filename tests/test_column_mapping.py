@@ -199,3 +199,78 @@ def test_change_feed_skips_rename_and_drop_commits(spark, tmp_path):
     T.drop_column(spark, path, "s")
     v1 = T._manifest(spark, path, None)["version"]
     assert T.change_feed(spark, path, v0, v1).count() == 0
+
+
+def test_compact_purges_dropped_column_bytes(spark, tmp_path):
+    """After DROP COLUMN the bytes linger in old files; compact writes
+    the current (logical) schema, physically retiring them — and the
+    tombstone keeps guarding re-add (time travel still needs it)."""
+    import pyarrow.parquet as pq
+
+    path = _mk(spark, tmp_path)
+    T.drop_column(spark, path, "s")
+    m = T._manifest(spark, path, None)
+    f0 = f"{path}/{m['files'][0]['path']}"
+    assert "s" in pq.ParquetFile(f0).schema_arrow.names  # bytes linger
+    T.compact(spark, path)
+    m = T._manifest(spark, path, None)
+    for e in m["files"]:
+        names = pq.ParquetFile(f"{path}/{e['path']}").schema_arrow.names
+        assert "s" not in names
+    with pytest.raises(ValueError, match="dropped or renamed-away"):
+        T.evolve_schema(spark, path, [("s", "string")])
+
+
+def test_export_file_list_duckdb_interop(spark, tmp_path):
+    import duckdb
+
+    path = _mk(spark, tmp_path, n=60, files=3)
+    T.evolve_schema(spark, path, [("w", "bigint")])
+    T.append(
+        spark.createDataFrame(
+            [(1000, 1.0, "zz", 7)], "a bigint, v double, s string, w bigint"
+        ),
+        path,
+    )
+    out = T.export_file_list(spark, path)
+    assert len(out["files"]) >= 4 and out["manifest"].endswith(
+        f"manifest-v{out['version']}.txt"
+    )
+    con = duckdb.connect()
+    n, sv, nw = con.execute(
+        f"SELECT count(*), sum(a), count(w) FROM {out['duckdb_sql']}"
+    ).fetchone()
+    assert (n, sv, nw) == (61, sum(range(60)) + 1000, 1)
+
+    # refusal cases: deletion vectors, then column mapping
+    T.delete_where(spark, path, "a = 5", mode="dv")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        T.export_file_list(spark, path)
+    T.purge_deletes(spark, path)
+    T.export_file_list(spark, path)  # clean again after purge
+    T.rename_column(spark, path, "a", "k")
+    with pytest.raises(ValueError, match="column mapping"):
+        T.export_file_list(spark, path)
+    # compaction converges files to the logical names -> exportable,
+    # and the external reader sees the RENAMED column
+    T.compact(spark, path)
+    out = T.export_file_list(spark, path)
+    n2, sk = con.execute(
+        f"SELECT count(*), sum(k) FROM {out['duckdb_sql']}"
+    ).fetchone()
+    assert n2 == 60 and sk == sum(range(60)) - 5 + 1000
+
+
+def test_full_rewrite_clears_colmap_and_rollback_restores_it(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=40, files=2)
+    T.rename_column(spark, path, "a", "k")
+    v_mapped = T._manifest(spark, path, None)["version"]
+    T.compact(spark, path)
+    m = T._manifest(spark, path, None)
+    assert T._colmap(m) == {}  # files converged to logical names
+    assert T.read(spark, path).agg(F.sum("k")).collect()[0][0] == 780
+    # rollback to the mapped version restores its files AND its map
+    T.rollback(spark, path, to_version=v_mapped)
+    m = T._manifest(spark, path, None)
+    assert T._colmap(m) == {"k": "a"}
+    assert T.read(spark, path).agg(F.sum("k")).collect()[0][0] == 780
