@@ -130,7 +130,52 @@ _DEDUP_ROW_SCHEMA = [
     ("n_bigrams", "bigint"),
     ("avg_milli", "bigint"),
     ("ppl_bucket", "string"),
+    ("total_tokens", "bigint"),
+    ("dup_tokens", "bigint"),
+    ("n_spans", "bigint"),
 ]
+
+# ---------------------------------------------------------------------------
+# spandup: exact-substring duplicate spans (Lee et al. 2021) — cross-
+# document 10-token grams merged to maximal spans by the islands pass
+# (operators/spans.py). Positions are unique per document, so the
+# running-max window ordering is total and the coverage/span counts
+# are exact integers on both engines.
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 10
+_SPAN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id, i AS s, i + {_SPAN_W - 1} AS e,
+         array_to_string(list_slice(t, i, i + {_SPAN_W - 1}), ' ') AS g,
+         len(t) AS ntok
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(t) - {_SPAN_W - 1}, 0) + 1)) AS i
+  )
+),
+dupg AS (SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+iv AS (
+  SELECT doc_id, ntok, s, e,
+         coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pmax
+  FROM occ WHERE g IN (SELECT g FROM dupg)
+)
+SELECT doc_id, CAST(any_value(ntok) AS BIGINT) AS total_tokens,
+       CAST(SUM(greatest(0, e - greatest(s, pmax + 1) + 1)) AS BIGINT)
+         AS dup_tokens,
+       CAST(SUM(CASE WHEN s > pmax THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+FROM iv GROUP BY doc_id
+"""
+
+
+def q_doc_spandup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.spans import (
+        duplicate_span_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(d, "doc_id", "text", width=_SPAN_W)
 
 # ---------------------------------------------------------------------------
 # ppl: CCNet-style LM perplexity filter (Wenzek et al. 2020) — a
@@ -213,6 +258,11 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
                 ["doc_id", "ppl_milli", "n_bigrams", "avg_milli",
                  "ppl_bucket"],
             ),
+            (
+                "spandup",
+                _SPAN_ORACLE,
+                ["doc_id", "total_tokens", "dup_tokens", "n_spans"],
+            ),
         ],
         _DEDUP_ROW_SCHEMA,
     ),
@@ -225,6 +275,10 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         " + CCNet LM perplexity filter (Wenzek et al. 2020: Laplace"
         " bigram LM trained on the en subset, per-doc NLL in integer"
         " milli-nats — engine-exact — with head/middle/tail bucketing)"
+        " + exact-substring duplicate spans (Lee et al. 2021: cross-doc"
+        " 10-token grams merged to maximal spans via the islands pass;"
+        " keep-first span REMOVAL with a fixed-point witness lives in"
+        " operators/spans.py::remove_duplicate_spans)"
     ),
 )
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,6 +287,7 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("exact", q_doc_exact_dedup_only(spark, sf_dir)),
             ("boilerplate", q_doc_boilerplate(spark, sf_dir)),
             ("ppl", q_doc_perplexity(spark, sf_dir)),
+            ("spandup", q_doc_spandup(spark, sf_dir)),
         ],
         _DEDUP_ROW_SCHEMA,
     )
