@@ -350,7 +350,7 @@ _OPS = st.lists(
     st.sampled_from(
         ["append", "delete_mod3", "compact", "rollback_first", "merge",
          "optimize", "delete_dv", "update", "purge", "merge_clause",
-         "respec"]
+         "respec", "rename"]
     ),
     min_size=1,
     max_size=6,
@@ -362,13 +362,14 @@ _OPS = st.lists(
 def test_snaptable_matches_python_model(spark, ops):
     path = tempfile.mkdtemp(prefix="snapmodel_") + "/t"
     rows = {i: i * 10 for i in range(10)}  # id -> v model
+    vn = "v"  # current LOGICAL name of the value column (rename flips it)
     T.create(
         spark.createDataFrame(
             [(i, v) for i, v in rows.items()], "id long, v long"
         ),
         path,
     )
-    history = {1: dict(rows)}  # version -> model
+    history = {1: ("v", dict(rows))}  # version -> (value-col name, model)
     next_id = 1000
     for op in ops:
         if op == "append":
@@ -376,7 +377,7 @@ def test_snaptable_matches_python_model(spark, ops):
             next_id += 7
             v = T.append(
                 spark.createDataFrame(
-                    [(i, x) for i, x in new.items()], "id long, v long"
+                    [(i, x) for i, x in new.items()], f"id long, {vn} long"
                 ),
                 path,
             )
@@ -388,7 +389,7 @@ def test_snaptable_matches_python_model(spark, ops):
             v = T.compact(spark, path, target_files=1)
         elif op == "optimize":
             # z-order rewrite: rows identical, layout changes
-            v = T.optimize_cluster(spark, path, ["v"], target_files=2)
+            v = T.optimize_cluster(spark, path, [vn], target_files=2)
         elif op == "merge":
             # replace up to 3 existing rows, insert 2 fresh ids
             upd = {i: -i for i in sorted(rows)[:3]}
@@ -397,7 +398,7 @@ def test_snaptable_matches_python_model(spark, ops):
             inc = {**upd, **ins}
             v = T.merge_upsert(
                 spark.createDataFrame(
-                    [(i, x) for i, x in inc.items()], "id long, v long"
+                    [(i, x) for i, x in inc.items()], f"id long, {vn} long"
                 ),
                 path,
                 key_cols=["id"],
@@ -407,7 +408,7 @@ def test_snaptable_matches_python_model(spark, ops):
             v = T.delete_where(spark, path, "id % 4 = 1", mode="dv")
             rows = {i: x for i, x in rows.items() if i % 4 != 1}
         elif op == "update":
-            v = T.update_where(spark, path, "id % 5 = 2", {"v": "v + 1"})
+            v = T.update_where(spark, path, "id % 5 = 2", {vn: f"{vn} + 1"})
             rows = {
                 i: (x + 1 if i % 5 == 2 else x) for i, x in rows.items()
             }
@@ -420,7 +421,15 @@ def test_snaptable_matches_python_model(spark, ops):
             cur = tuple(
                 T._manifest(spark, path, None).get("partition_cols", ())
             )
-            v = T.set_partition_spec(spark, path, () if cur else ("v",))
+            v = T.set_partition_spec(spark, path, () if cur else (vn,))
+        elif op == "rename":
+            # metadata-only column rename mid-sequence: rows unchanged,
+            # every later op must address the NEW name while old files
+            # keep the physical one — and a rename while the column is
+            # in the partition spec rewrites the spec with it
+            new_vn = "w" if vn == "v" else "v"
+            v = T.rename_column(spark, path, vn, new_vn)
+            vn = new_vn
         elif op == "merge_clause":
             targets = sorted(rows)[:2]
             src = spark.createDataFrame(
@@ -430,7 +439,7 @@ def test_snaptable_matches_python_model(spark, ops):
             if targets:
                 v = T.merge_into(
                     src, path, ["id"],
-                    when_matched={"v": "t.v + s.delta"},
+                    when_matched={vn: f"t.{vn} + s.delta"},
                     when_not_matched="ignore",
                 )
                 rows = {
@@ -441,13 +450,17 @@ def test_snaptable_matches_python_model(spark, ops):
                 v = max(history)
         else:  # rollback_first
             v = T.rollback(spark, path, to_version=1)
-            rows = dict(history[1])
-        history[v] = dict(rows)
-        got = {r.id: r.v for r in T.read(spark, path).collect()}
+            vn, rows = history[1][0], dict(history[1][1])
+        history[v] = (vn, dict(rows))
+        got = {r["id"]: r[vn] for r in T.read(spark, path).collect()}
         assert got == rows
     # every retained version time-travels to its recorded contents
-    for v, model in history.items():
-        got = {r.id: r.v for r in T.read(spark, path, version=v).collect()}
+    # under its OWN value-column name
+    for v, (name, model) in history.items():
+        got = {
+            r["id"]: r[name]
+            for r in T.read(spark, path, version=v).collect()
+        }
         assert got == model, f"version {v}"
 
 
