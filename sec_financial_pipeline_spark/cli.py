@@ -798,6 +798,7 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
         df = MV.read_matview(spark, args.view)
         return {
             "view": args.view,
+            **MV.matview_lag(spark, args.view),
             "rows": [r.asDict() for r in df.limit(args.limit).collect()],
             "op": "matview:show",
         }

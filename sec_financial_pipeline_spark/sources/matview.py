@@ -300,6 +300,21 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
     return head
 
 
+def matview_lag(spark: SparkSession, dst_path: str) -> dict:
+    """How far the view trails its source: ``behind_versions`` (0 =
+    fresh) plus both cursors — the number a scheduler polls before
+    deciding to refresh (no Spark job runs; two manifest reads)."""
+    spec = _load_spec(dst_path)
+    last = T.last_txn(spark, dst_path, _APP) or 0
+    head = T._manifest(spark, spec["src"], None)["version"]
+    return {
+        "src": spec["src"],
+        "src_version": head,
+        "view_cursor": last,
+        "behind_versions": max(0, head - last),
+    }
+
+
 def read_matview(
     spark: SparkSession, dst_path: str, version: int | None = None
 ) -> DataFrame:

@@ -274,3 +274,51 @@ def test_full_rewrite_clears_colmap_and_rollback_restores_it(spark, tmp_path):
     m = T._manifest(spark, path, None)
     assert T._colmap(m) == {"k": "a"}
     assert T.read(spark, path).agg(F.sum("k")).collect()[0][0] == 780
+
+
+def test_append_racing_rename_lands_readable(spark, tmp_path):
+    """An append whose files were written under the OLD logical name
+    can commit AFTER a rename wins the version race: its files carry
+    the physical name, which is exactly what the colmap resolves —
+    no row lost, no NULL column."""
+    import threading
+
+    path = _mk(spark, tmp_path, n=20, files=1)
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def do_append():
+        try:
+            barrier.wait()
+            for i in range(3):
+                T.append(
+                    spark.createDataFrame(
+                        [(10_000 + i, 1.0, "r")],
+                        "a bigint, v double, s string",
+                    ),
+                    path,
+                )
+        except Exception as e:  # schema guard may fire post-rename: ok
+            errs.append(e)
+
+    def do_rename():
+        barrier.wait()
+        T.rename_column(spark, path, "a", "k")
+
+    ta, tb = threading.Thread(target=do_append), threading.Thread(
+        target=do_rename
+    )
+    ta.start(); tb.start(); ta.join(); tb.join()
+    # the rename always lands; appends either landed (pre- or post-
+    # race, files under either name) or failed LOUDLY on the schema
+    # guard — never silently wrote unreadable data
+    got = T.read(spark, path)
+    assert got.columns == ["k", "v", "s"]
+    n = got.count()
+    landed = sum(
+        1 for r in got.collect() if r["k"] is not None and r["k"] >= 10_000
+    )
+    assert n == 20 + landed
+    assert got.filter(F.col("k").isNull()).count() == 0
+    for e in errs:
+        assert "schema mismatch" in str(e)

@@ -342,3 +342,17 @@ def test_merge_clause_replace_action_inside_list(spark, tmp_path):
     )
     got = {r["k"]: (r["n"], r["lbl"]) for r in T.read(spark, p).collect()}
     assert got == {1: (5, "a"), 2: (60, "y")}
+
+
+def test_matview_lag_tracks_source_versions(spark, paths):
+    src, dst = paths
+    T.create(spark.createDataFrame(_src_rows(), _SCHEMA), src)
+    MV.create_matview(spark, src, dst, ["g"], [("count", None, "n")])
+    assert MV.matview_lag(spark, dst)["behind_versions"] == 0
+    T.append(spark.createDataFrame([(50, "A", 1.0)], _SCHEMA), src)
+    T.delete_where(spark, src, "k = 6")
+    assert MV.matview_lag(spark, dst)["behind_versions"] == 2
+    MV.refresh_matview(spark, dst)
+    lag = MV.matview_lag(spark, dst)
+    assert lag["behind_versions"] == 0
+    assert lag["view_cursor"] == lag["src_version"] == 3
