@@ -59,6 +59,10 @@ def resample_fill(
         raise ValueError(f"resample_fill: fill must be one of {_FILLS}")
     if interval_s <= 0:
         raise ValueError("resample_fill: interval_s must be > 0")
+    # a NULL timestamp belongs to no bucket: dropped EXPLICITLY here
+    # (otherwise its rows would aggregate into a NULL bucket that never
+    # joins the dense grid — a silent loss)
+    df = df.filter(F.col(ts_col).isNotNull())
     sec = F.unix_timestamp(F.col(ts_col))
     bucket = (sec - F.pmod(sec, F.lit(interval_s))).alias("__b")
     b = df.groupBy(*group_cols, bucket).agg(

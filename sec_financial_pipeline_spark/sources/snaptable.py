@@ -3588,10 +3588,13 @@ def export_file_list(
     missing columns with NULL, matching this engine's own conform).
 
     REFUSED for snapshots an external engine would read WRONG:
-    deletion vectors (the deleted rows would resurrect) and column
-    mapping (pre-rename files answer under the physical name). Purge
-    the DVs / compact after the rename first — both converge the files
-    to plainly-readable form."""
+    deletion vectors (the deleted rows would resurrect), column
+    mapping (pre-rename files answer under the physical name), and
+    IDENTITY-partitioned layouts (the partition column lives only in
+    the directory names — a plain read_parquet silently loses it;
+    hidden-partitioning transforms export fine, their source columns
+    stay in the data). Purge the DVs / compact after the rename /
+    set_partition_spec to a transform-or-flat layout and compact."""
     import os
 
     m = _manifest(spark, path, version)
@@ -3608,6 +3611,30 @@ def export_file_list(
             "external parquet reader cannot see (compact to converge "
             "the files first)"
         )
+    # every dir key an entry carries must be a DERIVED (transform) name
+    # of some retained spec: identity dirs hold the column's only copy,
+    # which a plain parquet read silently drops. Derived names are
+    # recognized structurally (the same stateless inverse the probe
+    # pruning uses), so entries from older specs stay covered.
+    schema_names = {f["name"] for f in json.loads(m["schema"])["fields"]}
+    for e in m["files"]:
+        for k in e.get("partition", {}):
+            # a dir key that IS a schema column is identity by
+            # definition (derived names are validated never to collide
+            # with columns) — checked before the structural pattern so
+            # a real column unluckily named like one can't slip through
+            derived = k not in schema_names and any(
+                _derived_probe(k, c) is not None for c in schema_names
+            )
+            if not derived:
+                raise ValueError(
+                    f"snaptable: export_file_list refused — entry "
+                    f"{e['path']!r} stores column {k!r} only in its "
+                    f"directory name, which a plain parquet reader "
+                    f"loses (hidden-partitioning transforms export "
+                    f"fine; for identity layouts compact under a flat "
+                    f"or transform spec first)"
+                )
     root = os.path.abspath(path.rstrip("/"))
     files = sorted(os.path.join(root, e["path"]) for e in m["files"])
     os.makedirs(os.path.join(root, "export"), exist_ok=True)

@@ -322,3 +322,40 @@ def test_append_racing_rename_lands_readable(spark, tmp_path):
     assert got.filter(F.col("k").isNull()).count() == 0
     for e in errs:
         assert "schema mismatch" in str(e)
+
+
+def test_export_refuses_identity_dirs_allows_hidden_transforms(
+    spark, tmp_path
+):
+    import duckdb
+
+    ident = str(tmp_path / "ident")
+    T.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, g string"),
+        ident,
+        partition_cols=("g",),
+    )
+    with pytest.raises(ValueError, match="directory name"):
+        T.export_file_list(spark, ident)
+    # converge: flat spec + compact -> exportable, column preserved
+    T.set_partition_spec(spark, ident, ())
+    T.compact(spark, ident)
+    out = T.export_file_list(spark, ident)
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT count(g) FROM {out['duckdb_sql']}"
+    ).fetchone()[0] == 2
+
+    hp = str(tmp_path / "hp")
+    T.create(
+        spark.createDataFrame(
+            [(i, f"u{i}") for i in range(40)], "k bigint, s string"
+        ),
+        hp,
+        partition_cols=("bucket(4,k)",),
+    )
+    out = T.export_file_list(spark, hp)  # transforms: source col in data
+    n, sk = con.execute(
+        f"SELECT count(*), sum(k) FROM {out['duckdb_sql']}"
+    ).fetchone()
+    assert (n, sk) == (40, sum(range(40)))

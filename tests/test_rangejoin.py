@@ -160,7 +160,7 @@ def test_resample_fill_modes_and_gap_rows(spark):
     with _pt.raises(ValueError, match="group_cols"):
         resample_fill(df, "ts", "v", 60, [])
     with _pt.raises(ValueError, match="fill"):
-        resample_fill(df, "ts", "v", 60, ["g"], fill="interp")
+        resample_fill(df, "ts", "v", 60, ["g"], fill="spline")
     with _pt.raises(ValueError, match="interval"):
         resample_fill(df, "ts", "v", 0, ["g"])
 
