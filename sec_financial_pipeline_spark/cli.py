@@ -562,6 +562,14 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "txn": m.get("txn", {}),
             "statistics": T.table_statistics(spark, args.table),
         }
+    if args.snap_cmd == "export":
+        try:
+            out = T.export_file_list(spark, args.table, version=args.version)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        return {"table": args.table, "op": "export",
+                "version": out["version"], "n_files": len(out["files"]),
+                "manifest": out["manifest"], "duckdb_sql": out["duckdb_sql"]}
     if args.snap_cmd == "rename":
         v = T.rename_column(spark, args.table, args.old, args.new)
         return {"table": args.table, "version": v,
@@ -1010,6 +1018,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sm.add_argument("--table", required=True)
     sm.add_argument("--data", required=True, help="input parquet")
     sm.add_argument("--keys", required=True, help="comma-separated key cols")
+    sxp = snap_sub.add_parser(
+        "export",
+        help="interop file-list export (symlink-manifest analog + ready "
+        "DuckDB SQL); refuses DV'd / column-mapped / identity-"
+        "partitioned snapshots external readers would get wrong",
+    )
+    sxp.add_argument("--table", required=True)
+    sxp.add_argument("--version", type=int, default=None)
     srn = snap_sub.add_parser(
         "rename",
         help="RENAME COLUMN, metadata-only (column-mapping): old files "

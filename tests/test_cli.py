@@ -820,3 +820,23 @@ def test_snap_maintain_via_cli(tmp_path, capsys, spark, sf_dir):
     )
     assert out["actions"][0]["action"] == "compact"
     assert T.read(spark, path).count() == 25
+
+
+def test_snap_export_via_cli(tmp_path, capsys, spark, sf_dir):
+    import duckdb
+
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    path = str(tmp_path / "exp")
+    T.create(
+        spark.createDataFrame([(i,) for i in range(10)], "k bigint"), path
+    )
+    out = _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "snap", "export", "--table", path],
+    )
+    assert out["n_files"] >= 1
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT sum(k) FROM {out['duckdb_sql']}"
+    ).fetchone()[0] == 45
