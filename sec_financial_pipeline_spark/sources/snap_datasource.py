@@ -169,10 +169,18 @@ def _dv_positions(root: str, rel: str, dv_refs) -> set[int]:
     return out
 
 
+def _cmap_cands(colmap: dict, name: str) -> list:
+    """Candidate file-side names for a logical column: itself plus its
+    prior generation names (``colmap`` values are a single physical
+    name or the full chain list from ``_name_chain``)."""
+    v = colmap.get(name)
+    return [name] + ([v] if isinstance(v, str) else list(v or ()))
+
+
 def _conform_table(tbl, target, consts: dict, colmap: dict | None = None):
     """Project an arrow table onto ``target``: present columns cast
     (renamed columns resolve through ``colmap`` — pre-rename files
-    carry the physical name), ``consts`` (partition values,
+    carry the name of their era), ``consts`` (partition values,
     change-feed tags) become constant arrays, anything else typed
     NULLs."""
     import pyarrow as pa
@@ -181,12 +189,13 @@ def _conform_table(tbl, target, consts: dict, colmap: dict | None = None):
     rows = tbl.num_rows
     cols = []
     for f in target:
-        src = (
-            f.name
-            if f.name in tbl.column_names
-            else colmap.get(f.name)
-            if colmap.get(f.name) in tbl.column_names
-            else None
+        src = next(
+            (
+                c
+                for c in _cmap_cands(colmap, f.name)
+                if c in tbl.column_names
+            ),
+            None,
         )
         if src is not None:
             cols.append(tbl.column(src).cast(f.type))
@@ -232,9 +241,9 @@ def _read_entry(
     have = set(pf.schema_arrow.names)
     read_cols = sorted(
         {
-            f.name if f.name in have else colmap[f.name]
+            next(c for c in _cmap_cands(colmap, f.name) if c in have)
             for f in target
-            if f.name in have or colmap.get(f.name) in have
+            if any(c in have for c in _cmap_cands(colmap, f.name))
         }
     )
     for batch in pf.iter_batches(columns=read_cols):
@@ -258,11 +267,15 @@ class SnaptableDataSource(DataSource):
     offsets. ``path`` is the table root (``.load(path)`` or
     ``option("path", ...)``).
 
-    Register via :func:`register_snaptable_source`, not
-    ``spark.dataSource.register`` directly: because the reader
-    implements ``pushFilters``, Spark 4.1 REFUSES any read while
-    ``spark.sql.python.filterPushdown.enabled`` is false — the helper
-    enables it."""
+    File pruning is driven by LOAD OPTIONS (``filter.eq``,
+    ``filter.between`` — see
+    :meth:`SnapBatchReader._parse_filter_options`), NOT by a
+    ``pushFilters`` implementation: Spark 4.1.2 caches the planned
+    partitions per relation and reuses them for later filter-free
+    queries on the same DataFrame, so pushFilters-based pruning
+    silently drops rows there. Options are part of the relation's
+    identity, so option-pruned reads are cache-safe AND exact (the
+    predicates are re-applied per row at read time)."""
 
     @classmethod
     def name(cls) -> str:
@@ -375,69 +388,84 @@ class SnapBatchReader(DataSourceReader):
         elif ts is not None:
             self.version = _version_at(path, ts)
         else:
-            # pin the head ONCE: pushFilters and partitions() must see
-            # the same snapshot, or a commit landing between the two
-            # calls skews the probe against a different file set
+            # pin the head ONCE: every later planner call must see the
+            # same snapshot, or a commit landing between two calls
+            # skews the probe against a different file set
             self.version = _head_version(path)
-        self._part_probe: dict = {}
-        self._ranges: list = []
-        self._points: list = []
-        from sec_financial_pipeline_spark.sources.snaptable import _colmap
-
-        # logical -> physical names for renamed columns (rides the
-        # pickled reader to the executors; read() consults it per file)
-        self._cmap = _colmap(_raw_manifest(self.path, self.version))
-
-    def pushFilters(self, filters):
-        """PRUNING-ONLY pushdown: supported predicates shrink the file
-        list in :meth:`partitions` via the manifest's partition values,
-        footer min/max stats and Bloom sidecars — the same
-        `_select_entries` machinery the native `scan()` uses — but
-        EVERY filter is returned as residual, so Spark re-applies the
-        exact predicate on the scanned rows. Pruning stays an
-        optimization, never a correctness filter (a file with no stats
-        for the probed column is always kept)."""
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            LessThan,
-            LessThanOrEqual,
-        )
-
-        # head only — partition_cols lives in the version JSON; no
-        # reason to materialize manifest-list parts here. Probes are
-        # recorded against the SOURCE column of each spec entry:
-        # hidden-partitioning transforms (bucket/truncate/days/months)
-        # prune through the Python transform mirror in _select_entries.
+        self._parse_filter_options(options)
         from sec_financial_pipeline_spark.sources.snaptable import (
-            _parse_spec_entry,
+            _name_chain,
         )
 
-        m = _raw_manifest(self.path, self._ver())
-        pcols = {
-            _parse_spec_entry(str(s))[1]
-            for s in (m.get("partition_cols", []) or [])
-        }
-        for f in filters:
-            attr = getattr(f, "attribute", ())
-            if len(attr) != 1:
-                continue
-            col = attr[0]
-            v = getattr(f, "value", None)
-            if isinstance(f, EqualTo):
-                if col in pcols:
-                    self._part_probe[col] = v
-                if isinstance(v, (int, float)) and not isinstance(v, bool):
-                    self._ranges.append((col, v, v))
-                self._points.append((col, v))
-            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
-                if isinstance(v, (int, float)) and not isinstance(v, bool):
-                    self._ranges.append((col, v, float("inf")))
-            elif isinstance(f, (LessThan, LessThanOrEqual)):
-                if isinstance(v, (int, float)) and not isinstance(v, bool):
-                    self._ranges.append((col, float("-inf"), v))
-        return filters  # ALL residual: Spark re-applies exactly
+        # logical -> prior generation names for renamed columns (rides
+        # the pickled reader to the executors; read() consults it per
+        # file — the full chain, so files appended between chained
+        # renames resolve too)
+        self._cmap = _name_chain(_raw_manifest(self.path, self.version))
+
+    def _parse_filter_options(self, options) -> None:
+        """Load-time predicate options — the CACHE-SAFE replacement for
+        ``pushFilters`` pruning.
+
+        Spark 4.1.2's Python DataSource bridge caches the planned
+        (partitions, read function) per relation on the JVM side
+        (``PythonDataSourceV2.readInfo``: ``getOrCreateReadInfo``
+        returns any cached value; only the filtered ``pushFilters``
+        path overwrites it via ``setReadInfo``). A ``pushFilters``
+        implementation that prunes files therefore poisons the cache:
+        a LATER filter-free query on the same loaded DataFrame reuses
+        the previous query's pruned partition list and silently drops
+        rows (observed: ``df.filter(..).count()`` then ``df.agg(sum)``
+        lost every file outside the first query's probe). No
+        reader-side discipline can fix that — the filter-free query
+        never re-enters Python — so this source does NOT implement
+        ``pushFilters`` at all. Predicates that should prune belong in
+        the LOAD OPTIONS, which are part of the relation's identity
+        (each ``load()`` builds its own relation and cache entry):
+
+        - ``filter.eq``: JSON object ``{col: value}`` — equality,
+          ANDed; prunes via partition dirs / stats / Bloom sidecars
+          and is applied EXACTLY per row at read time;
+        - ``filter.between``: JSON list of ``[col, lo, hi]`` triples
+          (``null`` bound = unbounded), ANDed; prunes via footer
+          min/max and is applied exactly per row.
+
+        Semantics: the relation IS the filtered table (rows satisfying
+        every option predicate; NULL never satisfies), same as the
+        native ``snaptable.scan()``, so reusing the DataFrame across
+        filtered and unfiltered downstream queries is always correct.
+        """
+        eq = json.loads(options.get("filter.eq", "{}") or "{}")
+        bt = json.loads(options.get("filter.between", "[]") or "[]")
+        if not isinstance(eq, dict) or not isinstance(bt, list):
+            raise ValueError(
+                "snaptable source: filter.eq must be a JSON object and "
+                "filter.between a JSON list of [col, lo, hi] triples"
+            )
+        self._eq: dict = dict(eq)
+        self._between: list = []
+        for t in bt:
+            if not (isinstance(t, list) and len(t) == 3):
+                raise ValueError(
+                    "snaptable source: filter.between entries must be "
+                    "[col, lo, hi] (null bound = unbounded)"
+                )
+            self._between.append((str(t[0]), t[1], t[2]))
+        # manifest-prune shapes (None bounds -> infinities); equality
+        # probes double as point probes for the Bloom sidecars and as
+        # degenerate ranges for numeric stats
+        self._part_probe = dict(self._eq)
+        self._ranges = [
+            (c, float("-inf") if lo is None else lo,
+             float("inf") if hi is None else hi)
+            for c, lo, hi in self._between
+        ]
+        self._ranges += [
+            (c, v, v)
+            for c, v in self._eq.items()
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+        ]
+        self._points = list(self._eq.items())
 
     def _ver(self) -> int:
         return (
@@ -459,7 +487,7 @@ class SnapBatchReader(DataSourceReader):
         m = _raw_manifest(self.path, self._ver())
         if "files" not in m:
             # manifest-list fast path, mirrored from the native scan:
-            # prune parts by summary with the pushed filters BEFORE
+            # prune parts by summary with the option predicates BEFORE
             # loading any; _select_entries then re-checks per entry
             kept = _prune_part_summaries(
                 m.get("files_parts", []),
@@ -484,9 +512,46 @@ class SnapBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: SnapFilePartition) -> Iterator:
-        yield from _read_entry(
+        # option predicates are EXACT relation semantics, not best-
+        # effort pruning: re-check them per row so a file kept only
+        # because it lacked stats still returns exactly matching rows
+        eq = getattr(self, "_eq", {}) or {}
+        bt = getattr(self, "_between", []) or []
+        for batch in _read_entry(
             self.path, partition, self.schema, getattr(self, "_cmap", None)
-        )
+        ):
+            if eq or bt:
+                out = _row_filter(batch, eq, bt)
+                if out.num_rows:
+                    yield from out.combine_chunks().to_batches()
+            else:
+                yield batch
+
+
+def _row_filter(batch, eq: dict, between: list):
+    """Apply the load-option predicates exactly: AND of equalities and
+    [lo, hi] ranges (``None`` bound = unbounded); a NULL value never
+    satisfies a predicate (SQL semantics — the null mask positions are
+    dropped)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tbl = pa.Table.from_batches([batch])
+    mask = None
+    for col, v in eq.items():
+        m = pc.equal(tbl.column(col), pa.scalar(v).cast(tbl.column(col).type))
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    for col, lo, hi in between:
+        c = tbl.column(col)
+        if lo is not None:
+            m = pc.greater_equal(c, pa.scalar(lo).cast(c.type))
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        if hi is not None:
+            m = pc.less_equal(c, pa.scalar(hi).cast(c.type))
+            mask = m if mask is None else pc.and_kleene(mask, m)
+    if mask is None:
+        return tbl
+    return tbl.filter(mask)  # null mask positions drop (SQL semantics)
 
 
 class SnapStreamReader(DataSourceStreamReader):
@@ -941,12 +1006,7 @@ class SnapBatchWriter(DataSourceWriter):
 
 def register_snaptable_source(spark) -> None:
     """Idempotently register ``format("snaptable")`` on this session.
-    Also enables Python-datasource filter pushdown (off by default in
-    Spark 4.1) so the reader's manifest-level pruning participates in
-    planning; harmless for every other source — pushFilters is opt-in
-    per reader."""
-    try:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    except Exception:
-        pass  # older Spark without the conf: pushdown simply stays off
+    (No pushdown conf needed: predicate pruning rides load options —
+    see :class:`SnaptableDataSource` — because Spark 4.1.2's per-
+    relation plan cache makes pushFilters-based pruning unsafe.)"""
     spark.dataSource.register(SnaptableDataSource)

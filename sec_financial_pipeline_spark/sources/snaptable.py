@@ -418,12 +418,38 @@ def _transform_py(kind: str, param, v):
     return s[:10] if kind == "days" else s[:7]
 
 
+def _session_tzinfo():
+    """tzinfo of the active session's ``spark.sql.session.timeZone``
+    (None when no session is active or the zone is unknown)."""
+    try:
+        from zoneinfo import ZoneInfo
+
+        s = SparkSession.getActiveSession()
+        if s is None:
+            return None
+        return ZoneInfo(s.conf.get("spark.sql.session.timeZone"))
+    except Exception:
+        return None
+
+
 def _temporal_iso(v) -> str | None:
     """ISO rendering of a date/datetime/ISO-string probe value (None if
-    the value can't be read temporally — pruning then just keeps)."""
+    the value can't be read temporally — pruning then just keeps).
+    Writers render timestamps via ``date_format`` in the SESSION
+    timezone, so a tz-AWARE probe is converted to that zone before
+    rendering (ADVICE r9: dropping the offset could compute a
+    different calendar day near midnight and wrongly prune); with no
+    active session to ask, tz-aware probes skip temporal pruning
+    entirely. Naive datetimes are taken as session-local, matching the
+    writer's rendering of what the user stored."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            tz = _session_tzinfo()
+            if tz is None:
+                return None  # can't place it on the writer's calendar
+            v = v.astimezone(tz).replace(tzinfo=None)
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, _dt.date):
         return v.isoformat()
@@ -829,20 +855,19 @@ def _files_df(
     # the parquet reader (no per-file schema inference at all).
     flat = [e for e in entries if not e.get("partition")]
     hive = [e for e in entries if e.get("partition")]
-    colmap = _colmap(m)
+    colmap = _name_chain(m)
     read_schema = schema
     if colmap:
         # pinned-schema reads match by NAME, so renamed columns need
-        # BOTH names in the read schema: pre-rename files populate the
-        # physical field, post-rename files the logical one, and the
-        # conform projection coalesces them
+        # EVERY generation name in the read schema: each file populates
+        # the name its era wrote (physical, intermediate, or logical)
+        # and the conform projection coalesces them
         from pyspark.sql.types import StructField, StructType
 
         extra = [
             StructField(p, f.dataType, True)
             for f in schema.fields
-            for p in (colmap.get(f.name),)
-            if p and p != f.name
+            for p in colmap.get(f.name, ())
         ]
         read_schema = StructType(list(schema.fields) + extra)
     parts = []
@@ -890,14 +915,37 @@ def _colmap(m: dict) -> dict:
     return dict((m.get("tbl_meta") or {}).get("colmap", {}))
 
 
+def _name_chain(m: dict) -> dict:
+    """Logical name -> every PRIOR name retained files may carry: the
+    original physical name (``colmap``) plus each INTERMEDIATE name of
+    a chained rename (``col_aliases`` — files appended between renames
+    carry the logical name of their era). Readers coalesce the whole
+    chain; empty dict for never-renamed tables."""
+    meta = m.get("tbl_meta") or {}
+    out: dict = {}
+    for k, v in (meta.get("colmap") or {}).items():
+        out[k] = [v]
+    for k, names in (meta.get("col_aliases") or {}).items():
+        cur = out.setdefault(k, [])
+        cur.extend(n for n in names if n not in cur)
+    return {
+        k: [n for n in v if n != k]
+        for k, v in out.items()
+        if any(n != k for n in v)
+    }
+
+
 def _phys_namespace(m: dict) -> set:
     """Every physical column name live in retained files or ever
     dropped: the names ADD COLUMN must refuse, because a parquet file
     already carrying that physical column would resurface its old data
-    under the new logical column."""
+    under the new logical column. Includes chained-rename intermediate
+    names — files written between two renames carry them."""
     meta = m.get("tbl_meta") or {}
     out = set(meta.get("dropped", []))
     out |= set(meta.get("colmap", {}).values())
+    for names in (meta.get("col_aliases") or {}).values():
+        out |= set(names)
     out |= {f["name"] for f in json.loads(m["schema"])["fields"]}
     return out
 
@@ -916,10 +964,11 @@ def _conform_plus(
     """:func:`_conform` plus pass-through extra columns (the metadata
     handles) selected in the same projection so they materialize from
     the scan itself. ``colmap`` maps renamed logical names to their
-    physical (pre-rename) names: a column present under either name
-    resolves to the logical one (per file exactly one is populated, so
-    ``coalesce`` is exact — a genuinely NULL value stays NULL either
-    way)."""
+    prior names — a single physical name (str) or the full generation
+    chain (list, :func:`_name_chain`): a column present under any of
+    them resolves to the logical one (per file exactly one generation
+    is populated, so ``coalesce`` is exact — a genuinely NULL value
+    stays NULL either way)."""
     from pyspark.sql import functions as F
 
     have = set(df.columns)
@@ -928,8 +977,9 @@ def _conform_plus(
     for f in schema.fields:
         cands = [f.name]
         p = colmap.get(f.name)
-        if p and p != f.name:
-            cands.append(p)
+        for n in [p] if isinstance(p, str) else list(p or ()):
+            if n and n != f.name and n not in cands:
+                cands.append(n)
         present = [c for c in cands if c in have]
         if not present:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
@@ -999,7 +1049,9 @@ def version_at(spark: SparkSession, path: str, as_of) -> int:
     return best
 
 
-def _partition_rules_out(part: dict, partitions: dict) -> bool:
+def _partition_rules_out(
+    part: dict, partitions: dict, real_cols: frozenset = frozenset()
+) -> bool:
     """True when an entry's lifted dir values are INCOMPATIBLE with an
     equality probe. Identity dirs compare the raw value; hidden-
     partitioning dirs compare the value's TRANSFORM (computed by the
@@ -1009,13 +1061,23 @@ def _partition_rules_out(part: dict, partitions: dict) -> bool:
     or None for __HIVE_DEFAULT_PARTITION__; a None probe matches only
     the null partition and vice versa. Entries with no dir for the
     probed column (other specs, unpartitioned epochs) are kept —
-    pruning is never a correctness filter."""
+    pruning is never a correctness filter.
+
+    ``real_cols``: names that are (or ever were) REAL table columns —
+    a dir key in this set is an identity dir BY DEFINITION and must
+    never be re-interpreted as a derived transform of some other
+    column (a table with columns ``ts`` and ``ts_day``,
+    identity-partitioned by ``ts_day``, would otherwise compare the
+    unrelated ``ts_day`` labels against ``days(ts)`` and wrongly prune
+    — ADVICE r9)."""
     for k, v in partitions.items():
         if k in part:
             if part[k] != (None if v is None else str(v)):
                 return True
             continue
         for pk, pv in part.items():
+            if pk in real_cols:
+                continue  # identity dir of a real column, never derived
             t = _derived_probe(pk, k)
             if t is None:
                 continue
@@ -1030,13 +1092,20 @@ def _partition_rules_out(part: dict, partitions: dict) -> bool:
     return False
 
 
-def _temporal_dirs_rule_out(part: dict, col: str, lo, hi) -> bool:
+def _temporal_dirs_rule_out(
+    part: dict, col: str, lo, hi, real_cols: frozenset = frozenset()
+) -> bool:
     """Day/month hidden-partition dirs prune RANGE probes on the source
     column: ISO renderings compare lexicographically, so a file whose
     calendar dir lies outside [lo, hi]'s calendar window cannot hold a
-    matching row. NULL dirs and unreadable bounds are kept."""
+    matching row. NULL dirs and unreadable bounds are kept. A dir key
+    that IS a real column (``real_cols``) is an identity dir, not a
+    derived temporal — never interpreted (ADVICE r9)."""
     for suffix, width in (("_day", 10), ("_month", 7)):
-        pv = part.get(f"{col}{suffix}")
+        key = f"{col}{suffix}"
+        if key in real_cols:
+            continue  # identity dir of a real column, never derived
+        pv = part.get(key)
         if pv is None:
             continue
         lo_s, hi_s = _temporal_iso(lo), _temporal_iso(hi)
@@ -1073,22 +1142,27 @@ def _select_entries(
     metadata for a requested column is always kept — pruning is an
     optimization, never a correctness filter."""
     ranges = _effective_ranges(between, point)
-    colmap = _colmap(m)
+    chain = _name_chain(m)
     # probes name LOGICAL columns; entries written before a rename key
-    # their stats/dirs/blooms by the PHYSICAL name — probe both
+    # their stats/dirs/blooms by the name of their era — probe the
+    # whole generation chain
     probe_names = {
-        c: [c] + ([colmap[c]] if colmap.get(c, c) != c else [])
+        c: [c] + chain.get(c, [])
         for c in set(
             list(partitions or {})
             + [r[0] for r in ranges]
             + ([point[0]] if point else [])
         )
     }
+    # a dir key that IS a current-or-prior real column name is an
+    # identity dir by definition — the derived-transform recovery must
+    # skip it (mirrors export_file_list's check; ADVICE r9)
+    real_cols = frozenset(_phys_namespace(m))
     keep = []
     for e in m["files"]:
         part = e.get("partition", {})
         if partitions and any(
-            _partition_rules_out(part, {n: v})
+            _partition_rules_out(part, {n: v}, real_cols)
             for k, v in partitions.items()
             for n in probe_names[k]
         ):
@@ -1110,7 +1184,7 @@ def _select_entries(
                 # out, so keep it — pruning stays an optimization
                 continue
             if any(
-                _temporal_dirs_rule_out(part, n, lo, hi)
+                _temporal_dirs_rule_out(part, n, lo, hi, real_cols)
                 for n in probe_names[col]
             ):
                 pruned = True
@@ -1511,8 +1585,12 @@ def _prune_by_key_bounds(
         ruled = False
         for c in key_cols:
             st = e.get("stats", {}).get(c)
-            if st is None and colmap.get(c, c) != c:
-                st = e.get("stats", {}).get(colmap[c])
+            p = colmap.get(c)
+            for n in [p] if isinstance(p, str) else list(p or ()):
+                if st is not None:
+                    break
+                if n and n != c:
+                    st = e.get("stats", {}).get(n)
             b = bounds.get(c)
             if st is None or b is None or b[0] is None:
                 continue
@@ -1577,7 +1655,7 @@ def merge_upsert(
     ).collect()[0]
     bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in key_cols}
     cand, ruled_out = _prune_by_key_bounds(
-        base["files"], key_cols, bounds, _colmap(base)
+        base["files"], key_cols, bounds, _name_chain(base)
     )
     # partition-key pruning: when a merge key IS a partition column,
     # files in partition dirs outside the batch's value set cannot
@@ -1733,6 +1811,7 @@ def _rewrite_commit(
     )
     meta = dict(base.get("tbl_meta") or {})
     meta.pop("colmap", None)
+    meta.pop("col_aliases", None)
     return _publish_rewrite(spark, path, files, op, base, txn, tbl_meta=meta)
 
 
@@ -2059,7 +2138,7 @@ def merge_into(
     ).collect()[0]
     bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in key_cols}
     cand, ruled_out = _prune_by_key_bounds(
-        base["files"], key_cols, bounds, _colmap(base)
+        base["files"], key_cols, bounds, _name_chain(base)
     )
     matched_paths = _merge_touched(spark, path, base, cand, keys, key_cols)
     touched = [e for e in cand if e["path"] in matched_paths]
@@ -2515,12 +2594,16 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
     if not _re.match(r"^\w+$", new):
         raise ValueError(f"snaptable: invalid column name {new!r}")
     own_phys = (base.get("tbl_meta") or {}).get("colmap", {}).get(old, old)
+    own_aliases = list(
+        (base.get("tbl_meta") or {}).get("col_aliases", {}).get(old, [])
+    )
     taken = {n.lower() for n in names} | {
         n.lower() for n in _phys_namespace(base)
     }
-    # renaming BACK to the column's own physical name is always legal —
-    # that name's file data IS this column's data
-    taken.discard(own_phys.lower())
+    # renaming BACK to any name in the column's OWN generation chain is
+    # always legal — files carrying that name hold THIS column's data
+    for n in [own_phys] + own_aliases:
+        taken.discard(n.lower())
     if new.lower() in taken:
         raise ValueError(
             f"snaptable: rename target '{new}' collides with an existing, "
@@ -2539,6 +2622,24 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
     if colmap.get(new) == new:
         colmap.pop(new)  # renamed back to its physical name: identity
     meta["colmap"] = colmap
+    # ...but files appended BETWEEN renames carry the logical name of
+    # their era, so every prior name stays on the column's alias chain
+    # and readers coalesce the whole chain (ADVICE r9: the colmap alone
+    # silently NULLed intermediate-generation files)
+    aliases = {
+        k: list(v) for k, v in (meta.get("col_aliases") or {}).items()
+    }
+    prior = aliases.pop(old, [])
+    new_chain = []
+    for n in prior + [old]:
+        if n != new and n not in new_chain:
+            new_chain.append(n)
+    if new_chain:
+        aliases[new] = new_chain
+    if aliases:
+        meta["col_aliases"] = aliases
+    else:
+        meta.pop("col_aliases", None)
     fields = [
         StructField(new if f.name == old else f.name, f.dataType, f.nullable)
         for f in schema.fields
@@ -2591,7 +2692,20 @@ def drop_column(spark: SparkSession, path: str, name: str) -> int:
     colmap = dict(meta.get("colmap", {}))
     phys = colmap.pop(name, name)
     meta["colmap"] = colmap
-    meta["dropped"] = sorted(set(meta.get("dropped", [])) | {phys})
+    aliases = {
+        k: list(v) for k, v in (meta.get("col_aliases") or {}).items()
+    }
+    chain = aliases.pop(name, [])
+    if aliases:
+        meta["col_aliases"] = aliases
+    else:
+        meta.pop("col_aliases", None)
+    # tombstone EVERY generation name — retained files may carry any:
+    # the original physical, each chained-rename intermediate, and the
+    # current logical name (files appended after the last rename)
+    meta["dropped"] = sorted(
+        set(meta.get("dropped", [])) | {phys, name} | set(chain)
+    )
     fields = [f for f in schema.fields if f.name != name]
     stats_cols = [c for c in base.get("stats_cols", []) if c != name]
     if not _try_commit(
@@ -3375,15 +3489,17 @@ def column_bounds(
     for c in want:
         if c not in schema_names:
             raise ValueError(f"snaptable: column_bounds of unknown column {c!r}")
-    cmap = _colmap(m)
+    cmap = _name_chain(m)
     out = {c: (None, None) for c in want}
     need_scan: dict = {c: [] for c in want}
     for e in m["files"]:
         dv = bool(e.get("dv"))
         for c in want:
             st = e.get("stats", {}).get(c)
-            if st is None and cmap.get(c, c) != c:
-                st = e.get("stats", {}).get(cmap[c])  # pre-rename files
+            for n in cmap.get(c, ()):  # pre-rename generations
+                if st is not None:
+                    break
+                st = e.get("stats", {}).get(n)
             if dv or st is None:
                 # DV'd entry, or no recorded range (all-NULL and
                 # never-recorded look the same) — only a scan can tell
@@ -3449,7 +3565,7 @@ def null_counts(
             raise ValueError(
                 f"snaptable: null_counts of unknown column {c!r}"
             )
-    cmap = _colmap(m)
+    cmap = _name_chain(m)
     out = {c: 0 for c in cols}
     need_scan: dict = {c: [] for c in cols}
     for e in m["files"]:
@@ -3458,9 +3574,11 @@ def null_counts(
         rows = e.get("rows")
         parts = e.get("partition") or {}
         for c in cols:
-            p = cmap.get(c, c)
-            if not dv and (c in nulls or p in nulls):
-                out[c] += nulls.get(c, nulls.get(p))
+            p = next(
+                (n for n in [c] + cmap.get(c, []) if n in nulls), c
+            )
+            if not dv and p in nulls:
+                out[c] += nulls[p]
             elif not dv and c in parts and rows is not None:
                 # a partition column is constant per file: NULL dirs
                 # (__HIVE_DEFAULT_PARTITION__) lift as None
@@ -3604,7 +3722,7 @@ def export_file_list(
             "deletion vectors an external parquet reader cannot apply "
             "(run purge_deletes first)"
         )
-    if _colmap(m):
+    if _name_chain(m):
         raise ValueError(
             "snaptable: export_file_list refused — renamed columns "
             "resolve through the manifest's column mapping, which an "

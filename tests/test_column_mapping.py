@@ -359,3 +359,135 @@ def test_export_refuses_identity_dirs_allows_hidden_transforms(
         f"SELECT count(*), sum(k) FROM {out['duckdb_sql']}"
     ).fetchone()
     assert (n, sk) == (40, sum(range(40)))
+
+
+def test_chained_rename_with_appends_between_reads_every_generation(
+    spark, tmp_path
+):
+    """ADVICE r9 (high): files appended BETWEEN two renames carry the
+    intermediate logical name; a later rename must keep resolving them
+    (the colmap alone only remembers the ORIGINAL physical name)."""
+    path = _mk(spark, tmp_path)  # physical name 'a', sum 4950
+    T.rename_column(spark, path, "a", "b")
+    T.append(
+        spark.createDataFrame(
+            [(1000, 1.0, "mid")], "b bigint, v double, s string"
+        ),
+        path,
+    )
+    T.rename_column(spark, path, "b", "c")
+    got = T.read(spark, path)
+    assert got.columns == ["c", "v", "s"]
+    # the intermediate-generation file's value is NOT a silent NULL
+    assert got.filter(F.col("c") == 1000).count() == 1
+    assert got.agg(F.sum("c")).collect()[0][0] == 4950 + 1000
+    # the intermediate name joined the physical namespace: re-adding it
+    # would resurrect the dead 'b' bytes hiding in retained files
+    with pytest.raises(ValueError, match="dropped or renamed-away"):
+        T.evolve_schema(spark, path, [("b", "bigint")])
+
+
+def test_rename_back_with_intermediate_appends_still_reads_them(
+    spark, tmp_path
+):
+    """a->b, append, b->a: the colmap collapses to identity but files
+    written under 'b' must still resolve to the logical column."""
+    path = _mk(spark, tmp_path)
+    T.rename_column(spark, path, "a", "b")
+    T.append(
+        spark.createDataFrame(
+            [(1000, 1.0, "mid")], "b bigint, v double, s string"
+        ),
+        path,
+    )
+    T.rename_column(spark, path, "b", "a")
+    m = T._manifest(spark, path, None)
+    assert m["tbl_meta"].get("colmap", {}) == {}
+    got = T.read(spark, path)
+    assert got.filter(F.col("a") == 1000).count() == 1
+    assert got.agg(F.sum("a")).collect()[0][0] == 4950 + 1000
+
+
+def test_chained_rename_pruning_probes_every_generation_name(
+    spark, tmp_path
+):
+    """Stats/bounds written under the intermediate name keep pruning
+    (and never WRONGLY prune) after further renames."""
+    path = _mk(spark, tmp_path)  # a: 0..99 in 4 range files
+    T.rename_column(spark, path, "a", "b")
+    T.append(
+        spark.createDataFrame(
+            [(200 + i, 1.0, "mid") for i in range(10)],
+            "b bigint, v double, s string",
+        ).coalesce(1),
+        path,
+    )
+    T.rename_column(spark, path, "b", "c")
+    m = T._manifest(spark, path, None)
+    # probe a range only the intermediate-generation file can hold:
+    # the original files prune away, the 'b'-keyed file is kept
+    kept = T._select_entries(m, None, ("c", 200, 300), None)
+    assert len(kept) == 1
+    assert T.scan(spark, path, between=("c", 200, 300)).count() == 10
+    # and a range only pre-rename files hold keeps those
+    assert T.scan(spark, path, between=("c", 0, 10)).count() == 11
+
+
+def test_drop_after_chained_rename_tombstones_every_generation(
+    spark, tmp_path
+):
+    path = _mk(spark, tmp_path)
+    T.rename_column(spark, path, "a", "b")
+    T.append(
+        spark.createDataFrame(
+            [(1000, 1.0, "mid")], "b bigint, v double, s string"
+        ),
+        path,
+    )
+    T.rename_column(spark, path, "b", "c")
+    T.drop_column(spark, path, "c")
+    for dead in ("a", "b", "c"):
+        with pytest.raises(ValueError, match="dropped or renamed-away"):
+            T.evolve_schema(spark, path, [(dead, "bigint")])
+
+
+def test_datasource_reads_chained_rename_with_intermediate_files(
+    spark, tmp_path
+):
+    """The arrow-side DataSource conform path resolves intermediate
+    generation names too."""
+    path = _mk(spark, tmp_path, n=10, files=1)
+    T.rename_column(spark, path, "a", "b")
+    T.append(
+        spark.createDataFrame(
+            [(1000, 1.0, "mid")], "b bigint, v double, s string"
+        ),
+        path,
+    )
+    T.rename_column(spark, path, "b", "c")
+    from sec_financial_pipeline_spark.sources.snap_datasource import (
+        register_snaptable_source,
+    )
+
+    register_snaptable_source(spark)
+    got = spark.read.format("snaptable").load(path)
+    assert got.filter(F.col("c") == 1000).count() == 1
+    assert got.agg(F.sum("c")).collect()[0][0] == 45 + 1000
+
+
+def test_rename_to_own_intermediate_name_is_legal(spark, tmp_path):
+    """c->b where 'b' is this column's own prior name: the 'b'-keyed
+    files ARE this column's data, so the rename is not a collision."""
+    path = _mk(spark, tmp_path, n=10, files=1)
+    T.rename_column(spark, path, "a", "b")
+    T.append(
+        spark.createDataFrame(
+            [(1000, 1.0, "mid")], "b bigint, v double, s string"
+        ),
+        path,
+    )
+    T.rename_column(spark, path, "b", "c")
+    T.rename_column(spark, path, "c", "b")
+    got = T.read(spark, path)
+    assert got.columns == ["b", "v", "s"]
+    assert got.agg(F.sum("b")).collect()[0][0] == 45 + 1000

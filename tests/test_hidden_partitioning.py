@@ -245,3 +245,73 @@ def test_datasource_prunes_hidden_partitions(spark, tmp_path):
     df = spark.read.format("snaptable").load(path).filter(F.col("k") == 42)
     rows = df.collect()
     assert [(r["k"], r["s"]) for r in rows] == [(42, "u42")]
+
+
+def test_identity_column_named_like_derived_dir_not_misread(
+    spark, tmp_path
+):
+    """ADVICE r9 (medium): a REAL column whose name matches a derived
+    pattern (``ts_day`` beside ``ts``), identity-partitioned, must not
+    be re-interpreted as ``days(ts)`` when probing ``ts`` — its values
+    are unrelated labels and the comparison wrongly pruned files."""
+    path = str(tmp_path / "idd")
+    rows = [
+        # ts_day is a BUSINESS label, deliberately NOT days(ts)
+        (1, dt.datetime(2024, 3, 15, 10, 0), "2099-01-01", 1.0),
+        (2, dt.datetime(2024, 3, 15, 11, 0), "2099-01-02", 2.0),
+        (3, dt.datetime(2024, 6, 1, 9, 0), "2099-01-01", 3.0),
+    ]
+    T.create(
+        spark.createDataFrame(
+            rows, "k bigint, ts timestamp, ts_day string, v double"
+        ),
+        path,
+        partition_cols=("ts_day",),
+    )
+    # range probe on ts: the identity ts_day dirs must not prune
+    lo, hi = dt.datetime(2024, 3, 15), dt.datetime(2024, 3, 16)
+    kept = _files(spark, path, between=("ts", lo, hi))
+    assert len(kept) >= 1
+    assert T.scan(spark, path, between=("ts", lo, hi)).count() == 2
+    # equality probe on ts: same guarantee via _partition_rules_out
+    probe = dt.datetime(2024, 3, 15, 10, 0)
+    assert T.scan(spark, path, partitions={"ts": probe}).count() >= 1
+    # and probing the REAL identity column still prunes correctly
+    assert (
+        T.scan(spark, path, partitions={"ts_day": "2099-01-02"}).count()
+        == 1
+    )
+
+
+def test_tz_aware_temporal_probe_uses_session_timezone(spark, tmp_path):
+    """ADVICE r9 (low): a tz-aware probe near a day boundary must
+    render in the session timezone (the writer's dir calendar), not
+    its own wall-clock, or day-partition pruning drops live files."""
+    from zoneinfo import ZoneInfo
+
+    sess_tz = spark.conf.get("spark.sql.session.timeZone")
+    path = str(tmp_path / "tz")
+    rows = [
+        (1, dt.datetime(2024, 3, 15, 15, 0), 1.0),
+        (2, dt.datetime(2024, 3, 20, 12, 0), 2.0),
+    ]
+    T.create(
+        spark.createDataFrame(rows, "k bigint, ts timestamp, v double"),
+        path,
+        partition_cols=("days(ts)",),
+    )
+    # probe instant == row 1's instant, expressed in a +14h zone whose
+    # CALENDAR DAY is already Mar 16: naive rendering would look in
+    # the 2024-03-16 dir and wrongly prune the 2024-03-15 file
+    aware = dt.datetime(2024, 3, 15, 15, 0, tzinfo=ZoneInfo(sess_tz)).astimezone(
+        dt.timezone(dt.timedelta(hours=14))
+    )
+    assert aware.date() != dt.date(2024, 3, 15) or sess_tz in (
+        "Pacific/Kiritimati",
+    )  # the repro premise: wall-clock day differs
+    got = T.scan(
+        spark, path, between=("ts", aware, aware)
+    ).count()
+    assert got == 1
+    # rendering helper: aware converts to the session calendar
+    assert T._temporal_iso(aware) == "2024-03-15 15:00:00"

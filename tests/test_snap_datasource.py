@@ -270,15 +270,16 @@ def test_stream_writer_exactly_once_table_to_table(snapds, tmp_path):
 # ----------------------------------------------------- filter pushdown
 
 
-def test_pushdown_prunes_files_results_stay_exact(snapds, tmp_path):
-    """pushFilters shrinks the planned file set via manifest metadata
-    (partition values, min/max stats, blooms) while every predicate
-    stays residual — results identical to the unfiltered-scan filter,
-    but fewer partitions planned."""
+def test_option_filters_prune_files_results_stay_exact(snapds, tmp_path):
+    """Load-option predicates (filter.eq / filter.between) shrink the
+    planned file set via manifest metadata (partition values, min/max
+    stats) AND are applied exactly per row — the cache-safe
+    replacement for pushFilters pruning."""
+    import json as _json
+
     from sec_financial_pipeline_spark.sources.snap_datasource import (
         SnapBatchReader,
     )
-    from pyspark.sql.datasource import EqualTo, GreaterThan
 
     spark = snapds
     path = str(tmp_path / "t")
@@ -287,29 +288,34 @@ def test_pushdown_prunes_files_results_stay_exact(snapds, tmp_path):
     )
     T.create(df.repartitionByRange(4, "id"), path)
 
-    # range pushdown: id >= 3500 lives in the last range file
-    rd = SnapBatchReader(path, {}, T.read(spark, path).schema)
-    total = len(rd.partitions())
-    residual = list(rd.pushFilters([GreaterThan(("id",), 3500)]))
-    assert len(residual) == 1  # everything residual
-    pruned = len(rd.partitions())
-    assert pruned < total
-    got = (
-        spark.read.format("snaptable").load(path)
-        .filter("id >= 3500").count()
+    # range option: id >= 3500 lives in the last range file
+    total = len(SnapBatchReader(path, {}, T.read(spark, path).schema).partitions())
+    rd = SnapBatchReader(
+        path,
+        {"filter.between": _json.dumps([["id", 3500, None]])},
+        T.read(spark, path).schema,
     )
-    assert got == 500
+    assert len(rd.partitions()) < total
+    got = (
+        spark.read.format("snaptable")
+        .option("filter.between", _json.dumps([["id", 3500, None]]))
+        .load(path)
+    )
+    assert got.count() == 500  # rows EXACTLY filtered, not a superset
+    assert got.agg(F.min("id")).collect()[0][0] == 3500
 
-    # partitioned table: equality on the partition column prunes dirs
+    # partitioned table: equality option on the partition column
     p2 = str(tmp_path / "t2")
     T.create(df, p2, partition_cols=("p",))
-    rd2 = SnapBatchReader(p2, {}, T.read(spark, p2).schema)
-    t2 = len(rd2.partitions())
-    list(rd2.pushFilters([EqualTo(("p",), 2)]))
+    t2 = len(SnapBatchReader(p2, {}, T.read(spark, p2).schema).partitions())
+    rd2 = SnapBatchReader(
+        p2, {"filter.eq": _json.dumps({"p": 2})}, T.read(spark, p2).schema
+    )
     assert len(rd2.partitions()) < t2
     got2 = (
-        spark.read.format("snaptable").load(p2)
-        .filter(F.col("p") == 2)
+        spark.read.format("snaptable")
+        .option("filter.eq", _json.dumps({"p": 2}))
+        .load(p2)
     )
     native = T.read(spark, p2).filter(F.col("p") == 2)
     assert sorted(r.id for r in got2.collect()) == sorted(
@@ -317,13 +323,14 @@ def test_pushdown_prunes_files_results_stay_exact(snapds, tmp_path):
     )
 
 
-def test_pushdown_bloom_point_probe(snapds, tmp_path):
-    """An EqualTo probe on a bloom-indexed column prunes through the
+def test_option_filter_bloom_point_probe(snapds, tmp_path):
+    """A filter.eq probe on a bloom-indexed column prunes through the
     sidecars with zero false negatives."""
+    import json as _json
+
     from sec_financial_pipeline_spark.sources.snap_datasource import (
         SnapBatchReader,
     )
-    from pyspark.sql.datasource import EqualTo
 
     spark = snapds
     path = str(tmp_path / "t")
@@ -332,15 +339,46 @@ def test_pushdown_bloom_point_probe(snapds, tmp_path):
     )
     T.create(df.repartition(16), path)
     T.add_bloom_index(spark, path, "doc_id", bits=1 << 18)
-    rd = SnapBatchReader(path, {}, T.read(spark, path).schema)
-    total = len(rd.partitions())
-    list(rd.pushFilters([EqualTo(("doc_id",), 12345)]))
+    total = len(SnapBatchReader(path, {}, T.read(spark, path).schema).partitions())
+    rd = SnapBatchReader(
+        path,
+        {"filter.eq": _json.dumps({"doc_id": 12345})},
+        T.read(spark, path).schema,
+    )
     assert len(rd.partitions()) < total  # bloom actually skipped files
     got = (
-        spark.read.format("snaptable").load(path)
-        .filter("doc_id = 12345").collect()
+        spark.read.format("snaptable")
+        .option("filter.eq", _json.dumps({"doc_id": 12345}))
+        .load(path)
+        .collect()
     )
     assert [r.doc_id for r in got] == [12345]
+
+
+def test_no_stale_pruning_across_queries_on_same_dataframe(
+    snapds, tmp_path
+):
+    """Regression for the Spark 4.1.2 readInfo-cache hazard that made
+    us remove pushFilters: a filtered action followed by an UNFILTERED
+    aggregate on the SAME loaded DataFrame must see every row (with
+    pushFilters pruning, the second query silently reused the first
+    query's pruned partition list)."""
+    spark = snapds
+    path = str(tmp_path / "t")
+    T.create(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "a bigint, v double"
+        ).coalesce(1),
+        path,
+    )
+    T.append(
+        spark.createDataFrame([(1000, 1.0)], "a bigint, v double"), path
+    )
+    got = spark.read.format("snaptable").load(path)
+    assert got.filter(F.col("a") == 1000).count() == 1
+    assert got.agg(F.sum("a")).collect()[0][0] == 45 + 1000  # ALL files
+    assert got.filter(F.col("a") == 3).count() == 1
+    assert got.count() == 11
 
 
 def test_stream_skips_constraint_commits(snapds, tmp_path):
