@@ -144,10 +144,49 @@ def _headline_fns():
 N_REPS = 3
 
 
+def _plan_metrics(spark, group: str) -> dict | None:
+    """Deterministic plan metrics for the jobs tagged ``group``, from
+    the Spark UI REST API (VERDICT r9 item 1): job/stage/task counts,
+    input bytes and shuffle read/write bytes. Wall-clock moves with
+    co-tenant load; these move only when the PLAN moves — a regression
+    shifts them, a slower box cannot. None when the UI is unreachable
+    (metrics are additive context, never a bench failure)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    app = spark.sparkContext.applicationId
+    try:
+        def _get(sub):
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}{sub}", timeout=10
+            ) as r:
+                return json.loads(r.read().decode())
+
+        jobs = [j for j in _get("/jobs") if j.get("jobGroup") == group]
+        sids = {sid for j in jobs for sid in j.get("stageIds", [])}
+        stages = [s for s in _get("/stages") if s["stageId"] in sids]
+        return {
+            "jobs": len(jobs),
+            "stages": len(stages),
+            "tasks": sum(s.get("numCompleteTasks", 0) for s in stages),
+            "input_bytes": sum(s.get("inputBytes", 0) for s in stages),
+            "shuffle_read_bytes": sum(
+                s.get("shuffleReadBytes", 0) for s in stages
+            ),
+            "shuffle_write_bytes": sum(
+                s.get("shuffleWriteBytes", 0) for s in stages
+            ),
+        }
+    except Exception:
+        return None
+
+
 def main() -> None:
     from sec_financial_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="sfp-bench", cpus=CPUS)
+    spark = get_spark(app_name="sfp-bench", cpus=CPUS, ui=True)
     fns = _headline_fns()
 
     # Warm up the JVM / parquet footer caches outside the timed region:
@@ -175,6 +214,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     min2: dict[str, float] = {}
     compute_only: dict[str, float] = {}
+    plan_metrics: dict[str, dict | None] = {}
     for name in HEADLINE:
         fn = fns[name]
         fn(spark, SF_DIR).toPandas()  # warmup: plan + codegen + caches
@@ -192,11 +232,18 @@ def main() -> None:
             co.append(time.perf_counter() - t0)
         compute_only[name] = round(min(co), 4)
         reps = []
-        for _ in range(N_REPS):
+        sc = spark.sparkContext
+        for i in range(N_REPS):
+            # tag the final rep's jobs so the REST API can attribute
+            # its deterministic plan metrics to this query
+            if i == N_REPS - 1:
+                sc.setJobGroup(f"bench:{name}", name)
             t0 = time.perf_counter()
             pdf = fn(spark, SF_DIR).toPandas()
             reps.append(time.perf_counter() - t0)
             assert pdf is not None
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        plan_metrics[name] = _plan_metrics(spark, f"bench:{name}")
         timings[name] = round(sorted(reps)[len(reps) // 2], 4)
         # co-tenant-load hygiene (VERDICT r06 #6): the min of two
         # back-to-back runs is far less sensitive to a transient load
@@ -223,6 +270,19 @@ def main() -> None:
         "compute_only": compute_only,
         "compute_only_total": round(sum(compute_only.values()), 4),
         "sf": sf,
+        # deterministic plan metrics per row (final timed rep): a real
+        # regression moves job/stage/task counts or shuffle/input
+        # bytes; a slower box cannot (VERDICT r9 item 1).
+        "plan_metrics": plan_metrics,
+        # wall normalized to the pinned reference row: co-tenant noise
+        # inflates numerator and denominator together, so this column
+        # is comparable across boxes.
+        "normalized_to_sec_metric_series": {
+            n: round(v / min2["sec_metric_series"], 3)
+            for n, v in min2.items()
+        }
+        if min2.get("sec_metric_series")
+        else {},
         # co-tenant load context (VERDICT r03 #7): the same code measured
         # 38-68s across load avg 1-5, so round-over-round driver
         # comparisons need the load recorded to be normalizable.

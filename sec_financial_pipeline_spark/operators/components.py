@@ -22,7 +22,11 @@ minimum, so the fixpoint is exact and deterministic regardless of
 partitioning — and total ``sum(label)`` strictly decreases until the
 fixpoint, so convergence detection is ONE exact decimal aggregate per
 round (no join against the previous round's table; equal sums <=> no
-label moved). Each round ends with an eager ``localCheckpoint`` — the
+label moved). Rounds run TWO AT A TIME per materialization: wall time
+at this table size is dominated by job-scheduling rounds, so chaining
+two propagation rounds into one lineage before the checkpoint halves
+that term at identical results (labels are monotone; the fixpoint is
+idempotent). Each batch ends with an eager ``localCheckpoint`` — the
 same lineage-truncation rationale as ``operators/kmeans.py``: without it,
 round i's plan embeds all prior rounds and every action replans the full
 history. The label table is |V| rows of two ids (tiny next to the
@@ -74,28 +78,41 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0].s
 
-    prev_sum = _label_sum(labels)
-    for _ in range(max_iter):
-        nbr = sym.join(labels.withColumnRenamed("node", "a"), "a").select(
+    def _round(lbl: DataFrame) -> DataFrame:
+        nbr = sym.join(lbl.withColumnRenamed("node", "a"), "a").select(
             F.col("b").alias("node"), "label"
         )
         jump = (
-            labels.alias("x")
+            lbl.alias("x")
             .join(
-                labels.select(
+                lbl.select(
                     F.col("node").alias("label"), F.col("label").alias("jumped")
                 ),
                 "label",
             )
             .select("node", F.col("jumped").alias("label"))
         )
-        new = (
-            labels.unionByName(nbr)
+        return (
+            lbl.unionByName(nbr)
             .unionByName(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+
+    prev_sum = _label_sum(labels)
+    # TWO propagation rounds per materialization: the loop's wall time
+    # is dominated by job-scheduling rounds (checkpoint + convergence
+    # scalar = 2 jobs per action), not by the |V|-row label table, so
+    # chaining two rounds into one lineage before the checkpoint halves
+    # the scheduling term (VERDICT r9 item 8 — this was the most
+    # co-tenant-load-sensitive bench row). Labels are monotone and the
+    # fixpoint is idempotent, so the result is bit-identical; the
+    # convergence check just lands on even round counts. Batch budget =
+    # max_iter/2 propagation batches plus the detection batch (the
+    # fixpoint is only OBSERVED by a batch that changes nothing), so
+    # the propagation-round budget max_iter promises is preserved.
+    for _ in range(max_iter // 2 + 1):
+        new = _round(_round(labels)).localCheckpoint(eager=True)
         # monotone labels: sum unchanged <=> every label unchanged. One
         # scalar aggregate over the just-checkpointed table — no join
         # with the previous round, no second scan of anything big.

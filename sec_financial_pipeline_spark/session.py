@@ -26,8 +26,12 @@ def get_spark(
     cpus: int | str | None = None,
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
+    ui: bool = False,
 ) -> SparkSession:
-    """Build (or reuse) a SparkSession with scale-sane defaults."""
+    """Build (or reuse) a SparkSession with scale-sane defaults.
+    ``ui=True`` enables the Spark UI so its REST status API can serve
+    deterministic plan metrics (job/stage/task counts, shuffle and
+    input bytes) — bench.py uses it; tests keep it off for speed."""
     cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         try:
@@ -46,7 +50,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui else "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -73,7 +73,15 @@ def _validate_spec(group_cols, aggs) -> list[dict]:
         raise MatviewError("matview: at least one group column required")
     norm = []
     seen = set(group_cols) | {"__n"}
-    for kind, col, alias in aggs:
+    for a in aggs:
+        if len(a) == 3:
+            (kind, col, alias), filt = a, None
+        elif len(a) == 4:
+            kind, col, alias, filt = a
+        else:
+            raise MatviewError(
+                "matview: each aggregate is (kind, col, alias[, filter])"
+            )
         if kind not in _ALGEBRAIC + _HOLISTIC:
             raise MatviewError(f"matview: unknown aggregate kind {kind!r}")
         if kind != "count" and not col:
@@ -88,7 +96,9 @@ def _validate_spec(group_cols, aggs) -> list[dict]:
                     f"matview: column {name!r} must be a simple identifier"
                 )
         seen.add(alias)
-        norm.append({"kind": kind, "col": col, "alias": alias})
+        norm.append(
+            {"kind": kind, "col": col, "alias": alias, "filter": filt}
+        )
     for g in group_cols:
         if not _IDENT.match(g):
             raise MatviewError(
@@ -97,25 +107,46 @@ def _validate_spec(group_cols, aggs) -> list[dict]:
     return norm
 
 
+def _eff(a: dict):
+    """The aggregate's EFFECTIVE value column: the aggregated column
+    (or 1 for count(*)) gated by the per-aggregate FILTER clause —
+    rows failing the filter contribute NULL, which every aggregate
+    kind already ignores. One expression serves both the full
+    aggregate and the incremental delta, so they stay bit-identical."""
+    v = F.col(a["col"]) if a["col"] else F.lit(1)
+    if a.get("filter"):
+        return F.when(F.expr(a["filter"]), v)
+    return v
+
+
 def _stored_agg_exprs(aggs: list[dict]) -> list:
-    """The stored-shape aggregation: exact, order-independent state."""
+    """The stored-shape aggregation: exact, order-independent state.
+    SQL ``agg(col) FILTER (WHERE f)`` maps to aggregating
+    ``CASE WHEN f THEN col END`` — identical semantics, and the same
+    CASE drives the delta path."""
     exprs = [F.count(F.lit(1)).alias("__n")]
     for a in aggs:
-        kind, col, alias = a["kind"], a["col"], a["alias"]
+        kind, alias = a["kind"], a["alias"]
+        e = _eff(a)
         if kind == "count":
-            exprs.append(
-                (F.count(col) if col else F.count(F.lit(1))).alias(alias)
-            )
+            exprs.append(F.count(e).alias(alias))
         elif kind in ("sum", "avg"):
             exprs.append(
                 F.coalesce(
-                    F.sum(F.col(col).cast(_DEC)), F.lit(0).cast(_DEC)
+                    F.sum(e.cast(_DEC)), F.lit(0).cast(_DEC)
                 ).cast(_DEC).alias(alias)
             )
-            exprs.append(F.count(col).alias(f"__nn_{alias}"))
+            exprs.append(F.count(e).alias(f"__nn_{alias}"))
         else:  # min / max
-            exprs.append(getattr(F, kind)(col).alias(alias))
+            exprs.append(getattr(F, kind)(e).alias(alias))
     return exprs
+
+
+def _filtered(df: DataFrame, spec: dict) -> DataFrame:
+    """Apply the view's WHERE clause (row-local, so filtering the
+    change feed IS the change feed of the filtered source)."""
+    w = spec.get("where")
+    return df.filter(w) if w else df
 
 
 def _full_aggregate(df: DataFrame, spec: dict) -> DataFrame:
@@ -146,11 +177,18 @@ def create_matview(
     group_cols: list[str],
     aggs: list[tuple],
     range_files: int | None = None,
+    where: str | None = None,
 ) -> int:
     """Full initial build at the source's CURRENT version; returns that
     version (the view's cursor). ``aggs`` is a list of
-    ``(kind, col, alias)`` with kind in count/sum/avg/min/max
-    (``col=None`` for ``count(*)``).
+    ``(kind, col, alias)`` or ``(kind, col, alias, filter_sql)`` with
+    kind in count/sum/avg/min/max (``col=None`` for ``count(*)``;
+    ``filter_sql`` is SQL's per-aggregate ``FILTER (WHERE ...)``).
+    ``where`` filters the VIEW DEFINITION (``SELECT ... FROM src WHERE
+    ...``): both clauses are row-local, so the incremental refresh
+    stays exact — the filtered change feed IS the change feed of the
+    filtered source, and filtered aggregates fold by the same delta
+    algebra over the gated value column.
 
     ``range_files`` range-clusters the view by its group key into that
     many files — the 100 TB layout knob: with group-key-clustered files
@@ -163,15 +201,26 @@ def create_matview(
         "src": os.path.abspath(src_path),
         "group_cols": list(group_cols),
         "aggs": norm,
+        "where": where,
     }
-    df = _full_aggregate(T.read(spark, src_path, version=src_head), spec)
+    df = _full_aggregate(_filtered(T.read(spark, src_path, version=src_head), spec), spec)
     if range_files:
         df = df.repartitionByRange(range_files, *group_cols)
-    T.create(df, dst_path, txn=(_APP, src_head))
+    # spec sidecar FIRST: a crash between the two steps then leaves a
+    # spec with no table, and create_matview is simply re-runnable —
+    # the reverse order left a table whose refresh/read raised with no
+    # recovery path (ADVICE r9). A pre-existing spec is only
+    # overwritten when its table is absent (a crashed create).
+    os.makedirs(dst_path, exist_ok=True)
+    if os.path.exists(_spec_path(dst_path)) and T.versions(spark, dst_path):
+        raise MatviewError(
+            f"matview: {dst_path} already holds a materialized view"
+        )
     tmp = _spec_path(dst_path) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(spec, f, indent=1, sort_keys=True)
     os.replace(tmp, _spec_path(dst_path))
+    T.create(df, dst_path, txn=(_APP, src_head))
     return src_head
 
 
@@ -185,20 +234,15 @@ def _algebraic_delta(feed: DataFrame, spec: dict) -> DataFrame:
     )
     exprs = [F.sum(sgn).alias("d___n")]
     for a in spec["aggs"]:
-        kind, col, alias = a["kind"], a["col"], a["alias"]
-        nn = (
-            F.sum(
-                F.when(F.col(col).isNotNull(), sgn).otherwise(F.lit(0))
-            )
-            if col
-            else F.sum(sgn)
-        )
+        kind, alias = a["kind"], a["alias"]
+        e = _eff(a)
+        nn = F.sum(F.when(e.isNotNull(), sgn).otherwise(F.lit(0)))
         if kind == "count":
             exprs.append(nn.alias(f"d_{alias}"))
         else:  # sum / avg
             exprs.append(
                 F.coalesce(
-                    F.sum(sgn.cast(_DEC) * F.col(col).cast(_DEC)),
+                    F.sum(sgn.cast(_DEC) * e.cast(_DEC)),
                     F.lit(0).cast(_DEC),
                 ).cast(_DEC).alias(f"d_{alias}")
             )
@@ -224,7 +268,7 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
     if head <= last:
         return last
     groups = spec["group_cols"]
-    feed = T.table_changes(spark, src, last, head)
+    feed = _filtered(T.table_changes(spark, src, last, head), spec)
     holistic = [a for a in spec["aggs"] if a["kind"] in _HOLISTIC]
     if not holistic:
         delta = _algebraic_delta(feed, spec)
@@ -268,6 +312,10 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
             when_not_matched=inserts,
             txn=(_APP, head),
             unique_source=True,  # delta is a groupBy on exactly groups
+            # a NULL-able group column materializes a NULL-key view
+            # row; plain-equality merge keys would never match it and
+            # every refresh would insert a duplicate (ADVICE r9)
+            null_safe_keys=True,
         )
     else:
         # a delete can raise a min — recompute ONLY the touched groups
@@ -275,15 +323,20 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
         # vanished groups (no source rows left) delete, the rest
         # replace, new groups insert.
         touched = feed.select(*groups).distinct()
+        # null-safe joins throughout: a NULL group is a real group
         fresh = _full_aggregate(
-            T.read(spark, src, version=head).join(
-                touched, groups, "left_semi"
+            T._key_join(
+                _filtered(T.read(spark, src, version=head), spec),
+                touched,
+                groups,
+                "left_semi",
+                null_safe=True,
             ),
             spec,
         )
-        merged_src = touched.join(fresh, groups, "left").localCheckpoint(
-            eager=True
-        )
+        merged_src = T._key_join(
+            touched, fresh, groups, "left", null_safe=True
+        ).localCheckpoint(eager=True)
         stored_cols = [c for c in fresh.columns if c not in groups]
         T.merge_into(
             merged_src,
@@ -296,6 +349,7 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
             when_not_matched={c: f"s.`{c}`" for c in stored_cols},
             txn=(_APP, head),
             unique_source=True,  # touched is a distinct() on groups
+            null_safe_keys=True,
         )
     return head
 

@@ -1635,10 +1635,10 @@ def merge_upsert(
     ``txn=(app_id, epoch)`` gives the merge the same replay idempotence
     as :func:`append` — an exactly-once streaming UPSERT sink.
 
-    Note: in the ``t.``/``s.`` expression forms of :func:`merge_into`,
-    a table or source column literally named ``t`` or ``s`` shadows
-    the alias (Spark resolves the name ambiguously) — rename such a
-    column before merging with expressions."""
+    Note: the ``t.``/``s.`` qualifiers in :func:`merge_into`
+    expressions are reserved rewrites onto internal join aliases, so a
+    table or source column literally named ``t`` or ``s`` never
+    shadows them; reference such a column bare (or as ``t.\\`s\\``)."""
     key_cols = list(key_cols)
     spark = df.sparkSession
     base = _manifest(spark, path, None)
@@ -1697,6 +1697,39 @@ def merge_upsert(
     )
 
 
+def _key_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    how: str,
+    null_safe: bool = False,
+) -> DataFrame:
+    """Key-equality join for the MERGE family. ``null_safe=True``
+    matches NULL keys to NULL keys (``<=>``) — required when the
+    source's key set legitimately contains NULL, e.g. a grouped-
+    aggregate delta over a NULL-able group column (plain equality
+    would never match the existing NULL-key row and every refresh
+    would INSERT a duplicate). The right side's key columns are
+    renamed before joining so the explicit condition is collision-free
+    (semi/anti never expose them; other joins drop them)."""
+    if not null_safe:
+        return left.join(right, key_cols, how)
+    from functools import reduce
+
+    ren = {c: f"__snap_k_{c}" for c in key_cols}
+    r = right
+    for c, rc in ren.items():
+        r = r.withColumnRenamed(c, rc)
+    cond = reduce(
+        lambda a, b: a & b,
+        [left[c].eqNullSafe(r[ren[c]]) for c in key_cols],
+    )
+    out = left.join(r, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return out
+    return out.drop(*[ren[c] for c in key_cols])
+
+
 def _merge_touched(
     spark: SparkSession,
     path: str,
@@ -1704,6 +1737,7 @@ def _merge_touched(
     candidates: list[dict],
     keys: DataFrame,
     key_cols: list[str],
+    null_safe: bool = False,
 ) -> set[str]:
     """Files among ``candidates`` holding >= 1 row whose key appears in
     ``keys`` — the MERGE write-set, found by one column-pruned
@@ -1713,8 +1747,13 @@ def _merge_touched(
         return set()
     rels = [
         r[0]
-        for r in _df_for(spark, path, base, candidates, with_meta=True)
-        .join(keys, key_cols, "left_semi")
+        for r in _key_join(
+            _df_for(spark, path, base, candidates, with_meta=True),
+            keys,
+            key_cols,
+            "left_semi",
+            null_safe,
+        )
         .select("__rel")
         .distinct()
         .collect()
@@ -1969,6 +2008,30 @@ def delete_where(
     )
 
 
+_TS_QUOTED = _re.compile(r"('(?:[^']|'')*'|`[^`]*`)")
+
+
+def _rewrite_ts(expr: str) -> str:
+    """Rewrite the merge-expression qualifiers ``t.``/``s.`` to the
+    reserved internal join aliases, skipping string literals and
+    backtick-quoted identifiers. The join sides are aliased
+    ``__snap_t``/``__snap_s`` internally, so a table or source column
+    literally named ``t`` or ``s`` can never shadow the documented
+    alias forms (it previously raised AMBIGUOUS_REFERENCE); such a
+    column is still addressable bare or as ``t.\\`s\\``."""
+    parts = _TS_QUOTED.split(expr)
+    for i in range(0, len(parts), 2):
+        p = _re.sub(r"(?<![\w.`])[tT]\s*\.", "__snap_t.", parts[i])
+        parts[i] = _re.sub(r"(?<![\w.`])[sS]\s*\.", "__snap_s.", p)
+    return "".join(parts)
+
+
+def _ts_expr(a) -> "F.Column":
+    from pyspark.sql import functions as F
+
+    return F.expr(_rewrite_ts(a)) if isinstance(a, str) else a
+
+
 def _norm_matched_clauses(when_matched, schema) -> list[tuple]:
     """Normalize ``when_matched`` dict/clause-list forms to
     ``[(cond_sql_or_None, "delete" | update_dict), ...]`` and validate
@@ -2015,6 +2078,7 @@ def _not_matched_rows(
     key_cols: list[str],
     when_not_matched,
     schema,
+    null_safe: bool = False,
 ) -> DataFrame | None:
     """Rows :func:`merge_into` inserts for source keys absent from the
     TARGET (anti-join against the full key set — matches can live in
@@ -2027,21 +2091,22 @@ def _not_matched_rows(
 
     if when_not_matched == "ignore":
         return None
-    unmatched = source.join(
+    unmatched = _key_join(
+        source,
         _df_for(spark, path, base).select(*key_cols).distinct(),
         key_cols,
         "left_anti",
+        null_safe,
     )
     if when_not_matched == "insert":
         return unmatched.select(*[f.name for f in schema.fields])
-    aliased = unmatched.alias("s")
+    aliased = unmatched.alias("__snap_s")
     cols = []
     for f in schema.fields:
         if f.name in when_not_matched:
-            a = when_not_matched[f.name]
-            e = F.expr(a) if isinstance(a, str) else a
+            e = _ts_expr(when_not_matched[f.name])
         elif f.name in source.columns:
-            e = F.col(f"s.`{f.name}`")
+            e = F.col(f"__snap_s.`{f.name}`")
         else:
             e = F.lit(None)
         cols.append(e.cast(f.dataType).alias(f.name))
@@ -2057,6 +2122,7 @@ def merge_into(
     txn: tuple | None = None,
     cdf: bool = False,
     unique_source: bool = False,
+    null_safe_keys: bool = False,
 ) -> int:
     """Full MERGE INTO clause semantics (Delta's WHEN MATCHED / WHEN
     NOT MATCHED), one atomic copy-on-write commit:
@@ -2093,7 +2159,15 @@ def merge_into(
     STRUCTURAL (the source is a groupBy on exactly ``key_cols``, a
     primary-keyed extract, ...); passing it with a duplicated source
     silently picks arbitrary rows, so only assert what the plan
-    guarantees."""
+    guarantees.
+
+    ``null_safe_keys=True`` matches keys with ``<=>`` (NULL = NULL):
+    required when the source key set legitimately contains NULL —
+    e.g. a grouped-aggregate delta over a NULL-able group column —
+    where plain equality would never match the existing NULL-key
+    target row and re-insert it on every merge. Costs nothing extra
+    beyond disabling footer-bounds pruning for key columns whose
+    source values include NULL (a NULL match may hide in any file)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -2135,35 +2209,59 @@ def merge_into(
     row = source.agg(
         *[F.min(c).alias(f"mn_{c}") for c in key_cols],
         *[F.max(c).alias(f"mx_{c}") for c in key_cols],
+        *[
+            F.max(F.col(c).isNull()).alias(f"hn_{c}")
+            for c in key_cols
+        ],
     ).collect()[0]
-    bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in key_cols}
+    # a NULL source key is invisible to footer min/max, so under
+    # null-safe matching a column whose key set contains NULL cannot
+    # rule ANY file out (the matching target row may be a NULL hiding
+    # in any file)
+    bounds = {
+        c: (
+            (None, None)
+            if null_safe_keys and row[f"hn_{c}"]
+            else (row[f"mn_{c}"], row[f"mx_{c}"])
+        )
+        for c in key_cols
+    }
     cand, ruled_out = _prune_by_key_bounds(
         base["files"], key_cols, bounds, _name_chain(base)
     )
-    matched_paths = _merge_touched(spark, path, base, cand, keys, key_cols)
+    matched_paths = _merge_touched(
+        spark, path, base, cand, keys, key_cols, null_safe_keys
+    )
     touched = [e for e in cand if e["path"] in matched_paths]
     carried = ruled_out + [e for e in cand if e["path"] not in matched_paths]
     schema = StructType.fromJson(json.loads(base["schema"]))
     t_rows = _df_for(spark, path, base, touched)
 
     if when_matched == "replace":
-        kept = t_rows.join(keys, key_cols, "left_anti")
+        kept = _key_join(t_rows, keys, key_cols, "left_anti", null_safe_keys)
         # replace+insert == merge_upsert; replace+ignore keeps only the
         # source rows that matched a TARGET row (every match lives in a
         # touched file, so t_rows' keys are the full matched-key set —
         # NOT `keys`, which is the source's own key set and would make
         # the semi-join a no-op)
         new_rows = kept.unionByName(
-            source.join(
-                t_rows.select(*key_cols).distinct(), key_cols, "left_semi"
+            _key_join(
+                source,
+                t_rows.select(*key_cols).distinct(),
+                key_cols,
+                "left_semi",
+                null_safe_keys,
             )
             if when_not_matched == "ignore"
             else source
         )
     elif when_matched == "delete":
-        new_rows = t_rows.join(keys, key_cols, "left_anti")
+        new_rows = _key_join(
+            t_rows, keys, key_cols, "left_anti", null_safe_keys
+        )
         inserts = _not_matched_rows(
-            spark, path, base, source, key_cols, when_not_matched, schema
+            spark, path, base, source, key_cols, when_not_matched, schema,
+            null_safe_keys,
         )
         if inserts is not None:
             new_rows = new_rows.unionByName(inserts)
@@ -2172,10 +2270,28 @@ def merge_into(
         # explicit match marker: probing "any source column not null"
         # would misclassify a matched source row whose non-key values
         # are legitimately NULL
-        joined = t_rows.alias("t").join(
-            source.withColumn("__m", F.lit(1)).alias("s"), key_cols, "left"
-        )
-        is_m = F.col("s.__m").isNotNull()
+        src_aliased = source.withColumn("__m", F.lit(1)).alias("__snap_s")
+        if null_safe_keys:
+            from functools import reduce
+
+            joined = t_rows.alias("__snap_t").join(
+                src_aliased,
+                reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"__snap_t.`{c}`").eqNullSafe(
+                            F.col(f"__snap_s.`{c}`")
+                        )
+                        for c in key_cols
+                    ],
+                ),
+                "left",
+            )
+        else:
+            joined = t_rows.alias("__snap_t").join(
+                src_aliased, key_cols, "left"
+            )
+        is_m = F.col("__snap_s.__m").isNotNull()
         # first-match-wins clause index per row: -1 = untouched (row
         # unmatched, or matched but satisfying no clause — Delta keeps
         # those verbatim). CaseWhen picks the FIRST true branch, so a
@@ -2183,7 +2299,7 @@ def merge_into(
         # an earlier clause claimed.
         idx = F.when(~is_m, F.lit(-1))
         for i, (cond, _act) in enumerate(clauses):
-            c = F.lit(True) if cond is None else F.expr(cond)
+            c = F.lit(True) if cond is None else _ts_expr(cond)
             idx = idx.when(c, F.lit(i))
         marked = joined.withColumn("__c", idx.otherwise(F.lit(-1)))
         del_idx = [i for i, (_c, a) in enumerate(clauses) if a == "delete"]
@@ -2197,23 +2313,21 @@ def merge_into(
             expr = None
             for i, (_cond, act) in enumerate(clauses):
                 if isinstance(act, dict) and f.name in act:
-                    a = act[f.name]
-                    e = (F.expr(a) if isinstance(a, str) else a).cast(
-                        f.dataType
-                    )
+                    e = _ts_expr(act[f.name]).cast(f.dataType)
                     expr = (
                         F.when(F.col("__c") == i, e)
                         if expr is None
                         else expr.when(F.col("__c") == i, e)
                     )
-            base_col = F.col(f"t.`{f.name}`")
+            base_col = F.col(f"__snap_t.`{f.name}`")
             out_cols.append(
                 (expr.otherwise(base_col) if expr is not None else base_col)
                 .alias(f.name)
             )
         new_rows = survivors.select(*out_cols)
         inserts = _not_matched_rows(
-            spark, path, base, source, key_cols, when_not_matched, schema
+            spark, path, base, source, key_cols, when_not_matched, schema,
+            null_safe_keys,
         )
         if inserts is not None:
             new_rows = new_rows.unionByName(inserts)
@@ -2231,12 +2345,15 @@ def merge_into(
         # clause form, matched rows no clause applied to — never
         # appear: no rewrite churn in the feed.
         if when_matched in ("delete", "replace"):
-            pre = _tag(t_rows.join(keys, key_cols, "left_semi"), "delete")
+            pre = _tag(
+                _key_join(t_rows, keys, key_cols, "left_semi", null_safe_keys),
+                "delete",
+            )
         else:
             pre = _tag(
                 marked.filter(F.col("__c") >= 0).select(
                     *[
-                        F.col(f"t.`{f.name}`").alias(f.name)
+                        F.col(f"__snap_t.`{f.name}`").alias(f.name)
                         for f in schema.fields
                     ]
                 ),
@@ -2245,8 +2362,12 @@ def merge_into(
         if when_matched == "delete":
             post_matched = pre.limit(0).drop("_change_type")
         elif when_matched == "replace":
-            post_matched = source.join(
-                t_rows.select(*key_cols).distinct(), key_cols, "left_semi"
+            post_matched = _key_join(
+                source,
+                t_rows.select(*key_cols).distinct(),
+                key_cols,
+                "left_semi",
+                null_safe_keys,
             )
         else:
             upd_idx = [
@@ -2258,10 +2379,12 @@ def merge_into(
         changes = pre.unionByName(_tag(post_matched, "insert"))
         if when_matched == "replace":
             if when_not_matched == "insert":
-                not_matched = source.join(
+                not_matched = _key_join(
+                    source,
                     _df_for(spark, path, base).select(*key_cols).distinct(),
                     key_cols,
                     "left_anti",
+                    null_safe_keys,
                 ).select(*[f.name for f in schema.fields])
                 changes = changes.unionByName(_tag(not_matched, "insert"))
         elif inserts is not None:

@@ -1,0 +1,58 @@
+"""Deterministic job-count gates for the bench rows whose wall time is
+dominated by job-scheduling rounds (VERDICT r9 item 1): the two rows
+that moved >90% under co-tenant load in r9 while their plans were
+provably unchanged. Wall clock cannot be pinned on a shared box; the
+number of jobs a plan schedules can — a regression that adds
+scheduling rounds fails HERE, a slower box does not.
+
+Counts measured at sf0.01 after the r10 two-rounds-per-checkpoint CC
+batching (46 / 21 jobs with warm caches); ceilings leave headroom for
+AQE jitter but catch any structural regression (the r9 shape was ~2x
+the CC term).
+"""
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SFP_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _jobs_for(spark, name, fn):
+    from sec_financial_pipeline_spark.registry.similarity import (
+        release_caches,
+    )
+
+    sc = spark.sparkContext
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
+    release_caches()
+    sc.setJobGroup(f"gate:{name}", name)
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    n = len(sc.statusTracker().getJobIdsForGroup(f"gate:{name}"))
+    release_caches()
+    return n
+
+
+@pytest.mark.parametrize(
+    "name,ceiling",
+    [("doc_dup_clusters", 52), ("doc_near_dedup_end2end", 26)],
+)
+def test_job_count_ceiling(spark, name, ceiling):
+    from sec_financial_pipeline_spark.registry import all_queries
+    from sec_financial_pipeline_spark.registry.similarity import (
+        q_doc_dup_clusters_only,
+    )
+
+    fn = (
+        q_doc_dup_clusters_only
+        if name == "doc_dup_clusters"
+        else all_queries()[name].fn
+    )
+    n = _jobs_for(spark, name, fn)
+    assert 0 < n <= ceiling, (
+        f"{name} scheduled {n} jobs (ceiling {ceiling}): a structural "
+        f"change added scheduling rounds — check for lost batching in "
+        f"the CC loop or extra actions in the LSH chain"
+    )

@@ -356,3 +356,147 @@ def test_matview_lag_tracks_source_versions(spark, paths):
     lag = MV.matview_lag(spark, dst)
     assert lag["behind_versions"] == 0
     assert lag["view_cursor"] == lag["src_version"] == 3
+
+
+def _assert_sets_match(spark, src, dst):
+    """Row-set equality (None-safe — NULL group keys can't sort)."""
+    got = {tuple(r) for r in MV.read_matview(spark, dst).collect()}
+    want = {tuple(r) for r in _expected(spark, src).collect()}
+    assert got == want
+
+
+def test_null_group_key_refresh_updates_not_duplicates(spark, paths):
+    """ADVICE r9 (medium): a NULL group key is a real group — refresh
+    must UPDATE/DELETE its view row via null-safe key matching, never
+    insert a duplicate NULL-key row."""
+    src, dst = paths
+    T.create(
+        spark.createDataFrame(
+            [(1, None, 10.0), (2, None, 5.0), (3, "A", 1.0)], _SCHEMA
+        ),
+        src,
+    )
+    MV.create_matview(spark, src, dst, ["g"], _AGGS)
+    # touch the NULL group twice across refreshes
+    T.append(spark.createDataFrame([(4, None, 2.5)], _SCHEMA), src)
+    MV.refresh_matview(spark, dst)
+    rows = MV.read_matview(spark, dst).collect()
+    assert sum(1 for r in rows if r["g"] is None) == 1  # no duplicate
+    _assert_sets_match(spark, src, dst)
+    T.delete_where(spark, src, "g IS NULL")
+    MV.refresh_matview(spark, dst)
+    rows = MV.read_matview(spark, dst).collect()
+    assert sum(1 for r in rows if r["g"] is None) == 0  # group deleted
+    _assert_sets_match(spark, src, dst)
+    # holistic path: min/max view over a NULL-able group
+    dst2 = dst + "2"
+    MV.create_matview(
+        spark, src, dst2, ["g"], [("min", "v", "mn"), ("max", "v", "mx")]
+    )
+    T.append(
+        spark.createDataFrame([(9, None, 7.0), (10, None, 3.0)], _SCHEMA),
+        src,
+    )
+    MV.refresh_matview(spark, dst2)
+    got = {r["g"]: (r["mn"], r["mx"]) for r in MV.read_matview(spark, dst2).collect()}
+    assert got[None] == (3.0, 7.0)
+    T.delete_where(spark, src, "v = 3.0")
+    MV.refresh_matview(spark, dst2)
+    got = {r["g"]: (r["mn"], r["mx"]) for r in MV.read_matview(spark, dst2).collect()}
+    assert got[None] == (7.0, 7.0)  # delete RAISED the min, no dup row
+
+
+def test_crashed_create_is_rerunnable(spark, paths, monkeypatch):
+    """ADVICE r9 (low): the spec sidecar commits BEFORE the view
+    table, so a crash between the two leaves a re-runnable create, not
+    a stuck table."""
+    src, dst = paths
+    T.create(spark.createDataFrame(_src_rows(), _SCHEMA), src)
+    calls = {"n": 0}
+    real_create = T.create
+
+    def boom(df, path, **kw):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash after spec write")
+
+    monkeypatch.setattr(MV.T, "create", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        MV.create_matview(spark, src, dst, ["g"], _AGGS)
+    assert calls["n"] == 1
+    import os
+
+    assert os.path.exists(MV._spec_path(dst))  # spec landed first
+    monkeypatch.setattr(MV.T, "create", real_create)
+    # re-run succeeds (spec with no table = crashed create, recreatable)
+    MV.create_matview(spark, src, dst, ["g"], _AGGS)
+    _assert_view_matches(spark, src, dst)
+    # ...but a COMPLETE view refuses a second create
+    with pytest.raises(MV.MatviewError, match="already holds"):
+        MV.create_matview(spark, src, dst, ["g"], _AGGS)
+
+
+def test_filtered_view_where_and_agg_filter_incremental_exact(
+    spark, paths
+):
+    """VERDICT r9 item 4: WHERE on the view definition and per-
+    aggregate FILTER clauses, maintained incrementally and equal to a
+    from-scratch SQL recompute after every refresh (the reference's
+    per-metric cached responses are filtered aggregates)."""
+    src, dst = paths
+    T.create(spark.createDataFrame(_src_rows(), _SCHEMA), src)
+    MV.create_matview(
+        spark,
+        src,
+        dst,
+        ["g"],
+        [
+            ("count", None, "n"),
+            ("count", None, "n_big", "v > 8.0"),
+            ("sum", "v", "sv_big", "v > 8.0"),
+            ("avg", "v", "av_small", "v <= 8.0"),
+            ("min", "v", "mn_pos", "v > 0.0"),
+        ],
+        where="k <= 6",
+    )
+
+    def _recompute():
+        df = T.read(spark, src).filter("k <= 6")
+        dec = F.col("v").cast("decimal(30,6)")
+        big = F.when(F.expr("v > 8.0"), F.lit(1))
+        return {
+            tuple(r)
+            for r in df.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.count(big).cast("bigint").alias("n_big"),
+                F.sum(F.when(F.expr("v > 8.0"), dec)).cast("double").alias("sv_big"),
+                (
+                    F.sum(F.when(F.expr("v <= 8.0"), dec)).cast("double")
+                    / F.count(F.when(F.expr("v <= 8.0"), F.col("v")))
+                ).alias("av_small"),
+                F.min(F.when(F.expr("v > 0.0"), F.col("v"))).alias("mn_pos"),
+            )
+            .collect()
+        }
+
+    assert {tuple(r) for r in MV.read_matview(spark, dst).collect()} == _recompute()
+    # rows inside and OUTSIDE the WHERE, nulls, filter-boundary values
+    T.append(
+        spark.createDataFrame(
+            [(5, "B", 9.5), (6, "C", None), (90, "A", 50.0), (2, "D", 8.0)],
+            _SCHEMA,
+        ),
+        src,
+    )
+    MV.refresh_matview(spark, dst)
+    assert {tuple(r) for r in MV.read_matview(spark, dst).collect()} == _recompute()
+    # deletes that empty a group's filtered subset and the group itself
+    T.delete_where(spark, src, "g = 'C' OR v = 9.5")
+    MV.refresh_matview(spark, dst)
+    assert {tuple(r) for r in MV.read_matview(spark, dst).collect()} == _recompute()
+    # a commit touching ONLY where-excluded rows is a no-op refresh
+    T.delete_where(spark, src, "k = 90")
+    v_before = T._manifest(spark, dst, None)["version"]
+    MV.refresh_matview(spark, dst)
+    assert MV.read_matview(spark, dst).count() > 0
+    assert {tuple(r) for r in MV.read_matview(spark, dst).collect()} == _recompute()

@@ -2528,3 +2528,52 @@ def test_auto_maintain_policies(spark, tmp_path):
     assert T.table_statistics(spark, path)["stale"] is False
     # the point probe still works post-maintenance
     assert T.scan(spark, path, point=("k", 103)).count() == 1
+
+
+def test_merge_expressions_with_columns_named_t_and_s(spark, tmp_path):
+    """VERDICT r9 item 2: columns literally named 't' and 's' must not
+    shadow the t./s. expression qualifiers — the join sides now carry
+    reserved internal aliases and user expressions are rewritten."""
+    path = str(tmp_path / "ts")
+    T.create(
+        spark.createDataFrame(
+            [(1, 10.0, 100.0), (2, 20.0, 200.0)],
+            "k bigint, t double, s double",
+        ),
+        path,
+    )
+    src = spark.createDataFrame(
+        [(1, 1.0, 2.0), (3, 3.0, 4.0)], "k bigint, t double, s double"
+    )
+    T.merge_into(
+        src,
+        path,
+        key_cols=["k"],
+        when_matched=[
+            # t./s. qualifiers on columns ALSO named t and s
+            ("t.t > 5.0", {"t": "t.t + s.t", "s": "t.s + s.s"}),
+        ],
+        when_not_matched={"k": "s.k", "t": "s.t * 10", "s": "s.s * 10"},
+    )
+    got = {r["k"]: (r["t"], r["s"]) for r in T.read(spark, path).collect()}
+    assert got == {
+        1: (11.0, 102.0),
+        2: (20.0, 200.0),
+        3: (30.0, 40.0),
+    }
+    # conditional delete with both qualifiers still binds
+    T.merge_into(
+        spark.createDataFrame([(2, 0.0, 0.0)], "k bigint, t double, s double"),
+        path,
+        key_cols=["k"],
+        when_matched=[("t.t = 20.0 AND s.t = 0.0", "delete")],
+        when_not_matched="ignore",
+    )
+    assert sorted(
+        r["k"] for r in T.read(spark, path).collect()
+    ) == [1, 3]
+    # a string literal containing 't.' or 's.' is NOT rewritten
+    T.update_where(spark, path, "k = 1", {"t": "length('t.s.') + 0.0"})
+    assert {
+        r["k"]: r["t"] for r in T.read(spark, path).collect()
+    }[1] == 4.0
