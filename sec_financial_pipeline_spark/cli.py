@@ -1021,8 +1021,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sxp = snap_sub.add_parser(
         "export",
         help="interop file-list export (symlink-manifest analog + ready "
-        "DuckDB SQL); refuses DV'd / column-mapped / identity-"
-        "partitioned snapshots external readers would get wrong",
+        "DuckDB SQL; identity layouts emit hive_partitioning reads); "
+        "refuses DV'd / column-mapped snapshots external readers "
+        "would get wrong",
     )
     sxp.add_argument("--table", required=True)
     sxp.add_argument("--version", type=int, default=None)

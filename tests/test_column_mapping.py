@@ -324,26 +324,57 @@ def test_append_racing_rename_lands_readable(spark, tmp_path):
         assert "schema mismatch" in str(e)
 
 
-def test_export_refuses_identity_dirs_allows_hidden_transforms(
-    spark, tmp_path
-):
+def test_export_identity_dirs_via_hive_partitioning(spark, tmp_path):
+    """VERDICT r9 item 3: identity-partitioned snapshots export as
+    hive-aware DuckDB SQL (typed, schema-ordered) instead of refusing;
+    layouts hive partitioning cannot represent still refuse loudly."""
     import duckdb
 
     ident = str(tmp_path / "ident")
     T.create(
-        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, g string"),
+        spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)],
+            "k bigint, g string, v double",
+        ),
         ident,
         partition_cols=("g",),
     )
-    with pytest.raises(ValueError, match="directory name"):
-        T.export_file_list(spark, ident)
-    # converge: flat spec + compact -> exportable, column preserved
-    T.set_partition_spec(spark, ident, ())
-    T.compact(spark, ident)
     out = T.export_file_list(spark, ident)
     con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT k, g, v FROM {out['duckdb_sql']} ORDER BY k"
+    ).fetchall()
+    assert rows == [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)]
+    # the lifted dir column is typed per the TABLE schema, so numeric-
+    # looking string labels survive untouched
+    ident2 = str(tmp_path / "ident2")
+    T.create(
+        spark.createDataFrame(
+            [(1, "0123"), (2, "0456")], "k bigint, tag string"
+        ),
+        ident2,
+        partition_cols=("tag",),
+    )
+    out2 = T.export_file_list(spark, ident2)
+    got = dict(
+        con.execute(f"SELECT k, tag FROM {out2['duckdb_sql']}").fetchall()
+    )
+    assert got == {1: "0123", 2: "0456"}
+    # NULL partition dirs cannot ride hive_partitioning: refuse loudly
+    identn = str(tmp_path / "identn")
+    T.create(
+        spark.createDataFrame([(1, "a"), (2, None)], "k bigint, g string"),
+        identn,
+        partition_cols=("g",),
+    )
+    with pytest.raises(ValueError, match="NULL partition"):
+        T.export_file_list(spark, identn)
+    # converge: flat spec + compact -> plain exportable again
+    T.set_partition_spec(spark, identn, ())
+    T.compact(spark, identn)
+    out3 = T.export_file_list(spark, identn)
     assert con.execute(
-        f"SELECT count(g) FROM {out['duckdb_sql']}"
+        f"SELECT count(*) FROM {out3['duckdb_sql']}"
     ).fetchone()[0] == 2
 
     hp = str(tmp_path / "hp")
