@@ -94,6 +94,13 @@ HEADLINE = [
     # sidecar anti-join; this row keeps that tax regression-visible
     # (build-once dv'd table under the artifact cache).
     "snap_dv_read",
+    # round-10 widening (VERDICT r9 item 4): one incremental matview
+    # refresh CYCLE — append a fixed ~5% orders delta to a bench-local
+    # source snaptable and fold it into the grouped view through the
+    # change feed. Per-call work is constant, so PERF.md's O(delta)
+    # refresh claim is now regression-visible; the untimed warm-up
+    # call pays the initial full build.
+    "matview_refresh",
 ]
 
 
@@ -129,6 +136,7 @@ def _headline_fns():
         "doc_dup_clusters": similarity.q_doc_dup_clusters_only,
         "snap_cdf": pipeline.q_snap_cdf,
         "snap_dv_read": pipeline.q_snap_dv_read,
+        "matview_refresh": pipeline.q_matview_refresh_bench,
         # r8: the cosine registry row gained the `hybrid` RRF section;
         # the bench row keeps timing the pure brute-force cosine
         # constituent like-for-like.
