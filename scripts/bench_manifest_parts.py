@@ -71,10 +71,24 @@ def main() -> None:
     head_bytes = os.path.getsize(head_path)
 
     probe = {"p": "42"}
+    # _select_entries resolves the physical namespace from the manifest
+    # schema (identity dirs that ARE schema columns never re-interpret
+    # as derived transforms — the r10 probe-misread fix)
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
 
     def mono_scan():
         with open(mono_path) as f:
-            m = {"files": json.load(f)["files"]}
+            m = {"files": json.load(f)["files"], "schema": schema}
         return T._select_entries(m, probe)
 
     def parts_scan():
@@ -85,13 +99,50 @@ def main() -> None:
         for p in kept:
             with open(os.path.join(work, p["ref"])) as pf:
                 files.extend(json.load(pf)["entries"])
-        return T._select_entries({"files": files}, probe)
+        return T._select_entries({"files": files, "schema": schema}, probe)
 
     want = sorted(e["path"] for e in mono_scan())
     got = sorted(e["path"] for e in parts_scan())
     assert want == got and len(want) == per, (len(want), len(got), per)
 
     kept_parts = len(T._prune_part_summaries(parts_meta, probe, []))
+    mono_probe_sec = _t(mono_scan)
+    parts_probe_sec = _t(parts_scan)
+
+    # --- the FULL (unprobed) load path at this entry count, through the
+    # real _load_parts: cold = parse every part on the driver; warm =
+    # the parts cache (parts are immutable uuid-named files, so a parse
+    # is valid for the process lifetime — VERDICT r9 item 5). Measured
+    # alternatives at 1M entries, for the record: shipping the parse to
+    # executors via read.text(wholetext)+rdd.flatMap+collect = 6.9s
+    # (pickle collect dominates), Arrow columnar rebuild = 16.5s — the
+    # cost is materializing 1M dicts on the driver, not parsing, so
+    # caching wins where distribution cannot.
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    snapdir = os.path.join(work, "_snapshots")
+    os.makedirs(snapdir, exist_ok=True)
+    for p in parts_meta:
+        os.replace(
+            os.path.join(work, p["ref"]), os.path.join(snapdir, p["ref"])
+        )
+    refs = [p["ref"] for p in parts_meta]
+
+    def cold_load():
+        with T._PARTS_CACHE_LOCK:
+            T._PARTS_CACHE.clear()
+            T._parts_cache_total = 0
+        return len(T._load_parts(spark, work, refs))
+
+    cold_sec = _t(cold_load, reps=3)
+    warm_sec = _t(lambda: len(T._load_parts(spark, work, refs)), reps=3)
+    assert len(T._load_parts(spark, work, refs)) == n
+
     print(
         json.dumps(
             {
@@ -100,12 +151,15 @@ def main() -> None:
                 "head_bytes_parts_form": head_bytes,
                 "n_parts": len(parts_meta),
                 "parts_loaded_for_probe": kept_parts,
-                "mono_probe_sec": round(_t(mono_scan), 4),
-                "parts_probe_sec": round(_t(parts_scan), 4),
+                "mono_probe_sec": round(mono_probe_sec, 4),
+                "parts_probe_sec": round(parts_probe_sec, 4),
                 "matching_files": len(want),
+                "full_load_cold_sec": round(cold_sec, 4),
+                "full_load_warm_cached_sec": round(warm_sec, 4),
             }
         )
     )
+    spark.stop()
 
 
 if __name__ == "__main__":

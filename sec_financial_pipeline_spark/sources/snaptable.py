@@ -47,8 +47,10 @@ remains available where the library exists).
 from __future__ import annotations
 
 import json
+import threading
 import time
 import uuid
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -90,6 +92,17 @@ def _snap_path(path: str, version: int) -> str:
 
 
 def _read_json(spark: SparkSession, fpath: str) -> dict:
+    # local fast path: a scheme-less path that exists on this
+    # filesystem reads with plain open() — the py4j stream copy below
+    # measures ~8x slower at manifest-list scale (489 parts / 139 MB:
+    # 40s vs 5s, scripts/bench_manifest_parts.py). Object-store and
+    # explicit-scheme paths go through the Hadoop FS unchanged.
+    if "://" not in fpath and not fpath.startswith("file:"):
+        import os as _os_mod
+
+        if _os_mod.path.exists(fpath):
+            with open(fpath, "rb") as f:
+                return json.loads(f.read().decode("utf-8"))
     # Java-side copy: py4j passes a Python bytearray to
     # InputStream.read BY VALUE (the filled bytes never come back), so
     # stream through a ByteArrayOutputStream instead.
@@ -147,12 +160,49 @@ def _manifest(
     return m
 
 
+#: Parsed manifest parts, LRU by absolute ref. Part files are IMMUTABLE
+#: once written (uuid names can't be reused; versions never change;
+#: vacuum only deletes files that are no longer referenced), so a parse
+#: is valid for the life of the process. This takes the driver-side
+#: JSON parse off the critical path for every scan after the first
+#: (VERDICT r9 item 5): at 1M entries the cold parse measures ~5.1s and
+#: the warm path ~0.1s (scripts/bench_manifest_parts.py). Shipping the
+#: parse to executors was measured SLOWER cold (6.9s via
+#: read.text(wholetext) + rdd.flatMap + collect; 16.5s via an Arrow
+#: columnar rebuild) — the cost is materializing 1M entry dicts on the
+#: driver, not the parse itself, so caching beats distributing.
+#: Consumers treat loaded entries as read-only (mutating paths copy
+#: first, e.g. add_bloom_index); the budget is counted in ENTRIES, the
+#: unit memory actually scales with.
+_PARTS_CACHE: "OrderedDict[str, list[dict]]" = OrderedDict()
+_PARTS_CACHE_BUDGET = 2_000_000  # entries (~500 MB at typical widths)
+_PARTS_CACHE_LOCK = threading.Lock()
+_parts_cache_total = 0  # entries currently cached (lock-guarded)
+
+
 def _load_parts(spark: SparkSession, path: str, refs: list[str]) -> list[dict]:
+    global _parts_cache_total
     out: list[dict] = []
+    root = path.rstrip("/")
     for ref in refs:
-        out.extend(
-            _read_json(spark, f"{path.rstrip('/')}/{_SNAPDIR}/{ref}")["entries"]
-        )
+        key = f"{root}/{_SNAPDIR}/{ref}"
+        with _PARTS_CACHE_LOCK:
+            chunk = _PARTS_CACHE.get(key)
+            if chunk is not None:
+                _PARTS_CACHE.move_to_end(key)
+        if chunk is None:
+            chunk = _read_json(spark, key)["entries"]
+            with _PARTS_CACHE_LOCK:
+                if key not in _PARTS_CACHE:  # racing loader may have won
+                    _PARTS_CACHE[key] = chunk
+                    _parts_cache_total += len(chunk)
+                while (
+                    _parts_cache_total > _PARTS_CACHE_BUDGET
+                    and len(_PARTS_CACHE) > 1
+                ):
+                    _, dropped = _PARTS_CACHE.popitem(last=False)
+                    _parts_cache_total -= len(dropped)
+        out.extend(chunk)
     return out
 
 
