@@ -4095,6 +4095,201 @@ def join_tables(
     return left.join(right, on, how)
 
 
+def _chain_estimates(spark: SparkSession, tables: dict) -> dict:
+    """Per-table planning inputs: rows (fresh ANALYZE statistics, else
+    the metadata-exact count), manifest bytes, derived row width, and
+    per-column HLL NDV where analyzed (missing/stale NDV falls back to
+    the row count — every key distinct, the conservative FK->PK
+    assumption)."""
+    est = {}
+    for name, p in tables.items():
+        stats = table_statistics(spark, p)
+        fresh = bool(stats and not stats.get("stale"))
+        rows = stats["rows"] if fresh else count_rows(spark, p)
+        nbytes = table_bytes(spark, p)
+        ndv = {}
+        if fresh:
+            for c, cs in stats.get("columns", {}).items():
+                if cs.get("ndv"):
+                    ndv[c] = min(int(cs["ndv"]), max(rows, 1))
+        est[name] = {
+            "path": p,
+            "rows": max(rows, 1),
+            "bytes": nbytes,
+            "width": nbytes / max(rows, 1),
+            "ndv": ndv,
+            "stats_fresh": fresh,
+        }
+    return est
+
+
+def _key_ndv(side: dict, keys: list[str], cap: int) -> int:
+    """NDV of a (possibly composite) key on one side: product of
+    per-column NDVs, capped at the side's row count (a key can't have
+    more distinct values than rows). Unanalyzed columns count as
+    all-distinct (cap) — conservative for the FK side, exact for a PK."""
+    prod = 1
+    for k in keys:
+        prod *= side["ndv"].get(k, cap)
+        if prod >= cap:
+            return cap
+    return max(1, min(prod, cap))
+
+
+def _edge_out_rows(a: dict, b: dict, keys: list[str]) -> int:
+    """System-R containment estimate: |A join B on K| =
+    |A|*|B| / max(ndv_A(K), ndv_B(K))."""
+    na = _key_ndv(a, keys, a["rows"])
+    nb = _key_ndv(b, keys, b["rows"])
+    return max(1, (a["rows"] * b["rows"]) // max(na, nb, 1))
+
+
+def _order_cost(est: dict, edges: list, order: list[str]) -> dict:
+    """Estimated cost of joining ``order`` left-to-right along
+    ``edges``: per-step output rows/bytes plus their totals (the
+    smallest-intermediate objective). Raises if a prefix of the order
+    has no edge into the next table (disconnected at that point)."""
+    cur = dict(est[order[0]])
+    steps = []
+    total_rows = total_bytes = 0
+    in_s = {order[0]}
+    for name in order[1:]:
+        keys = None
+        for a, b, k in edges:
+            if (a in in_s and b == name) or (b in in_s and a == name):
+                keys = k
+                break
+        if keys is None:
+            raise ValueError(
+                f"snaptable: join graph is disconnected — no edge joins "
+                f"{name!r} to {sorted(in_s)}"
+            )
+        nxt = est[name]
+        out_rows = _edge_out_rows(cur, nxt, keys)
+        width = cur["width"] + nxt["width"]
+        out_bytes = int(out_rows * width)
+        # key NDVs in the intermediate: carried from whichever side had
+        # the column, never above the intermediate's own row count
+        ndv = {
+            c: min(v, out_rows)
+            for c, v in {**nxt["ndv"], **cur["ndv"]}.items()
+        }
+        steps.append(
+            {"table": name, "on": list(keys), "est_rows": out_rows,
+             "est_bytes": out_bytes}
+        )
+        cur = {"rows": out_rows, "width": width, "ndv": ndv,
+               "bytes": out_bytes}
+        total_rows += out_rows
+        total_bytes += out_bytes
+        in_s.add(name)
+    return {"order": list(order), "steps": steps,
+            "total_intermediate_rows": total_rows,
+            "total_intermediate_bytes": total_bytes}
+
+
+def suggest_join_chain(
+    spark: SparkSession,
+    tables: dict,
+    edges: list,
+    broadcast_threshold: int = 32 << 20,
+) -> dict:
+    """Statistics-driven ORDER + strategy for a 3+-table join chain
+    (the facts-alias-dim shape; VERDICT r9 item 6). ``tables`` maps
+    name -> snaptable path; ``edges`` lists (name_a, name_b, key_cols)
+    equi-joins on same-named columns. Greedy smallest-intermediate-
+    first: start from the edge whose estimated output bytes are
+    lowest, then repeatedly attach the connected table minimizing the
+    next intermediate — cardinalities from the System-R containment
+    estimate over ANALYZE HLL NDVs (manifest row counts + file bytes
+    when unanalyzed). Each step carries a broadcast decision for the
+    attached table (manifest bytes vs threshold — authoritative where
+    Spark's scan estimate is inflated by DVs or pre-filter widths).
+    Returns the plan with its inputs plus the NAIVE (given-order) cost
+    for comparison; advisory — :func:`join_chain` applies it."""
+    if len(tables) < 2:
+        raise ValueError("snaptable: join chain needs >= 2 tables")
+    norm = []
+    for a, b, keys in edges:
+        if a not in tables or b not in tables:
+            raise ValueError(f"snaptable: edge ({a}, {b}) names unknown table")
+        norm.append((a, b, [keys] if isinstance(keys, str) else list(keys)))
+    est = _chain_estimates(spark, tables)
+    # seed: the edge with the smallest estimated output, larger side
+    # first (the smaller side is the broadcast candidate)
+    best = None
+    for a, b, keys in norm:
+        rows = _edge_out_rows(est[a], est[b], keys)
+        nbytes = int(rows * (est[a]["width"] + est[b]["width"]))
+        if best is None or nbytes < best[0]:
+            big, small = (a, b) if est[a]["bytes"] >= est[b]["bytes"] else (b, a)
+            best = (nbytes, [big, small])
+    order = best[1]
+    placed = set(order)
+    while len(placed) < len(tables):
+        cand = None
+        for a, b, keys in norm:
+            nxt = b if a in placed and b not in placed else (
+                a if b in placed and a not in placed else None
+            )
+            if nxt is None:
+                continue
+            cost = _order_cost(est, norm, order + [nxt])
+            lb = cost["steps"][-1]["est_bytes"]
+            if cand is None or lb < cand[0]:
+                cand = (lb, nxt)
+        if cand is None:
+            raise ValueError(
+                "snaptable: join graph is disconnected — "
+                f"nothing joins {sorted(set(tables) - placed)} to {order}"
+            )
+        order.append(cand[1])
+        placed.add(cand[1])
+    plan = _order_cost(est, norm, order)
+    for s in plan["steps"]:
+        s["broadcast"] = est[s["table"]]["bytes"] <= broadcast_threshold
+    naive = None
+    given = list(tables)
+    if given != order:
+        try:
+            naive = _order_cost(est, norm, given)
+        except ValueError:
+            pass  # the given order isn't even connected
+    return {
+        **plan,
+        "tables": {
+            n: {k: v for k, v in e.items() if k != "ndv"}
+            for n, e in est.items()
+        },
+        "threshold_bytes": broadcast_threshold,
+        "naive_order_cost": naive,
+    }
+
+
+def join_chain(
+    spark: SparkSession,
+    tables: dict,
+    edges: list,
+    how: str = "inner",
+    broadcast_threshold: int = 32 << 20,
+) -> DataFrame:
+    """Join 3+ snaptables in the statistics-chosen order from
+    :func:`suggest_join_chain`, with broadcast hints applied per step.
+    Equi-joins on same-named key columns (one surviving copy per key,
+    Spark USING semantics), so downstream edges can join on a key
+    either original side carried."""
+    from pyspark.sql import functions as F
+
+    plan = suggest_join_chain(spark, tables, edges, broadcast_threshold)
+    df = read(spark, tables[plan["order"][0]])
+    for s in plan["steps"]:
+        right = read(spark, tables[s["table"]])
+        if s["broadcast"]:
+            right = F.broadcast(right)
+        df = df.join(right, s["on"], how)
+    return df
+
+
 def table_statistics(spark: SparkSession, path: str) -> dict | None:
     """The last :func:`analyze_table` snapshot (None if never analyzed),
     with ``stale`` set when commits landed since."""

@@ -2473,6 +2473,76 @@ def test_statistics_driven_join_planning(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_multiway_join_chain_reorders_and_broadcasts(spark, tmp_path):
+    """VERDICT r9 item 6: suggest_join_chain orders a 3-table chain
+    smallest-intermediate-first from ANALYZE NDVs + manifest sizes —
+    the reordered chain beats the naive given order on the estimates —
+    and join_chain applies per-step broadcast hints; results equal the
+    direct Spark join."""
+    facts = str(tmp_path / "facts")
+    t2 = str(tmp_path / "t2")
+    dim = str(tmp_path / "dim")
+    T.create(
+        spark.createDataFrame(
+            [(i, i % 1000, i % 5000, float(i)) for i in range(20000)],
+            "id bigint, a bigint, b bigint, v double",
+        ),
+        facts,
+    )
+    T.create(
+        spark.createDataFrame(
+            [(i, f"t2-{i}") for i in range(5000)], "b bigint, t2name string"
+        ),
+        t2,
+    )
+    T.create(
+        spark.createDataFrame(
+            [(i, f"dim-{i}") for i in range(50)], "a bigint, dimname string"
+        ),
+        dim,
+    )
+    for p, cols in ((facts, ["a", "b"]), (t2, ["b"]), (dim, ["a"])):
+        T.analyze_table(spark, p, cols=cols)
+
+    tables = {"facts": facts, "t2": t2, "dim": dim}
+    edges = [("facts", "t2", "b"), ("facts", "dim", "a")]
+    plan = T.suggest_join_chain(spark, tables, edges)
+    # the selective dim (50 of facts' ~1000 distinct a values) joins
+    # first; the naive given order [facts, t2, dim] carries the full
+    # 20k intermediate through step 1
+    assert plan["order"] == ["facts", "dim", "t2"]
+    naive = plan["naive_order_cost"]
+    assert naive is not None
+    assert (
+        plan["total_intermediate_bytes"] < naive["total_intermediate_bytes"]
+    )
+    assert plan["steps"][0]["est_rows"] < naive["steps"][0]["est_rows"]
+    assert all(s["broadcast"] for s in plan["steps"])  # both sides tiny
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = T.join_chain(spark, tables, edges)
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert phys.count("BroadcastHashJoin") == 2
+        expect = (
+            T.read(spark, facts)
+            .join(T.read(spark, dim), "a")
+            .join(T.read(spark, t2), "b")
+        )
+        assert j.count() == expect.count() == 1000
+        got = {(r.id, r.dimname, r.t2name) for r in j.collect()}
+        want = {(r.id, r.dimname, r.t2name) for r in expect.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # disconnected graphs refuse loudly
+    with pytest.raises(ValueError, match="disconnected"):
+        T.suggest_join_chain(
+            spark, tables, [("facts", "t2", "b")]
+        )
+
+
 def test_optimize_write_collapses_partitioned_small_files(spark, tmp_path):
     """Without the pre-write shuffle, N input tasks x M dirs explode
     into up to N*M files; optimize_write keys the shuffle on the
