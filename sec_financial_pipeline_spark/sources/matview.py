@@ -354,6 +354,52 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
     return head
 
 
+def stream_refresh_matview(
+    spark: SparkSession,
+    dst_path: str,
+    checkpoint: str,
+    processing_time: str | None = None,
+    available_now: bool = False,
+):
+    """Continuous lakehouse-native refresh (the reference's T7
+    background-refresh loop, re-expressed on the table's own log;
+    VERDICT r9 item 7): a micro-batch stream over the SOURCE
+    snaptable's version offsets drives :func:`refresh_matview` once
+    per epoch. The micro-batch DATA is never read — the stream is the
+    change SIGNAL (version offsets + checkpoint give restart-exactly-
+    once scheduling for free); the refresh itself reads the change
+    feed from the view's own ``txn=("matview", head)`` cursor, so a
+    replayed epoch after a crash re-folds nothing, and an epoch whose
+    refresh raced ahead of its offset range folds early, never twice.
+    ``skipChangeCommits`` keeps the trigger alive across delete/
+    rewrite commits — the refresh handles those through the feed, the
+    signal stream must simply not fail on them. Returns the started
+    ``StreamingQuery``."""
+    spec = _load_spec(dst_path)
+    from sec_financial_pipeline_spark.sources.snap_datasource import (
+        register_snaptable_source,
+    )
+
+    register_snaptable_source(spark)
+    stream = (
+        spark.readStream.format("snaptable")
+        .option("skipChangeCommits", "true")
+        .load(spec["src"])
+    )
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        refresh_matview(spark, dst_path)
+
+    w = stream.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_time is not None:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
 def matview_lag(spark: SparkSession, dst_path: str) -> dict:
     """How far the view trails its source: ``behind_versions`` (0 =
     fresh) plus both cursors — the number a scheduler polls before
