@@ -429,6 +429,82 @@ def q_snap_colmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# joinchain: the multi-way statistics-driven join planner, driver-
+# checked end-to-end (VERDICT r9 item 6). Three snaptables (customer/
+# nation/region with shared key names), ANALYZEd so HLL NDVs feed the
+# System-R estimates; join_chain picks the order (the tiny nation-
+# region edge seeds, customer attaches broadcast) and the aggregate
+# over the joined chain must equal the plain 3-way SQL join.
+# ---------------------------------------------------------------------------
+
+_JOINCHAIN_ORACLE = f"""
+SELECT r_name,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       {dsum_sql('c_acctbal')} AS acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def _ensure_joinchain_demo(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _artifact_path,
+        _publish_atomically,
+    )
+    from sec_financial_pipeline_spark.sources import snaptable as T
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    path = _artifact_path(
+        "sfp_jchain_", sf_dir, "customer", "cust-nat-reg;analyzed"
+    )
+    if not os.path.exists(path):
+        def build(tmp: str) -> None:
+            cust = load_table(spark, sf_dir, "customer").select(
+                "c_custkey",
+                F.col("c_nationkey").alias("nationkey"),
+                "c_acctbal",
+            )
+            nat = load_table(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("nationkey"),
+                F.col("n_regionkey").alias("regionkey"),
+                "n_name",
+            )
+            reg = load_table(spark, sf_dir, "region").select(
+                F.col("r_regionkey").alias("regionkey"), "r_name"
+            )
+            for name, df, cols in (
+                ("cust", cust, ["nationkey"]),
+                ("nat", nat, ["nationkey", "regionkey"]),
+                ("reg", reg, ["regionkey"]),
+            ):
+                T.create(df, f"{tmp}/{name}")
+                T.analyze_table(spark, f"{tmp}/{name}", cols=cols)
+
+        _publish_atomically(build, path)
+    return path
+
+
+def q_joinchain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.functions.deterministic import dsum
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    path = _ensure_joinchain_demo(spark, sf_dir)
+    tables = {
+        "cust": f"{path}/cust", "nat": f"{path}/nat", "reg": f"{path}/reg"
+    }
+    edges = [("cust", "nat", "nationkey"), ("nat", "reg", "regionkey")]
+    joined = T.join_chain(spark, tables, edges)
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum("c_acctbal").alias("acctbal"),
+    )
+
+
 _POLICY_ORACLE = (
     domain.duck_prelude()
     + """
@@ -474,6 +550,9 @@ _PIPE_ROW_SCHEMA = [
     ("total_price", "double"),
     ("n_hi", "bigint"),
     ("hi_price", "double"),
+    ("r_name", "string"),
+    ("n_cust", "bigint"),
+    ("acctbal", "double"),
 ]
 
 from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
@@ -513,6 +592,11 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
                 _COLMAP_ORACLE,
                 ["o_orderpriority", "n_rows", "total_price"],
             ),
+            (
+                "joinchain",
+                _JOINCHAIN_ORACLE,
+                ["r_name", "n_cust", "acctbal"],
+            ),
         ],
         _PIPE_ROW_SCHEMA,
     ),
@@ -531,7 +615,10 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         "column-mapping schema lifecycle (metadata-only RENAME, a "
         "dv-delete probing the renamed name against pre-rename files, "
         "a post-rename append — the head read mixes both file "
-        "generations)"
+        "generations) + multi-way statistics-driven join chain "
+        "(suggest_join_chain orders customer-nation-region smallest-"
+        "intermediate-first from ANALYZE HLL NDVs and manifest sizes; "
+        "the aggregated chain equals the plain 3-way SQL join)"
     ),
 )
 def q_freshness_and_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,6 +629,7 @@ def q_freshness_and_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("snap_dv", q_snap_dv(spark, sf_dir)),
             ("matview", q_snap_matview(spark, sf_dir)),
             ("colmap", q_snap_colmap(spark, sf_dir)),
+            ("joinchain", q_joinchain(spark, sf_dir)),
         ],
         _PIPE_ROW_SCHEMA,
     )
