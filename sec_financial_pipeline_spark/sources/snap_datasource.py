@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Iterator, Sequence
 
@@ -99,13 +100,35 @@ def _raw_manifest(path: str, version: int) -> dict:
     return m
 
 
+#: Parsed parts, LRU by absolute ref — the session-free mirror of
+#: snaptable._PARTS_CACHE (parts are immutable uuid-named files, so a
+#: parse is valid for the life of this planning worker; consumers
+#: treat entries as read-only). Budget counted in entries.
+_PARTS_CACHE: "OrderedDict[str, list[dict]]" = OrderedDict()
+_PARTS_CACHE_BUDGET = 2_000_000
+_parts_cache_total = 0
+
+
 def _load_parts(path: str, refs) -> list[dict]:
+    global _parts_cache_total
     files: list[dict] = []
     for ref in refs:
-        with open(
-            os.path.join(path, _SNAPDIR, ref), "r", encoding="utf-8"
-        ) as pf:
-            files.extend(json.load(pf)["entries"])
+        key = os.path.join(path, _SNAPDIR, ref)
+        chunk = _PARTS_CACHE.get(key)
+        if chunk is not None:
+            _PARTS_CACHE.move_to_end(key)
+        else:
+            with open(key, "r", encoding="utf-8") as pf:
+                chunk = json.load(pf)["entries"]
+            _PARTS_CACHE[key] = chunk
+            _parts_cache_total += len(chunk)
+            while (
+                _parts_cache_total > _PARTS_CACHE_BUDGET
+                and len(_PARTS_CACHE) > 1
+            ):
+                _, dropped = _PARTS_CACHE.popitem(last=False)
+                _parts_cache_total -= len(dropped)
+        files.extend(chunk)
     return files
 
 

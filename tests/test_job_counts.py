@@ -37,22 +37,32 @@ def _jobs_for(spark, name, fn):
 
 @pytest.mark.parametrize(
     "name,ceiling",
-    [("doc_dup_clusters", 52), ("doc_near_dedup_end2end", 26)],
+    [
+        ("doc_dup_clusters", 52),
+        ("doc_near_dedup_end2end", 26),
+        # one O(delta) refresh cycle (append + change-feed fold +
+        # merge + view read) schedules a FIXED 15 jobs at any source
+        # size — the job-count form of PERF.md's O(delta) claim
+        ("matview_refresh", 20),
+    ],
 )
 def test_job_count_ceiling(spark, name, ceiling):
     from sec_financial_pipeline_spark.registry import all_queries
+    from sec_financial_pipeline_spark.registry.pipeline import (
+        q_matview_refresh_bench,
+    )
     from sec_financial_pipeline_spark.registry.similarity import (
         q_doc_dup_clusters_only,
     )
 
-    fn = (
-        q_doc_dup_clusters_only
-        if name == "doc_dup_clusters"
-        else all_queries()[name].fn
-    )
+    fn = {
+        "doc_dup_clusters": q_doc_dup_clusters_only,
+        "matview_refresh": q_matview_refresh_bench,
+    }.get(name) or all_queries()[name].fn
     n = _jobs_for(spark, name, fn)
     assert 0 < n <= ceiling, (
         f"{name} scheduled {n} jobs (ceiling {ceiling}): a structural "
         f"change added scheduling rounds — check for lost batching in "
-        f"the CC loop or extra actions in the LSH chain"
+        f"the CC loop, extra actions in the LSH chain, or a refresh "
+        f"that re-reads the matview source"
     )
