@@ -4154,12 +4154,18 @@ def _order_cost(est: dict, edges: list, order: list[str]) -> dict:
     total_rows = total_bytes = 0
     in_s = {order[0]}
     for name in order[1:]:
-        keys = None
-        for a, b, k in edges:
-            if (a in in_s and b == name) or (b in in_s and a == name):
-                keys = k
-                break
-        if keys is None:
+        # ALL edges from the placed set into `name` apply (a cyclic
+        # graph contributes every condition, merged as one composite
+        # USING key — dropping one would silently widen the result)
+        keys = sorted(
+            {
+                kc
+                for a, b, k in edges
+                if (a in in_s and b == name) or (b in in_s and a == name)
+                for kc in k
+            }
+        )
+        if not keys:
             raise ValueError(
                 f"snaptable: join graph is disconnected — no edge joins "
                 f"{name!r} to {sorted(in_s)}"
@@ -4209,6 +4215,8 @@ def suggest_join_chain(
     for comparison; advisory — :func:`join_chain` applies it."""
     if len(tables) < 2:
         raise ValueError("snaptable: join chain needs >= 2 tables")
+    if not edges:
+        raise ValueError("snaptable: join chain needs >= 1 edge")
     norm = []
     for a, b, keys in edges:
         if a not in tables or b not in tables:

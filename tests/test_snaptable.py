@@ -2543,6 +2543,24 @@ def test_multiway_join_chain_reorders_and_broadcasts(spark, tmp_path):
         )
 
 
+def test_join_chain_cycle_merges_all_edge_keys():
+    """A cyclic join graph applies EVERY condition connecting the next
+    table to the placed set (merged as one composite USING key) —
+    dropping one would silently widen the result. Pure-estimator check."""
+    est = {
+        n: {"rows": r, "bytes": r * 10, "width": 10.0, "ndv": ndv}
+        for n, r, ndv in (
+            ("x", 1000, {"k1": 100, "k2": 50}),
+            ("y", 500, {"k1": 100}),
+            ("z", 200, {"k2": 50, "k3": 40}),
+        )
+    }
+    edges = [("x", "y", ["k1"]), ("x", "z", ["k2"]), ("y", "z", ["k3"])]
+    cost = T._order_cost(est, edges, ["x", "y", "z"])
+    # z connects to BOTH x (k2) and y (k3): composite key, both applied
+    assert cost["steps"][1]["on"] == ["k2", "k3"]
+
+
 def test_optimize_write_collapses_partitioned_small_files(spark, tmp_path):
     """Without the pre-write shuffle, N input tasks x M dirs explode
     into up to N*M files; optimize_write keys the shuffle on the
