@@ -552,3 +552,69 @@ def test_stream_refresh_three_epochs_and_crash_resume(spark, paths, tmp_path):
     drain()  # replay from the pre-append checkpoint
     _assert_view_matches(spark, src, dst)
     assert T._manifest(spark, dst, None)["version"] == v_after_manual
+
+
+def test_cascaded_matview_rollup(spark, tmp_path):
+    """Views COMPOSE: a second matview over the first view's TABLE
+    rolls (a, b)-level state up to a-level, refreshing O(view1-delta)
+    from view1's own change feed (table_changes diffs any snaptable,
+    merge commits included). The stored shape is the contract the
+    cascade aggregates: sum of stored counts == count, sum of stored
+    decimal sums == sum (exact decimal addition), so the top of the
+    chain still equals a from-scratch recompute of the base. Refresh
+    order is upstream-first (each view folds whatever its source has
+    committed so far)."""
+    src, v1, v2 = (
+        str(tmp_path / "src"), str(tmp_path / "v1"), str(tmp_path / "v2")
+    )
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}", f"h{i % 2}", float(i)) for i in range(100)],
+        "k bigint, a string, b string, v double",
+    )
+    T.create(df, src)
+    MV.create_matview(
+        spark, src, v1, ["a", "b"], [("count", None, "n"), ("sum", "v", "sv")]
+    )
+    MV.create_matview(
+        spark, v1, v2, ["a"], [("sum", "n", "n"), ("sum", "sv", "sv")]
+    )
+    T.append(
+        spark.createDataFrame(
+            [(200 + i, f"g{i % 4}", "h9", 10.0 + i) for i in range(20)],
+            "k bigint, a string, b string, v double",
+        ),
+        src,
+    )
+    T.delete_where(spark, src, "k < 10")
+    MV.refresh_matview(spark, v1)
+    MV.refresh_matview(spark, v2)
+    assert MV.matview_lag(spark, v2)["behind_versions"] == 0
+    got = {r.a: (r.n, r.sv) for r in MV.read_matview(spark, v2).collect()}
+    want = {
+        r.a: (r.n, r.sv)
+        for r in T.read(spark, src)
+        .groupBy("a")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("v").cast("decimal(30,6)")).cast("double").alias("sv"),
+        )
+        .collect()
+    }
+    assert got == want
+    # a second DML storm + refreshes stays exact (the v1 merge commits
+    # feed v2 through the exceptAll fallback diff — no cdf sidecar)
+    T.delete_where(spark, src, "b = 'h9'")
+    MV.refresh_matview(spark, v1)
+    MV.refresh_matview(spark, v2)
+    got2 = {r.a: (r.n, r.sv) for r in MV.read_matview(spark, v2).collect()}
+    want2 = {
+        r.a: (r.n, r.sv)
+        for r in T.read(spark, src)
+        .groupBy("a")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("v").cast("decimal(30,6)")).cast("double").alias("sv"),
+        )
+        .collect()
+    }
+    assert got2 == want2
