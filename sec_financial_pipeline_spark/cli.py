@@ -803,6 +803,31 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             except MV.MatviewError as e:
                 raise SystemExit(str(e))
             return {"view": args.view, "cursor": cur, "op": "matview:refresh"}
+        if args.matview_cmd == "stream":
+            try:
+                if args.interval is None:
+                    q = MV.stream_refresh_matview(
+                        spark, args.view, args.checkpoint, available_now=True
+                    )
+                    q.awaitTermination()
+                else:
+                    q = MV.stream_refresh_matview(
+                        spark, args.view, args.checkpoint,
+                        processing_time=f"{args.interval} seconds",
+                    )
+                    if args.duration is not None:
+                        q.awaitTermination(args.duration)
+                        if q.isActive:
+                            q.stop()
+                    else:
+                        q.awaitTermination()
+            except MV.MatviewError as e:
+                raise SystemExit(str(e))
+            return {
+                "view": args.view,
+                **MV.matview_lag(spark, args.view),
+                "op": "matview:stream",
+            }
         df = MV.read_matview(spark, args.view)
         return {
             "view": args.view,
@@ -1090,6 +1115,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     )
     mvr = smv_sub.add_parser("refresh")
     mvr.add_argument("--view", required=True)
+    mvt = smv_sub.add_parser(
+        "stream",
+        help="continuous refresh driven by the source's version-offset "
+        "stream (T7 daemon analog); default drains the available "
+        "commits once (availableNow) and exits",
+    )
+    mvt.add_argument("--view", required=True)
+    mvt.add_argument("--checkpoint", required=True)
+    mvt.add_argument(
+        "--interval", type=float, default=None,
+        help="processingTime trigger seconds; run continuously",
+    )
+    mvt.add_argument(
+        "--for", dest="duration", type=float, default=None,
+        help="with --interval: stop after this many seconds",
+    )
     mvs = smv_sub.add_parser("show")
     mvs.add_argument("--view", required=True)
     mvs.add_argument("--limit", type=int, default=20)

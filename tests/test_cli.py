@@ -736,6 +736,24 @@ def test_snap_matview_lifecycle_via_cli(tmp_path, capsys, spark, sf_dir):
     )
     got = {r["g"]: (r["n"], r["total"]) for r in out["rows"]}
     assert got == {"a": (2, 5.5), "b": (2, 11.0)}
+    # stream --once: drain the pending commits via the version-offset
+    # stream (T7 daemon analog), exit with the view caught up
+    T.append(
+        spark.createDataFrame([(5, "c", 4.0)], "k bigint, g string, v double"),
+        src,
+    )
+    out = _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "snap", "matview", "stream", "--view", view,
+         "--checkpoint", str(tmp_path / "ck")],
+    )
+    assert out["behind_versions"] == 0
+    out = _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "snap", "matview", "show", "--view", view],
+    )
+    got = {r["g"]: (r["n"], r["total"]) for r in out["rows"]}
+    assert got == {"a": (2, 5.5), "b": (2, 11.0), "c": (1, 4.0)}
 
 
 def test_snap_bounds_via_cli(tmp_path, capsys, spark, sf_dir):
