@@ -2543,6 +2543,86 @@ def test_multiway_join_chain_reorders_and_broadcasts(spark, tmp_path):
         )
 
 
+def test_join_chain_filter_selectivity_flips_broadcast(spark, tmp_path):
+    """A selective filter on the BIG side shrinks its estimate via
+    ANALYZE statistics (1/ndv for equality) — the planner then
+    broadcasts the filtered facts table, which Spark's own pre-scan
+    size estimate cannot know to do. Execution applies the FULL
+    predicate; results equal the directly filtered join."""
+    facts = str(tmp_path / "facts")
+    t2 = str(tmp_path / "t2")
+    dim = str(tmp_path / "dim")
+    T.create(
+        spark.createDataFrame(
+            [(i, i % 1000, i % 5000, float(i)) for i in range(20000)],
+            "id bigint, a bigint, b bigint, v double",
+        ),
+        facts,
+    )
+    T.create(
+        spark.createDataFrame(
+            [(i, f"t2-{i}") for i in range(5000)], "b bigint, t2name string"
+        ),
+        t2,
+    )
+    T.create(
+        spark.createDataFrame(
+            [(i, f"dim-{i}") for i in range(1000)], "a bigint, dimname string"
+        ),
+        dim,
+    )
+    for p, cols in ((facts, ["a", "b"]), (t2, ["b"]), (dim, ["a"])):
+        T.analyze_table(spark, p, cols=cols)
+    tables = {"facts": facts, "t2": t2, "dim": dim}
+    edges = [("facts", "t2", "b"), ("facts", "dim", "a")]
+    flt = {"facts": "a = 7"}
+    plan = T.suggest_join_chain(spark, tables, edges, filters=flt)
+    ft = plan["tables"]["facts"]
+    # 20000 / ndv(a) with ndv(a) an HLL estimate of 1000 (~1.6% err)
+    assert 15 <= ft["rows"] <= 25
+    assert ft["selectivity"] == pytest.approx(1 / 1000, rel=0.1)
+    assert all(s["broadcast"] for s in plan["steps"])
+    got = sorted(
+        (r.id, r.dimname, r.t2name)
+        for r in T.join_chain(spark, tables, edges, filters=flt).collect()
+    )
+    want = sorted(
+        (r.id, r.dimname, r.t2name)
+        for r in T.read(spark, facts)
+        .filter("a = 7")
+        .join(T.read(spark, dim), "a")
+        .join(T.read(spark, t2), "b")
+        .collect()
+    )
+    assert got == want and len(got) == 20
+    # an unparseable clause costs estimate quality, never correctness
+    plan2 = T.suggest_join_chain(
+        spark, tables, edges, filters={"facts": "v > cast(a as double)"}
+    )
+    assert plan2["tables"]["facts"]["selectivity"] == 1.0
+    n = T.join_chain(
+        spark, tables, edges, filters={"facts": "v > cast(a as double)"}
+    ).count()
+    assert n == 19000  # rows with v > a: every i >= 1000 (below, v == a)
+
+
+def test_filter_selectivity_estimator_shapes():
+    """Pure-unit: the simple-predicate shapes and their fractions."""
+    side = {
+        "rows": 1000,
+        "ndv": {"k": 100},
+        "bounds": {"x": (0, 200), "s": ("aa", "zz")},
+    }
+    sel = T._filter_selectivity
+    assert sel(side, "k = 5") == pytest.approx(0.01)
+    assert sel(side, "x < 50") == pytest.approx(0.25)
+    assert sel(side, "x >= 150") == pytest.approx(0.25)
+    assert sel(side, "x BETWEEN 50 AND 100") == pytest.approx(0.25)
+    assert sel(side, "k = 5 AND x < 50") == pytest.approx(0.0025)
+    assert sel(side, "s < 'mm'") == 1.0  # string bounds: no fraction
+    assert sel(side, "some_udf(x) = 3 AND k = 5") == pytest.approx(0.01)
+
+
 def test_join_chain_cycle_merges_all_edge_keys():
     """A cyclic join graph applies EVERY condition connecting the next
     table to the placed set (merged as one composite USING key) —
