@@ -4134,22 +4134,49 @@ _SEL_EQ = _re.compile(
     r"^\s*`?(\w+)`?\s*=\s*('[^']*'|[-0-9.eE+]+)\s*$"
 )
 _SEL_CMP = _re.compile(
-    r"^\s*`?(\w+)`?\s*(<=|>=|<|>)\s*([-0-9.eE+]+)\s*$"
+    r"^\s*`?(\w+)`?\s*(<=|>=|<|>)\s*('[^']*'|[-0-9.eE+]+)\s*$"
 )
 _SEL_BETWEEN = _re.compile(
-    r"`?(\w+)`?\s+between\s+([-0-9.eE+]+)\s+and\s+([-0-9.eE+]+)",
+    r"`?(\w+)`?\s+between\s+('[^']*'|[-0-9.eE+]+)"
+    r"\s+and\s+('[^']*'|[-0-9.eE+]+)",
     _re.IGNORECASE,
 )
 
 
-def _span_fraction(side: dict, col: str, lo_q, hi_q) -> float | None:
-    """Fraction of [min, max] a query range covers (numeric bounds)."""
-    lo, hi = side["bounds"].get(col, (None, None))
+def _sel_num(x) -> float | None:
+    """A value on the selectivity number line: numbers as themselves,
+    ISO dates/timestamps as epoch seconds (so a date filter on a date
+    column computes a real fraction). None when neither."""
+    import datetime as _dt
+
+    if isinstance(x, str) and len(x) >= 2 and x[0] == "'" and x[-1] == "'":
+        x = x[1:-1]
     try:
-        lo, hi = float(lo), float(hi)
+        return float(x)
     except (TypeError, ValueError):
-        return None
-    if hi <= lo:
+        pass
+    for parse in (_dt.datetime.fromisoformat, _dt.date.fromisoformat):
+        try:
+            v = parse(x)
+            if isinstance(v, _dt.datetime):
+                return v.timestamp()
+            return _dt.datetime(v.year, v.month, v.day).timestamp()
+        except (TypeError, ValueError):
+            continue
+    return None
+
+
+def _span_fraction(side: dict, col: str, lo_q, hi_q) -> float | None:
+    """Fraction of [min, max] a query range covers (numeric or
+    date/timestamp bounds — ANALYZE serializes the latter as ISO
+    strings)."""
+    lo, hi = side["bounds"].get(col, (None, None))
+    lo, hi = _sel_num(lo), _sel_num(hi)
+    lo_q, hi_q = (
+        _sel_num(lo_q) if not isinstance(lo_q, float) else lo_q,
+        _sel_num(hi_q) if not isinstance(hi_q, float) else hi_q,
+    )
+    if None in (lo, hi, lo_q, hi_q) or hi <= lo:
         return None
     return min(1.0, max(0.0, (min(hi_q, hi) - max(lo_q, lo)) / (hi - lo)))
 
@@ -4165,9 +4192,10 @@ def _filter_selectivity(side: dict, pred: str) -> float:
     sel = 1.0
     # BETWEEN first (its own AND would confuse the conjunction split)
     for m in _SEL_BETWEEN.finditer(pred):
-        rng = _span_fraction(
-            side, m.group(1), float(m.group(2)), float(m.group(3))
-        )
+        lo_q, hi_q = _sel_num(m.group(2)), _sel_num(m.group(3))
+        if None in (lo_q, hi_q):
+            continue
+        rng = _span_fraction(side, m.group(1), lo_q, hi_q)
         if rng is not None:
             sel *= rng
     pred = _SEL_BETWEEN.sub(" 1 = 1 ", pred)
@@ -4181,7 +4209,9 @@ def _filter_selectivity(side: dict, pred: str) -> float:
             continue
         m = _SEL_CMP.match(clause)
         if m:
-            col, op, lit = m.group(1), m.group(2), float(m.group(3))
+            col, op, lit = m.group(1), m.group(2), _sel_num(m.group(3))
+            if lit is None:
+                continue
             rng = (
                 _span_fraction(side, col, -inf, lit)
                 if op in ("<", "<=")

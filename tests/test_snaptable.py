@@ -2621,6 +2621,18 @@ def test_filter_selectivity_estimator_shapes():
     assert sel(side, "k = 5 AND x < 50") == pytest.approx(0.0025)
     assert sel(side, "s < 'mm'") == 1.0  # string bounds: no fraction
     assert sel(side, "some_udf(x) = 3 AND k = 5") == pytest.approx(0.01)
+    # date bounds (ANALYZE serializes dates as ISO strings): a quoted
+    # date literal computes a real span fraction
+    dside = {
+        "rows": 1000,
+        "ndv": {},
+        "bounds": {"d": ("2020-01-01", "2020-12-31")},
+    }
+    assert sel(dside, "d < '2020-04-01'") == pytest.approx(0.249, abs=0.01)
+    assert sel(
+        dside, "d BETWEEN '2020-04-01' AND '2020-06-30'"
+    ) == pytest.approx(0.246, abs=0.01)
+    assert sel(dside, "d < 'not-a-date'") == 1.0
 
 
 def test_join_chain_cycle_merges_all_edge_keys():
