@@ -804,6 +804,12 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
                 raise SystemExit(str(e))
             return {"view": args.view, "cursor": cur, "op": "matview:refresh"}
         if args.matview_cmd == "stream":
+            if args.duration is not None and args.interval is None:
+                raise SystemExit(
+                    "snap matview stream: --for requires --interval "
+                    "(the default availableNow mode drains and exits "
+                    "on its own)"
+                )
             try:
                 if args.interval is None:
                     q = MV.stream_refresh_matview(

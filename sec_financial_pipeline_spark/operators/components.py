@@ -51,9 +51,12 @@ def connected_components(
     node id in its connected component.
 
     Returns ``(node, label)`` — one row per distinct node appearing in
-    any edge. Raises if ``max_iter`` rounds don't reach the fixpoint
-    (with pointer jumping that would take a component diameter > 2^25).
-    """
+    any edge. ``max_iter`` budgets CONVERGENCE-CHECKED propagation
+    rounds; rounds run in pairs per materialization (see below), so up
+    to ``2 * (max_iter // 2 + 1)`` propagation rounds execute before
+    the non-convergence error — the loop may overshoot the fixpoint by
+    one batch, never undershoot the budget (with pointer jumping,
+    exhausting the default takes a component diameter > 2^25)."""
     # materialize the edge list BEFORE symmetrizing: the union's two
     # branches would otherwise each re-execute whatever (possibly very
     # expensive) pipeline produced the edges — e.g. the full LSH +
@@ -121,4 +124,7 @@ def connected_components(
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    raise RuntimeError(
+        "connected_components did not converge in "
+        f"{2 * (max_iter // 2 + 1)} propagation rounds (max_iter={max_iter})"
+    )

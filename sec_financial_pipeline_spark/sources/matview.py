@@ -210,11 +210,17 @@ def create_matview(
     # spec with no table, and create_matview is simply re-runnable —
     # the reverse order left a table whose refresh/read raised with no
     # recovery path (ADVICE r9). A pre-existing spec is only
-    # overwritten when its table is absent (a crashed create).
+    # overwritten when its table is absent (a crashed create); a table
+    # with NO spec is someone else's plain snaptable — refuse BEFORE
+    # writing the spec, or the residue would re-badge that table as a
+    # view of src (its reads/refreshes silently misattributed).
     os.makedirs(dst_path, exist_ok=True)
-    if os.path.exists(_spec_path(dst_path)) and T.versions(spark, dst_path):
+    if T.versions(spark, dst_path):
         raise MatviewError(
             f"matview: {dst_path} already holds a materialized view"
+            if os.path.exists(_spec_path(dst_path))
+            else f"matview: {dst_path} already holds a snaptable that is "
+            "not a materialized view — refusing to re-badge it"
         )
     tmp = _spec_path(dst_path) + ".tmp"
     with open(tmp, "w") as f:

@@ -476,8 +476,20 @@ class SnapBatchReader(DataSourceReader):
             self._between.append((str(t[0]), t[1], t[2]))
         # manifest-prune shapes (None bounds -> infinities); equality
         # probes double as point probes for the Bloom sidecars and as
-        # degenerate ranges for numeric stats
-        self._part_probe = dict(self._eq)
+        # degenerate ranges for numeric stats. Partition-DIR pruning
+        # compares str(probe) against the lifted dir string, so only
+        # values whose Python str() matches Spark's dir rendering may
+        # participate: str/int pass through, booleans map to Spark's
+        # lowercase dirs, floats are EXCLUDED (str(42.0)='42.0' never
+        # equals a bigint dir '42' — pruning on it would silently drop
+        # matching files; the stats range + exact per-row re-check
+        # still apply to them).
+        self._part_probe = {}
+        for c, v in self._eq.items():
+            if isinstance(v, bool):
+                self._part_probe[c] = "true" if v else "false"
+            elif isinstance(v, (str, int)):
+                self._part_probe[c] = v
         self._ranges = [
             (c, float("-inf") if lo is None else lo,
              float("inf") if hi is None else hi)

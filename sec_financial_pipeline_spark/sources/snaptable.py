@@ -2058,13 +2058,14 @@ def delete_where(
     )
 
 
-_TS_QUOTED = _re.compile(r"('(?:[^']|'')*'|`[^`]*`)")
+_TS_QUOTED = _re.compile(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|`[^`]*`)")
 
 
 def _rewrite_ts(expr: str) -> str:
     """Rewrite the merge-expression qualifiers ``t.``/``s.`` to the
-    reserved internal join aliases, skipping string literals and
-    backtick-quoted identifiers. The join sides are aliased
+    reserved internal join aliases, skipping single- AND double-quoted
+    string literals (Spark's default mode reads ``\"...\"`` as a string)
+    plus backtick-quoted identifiers. The join sides are aliased
     ``__snap_t``/``__snap_s`` internally, so a table or source column
     literally named ``t`` or ``s`` can never shadow the documented
     alias forms (it previously raised AMBIGUOUS_REFERENCE); such a

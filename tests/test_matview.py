@@ -618,3 +618,18 @@ def test_cascaded_matview_rollup(spark, tmp_path):
         .collect()
     }
     assert got2 == want2
+
+
+def test_create_refuses_to_rebadge_plain_snaptable(spark, paths):
+    """A plain snaptable at dst must refuse BEFORE the spec write — the
+    residue would re-badge someone else's table as a view of src."""
+    import os
+
+    src, dst = paths
+    T.create(spark.createDataFrame(_src_rows(), _SCHEMA), src)
+    T.create(spark.createDataFrame([(1, 9.0)], "g bigint, v double"), dst)
+    with pytest.raises(MV.MatviewError, match="not a materialized view"):
+        MV.create_matview(spark, src, dst, ["g"], [("count", None, "n")])
+    assert not os.path.exists(os.path.join(dst, "matview.json"))
+    # the plain table is untouched and still reads as itself
+    assert T.read(spark, dst).count() == 1

@@ -575,3 +575,45 @@ def test_starting_timestamp_streams_from_the_instant(snapds, tmp_path):
             spark, path, "st_ts_bad", str(tmp_path / "cp3"),
             startingTimestamp=str(t2), startingVersion="1",
         )
+
+
+def test_option_filter_eq_bool_and_float_probes_stay_exact(snapds, tmp_path):
+    """Probe types whose Python str() differs from Spark's partition-dir
+    rendering must not dir-prune matching files away: booleans map to
+    the lowercase dir form, floats skip dir pruning entirely (the exact
+    per-row re-check still applies)."""
+    import json as _json
+
+    spark = snapds
+    path = str(tmp_path / "tb")
+    T.create(
+        spark.range(0, 100).select(
+            "id", (F.col("id") % 2 == 0).alias("flag")
+        ),
+        path,
+        partition_cols=("flag",),
+    )
+    got = (
+        spark.read.format("snaptable")
+        .option("filter.eq", _json.dumps({"flag": True}))
+        .load(path)
+    )
+    assert got.count() == 50
+    assert all(r.flag for r in got.collect())
+
+    pf = str(tmp_path / "tf")
+    T.create(
+        spark.range(0, 100).select("id", (F.col("id") % 5).alias("p")),
+        pf,
+        partition_cols=("p",),
+    )
+    # float probe of a bigint partition: str(2.0)='2.0' never equals
+    # dir '2' — dir pruning must not fire; rows come back exact
+    got2 = (
+        spark.read.format("snaptable")
+        .option("filter.eq", _json.dumps({"p": 2.0}))
+        .load(pf)
+    )
+    assert sorted(r.id for r in got2.collect()) == [
+        i for i in range(100) if i % 5 == 2
+    ]

@@ -2757,3 +2757,27 @@ def test_merge_expressions_with_columns_named_t_and_s(spark, tmp_path):
     assert {
         r["k"]: r["t"] for r in T.read(spark, path).collect()
     }[1] == 4.0
+
+
+def test_merge_expression_double_quoted_literal_untouched(spark, tmp_path):
+    """Spark's default (non-ANSI) mode reads double-quoted text as a
+    STRING LITERAL; the t./s. qualifier rewrite must skip it — a
+    literal like \"t.rex\" is data, not an alias reference."""
+    path = str(tmp_path / "t")
+    T.create(
+        spark.createDataFrame(
+            [(1, "t.rex"), (2, "s.holmes"), (3, "plain")],
+            "k bigint, name string",
+        ),
+        path,
+    )
+    src = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, name string")
+    T.merge_into(
+        src, path, key_cols=["k"],
+        when_matched=[('t.name = "t.rex"', "delete"), (None, "replace")],
+    )
+    got = {r.k: r.name for r in T.read(spark, path).collect()}
+    assert got == {2: "y", 3: "plain"}  # 1 deleted by literal match
+    assert T._rewrite_ts('name = "s.thing" AND t.k = s.k') == (
+        'name = "s.thing" AND __snap_t.k = __snap_s.k'
+    )
