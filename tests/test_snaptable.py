@@ -2635,6 +2635,91 @@ def test_filter_selectivity_estimator_shapes():
     assert sel(dside, "d < 'not-a-date'") == 1.0
 
 
+def _mk_est(spec):
+    """spec: name -> (rows, width, {col: ndv})."""
+    return {
+        n: {
+            "rows": r, "bytes": int(r * w), "width": float(w), "ndv": ndv,
+            "bounds": {},
+        }
+        for n, (r, w, ndv) in spec.items()
+    }
+
+
+def _random_chain_instance(seed):
+    """Seeded random join-graph instance (spanning tree + optional
+    extra cycle edge) for the DP/greedy comparisons."""
+    import random
+
+    rng = random.Random(seed)
+    n = rng.randint(3, 6)
+    names = [f"t{i}" for i in range(n)]
+    est = _mk_est({
+        nm: (rng.choice([10, 100, 1000, 100_000]),
+             rng.choice([1, 10, 100]), {})
+        for nm in names
+    })
+    edges = []
+    for i in range(1, n):
+        j = rng.randrange(i)
+        col = f"k{i}"
+        edges.append((names[j], names[i], [col]))
+        for nm in (names[j], names[i]):
+            est[nm]["ndv"][col] = min(
+                est[nm]["rows"], rng.choice([2, 10, 100, 10_000])
+            )
+    if n > 3 and rng.random() < 0.5:
+        a, b = rng.sample(names, 2)
+        edges.append((a, b, ["kc"]))
+        for nm in (a, b):
+            est[nm]["ndv"]["kc"] = min(
+                est[nm]["rows"], rng.choice([2, 10, 100])
+            )
+    return est, edges, names, rng
+
+
+def test_dp_order_strictly_beats_greedy_on_pinned_instance():
+    """The greedy's myopic next-step choice is genuinely suboptimal on
+    this pinned random instance — the DP order costs 33x less. (Over
+    seeds 0..499 of the same generator the DP is strictly cheaper on
+    92 instances and never worse.)"""
+    est, edges, names, _ = _random_chain_instance(5)
+    key = "total_intermediate_bytes"
+    d = T._best_order_dp(est, edges, names)
+    g = T._best_order_greedy(est, edges, names)
+    d_cost = T._order_cost(est, edges, d)[key]
+    g_cost = T._order_cost(est, edges, g)[key]
+    assert d_cost * 30 < g_cost, (d_cost, g_cost, d, g)
+
+
+def test_dp_order_optimal_on_random_graphs():
+    """The Selinger cost model makes prefix cardinality a pure subset
+    function, so the DP is exact: over seeded random graphs its total
+    intermediate bytes never exceed the greedy's, nor any sampled
+    random valid left-deep order's."""
+    key = "total_intermediate_bytes"
+    for trial in range(40):
+        est, edges, names, rng = _random_chain_instance(trial)
+        d = T._best_order_dp(est, edges, names)
+        g = T._best_order_greedy(est, edges, names)
+        d_cost = T._order_cost(est, edges, d)[key]
+        assert d_cost <= T._order_cost(est, edges, g)[key], (trial, d, g)
+        adj = {}
+        for a, b, _ in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for _ in range(20):
+            order = [rng.choice(names)]
+            while len(order) < len(names):
+                reach = sorted(
+                    set().union(*(adj[t] for t in order)) - set(order)
+                )
+                order.append(rng.choice(reach))
+            assert d_cost <= T._order_cost(est, edges, order)[key], (
+                trial, d, order
+            )
+
+
 def test_join_chain_cycle_merges_all_edge_keys():
     """A cyclic join graph applies EVERY condition connecting the next
     table to the placed set (merged as one composite USING key) —
