@@ -775,6 +775,53 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
                        for c, mm in b.items()},
             "op": "bounds",
         }
+    if args.snap_cmd == "join":
+        tables = {}
+        for t in args.table:
+            if "=" not in t:
+                raise SystemExit(
+                    f"snap join --table needs NAME=PATH, got {t!r}"
+                )
+            nm, p = t.split("=", 1)
+            tables[nm.strip()] = p.strip()
+        edges = []
+        for e in args.edge:
+            parts = e.split(":")
+            if len(parts) != 3:
+                raise SystemExit(
+                    f"snap join --edge needs A:B:KEY[,KEY2...], got {e!r}"
+                )
+            edges.append(
+                (parts[0].strip(), parts[1].strip(),
+                 [k for k in parts[2].split(",") if k])
+            )
+        filters = {}
+        for f in args.filter or ():
+            if "=" not in f:
+                raise SystemExit(
+                    f"snap join --filter needs NAME=PREDICATE, got {f!r}"
+                )
+            nm, pred = f.split("=", 1)
+            filters[nm.strip()] = pred
+        try:
+            plan = T.suggest_join_chain(
+                spark, tables, edges, filters=filters or None
+            )
+            df = T.join_chain(
+                spark, tables, edges, how=args.how,
+                filters=filters or None,
+            )
+        except ValueError as e:
+            raise SystemExit(str(e))
+        return {
+            "order": plan["order"],
+            "planner": plan["planner"],
+            "steps": plan["steps"],
+            "total_intermediate_bytes": plan["total_intermediate_bytes"],
+            "rows": [r.asDict() for r in df.limit(args.limit).collect()],
+            "n_rows": df.count(),
+            "op": "join",
+        }
     if args.snap_cmd == "matview":
         from sec_financial_pipeline_spark.sources import matview as MV
 
@@ -1101,6 +1148,27 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     sbn.add_argument("--table", required=True)
     sbn.add_argument("--col", action="append", required=True)
     sbn.add_argument("--version", type=int, default=None)
+    sjn = snap_sub.add_parser(
+        "join",
+        help="statistics-driven multi-table join: Selinger-DP order "
+        "from ANALYZE NDVs + manifest sizes, per-step broadcasts, "
+        "filter-aware selectivity",
+    )
+    sjn.add_argument(
+        "--table", action="append", required=True, metavar="NAME=PATH",
+        help="snaptable to join (repeatable)",
+    )
+    sjn.add_argument(
+        "--edge", action="append", required=True, metavar="A:B:KEY[,KEY2]",
+        help="equi-join edge on same-named columns (repeatable)",
+    )
+    sjn.add_argument(
+        "--filter", action="append", default=[], metavar="NAME=PREDICATE",
+        help="SQL predicate on one table (applied in full; simple "
+        "clauses also steer the plan)",
+    )
+    sjn.add_argument("--how", default="inner")
+    sjn.add_argument("--limit", type=int, default=20)
     smv = snap_sub.add_parser(
         "matview",
         help="incrementally-maintained materialized aggregate view "

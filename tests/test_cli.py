@@ -858,3 +858,35 @@ def test_snap_export_via_cli(tmp_path, capsys, spark, sf_dir):
     assert con.execute(
         f"SELECT sum(k) FROM {out['duckdb_sql']}"
     ).fetchone()[0] == 45
+
+
+def test_snap_join_chain_via_cli(tmp_path, capsys, spark, sf_dir):
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    facts = str(tmp_path / "f")
+    dim = str(tmp_path / "d")
+    T.create(
+        spark.createDataFrame(
+            [(i, i % 10, float(i)) for i in range(100)],
+            "id bigint, a bigint, v double",
+        ),
+        facts,
+    )
+    T.create(
+        spark.createDataFrame(
+            [(i, f"dim-{i}") for i in range(10)], "a bigint, nm string"
+        ),
+        dim,
+    )
+    out = _run(
+        capsys, spark,
+        ["--sf-dir", sf_dir, "snap", "join",
+         "--table", f"facts={facts}", "--table", f"dim={dim}",
+         "--edge", "facts:dim:a", "--filter", "facts=a = 3",
+         "--limit", "5"],
+    )
+    assert out["n_rows"] == 10
+    assert out["order"][0] == "facts"  # big side streams
+    assert out["planner"] in ("dp", "greedy")
+    assert all(r["a"] == 3 for r in out["rows"])
+    assert out["steps"][0]["broadcast"] is True
