@@ -633,3 +633,43 @@ def test_create_refuses_to_rebadge_plain_snaptable(spark, paths):
     assert not os.path.exists(os.path.join(dst, "matview.json"))
     # the plain table is untouched and still reads as itself
     assert T.read(spark, dst).count() == 1
+
+
+def test_matview_randomized_dml_storm_model_based(spark, paths):
+    """Model-based: a seeded random sequence of appends / deletes /
+    no-op refreshes over a NULL-able group domain, with the view
+    refreshed at random points — after every refresh the view must
+    equal the from-scratch recompute bit-for-bit (the standing witness,
+    now exercised over arbitrary interleavings instead of
+    hand-authored ones)."""
+    import random
+
+    rng = random.Random(11)
+    src, dst = paths
+    groups = ["A", "B", "C", None]
+    rows = [(i, rng.choice(groups),
+             None if rng.random() < 0.2 else round(rng.uniform(-50, 50), 2))
+            for i in range(40)]
+    T.create(spark.createDataFrame(rows, _SCHEMA), src)
+    MV.create_matview(spark, src, dst, ["g"], _AGGS)
+    nxt = 100
+    for step in range(12):
+        op = rng.random()
+        if op < 0.5:
+            batch = [
+                (nxt + j, rng.choice(groups),
+                 None if rng.random() < 0.2
+                 else round(rng.uniform(-50, 50), 2))
+                for j in range(rng.randint(1, 6))
+            ]
+            nxt += len(batch)
+            T.append(spark.createDataFrame(batch, _SCHEMA), src)
+        elif op < 0.8:
+            k = rng.randrange(nxt)
+            T.delete_where(spark, src, f"k % {rng.randint(2, 7)} = {k % 2}")
+        # else: no source movement this step — refresh must no-op
+        if rng.random() < 0.7 or step == 11:
+            MV.refresh_matview(spark, dst)
+            got = {r.g: r[1:] for r in MV.read_matview(spark, dst).collect()}
+            want = {r.g: r[1:] for r in _expected(spark, src).collect()}
+            assert got == want, f"step {step}: {got} != {want}"
