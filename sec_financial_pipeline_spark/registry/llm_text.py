@@ -314,7 +314,31 @@ def _marker_sql(lang: str) -> str:
     return f"len(list_filter(string_split(text, ' '), w -> w IN ({words})))"
 
 
+#: Gopher/C4 rule battery (operators/quality_rules.py) — DuckDB twins.
+#: The inner query exposes the shared signals; the outer derives the
+#: six rule bits. Thresholds MUST mirror quality_rules constants.
+_QR_REQUIRED_SQL = ", ".join(f"'{w}'" for w in ("the", "a", "and", "of", "to", "in"))
+
 _PROFILE_ORACLE = rf"""
+SELECT doc_id, lang, len_chars, n_tokens, n_stopwords, stopword_ratio,
+       avg_token_len, quality, verdict, predicted_lang, fingerprint,
+       n_bpe_tokens, n_word_tokens, n_number_tokens, dup_trigram_ratio,
+       mean_word_len, short_word_ratio,
+       CAST((CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+          + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END)
+          + (CASE WHEN n_required >= 2 THEN 0 ELSE 1 END)
+          + (CASE WHEN dup_trigram_ratio <= 0.30 THEN 0 ELSE 1 END)
+          + (CASE WHEN short_word_ratio <= 0.40 THEN 0 ELSE 1 END)
+          + (CASE WHEN longest_word <= 15 THEN 0 ELSE 1 END) AS INT)
+         AS n_rule_violations,
+       CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND n_required >= 2
+                  AND dup_trigram_ratio <= 0.30
+                  AND short_word_ratio <= 0.40
+                  AND longest_word <= 15 THEN 1 ELSE 0 END AS INT)
+         AS gopher_keep
+FROM (
 SELECT doc_id, lang,
        CAST(length(text) AS INT) AS len_chars,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -344,15 +368,23 @@ SELECT doc_id, lang,
                  generate_series(1, len(w) - 2),
                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS DOUBLE)
                / (len(w) - 2)
-         ELSE 0.0 END, 6) AS dup_trigram_ratio
+         ELSE 0.0 END, 6) AS dup_trigram_ratio,
+       round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+             / len(w), 6) AS mean_word_len,
+       round(CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE)
+             / len(w), 6) AS short_word_ratio,
+       len(list_distinct(list_filter(w, x -> x IN ({_QR_REQUIRED_SQL}))))
+         AS n_required,
+       list_max(list_transform(w, x -> length(x))) AS longest_word
 FROM (SELECT *, string_split(text, ' ') AS w FROM documents) t
+)
 """
 
 
 @register(
     "doc_profile",
     _PROFILE_ORACLE,
-    survey="§2.9 text-analysis + quality-scoring + language-ID + fingerprinting + token-counting + repetition scoring (single-scan per-doc feature row; dup_trigram_ratio = the Gopher repetition filter signal)",
+    survey="§2.9 text-analysis + quality-scoring + language-ID + fingerprinting + token-counting + repetition scoring + Gopher/C4 heuristic rule battery (single-scan per-doc feature row; word-count/mean-word-length/required-stopword/repetition/short-token/long-token rules with per-doc violation count and keep verdict — operators/quality_rules.py)",
 )
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -394,6 +426,26 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an HOF lambda are re-evaluated per element, so the index form is
     # O(tokens^2) per document — the exact trap shingles() documents.
     tri = token_shingles(toks, k=3, distinct=False)
+    # the rounded repetition signal feeds BOTH the output column and the
+    # Gopher repetition rule, so the two can never diverge
+    dup_tri = (
+        F.when(
+            n_tokens >= 3,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(tri)).cast("double") / F.size(tri),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    from sec_financial_pipeline_spark.operators.quality_rules import (
+        mean_word_len,
+        short_word_ratio,
+        violations_and_keep,
+    )
+
+    viol, keep = violations_and_keep(toks, dup_tri)
     return base.select(
         "doc_id",
         "lang",
@@ -413,16 +465,11 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bpe_tokens"),
         F.regexp_count("text", F.lit("[a-z]+")).cast("int").alias("n_word_tokens"),
         F.regexp_count("text", F.lit("[0-9]+")).cast("int").alias("n_number_tokens"),
-        F.when(
-            n_tokens >= 3,
-            F.round(
-                F.lit(1.0)
-                - F.size(F.array_distinct(tri)).cast("double") / F.size(tri),
-                6,
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("dup_trigram_ratio"),
+        dup_tri.alias("dup_trigram_ratio"),
+        F.round(mean_word_len(toks), 6).alias("mean_word_len"),
+        F.round(short_word_ratio(toks), 6).alias("short_word_ratio"),
+        viol,
+        keep,
     )
 
 
