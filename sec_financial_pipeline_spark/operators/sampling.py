@@ -284,3 +284,122 @@ def write_epoch_shards(
         .partitionBy("shard", "subshard")
         .parquet(path)
     )
+
+
+def unimax_allocation(
+    counts: list[tuple[str, int]], budget: int, epochs_cap: float
+) -> dict[str, int]:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151,
+    Algorithm 1): distribute a total character ``budget`` as uniformly
+    as possible across strata, capping each stratum at ``epochs_cap``
+    epochs of its own ``counts`` characters. Strata are visited in
+    ascending cap order; each takes ``min(cap, remaining // strata
+    left)``, so a stratum too small to absorb an even share is clipped
+    at its epoch cap and the leftover re-spreads over the larger ones —
+    low-resource strata get repeated up to the cap, the head stratum
+    absorbs whatever budget survives.
+
+    Pure integer arithmetic after the one ``floor(epochs_cap * chars)``
+    per stratum (the only float op — same IEEE double product on any
+    engine), so the allocation is bit-reproducible. Inputs are one row
+    per stratum (a bounded driver-side list, same class as the DSIR
+    weight table); ties in cap break on the stratum name."""
+    import math
+
+    caps = sorted(
+        (int(math.floor(epochs_cap * c)), s) for s, c in counts
+    )
+    remaining = int(budget)
+    out: dict[str, int] = {}
+    for i, (cap, s) in enumerate(caps):
+        share = remaining // (len(caps) - i)
+        q = min(cap, share)
+        out[s] = q
+        remaining -= q
+    return out
+
+
+def unimax_stats(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    weight: str,
+    epochs_cap: float,
+    budget: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum UniMax selection report: allocate quotas with
+    :func:`unimax_allocation` (budget defaults to the corpus' own total
+    weight — a one-epoch budget), then realize each quota as
+    ``full-epoch passes + a deterministic hash-ordered partial pass``
+    and report, per stratum: ``n_docs`` (corpus rows), ``threshold``
+    (the character quota), ``n_selected`` (rows selected including
+    epoch repeats), ``checksum`` (sum of selected keys including
+    repeats — pins the exact selection), and ``rate`` (epochs used =
+    quota / chars).
+
+    Scale shape: one groupBy for the per-stratum totals (collected —
+    bounded at the stratum count), one stratum-partitioned window for
+    the partial-pass cumulative weight, one final aggregation. The
+    quota table rides back in as literals; no global window, no
+    per-row Python."""
+    totals = {
+        r["s"]: (int(r["chars"]), int(r["n"]), int(r["ids"]))
+        for r in df.groupBy(F.col(stratum).alias("s"))
+        .agg(
+            F.sum(F.col(weight).cast("long")).alias("chars"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(key).cast("long")).alias("ids"),
+        )
+        .collect()
+    }
+    total_chars = sum(c for c, _, _ in totals.values())
+    quotas = unimax_allocation(
+        [(s, c) for s, (c, _, _) in totals.items()],
+        total_chars if budget is None else budget,
+        epochs_cap,
+    )
+    spark = df.sparkSession
+    meta = spark.createDataFrame(
+        [
+            (s, chars, n, ids, quotas[s])
+            for s, (chars, n, ids) in sorted(totals.items())
+        ],
+        f"{stratum} string, chars long, n_docs long, ids long, quota long",
+    )
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy(h, F.col(key))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    docs = df.select(
+        stratum, key, F.col(weight).cast("long").alias("__w")
+    ).withColumn("__before", F.coalesce(F.sum("__w").over(w), F.lit(0)))
+    picked = F.col("__before") < F.col("quota") % F.col("chars")
+    par = (
+        docs.join(F.broadcast(meta.select(stratum, "quota", "chars")), stratum)
+        .groupBy(stratum)
+        .agg(
+            F.sum(picked.cast("long")).alias("__p_n"),
+            F.sum(F.when(picked, F.col(key).cast("long")).otherwise(0)).alias(
+                "__p_ids"
+            ),
+        )
+    )
+    full = F.expr("quota div chars")
+    return (
+        meta.join(par, stratum)
+        .select(
+            stratum,
+            F.col("n_docs"),
+            F.col("quota").alias("threshold"),
+            (full * F.col("n_docs") + F.col("__p_n")).alias("n_selected"),
+            (full * F.col("ids") + F.col("__p_ids")).alias("checksum"),
+            F.round(F.col("quota").cast("double") / F.col("chars"), 6).alias(
+                "rate"
+            ),
+        )
+    )

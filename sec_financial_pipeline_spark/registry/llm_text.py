@@ -779,6 +779,84 @@ FROM terms GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# unimax: UniMax language-balanced sampling with per-language epoch
+# caps (Chung et al. 2023) — spread a one-epoch character budget as
+# uniformly as possible across languages, clipping each at
+# _UNIMAX_EPOCHS epochs of its own data; leftover re-spreads to the
+# head language. The allocation loop is pure integer arithmetic over
+# one bounded per-language count row (replayed in SQL as a recursive
+# CTE); the partial pass is a deterministic hash-ordered prefix.
+# ---------------------------------------------------------------------------
+
+_UNIMAX_EPOCHS = 1.2
+_UNIMAX_SALT = "umax1"
+
+_UNIMAX_ORACLE = f"""
+WITH RECURSIVE caps AS (
+  SELECT lang, cap, row_number() OVER (ORDER BY cap, lang) AS i,
+         count(*) OVER () AS L
+  FROM (SELECT lang,
+               CAST(floor({_UNIMAX_EPOCHS} * CAST(sum(n_chars) AS BIGINT))
+                    AS BIGINT) AS cap
+        FROM documents GROUP BY lang)
+),
+alloc AS (
+  SELECT 0 AS i, CAST(NULL AS VARCHAR) AS lang, CAST(0 AS BIGINT) AS quota,
+         (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS remaining
+  UNION ALL
+  SELECT c.i, c.lang,
+         least(c.cap, a.remaining // (c.L - c.i + 1)),
+         a.remaining - least(c.cap, a.remaining // (c.L - c.i + 1))
+  FROM alloc a JOIN caps c ON c.i = a.i + 1
+),
+tot AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(doc_id) AS BIGINT) AS ids
+  FROM documents GROUP BY lang
+),
+q AS (SELECT lang, quota FROM alloc WHERE i >= 1),
+cum AS (
+  SELECT lang, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY lang
+           ORDER BY md5('{_UNIMAX_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM documents
+),
+par AS (
+  SELECT c.lang,
+         CAST(sum(CASE WHEN c.bef < q.quota % t.chars THEN 1 ELSE 0 END) AS BIGINT) AS p_n,
+         CAST(sum(CASE WHEN c.bef < q.quota % t.chars THEN c.doc_id ELSE 0 END) AS BIGINT) AS p_ids
+  FROM cum c JOIN q USING (lang) JOIN tot t USING (lang)
+  GROUP BY c.lang
+)
+SELECT t.lang, t.n_docs,
+       CAST(q.quota AS BIGINT) AS threshold,
+       CAST((q.quota // t.chars) * t.n_docs + p.p_n AS BIGINT) AS n_selected,
+       CAST((q.quota // t.chars) * t.ids + p.p_ids AS BIGINT) AS checksum,
+       round(CAST(q.quota AS DOUBLE) / t.chars, 6) AS rate
+FROM tot t JOIN q USING (lang) JOIN par p USING (lang)
+"""
+
+
+def q_doc_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.sampling import unimax_stats
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return unimax_stats(
+        d,
+        key="doc_id",
+        stratum="lang",
+        weight="n_chars",
+        epochs_cap=_UNIMAX_EPOCHS,
+        salt=_UNIMAX_SALT,
+    )
+
+
 def q_doc_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_financial_pipeline_spark.operators.selection import (
         doc_gram_buckets,
@@ -867,6 +945,9 @@ def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
              ["lang", "n_docs", "checksum", "threshold"]),
             ("drift", _DRIFT_ORACLE,
              ["lang", "n_docs", "threshold"]),
+            ("unimax", _UNIMAX_ORACLE,
+             ["lang", "n_docs", "threshold", "n_selected", "checksum",
+              "rate"]),
         ],
         _SAMPLE_SCHEMA,
     ),
@@ -886,6 +967,10 @@ def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + per-lang PSI drift monitor between corpus halves (hashed"
         " bucket space; per-bucket terms quantized to integer"
         " micro-units — the ln firewall — then exact BIGINT rollup)"
+        " + UniMax epoch-capped language balancing (Chung et al. 2023:"
+        " integer water-fill allocation replayed as a recursive-CTE"
+        " oracle; full-epoch passes + hash-ordered partial pass,"
+        " selection pinned by key checksums)"
     ),
 )
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,6 +981,7 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("temperature", q_doc_temperature_mix(spark, sf_dir)),
             ("dsir", q_doc_dsir(spark, sf_dir)),
             ("drift", q_doc_drift(spark, sf_dir)),
+            ("unimax", q_doc_unimax(spark, sf_dir)),
         ],
         _SAMPLE_SCHEMA,
     )
