@@ -2407,9 +2407,148 @@ GROUP BY s.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# classifier: model-based quality filtering (operators/classifier.py) —
+# hashed-ngram logistic regression trained with 2 unrolled full-batch
+# GD steps (weights start at 0, so step 1's errors are exactly +-500
+# milli; every order-sensitive sum is BIGINT — the same integer
+# firewall as dsir/ppl). The oracle replays both steps in SQL. Labels:
+# lang='en' is the curated reference stratum (the GPT-3 quality-
+# classifier setup: reference-vs-pool, Brown et al. 2020 §A).
+# ---------------------------------------------------------------------------
+
+_CLS_BUCKETS = 256
+_CLS_STEPS = 2
+
+
+def _cls_oracle(steps: int, n_buckets: int) -> str:
+    """Unrolled-GD oracle for the hashed logistic-regression classifier
+    (operators/classifier.py): step k's CTEs (margin cz{k}, error
+    ce{k}, gradient cg{k}, weights cw{k}) are generated mechanically so
+    the SQL cannot drift from the step count. The bias is the constant
+    bucket -1 feature (x = 1, delta carries the 1e6 unit factor).
+    Every float expression mirrors the Spark operator TEXTUALLY (fold
+    order); all sums are BIGINT."""
+    ctes = [
+        "ctoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)",
+        """cgrams AS (
+  SELECT doc_id, unnest(w) AS g FROM ctoks
+  UNION ALL
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM ctoks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+)""",
+        "clen AS (SELECT doc_id, len(w) AS ln FROM ctoks)",
+        f"""cfeat AS (
+  SELECT c.doc_id, c.bucket,
+         CAST(trunc(c.cnt * 1000.0 / l.ln) AS BIGINT) AS x
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(g), 1, 8))::BIGINT % {n_buckets} AS bucket,
+               count(*) AS cnt
+        FROM cgrams GROUP BY 1, 2) c
+  JOIN clen l USING (doc_id)
+  UNION ALL
+  SELECT doc_id, CAST(-1 AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS x
+  FROM documents
+)""",
+        ("clab AS (SELECT doc_id, lang, CASE WHEN lang = 'en' THEN 1 ELSE 0"
+         " END AS y FROM documents)"),
+        "cn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)",
+    ]
+
+    def delta(bucket: str, g: str) -> str:
+        return (
+            f"CASE WHEN {bucket} = -1 THEN"
+            f" CAST(trunc(((2.0 * {g}) * 1000000.0) / (SELECT n FROM cn))"
+            f" AS BIGINT)"
+            f" ELSE CAST(trunc((2.0 * {g}) / (SELECT n FROM cn)) AS BIGINT)"
+            f" END"
+        )
+
+    for k in range(1, steps + 1):
+        if k == 1:
+            ctes.append(
+                "cz1 AS (SELECT doc_id, CAST(0 AS BIGINT) AS z FROM clab)"
+            )
+        else:
+            ctes.append(f"""cz{k} AS (
+  SELECT f.doc_id, CAST(sum(f.x * coalesce(w.w, 0)) AS BIGINT) AS z
+  FROM cfeat f LEFT JOIN cw{k - 1} w USING (bucket) GROUP BY f.doc_id
+)""")
+        ctes.append(f"""ce{k} AS (
+  SELECT l.doc_id,
+         CAST(round((1.0 / (1.0 + exp(-(CAST(z.z AS DOUBLE)) / 1000000000.0))
+                     - l.y) * 1000.0, 0) AS BIGINT) AS err
+  FROM clab l JOIN cz{k} z USING (doc_id)
+)""")
+        ctes.append(f"""cg{k} AS (
+  SELECT f.bucket, CAST(sum(f.x * e.err) AS BIGINT) AS g
+  FROM cfeat f JOIN ce{k} e USING (doc_id) GROUP BY 1
+)""")
+        if k == 1:
+            ctes.append(
+                f"cw1 AS (SELECT bucket, -({delta('bucket', 'g')}) AS w"
+                f" FROM cg1)"
+            )
+        else:
+            ctes.append(f"""cw{k} AS (
+  SELECT w.bucket, w.w - ({delta('w.bucket', 'coalesce(g.g, 0)')}) AS w
+  FROM cw{k - 1} w LEFT JOIN cg{k} g USING (bucket)
+)""")
+    ctes.append(f"""czf AS (
+  SELECT f.doc_id, CAST(sum(f.x * coalesce(w.w, 0)) AS BIGINT) AS z
+  FROM cfeat f LEFT JOIN cw{steps} w USING (bucket) GROUP BY f.doc_id
+)""")
+    ctes.append("ctot AS (SELECT CAST(sum(z) AS BIGINT) AS sz,"
+                " CAST(count(*) AS BIGINT) AS nn FROM czf)")
+    return "WITH " + ",\n".join(ctes) + """
+SELECT l.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN z.z * t.nn >= t.sz THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep,
+       CAST(sum(CASE WHEN z.z * t.nn >= t.sz THEN l.doc_id ELSE 0 END)
+            AS BIGINT) AS checksum,
+       CAST(sum(z.z) AS BIGINT) AS score_milli
+FROM clab l JOIN czf z USING (doc_id) CROSS JOIN ctot t
+GROUP BY l.lang
+"""
+
+
+_CLS_ORACLE = _cls_oracle(_CLS_STEPS, _CLS_BUCKETS)
+
+_CURATION_SCHEMA = [
+    ("lang", "string"),
+    ("n_docs", "bigint"),
+    ("mean_quality", "double"),
+    ("n_keep", "bigint"),
+    ("checksum", "bigint"),
+    ("score_milli", "bigint"),
+]
+
+
+def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.classifier import (
+        quality_classifier_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_classifier_stats(
+        d, "doc_id", "text", "lang",
+        is_positive=F.col("lang") == "en",
+        n_buckets=_CLS_BUCKETS, steps=_CLS_STEPS,
+    )
+
+
 @register(
     "doc_curation_pipeline",
-    _CURATION_ORACLE,
+    union_sections_sql(
+        [
+            ("pipeline", _CURATION_ORACLE,
+             ["lang", "n_docs", "mean_quality"]),
+            ("classifier", _CLS_ORACLE,
+             ["lang", "n_docs", "n_keep", "checksum", "score_milli"]),
+        ],
+        _CURATION_SCHEMA,
+    ),
     survey=(
         "§2.9 capstone (quality filter + near-dedup + decontamination +"
         " per-lang corpus stats): the full training-corpus build in one"
@@ -2417,9 +2556,23 @@ GROUP BY s.lang
         " doc leaking >= 3 eval 5-grams is dropped (GPT-3-style"
         " benchmark decontamination), on top of the r2 quality + MinHash"
         " near-dedup stages"
+        " + model-based quality classifier (hashed-ngram logistic"
+        " regression, 2 unrolled full-batch GD steps as Spark"
+        " aggregations in integer milli-units; reference-vs-pool labels,"
+        " per-lang keep counts + margin checksums)"
     ),
 )
 def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return union_sections(
+        [
+            ("pipeline", _q_doc_curation_core(spark, sf_dir)),
+            ("classifier", q_doc_quality_classifier(spark, sf_dir)),
+        ],
+        _CURATION_SCHEMA,
+    )
+
+
+def _q_doc_curation_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_financial_pipeline_spark.operators.dedup import ngram_contamination
     from sec_financial_pipeline_spark.operators.sampling import hash_uniform
 
