@@ -425,6 +425,19 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             # count a concurrent commit's rows under this version number
             "rows": T.read(spark, args.table, version=v).count(),
         }
+    if args.snap_cmd == "clone":
+        v = T.clone(
+            spark, args.table, args.dst,
+            version=args.version, shallow=args.shallow,
+        )
+        return {
+            "table": args.dst,
+            "version": v,
+            "op": "clone",
+            "mode": "shallow" if args.shallow else "deep",
+            "source": args.table,
+            "rows": T.read(spark, args.dst).count(),
+        }
     if args.snap_cmd == "delete":
         v = T.delete_where(spark, args.table, args.where, mode=args.mode, cdf=args.cdf)
         return {
@@ -1015,6 +1028,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 help="comma-separated partition columns (fixed for the "
                 "table's lifetime; appends inherit them)",
             )
+    scl2 = snap_sub.add_parser(
+        "clone",
+        help="clone a snapshot to a new table (deep copy by default; "
+        "--shallow = zero-copy metadata-only branch)",
+    )
+    scl2.add_argument("--table", required=True, help="source table")
+    scl2.add_argument("--dst", required=True, help="new table path")
+    scl2.add_argument("--version", type=int, default=None)
+    scl2.add_argument("--shallow", action="store_true")
     sd = snap_sub.add_parser("delete")
     sd.add_argument("--table", required=True)
     sd.add_argument("--where", required=True, help="SQL predicate to delete")

@@ -152,7 +152,18 @@ def _head_version(path: str) -> int:
 
 
 def _ekey(e: dict) -> tuple:
-    return (e["path"], tuple(e.get("dv", ())))
+    return (e.get("x"), e["path"], tuple(e.get("dv", ())))
+
+
+def _entry_ext(m: dict, e: dict) -> tuple:
+    """(external root, prefixed DV key) for a shallow-clone entry
+    (``x`` index into ``tbl_meta.ext_roots`` — snaptable._erel's
+    contract); (None, None) for local entries."""
+    x = e.get("x")
+    if x is None:
+        return None, None
+    roots = (m.get("tbl_meta") or {}).get("ext_roots", [])
+    return roots[x].rstrip("/"), f"x{x}:{e['path']}"
 
 
 # ---------------------------------------------------------------------------
@@ -167,6 +178,11 @@ class SnapFilePartition(InputPartition):
     rel: str
     partition: dict = field(default_factory=dict)
     dv: tuple = ()
+    # shallow-clone external reference: the file lives under `root`
+    # (not the table root) and its DV-sidecar coordinate is `dvkey`
+    # (the x{i}:-prefixed rel) instead of the bare rel
+    root: str | None = None
+    dvkey: str | None = None
     # change-feed streaming: tag every row of this partition
     change_type: str | None = None
     commit_version: int | None = None
@@ -258,8 +274,15 @@ def _read_entry(
         tbl = pq.read_table(os.path.join(root, part.rel))
         yield from _conform_table(tbl, target, consts, colmap).to_batches()
         return
-    dead = _dv_positions(root, part.rel, part.dv) if part.dv else set()
-    pf = pq.ParquetFile(os.path.join(root, part.rel))
+    # DV sidecars always live under the TABLE root; the data file may
+    # live under a shallow-clone external root, keyed by its prefixed
+    # rel in the sidecar coordinates
+    dead = (
+        _dv_positions(root, part.dvkey or part.rel, part.dv)
+        if part.dv
+        else set()
+    )
+    pf = pq.ParquetFile(os.path.join(part.root or root, part.rel))
     offset = 0
     have = set(pf.schema_arrow.names)
     read_cols = sorted(
@@ -537,14 +560,19 @@ class SnapBatchReader(DataSourceReader):
         )
         for col, v in self._points:
             entries = [e for e in entries if not _bloom_rules_out(e, col, v)]
-        return [
-            SnapFilePartition(
-                rel=e["path"],
-                partition=e.get("partition", {}),
-                dv=tuple(e.get("dv", ())),
+        out = []
+        for e in entries:
+            xroot, dvkey = _entry_ext(m, e)
+            out.append(
+                SnapFilePartition(
+                    rel=e["path"],
+                    partition=e.get("partition", {}),
+                    dv=tuple(e.get("dv", ())),
+                    root=xroot,
+                    dvkey=dvkey,
+                )
             )
-            for e in entries
-        ]
+        return out
 
     def read(self, partition: SnapFilePartition) -> Iterator:
         # option predicates are EXACT relation semantics, not best-
@@ -713,11 +741,14 @@ class SnapStreamReader(DataSourceStreamReader):
                 )
             for e in m["files"]:
                 if _ekey(e) not in prev_keys:
+                    xroot, dvkey = _entry_ext(m, e)
                     parts.append(
                         SnapFilePartition(
                             rel=e["path"],
                             partition=e.get("partition", {}),
                             dv=tuple(e.get("dv", ())),
+                            root=xroot,
+                            dvkey=dvkey,
                             change_type="insert" if self.read_cdf else None,
                             commit_version=v if self.read_cdf else None,
                         )

@@ -903,8 +903,6 @@ def _files_df(
     # FileScan). Pinning the manifest schema also serves evolution:
     # files predating an added column surface it as NULL directly in
     # the parquet reader (no per-file schema inference at all).
-    flat = [e for e in entries if not e.get("partition")]
-    hive = [e for e in entries if e.get("partition")]
     colmap = _name_chain(m)
     read_schema = schema
     if colmap:
@@ -920,38 +918,74 @@ def _files_df(
             for p in colmap.get(f.name, ())
         ]
         read_schema = StructType(list(schema.fields) + extra)
-    parts = []
-    if flat:
+    # entries group by EXTERNAL ROOT first (x: shallow-clone references
+    # live under a foreign table root — _ext_roots), then by layout:
+    # flat entries take one pinned-schema scan per root; Hive-laid-out
+    # entries read per (root, commit group) under that group's basePath.
+    ext = _ext_roots(m)
+    flat_groups: dict = {}
+    hive_groups: dict = {}
+    for e in entries:
+        x = e.get("x")
+        if e.get("partition"):
+            hive_groups.setdefault((x, e["base"]), []).append(e["path"])
+        else:
+            flat_groups.setdefault(x, []).append(e["path"])
+
+    def _xkey(x):
+        return (x is not None, x if x is not None else -1)
+
+    parts = []  # (df, x, group filesystem root)
+    for x in sorted(flat_groups, key=_xkey):
+        groot = root if x is None else ext[x].rstrip("/")
         parts.append(
-            spark.read.schema(read_schema).parquet(
-                *sorted(f"{root}/{e['path']}" for e in flat)
+            (
+                spark.read.schema(read_schema).parquet(
+                    *sorted(f"{groot}/{p}" for p in flat_groups[x])
+                ),
+                x,
+                groot,
             )
         )
-    groups: dict[str, list[str]] = {}
-    for e in hive:
-        groups.setdefault(e["base"], []).append(e["path"])
-    for base in sorted(groups):
+    for x, base in sorted(
+        hive_groups, key=lambda k: (_xkey(k[0]), k[1])
+    ):
         # base == "" is a converted-in-place group: its basePath is the
-        # table root itself (original Hive dirs sit directly under it)
-        r = spark.read.option("basePath", f"{root}/{base}".rstrip("/"))
-        parts.append(r.parquet(*[f"{root}/{p}" for p in sorted(groups[base])]))
-    meta = []
+        # group's table root itself (original Hive dirs sit under it)
+        groot = root if x is None else ext[x].rstrip("/")
+        r = spark.read.option("basePath", f"{groot}/{base}".rstrip("/"))
+        parts.append(
+            (
+                r.parquet(
+                    *[f"{groot}/{p}" for p in sorted(hive_groups[(x, base)])]
+                ),
+                x,
+                groot,
+            )
+        )
+    fs = Path = None
     if with_meta:
-        # rel path = qualified URI minus the qualified table root: the
-        # read paths are driver-constructed as root/<entry path>, and
-        # Hadoop Path rendering round-trips its own output, so the
-        # stripped suffix IS the manifest entry path (test-pinned,
-        # including %-escaped partition dirs and 'data'-rooted tables)
         fs, Path = _hadoop_fs(spark, path)
-        qroot = fs.makeQualified(Path(root)).toString().rstrip("/")
-        meta = [
-            F.expr(
-                f"substring(_metadata.file_path, {len(qroot) + 2})"
-            ).alias("__rel"),
-            F.col("_metadata.row_index").alias("__pos"),
-        ]
     out = None
-    for p in parts:
+    for p, x, groot in parts:
+        meta = []
+        if with_meta:
+            # rel path = qualified URI minus the qualified GROUP root:
+            # the read paths are driver-constructed as groot/<entry
+            # path>, and Hadoop Path rendering round-trips its own
+            # output, so the stripped suffix IS the manifest entry path
+            # (test-pinned, including %-escaped partition dirs and
+            # 'data'-rooted tables). External groups prefix the rel
+            # with their root index (_erel) so the key stays unique
+            # across roots.
+            qroot = fs.makeQualified(Path(groot)).toString().rstrip("/")
+            rel = F.expr(f"substring(_metadata.file_path, {len(qroot) + 2})")
+            if x is not None:
+                rel = F.concat(F.lit(f"x{x}:"), rel)
+            meta = [
+                rel.alias("__rel"),
+                F.col("_metadata.row_index").alias("__pos"),
+            ]
         p = _conform_plus(p, schema, meta, colmap)
         out = p if out is None else out.unionByName(p)
     return out
@@ -998,6 +1032,31 @@ def _phys_namespace(m: dict) -> set:
         out |= set(names)
     out |= {f["name"] for f in json.loads(m["schema"])["fields"]}
     return out
+
+
+def _ext_roots(m: dict) -> list[str]:
+    """Absolute table roots of externally-referenced entries (shallow
+    clones, :func:`clone`): an entry carrying ``x: i`` lives under
+    ``ext_roots[i]``, not this table's root. Empty for every
+    non-cloned table. Append-only while any retained entry references
+    an index; full rewrites (which list only fresh local files) clear
+    it alongside the column mapping."""
+    return list((m.get("tbl_meta") or {}).get("ext_roots", []))
+
+
+def _erel(e: dict) -> str:
+    """Scan-side ``__rel`` key of a manifest entry: local entries ARE
+    their rel path; externally-referenced entries carry an ``x{i}:``
+    prefix so keys stay unique across roots (the DV sidecar coordinate
+    system and the rewrite attribution both join on this key)."""
+    x = e.get("x")
+    return e["path"] if x is None else f"x{x}:{e['path']}"
+
+
+def _entry_root(root: str, ext_roots: list[str], e: dict) -> str:
+    """Filesystem root an entry's file lives under."""
+    x = e.get("x")
+    return root if x is None else ext_roots[x].rstrip("/")
 
 
 def _conform(df: DataFrame, schema, colmap: dict | None = None) -> DataFrame:
@@ -1503,25 +1562,38 @@ def drop_constraint(spark: SparkSession, path: str, name: str) -> int:
     return base["version"] + 1
 
 
-def _rel_resolver(entries: list[dict]):
-    """URI → manifest rel-path resolver (factored from the bloom
-    builder): match by FULL relative-path suffix, not basename —
-    basenames collide on partitioned tables (one Spark write reuses
-    part-00000-<uuid> in every partition dir), while suffix matching
-    disambiguates and survives a table root containing a 'data'
-    segment plus URI %xx encoding in ``input_file_name``."""
+def _rel_resolver(entries: list[dict], ext_roots: list[str] | tuple = ()):
+    """URI → manifest entry-key (:func:`_erel`) resolver (factored from
+    the bloom builder): match by FULL relative-path suffix, not
+    basename — basenames collide on partitioned tables (one Spark
+    write reuses part-00000-<uuid> in every partition dir), while
+    suffix matching disambiguates and survives a table root containing
+    a 'data' segment plus URI %xx encoding in ``input_file_name``.
+    Externally-referenced entries (shallow clones) additionally
+    require their ABSOLUTE root in the suffix, so an external file can
+    never be attributed to a same-named local entry (or vice versa —
+    local entries lose ties to externals only when the external's full
+    root matches, which a local URI cannot)."""
     from urllib.parse import unquote as _unquote
 
-    cands: dict[str, list[str]] = {}
+    cands: dict[str, list[tuple[str, str]]] = {}
     for e in entries:
-        cands.setdefault(e["path"].rsplit("/", 1)[-1], []).append(e["path"])
+        x = e.get("x")
+        suffix = (
+            "/" + e["path"]
+            if x is None
+            else ext_roots[x].rstrip("/") + "/" + e["path"]
+        )
+        cands.setdefault(e["path"].rsplit("/", 1)[-1], []).append(
+            (suffix, _erel(e))
+        )
 
     def resolve(uri: str) -> str | None:
         dec = _unquote(uri)
         for name in {uri.rsplit("/", 1)[-1], dec.rsplit("/", 1)[-1]}:
-            for p in cands.get(name, ()):
-                if uri.endswith("/" + p) or dec.endswith("/" + p):
-                    return p
+            for suffix, key in cands.get(name, ()):
+                if uri.endswith(suffix) or dec.endswith(suffix):
+                    return key
         return None
 
     return resolve
@@ -1552,24 +1624,32 @@ def _touched_paths(
         .distinct()
         .collect()
     ]
-    return _attribute_rels(path, candidates, rels, "copy-on-write rewrite")
+    return _attribute_rels(
+        path, candidates, rels, "copy-on-write rewrite", _ext_roots(base)
+    )
 
 
 def _attribute_rels(
-    path: str, candidates: list[dict], rels: list[str], what: str
+    path: str,
+    candidates: list[dict],
+    rels: list[str],
+    what: str,
+    ext_roots: list[str] | tuple = (),
 ) -> set[str]:
-    """Map scan-side ``__rel`` values to manifest entry paths: normally
-    an exact match (the qualified-prefix strip round-trips the entry
-    path), but ``_metadata.file_path`` URI-encodes the on-disk name —
-    a Hive-escaped partition dir like ``p=a%3Ab`` arrives doubly
-    escaped as ``p=a%253Ab`` — so a decoded exact match is tried next,
-    then the suffix resolver; an unattributable rel is a HARD error —
-    treating it as untouched would silently keep rows a rewrite was
-    supposed to replace."""
+    """Map scan-side ``__rel`` values to manifest entry keys
+    (:func:`_erel`): normally an exact match (the qualified-prefix
+    strip round-trips the entry path — external entries arrive with
+    their ``x{i}:`` prefix already attached by the scan), but
+    ``_metadata.file_path`` URI-encodes the on-disk name — a
+    Hive-escaped partition dir like ``p=a%3Ab`` arrives doubly escaped
+    as ``p=a%253Ab`` — so a decoded exact match is tried next, then the
+    suffix resolver; an unattributable rel is a HARD error — treating
+    it as untouched would silently keep rows a rewrite was supposed to
+    replace."""
     from urllib.parse import unquote as _unquote
 
-    known = {e["path"] for e in candidates}
-    resolve = _rel_resolver(candidates)
+    known = {_erel(e) for e in candidates}
+    resolve = _rel_resolver(candidates, ext_roots)
     touched = set()
     for rel in rels:
         if rel in known:
@@ -1728,8 +1808,8 @@ def merge_upsert(
                 (still if c not in pv or pv[c] in have else out).append(e)
             cand, ruled_out = still, ruled_out + out
     matched = _merge_touched(spark, path, base, cand, keys, key_cols)
-    touched = [e for e in cand if e["path"] in matched]
-    carried = ruled_out + [e for e in cand if e["path"] not in matched]
+    touched = [e for e in cand if _erel(e) in matched]
+    carried = ruled_out + [e for e in cand if _erel(e) not in matched]
     t_rows = _df_for(spark, path, base, touched)
     survivors = t_rows.join(keys, key_cols, "left_anti")
     cdf_rel = (
@@ -1808,7 +1888,7 @@ def _merge_touched(
         .distinct()
         .collect()
     ]
-    return _attribute_rels(path, candidates, rels, "merge")
+    return _attribute_rels(path, candidates, rels, "merge", _ext_roots(base))
 
 
 def _is_row_preserving(op: str) -> bool:
@@ -1901,6 +1981,10 @@ def _rewrite_commit(
     meta = dict(base.get("tbl_meta") or {})
     meta.pop("colmap", None)
     meta.pop("col_aliases", None)
+    # a full rewrite also materializes every externally-referenced file
+    # locally (shallow-clone provenance ends here — the clone no longer
+    # depends on the source table's files surviving its vacuum)
+    meta.pop("ext_roots", None)
     return _publish_rewrite(spark, path, files, op, base, txn, tbl_meta=meta)
 
 
@@ -2022,8 +2106,8 @@ def delete_where(
     matched = _touched_paths(spark, path, base, candidates, is_del)
     if not matched:
         return base["version"]
-    touched = [e for e in base["files"] if e["path"] in matched]
-    carried = [e for e in base["files"] if e["path"] not in matched]
+    touched = [e for e in base["files"] if _erel(e) in matched]
+    carried = [e for e in base["files"] if _erel(e) not in matched]
     cdf_rel = (
         _write_changes(
             spark, path,
@@ -2283,8 +2367,8 @@ def merge_into(
     matched_paths = _merge_touched(
         spark, path, base, cand, keys, key_cols, null_safe_keys
     )
-    touched = [e for e in cand if e["path"] in matched_paths]
-    carried = ruled_out + [e for e in cand if e["path"] not in matched_paths]
+    touched = [e for e in cand if _erel(e) in matched_paths]
+    carried = ruled_out + [e for e in cand if _erel(e) not in matched_paths]
     schema = StructType.fromJson(json.loads(base["schema"]))
     t_rows = _df_for(spark, path, base, touched)
 
@@ -2490,8 +2574,8 @@ def update_where(
     )
     if not matched:
         return base["version"]
-    touched = [e for e in base["files"] if e["path"] in matched]
-    carried = [e for e in base["files"] if e["path"] not in matched]
+    touched = [e for e in base["files"] if _erel(e) in matched]
+    carried = [e for e in base["files"] if _erel(e) not in matched]
     rows = _df_for(spark, path, base, touched)
     out_cols = []
     for f in schema.fields:
@@ -2662,6 +2746,100 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
             f"re-run against the new head"
         )
     return head["version"] + 1
+
+
+def shallow_clone(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    as_of=None,
+) -> int:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE`` /
+    zero-copy table branching): create a NEW independent table at
+    ``dst_path`` whose version-1 manifest REFERENCES the source
+    snapshot's files in place — no data copied, O(metadata) regardless
+    of table size. At 100 TB this is how a dev/test branch, a
+    what-if migration, or a reproducible experiment pin is created in
+    seconds instead of a petabyte copy.
+
+    The clone is a full table: appends, DELETE/UPDATE/MERGE (both COW
+    and deletion-vector modes), OPTIMIZE, schema evolution, time
+    travel and CDF all work, and NONE of them touch the source —
+    rewrites materialize locally and drop the foreign reference; a
+    full rewrite (compact/overwrite) severs the provenance entirely
+    (``ext_roots`` clears with it). Entries referencing the source
+    carry ``x: i`` into the manifest's ``tbl_meta.ext_roots`` list;
+    their scan/DV/attribution key is the ``x{i}:``-prefixed rel path
+    (:func:`_erel`), so clone-local deletion vectors and rewrite
+    attribution can never collide with same-named local files.
+    ``version`` / ``as_of`` clone a historical snapshot (time-travel
+    clone). Cloning a clone remaps the inner references to their
+    ORIGINAL roots (provenance never chains through intermediate
+    clones).
+
+    Caveats (same as Delta documents for shallow clones): the clone
+    depends on the source's files surviving — ``vacuum`` on the SOURCE
+    after source deletes/rewrites can reap files the clone still
+    references (run ``compact`` on the clone first to materialize);
+    the clone's own vacuum only ever touches its own root. REFUSED for
+    snapshots carrying deletion vectors (their sidecar coordinates are
+    source-relative; ``purge_deletes`` on the source first — the same
+    converge contract as :func:`export_file_list`)."""
+    import os
+
+    if versions(spark, dst_path):
+        raise FileExistsError(
+            f"snaptable: clone target already exists at {dst_path}"
+        )
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("snaptable: clone takes version OR as_of, not both")
+        version = version_at(spark, src_path, as_of)
+    m = _manifest(spark, src_path, version)
+    if any(e.get("dv") for e in m["files"]):
+        raise ValueError(
+            "snaptable: clone refused — source snapshot carries deletion "
+            "vectors whose sidecar coordinates are source-relative (run "
+            "purge_deletes on the source first)"
+        )
+    src_root = src_path.rstrip("/")
+    if "://" not in src_root:
+        src_root = os.path.abspath(src_root)
+    src_ext = _ext_roots(m)
+    roots: list[str] = []
+
+    def _idx(r: str) -> int:
+        r = r.rstrip("/")
+        if r not in roots:
+            roots.append(r)
+        return roots.index(r)
+
+    files = []
+    seen = set()
+    for e in m["files"]:
+        e = dict(e)
+        owner = src_root if e.get("x") is None else src_ext[e["x"]]
+        e["x"] = _idx(owner)
+        key = (e["x"], e["path"])
+        if key in seen:
+            raise IOError(
+                f"snaptable: clone found duplicate entry {key} in the "
+                f"source manifest — refusing"
+            )
+        seen.add(key)
+        files.append(e)
+    meta = dict(m.get("tbl_meta") or {})
+    if roots:
+        meta["ext_roots"] = roots
+    if not _try_commit(
+        spark, dst_path, 1, sorted(files, key=_erel), m["schema"],
+        f"clone:{src_root}@v{m['version']}", None,
+        m.get("partition_cols", ()), m.get("stats_cols", ()), {},
+        m.get("constraints", {}), tbl_meta=meta or None,
+    ):
+        raise SnapshotConflict(f"snaptable: concurrent create at {dst_path}")
+    return 1
 
 
 def evolve_schema(
@@ -3147,7 +3325,7 @@ def add_bloom_index(
     # map scan URIs back to manifest entries by FULL relative path
     # suffix (shared _rel_resolver contract — see its docstring for why
     # basenames alone are not enough)
-    _match = _rel_resolver(base["files"])
+    _match = _rel_resolver(base["files"], _ext_roots(base))
 
     blooms: dict[str, str] = {}
     unmatched = 0
@@ -3170,9 +3348,9 @@ def add_bloom_index(
     for e in base["files"]:
         e = dict(e)
         bl = dict(e.get("bloom", {}))
-        if e["path"] in blooms:
+        if _erel(e) in blooms:
             bl[col] = {
-                "bits": bits, "k": k, "mask": blooms[e["path"]],
+                "bits": bits, "k": k, "mask": blooms[_erel(e)],
                 "type": "int" if tname != "string" else "string",
             }
         e["bloom"] = bl
@@ -3280,7 +3458,7 @@ def optimize_cluster(
         else [
             e
             for e in base["files"]
-            if e["path"] not in {c["path"] for c in cand}
+            if _erel(e) not in {_erel(c) for c in cand}
         ]
     )
     df = _df_for(spark, path, base, cand)
@@ -3355,7 +3533,7 @@ def _version_delta(
     # exceptAll sides then cancel everything but the dv-deleted rows —
     # still proportional to TOUCHED files.
     def _ekey(e: dict) -> tuple:
-        return (e["path"], tuple(e.get("dv", ())))
+        return (e.get("x"), e["path"], tuple(e.get("dv", ())))
 
     base_keys = {_ekey(e) for e in base["files"]}
     head_keys = {_ekey(e) for e in head["files"]}
@@ -3984,7 +4162,11 @@ def export_file_list(
                     )
                 hive_types[f["name"]] = t
     root = os.path.abspath(path.rstrip("/"))
-    files = sorted(os.path.join(root, e["path"]) for e in m["files"])
+    ext = _ext_roots(m)
+    files = sorted(
+        os.path.join(_entry_root(root, ext, e), e["path"])
+        for e in m["files"]
+    )
     os.makedirs(os.path.join(root, "export"), exist_ok=True)
     dst = os.path.join(root, "export", f"manifest-v{m['version']}.txt")
     tmp = dst + ".tmp"
@@ -4023,10 +4205,12 @@ def table_bytes(spark: SparkSession, path: str, version: int | None = None) -> i
     m = _manifest(spark, path, version)
     fs, Path = _hadoop_fs(spark, path)
     root = path.rstrip("/")
+    ext = _ext_roots(m)
     total = 0
     for e in m["files"]:
         try:
-            total += fs.getFileStatus(Path(f"{root}/{e['path']}")).getLen()
+            groot = _entry_root(root, ext, e)
+            total += fs.getFileStatus(Path(f"{groot}/{e['path']}")).getLen()
         except Exception:
             pass  # racing vacuum: size what survives
     return int(total)
@@ -4555,13 +4739,23 @@ def clone(
     dst: str,
     version: int | None = None,
     as_of=None,
+    shallow: bool = False,
 ) -> int:
-    """Materialize a snapshot of ``src`` as a NEW independent table at
-    ``dst`` (Delta's CLONE / RESTORE-as-new-table): rows come from the
-    chosen version (``version`` or ``as_of`` time travel), partitioning
-    and CHECK constraints carry over, layout is re-derived (deletion
-    vectors materialize away). The clone shares no files with the
-    source — vacuuming either table never affects the other."""
+    """CLONE a snapshot of ``src`` as a NEW independent table at
+    ``dst`` (Delta's CLONE semantics, both modes; deep is the default,
+    like Delta's):
+
+    - DEEP (``shallow=False``): materialize the rows as the clone's own
+      files — O(data), shares nothing with the source; vacuuming
+      either table never affects the other. ``version`` / ``as_of``
+      time-travel; partitioning and CHECK constraints carry over;
+      deletion vectors materialize away.
+    - SHALLOW (``shallow=True``): O(metadata) zero-copy branching via
+      :func:`shallow_clone` — the clone's manifest references the
+      source files in place. See its docstring for the vacuum caveat
+      and the DV refusal contract."""
+    if shallow:
+        return shallow_clone(spark, src, dst, version=version, as_of=as_of)
     if as_of is not None:
         if version is not None:
             raise ValueError("snaptable: pass version OR as_of, not both")
