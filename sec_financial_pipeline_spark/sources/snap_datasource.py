@@ -692,7 +692,9 @@ class SnapStreamReader(DataSourceStreamReader):
             ):
                 prev_keys = {_ekey(e) for e in m["files"]}
                 continue
-            if op not in ("create", "append"):
+            if op not in ("create", "append") and not (
+                v == 1 and op.startswith("clone:")
+            ):
                 if op.startswith("evolve:"):
                     raise ValueError(
                         f"snaptable source: version {v} at {self.path} "

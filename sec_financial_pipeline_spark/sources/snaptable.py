@@ -3656,7 +3656,11 @@ def change_feed(
                 op.startswith("evolve:") or op.startswith("partition-spec:") \
                 or op.startswith("rename:") or op.startswith("drop:"):
             continue
-        if op in ("create", "append"):
+        # a shallow/deep clone's v1 is a create-shaped commit: its
+        # referenced files ARE the inserts (there is no v0 to diff)
+        if op in ("create", "append") or (
+            v == 1 and op.startswith("clone:")
+        ):
             if v == 1:
                 added = m["files"]
             else:

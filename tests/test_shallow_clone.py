@@ -221,3 +221,37 @@ def test_deep_clone_dispatch_unchanged(spark, tmp_path, src):
     T.clone(spark, src, dst2, shallow=True)
     assert not os.path.exists(os.path.join(dst2, "data"))
     assert _ids(spark, dst2) == list(range(150))
+
+
+def test_change_feed_from_zero_treats_clone_v1_as_inserts(spark, tmp_path, src):
+    dst = str(tmp_path / "dst")
+    T.shallow_clone(spark, src, dst)
+    ch = T.change_feed(spark, dst, 0)
+    got = sorted(r.id for r in ch.collect())
+    assert got == list(range(150))
+    assert set(r["_change_type"] for r in ch.collect()) == {"insert"}
+
+
+def test_stream_replay_ships_clone_v1_files(spark, tmp_path, src):
+    dst = str(tmp_path / "dst")
+    T.shallow_clone(spark, src, dst)
+    T.append(_mkdf(spark, 150, 160), dst)
+    from sec_financial_pipeline_spark.sources.snap_datasource import (
+        register_snaptable_source,
+    )
+
+    register_snaptable_source(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("snaptable")
+        .option("startingVersion", "1")
+        .load(dst)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(160))
