@@ -890,3 +890,24 @@ def test_snap_join_chain_via_cli(tmp_path, capsys, spark, sf_dir):
     assert out["planner"] in ("dp", "greedy")
     assert all(r["a"] == 3 for r in out["rows"])
     assert out["steps"][0]["broadcast"] is True
+
+
+def test_snap_clone_via_cli(tmp_path, capsys, spark):
+    """snap clone: deep by default, --shallow = zero-copy branch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    data = str(tmp_path / "d")
+    spark.range(0, 50).select("id", (F.col("id") * 2).alias("v")).write.parquet(data)
+    table = str(tmp_path / "t")
+    _run(capsys, spark, ["snap", "create", "--table", table, "--data", data])
+    deep = str(tmp_path / "deep")
+    res = _run(capsys, spark, ["snap", "clone", "--table", table, "--dst", deep])
+    assert res["mode"] == "deep" and res["rows"] == 50
+    assert os.path.exists(os.path.join(deep, "data"))
+    shallow = str(tmp_path / "shallow")
+    res = _run(capsys, spark, ["snap", "clone", "--table", table,
+                               "--dst", shallow, "--shallow"])
+    assert res["mode"] == "shallow" and res["rows"] == 50
+    assert not os.path.exists(os.path.join(shallow, "data"))

@@ -255,3 +255,37 @@ def test_stream_replay_ships_clone_v1_files(spark, tmp_path, src):
     q.awaitTermination(120)
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == list(range(160))
+
+
+def test_matview_over_shallow_clone_refreshes_incrementally(
+    spark, tmp_path, src
+):
+    # composition: an incrementally-refreshed view on a CLONE tracks
+    # clone-local DML through the change feed without touching source
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    dst = str(tmp_path / "dst")
+    view = str(tmp_path / "view")
+    T.shallow_clone(spark, src, dst)
+    MV.create_matview(
+        spark, dst, view, group_cols=["k"],
+        aggs=[("count", None, "n"), ("sum", "v", "sv")],
+    )
+    def _recompute():
+        return {
+            (r.k): (r.n, r.sv)
+            for r in T.read(spark, dst)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .collect()
+        }
+    def _view():
+        return {
+            (r.k): (r.n, r.sv) for r in MV.read_matview(spark, view).collect()
+        }
+    assert _view() == _recompute()
+    T.append(_mkdf(spark, 150, 170), dst)
+    T.delete_where(spark, dst, "id < 20")
+    MV.refresh_matview(spark, view)
+    assert _view() == _recompute()
+    assert _ids(spark, src) == list(range(150))
