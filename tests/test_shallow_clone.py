@@ -289,3 +289,111 @@ def test_matview_over_shallow_clone_refreshes_incrementally(
     MV.refresh_matview(spark, view)
     assert _view() == _recompute()
     assert _ids(spark, src) == list(range(150))
+
+
+# ---------------------------------------------------------------------------
+# Model-based: random DML interleavings across a source and its
+# shallow clones, each tracked by its own pure-Python model. Pins the
+# isolation contract: no operation on any table ever changes another,
+# clone-side vacuum never breaks anybody, and materializing every
+# clone (compact) makes even a source rewrite + vacuum safe.
+# ---------------------------------------------------------------------------
+
+import tempfile  # noqa: E402
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_CLONE_OPS = st.lists(
+    st.sampled_from(
+        ["src_append", "src_delete", "clone_now", "c_append",
+         "c_delete", "c_delete_dv", "c_update", "c_compact", "c_vacuum"]
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(ops=_CLONE_OPS)
+def test_clone_isolation_matches_python_model(spark, ops):
+    base = tempfile.mkdtemp(prefix="clonemodel_")
+    src = f"{base}/src"
+    rows = {i: i * 10 for i in range(12)}
+    T.create(
+        spark.createDataFrame(
+            [(i, v) for i, v in rows.items()], "id long, v long"
+        ),
+        src,
+    )
+    models = {src: rows}  # path -> {id: v}
+    clones: list[str] = []
+    next_id = 1000
+
+    def check_all():
+        for p, model in models.items():
+            got = {r["id"]: r["v"] for r in T.read(spark, p).collect()}
+            assert got == model, p
+
+    for k, op in enumerate(ops):
+        tgt = clones[k % len(clones)] if clones else None
+        if op == "src_append" or (op.startswith("c_") and tgt is None):
+            new = {i: i * 10 for i in range(next_id, next_id + 5)}
+            next_id += 5
+            T.append(
+                spark.createDataFrame(
+                    [(i, x) for i, x in new.items()], "id long, v long"
+                ),
+                src,
+            )
+            models[src] = {**models[src], **new}
+        elif op == "src_delete":
+            T.delete_where(spark, src, "id % 7 = 3")
+            models[src] = {
+                i: x for i, x in models[src].items() if i % 7 != 3
+            }
+        elif op == "clone_now" and len(clones) < 3:
+            c = f"{base}/c{len(clones)}"
+            T.shallow_clone(spark, src, c)
+            models[c] = dict(models[src])
+            clones.append(c)
+        elif op == "c_append":
+            new = {i: -i for i in range(next_id, next_id + 4)}
+            next_id += 4
+            T.append(
+                spark.createDataFrame(
+                    [(i, x) for i, x in new.items()], "id long, v long"
+                ),
+                tgt,
+            )
+            models[tgt] = {**models[tgt], **new}
+        elif op == "c_delete":
+            T.delete_where(spark, tgt, "id % 3 = 1")
+            models[tgt] = {
+                i: x for i, x in models[tgt].items() if i % 3 != 1
+            }
+        elif op == "c_delete_dv":
+            T.delete_where(spark, tgt, "id % 5 = 2", mode="dv")
+            models[tgt] = {
+                i: x for i, x in models[tgt].items() if i % 5 != 2
+            }
+        elif op == "c_update":
+            T.update_where(spark, tgt, "id % 2 = 0", {"v": "v + 1"})
+            models[tgt] = {
+                i: (x + 1 if i % 2 == 0 else x)
+                for i, x in models[tgt].items()
+            }
+        elif op == "c_compact":
+            T.compact(spark, tgt, target_files=1)
+        elif op == "c_vacuum":
+            T.vacuum(spark, tgt, keep_last=1, min_age_sec=0.0)
+        check_all()
+    # endgame: materialize every clone, then a source rewrite + source
+    # vacuum must leave every clone intact (the documented converge)
+    for c in clones:
+        T.compact(spark, c, target_files=1)
+    T.overwrite(
+        spark.createDataFrame([(0, 0)], "id long, v long"), src
+    )
+    models[src] = {0: 0}
+    T.vacuum(spark, src, keep_last=1, min_age_sec=0.0)
+    check_all()
