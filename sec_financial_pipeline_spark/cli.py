@@ -425,6 +425,14 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             # count a concurrent commit's rows under this version number
             "rows": T.read(spark, args.table, version=v).count(),
         }
+    if args.snap_cmd == "tag":
+        if args.tag_cmd == "add":
+            v = T.tag(spark, args.table, args.name, version=args.version)
+            return {"table": args.table, "tag": args.name, "version": v}
+        if args.tag_cmd == "list":
+            return {"table": args.table, "tags": T.tags(spark, args.table)}
+        v = T.delete_tag(spark, args.table, args.name)  # rm
+        return {"table": args.table, "tag": args.name, "unpinned": v}
     if args.snap_cmd == "clone":
         v = T.clone(
             spark, args.table, args.dst,
@@ -1028,6 +1036,20 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 help="comma-separated partition columns (fixed for the "
                 "table's lifetime; appends inherit them)",
             )
+    stg = snap_sub.add_parser(
+        "tag",
+        help="named snapshot pins (vacuum retains tagged versions)",
+    )
+    stg_sub = stg.add_subparsers(dest="tag_cmd", required=True)
+    sta = stg_sub.add_parser("add")
+    sta.add_argument("--table", required=True)
+    sta.add_argument("--name", required=True)
+    sta.add_argument("--version", type=int, default=None)
+    stl = stg_sub.add_parser("list")
+    stl.add_argument("--table", required=True)
+    str_ = stg_sub.add_parser("rm")
+    str_.add_argument("--table", required=True)
+    str_.add_argument("--name", required=True)
     scl2 = snap_sub.add_parser(
         "clone",
         help="clone a snapshot to a new table (deep copy by default; "

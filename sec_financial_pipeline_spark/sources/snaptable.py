@@ -1110,19 +1110,23 @@ def read(
     path: str,
     version: int | None = None,
     as_of=None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read: resolve one manifest, scan exactly its
     files. ``version=None`` reads the head; any retained version time-
     travels; ``as_of`` (epoch seconds, ISO 'YYYY-MM-DD[ HH:MM:SS]'
     string, or datetime — Delta's TIMESTAMP AS OF) resolves the latest
-    version committed at or before that instant. An empty snapshot
-    returns an empty DataFrame carrying the schema the manifest
-    recorded."""
-    if as_of is not None:
-        if version is not None:
-            raise ValueError(
-                "snaptable: pass version OR as_of, not both"
-            )
+    version committed at or before that instant; ``tag`` resolves a
+    named pin (:func:`tag` — Iceberg's VERSION AS OF a tag). An empty
+    snapshot returns an empty DataFrame carrying the schema the
+    manifest recorded."""
+    if sum(x is not None for x in (version, as_of, tag)) > 1:
+        raise ValueError(
+            "snaptable: pass at most one of version / as_of / tag"
+        )
+    if tag is not None:
+        version = resolve_tag(spark, path, tag)
+    elif as_of is not None:
         version = version_at(spark, path, as_of)
     return _df_for(spark, path, _manifest(spark, path, version))
 
@@ -2705,6 +2709,82 @@ def auto_maintain(
         if n:
             actions.append({"action": "vacuum", "reaped": n})
     return {"table": path, "actions": actions}
+
+
+_TAG_NAME = _re.compile(r"^[A-Za-z0-9._-]{1,128}$")
+
+
+def tag(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> int:
+    """Pin a snapshot under a NAME (Iceberg's tags): a tagged version
+    is resolvable by name (:func:`resolve_tag`, ``read(tag=)``) and —
+    the part that matters operationally — is RETAINED BY VACUUM
+    regardless of ``keep_last``, so a release/audit/experiment pin
+    survives routine maintenance. Tags are immutable create-once
+    markers (atomic create, one file per tag — concurrent taggers of
+    the same name race safely, exactly one wins); re-pointing a name
+    is an explicit :func:`delete_tag` + re-tag. Returns the pinned
+    version (default: current head)."""
+    if not _TAG_NAME.match(name or ""):
+        raise ValueError(
+            f"snaptable: tag name must match [A-Za-z0-9._-]{{1,128}}, "
+            f"got {name!r}"
+        )
+    vs = versions(spark, path)
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(
+            f"snaptable: cannot tag version {v} at {path} — not a "
+            f"retained version (have {vs})"
+        )
+    fs, Path = _hadoop_fs(spark, path)
+    from sec_financial_pipeline_spark.sources.sink import atomic_create as _ac
+
+    body = json.dumps(
+        {"name": name, "version": v, "created_at": int(time.time())}
+    ).encode("utf-8")
+    target = f"{path.rstrip('/')}/{_SNAPDIR}/tag-{name}.json"
+    if not _ac(fs, Path, target, body):
+        raise FileExistsError(
+            f"snaptable: tag {name!r} already exists at {path} "
+            f"(delete_tag first to re-point it)"
+        )
+    return v
+
+
+def tags(spark: SparkSession, path: str) -> dict:
+    """All tags as ``{name: version}``."""
+    fs, Path = _hadoop_fs(spark, path)
+    root = Path(f"{path.rstrip('/')}/{_SNAPDIR}")
+    out = {}
+    if not fs.exists(root):
+        return out
+    for st in fs.listStatus(root):
+        n = st.getPath().getName()
+        if n.startswith("tag-") and n.endswith(".json"):
+            body = _read_json(spark, st.getPath().toString())
+            out[body["name"]] = int(body["version"])
+    return out
+
+
+def resolve_tag(spark: SparkSession, path: str, name: str) -> int:
+    """Version a tag pins; loud on unknown names."""
+    got = tags(spark, path)
+    if name not in got:
+        raise ValueError(
+            f"snaptable: no tag {name!r} at {path} (have {sorted(got)})"
+        )
+    return got[name]
+
+
+def delete_tag(spark: SparkSession, path: str, name: str) -> int:
+    """Remove a tag (its version becomes vacuumable again once outside
+    ``keep_last``). Returns the version it pinned; loud on unknowns."""
+    v = resolve_tag(spark, path, name)
+    fs, Path = _hadoop_fs(spark, path)
+    fs.delete(Path(f"{path.rstrip('/')}/{_SNAPDIR}/tag-{name}.json"), False)
+    return v
 
 
 def rollback(spark: SparkSession, path: str, to_version: int) -> int:
@@ -4798,7 +4878,11 @@ def vacuum(
     vs = versions(spark, path)
     if not vs:
         return 0
-    retained = vs[-keep_last:] if keep_last > 0 else vs[-1:]
+    retained = set(vs[-keep_last:] if keep_last > 0 else vs[-1:])
+    # tagged versions are PINNED: a named release/audit snapshot
+    # survives routine maintenance regardless of keep_last
+    retained |= {v for v in tags(spark, path).values() if v in vs}
+    retained = sorted(retained)
     if not dry_run:
         for v in vs:
             if v not in retained:
