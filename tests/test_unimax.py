@@ -125,3 +125,43 @@ def test_explicit_budget_overrides_one_epoch_default(spark):
     assert r["threshold"] == 1205
     assert r["n_selected"] == 2 * 50 + 21  # 20 docs = 200 chars, 21st starts at 200 < 205
     assert r["rate"] == round(1205 / 500, 6)
+
+
+# hypothesis property sweep over random count/cap/budget shapes
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_COUNTS = st.lists(
+    st.tuples(st.integers(0, 10**6)), min_size=1, max_size=8
+).map(lambda xs: [(f"s{i}", c[0] + 1) for i, c in enumerate(xs)])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=_COUNTS,
+    budget=st.integers(0, 4 * 10**6),
+    epochs=st.sampled_from([0.25, 0.5, 1.0, 1.2, 2.0, 5.0]),
+)
+def test_allocation_invariants(counts, budget, epochs):
+    import math
+
+    q = unimax_allocation(counts, budget, epochs)
+    caps = {s: int(math.floor(epochs * c)) for s, c in counts}
+    # every stratum allocated, never past its cap, never negative
+    assert set(q) == {s for s, _ in counts}
+    assert all(0 <= q[s] <= caps[s] for s in q)
+    # never over budget; budget fully used unless every leftover
+    # stratum is cap-bound (the largest-cap stratum absorbs remainders)
+    spent = sum(q.values())
+    assert spent <= budget
+    if spent < budget:
+        assert all(q[s] == caps[s] for s in q), (
+            "unused budget with an uncapped stratum"
+        )
+    # water-level monotonicity: in cap order the allocation never
+    # decreases (shares only grow as caps bind; a cap-bound stratum's
+    # cap is >= every earlier stratum's quota by the sort)
+    by_cap = sorted(q, key=lambda s: (caps[s], s))
+    for a, b in zip(by_cap, by_cap[1:]):
+        assert q[b] >= q[a], (a, b, q, caps)
+    # exact idempotence: same inputs, same dict
+    assert unimax_allocation(counts, budget, epochs) == q
