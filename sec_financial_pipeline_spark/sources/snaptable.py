@@ -1122,7 +1122,7 @@ def read(
     manifest recorded."""
     if sum(x is not None for x in (version, as_of, tag)) > 1:
         raise ValueError(
-            "snaptable: pass at most one of version / as_of / tag"
+            "snaptable: pass version OR as_of OR tag, not both"
         )
     if tag is not None:
         version = resolve_tag(spark, path, tag)

@@ -66,7 +66,7 @@ def test_read_rejects_combined_selectors(spark, tmp_path):
     p = str(tmp_path / "t")
     T.create(spark.range(3).select("id"), p)
     T.tag(spark, p, "a")
-    with pytest.raises(ValueError, match="at most one"):
+    with pytest.raises(ValueError, match="not both"):
         T.read(spark, p, version=1, tag="a")
 
 
