@@ -296,7 +296,36 @@ def main() -> None:
         # comparisons need the load recorded to be normalizable.
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }
-    print(json.dumps(out))
+    # The driver records only the last ~2000 chars of stdout, and the
+    # full record (per-row plan metrics + three per-row timing columns)
+    # outgrew that window at r8 — BENCH_r08/09/10 all parsed as null
+    # (VERDICT r10 item 1). Split the output: the FULL per-row JSON is
+    # written to BENCH_FULL.json next to this script, and the LAST
+    # stdout line is a compact summary (driver-contract keys `metric`/
+    # `value`/`unit`/`queries`/`sf` plus the three totals and load
+    # context) that fits the tail window.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": timings,
+        "min_of_2_total": out["min_of_2_total"],
+        "compute_only_total": out["compute_only_total"],
+        "n_rows": len(timings),
+        "sf": sf,
+        "loadavg_1m": out["loadavg_1m"],
+        "full_record": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never outgrow the window again
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    sys.stderr.write(f"full bench record written to {full_path}\n")
+    print(line)
     spark.stop()
 
 

@@ -347,9 +347,13 @@ def unimax_stats(
         r["s"]: (int(r["chars"]), int(r["n"]), int(r["ids"]))
         for r in df.groupBy(F.col(stratum).alias("s"))
         .agg(
-            F.sum(F.col(weight).cast("long")).alias("chars"),
+            F.coalesce(F.sum(F.col(weight).cast("long")), F.lit(0)).alias(
+                "chars"
+            ),
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col(key).cast("long")).alias("ids"),
+            F.coalesce(F.sum(F.col(key).cast("long")), F.lit(0)).alias(
+                "ids"
+            ),
         )
         .collect()
     }
@@ -378,7 +382,14 @@ def unimax_stats(
     docs = df.select(
         stratum, key, F.col(weight).cast("long").alias("__w")
     ).withColumn("__before", F.coalesce(F.sum("__w").over(w), F.lit(0)))
-    picked = F.col("__before") < F.col("quota") % F.col("chars")
+    # A stratum whose rows all carry weight 0 has chars == 0: `quota %
+    # chars` / `quota div chars` would divide by zero and NULL the
+    # stratum's n_selected/checksum silently (ADVICE r10). Such a
+    # stratum has nothing selectable — emit explicit zeros instead.
+    nonzero = F.col("chars") > 0
+    picked = nonzero & (
+        F.col("__before") < F.col("quota") % F.col("chars")
+    )
     par = (
         docs.join(F.broadcast(meta.select(stratum, "quota", "chars")), stratum)
         .groupBy(stratum)
@@ -389,17 +400,24 @@ def unimax_stats(
             ),
         )
     )
-    full = F.expr("quota div chars")
+    full = F.when(nonzero, F.expr("quota div chars")).otherwise(F.lit(0))
     return (
         meta.join(par, stratum)
         .select(
             stratum,
             F.col("n_docs"),
             F.col("quota").alias("threshold"),
-            (full * F.col("n_docs") + F.col("__p_n")).alias("n_selected"),
-            (full * F.col("ids") + F.col("__p_ids")).alias("checksum"),
-            F.round(F.col("quota").cast("double") / F.col("chars"), 6).alias(
-                "rate"
-            ),
+            (full * F.col("n_docs") + F.coalesce(F.col("__p_n"), F.lit(0)))
+            .alias("n_selected"),
+            (full * F.col("ids") + F.coalesce(F.col("__p_ids"), F.lit(0)))
+            .alias("checksum"),
+            F.when(
+                nonzero,
+                F.round(
+                    F.col("quota").cast("double") / F.col("chars"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rate"),
         )
     )

@@ -1594,11 +1594,20 @@ def _rel_resolver(entries: list[dict], ext_roots: list[str] | tuple = ()):
 
     def resolve(uri: str) -> str | None:
         dec = _unquote(uri)
+        # Prefer the LONGEST matching suffix, not the first in manifest
+        # order (ADVICE r10): an external entry's suffix carries its
+        # absolute root, so when a local and an external entry share an
+        # identical rel path the longer (external) suffix wins
+        # deterministically instead of depending on list order.
+        best: str | None = None
+        best_len = -1
         for name in {uri.rsplit("/", 1)[-1], dec.rsplit("/", 1)[-1]}:
             for suffix, key in cands.get(name, ()):
-                if uri.endswith(suffix) or dec.endswith(suffix):
-                    return key
-        return None
+                if (uri.endswith(suffix) or dec.endswith(suffix)) and len(
+                    suffix
+                ) > best_len:
+                    best, best_len = key, len(suffix)
+        return best
 
     return resolve
 
@@ -4880,7 +4889,13 @@ def vacuum(
         return 0
     retained = set(vs[-keep_last:] if keep_last > 0 else vs[-1:])
     # tagged versions are PINNED: a named release/audit snapshot
-    # survives routine maintenance regardless of keep_last
+    # survives routine maintenance regardless of keep_last. Tags are
+    # re-read HERE, immediately before the deletion pass, to narrow the
+    # tag/vacuum race (ADVICE r10): a tag created after this read and
+    # before the manifest delete below can still lose its pin — that
+    # residual window is inherent to a lockless store and is why
+    # ``min_age_sec`` exists (tag a version older than the guard only
+    # when no vacuum is concurrently running).
     retained |= {v for v in tags(spark, path).values() if v in vs}
     retained = sorted(retained)
     if not dry_run:

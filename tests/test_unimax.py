@@ -127,6 +127,30 @@ def test_explicit_budget_overrides_one_epoch_default(spark):
     assert r["rate"] == round(1205 / 500, 6)
 
 
+def test_zero_weight_stratum_emits_zeros_not_nulls(spark):
+    # ADVICE r10: a stratum whose rows all weigh 0 used to divide by
+    # zero in `quota % chars` / `quota div chars`, silently NULLing its
+    # n_selected/checksum. It must report an explicit empty selection.
+    rows = [(1, "live", 100), (2, "live", 60), (3, "dead", 0), (4, "dead", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {
+        r["lang"]: r.asDict()
+        for r in unimax_stats(
+            df, key="doc_id", stratum="lang", weight="n_chars",
+            epochs_cap=2.0, salt="z",
+        ).collect()
+    }
+    dead = got["dead"]
+    assert dead["n_docs"] == 2
+    assert dead["threshold"] == 0
+    assert dead["n_selected"] == 0
+    assert dead["checksum"] == 0
+    assert dead["rate"] == 0.0
+    live = got["live"]
+    assert live["n_selected"] is not None and live["n_selected"] >= 2
+    assert live["checksum"] is not None
+
+
 # hypothesis property sweep over random count/cap/budget shapes
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
