@@ -84,6 +84,12 @@ HEADLINE = [
     # line dedup: segment explode -> per-line distinct-doc counts ->
     # anti-join drop -> ordered reassembly) becomes regression-visible.
     "doc_boilerplate",
+    # round-11: unigram-LM tokenizer training (Kudo 2018 Viterbi-EM,
+    # the `unigram` section of doc_pack_chunks) as its own constituent
+    # row so in-query training cost stays regression-visible — the
+    # doc_pack_chunks bench row keeps timing the pure offsets plan
+    # like-for-like. NEW row: shared-row totals vs r10 exclude it.
+    "unigram_train",
     # round-8 widening 2: the snapshot-table change feed — manifest
     # resolution + file-set diff + exceptAll cancellation + aggregation
     # over a 3-version table (the warm-up call builds it once under the
@@ -130,6 +136,8 @@ def _headline_fns():
         # concat-chunk offsets plan under the historical name so the
         # pack row stays like-for-like round-over-round.
         "doc_pack_chunks": llm_text.q_doc_pack_offsets,
+        # r11: the unigram tokenizer section, timed standalone
+        "unigram_train": llm_text.q_doc_unigram,
         # r8: likewise, the clusters registry row gained the
         # leakage_split section (a second CC pass); the bench row keeps
         # timing the pure transitive-closure constituent.

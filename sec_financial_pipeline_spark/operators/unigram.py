@@ -1,0 +1,299 @@
+"""Distributed unigram-LM (SentencePiece-style) tokenizer training —
+the EM sibling of BPE (Kudo 2018, arXiv:1804.10959; ``operators/
+bpe.py`` is Sennrich 2016 — together they are the two vocabularies a
+real training-data pipeline learns). Hard-EM (Viterbi) variant: the
+E-step segments each DISTINCT word with the current piece scores, the
+M-step re-scores pieces from freq-weighted usage counts.
+
+Why this shape scales to 100 TB (the same reduction as BPE):
+
+- **Training runs on the word-frequency table, not the corpus.** One
+  corpus-wide shuffle collapses 100 TB to its distinct-word table;
+  every EM iteration touches ONLY that table.
+- **The E-step is a codegen'd fold, not a UDF.** Viterbi over a word's
+  positions is sequential — but over a SMALL bounded sequence (words
+  capped at ``max_word_len`` chars), which is exactly what
+  ``F.aggregate`` expresses JVM-side. Candidate edges come from a span
+  explode joined (broadcast) against the piece-score table, collected
+  per word as a bounded array.
+- **The M-step is one shuffled aggregation** (explode used pieces,
+  groupBy piece, freq-weighted sum). The piece table never collects to
+  the driver during training.
+- **Integer milli-nat scores** (the ``operators/lm.py`` firewall): JVM
+  and libm ``ln`` agree on integers' logarithms up to 1 ulp; rounding
+  each ``ln(count) - ln(total)`` to an integer once makes every
+  Viterbi total an exact BIGINT sum — order-independent,
+  partition-count-independent, and replayable bit-for-bit by a DuckDB
+  oracle that unrolls the same positions/iterations in SQL.
+
+Determinism contract (mirrored by the oracle in
+``registry/llm_text.py``):
+
+- words are whitespace-split and TRUNCATED to ``max_word_len`` chars
+  before counting;
+- the seed vocabulary is every substring of length 2..``max_piece_len``
+  with freq-weighted occurrence count >= ``min_seed_count``, plus ALL
+  single characters (coverage guarantee);
+- Viterbi ties break toward the LONGER piece (larger last-step m);
+  equal totals at equal m are the same piece, so the argmax is total
+  order — ``array_max`` over (total, m) structs;
+- after each M-step, single-character pieces are floored at count 1
+  (add-one smoothing only where coverage needs it) and zero-count
+  multi-char pieces drop out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: ASCII-whitespace split, same contract as operators/bpe.py.
+_WORD_SPLIT = r"\s+"
+
+
+def _milli_ln_ratio(cnt: Column, total: Column) -> Column:
+    """``round(1000 * (ln(cnt) - ln(total)))`` as BIGINT — both engines
+    take ln of exact integers, the round happens once."""
+    return F.round(
+        (F.log(cnt.cast("double")) - F.log(total.cast("double"))) * 1000.0
+    ).cast("long")
+
+
+def unigram_words(
+    df: DataFrame, text_col: str, max_word_len: int = 12
+) -> DataFrame:
+    """``(word, freq)`` with words truncated to ``max_word_len`` chars
+    — the one corpus-wide shuffle unigram training ever does."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.col(text_col)), _WORD_SPLIT)
+            ).alias("w0")
+        )
+        .filter(F.col("w0") != "")
+        .select(F.substring("w0", 1, max_word_len).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _spans(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """(word, freq, i, m, piece) for every start position ``i`` and
+    span length ``m <= max_piece_len`` — the candidate-edge universe
+    for both seeding and the E-step. Bounded: <= len * M rows per
+    word."""
+    return words.select(
+        "word",
+        "freq",
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(sequence(1, length(word)), i ->
+                  transform(sequence(1, least({max_piece_len},
+                                              length(word) - i + 1)), m ->
+                    struct(i AS i, m AS m,
+                           substring(word, i, m) AS piece))))
+                """
+            )
+        ).alias("e"),
+    ).select("word", "freq", "e.i", "e.m", "e.piece")
+
+
+def _with_scores(counts: DataFrame) -> DataFrame:
+    """(piece, cnt, score): milli-nat log-prob against the table's own
+    total. The total rides in as a broadcast 1-row join (no collect)."""
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        _milli_ln_ratio(F.col("cnt"), F.col("__total")).alias("score"),
+    )
+
+
+def seed_counts(
+    words: DataFrame, max_piece_len: int = 3, min_seed_count: int = 2
+) -> DataFrame:
+    """Seed vocabulary counts: freq-weighted substring occurrences
+    (overlaps counted), multi-char pieces gated at ``min_seed_count``,
+    single chars always kept."""
+    return (
+        _spans(words, max_piece_len)
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .filter(
+            (F.length("piece") == 1) | (F.col("cnt") >= min_seed_count)
+        )
+    )
+
+
+def _viterbi_pieces(words: DataFrame, scores: DataFrame,
+                    max_piece_len: int) -> DataFrame:
+    """E-step: (word, freq, piece) — one row per piece USE in each
+    word's best segmentation under ``scores``. All JVM-side: span
+    explode -> broadcast join -> per-word edge array -> forward fold
+    (best totals + backpointers) -> backtrace fold."""
+    edges = (
+        _spans(words, max_piece_len)
+        .join(F.broadcast(scores.select("piece", "score")), "piece")
+        .select(
+            "word",
+            "freq",
+            (F.col("i") + F.col("m") - 1).alias("end"),
+            "m",
+            F.col("score").alias("s"),
+        )
+    )
+    g = edges.groupBy("word", "freq").agg(
+        F.sort_array(F.collect_list(F.struct("end", "m", "s"))).alias("es")
+    )
+
+    def _cand(acc, i, m):
+        # total score of reaching position i via a final piece of
+        # length m: best[i-m] + score(word[i-m+1 .. i]); NULL if the
+        # piece is unscored or m > i
+        s = F.get(
+            F.filter(
+                F.col("es"),
+                lambda e: (e["end"] == i) & (e["m"] == F.lit(m)),
+            ),
+            0,
+        )["s"]
+        prev = (
+            F.when(i == F.lit(m), F.lit(0).cast("long"))
+            .when(i > F.lit(m), F.element_at(acc, (i - F.lit(m))
+                                             .cast("int"))["b"])
+        )
+        return F.struct(
+            (prev + s).alias("b"), F.lit(m).alias("bm")
+        )
+
+    def _step(acc, i):
+        cands = F.filter(
+            F.array(*[_cand(acc, i, m) for m in range(1, max_piece_len + 1)]),
+            lambda c: c["b"].isNotNull(),
+        )
+        return F.concat(acc, F.array(F.array_max(cands)))
+
+    vit = g.withColumn(
+        "vit",
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("word")),
+            F.array().cast("array<struct<b: bigint, bm: int>>"),
+            _step,
+        ),
+    )
+
+    def _back(st, _):
+        pos = st["pos"]
+        bm = F.element_at(F.col("vit"), pos.cast("int"))["bm"]
+        piece = F.substring(F.col("word"), pos - bm + 1, bm)
+        return F.when(pos <= 0, st).otherwise(
+            F.struct(
+                (pos - bm).alias("pos"),
+                F.concat(st["ps"], F.array(piece)).alias("ps"),
+            )
+        )
+
+    segged = vit.withColumn(
+        "pieces",
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("word")),
+            F.struct(
+                F.length("word").cast("int").alias("pos"),
+                F.array().cast("array<string>").alias("ps"),
+            ),
+            _back,
+            lambda st: st["ps"],
+        ),
+    )
+    return segged.select(
+        "word", "freq", F.explode("pieces").alias("piece")
+    )
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str,
+    iters: int = 2,
+    max_piece_len: int = 3,
+    max_word_len: int = 12,
+    min_seed_count: int = 2,
+) -> DataFrame:
+    """Learn unigram piece scores by ``iters`` rounds of Viterbi-EM.
+    Returns the final ``(piece, cnt, score)`` table (distributed; the
+    caller ranks/caps it). ``cnt`` after an M-step is the freq-weighted
+    number of times the piece was used in best segmentations (floored
+    at 1 for single chars)."""
+    words = unigram_words(df, text_col, max_word_len).persist()
+    words.count()
+    chars = (
+        words.select(
+            F.explode(F.split(F.col("word"), "")).alias("piece")
+        )
+        .filter(F.col("piece") != "")
+        .distinct()
+    )
+    try:
+        counts = seed_counts(words, max_piece_len, min_seed_count)
+        for _ in range(iters):
+            scores = _with_scores(counts)
+            used = (
+                _viterbi_pieces(words, scores, max_piece_len)
+                .groupBy("piece")
+                .agg(F.sum("freq").alias("cnt"))
+            )
+            # coverage floor: every single char survives with >= 1
+            counts = (
+                used.join(chars.withColumn("__c", F.lit(1)), "piece",
+                          "full_outer")
+                .select(
+                    "piece",
+                    F.when(
+                        F.col("__c").isNotNull(),
+                        F.greatest(F.coalesce("cnt", F.lit(0)), F.lit(1)),
+                    )
+                    .otherwise(F.col("cnt"))
+                    .cast("long")
+                    .alias("cnt"),
+                )
+                .filter(F.col("cnt") > 0)
+            )
+        return _with_scores(counts)
+    finally:
+        words.unpersist()
+
+
+def unigram_report(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 64,
+    iters: int = 2,
+    max_piece_len: int = 3,
+    max_word_len: int = 12,
+    min_seed_count: int = 2,
+) -> DataFrame:
+    """Bounded report for the oracle row: the ``top_k`` pieces by
+    (cnt desc, piece asc) with their milli-nat scores and rank.
+    Heap top-k first (``orderBy().limit`` = TakeOrderedAndProject — no
+    global sort), then rank as a preceding-row count over the BOUNDED
+    winner set (broadcast self-join), so the plan carries zero
+    unpartitioned WindowExecs — the registry-wide plan gate."""
+    scored = train_unigram(
+        df, text_col, iters=iters, max_piece_len=max_piece_len,
+        max_word_len=max_word_len, min_seed_count=min_seed_count,
+    )
+    top = scored.orderBy(
+        F.col("cnt").desc(), F.col("piece").asc()
+    ).limit(top_k)
+    prev = top.select(
+        F.col("cnt").alias("__c2"), F.col("piece").alias("__p2")
+    )
+    precedes = (F.col("__c2") > F.col("cnt")) | (
+        (F.col("__c2") == F.col("cnt")) & (F.col("__p2") < F.col("piece"))
+    )
+    return (
+        top.join(F.broadcast(prev), precedes, "left")
+        .groupBy("piece", "cnt", "score")
+        .agg((F.count("__p2") + 1).cast("int").alias("rank"))
+        .select("rank", "piece", "cnt", "score")
+    )

@@ -1193,7 +1193,188 @@ _PACK_ROW_SCHEMA = [
     ("batch_capacity", "bigint"),
     ("batch_no", "bigint"),
     ("padded_tokens", "bigint"),
+    # unigram-LM tokenizer section (operators/unigram.py)
+    ("rank", "int"),
+    ("piece", "string"),
+    ("cnt", "bigint"),
+    ("score", "bigint"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer training — the
+# EM sibling of BPE (operators/unigram.py), as the `unigram` section of
+# doc_pack_chunks (the token-family row). The trainer runs IN-QUERY
+# over a deterministic fourth of the corpus (SentencePiece itself
+# samples sentences for training); the oracle below is MECHANICALLY
+# GENERATED step-unrolled SQL — every Viterbi position of every EM
+# iteration replayed as CTE stages on the same integer milli-nat
+# scores, so the match is bit-exact, the same adjudication shape as the
+# classifier's unrolled GD oracle.
+# ---------------------------------------------------------------------------
+
+_UNI_ITERS = 2
+_UNI_M = 3       # max piece length
+_UNI_W = 12      # words truncated to this many chars
+_UNI_MINSEED = 2
+_UNI_TOPK = 64
+_UNI_SAMPLE = "doc_id % 4 = 0"
+
+
+def _unigram_oracle_sql(
+    iters: int = _UNI_ITERS,
+    W: int = _UNI_W,
+    M: int = _UNI_M,
+    min_seed: int = _UNI_MINSEED,
+    top_k: int = _UNI_TOPK,
+) -> str:
+    """Unrolled DuckDB replay of operators/unigram.py::train_unigram:
+    seed substring counts, then per EM iteration one score CTE, one
+    edge CTE, W Viterbi-position CTEs (argmax by (total, m) via a
+    per-word window), W backtrace CTEs, and the M-step count CTE with
+    the single-char coverage floor. Integer milli-nats throughout —
+    both engines take ln of exact integers and round once."""
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT substr(w, 1, {W}) AS word FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents WHERE {_UNI_SAMPLE}
+  ) WHERE w <> ''
+)""",
+        """words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w0 GROUP BY word
+)""",
+        f"""spans AS MATERIALIZED (
+  SELECT word, freq, i, m, substr(word, i, m) AS piece
+  FROM words, range(1, {W + 1}) t1(i), range(1, {M + 1}) t2(m)
+  WHERE i <= length(word) AND m <= length(word) - i + 1
+)""",
+        f"""cnt1 AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM spans GROUP BY piece
+  HAVING length(piece) = 1 OR sum(freq) >= {min_seed}
+)""",
+        """chars AS (SELECT piece FROM cnt1 WHERE length(piece) = 1)""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""sc{t} AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(round((ln(CAST(cnt AS DOUBLE)) -
+                     ln(CAST((SELECT sum(cnt) FROM cnt{t}) AS DOUBLE)))
+                    * 1000.0) AS BIGINT) AS score
+  FROM cnt{t}
+)"""
+        )
+        ctes.append(
+            f"""ed{t} AS MATERIALIZED (
+  SELECT s.word, s.i + s.m - 1 AS e, s.m, c.score AS sv
+  FROM spans s JOIN sc{t} c ON c.piece = s.piece
+)"""
+        )
+        for i in range(1, W + 1):
+            branches = []
+            for m in range(1, min(M, i) + 1):
+                if m == i:
+                    branches.append(
+                        f"""      SELECT e.word, e.sv AS tot, {m} AS m
+      FROM ed{t} e WHERE e.e = {i} AND e.m = {m}"""
+                    )
+                else:
+                    branches.append(
+                        f"""      SELECT p.word, p.best + e.sv AS tot, {m} AS m
+      FROM v{t}_{i - m} p
+      JOIN ed{t} e ON e.word = p.word AND e.e = {i} AND e.m = {m}"""
+                    )
+            union = "\n      UNION ALL\n".join(branches)
+            ctes.append(
+                f"""v{t}_{i} AS MATERIALIZED (
+  SELECT word, tot AS best, m AS bm FROM (
+    SELECT word, tot, m,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY tot DESC, m DESC) AS rn
+    FROM (
+{union}
+    )
+  ) WHERE rn = 1
+)"""
+            )
+        vt_union = "\n  UNION ALL\n".join(
+            f"  SELECT word, {i} AS i, best, bm FROM v{t}_{i}"
+            for i in range(1, W + 1)
+        )
+        ctes.append(f"vt{t} AS (\n{vt_union}\n)")
+        ctes.append(
+            f"""bt{t}_0 AS MATERIALIZED (
+  SELECT word, freq, CAST(length(word) AS INT) AS pos FROM words
+)"""
+        )
+        for k in range(1, W + 1):
+            ctes.append(
+                f"""bt{t}_{k} AS MATERIALIZED (
+  SELECT b.word, b.freq, CAST(b.pos - v.bm AS INT) AS pos,
+         substr(b.word, b.pos - v.bm + 1, v.bm) AS piece
+  FROM bt{t}_{k - 1} b JOIN vt{t} v ON v.word = b.word AND v.i = b.pos
+  WHERE b.pos > 0
+)"""
+            )
+        bt_union = "\n    UNION ALL\n".join(
+            f"    SELECT freq, piece FROM bt{t}_{k}" for k in range(1, W + 1)
+        )
+        ctes.append(
+            f"""use{t} AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+{bt_union}
+  ) GROUP BY piece
+)"""
+        )
+        ctes.append(
+            f"""cnt{t + 1} AS MATERIALIZED (
+  SELECT coalesce(u.piece, c.piece) AS piece,
+         CAST(CASE WHEN c.piece IS NOT NULL
+              THEN greatest(coalesce(u.cnt, 0), 1)
+              ELSE u.cnt END AS BIGINT) AS cnt
+  FROM use{t} u FULL OUTER JOIN chars c ON c.piece = u.piece
+  WHERE (CASE WHEN c.piece IS NOT NULL
+         THEN greatest(coalesce(u.cnt, 0), 1)
+         ELSE u.cnt END) > 0
+)"""
+        )
+    final = iters + 1
+    ctes.append(
+        f"""sc{final} AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(round((ln(CAST(cnt AS DOUBLE)) -
+                     ln(CAST((SELECT sum(cnt) FROM cnt{final}) AS DOUBLE)))
+                    * 1000.0) AS BIGINT) AS score
+  FROM cnt{final}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(rank AS INT) AS rank, piece, cnt, score FROM (
+  SELECT piece, cnt, score,
+         row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rank
+  FROM sc{final}
+) WHERE rank <= {top_k}"""
+    )
+
+
+_UNIGRAM_ORACLE = _unigram_oracle_sql()
+
+
+def q_doc_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.unigram import (
+        unigram_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(_UNI_SAMPLE)
+    return unigram_report(
+        d, "text", top_k=_UNI_TOPK, iters=_UNI_ITERS,
+        max_piece_len=_UNI_M, max_word_len=_UNI_W,
+        min_seed_count=_UNI_MINSEED,
+    )
 
 
 @register(
@@ -1211,6 +1392,11 @@ _PACK_ROW_SCHEMA = [
                 ["doc_id", "n_tok", "band", "batch_capacity", "batch_no",
                  "padded_tokens"],
             ),
+            (
+                "unigram",
+                _UNIGRAM_ORACLE,
+                ["rank", "piece", "cnt", "score"],
+            ),
         ],
         _PACK_ROW_SCHEMA,
     ),
@@ -1220,6 +1406,9 @@ _PACK_ROW_SCHEMA = [
         " + length-bucketed padded-batch assembly (pad-to-multiple"
         " bands, per-band capacity under a token budget, deterministic"
         " batch ids from band-partitioned ranks)"
+        " + unigram-LM tokenizer training (Kudo 2018 Viterbi-EM over"
+        " the word-frequency table; integer milli-nat scores; oracle ="
+        " mechanically unrolled per-position SQL replay)"
     ),
 )
 def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1227,6 +1416,7 @@ def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("offsets", q_doc_pack_offsets(spark, sf_dir)),
             ("batches", q_doc_length_batches(spark, sf_dir)),
+            ("unigram", q_doc_unigram(spark, sf_dir)),
         ],
         _PACK_ROW_SCHEMA,
     )

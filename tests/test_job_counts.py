@@ -44,6 +44,10 @@ def _jobs_for(spark, name, fn):
         # merge + view read) schedules a FIXED 15 jobs at any source
         # size — the job-count form of PERF.md's O(delta) claim
         ("matview_refresh", 20),
+        # unigram-LM Viterbi-EM training: 23 jobs measured at sf0.01
+        # warm (seed + 2 E/M rounds + top-k); per-round job count is
+        # iteration-bound, independent of corpus size
+        ("unigram_train", 30),
     ],
 )
 def test_job_count_ceiling(spark, name, ceiling):
@@ -55,9 +59,14 @@ def test_job_count_ceiling(spark, name, ceiling):
         q_doc_dup_clusters_only,
     )
 
+    from sec_financial_pipeline_spark.registry.llm_text import (
+        q_doc_unigram,
+    )
+
     fn = {
         "doc_dup_clusters": q_doc_dup_clusters_only,
         "matview_refresh": q_matview_refresh_bench,
+        "unigram_train": q_doc_unigram,
     }.get(name) or all_queries()[name].fn
     n = _jobs_for(spark, name, fn)
     assert 0 < n <= ceiling, (

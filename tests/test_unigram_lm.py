@@ -1,0 +1,141 @@
+"""Unigram-LM (Kudo 2018) Viterbi-EM trainer vs a pure-Python witness:
+the distributed pipeline (span explode -> broadcast score join ->
+F.aggregate Viterbi fold -> backtrace fold -> piece reaggregation) must
+produce EXACTLY the witness's piece counts and milli-nat scores at any
+partition count, for any iteration depth.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from sec_financial_pipeline_spark.operators import unigram as U
+
+
+def _witness(texts, iters=2, M=3, W=12, min_seed=2):
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in re.split(r"\s+", t.strip()):
+            if w:
+                w = w[:W]
+                words[w] = words.get(w, 0) + 1
+
+    def spans(word):
+        n = len(word)
+        for i in range(1, n + 1):
+            for m in range(1, min(M, n - i + 1) + 1):
+                yield i, m, word[i - 1:i - 1 + m]
+
+    seed: dict[str, int] = {}
+    for w, f in words.items():
+        for _, _, p in spans(w):
+            seed[p] = seed.get(p, 0) + f
+    counts = {
+        p: c for p, c in seed.items() if len(p) == 1 or c >= min_seed
+    }
+    chars = {p for p in seed if len(p) == 1}
+
+    def scores_of(cnts):
+        total = sum(cnts.values())
+        return {
+            p: round(1000.0 * (math.log(c) - math.log(total)))
+            for p, c in cnts.items()
+        }
+
+    for _ in range(iters):
+        sc = scores_of(counts)
+        used: dict[str, int] = {}
+        for w, f in words.items():
+            n = len(w)
+            best = [None] * (n + 1)
+            back = [0] * (n + 1)
+            best[0] = 0
+            for i in range(1, n + 1):
+                cands = []
+                for m in range(1, min(M, i) + 1):
+                    p = w[i - m:i]
+                    s = sc.get(p)
+                    if s is not None and best[i - m] is not None:
+                        cands.append((best[i - m] + s, m))
+                tot, m = max(cands)  # ties -> larger m, matching array_max
+                best[i], back[i] = tot, m
+            pos = n
+            while pos > 0:
+                m = back[pos]
+                p = w[pos - m:pos]
+                used[p] = used.get(p, 0) + f
+                pos -= m
+        counts = dict(used)
+        for c in chars:
+            counts[c] = max(counts.get(c, 0), 1)
+        counts = {p: c for p, c in counts.items() if c > 0}
+    sc = scores_of(counts)
+    return {p: (c, sc[p]) for p, c in counts.items()}
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the cats sat on mats",
+    "catalogue of the catastrophe",
+    "matters of the material mat",
+    "internationalization and nationalization",
+    "a b c a b a",
+]
+
+
+def test_matches_witness_and_partition_invariant(spark):
+    want = _witness(TEXTS, iters=2)
+    rows = [(i, t) for i, t in enumerate(TEXTS)]
+    for n_part in (2, 13):
+        df = spark.createDataFrame(rows, "id long, text string").repartition(
+            n_part
+        )
+        got = {
+            r["piece"]: (r["cnt"], r["score"])
+            for r in U.train_unigram(df, "text", iters=2).collect()
+        }
+        assert got == want, f"n_part={n_part}"
+
+
+def test_report_ranks_by_count_then_piece(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "id long, text string"
+    )
+    rep = {
+        r["rank"]: (r["piece"], r["cnt"], r["score"])
+        for r in U.unigram_report(df, "text", top_k=10, iters=2).collect()
+    }
+    want = sorted(
+        ((c, p, s) for p, (c, s) in _witness(TEXTS, iters=2).items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert len(rep) == 10
+    for rk, (c, p, s) in enumerate(want, start=1):
+        assert rep[rk] == (p, c, s), rk
+
+
+def test_single_chars_always_survive(spark):
+    # a char used by NO best segmentation (longer pieces cover all its
+    # occurrences) must stay in the vocabulary at count 1
+    texts = ["xyz xyz xyz xyz"]
+    want = _witness(texts, iters=3)
+    df = spark.createDataFrame([(1, texts[0])], "id long, text string")
+    got = {
+        r["piece"]: (r["cnt"], r["score"])
+        for r in U.train_unigram(df, "text", iters=3).collect()
+    }
+    assert got == want
+    assert got["x"][0] == 1 and got["xyz"][0] == 4
+
+
+def test_long_words_truncate_identically(spark):
+    texts = ["supercalifragilistic supercalifragilistic expialidocious"]
+    want = _witness(texts, iters=1)
+    df = spark.createDataFrame([(1, texts[0])], "id long, text string")
+    got = {
+        r["piece"]: (r["cnt"], r["score"])
+        for r in U.train_unigram(df, "text", iters=1).collect()
+    }
+    assert got == want
+    assert all(len(p) <= 3 for p in got)
