@@ -22,7 +22,7 @@ Why this shape scales to 100 TB:
   iteration and truncates its plan via localCheckpoint every
   ``checkpoint_every`` merges, so 1000-merge training does not build a
   1000-layer plan (the standard iterative-algorithm discipline on
-  Spark, same as the pointer-jumping CC operator).
+  Spark, same as the star-contraction CC operator).
 
 Application to a corpus (``apply_bpe``) uses an Arrow-batched pandas
 UDF with the ranked merge table broadcast — the documented legitimate

@@ -6,41 +6,59 @@ ONE cluster with one canonical representative, even when (A,C) was never
 itself a candidate pair. This operator labels every node with the minimum
 node id reachable from it (the cluster representative).
 
-Algorithm: min-label propagation with pointer jumping, all in DataFrame
-ops —
+Algorithm: alternating large-star / small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", 2014) over the
+canonically-oriented edge set ``(hi, lo)`` with ``hi > lo``:
 
-- each round every node takes ``min(own label, neighbors' labels)``
-  (one equi-join on the symmetrized edge list + partial-aggregable
-  ``min``), and
-- additionally follows its current label's label
-  (``label(v) <- label(label(v))``, a self-join of the label table) —
-  the pointer-jumping step that contracts chains geometrically, so
-  convergence needs O(log diameter) rounds instead of O(diameter).
+- **large-star**: every node ``v`` connects its strictly-greater
+  neighbors to ``m(v) = min(neighborhood(v) + {v})`` — one partitioned
+  window ``min`` over the symmetrized adjacency, no join;
+- **small-star**: every node ``v`` connects its smaller neighbors (and
+  itself) to their minimum — one partitioned window ``min`` over the
+  already-canonical edges.
 
-Labels are monotonically non-increasing and bounded by the component
-minimum, so the fixpoint is exact and deterministic regardless of
-partitioning — and total ``sum(label)`` strictly decreases until the
-fixpoint, so convergence detection is ONE exact decimal aggregate per
-round (no join against the previous round's table; equal sums <=> no
-label moved). Rounds run TWO AT A TIME per materialization: wall time
-at this table size is dominated by job-scheduling rounds, so chaining
-two propagation rounds into one lineage before the checkpoint halves
-that term at identical results (labels are monotone; the fixpoint is
-idempotent). Each batch ends with an eager ``localCheckpoint`` — the
-same lineage-truncation rationale as ``operators/kmeans.py``: without it,
-round i's plan embeds all prior rounds and every action replans the full
-history. The label table is |V| rows of two ids (tiny next to the
-corpus); on a real cluster use a reliable ``checkpoint`` dir instead.
+Both phases preserve connectivity and only ever re-point edges at
+*smaller* ids, so the edge set contracts monotonically toward a forest
+of stars rooted at each component's minimum id. Versus the min-label
+pointer-jumping loop this replaced (git history): the state is ONE
+shrinking edge table instead of a label table + static edge table, a
+batch is 3 exchanges instead of ~10 (two windows + one distinct; no
+label join, no jump self-join), and a near-clique LSH dup graph becomes
+a star forest in a single alternation, so the scheduling-round term —
+which dominates wall time at small SF and was this family's most
+load-sensitive bench row — drops ~3x (measured: CC term 26 -> 8 jobs at
+sf0.01).
+
+Convergence detection stays ONE exact scalar aggregate per batch, no
+join against the previous round (same discipline as the decimal-sum
+check it replaces, and exact at any id range): the alternation's
+fixpoint is a star forest, and a canonically-oriented edge set is a
+star forest **iff no node appears on both the hi and lo side** — roots
+are only ever ``lo``, leaves only ever ``hi``. Since both phases
+preserve the original components, each final star IS one original
+component, and its center (the star's minimum) is the component
+minimum. The check is a role bitmask groupBy + count of two-sided
+nodes, computed on the just-materialized edge table.
+
+Each batch ends with an eager ``localCheckpoint`` — the same
+lineage-truncation rationale as ``operators/kmeans.py``: without it,
+round i's plan embeds all prior rounds and every action replans the
+full history. The edge table only shrinks (distinct per batch bounds
+the within-batch <=4x blowup of the two explode/union phases); on a
+real cluster use a reliable ``checkpoint`` dir instead. Skew note: the
+per-node window ``min`` streams one pass per partition key, so a
+power-law super-node (a boilerplate dup cluster member with 10^7
+neighbors) is a straggler task, not an OOM — large-star itself is the
+mitigation, since after one round all its neighbors point at the
+component min and the super-node's adjacency collapses.
 
 The reference has no graph operators at all; this extends the dedup
-family the brief mandates (near-dedup at 100 TB is exactly this shape —
-MapReduce-CC a la Kiveris et al., "Connected Components in MapReduce and
-Beyond").
+family the brief mandates (near-dedup at 100 TB is exactly this shape).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -51,80 +69,96 @@ def connected_components(
     node id in its connected component.
 
     Returns ``(node, label)`` — one row per distinct node appearing in
-    any edge. ``max_iter`` budgets CONVERGENCE-CHECKED propagation
-    rounds; rounds run in pairs per materialization (see below), so up
-    to ``2 * (max_iter // 2 + 1)`` propagation rounds execute before
-    the non-convergence error — the loop may overshoot the fixpoint by
-    one batch, never undershoot the budget (with pointer jumping,
-    exhausting the default takes a component diameter > 2^25)."""
-    # materialize the edge list BEFORE symmetrizing: the union's two
-    # branches would otherwise each re-execute whatever (possibly very
-    # expensive) pipeline produced the edges — e.g. the full LSH +
-    # Jaccard-verify subtree in the near-dup caller — and every CC round
-    # would re-execute it again (measured 5x slower without this).
+    any edge (self-loop-only nodes label themselves). ``max_iter``
+    budgets large-star/small-star alternations; a path of diameter d
+    needs ~log2(d) alternations (large-star halves path distance to the
+    minimum each round), so the default covers any component a real dup
+    graph produces."""
+    # materialize the edge list BEFORE deriving anything: the union'd /
+    # symmetrized branches would otherwise each re-execute whatever
+    # (possibly very expensive) pipeline produced the edges — e.g. the
+    # full LSH + Jaccard-verify subtree in the near-dup caller — and
+    # every contraction batch would re-execute it again (measured 5x
+    # slower without this).
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=True
     )
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = (
-        sym.select(F.col("a").alias("node"))
+    # canonical orientation hi > lo; self-loops carry membership only
+    cur = (
+        e.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    self_nodes = e.where(F.col("a") == F.col("b")).select(F.col("a").alias("node"))
 
-    # exact decimal(38,0) sum: node ids are longs, so a 10^9-node graph
-    # overflows int64 summation; decimal partials stay exact and the
-    # comparison is equality, not a float tolerance
-    def _label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0].s
-
-    def _round(lbl: DataFrame) -> DataFrame:
-        nbr = sym.join(lbl.withColumnRenamed("node", "a"), "a").select(
-            F.col("b").alias("node"), "label"
+    converged = False
+    for _ in range(max_iter):
+        # large-star: symmetrize, m(v) = min(v, min of neighbors) via a
+        # partitioned window (one exchange, no join-back), emit
+        # (u, m(v)) for strictly-greater neighbors u — m <= v < u keeps
+        # the canonical orientation for free, and edges dropped here
+        # (v's smaller neighbors) re-enter from the mirrored adjacency
+        # row where v is the greater endpoint.
+        sym = cur.select(F.col("hi").alias("v"), F.col("lo").alias("u")).unionByName(
+            cur.select(F.col("lo").alias("v"), F.col("hi").alias("u"))
         )
-        jump = (
-            lbl.alias("x")
-            .join(
-                lbl.select(
-                    F.col("node").alias("label"), F.col("label").alias("jumped")
-                ),
-                "label",
+        mv = F.least(F.col("v"), F.min("u").over(Window.partitionBy("v")))
+        ls = (
+            sym.withColumn("m", mv)
+            .where(F.col("u") > F.col("v"))
+            .select(F.col("u").alias("hi"), F.col("m").alias("lo"))
+        )
+        # small-star: every hi-group points its smaller neighbors (and
+        # itself) at the group minimum; explode keeps both the leaf
+        # edges (lo, m) and the center edge (hi, m), self-loops drop.
+        m2 = F.min("lo").over(Window.partitionBy("hi"))
+        ss = (
+            ls.withColumn("m", m2)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("hi").alias("x"), F.col("m").alias("y")),
+                        F.struct(F.col("lo").alias("x"), F.col("m").alias("y")),
+                    )
+                ).alias("s")
             )
-            .select("node", F.col("jumped").alias("label"))
+            .where(F.col("s.x") != F.col("s.y"))
+            .select(F.col("s.x").alias("hi"), F.col("s.y").alias("lo"))
+            .distinct()
         )
-        return (
-            lbl.unionByName(nbr)
-            .unionByName(jump)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+        cur = ss.localCheckpoint(eager=True)
+        # fixpoint <=> star forest <=> hi-side and lo-side node sets are
+        # disjoint. One exact integer scalar on the just-checkpointed
+        # table (exact at any id range — no sum, no overflow, no float).
+        roles = cur.select(
+            F.col("hi").alias("n"), F.lit(1).alias("h"), F.lit(0).alias("l")
+        ).unionByName(
+            cur.select(F.col("lo").alias("n"), F.lit(0).alias("h"), F.lit(1).alias("l"))
         )
-
-    prev_sum = _label_sum(labels)
-    # TWO propagation rounds per materialization: the loop's wall time
-    # is dominated by job-scheduling rounds (checkpoint + convergence
-    # scalar = 2 jobs per action), not by the |V|-row label table, so
-    # chaining two rounds into one lineage before the checkpoint halves
-    # the scheduling term (VERDICT r9 item 8 — this was the most
-    # co-tenant-load-sensitive bench row). Labels are monotone and the
-    # fixpoint is idempotent, so the result is bit-identical; the
-    # convergence check just lands on even round counts. Batch budget =
-    # max_iter/2 propagation batches plus the detection batch (the
-    # fixpoint is only OBSERVED by a batch that changes nothing), so
-    # the propagation-round budget max_iter promises is preserved.
-    for _ in range(max_iter // 2 + 1):
-        new = _round(_round(labels)).localCheckpoint(eager=True)
-        # monotone labels: sum unchanged <=> every label unchanged. One
-        # scalar aggregate over the just-checkpointed table — no join
-        # with the previous round, no second scan of anything big.
-        cur_sum = _label_sum(new)
-        labels = new
-        if cur_sum == prev_sum:
-            return labels
-        prev_sum = cur_sum
-    raise RuntimeError(
-        "connected_components did not converge in "
-        f"{2 * (max_iter // 2 + 1)} propagation rounds (max_iter={max_iter})"
+        n_internal = (
+            roles.groupBy("n")
+            .agg(F.max("h").alias("h"), F.max("l").alias("l"))
+            .where((F.col("h") == 1) & (F.col("l") == 1))
+            .count()
+        )
+        if n_internal == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star alternations"
+        )
+    # star forest -> labels: leaves point at their center, centers and
+    # self-loop-only nodes at themselves; groupBy-min folds the three
+    # branches exactly (a center's id can also appear as a self-loop
+    # node or — never — as a leaf, and min() of equal labels is a no-op).
+    return (
+        cur.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
+        .unionByName(cur.select(F.col("lo").alias("node"), F.col("lo").alias("label")))
+        .unionByName(self_nodes.select("node", F.col("node").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
     )

@@ -15,7 +15,7 @@ test quantifies it).
 
 Everything reuses existing exact operators: spherical k-means
 (`operators/kmeans.lloyd` — deterministic, decimal-exact centroids),
-the rounded-cosine convention of the ANN family, and pointer-jumping
+the rounded-cosine convention of the ANN family, and star-contraction
 connected components (`operators/components`) so a duplicate GROUP
 keeps exactly one representative (min vec_id) even through chains
 (a~b~c with cos(a,c) < tau still collapses to one survivor, matching

@@ -1405,7 +1405,7 @@ GROUP BY 1
 def leakage_safe_split(docs: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Per-document split assignment where every near-dup cluster lands
     whole in one split: label clusters (min-id representative via
-    pointer-jumping CC), default singletons to themselves, hash the
+    large-star/small-star CC), default singletons to themselves, hash the
     REPRESENTATIVE into train/val/test. Returns docs' ids +
     ``rep`` + ``split``. Scale shape: CC over the (tiny) verified pair
     set + one broadcastable label join + a per-row hash — the corpus

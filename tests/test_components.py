@@ -39,8 +39,9 @@ def test_multiple_components_and_edge_direction(spark):
 
 
 def test_long_chain_converges_fast(spark):
-    # pointer jumping: a 40-node path must converge in O(log n) rounds,
-    # so max_iter=8 suffices where plain propagation would need 39
+    # star contraction: a 40-node path must converge in O(log n)
+    # alternations (large-star halves the distance-to-minimum each
+    # round), so max_iter=8 suffices where plain propagation needs 39
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "src INT, dst INT"
     )
@@ -55,9 +56,9 @@ def test_nonconvergence_raises(spark):
 
 
 def test_huge_ids_exact_convergence_sum(spark):
-    # convergence is detected by an exact decimal sum(label) delta; node
-    # ids near 2^62 would overflow an int64 SUM after ~2 rows, so this
-    # chain only converges correctly if the partials really are decimal
+    # convergence detection must stay exact at any id range: the star
+    # check is an integer role-count (no sum at all), but greatest/
+    # least/min over ids near 2^62 must not lose bits anywhere
     base = 1 << 62
     edges = spark.createDataFrame(
         [(base + i, base + i + 1) for i in range(16)], "src LONG, dst LONG"
@@ -67,13 +68,66 @@ def test_huge_ids_exact_convergence_sum(spark):
 
 
 def test_128_chain_logarithmic_rounds(spark):
-    # diameter 127: plain min-propagation needs 127 rounds; pointer
-    # jumping must land it within 10
+    # diameter 127: plain min-propagation needs 127 rounds; star
+    # contraction must land it within 10 alternations
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(127)], "src INT, dst INT"
     )
     out = connected_components(edges, max_iter=10)
     assert _labels(out) == [(i, 0) for i in range(128)]
+
+
+def _union_find(edges):
+    """Pure-Python ground truth: min-id representative per component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((n, find(n)) for n in parent)
+
+
+@pytest.mark.parametrize(
+    "name,edges",
+    [
+        ("clique10", [(i, j) for i in range(10) for j in range(i)]),
+        ("star_out", [(0, i) for i in range(1, 50)]),
+        ("star_in", [(i, 0) for i in range(1, 50)]),
+        ("two_cliques_bridge",
+         [(i, j) for i in range(6) for j in range(i)]
+         + [(100 + i, 100 + j) for i in range(6) for j in range(i)]
+         + [(5, 100)]),
+        ("dup_and_reversed", [(1, 2), (2, 1), (1, 2), (3, 2), (2, 3)]),
+    ],
+)
+def test_star_contraction_matches_union_find(spark, name, edges):
+    # shape-adversarial graphs (cliques like LSH dup clusters, hub
+    # stars like boilerplate super-nodes, bridged components, duplicate
+    # and reversed edges) must all match the exact union-find closure
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    assert _labels(connected_components(df)) == _union_find(edges)
+
+
+def test_random_graphs_match_union_find(spark):
+    import random
+
+    rng = random.Random(11)
+    for _ in range(4):
+        n = rng.randint(5, 120)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(1, 3 * n))
+        ]
+        df = spark.createDataFrame(edges, "src LONG, dst LONG")
+        assert _labels(connected_components(df)) == _union_find(edges)
 
 
 def test_leakage_safe_split_never_straddles_near_dup_pairs(spark, sf_dir):

@@ -5,10 +5,12 @@ provably unchanged. Wall clock cannot be pinned on a shared box; the
 number of jobs a plan schedules can — a regression that adds
 scheduling rounds fails HERE, a slower box does not.
 
-Counts measured at sf0.01 after the r10 two-rounds-per-checkpoint CC
-batching (46 / 21 jobs with warm caches); ceilings leave headroom for
-AQE jitter but catch any structural regression (the r9 shape was ~2x
-the CC term).
+Counts measured at sf0.01 after the r11 large-star/small-star CC
+rewrite (31 / 21 jobs with warm caches; the CC term alone went 26 ->
+12 — one alternation batch is 2 windows + 1 distinct instead of the
+pointer-jumping label join + jump self-join + groupBy); ceilings leave
+headroom for AQE jitter but catch any structural regression (the r10
+shape was ~1.5x, the r9 shape ~2.4x).
 """
 from __future__ import annotations
 
@@ -38,7 +40,7 @@ def _jobs_for(spark, name, fn):
 @pytest.mark.parametrize(
     "name,ceiling",
     [
-        ("doc_dup_clusters", 52),
+        ("doc_dup_clusters", 38),
         ("doc_near_dedup_end2end", 26),
         # one O(delta) refresh cycle (append + change-feed fold +
         # merge + view read) schedules a FIXED 15 jobs at any source
