@@ -673,3 +673,137 @@ def test_matview_randomized_dml_storm_model_based(spark, paths):
             got = {r.g: r[1:] for r in MV.read_matview(spark, dst).collect()}
             want = {r.g: r[1:] for r in _expected(spark, src).collect()}
             assert got == want, f"step {step}: {got} != {want}"
+
+
+def _roll_a(spark, src):
+    """Independent a-level recompute of the 2-level cascade from the
+    BASE table (not from v1) — the strongest equality witness."""
+    return {
+        r.a: (r.n, r.sv)
+        for r in T.read(spark, src)
+        .groupBy("a")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("v").cast("decimal(30,6)")).cast("double").alias("sv"),
+        )
+        .collect()
+    }
+
+
+def _v2_state(spark, v2):
+    return {r.a: (r.n, r.sv) for r in MV.read_matview(spark, v2).collect()}
+
+
+def test_cascaded_stream_daemons_kill_resume_exactly_once(spark, tmp_path):
+    """VERDICT r10 item 7: the CONTINUOUS daemon over a 2-level cascade
+    (src -> v1 -> v2, each level its own stream_refresh_matview query)
+    with a mid-epoch crash injected at EACH level — the refresh commits,
+    then the epoch function dies before the checkpoint write, the exact
+    shape of a worker loss between commit and offset persistence. The
+    resumed daemon replays the epoch; the view's txn cursor (not the
+    stream checkpoint) is the exactly-once authority, so the replay must
+    re-fold NOTHING: view version unchanged, both levels equal a
+    from-scratch recompute of the BASE table. Ends with both daemons
+    running CONCURRENTLY on processing-time triggers through a third
+    DML storm."""
+    src = str(tmp_path / "src")
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    sch = "k bigint, a string, b string, v double"
+    T.create(
+        spark.createDataFrame(
+            [(i, f"g{i % 4}", f"h{i % 3}", float(i)) for i in range(60)], sch
+        ),
+        src,
+    )
+    MV.create_matview(
+        spark, src, v1, ["a", "b"], [("count", None, "n"), ("sum", "v", "sv")]
+    )
+    MV.create_matview(
+        spark, v1, v2, ["a"], [("sum", "n", "n"), ("sum", "sv", "sv")]
+    )
+
+    def drain(dst, ck, expect_crash=False):
+        q = MV.stream_refresh_matview(spark, dst, ck, available_now=True)
+        try:
+            q.awaitTermination(180)
+        except Exception:
+            pass
+        assert not q.isActive
+        assert (q.exception() is not None) == expect_crash
+
+    # storm 1: append + delete on the base
+    T.append(
+        spark.createDataFrame(
+            [(100 + i, f"g{i % 4}", "h9", 10.0 + i) for i in range(12)], sch
+        ),
+        src,
+    )
+    T.delete_where(spark, src, "k < 8")
+
+    # ---- level 1 crash: refresh commits, epoch checkpoint dies ----
+    real = MV.refresh_matview
+
+    def commit_then_die(sp, dst):
+        real(sp, dst)
+        raise RuntimeError("injected crash after refresh commit")
+
+    MV.refresh_matview = commit_then_die
+    try:
+        drain(v1, ck1, expect_crash=True)
+    finally:
+        MV.refresh_matview = real
+    v1_ver = T._manifest(spark, v1, None)["version"]
+    assert MV.matview_lag(spark, v1)["behind_versions"] == 0  # commit landed
+    drain(v1, ck1)  # resume: replayed epoch must re-fold nothing
+    assert T._manifest(spark, v1, None)["version"] == v1_ver
+    assert MV.matview_lag(spark, v1)["behind_versions"] == 0
+
+    # ---- level 2 crash: same shape, downstream of v1's merge commits ----
+    MV.refresh_matview = commit_then_die
+    try:
+        drain(v2, ck2, expect_crash=True)
+    finally:
+        MV.refresh_matview = real
+    v2_ver = T._manifest(spark, v2, None)["version"]
+    drain(v2, ck2)  # resume
+    assert T._manifest(spark, v2, None)["version"] == v2_ver
+    assert MV.matview_lag(spark, v2)["behind_versions"] == 0
+    assert _v2_state(spark, v2) == _roll_a(spark, src)
+
+    # ---- storm 2 folds cleanly end-to-end through resumed checkpoints
+    T.delete_where(spark, src, "b = 'h9'")
+    T.append(spark.createDataFrame([(500, "g9", "h0", 5.5)], sch), src)
+    drain(v1, ck1)
+    drain(v2, ck2)
+    assert _v2_state(spark, v2) == _roll_a(spark, src)
+
+    # ---- storm 3 under BOTH daemons live on processing-time triggers
+    q1 = MV.stream_refresh_matview(spark, v1, ck1, processing_time="150 milliseconds")
+    q2 = MV.stream_refresh_matview(spark, v2, ck2, processing_time="150 milliseconds")
+    try:
+        T.append(
+            spark.createDataFrame(
+                [(600 + i, f"g{i % 5}", f"h{i % 2}", 2.0 * i) for i in range(10)],
+                sch,
+            ),
+            src,
+        )
+        T.delete_where(spark, src, "a = 'g0'")
+        import time
+
+        deadline = time.time() + 180
+        want = _roll_a(spark, src)
+        while time.time() < deadline:
+            if (
+                MV.matview_lag(spark, v1)["behind_versions"] == 0
+                and MV.matview_lag(spark, v2)["behind_versions"] == 0
+                and _v2_state(spark, v2) == want
+            ):
+                break
+            time.sleep(0.3)
+        assert _v2_state(spark, v2) == want
+        assert q1.exception() is None and q2.exception() is None
+    finally:
+        q1.stop()
+        q2.stop()
