@@ -469,3 +469,57 @@ def contamination_vs_store(
         )
     store = spark.read.parquet(store_path)
     return _overlap_counts(batch_docs, store, id_col, text_col, k, hash_shingles)
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sim: float = 0.4,
+) -> DataFrame:
+    """Edit-distance-verified fuzzy duplicate pairs: the character-level
+    verification modality of the dedup family (MinHash/Jaccard see
+    token-set overlap; Levenshtein sees insertions/edits that keep word
+    order — the classic verifier for template-with-substitutions dups).
+
+    ``candidates`` is ``(id_a, id_b)`` from a BUCKETED generator (LSH
+    bands, shared shingles) — the linear-output discipline every
+    verifier in this family rides; this function never forms pairs
+    itself. Each candidate joins both texts and scores
+
+    - ``edit_dist``: plain Levenshtein distance (`F.levenshtein`, JVM
+      whole-stage codegen — no Python in the loop), and
+    - ``edit_sim = 1 - edit_dist / max(len_a, len_b)`` in [0, 1],
+
+    keeping pairs with ``edit_sim >= min_sim``. Scale shape: two equi
+    joins of the tiny candidate table against the corpus (AQE
+    broadcasts the candidate side; the corpus is never self-joined),
+    then a per-pair O(len_a * len_b) distance — linear in candidates,
+    quadratic only in document LENGTH, which is why this is a verifier
+    and never a generator. The division is a single IEEE double op of
+    two exact integers, so Spark and an oracle engine agree bit-for-bit
+    (unrounded by design — rounding is the only step two engines can
+    disagree on)."""
+    ta = docs.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__text_a")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__text_b")
+    )
+    dist = F.levenshtein("__text_a", "__text_b").cast("bigint")
+    sim = F.lit(1.0) - dist / F.greatest(
+        F.length("__text_a"), F.length("__text_b")
+    )
+    return (
+        candidates.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.alias("edit_dist"),
+            sim.alias("edit_sim"),
+        )
+        .filter(F.col("edit_sim") >= min_sim)
+    )

@@ -1122,10 +1122,73 @@ def q_doc_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Edit-distance-verified fuzzy pairs (fourth section of doc_ngram_jaccard):
+# the character-level verification modality — Levenshtein over the SAME
+# shared-shingle candidate set the jaccard section scores, catching
+# template-with-substitutions duplicates that token-set overlap blurs.
+# Both engines compute plain character Levenshtein and one IEEE double
+# division of exact integers, so the match is bit-exact unrounded.
+# ---------------------------------------------------------------------------
+
+_EDIT_MIN_SIM = 0.4
+
+_EDITDIST_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+  FROM toks
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+cand AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE CAST(s.n_shared AS DOUBLE)
+        / (sa.n_shingles + sb.n_shingles - s.n_shared) >= 0.05
+)
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+       1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+             / greatest(len(da.text), len(db.text)) AS edit_sim
+FROM cand c
+JOIN documents da ON da.doc_id = c.id_a
+JOIN documents db ON db.doc_id = c.id_b
+WHERE 1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+      / greatest(len(da.text), len(db.text)) >= {_EDIT_MIN_SIM}
+"""
+
+
+def q_doc_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = q_doc_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return edit_distance_pairs(
+        d, cand, "doc_id", "text", min_sim=_EDIT_MIN_SIM
+    )
+
+
 _NGRAM_SCHEMA = [
     ("id_a", "bigint"),
     ("id_b", "bigint"),
     ("jaccard", "double"),
+    ("edit_dist", "bigint"),
+    ("edit_sim", "double"),
     ("source", "string"),
     ("n_eval", "bigint"),
     ("n_contaminated", "bigint"),
@@ -1145,6 +1208,11 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
 _NGRAM_MERGED_ORACLE = union_sections_sql(
     [
         ("jaccard", _JACCARD_ORACLE, ["id_a", "id_b", "jaccard"]),
+        (
+            "editdist",
+            _EDITDIST_ORACLE,
+            ["id_a", "id_b", "edit_dist", "edit_sim"],
+        ),
         (
             "contamination",
             _CONTAM_ORACLE,
@@ -1166,6 +1234,8 @@ _NGRAM_MERGED_ORACLE = union_sections_sql(
     _NGRAM_MERGED_ORACLE,
     survey=(
         "§2.9 dedup-ngram-jaccard (shared-shingle candidates, exact Jaccard)"
+        " + edit-distance-verified fuzzy pairs (character-level Levenshtein"
+        " over the same bucketed candidates, JVM codegen)"
         " + train/eval n-gram contamination audit (GPT-3-style overlap"
         " decontamination; hash-split, semi-join counts, per-source rates)"
         " + corpus-LM bigram fluency/rarity profile (CCNet-style LM"
@@ -1177,6 +1247,7 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_sections(
         [
             ("jaccard", q_doc_ngram_jaccard_pairs(spark, sf_dir)),
+            ("editdist", q_doc_editdist_pairs(spark, sf_dir)),
             ("contamination", q_doc_contamination(spark, sf_dir)),
             ("fluency", q_doc_fluency(spark, sf_dir)),
         ],

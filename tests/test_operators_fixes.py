@@ -250,3 +250,55 @@ def test_bigram_support_profile_matches_bruteforce(spark, sf_dir):
     assert got == expect and len(expect) > 0
     # signal sanity: rare bigrams exist AND common ones hit the cap
     assert any(v[2] > 0 for v in expect.values())
+
+
+def test_edit_distance_pairs_verifies_only_candidates(spark):
+    """The Levenshtein verifier (dedup family's character-level
+    modality): scores ONLY the supplied candidate pairs — never forms
+    pairs itself — with distance equal to a pure-Python DP and the
+    similarity cut applied. A template-with-substitutions dup passes;
+    an unrelated text fails even when a candidate pair names it."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    variant = "the quick brown cat jumps over the lazy dog again and again"
+    unrelated = "zzzz qqqq wwww eeee rrrr tttt yyyy uuuu iiii oooo pppp"
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant), (3, unrelated), (4, base)],
+        "doc_id bigint, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a bigint, id_b bigint"
+    )
+
+    def py_lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    out = {
+        (r.id_a, r.id_b): (r.edit_dist, r.edit_sim)
+        for r in edit_distance_pairs(docs, cand, min_sim=0.4).collect()
+    }
+    # (1,2): 3 substituted chars; (1,4): identical; (1,3): dropped
+    assert set(out) == {(1, 2), (1, 4)}
+    assert out[(1, 2)][0] == py_lev(base, variant) == 3
+    assert out[(1, 4)] == (0, 1.0)
+    assert out[(1, 2)][1] == 1.0 - 3 / max(len(base), len(variant))
+    # a pair NOT in candidates is never scored, however similar
+    assert (2, 4) not in out and (4, 2) not in out
+    # boundary: min_sim exactly at the pair's sim keeps it (>=)
+    sim12 = out[(1, 2)][1]
+    kept = edit_distance_pairs(docs, cand, min_sim=sim12).collect()
+    assert (1, 2) in {(r.id_a, r.id_b) for r in kept}
