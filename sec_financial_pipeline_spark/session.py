@@ -40,11 +40,20 @@ def get_spark(
             shuffle_partitions = 32
     driver_memory = driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "16g")
 
+    # AQE is the production default (runtime coalescing + skew joins are
+    # exactly what a 100 TB shuffle needs). On kilobyte-scale unit-test
+    # data it buys nothing and COSTS a lot of wall: every materialized
+    # shuffle stage becomes its own scheduled job (a 4-exchange plan =
+    # ~5 jobs instead of 1), and the suite's wall time is almost pure
+    # job-scheduling latency. SFP_AQE=off lets the test/CI entrypoint
+    # opt out; semantics are identical by construction (the repo is
+    # partition-layout-deterministic — tests/test_determinism.py).
+    aqe = os.environ.get("SFP_AQE", "on").lower() != "off"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
