@@ -26,8 +26,8 @@ batch is 3 exchanges instead of ~10 (two windows + one distinct; no
 label join, no jump self-join), and a near-clique LSH dup graph becomes
 a star forest in a single alternation, so the scheduling-round term —
 which dominates wall time at small SF and was this family's most
-load-sensitive bench row — drops ~3x (measured: CC term 26 -> 8 jobs at
-sf0.01).
+load-sensitive bench row — drops ~2x (measured: CC term 26 -> 12 jobs
+at sf0.01, full doc_dup_clusters pipeline 46 -> 31).
 
 Convergence detection stays ONE exact scalar aggregate per batch, no
 join against the previous round (same discipline as the decimal-sum

@@ -8,14 +8,41 @@ column pruning are Catalyst-native (reference did manual file-list pruning,
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sec_financial_pipeline_spark.schemas import TESTDATA_TABLES
 
+# Per-session DataFrame plan cache for the static testdata catalog: the
+# dirs are immutable snapshots, but every query invocation re-paid the
+# footer/schema probe (~100-180ms on this box) and the events
+# wire-format sniff. A DataFrame is an immutable logical plan, so
+# handing the same object back is semantics-free; weak session keys let
+# a stopped session's plans be collected instead of leaking (or worse,
+# being served to a new session). This is the same move a real
+# deployment makes by registering static tables in a catalog once.
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # re-pin the session timezone on every call (not just cache miss):
+    # callers relied on load_table normalizing a driver-owned session,
+    # and a cached plan must not weaken that contract
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    per_session = _PLAN_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = per_session.get(key)
+    if df is None:
+        df = _load_table_uncached(spark, sf_dir, name)
+        per_session[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Engine semantics are UTC (oracle comparisons, epoch math, the
     # events ns->us conversion). The session may be driver-owned with an
     # arbitrary local timezone — pin it at the data boundary.
