@@ -1,6 +1,9 @@
 from __future__ import annotations
 
 import os
+import subprocess
+import sys
+import time
 
 import duckdb
 import pytest
@@ -12,6 +15,121 @@ SF_DIR = os.environ.get("SFP_TEST_SF_DIR", "/root/testdata/sf0.01")
 # overhead on compute-shaped files (sketches 29s vs 33s) and is a wash
 # on DML-shaped ones. SFP_AQE=off remains available in session.get_spark
 # for experiments.
+
+# ---------------------------------------------------------------------------
+# Whole-suite shard runner (poor-man's pytest-xdist; xdist is not in the
+# sandbox). The serial suite is LATENCY-bound, not CPU-bound: 855 tests
+# x ~15 scheduled Spark jobs x ~50ms fixed job cost on this box leaves
+# 32 cores mostly idle for 23 minutes. Three pytest worker processes,
+# each with its own local[8] JVM, overlap that latency. ACTIVATES ONLY
+# for the plain whole-suite invocation (`pytest tests/` with no
+# filtering/debug flags) and prints a banner saying so — any -k/-x/-m/
+# --lf/--pdb/path-specific run, or SFP_SERIAL=1, stays a single
+# ordinary pytest process. Workers are plain `pytest <files...>`
+# subprocesses (same flags), so nothing about HOW a test runs changes;
+# the master fails if ANY worker fails and replays each worker's tail.
+# Cross-process safety: the tempdir build-once artifacts are published
+# by atomic rename (concurrent-process safe by design), every test
+# writes under its own tmp_path, and the Spark UIs are disabled (no
+# port contention).
+# ---------------------------------------------------------------------------
+
+_SHARD_ENV = "_SFP_SHARD_WORKER"
+
+# measured file weights (seconds, r11 full-run durations); files absent
+# here get the default — only BALANCE depends on this, never correctness
+_FILE_WEIGHTS = {
+    "test_matview.py": 170, "test_oracle_parity.py": 130,
+    "test_determinism.py": 130, "test_snaptable.py": 110,
+    "test_cli.py": 90, "test_snapfuzz.py": 55, "test_snap_datasource.py": 55,
+    "test_property.py": 45, "test_ivfpq.py": 45, "test_bpe.py": 40,
+    "test_shallow_clone.py": 35, "test_unigram_lm.py": 30,
+    "test_oracle_types.py": 30, "test_streaming_ingest.py": 25,
+    "test_classifier.py": 25, "test_sketches.py": 25,
+    "test_plan_audit.py": 25, "test_components.py": 20,
+    "test_sign_lsh.py": 20, "test_report_variants.py": 20,
+    "test_job_counts.py": 20, "test_partition_evolution.py": 20,
+}
+_DEFAULT_WEIGHT = 12
+_N_SHARDS = 3
+
+
+def _whole_suite_invocation(config) -> bool:
+    if os.environ.get(_SHARD_ENV) or os.environ.get("SFP_SERIAL"):
+        return False
+    opt = config.option
+    try:
+        if (
+            opt.keyword or opt.markexpr or opt.maxfail or getattr(opt, "lf", False)
+            or getattr(opt, "last_failed", False) or getattr(opt, "failedfirst", False)
+            or opt.collectonly or opt.usepdb
+        ):
+            return False
+    except AttributeError:
+        return False
+    here = os.path.dirname(os.path.abspath(__file__))
+    args = [a for a in config.args if not a.startswith("-")]
+    return bool(args) and all(
+        os.path.abspath(a.rstrip("/")) == here for a in args
+    )
+
+
+def _shard_files(n: int) -> list[list[str]]:
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(
+        f for f in os.listdir(here) if f.startswith("test_") and f.endswith(".py")
+    )
+    bins: list[tuple[int, list[str]]] = [(0, []) for _ in range(n)]
+    for f in sorted(files, key=lambda f: -_FILE_WEIGHTS.get(f, _DEFAULT_WEIGHT)):
+        w = min(range(n), key=lambda i: bins[i][0])
+        total, lst = bins[w]
+        lst.append(os.path.join("tests", f))
+        bins[w] = (total + _FILE_WEIGHTS.get(f, _DEFAULT_WEIGHT), lst)
+    return [lst for _, lst in bins]
+
+
+@pytest.hookimpl(tryfirst=True)
+def pytest_cmdline_main(config):
+    if not _whole_suite_invocation(config):
+        return None
+    shards = _shard_files(_N_SHARDS)
+    flags = [
+        a
+        for a in config.invocation_params.args
+        if a.startswith("-")
+    ]
+    print(
+        f"[sfp-shard] whole-suite run: {sum(map(len, shards))} files across "
+        f"{_N_SHARDS} workers (own JVM each; SFP_SERIAL=1 for one process)",
+        flush=True,
+    )
+    t0 = time.time()
+    procs = []
+    for i, files in enumerate(shards):
+        env = dict(os.environ, **{_SHARD_ENV: str(i)})
+        log = open(f"/tmp/sfp_shard_{i}.log", "w")
+        procs.append(
+            (
+                subprocess.Popen(
+                    [sys.executable, "-m", "pytest", *flags, *files],
+                    stdout=log,
+                    stderr=subprocess.STDOUT,
+                    env=env,
+                    cwd=str(config.rootpath),
+                ),
+                log,
+            )
+        )
+    rc = 0
+    for i, (p, log) in enumerate(procs):
+        rc = max(rc, p.wait())
+        log.close()
+        with open(f"/tmp/sfp_shard_{i}.log") as f:
+            tail = f.readlines()[-12:]
+        print(f"--- shard {i} (exit {p.returncode}) ---", flush=True)
+        sys.stdout.writelines(tail)
+    print(f"[sfp-shard] total wall {time.time() - t0:.0f}s, exit {rc}", flush=True)
+    return rc
 
 TABLES = (
     "region",
