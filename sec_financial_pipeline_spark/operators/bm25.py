@@ -1,0 +1,115 @@
+"""BM25 lexical retrieval — the inverted-index scoring half of a real
+search stack (Robertson & Zaragoza 2009; Lucene's practical scoring),
+joining the RRF hybrid row's Jaccard leg with the ranking function
+production retrieval actually uses: IDF x TF saturation x document
+length normalization.
+
+Determinism firewall (same discipline as the bigram-LM scorer,
+``operators/lm.py``): JVM and libm ``ln`` differ by 1 ulp on ~1% of
+inputs, so the per-term IDF is rounded to an integer in MILLI-NATS
+once — ``idf_milli = round(1000 * ln((N - df + 0.5)/(df + 0.5) + 1))``
+(the Lucene always-positive variant) — and each matched term's
+contribution ``round(idf_milli * saturation)`` is rounded to an integer
+once, making the per-document score an exact BIGINT sum:
+order-independent across partitions and bit-identical in any engine.
+The saturation ``tf*(k1+1) / (tf + k1*(1 - b + b*len/avglen))`` is a
+chain of IEEE double ops over exact integers, deterministic as long as
+both engines evaluate the same expression tree (the registry oracle
+mirrors the literal order exactly).
+
+Scale shape: this IS the distributed inverted index — ``tf`` is a
+partial-aggregable groupBy over the token stream, ``df``/``idf`` a
+per-term aggregate (the posting-list lengths), and scoring one
+shuffled equi-join of the (tiny) query-term table against the postings
+keyed by term, linear in the postings the query terms touch. The final
+ranking window is partitioned by query. Nothing is driver-side; no
+UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def _token_occurrences(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_queries: int,
+    top_k: int,
+) -> DataFrame:
+    """Self-retrieval benchmark shape: each of the first ``n_queries``
+    documents (by id) queries the corpus with its own distinct terms;
+    returns the ``top_k`` BM25-ranked other documents per query as
+    ``(query_id, neighbor_id, bm25_milli, bm25_rank)`` with the exact
+    integer score (milli-units) and a fully tie-broken rank
+    (score desc, neighbor id asc)."""
+    occ = _token_occurrences(docs, id_col, text_col)
+    # per-doc length + corpus stats: N, avglen (double, computed ONCE
+    # so every saturation term divides by the identical value)
+    lens = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len_d"))
+    tf = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("len_d").alias("total_len")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.join(stats.hint("broadcast")).select(
+        "term",
+        F.round(
+            F.lit(1000.0)
+            * F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            )
+        )
+        .cast("bigint")
+        .alias("idf_milli"),
+    )
+    qterms = (
+        tf.filter(F.col("doc_id") < n_queries)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    avglen = F.col("total_len").cast("double") / F.col("n_docs")
+    sat = (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf")
+        + K1 * (1.0 - B + B * (F.col("len_d") / avglen))
+    )
+    scored = (
+        qterms.join(tf, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(idf, "term")
+        .join(lens, "doc_id")
+        .join(stats.hint("broadcast"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.round(F.col("idf_milli") * sat).cast("bigint").alias("c"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("c").alias("bm25_milli"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_milli").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("bm25_rank", F.row_number().over(w))
+        .filter(F.col("bm25_rank") <= top_k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bm25_milli",
+            F.col("bm25_rank").cast("int").alias("bm25_rank"),
+        )
+    )

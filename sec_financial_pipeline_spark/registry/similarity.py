@@ -292,7 +292,69 @@ _EMB_TOPK_SCHEMA = [
     ("lex_rank", "int"),
     ("cos_rank", "int"),
     ("rrf_score", "double"),
+    ("bm25_milli", "bigint"),
+    ("bm25_rank", "int"),
 ]
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (third section of emb_cosine_topk): the
+# inverted-index ranking function production search actually runs
+# (Robertson & Zaragoza 2009, Lucene idf variant). Integer milli-nat
+# firewall like operators/lm.py: idf and each matched term's
+# contribution round to integers ONCE, the per-doc score is an exact
+# BIGINT sum — order-independent and engine-identical; the saturation
+# chain mirrors the Spark expression literal-for-literal so both
+# engines run the same IEEE op sequence.
+# ---------------------------------------------------------------------------
+
+_BM25_ORACLE = f"""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+lens AS (SELECT doc_id, count(*) AS len_d FROM occ GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY doc_id, term),
+stats AS (
+  SELECT count(*) AS n_docs, sum(len_d) AS total_len FROM lens
+),
+idf AS (
+  SELECT term,
+         CAST(round(1000.0 * ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0))
+              AS BIGINT) AS idf_milli
+  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term) d, stats s
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM tf
+  WHERE doc_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, t.doc_id AS neighbor_id,
+         CAST(sum(CAST(round(
+           i.idf_milli *
+           ((t.tf * (1.2 + 1.0)) /
+            (t.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+              (l.len_d / (CAST(s.total_len AS DOUBLE) / s.n_docs)))))
+         ) AS BIGINT)) AS BIGINT) AS bm25_milli
+  FROM qterms q
+  JOIN tf t ON t.term = q.term AND t.doc_id <> q.query_id
+  JOIN idf i ON i.term = q.term
+  JOIN lens l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+)
+SELECT query_id, neighbor_id, bm25_milli, CAST(bm25_rank AS INTEGER) AS bm25_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY bm25_milli DESC, neighbor_id ASC) AS bm25_rank
+  FROM scored
+) WHERE bm25_rank <= {_TOP_K}
+"""
+
+
+def q_emb_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.operators.bm25 import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, "doc_id", "text", n_queries=_N_QUERIES, top_k=_TOP_K)
 
 from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
     union_sections as _u_sections,
@@ -308,6 +370,8 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
              ["query_id", "neighbor_id", "cosine_sim"]),
             ("hybrid", _HYBRID_ORACLE,
              ["query_id", "neighbor_id", "lex_rank", "cos_rank", "rrf_score"]),
+            ("bm25", _BM25_ORACLE,
+             ["query_id", "neighbor_id", "bm25_milli", "bm25_rank"]),
         ],
         _EMB_TOPK_SCHEMA,
     ),
@@ -316,6 +380,8 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         " + hybrid keyword+vector retrieval (3-gram Jaccard leg and"
         " cosine leg truncated to 20/query, fused by reciprocal-rank"
         " fusion k=60 — Cormack et al. 2009)"
+        " + BM25 inverted-index ranking (Robertson-Zaragoza, Lucene idf;"
+        " integer milli-nat scores, exact BIGINT sums)"
     ),
 )
 def q_emb_cosine_and_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,6 +389,7 @@ def q_emb_cosine_and_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("cosine", q_emb_cosine_topk(spark, sf_dir)),
             ("hybrid", q_emb_hybrid_topk(spark, sf_dir)),
+            ("bm25", q_emb_bm25_topk(spark, sf_dir)),
         ],
         _EMB_TOPK_SCHEMA,
     )

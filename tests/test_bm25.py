@@ -1,0 +1,103 @@
+"""BM25 retrieval (operators/bm25.py): exact integer milli-nat scores
+against an independent pure-Python witness, tie-broken ranking, and
+partition invariance."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from sec_financial_pipeline_spark.operators.bm25 import B, K1, bm25_topk
+
+_DOCS = [
+    (0, "apple banana apple cherry"),
+    (1, "banana banana durian"),
+    (2, "apple cherry cherry cherry fig"),
+    (3, "durian fig grape grape grape grape"),
+    (4, "apple banana cherry durian fig grape"),
+    (5, "apple apple apple apple"),
+]
+
+
+def _py_bm25(docs, n_queries, top_k):
+    toks = {i: t.split(" ") for i, t in docs}
+    lens = {i: len(w) for i, w in toks.items()}
+    n = len(docs)
+    avglen = sum(lens.values()) / n
+    tf = {i: Counter(w) for i, w in toks.items()}
+    df = Counter(t for c in tf.values() for t in c)
+    idf = {
+        t: round(1000.0 * math.log((n - d + 0.5) / (d + 0.5) + 1.0))
+        for t, d in df.items()
+    }
+    out = []
+    for q in range(n_queries):
+        scores = {}
+        for d in toks:
+            if d == q:
+                continue
+            s = 0
+            for t in set(toks[q]):
+                f = tf[d].get(t, 0)
+                if not f:
+                    continue
+                sat = (f * (K1 + 1.0)) / (
+                    f + K1 * (1.0 - B + B * (lens[d] / avglen))
+                )
+                s += round(idf[t] * sat)
+            if s:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for r, (d, s) in enumerate(ranked[:top_k], 1):
+            out.append((q, d, s, r))
+    return sorted(out)
+
+
+def test_matches_python_witness_exactly(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id bigint, text string")
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.bm25_milli, r.bm25_rank)
+        for r in bm25_topk(df, "doc_id", "text", n_queries=3, top_k=4).collect()
+    )
+    assert got == _py_bm25(_DOCS, 3, 4)
+    assert got  # non-vacuous
+
+
+def test_partition_invariance(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id bigint, text string")
+    one = sorted(
+        map(
+            tuple,
+            bm25_topk(
+                df.coalesce(1), "doc_id", "text", n_queries=3, top_k=4
+            ).collect(),
+        )
+    )
+    many = sorted(
+        map(
+            tuple,
+            bm25_topk(
+                df.repartition(13), "doc_id", "text", n_queries=3, top_k=4
+            ).collect(),
+        )
+    )
+    assert one == many
+
+
+def test_rare_terms_outrank_common_at_equal_tf(spark):
+    # 'zebra' appears in exactly one other doc, 'common' in all: the
+    # zebra-containing doc must outscore an equally-sized common-only doc
+    docs = [
+        (0, "zebra common"),
+        (1, "zebra common filler filler"),
+        (2, "common common filler filler"),
+        (3, "common filler"),
+        (4, "common filler"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r.neighbor_id: r.bm25_rank
+        for r in bm25_topk(df, "doc_id", "text", n_queries=1, top_k=4).collect()
+    }
+    assert got[1] == 1  # shares the rare term
+    assert got[1] < got.get(2, 99)
