@@ -807,3 +807,42 @@ def test_cascaded_stream_daemons_kill_resume_exactly_once(spark, tmp_path):
     finally:
         q1.stop()
         q2.stop()
+
+
+def test_source_column_rename_fails_refresh_loudly(spark, tmp_path):
+    """Renaming a source column a view aggregates (or groups by) must
+    make the next refresh raise, never silently fold wrong columns —
+    the spec names columns, and a rename is a schema contract change
+    the view owner has to re-create around."""
+    import os
+
+    root = str(tmp_path)
+    src, dst = os.path.join(root, "src"), os.path.join(root, "v")
+    T.create(
+        spark.createDataFrame(
+            [(1, "A", 1.0), (2, "B", 2.0)], "k bigint, g string, v double"
+        ),
+        src,
+    )
+    MV.create_matview(spark, src, dst, ["g"], [("sum", "v", "sv")])
+    T.rename_column(spark, src, "v", "w")
+    T.append(
+        spark.createDataFrame([(3, "A", 5.0)], "k bigint, g string, w double"),
+        src,
+    )
+    with pytest.raises(Exception, match="`v`|cannot be resolved"):
+        MV.refresh_matview(spark, dst)
+
+    src2, dst2 = os.path.join(root, "src2"), os.path.join(root, "v2")
+    T.create(
+        spark.createDataFrame([(1, "A", 1.0)], "k bigint, g string, v double"),
+        src2,
+    )
+    MV.create_matview(spark, src2, dst2, ["g"], [("count", None, "n")])
+    T.rename_column(spark, src2, "g", "h")
+    T.append(
+        spark.createDataFrame([(2, "B", 2.0)], "k bigint, h string, v double"),
+        src2,
+    )
+    with pytest.raises(Exception, match="`g`|cannot be resolved"):
+        MV.refresh_matview(spark, dst2)
