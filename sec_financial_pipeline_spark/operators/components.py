@@ -32,13 +32,23 @@ at sf0.01, full doc_dup_clusters pipeline 46 -> 31).
 Convergence detection stays ONE exact scalar aggregate per batch, no
 join against the previous round (same discipline as the decimal-sum
 check it replaces, and exact at any id range): the alternation's
-fixpoint is a star forest, and a canonically-oriented edge set is a
-star forest **iff no node appears on both the hi and lo side** — roots
-are only ever ``lo``, leaves only ever ``hi``. Since both phases
-preserve the original components, each final star IS one original
-component, and its center (the star's minimum) is the component
-minimum. The check is a role bitmask groupBy + count of two-sided
-nodes, computed on the just-materialized edge table.
+fixpoint is a star forest, and a canonically-oriented DISTINCT edge
+set is a star forest **iff no node appears on both the hi and lo side
+AND no hi carries more than one edge**. Both conditions are necessary:
+hi/lo-disjoint alone admits two-level forests where one hi attaches to
+two roots — e.g. mid-contraction state {(3,1),(5,1),(3,2),(6,2)}
+(reached from edges [(5,3),(6,3),(5,1),(6,2)], ONE component with min
+1) is hi/lo-disjoint but node 3 still bridges roots 1 and 2, and
+labeling there would SPLIT the component (a review-caught bug in the
+first version of this check; the exact case is pinned in
+tests/test_components.py and a 5000-graph pure-Python simulation of
+these exact semantics fuzzes the loop against union-find). Since both
+phases preserve the original components, each final star IS one
+original component, and its center (the star's minimum, = min since
+lo < hi everywhere) is the component minimum. The check is a single
+role groupBy — per node, the count of edges where it is ``hi`` and a
+flag for appearing as ``lo`` — counting violators of either condition,
+computed on the just-materialized edge table.
 
 Each batch ends with an eager ``localCheckpoint`` — the same
 lineage-truncation rationale as ``operators/kmeans.py``: without it,
@@ -129,21 +139,26 @@ def connected_components(
             .distinct()
         )
         cur = ss.localCheckpoint(eager=True)
-        # fixpoint <=> star forest <=> hi-side and lo-side node sets are
-        # disjoint. One exact integer scalar on the just-checkpointed
-        # table (exact at any id range — no sum, no overflow, no float).
+        # fixpoint <=> star forest <=> (a) hi-side and lo-side node
+        # sets are disjoint AND (b) every hi carries exactly one edge
+        # (cur is distinct, so edges-per-hi == distinct-lo-per-hi).
+        # Disjointness alone is NOT enough — see module docstring for
+        # the two-roots counterexample. One exact integer scalar on the
+        # just-checkpointed table (no sum, no overflow, no float).
         roles = cur.select(
             F.col("hi").alias("n"), F.lit(1).alias("h"), F.lit(0).alias("l")
         ).unionByName(
             cur.select(F.col("lo").alias("n"), F.lit(0).alias("h"), F.lit(1).alias("l"))
         )
-        n_internal = (
+        n_violations = (
             roles.groupBy("n")
-            .agg(F.max("h").alias("h"), F.max("l").alias("l"))
-            .where((F.col("h") == 1) & (F.col("l") == 1))
+            .agg(F.sum("h").alias("eh"), F.max("l").alias("l"))
+            .where(
+                ((F.col("eh") > 0) & (F.col("l") == 1)) | (F.col("eh") > 1)
+            )
             .count()
         )
-        if n_internal == 0:
+        if n_violations == 0:
             converged = True
             break
     if not converged:

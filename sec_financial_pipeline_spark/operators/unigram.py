@@ -224,8 +224,18 @@ def train_unigram(
     caller ranks/caps it). ``cnt`` after an M-step is the freq-weighted
     number of times the piece was used in best segmentations (floored
     at 1 for single chars)."""
-    words = unigram_words(df, text_col, max_word_len).persist()
-    words.count()
+    # eager localCheckpoint, NOT persist+unpersist-in-finally (review
+    # finding): nothing in this function runs an action on the lazy EM
+    # plan, so a finally-scoped unpersist evicted the cache BEFORE the
+    # caller's first action and every one of the word table's many
+    # occurrences in the unrolled plan (seed counts, chars, two per EM
+    # iteration) re-ran the corpus-wide word-frequency shuffle. The
+    # checkpointed table is tiny (distinct words + freqs) and also
+    # truncates the per-iteration plan growth at its leaves — the same
+    # pattern as operators/bpe.py and operators/components.py.
+    words = unigram_words(df, text_col, max_word_len).localCheckpoint(
+        eager=True
+    )
     chars = (
         words.select(
             F.explode(F.split(F.col("word"), "")).alias("piece")
@@ -233,34 +243,31 @@ def train_unigram(
         .filter(F.col("piece") != "")
         .distinct()
     )
-    try:
-        counts = seed_counts(words, max_piece_len, min_seed_count)
-        for _ in range(iters):
-            scores = _with_scores(counts)
-            used = (
-                _viterbi_pieces(words, scores, max_piece_len)
-                .groupBy("piece")
-                .agg(F.sum("freq").alias("cnt"))
-            )
-            # coverage floor: every single char survives with >= 1
-            counts = (
-                used.join(chars.withColumn("__c", F.lit(1)), "piece",
-                          "full_outer")
-                .select(
-                    "piece",
-                    F.when(
-                        F.col("__c").isNotNull(),
-                        F.greatest(F.coalesce("cnt", F.lit(0)), F.lit(1)),
-                    )
-                    .otherwise(F.col("cnt"))
-                    .cast("long")
-                    .alias("cnt"),
+    counts = seed_counts(words, max_piece_len, min_seed_count)
+    for _ in range(iters):
+        scores = _with_scores(counts)
+        used = (
+            _viterbi_pieces(words, scores, max_piece_len)
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        # coverage floor: every single char survives with >= 1
+        counts = (
+            used.join(chars.withColumn("__c", F.lit(1)), "piece",
+                      "full_outer")
+            .select(
+                "piece",
+                F.when(
+                    F.col("__c").isNotNull(),
+                    F.greatest(F.coalesce("cnt", F.lit(0)), F.lit(1)),
                 )
-                .filter(F.col("cnt") > 0)
+                .otherwise(F.col("cnt"))
+                .cast("long")
+                .alias("cnt"),
             )
-        return _with_scores(counts)
-    finally:
-        words.unpersist()
+            .filter(F.col("cnt") > 0)
+        )
+    return _with_scores(counts)
 
 
 def unigram_report(

@@ -1238,15 +1238,19 @@ WHERE 1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
 """
 
 
-def q_doc_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_editdist_pairs(
+    spark: SparkSession, sf_dir: str, cand: DataFrame | None = None
+) -> DataFrame:
     from sec_financial_pipeline_spark.operators.dedup import (
         edit_distance_pairs,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    cand = q_doc_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    if cand is None:
+        cand = q_doc_ngram_jaccard_pairs(spark, sf_dir)
     return edit_distance_pairs(
-        d, cand, "doc_id", "text", min_sim=_EDIT_MIN_SIM
+        d, cand.select("id_a", "id_b"), "doc_id", "text",
+        min_sim=_EDIT_MIN_SIM,
     )
 
 
@@ -1311,10 +1315,15 @@ _NGRAM_MERGED_ORACLE = union_sections_sql(
     ),
 )
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE persisted pair table feeds both the jaccard section and the
+    # edit-distance verifier's candidate set (review finding: the
+    # verifier previously re-built the whole shared-shingle self-join —
+    # the merged query's heaviest stage — a second time)
+    pairs = _track(q_doc_ngram_jaccard_pairs(spark, sf_dir).persist())
     return union_sections(
         [
-            ("jaccard", q_doc_ngram_jaccard_pairs(spark, sf_dir)),
-            ("editdist", q_doc_editdist_pairs(spark, sf_dir)),
+            ("jaccard", pairs),
+            ("editdist", q_doc_editdist_pairs(spark, sf_dir, cand=pairs)),
             ("contamination", q_doc_contamination(spark, sf_dir)),
             ("fluency", q_doc_fluency(spark, sf_dir)),
         ],

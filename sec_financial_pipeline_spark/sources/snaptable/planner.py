@@ -580,6 +580,12 @@ def chain_qerror(
     plan = suggest_join_chain(
         spark, tables, edges, broadcast_threshold, filters=filters
     )
+    if not plan["steps"]:
+        raise ValueError(
+            "chain_qerror: the plan has no join steps (need >= 2 tables "
+            "connected by at least one edge) — max()/median over an "
+            "empty q-error list is meaningless"
+        )
 
     def _side(name: str) -> DataFrame:
         df = read(spark, tables[name])

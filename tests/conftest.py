@@ -54,6 +54,19 @@ _DEFAULT_WEIGHT = 12
 _N_SHARDS = 3
 
 
+# flags safe to replay verbatim to workers: SELF-CONTAINED single
+# tokens only. Anything else (space-separated option values like
+# `--deselect X`, `-W error`, `-o k=v`, `-p plugin`) would be split
+# from its value by the flag/path partition and could swallow a shard
+# file — those invocations run serial instead.
+import re as _re
+
+_SAFE_FLAG = _re.compile(
+    r"^(-q|-v+|-s|--durations=\d+|--durations-min=[\d.]+|--tb=\w+|"
+    r"-r[a-zA-Z]+|--color=\w+|--no-header|--strict-markers|-[lq]+)$"
+)
+
+
 def _whole_suite_invocation(config) -> bool:
     if os.environ.get(_SHARD_ENV) or os.environ.get("SFP_SERIAL"):
         return False
@@ -62,15 +75,19 @@ def _whole_suite_invocation(config) -> bool:
         if (
             opt.keyword or opt.markexpr or opt.maxfail or getattr(opt, "lf", False)
             or getattr(opt, "last_failed", False) or getattr(opt, "failedfirst", False)
-            or opt.collectonly or opt.usepdb
+            or opt.collectonly or opt.usepdb or getattr(opt, "deselect", None)
         ):
             return False
     except AttributeError:
         return False
     here = os.path.dirname(os.path.abspath(__file__))
-    args = [a for a in config.args if not a.startswith("-")]
-    return bool(args) and all(
-        os.path.abspath(a.rstrip("/")) == here for a in args
+    invocation = [str(a) for a in config.invocation_params.args]
+    flags = [a for a in invocation if a.startswith("-")]
+    paths = [a for a in invocation if not a.startswith("-")]
+    if not all(_SAFE_FLAG.match(f) for f in flags):
+        return False
+    return bool(paths) and all(
+        os.path.abspath(a.rstrip("/")) == here for a in paths
     )
 
 

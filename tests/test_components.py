@@ -130,6 +130,99 @@ def test_random_graphs_match_union_find(spark):
         assert _labels(connected_components(df)) == _union_find(edges)
 
 
+def test_two_roots_counterexample_does_not_split_component(spark):
+    """Review-caught convergence bug: after one alternation of
+    [(5,3),(6,3),(5,1),(6,2)] the edge set {(3,1),(5,1),(3,2),(6,2)}
+    has DISJOINT hi/lo node sets, but node 3 still bridges roots 1 and
+    2 — declaring convergence there splits one component into {1,3,5}
+    and {2,6}. The fixpoint check must also require one edge per hi."""
+    edges = spark.createDataFrame(
+        [(5, 3), (6, 3), (5, 1), (6, 2)], "src INT, dst INT"
+    )
+    assert _labels(connected_components(edges)) == [
+        (1, 1), (2, 1), (3, 1), (5, 1), (6, 1),
+    ]
+
+
+def _star_cc_sim(edges, max_iter=25):
+    """Pure-Python mirror of connected_components' EXACT DataFrame
+    semantics (canonical orientation, large-star, small-star, distinct,
+    the two-condition star-forest check, the final label fold) — lets
+    the ALGORITHM be fuzzed against union-find at volumes a Spark loop
+    cannot (5000 graphs below; 31/2000 failed under the old
+    disjointness-only check)."""
+    from collections import Counter, defaultdict
+
+    cur = {(max(a, b), min(a, b)) for a, b in edges if a != b}
+    self_nodes = {a for a, b in edges if a == b}
+    converged = False
+    for _ in range(max_iter):
+        adj = defaultdict(set)
+        for hi, lo in cur:
+            adj[hi].add(lo)
+            adj[lo].add(hi)
+        ls = set()
+        for v, nb in adj.items():
+            m = min([v, *nb])
+            for u in nb:
+                if u > v:
+                    ls.add((u, m))
+        by_hi = defaultdict(set)
+        for hi, lo in ls:
+            by_hi[hi].add(lo)
+        ss = set()
+        for hi, los in by_hi.items():
+            m = min(los)
+            for lo in los:
+                if lo != m:
+                    ss.add((lo, m))
+            if hi != m:
+                ss.add((hi, m))
+        cur = ss
+        eh = Counter(hi for hi, _ in cur)
+        lo_set = {lo for _, lo in cur}
+        if not (
+            any(n in lo_set for n in eh) or any(c > 1 for c in eh.values())
+        ):
+            converged = True
+            break
+    assert converged, "simulation did not converge"
+    labels = {}
+    for hi, lo in cur:
+        labels[hi] = min(labels.get(hi, hi), lo)
+        labels.setdefault(lo, lo)
+    for n in self_nodes:
+        labels.setdefault(n, n)
+    return sorted(labels.items())
+
+
+def test_simulated_algorithm_fuzz_5000_graphs_vs_union_find():
+    import random
+
+    rng = random.Random(2024)
+    for case in range(5000):
+        n = rng.randint(2, 40)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(1, 2 * n))
+        ]
+        assert _star_cc_sim(edges) == _union_find(edges), (case, edges)
+
+
+def test_simulation_mirrors_spark_on_structured_cases(spark):
+    # the sim is only a valid fuzz proxy if it matches the real
+    # operator wherever both run — pin on the adversarial shapes
+    cases = [
+        [(5, 3), (6, 3), (5, 1), (6, 2)],
+        [(i, i + 1) for i in range(17)],
+        [(0, i) for i in range(1, 20)],
+        [(9, 5), (5, 7), (2, 1), (30, 30)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src LONG, dst LONG")
+        assert _labels(connected_components(df)) == _star_cc_sim(edges)
+
+
 def test_leakage_safe_split_never_straddles_near_dup_pairs(spark, sf_dir):
     """The point of cluster-keyed splitting: NO verified near-dup pair
     may straddle train/val/test (a per-document hash split leaks — a

@@ -113,23 +113,37 @@ def test_shard_runner_gating(monkeypatch):
 
     here = os.path.dirname(os.path.abspath(__file__))
 
-    def cfg(args, **optattrs):
+    def cfg(invocation, **optattrs):
         opt = types.SimpleNamespace(
             keyword="", markexpr="", maxfail=0, collectonly=False,
             usepdb=False, lf=False, last_failed=False, failedfirst=False,
+            deselect=None,
         )
         for k, v in optattrs.items():
             setattr(opt, k, v)
-        return types.SimpleNamespace(args=args, option=opt)
+        return types.SimpleNamespace(
+            invocation_params=types.SimpleNamespace(args=tuple(invocation)),
+            option=opt,
+        )
 
     monkeypatch.delenv(_SHARD_ENV, raising=False)
     monkeypatch.delenv("SFP_SERIAL", raising=False)
     assert _whole_suite_invocation(cfg([here]))
-    assert _whole_suite_invocation(cfg(["tests/" if os.path.basename(here) == "tests" else here])) or True
+    assert _whole_suite_invocation(cfg(["-q", "--durations=25", here]))
     assert not _whole_suite_invocation(cfg([os.path.join(here, "test_cli.py")]))
     assert not _whole_suite_invocation(cfg([here], keyword="foo"))
     assert not _whole_suite_invocation(cfg([here], maxfail=1))
     assert not _whole_suite_invocation(cfg([here], collectonly=True))
+    # flags whose VALUES ride in a separate token (or any unknown flag)
+    # must force serial — a replayed orphan flag could swallow a shard
+    # file (review finding)
+    assert not _whole_suite_invocation(
+        cfg(["--deselect", "tests/test_cli.py::t", here],
+            deselect=["tests/test_cli.py::t"])
+    )
+    assert not _whole_suite_invocation(cfg(["-W", "error", here]))
+    assert not _whole_suite_invocation(cfg(["-o", "addopts=", here]))
+    assert not _whole_suite_invocation(cfg(["-p", "no:cacheprovider", here]))
     monkeypatch.setenv("SFP_SERIAL", "1")
     assert not _whole_suite_invocation(cfg([here]))
     monkeypatch.delenv("SFP_SERIAL")

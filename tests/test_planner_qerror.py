@@ -62,3 +62,19 @@ def test_qerror_reports_the_planned_order(spark, chain):
     assert [s["est_rows"] for s in rep["steps"]] == [
         max(1, s["est_rows"]) for s in plan["steps"]
     ]
+
+
+def test_chain_qerror_refuses_degenerate_inputs(spark, tmp_path):
+    """A telemetry call that could produce an empty q-error list must
+    refuse loudly up front (review finding; the upstream planner guards
+    cover both shapes — pin them from chain_qerror's entry point)."""
+    from sec_financial_pipeline_spark.sources.snaptable import chain_qerror
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (a, b):
+        T.create(spark.createDataFrame([(1, "x")], "k bigint, v string"), p)
+        T.analyze_table(spark, p)
+    with pytest.raises(ValueError, match=">= 2 tables"):
+        chain_qerror(spark, {"a": a}, edges=[])
+    with pytest.raises(ValueError, match=">= 1 edge"):
+        chain_qerror(spark, {"a": a, "b": b}, edges=[])
