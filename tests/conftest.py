@@ -39,19 +39,20 @@ _SHARD_ENV = "_SFP_SHARD_WORKER"
 # measured file weights (seconds, r11 full-run durations); files absent
 # here get the default — only BALANCE depends on this, never correctness
 _FILE_WEIGHTS = {
-    "test_matview.py": 170, "test_oracle_parity.py": 130,
+    "test_matview.py": 190, "test_oracle_parity.py": 130,
     "test_determinism.py": 130, "test_snaptable.py": 110,
     "test_cli.py": 90, "test_snapfuzz.py": 55, "test_snap_datasource.py": 55,
-    "test_property.py": 45, "test_ivfpq.py": 45, "test_bpe.py": 40,
+    "test_components.py": 50, "test_property.py": 45, "test_ivfpq.py": 45,
+    "test_bpe.py": 40,
     "test_shallow_clone.py": 35, "test_unigram_lm.py": 30,
     "test_oracle_types.py": 30, "test_streaming_ingest.py": 25,
     "test_classifier.py": 25, "test_sketches.py": 25,
-    "test_plan_audit.py": 25, "test_components.py": 20,
+    "test_plan_audit.py": 25,
     "test_sign_lsh.py": 20, "test_report_variants.py": 20,
     "test_job_counts.py": 20, "test_partition_evolution.py": 20,
 }
-_DEFAULT_WEIGHT = 12
-_N_SHARDS = 3
+_DEFAULT_WEIGHT = 15
+_N_SHARDS = 4
 
 
 # flags safe to replay verbatim to workers: SELF-CONTAINED single
@@ -121,10 +122,17 @@ def pytest_cmdline_main(config):
         flush=True,
     )
     t0 = time.time()
+    # pid-unique log paths: a fixed name collides with a concurrent
+    # master AND with this suite's own failure-propagation unit test
+    # running inside a worker (observed clobbering a live shard log)
+    log_dir = os.environ.get("SFP_SHARD_LOG_DIR", "/tmp")
+    log_path = lambda i: os.path.join(  # noqa: E731
+        log_dir, f"sfp_shard_{os.getpid()}_{i}.log"
+    )
     procs = []
     for i, files in enumerate(shards):
         env = dict(os.environ, **{_SHARD_ENV: str(i)})
-        log = open(f"/tmp/sfp_shard_{i}.log", "w")
+        log = open(log_path(i), "w")
         procs.append(
             (
                 subprocess.Popen(
@@ -141,7 +149,7 @@ def pytest_cmdline_main(config):
     for i, (p, log) in enumerate(procs):
         rc = max(rc, p.wait())
         log.close()
-        with open(f"/tmp/sfp_shard_{i}.log") as f:
+        with open(log_path(i)) as f:
             tail = f.readlines()[-12:]
         print(f"--- shard {i} (exit {p.returncode}) ---", flush=True)
         sys.stdout.writelines(tail)

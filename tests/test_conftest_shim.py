@@ -92,7 +92,7 @@ def test_shard_runner_partitions_every_file_exactly_once():
         f for f in os.listdir(here)
         if f.startswith("test_") and f.endswith(".py")
     )
-    shards = _shard_files(3)
+    shards = _shard_files(4)
     flat = [os.path.basename(p) for s in shards for p in s]
     assert sorted(flat) == expect
     assert len(set(flat)) == len(flat)
@@ -161,6 +161,9 @@ def test_shard_runner_propagates_worker_failure(monkeypatch, tmp_path):
     here = os.path.dirname(os.path.abspath(__file__))
     monkeypatch.delenv(C._SHARD_ENV, raising=False)
     monkeypatch.delenv("SFP_SERIAL", raising=False)
+    # isolate fake logs: this test may itself run INSIDE a real shard
+    # worker, and writing the master's live log paths clobbers them
+    monkeypatch.setenv("SFP_SHARD_LOG_DIR", str(tmp_path))
 
     class FakeProc:
         def __init__(self, rc):
@@ -169,7 +172,7 @@ def test_shard_runner_propagates_worker_failure(monkeypatch, tmp_path):
         def wait(self):
             return self.returncode
 
-    rcs = iter([0, 1, 0])
+    rcs = iter([0, 1, 0, 0])
     launched = []
 
     def fake_popen(cmd, stdout=None, stderr=None, env=None, cwd=None):
@@ -190,7 +193,7 @@ def test_shard_runner_propagates_worker_failure(monkeypatch, tmp_path):
     )
     rc = C.pytest_cmdline_main(config)
     assert rc == 1
-    assert len(launched) == 3
+    assert len(launched) == 4
     # flags pass through to every worker; paths are per-shard files
     for cmd in launched:
         assert "-q" in cmd and not any(a.rstrip("/") == "tests" for a in cmd)
