@@ -1,0 +1,200 @@
+"""Cross-feature fuzz: an incrementally-maintained matview riding a
+snaptable under the FULL DML/maintenance op set (append / merge /
+cow-delete / dv-delete / update / compact / optimize / purge /
+partition-spec evolution / rollback / vacuum), with randomly
+interleaved refreshes checked against a pure-Python recompute of the
+current table state.
+
+The existing model-based matview storm covers appends/deletes only;
+every other op reaches the view exclusively through the change feed's
+net-diff semantics (maintenance commits must fold to NOTHING, a
+rollback commit must fold to the delta back to the old state), which
+is exactly where a silent-wrong-results bug would hide. Aggregates
+cover both refresh paths: algebraic (count/sum/avg + a FILTERed count)
+and holistic (min, which recomputes touched groups), over a view WHERE
+clause and NULL-able values. Vacuum follows the operational discipline
+the module documents (refresh first, so the cursor is never behind the
+reaped feed). At the end the incrementally-maintained view must equal
+a from-scratch create_matview of the same definition, row for row.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import tempfile
+
+import pytest
+
+import sec_financial_pipeline_spark.sources.snaptable as T
+from sec_financial_pipeline_spark.sources import matview as MV
+
+SEEDS = int(os.environ.get("MVFUZZ_SEEDS", "3"))
+OPS = int(os.environ.get("MVFUZZ_OPS", "30"))
+
+_WHERE = "id % 7 != 3"
+_AGGS = [
+    ("count", None, "n"),
+    ("sum", "v", "sv"),
+    ("avg", "v", "av"),
+    ("min", "v", "mn"),
+    ("count", "v", "nhi", "v > 50"),
+]
+
+
+def _mkdf(spark, items):
+    # items: {id: (g, v_or_None)}
+    rows = [(i, g, v) for i, (g, v) in items.items()]
+    return spark.createDataFrame(rows, "id long, g string, v long")
+
+
+def _expected(rows):
+    """Pure-Python recompute of the view over the CURRENT table rows."""
+    out = {}
+    for i, (g, v) in rows.items():
+        if i % 7 == 3:
+            continue  # the view WHERE
+        n, sv, nn, mn, nhi = out.get(g, (0, 0, 0, None, 0))
+        n += 1
+        if v is not None:
+            sv += v
+            nn += 1
+            mn = v if mn is None else min(mn, v)
+            if v > 50:
+                nhi += 1
+        out[g] = (n, sv, nn, mn, nhi)
+    return {
+        g: (
+            n,
+            float(sv) if nn else None,
+            (float(sv) / nn) if nn else None,
+            mn,
+            nhi,
+        )
+        for g, (n, sv, nn, mn, nhi) in out.items()
+    }
+
+
+def _view_state(spark, dst):
+    return {
+        r.g: (r.n, r.sv, r.av, r.mn, r.nhi)
+        for r in MV.read_matview(spark, dst).collect()
+    }
+
+
+@pytest.mark.parametrize("seed", range(SEEDS))
+def test_matview_rides_full_dml_fuzz(spark, seed):
+    rng = random.Random(4400 + seed)
+    root = tempfile.mkdtemp(prefix="mvfuzz_")
+    src, dst = f"{root}/src", f"{root}/view"
+
+    rows = {
+        i: (f"g{i % 4}", None if i % 11 == 5 else i * 3) for i in range(24)
+    }
+    T.create(_mkdf(spark, rows), src)
+    history = {1: dict(rows)}
+    retained = {1}
+    MV.create_matview(
+        spark, src, dst, ["g"], _AGGS, where=_WHERE
+    )
+    next_id = 1000
+
+    def refresh_and_check():
+        MV.refresh_matview(spark, dst)
+        assert _view_state(spark, dst) == _expected(rows), (
+            f"seed {seed}: view diverged from recompute"
+        )
+
+    ops = ["append", "merge", "cow_delete", "dv_delete", "update",
+           "compact", "optimize", "purge", "respec", "rollback",
+           "vacuum", "refresh", "refresh"]
+
+    for _ in range(OPS):
+        op = rng.choice(ops)
+        if op == "append":
+            new = {
+                i: (f"g{i % 5}", None if i % 9 == 2 else i % 97)
+                for i in range(next_id, next_id + 6)
+            }
+            next_id += 6
+            v = T.append(_mkdf(spark, new), src)
+            rows.update(new)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "merge":
+            upd = {
+                i: (rows[i][0], (rows[i][1] or 0) + 100)
+                for i in sorted(rows)[:2]
+            }
+            ins = {next_id: ("g9", 7), next_id + 1: ("g9", None)}
+            next_id += 2
+            inc = {**upd, **ins}
+            v = T.merge_upsert(_mkdf(spark, inc), src, key_cols=["id"])
+            rows.update(inc)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op in ("cow_delete", "dv_delete"):
+            m, r = rng.choice([(3, 0), (4, 1), (5, 2)])
+            hit = {i for i in rows if i % m == r}
+            mode = "dv" if op == "dv_delete" else "cow"
+            v = T.delete_where(spark, src, f"id % {m} = {r}", mode=mode)
+            if hit:
+                rows = {i: x for i, x in rows.items() if i not in hit}
+                history[v] = dict(rows)
+                retained.add(v)
+        elif op == "update":
+            m, r = rng.choice([(2, 0), (6, 4)])
+            hit = {i for i in rows if i % m == r}
+            v = T.update_where(spark, src, f"id % {m} = {r}", {"v": "v + 1"})
+            if hit:
+                rows = {
+                    i: (g, (x + 1) if (i in hit and x is not None) else x)
+                    for i, (g, x) in rows.items()
+                }
+                history[v] = dict(rows)
+                retained.add(v)
+        elif op == "compact":
+            v = T.compact(spark, src, target_files=1)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "optimize":
+            v = T.optimize_cluster(spark, src, ["id"], target_files=2)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "purge":
+            T.purge_deletes(spark, src)
+            v = max(T.versions(spark, src))
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "respec":
+            cur = tuple(
+                T._manifest(spark, src, None).get("partition_cols", ())
+            )
+            v = T.set_partition_spec(spark, src, () if cur else ("g",))
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "rollback":
+            candidates = sorted(retained - {max(history)})
+            if not candidates:
+                continue
+            to = rng.choice(candidates)
+            v = T.rollback(spark, src, to_version=to)
+            rows = dict(history[to])
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "vacuum":
+            # operational discipline (module docstring): the view's
+            # cursor must never fall behind the reaped change feed
+            refresh_and_check()
+            T.vacuum(spark, src, keep_last=2, min_age_sec=0.0)
+            retained = set(sorted(retained)[-2:]) | {max(history)}
+        elif op == "refresh":
+            refresh_and_check()
+
+    # final: incremental view == from-scratch recompute of the SAME
+    # definition, row for row
+    refresh_and_check()
+    fresh = f"{root}/fresh"
+    MV.create_matview(spark, src, fresh, ["g"], _AGGS, where=_WHERE)
+    assert _view_state(spark, dst) == _view_state(spark, fresh)
+    assert MV.matview_lag(spark, dst)["behind_versions"] == 0
