@@ -107,6 +107,11 @@ HEADLINE = [
     # refresh claim is now regression-visible; the untimed warm-up
     # call pays the initial full build.
     "matview_refresh",
+    # round-11 widening: query-only BM25 over the persisted inverted
+    # index (~1% of the corpus as queries) — the serve half of the
+    # retrieval lifecycle, scoring bit-identical to the bm25 oracle
+    # section; the warm-up call builds the postings store once.
+    "bm25_serve",
 ]
 
 
@@ -129,6 +134,7 @@ def _headline_fns():
         "emb_sq_serve": similarity.q_emb_sq_serve,
         "emb_ivfpq_serve": similarity.q_emb_ivfpq_serve,
         "doc_incr_dedup_serve": similarity.q_doc_incr_dedup_serve,
+        "bm25_serve": similarity.q_emb_bm25_serve,
         "doc_contamination": similarity.q_doc_contamination,
         "doc_boilerplate": llm_text.q_doc_boilerplate,
         # r8: the registry row gained a `batches` section (length-

@@ -42,19 +42,14 @@ def _token_occurrences(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
-def bm25_topk(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    n_queries: int,
-    top_k: int,
-) -> DataFrame:
-    """Self-retrieval benchmark shape: each of the first ``n_queries``
-    documents (by id) queries the corpus with its own distinct terms;
-    returns the ``top_k`` BM25-ranked other documents per query as
-    ``(query_id, neighbor_id, bm25_milli, bm25_rank)`` with the exact
-    integer score (milli-units) and a fully tie-broken rank
-    (score desc, neighbor id asc)."""
+def bm25_index(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the inverted-index tables once: ``postings``
+    ``(doc_id, term, tf, len_d)``, ``idf`` ``(term, idf_milli)`` and
+    ``stats`` ``(n_docs, total_len)`` — the persistable batch half of
+    the retrieval lifecycle (like the MinHash signature store and the
+    ANN code tables, the 100 TB analog is a nightly index build)."""
     occ = _token_occurrences(docs, id_col, text_col)
     # per-doc length + corpus stats: N, avglen (double, computed ONCE
     # so every saturation term divides by the identical value)
@@ -76,21 +71,31 @@ def bm25_topk(
         .cast("bigint")
         .alias("idf_milli"),
     )
-    qterms = (
-        tf.filter(F.col("doc_id") < n_queries)
-        .select(F.col("doc_id").alias("query_id"), "term")
-        .distinct()
-    )
+    postings = tf.join(lens, "doc_id")
+    return postings, idf, stats
+
+
+def bm25_score(
+    postings: DataFrame,
+    idf: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    top_k: int,
+) -> DataFrame:
+    """Query half, shared bit-for-bit by the train-in-query row and the
+    persisted-store serve path: join the (tiny) ``qterms``
+    ``(query_id, term)`` table against the postings keyed by term,
+    saturate, sum exact integer contributions, rank per query.
+    Self-matches (neighbor == query id) are excluded."""
     avglen = F.col("total_len").cast("double") / F.col("n_docs")
     sat = (F.col("tf") * (K1 + 1.0)) / (
         F.col("tf")
         + K1 * (1.0 - B + B * (F.col("len_d") / avglen))
     )
     scored = (
-        qterms.join(tf, "term")
+        qterms.join(postings, "term")
         .filter(F.col("doc_id") != F.col("query_id"))
         .join(idf, "term")
-        .join(lens, "doc_id")
         .join(stats.hint("broadcast"))
         .select(
             "query_id",
@@ -113,3 +118,25 @@ def bm25_topk(
             F.col("bm25_rank").cast("int").alias("bm25_rank"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_queries: int,
+    top_k: int,
+) -> DataFrame:
+    """Self-retrieval benchmark shape: each of the first ``n_queries``
+    documents (by id) queries the corpus with its own distinct terms;
+    returns the ``top_k`` BM25-ranked other documents per query as
+    ``(query_id, neighbor_id, bm25_milli, bm25_rank)`` with the exact
+    integer score (milli-units) and a fully tie-broken rank
+    (score desc, neighbor id asc)."""
+    postings, idf, stats = bm25_index(docs, id_col, text_col)
+    qterms = (
+        postings.filter(F.col("doc_id") < n_queries)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    return bm25_score(postings, idf, stats, qterms, top_k)

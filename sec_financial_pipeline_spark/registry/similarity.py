@@ -356,6 +356,71 @@ def q_emb_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return bm25_topk(d, "doc_id", "text", n_queries=_N_QUERIES, top_k=_TOP_K)
 
+
+_BM25_SERVE_MOD = 101  # ~1% of the corpus queries the store per call
+
+
+def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent batch half of the BM25 lifecycle: build the inverted
+    index ONCE (postings partitioned-by-nothing parquet + idf + corpus
+    stats under one artifact root, atomic-rename published) — the
+    nightly index build every search deployment runs. Serving then
+    pays query-term extraction + the postings probe only."""
+    import os
+
+    from sec_financial_pipeline_spark.operators.bm25 import bm25_index
+
+    path = _artifact_path("sfp_bm25_", sf_dir, "documents", "k12b075-p16")
+    if not os.path.exists(path):
+        d = load_table(spark, sf_dir, "documents")
+        postings, idf, stats = bm25_index(d, "doc_id", "text")
+
+        def _write(p):
+            # term-hash layout across 16 files: the serve probe is a
+            # term-keyed join, so a term-partitioned store scans in
+            # parallel AND co-locates each query term's postings (a
+            # single output file serialized the whole serve path:
+            # measured 11 tasks total)
+            postings.repartition(16, "term").write.parquet(
+                os.path.join(p, "postings")
+            )
+            idf.repartition(16, "term").write.parquet(os.path.join(p, "idf"))
+            stats.write.parquet(os.path.join(p, "stats"))
+
+        _publish_atomically(_write, path)
+    return path
+
+
+def q_emb_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-ONLY BM25 latency (bench row): probe the persisted
+    inverted index with ~1% of the corpus as queries — no tf/df/idf
+    recomputation, the exact serve shape of a production search tier
+    (the first call builds the store; the bench warm-up absorbs it).
+    Scoring is bit-identical to the train-in-query path — both run
+    operators/bm25.bm25_score (asserted by tests/test_bm25.py)."""
+    import os
+
+    from sec_financial_pipeline_spark.operators.bm25 import bm25_score
+
+    root = ensure_bm25_index(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(root, "postings"))
+    idf = spark.read.parquet(os.path.join(root, "idf"))
+    stats = spark.read.parquet(os.path.join(root, "stats"))
+    # query terms come from tokenizing the ~1% QUERY documents, not
+    # from scanning the whole postings store — identical term sets
+    # (a doc's postings are exactly its distinct tokens; pinned
+    # equal in tests/test_bm25.py) at a fraction of the scan
+    qterms = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _BM25_SERVE_MOD == 7)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .distinct()
+    )
+    return bm25_score(postings, idf, stats, qterms, _TOP_K)
+
 from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
     union_sections as _u_sections,
     union_sections_sql as _u_sections_sql,

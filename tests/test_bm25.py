@@ -101,3 +101,46 @@ def test_rare_terms_outrank_common_at_equal_tf(spark):
     }
     assert got[1] == 1  # shares the rare term
     assert got[1] < got.get(2, 99)
+
+
+def test_serve_path_equals_direct_scoring(spark, sf_dir, monkeypatch, tmp_path):
+    """The persisted-index serve path must be bit-identical to scoring
+    the same queries directly against a freshly built in-memory index —
+    the store round-trip (parquet write/read of postings/idf/stats)
+    loses nothing."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_index,
+        bm25_score,
+    )
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _BM25_SERVE_MOD,
+        _TOP_K,
+        q_emb_bm25_serve,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    served = sorted(map(tuple, q_emb_bm25_serve(spark, sf_dir).collect()))
+    assert served, "serve query set is empty — mod too large for this SF"
+    # the artifact exists and a second call reuses it (no rebuild)
+    arts = [p for p in os.listdir(str(tmp_path)) if p.startswith("sfp_bm25_")]
+    assert len(arts) == 1
+    again = sorted(map(tuple, q_emb_bm25_serve(spark, sf_dir).collect()))
+    assert served == again
+
+    d = load_table(spark, sf_dir, "documents")
+    postings, idf, stats = bm25_index(d, "doc_id", "text")
+    qterms = (
+        postings.filter(F.col("doc_id") % _BM25_SERVE_MOD == 7)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    direct = sorted(
+        map(tuple, bm25_score(postings, idf, stats, qterms, _TOP_K).collect())
+    )
+    assert served == direct
