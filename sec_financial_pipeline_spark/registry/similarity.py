@@ -370,7 +370,13 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
 
     from sec_financial_pipeline_spark.operators.bm25 import bm25_index
 
-    path = _artifact_path("sfp_bm25_", sf_dir, "documents", "k12b075-p16")
+    from sec_financial_pipeline_spark.operators.bm25 import B, K1
+
+    # tag DERIVED from the scoring constants (ADVICE r11): retuning
+    # K1/B invalidates the persisted artifact instead of silently
+    # serving stale scores from an index built under the old config
+    tag = f"k{str(K1).replace('.', '')}b{str(B).replace('.', '')}-p16"
+    path = _artifact_path("sfp_bm25_", sf_dir, "documents", tag)
     if not os.path.exists(path):
         d = load_table(spark, sf_dir, "documents")
         postings, idf, stats = bm25_index(d, "doc_id", "text")
@@ -1265,6 +1271,13 @@ def q_doc_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EDIT_MIN_SIM = 0.4
 
+# ASCII CONSTRAINT (ADVICE r11): DuckDB's levenshtein is BYTE-based
+# (levenshtein('é','a') = 2) while Spark's is CODEPOINT-based (= 1), so
+# the bit-exact oracle parity below holds only while the corpus is
+# pure ASCII (current testdata documents are — verified). If non-ASCII
+# text ever enters the documents table the divergence is made LOUD by
+# tests/test_oracle_parity.py::test_editdist_oracle_non_ascii_divergence,
+# which pins the exact byte-vs-codepoint disagreement on 'é'.
 _EDITDIST_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -148,7 +148,11 @@ def pytest_cmdline_main(config):
         )
     rc = 0
     for i, (p, log) in enumerate(procs):
-        rc = max(rc, p.wait())
+        # a signal-killed worker (JVM OOM-kill, SIGSEGV) returns a
+        # NEGATIVE code, which max() with 0 would mask — any nonzero
+        # exit must fail the whole-suite gate
+        w = p.wait()
+        rc = max(rc, w if w >= 0 else 1)
         log.close()
         with open(log_path(i)) as f:
             tail = f.readlines()[-12:]

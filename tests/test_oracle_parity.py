@@ -104,3 +104,21 @@ def test_registry_consistency():
     os_ = E.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) == len(QUERIES)
+
+
+def test_editdist_oracle_non_ascii_divergence(spark, duck):
+    """Pins the byte-vs-codepoint disagreement that bounds the editdist
+    oracle's validity (ADVICE r11): DuckDB levenshtein counts BYTES
+    ('é' is 2 in UTF-8), Spark counts CODEPOINTS. The fuzzy-dedup
+    oracle parity is therefore ASCII-only; if the corpus ever gains
+    non-ASCII text this test is the loud documentation of why the
+    oracle would diverge (and the row's SQL must switch to a
+    codepoint-safe distance)."""
+    s_val = spark.sql("SELECT levenshtein('é', 'a') AS d").collect()[0]["d"]
+    d_val = duck.execute("SELECT levenshtein('é', 'a') AS d").fetchone()[0]
+    assert s_val == 1  # codepoint-based
+    assert d_val == 2  # byte-based (UTF-8 'é' = 2 bytes)
+    # and agreement on pure ASCII — the regime the oracle relies on
+    s_a = spark.sql("SELECT levenshtein('kitten','sitting') AS d").collect()[0]["d"]
+    d_a = duck.execute("SELECT levenshtein('kitten','sitting')").fetchone()[0]
+    assert s_a == d_a == 3
