@@ -107,6 +107,10 @@ HEADLINE = [
     # refresh claim is now regression-visible; the untimed warm-up
     # call pays the initial full build.
     "matview_refresh",
+    # round-12: the unigram APPLY path over the persisted trained piece
+    # table (~9% of docs tokenized per call) — the inference half that
+    # actually runs at 100 TB; warm-up trains + persists the model.
+    "unigram_apply",
     # round-11 widening: query-only BM25 over the persisted inverted
     # index (~1% of the corpus as queries) — the serve half of the
     # retrieval lifecycle, scoring bit-identical to the bm25 oracle
@@ -144,6 +148,8 @@ def _headline_fns():
         "doc_pack_chunks": llm_text.q_doc_pack_offsets,
         # r11: the unigram tokenizer section, timed standalone
         "unigram_train": llm_text.q_doc_unigram,
+        # r12: apply-only tokenization against the persisted model
+        "unigram_apply": llm_text.q_doc_unigram_apply_serve,
         # r8: likewise, the clusters registry row gained the
         # leakage_split section (a second CC pass); the bench row keeps
         # timing the pure transitive-closure constituent.
@@ -161,8 +167,15 @@ def _headline_fns():
         name: constituents.get(name) or queries[name].fn for name in HEADLINE
     }
 
-#: Timed repetitions per query; the reported figure is the median, so a
-#: single GC pause / machine-load spike can't masquerade as a regression.
+#: Timed repetitions per query; the OFFICIAL per-row figure is the
+#: min-of-3 (VERDICT r11 item 1: the r11 readings spanned 40.7-56.8s
+#: across builder/driver/judge with identical plan metrics, so the
+#: official record must be the reading least sensitive to co-tenant
+#: load) with a per-row `spread` field (max/min across the three
+#: passes) quantifying how noisy the box was. Cross-round perf claims
+#: key on plan metrics + the normalized-to-reference-row column, never
+#: raw wall. The median is still recorded in BENCH_FULL.json for
+#: continuity with r1-r11 totals.
 N_REPS = 3
 
 
@@ -234,7 +247,8 @@ def main() -> None:
     from sec_financial_pipeline_spark.registry.similarity import release_caches
 
     timings: dict[str, float] = {}
-    min2: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spread: dict[str, float] = {}
     compute_only: dict[str, float] = {}
     plan_metrics: dict[str, dict | None] = {}
     for name in HEADLINE:
@@ -266,12 +280,16 @@ def main() -> None:
             assert pdf is not None
         sc.setLocalProperty("spark.jobGroup.id", None)
         plan_metrics[name] = _plan_metrics(spark, f"bench:{name}")
-        timings[name] = round(sorted(reps)[len(reps) // 2], 4)
-        # co-tenant-load hygiene (VERDICT r06 #6): the min of two
-        # back-to-back runs is far less sensitive to a transient load
-        # spike than the median; reported ALONGSIDE the median so the
-        # round-over-round total stays like-for-like.
-        min2[name] = round(min(reps[:2]), 4)
+        # OFFICIAL per-row figure = min-of-3 (VERDICT r11 item 1): the
+        # reading least sensitive to co-tenant load. `spread` = max/min
+        # across the three passes — a spread near 1.0 means the min is
+        # trustworthy; a wide spread flags a noisy box, in which case
+        # only plan metrics + the normalized column are comparable.
+        timings[name] = round(min(reps), 4)
+        spread[name] = round(max(reps) / min(reps), 2)
+        # median retained in the full record for continuity with the
+        # r1-r11 totals (which reported sum-of-medians).
+        medians[name] = round(sorted(reps)[len(reps) // 2], 4)
         # drop caches the finished query pinned: each query's reps still
         # benefit (warmup re-populates), but query j doesn't execute
         # under query i's leftover storage-memory pressure
@@ -283,9 +301,13 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
+        # per-row min-of-3 (official) + spread (max/min over 3 passes)
         "queries": timings,
-        "min_of_2": min2,
-        "min_of_2_total": round(sum(min2.values()), 4),
+        "basis": "min_of_3",
+        "spread": spread,
+        "spread_max": max(spread.values()),
+        "median": medians,
+        "median_total": round(sum(medians.values()), 4),
         # engine time without the driver-side Arrow fetch (noop sink);
         # `queries` stays the end-to-end figure so totals remain
         # like-for-like round-over-round.
@@ -298,12 +320,13 @@ def main() -> None:
         "plan_metrics": plan_metrics,
         # wall normalized to the pinned reference row: co-tenant noise
         # inflates numerator and denominator together, so this column
-        # is comparable across boxes.
+        # is comparable across boxes — with plan metrics, the ONLY
+        # basis for cross-round perf claims (VERDICT r11 item 1).
         "normalized_to_sec_metric_series": {
-            n: round(v / min2["sec_metric_series"], 3)
-            for n, v in min2.items()
+            n: round(v / timings["sec_metric_series"], 3)
+            for n, v in timings.items()
         }
-        if min2.get("sec_metric_series")
+        if timings.get("sec_metric_series")
         else {},
         # co-tenant load context (VERDICT r03 #7): the same code measured
         # 38-68s across load avg 1-5, so round-over-round driver
@@ -326,8 +349,12 @@ def main() -> None:
         "metric": out["metric"],
         "value": out["value"],
         "unit": "sec",
-        "queries": timings,
-        "min_of_2_total": out["min_of_2_total"],
+        # per-row min-of-3 (3dp) + per-row spread (2dp) both inside the
+        # driver's ~2000-char stdout tail window (VERDICT r11 item 1)
+        "queries": {n: round(v, 3) for n, v in timings.items()},
+        "basis": "min_of_3",
+        "spread": spread,
+        "median_total": out["median_total"],
         "compute_only_total": out["compute_only_total"],
         "n_rows": len(timings),
         "sf": sf,
@@ -336,6 +363,9 @@ def main() -> None:
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: never outgrow the window again
+        compact["spread"] = {"max": out["spread_max"]}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
         compact.pop("queries")
         line = json.dumps(compact, separators=(",", ":"))
     sys.stderr.write(f"full bench record written to {full_path}\n")

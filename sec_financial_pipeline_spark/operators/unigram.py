@@ -126,12 +126,13 @@ def seed_counts(
     )
 
 
-def _viterbi_pieces(words: DataFrame, scores: DataFrame,
-                    max_piece_len: int) -> DataFrame:
-    """E-step: (word, freq, piece) — one row per piece USE in each
-    word's best segmentation under ``scores``. All JVM-side: span
-    explode -> broadcast join -> per-word edge array -> forward fold
-    (best totals + backpointers) -> backtrace fold."""
+def _viterbi_segment(words: DataFrame, scores: DataFrame,
+                     max_piece_len: int) -> DataFrame:
+    """Shared Viterbi core of the E-step AND the apply path:
+    (word, freq, pieces) with ``pieces`` the word's best segmentation
+    under ``scores`` in FORWARD order. All JVM-side: span explode ->
+    broadcast join -> per-word edge array -> forward fold (best totals
+    + backpointers) -> backtrace fold."""
     edges = (
         _spans(words, max_piece_len)
         .join(F.broadcast(scores.select("piece", "score")), "piece")
@@ -203,10 +204,20 @@ def _viterbi_pieces(words: DataFrame, scores: DataFrame,
                 F.array().cast("array<string>").alias("ps"),
             ),
             _back,
-            lambda st: st["ps"],
+            # the backtrace appends from the END of the word backward,
+            # so reverse once to hand callers forward reading order
+            lambda st: F.reverse(st["ps"]),
         ),
     )
-    return segged.select(
+    return segged.select("word", "freq", "pieces")
+
+
+def _viterbi_pieces(words: DataFrame, scores: DataFrame,
+                    max_piece_len: int) -> DataFrame:
+    """E-step: (word, freq, piece) — one row per piece USE in each
+    word's best segmentation under ``scores`` (order-insensitive: the
+    M-step only counts uses)."""
+    return _viterbi_segment(words, scores, max_piece_len).select(
         "word", "freq", F.explode("pieces").alias("piece")
     )
 
@@ -304,3 +315,103 @@ def unigram_report(
         .agg((F.count("__p2") + 1).cast("int").alias("rank"))
         .select("rank", "piece", "cnt", "score")
     )
+
+
+#: Apply-time fallback score (milli-nats) for single characters the
+#: trained vocabulary never saw: far below any real log-prob (a real
+#: piece's floor is ln(1/total)*1000 ~ -14000 at 1M-piece totals), so
+#: an UNK char is only ever used when no trained piece covers the
+#: position — SentencePiece's <unk> with a fixed penalty, made exact.
+UNK_SCORE = -1_000_000
+
+
+def augment_unk_chars(words: DataFrame, scores: DataFrame) -> DataFrame:
+    """Total-coverage guarantee for the apply path: any single char in
+    ``words`` missing from the trained single-char pieces joins the
+    score table at ``UNK_SCORE`` (cnt 0). The trainer guarantees
+    coverage of its OWN sample's chars; apply-time text is a superset
+    (train on a sample, tokenize the corpus — the Kudo 2018 deployment
+    shape), so coverage must be re-established against the apply words
+    or Viterbi has no path."""
+    chars = (
+        words.select(F.explode(F.split(F.col("word"), "")).alias("piece"))
+        .filter(F.col("piece") != "")
+        .distinct()
+    )
+    unk = chars.join(
+        scores.filter(F.length("piece") == 1).select("piece"),
+        "piece",
+        "left_anti",
+    ).select(
+        "piece",
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(UNK_SCORE).cast("long").alias("score"),
+    )
+    return scores.select("piece", "cnt", "score").unionByName(unk)
+
+
+def apply_unigram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    scores: DataFrame,
+    max_piece_len: int = 3,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """Tokenize a corpus with a TRAINED piece table — the inference
+    half of Kudo 2018 and the part that actually runs at 100 TB (train
+    once on a sample, apply to everything; the BPE twin is
+    ``operators/bpe.py::apply_bpe``). Returns one row per emitted
+    token: ``(id_col, widx, pidx, piece, score)`` — word index within
+    the document (1-based over the whitespace split), piece index
+    within the word's segmentation (1-based, forward order), the piece
+    and its trained milli-nat score (``UNK_SCORE`` for fallback
+    chars).
+
+    Scale shape — the same reduction as training: Viterbi runs ONCE
+    per DISTINCT (truncated) word, never per occurrence; occurrences
+    then pick up their segmentation by an equi-join on the word (the
+    distinct-word table is corpus-vocabulary-sized, so at 100 TB this
+    is a shuffled join both sides partitioned by word; locally AQE
+    broadcasts it). The per-word fold is bounded by ``max_word_len``
+    positions x ``max_piece_len`` candidates — constant work per
+    distinct word. Words are truncated to ``max_word_len`` chars
+    BEFORE segmenting (the trainer's normalization contract: train and
+    apply must see the same word space), so the round-trip invariant
+    is concat(pieces) == substring(word, 1, max_word_len)."""
+    inst = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.trim(F.col(text_col)), _WORD_SPLIT)
+            ).alias("widx0", "w0"),
+        )
+        .filter(F.col("w0") != "")
+        .select(
+            id_col,
+            (F.col("widx0") + 1).cast("int").alias("widx"),
+            F.substring("w0", 1, max_word_len).alias("word"),
+        )
+    )
+    vocab = inst.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    scores_aug = augment_unk_chars(vocab, scores)
+    segs = _viterbi_segment(vocab, scores_aug, max_piece_len).select(
+        "word", "pieces"
+    )
+    toks = (
+        inst.join(segs, "word")
+        .select(
+            id_col,
+            "widx",
+            F.posexplode("pieces").alias("pidx0", "piece"),
+        )
+        .select(
+            id_col,
+            "widx",
+            (F.col("pidx0") + 1).cast("int").alias("pidx"),
+            "piece",
+        )
+    )
+    return toks.join(
+        F.broadcast(scores_aug.select("piece", "score")), "piece"
+    ).select(id_col, "widx", "pidx", "piece", "score")

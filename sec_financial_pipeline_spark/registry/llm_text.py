@@ -1198,6 +1198,9 @@ _PACK_ROW_SCHEMA = [
     ("piece", "string"),
     ("cnt", "bigint"),
     ("score", "bigint"),
+    # unigram_apply section: token stream positions (r12)
+    ("widx", "int"),
+    ("pidx", "int"),
 ]
 
 
@@ -1219,21 +1222,27 @@ _UNI_W = 12      # words truncated to this many chars
 _UNI_MINSEED = 2
 _UNI_TOPK = 64
 _UNI_SAMPLE = "doc_id % 4 = 0"
+#: apply-time corpus slice (~9% of docs): train on the quarter sample,
+#: TOKENIZE a disjoint-by-construction-irrelevant slice with the
+#: trained pieces — the train-once/apply-everywhere deployment shape.
+_UNI_APPLY_SAMPLE = "doc_id % 11 = 7"
 
 
-def _unigram_oracle_sql(
+def _unigram_train_ctes(
     iters: int = _UNI_ITERS,
     W: int = _UNI_W,
     M: int = _UNI_M,
     min_seed: int = _UNI_MINSEED,
-    top_k: int = _UNI_TOPK,
-) -> str:
-    """Unrolled DuckDB replay of operators/unigram.py::train_unigram:
-    seed substring counts, then per EM iteration one score CTE, one
+) -> tuple[list[str], int]:
+    """Shared CTE prelude of the train AND apply oracles — unrolled
+    DuckDB replay of operators/unigram.py::train_unigram: seed
+    substring counts, then per EM iteration one score CTE, one
     edge CTE, W Viterbi-position CTEs (argmax by (total, m) via a
     per-word window), W backtrace CTEs, and the M-step count CTE with
     the single-char coverage floor. Integer milli-nats throughout —
-    both engines take ln of exact integers and round once."""
+    both engines take ln of exact integers and round once. Returns
+    (ctes, final_score_index): the trained piece table is
+    ``sc{final_score_index}``."""
     ctes = [
         f"""w0 AS MATERIALIZED (
   SELECT substr(w, 1, {W}) AS word FROM (
@@ -1349,6 +1358,17 @@ def _unigram_oracle_sql(
   FROM cnt{final}
 )"""
     )
+    return ctes, final
+
+
+def _unigram_oracle_sql(
+    iters: int = _UNI_ITERS,
+    W: int = _UNI_W,
+    M: int = _UNI_M,
+    min_seed: int = _UNI_MINSEED,
+    top_k: int = _UNI_TOPK,
+) -> str:
+    ctes, final = _unigram_train_ctes(iters, W, M, min_seed)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -1361,7 +1381,153 @@ SELECT CAST(rank AS INT) AS rank, piece, cnt, score FROM (
     )
 
 
+def _unigram_apply_oracle_sql(
+    iters: int = _UNI_ITERS,
+    W: int = _UNI_W,
+    M: int = _UNI_M,
+    min_seed: int = _UNI_MINSEED,
+) -> str:
+    """Unrolled replay of operators/unigram.py::apply_unigram — Kudo
+    2018's INFERENCE half: re-train via the shared CTE prelude, then
+    augment the trained table with apply-set UNK chars, Viterbi-segment
+    the apply vocabulary (same per-position argmax / backtrace chain,
+    one more unrolled pass), index pieces in forward order, and join
+    word instances back to their segmentations."""
+    from sec_financial_pipeline_spark.operators.unigram import UNK_SCORE
+
+    ctes, final = _unigram_train_ctes(iters, W, M, min_seed)
+    ctes.append(
+        f"""ainst AS MATERIALIZED (
+  SELECT doc_id, CAST(widx AS INT) AS widx, substr(w, 1, {W}) AS word
+  FROM (
+    SELECT doc_id, generate_subscripts(ws, 1) AS widx, unnest(ws) AS w
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents WHERE {_UNI_APPLY_SAMPLE})
+  ) WHERE w <> ''
+)"""
+    )
+    ctes.append(
+        """avocab AS MATERIALIZED (SELECT DISTINCT word FROM ainst)"""
+    )
+    ctes.append(
+        f"""scA AS MATERIALIZED (
+  SELECT piece, cnt, score FROM sc{final}
+  UNION ALL
+  SELECT piece, CAST(0 AS BIGINT) AS cnt,
+         CAST({UNK_SCORE} AS BIGINT) AS score
+  FROM (
+    SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece
+    FROM avocab, range(1, {W + 1}) r(i) WHERE i <= length(word)
+  ) WHERE piece NOT IN
+      (SELECT piece FROM sc{final} WHERE length(piece) = 1)
+)"""
+    )
+    ctes.append(
+        f"""aed AS MATERIALIZED (
+  SELECT s.word, s.i + s.m - 1 AS e, s.m, c.score AS sv
+  FROM (
+    SELECT word, i, m, substr(word, i, m) AS piece
+    FROM avocab, range(1, {W + 1}) t1(i), range(1, {M + 1}) t2(m)
+    WHERE i <= length(word) AND m <= length(word) - i + 1
+  ) s JOIN scA c ON c.piece = s.piece
+)"""
+    )
+    for i in range(1, W + 1):
+        branches = []
+        for m in range(1, min(M, i) + 1):
+            if m == i:
+                branches.append(
+                    f"""      SELECT e.word, e.sv AS tot, {m} AS m
+      FROM aed e WHERE e.e = {i} AND e.m = {m}"""
+                )
+            else:
+                branches.append(
+                    f"""      SELECT p.word, p.best + e.sv AS tot, {m} AS m
+      FROM av_{i - m} p
+      JOIN aed e ON e.word = p.word AND e.e = {i} AND e.m = {m}"""
+                )
+        union = "\n      UNION ALL\n".join(branches)
+        ctes.append(
+            f"""av_{i} AS MATERIALIZED (
+  SELECT word, tot AS best, m AS bm FROM (
+    SELECT word, tot, m,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY tot DESC, m DESC) AS rn
+    FROM (
+{union}
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    avt_union = "\n  UNION ALL\n".join(
+        f"  SELECT word, {i} AS i, best, bm FROM av_{i}"
+        for i in range(1, W + 1)
+    )
+    ctes.append(f"avt AS (\n{avt_union}\n)")
+    ctes.append(
+        """abt_0 AS MATERIALIZED (
+  SELECT word, CAST(length(word) AS INT) AS pos FROM avocab
+)"""
+    )
+    for k in range(1, W + 1):
+        ctes.append(
+            f"""abt_{k} AS MATERIALIZED (
+  SELECT b.word, CAST(b.pos - v.bm AS INT) AS pos,
+         substr(b.word, b.pos - v.bm + 1, v.bm) AS piece
+  FROM abt_{k - 1} b JOIN avt v ON v.word = b.word AND v.i = b.pos
+  WHERE b.pos > 0
+)"""
+        )
+    abt_union = "\n    UNION ALL\n".join(
+        f"    SELECT word, {k} AS k, piece FROM abt_{k}"
+        for k in range(1, W + 1)
+    )
+    ctes.append(
+        f"""apieces AS MATERIALIZED (
+  SELECT word, piece,
+         CAST(row_number() OVER (PARTITION BY word ORDER BY k DESC)
+              AS INT) AS pidx
+  FROM (
+{abt_union}
+  )
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT i.doc_id, i.widx, p.pidx, p.piece, c.score
+FROM ainst i
+JOIN apieces p ON p.word = i.word
+JOIN scA c ON c.piece = p.piece"""
+    )
+
+
 _UNIGRAM_ORACLE = _unigram_oracle_sql()
+
+
+_UNIGRAM_APPLY_ORACLE = _unigram_apply_oracle_sql()
+
+
+def q_doc_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference half (VERDICT r11 item 2): train the piece table on
+    the quarter sample, then tokenize the ~9% apply slice with it —
+    one Viterbi fold per DISTINCT apply word, instances joined back."""
+    from sec_financial_pipeline_spark.operators.unigram import (
+        apply_unigram,
+        train_unigram,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scores = train_unigram(
+        d.filter(_UNI_SAMPLE), "text", iters=_UNI_ITERS,
+        max_piece_len=_UNI_M, max_word_len=_UNI_W,
+        min_seed_count=_UNI_MINSEED,
+    )
+    return apply_unigram(
+        d.filter(_UNI_APPLY_SAMPLE), "doc_id", "text", scores,
+        max_piece_len=_UNI_M, max_word_len=_UNI_W,
+    )
 
 
 def q_doc_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1397,6 +1563,11 @@ def q_doc_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _UNIGRAM_ORACLE,
                 ["rank", "piece", "cnt", "score"],
             ),
+            (
+                "unigram_apply",
+                _UNIGRAM_APPLY_ORACLE,
+                ["doc_id", "widx", "pidx", "piece", "score"],
+            ),
         ],
         _PACK_ROW_SCHEMA,
     ),
@@ -1409,6 +1580,9 @@ def q_doc_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + unigram-LM tokenizer training (Kudo 2018 Viterbi-EM over"
         " the word-frequency table; integer milli-nat scores; oracle ="
         " mechanically unrolled per-position SQL replay)"
+        " + unigram APPLY path (the inference half: Viterbi-tokenize"
+        " a ~9% apply slice with the trained pieces, one fold per"
+        " DISTINCT word + instance join-back, UNK-char fallback)"
     ),
 )
 def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1417,6 +1591,7 @@ def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("offsets", q_doc_pack_offsets(spark, sf_dir)),
             ("batches", q_doc_length_batches(spark, sf_dir)),
             ("unigram", q_doc_unigram(spark, sf_dir)),
+            ("unigram_apply", q_doc_unigram_apply(spark, sf_dir)),
         ],
         _PACK_ROW_SCHEMA,
     )
@@ -1723,4 +1898,52 @@ def q_doc_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("dup_spans", q_doc_dup_spans(spark, sf_dir)),
         ],
         _REDACT_ROW_SCHEMA,
+    )
+
+
+def ensure_unigram_model(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent batch half of the tokenizer lifecycle (the same
+    build-once/probe-many shape as the BM25 and IVF-PQ stores): train
+    the unigram piece table ONCE on the quarter sample and persist it;
+    apply-time callers load + tokenize only — the train-once/
+    apply-at-100TB deployment Kudo 2018 assumes."""
+    import os
+
+    from sec_financial_pipeline_spark.operators.unigram import train_unigram
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _artifact_path,
+        _publish_atomically,
+    )
+
+    cfg = f"uni-i{_UNI_ITERS}m{_UNI_M}w{_UNI_W}s{_UNI_MINSEED}"
+    path = _artifact_path("sfp_unigram_", sf_dir, "documents", cfg)
+    if not os.path.exists(path):
+        d = load_table(spark, sf_dir, "documents").filter(_UNI_SAMPLE)
+        scores = train_unigram(
+            d, "text", iters=_UNI_ITERS, max_piece_len=_UNI_M,
+            max_word_len=_UNI_W, min_seed_count=_UNI_MINSEED,
+        )
+
+        def _write(p):
+            scores.coalesce(1).write.parquet(os.path.join(p, "scores"))
+
+        _publish_atomically(_write, path)
+    return path
+
+
+def q_doc_unigram_apply_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-ONLY tokenization latency (bench row): load the persisted
+    piece table and Viterbi-tokenize the apply slice — no EM retrain.
+    Token stream is bit-identical to the train-in-query oracle section
+    (both run operators/unigram.apply_unigram on the same scores)."""
+    import os
+
+    from sec_financial_pipeline_spark.operators.unigram import apply_unigram
+
+    root = ensure_unigram_model(spark, sf_dir)
+    scores = spark.read.parquet(os.path.join(root, "scores"))
+    d = load_table(spark, sf_dir, "documents").filter(_UNI_APPLY_SAMPLE)
+    return apply_unigram(
+        d, "doc_id", "text", scores, max_piece_len=_UNI_M,
+        max_word_len=_UNI_W,
     )

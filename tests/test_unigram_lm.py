@@ -139,3 +139,150 @@ def test_long_words_truncate_identically(spark):
     }
     assert got == want
     assert all(len(p) <= 3 for p in got)
+
+
+# ---------------------------------------------------------------------------
+# Apply path (r12, VERDICT r11 item 2): Viterbi tokenization with a
+# TRAINED piece table — witness equality, round-trip reassembly, UNK
+# fallback, and partition invariance.
+# ---------------------------------------------------------------------------
+
+
+def _witness_apply(texts, scores, M=3, W=12, unk=U.UNK_SCORE):
+    """(doc_id, widx, pidx, piece, score) token stream under the same
+    tie-breaking (max total, then max m) as the engine."""
+    sc = dict(scores)
+    # UNK augmentation: any apply-set char missing from the vocabulary
+    for t in texts:
+        for w in re.split(r"\s+", t.strip()):
+            for ch in w[:W]:
+                if ch not in sc:
+                    sc[ch] = unk
+    out = []
+    for doc_id, t in enumerate(texts):
+        widx = 0
+        for w in re.split(r"\s+", t.strip()):
+            if not w:
+                continue
+            widx += 1
+            w = w[:W]
+            n = len(w)
+            best = [None] * (n + 1)
+            back = [0] * (n + 1)
+            best[0] = 0
+            for i in range(1, n + 1):
+                cands = []
+                for m in range(1, min(M, i) + 1):
+                    s = sc.get(w[i - m:i])
+                    if s is not None and best[i - m] is not None:
+                        cands.append((best[i - m] + s, m))
+                tot, m = max(cands)
+                best[i], back[i] = tot, m
+            pieces = []
+            pos = n
+            while pos > 0:
+                m = back[pos]
+                pieces.append(w[pos - m:pos])
+                pos -= m
+            pieces.reverse()
+            for pidx, p in enumerate(pieces, start=1):
+                out.append((doc_id, widx, pidx, p, sc[p]))
+    return sorted(out)
+
+
+def test_apply_matches_witness_with_unk_fallback(spark):
+    # train on TEXTS; apply to a corpus with words/chars never seen
+    apply_texts = TEXTS + ["zzz qqq the", "cat#mat the!cat"]
+    trained = {
+        r["piece"]: r["score"]
+        for r in U.train_unigram(
+            spark.createDataFrame(
+                [(i, t) for i, t in enumerate(TEXTS)], "id long, text string"
+            ),
+            "text",
+            iters=2,
+        ).collect()
+    }
+    want = _witness_apply(apply_texts, trained)
+    scores = U.train_unigram(
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(TEXTS)], "id long, text string"
+        ),
+        "text",
+        iters=2,
+    )
+    adf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(apply_texts)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in U.apply_unigram(adf, "doc_id", "text", scores).collect()
+    )
+    assert got == want
+    # the unseen chars really did fall back to UNK_SCORE
+    unk_pieces = {p for _, _, _, p, s in got if s == U.UNK_SCORE}
+    # ('z' is NOT unk: "nationalization" in the training texts)
+    assert {"q", "#", "!"} <= unk_pieces
+
+
+def test_apply_round_trip_and_partition_invariance(spark):
+    # every word's pieces concatenate to the (truncated) word, at any
+    # partition count, with pidx contiguous from 1
+    apply_texts = TEXTS + ["supercalifragilisticexpialidocious antidisestablishmentarianism"]
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "id long, text string"
+    )
+    scores = U.train_unigram(tdf, "text", iters=1)
+    results = []
+    for n_part in (2, 13):
+        adf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(apply_texts)],
+            "doc_id long, text string",
+        ).repartition(n_part)
+        toks = sorted(
+            tuple(r)
+            for r in U.apply_unigram(adf, "doc_id", "text", scores).collect()
+        )
+        results.append(toks)
+        # reassemble per (doc, widx)
+        words: dict[tuple, list] = {}
+        for doc_id, widx, pidx, piece, _ in toks:
+            words.setdefault((doc_id, widx), []).append((pidx, piece))
+        for (doc_id, widx), ps in words.items():
+            ps.sort()
+            assert [i for i, _ in ps] == list(range(1, len(ps) + 1))
+            w0 = re.split(r"\s+", apply_texts[doc_id].strip())[widx - 1]
+            assert "".join(p for _, p in ps) == w0[:12], (doc_id, widx)
+    assert results[0] == results[1]
+
+
+def test_apply_serve_equals_train_in_query(spark, sf_dir, monkeypatch,
+                                           tmp_path):
+    """The persisted-model apply path (bench row) must be bit-identical
+    to the train-in-query oracle section — the scores parquet
+    round-trip loses nothing, and a second call reuses the artifact."""
+    import os
+    import tempfile
+
+    from sec_financial_pipeline_spark.registry.llm_text import (
+        q_doc_unigram_apply,
+        q_doc_unigram_apply_serve,
+    )
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    served = sorted(
+        map(tuple, q_doc_unigram_apply_serve(spark, sf_dir).collect())
+    )
+    assert served
+    arts = [p for p in os.listdir(str(tmp_path))
+            if p.startswith("sfp_unigram_")]
+    assert len(arts) == 1
+    again = sorted(
+        map(tuple, q_doc_unigram_apply_serve(spark, sf_dir).collect())
+    )
+    assert served == again
+    direct = sorted(
+        map(tuple, q_doc_unigram_apply(spark, sf_dir).collect())
+    )
+    assert served == direct
