@@ -164,18 +164,61 @@ cosrank AS (
     WHERE q.vec_id < {_N_QUERIES}
   )
 ),
+bocc AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+blens AS (SELECT doc_id, count(*) AS len_d FROM bocc GROUP BY doc_id),
+btf AS (SELECT doc_id, term, count(*) AS tf FROM bocc GROUP BY doc_id, term),
+bstats AS (SELECT count(*) AS n_docs, sum(len_d) AS total_len FROM blens),
+bidf AS (
+  SELECT term,
+         CAST(round(1000.0 * ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0))
+              AS BIGINT) AS idf_milli
+  FROM (SELECT term, count(*) AS df FROM btf GROUP BY term) d, bstats s
+),
+bmrank AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY bm25_milli DESC, cand_id ASC) AS bm25_rank
+  FROM (
+    SELECT q.query_id, t.doc_id AS cand_id,
+           CAST(sum(CAST(round(
+             i.idf_milli *
+             ((t.tf * (1.2 + 1.0)) /
+              (t.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                (l.len_d / (CAST(s.total_len AS DOUBLE) / s.n_docs)))))
+           ) AS BIGINT)) AS BIGINT) AS bm25_milli
+    FROM (SELECT DISTINCT doc_id AS query_id, term FROM btf
+          WHERE doc_id < {_N_QUERIES}) q
+    JOIN btf t ON t.term = q.term AND t.doc_id <> q.query_id
+    JOIN bidf i ON i.term = q.term
+    JOIN blens l ON l.doc_id = t.doc_id
+    CROSS JOIN bstats s
+    GROUP BY q.query_id, t.doc_id
+  )
+),
 fused AS (
-  SELECT coalesce(l.query_id, c.query_id) AS query_id,
-         coalesce(l.cand_id, c.cand_id) AS neighbor_id,
-         l.lex_rank, c.cos_rank,
-         coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0)
-         + coalesce(1.0 / ({_RRF_K} + c.cos_rank), 0) AS rrf_score
-  FROM (SELECT * FROM lexrank WHERE lex_rank <= {_HY_KLEG}) l
-  FULL OUTER JOIN (SELECT * FROM cosrank WHERE cos_rank <= {_HY_KLEG}) c
-    ON l.query_id = c.query_id AND l.cand_id = c.cand_id
+  SELECT coalesce(lc.query_id, b.query_id) AS query_id,
+         coalesce(lc.neighbor_id, b.cand_id) AS neighbor_id,
+         lc.lex_rank, lc.cos_rank, b.bm25_rank,
+         coalesce(lc.lexcos_rrf, 0)
+         + coalesce(1.0 / ({_RRF_K} + b.bm25_rank), 0) AS rrf_score
+  FROM (
+    SELECT coalesce(l.query_id, c.query_id) AS query_id,
+           coalesce(l.cand_id, c.cand_id) AS neighbor_id,
+           l.lex_rank, c.cos_rank,
+           coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0)
+           + coalesce(1.0 / ({_RRF_K} + c.cos_rank), 0) AS lexcos_rrf
+    FROM (SELECT * FROM lexrank WHERE lex_rank <= {_HY_KLEG}) l
+    FULL OUTER JOIN (SELECT * FROM cosrank WHERE cos_rank <= {_HY_KLEG}) c
+      ON l.query_id = c.query_id AND l.cand_id = c.cand_id
+  ) lc
+  FULL OUTER JOIN (SELECT * FROM bmrank WHERE bm25_rank <= {_HY_KLEG}) b
+    ON lc.query_id = b.query_id AND lc.neighbor_id = b.cand_id
 )
 SELECT query_id, neighbor_id, CAST(lex_rank AS INTEGER) AS lex_rank,
-       CAST(cos_rank AS INTEGER) AS cos_rank, rrf_score
+       CAST(cos_rank AS INTEGER) AS cos_rank,
+       CAST(bm25_rank AS INTEGER) AS bm25_rank, rrf_score
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY rrf_score DESC, neighbor_id ASC) AS rn
@@ -185,12 +228,18 @@ FROM (
 
 
 def q_emb_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RRF hybrid search. Scale shape: the lexical leg is the shared-
-    shingle equi-join (query side tiny — broadcast), the vector leg the
-    broadcast-query cosine; both legs truncate to ``_HY_KLEG`` per query
-    BEFORE fusion, so the full-outer fuse touches <= 2 * KLEG rows per
-    query regardless of corpus size; windows are partitioned by query."""
+    """RRF hybrid search, three legs (VERDICT r11 item 3): 3-gram
+    Jaccard (recall-oriented token-set overlap), BM25 (the
+    production-standard lexical ranking), and cosine (vector). Scale
+    shape: the Jaccard leg is the shared-shingle equi-join (query side
+    tiny — broadcast), the BM25 leg one term-keyed join of the query
+    terms against the postings, the vector leg the broadcast-query
+    cosine; every leg truncates to ``_HY_KLEG`` per query BEFORE
+    fusion, so the full-outer fuse touches <= 3 * KLEG rows per query
+    regardless of corpus size; windows are partitioned by query."""
     from pyspark.sql import Window
+
+    from sec_financial_pipeline_spark.operators.bm25 import bm25_topk
 
     d = load_table(spark, sf_dir, "documents")
     n_part = max(1, spark.sparkContext.defaultParallelism)
@@ -263,15 +312,32 @@ def q_emb_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_rank") <= _HY_KLEG)
         .select("query_id", "cand_id", "cos_rank")
     )
-    fused = lex.join(cos, ["query_id", "cand_id"], "full_outer").select(
+    bm = bm25_topk(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        n_queries=_N_QUERIES, top_k=_HY_KLEG,
+    ).select(
         "query_id",
-        F.col("cand_id").alias("neighbor_id"),
-        F.col("lex_rank").cast("int").alias("lex_rank"),
-        F.col("cos_rank").cast("int").alias("cos_rank"),
-        (
-            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("cos_rank")), F.lit(0.0))
-        ).alias("rrf_score"),
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("bm25_rank"),
+    )
+    fused = (
+        lex.join(cos, ["query_id", "cand_id"], "full_outer")
+        .join(bm, ["query_id", "cand_id"], "full_outer")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("cos_rank").cast("int").alias("cos_rank"),
+            F.col("bm25_rank").cast("int").alias("bm25_rank"),
+            (
+                F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")),
+                           F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("cos_rank")),
+                             F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("bm25_rank")),
+                             F.lit(0.0))
+            ).alias("rrf_score"),
+        )
     )
     return (
         fused.withColumn(
@@ -281,7 +347,8 @@ def q_emb_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "neighbor_id", "lex_rank", "cos_rank", "rrf_score")
+        .select("query_id", "neighbor_id", "lex_rank", "cos_rank",
+                "bm25_rank", "rrf_score")
     )
 
 
@@ -382,11 +449,12 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
         postings, idf, stats = bm25_index(d, "doc_id", "text")
 
         def _write(p):
-            # term-hash layout across 16 files: the serve probe is a
-            # term-keyed join, so a term-partitioned store scans in
-            # parallel AND co-locates each query term's postings (a
-            # single output file serialized the whole serve path:
-            # measured 11 tasks total)
+            # term-hash layout across 16 files: parallel scan + per-term
+            # value locality for parquet encoding. NOT load-bearing for
+            # the serve join since r12 — bm25_score broadcasts the
+            # query-term table into the postings probe, so the postings
+            # scan never reshuffles regardless of file layout
+            # (plan-gated in tests/test_bm25.py; VERDICT r11 item 4)
             postings.repartition(16, "term").write.parquet(
                 os.path.join(p, "postings")
             )
@@ -440,7 +508,8 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
             ("cosine", _COSINE_ORACLE,
              ["query_id", "neighbor_id", "cosine_sim"]),
             ("hybrid", _HYBRID_ORACLE,
-             ["query_id", "neighbor_id", "lex_rank", "cos_rank", "rrf_score"]),
+             ["query_id", "neighbor_id", "lex_rank", "cos_rank",
+              "bm25_rank", "rrf_score"]),
             ("bm25", _BM25_ORACLE,
              ["query_id", "neighbor_id", "bm25_milli", "bm25_rank"]),
         ],
@@ -448,8 +517,8 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
     ),
     survey=(
         "§2.9 similarity-search (brute-force cosine top-k baseline)"
-        " + hybrid keyword+vector retrieval (3-gram Jaccard leg and"
-        " cosine leg truncated to 20/query, fused by reciprocal-rank"
+        " + hybrid retrieval, THREE legs (3-gram Jaccard, BM25, cosine;"
+        " each truncated to 20/query, fused by reciprocal-rank"
         " fusion k=60 — Cormack et al. 2009)"
         " + BM25 inverted-index ranking (Robertson-Zaragoza, Lucene idf;"
         " integer milli-nat scores, exact BIGINT sums)"

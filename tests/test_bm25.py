@@ -144,3 +144,74 @@ def test_serve_path_equals_direct_scoring(spark, sf_dir, monkeypatch, tmp_path):
         map(tuple, bm25_score(postings, idf, stats, qterms, _TOP_K).collect())
     )
     assert served == direct
+
+
+def test_hybrid_fusion_carries_bm25_leg(spark, sf_dir):
+    """Fusion property (VERDICT r11 item 3): the hybrid row's
+    bm25_rank column must equal the standalone BM25 ranking truncated
+    to the per-leg depth, and every rrf_score must decompose exactly
+    into the three legs' reciprocal terms."""
+    from sec_financial_pipeline_spark.operators.bm25 import bm25_topk
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _HY_KLEG,
+        _N_QUERIES,
+        _RRF_K,
+        q_emb_hybrid_topk,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    hybrid = q_emb_hybrid_topk(spark, sf_dir).collect()
+    assert hybrid
+    d = load_table(spark, sf_dir, "documents")
+    leg = {
+        (r["query_id"], r["neighbor_id"]): r["bm25_rank"]
+        for r in bm25_topk(
+            d, "doc_id", "text", n_queries=_N_QUERIES, top_k=_HY_KLEG
+        ).collect()
+    }
+    saw_bm25 = 0
+    for r in hybrid:
+        key = (r["query_id"], r["neighbor_id"])
+        if r["bm25_rank"] is not None:
+            saw_bm25 += 1
+            assert leg.get(key) == r["bm25_rank"], key
+        else:
+            assert key not in leg, key
+        want = sum(
+            1.0 / (_RRF_K + rk)
+            for rk in (r["lex_rank"], r["cos_rank"], r["bm25_rank"])
+            if rk is not None
+        )
+        assert abs(r["rrf_score"] - want) < 1e-12, key
+    # the BM25 leg actually participates in the fused ranking
+    assert saw_bm25 > 0
+
+
+def test_serve_plan_never_reshuffles_postings(spark, sf_dir, monkeypatch,
+                                              tmp_path):
+    """Exchange gate (VERDICT r11 item 4): the serve path's postings
+    scan must stream into a BroadcastHashJoin — no Exchange keyed by
+    term may appear anywhere in the plan (the r11 layout 'carried' the
+    write-side repartition(16, term) into the scan only by accident,
+    and driver/judge runs measured a 30 MB postings reshuffle). The
+    only hash exchanges allowed are query-batch-proportional: the
+    query-term dedup, the score aggregation, and the ranking window."""
+    import re
+    import tempfile
+
+    from sec_financial_pipeline_spark.registry.similarity import (
+        q_emb_bm25_serve,
+    )
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    df = q_emb_bm25_serve(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        line.strip()
+        for line in plan.splitlines()
+        if re.search(r"Exchange hashpartitioning\(term#\d+,", line)
+    ]
+    assert not bad, f"postings-side term reshuffle reappeared: {bad}"
+    assert "BroadcastHashJoin" in plan
+    # and it actually returns rows (the gate must not pass vacuously)
+    assert df.count() > 0
