@@ -154,3 +154,171 @@ def bm25_topk(
         .distinct()
     )
     return bm25_score(postings, idf, stats, qterms, top_k)
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (VERDICT r11 item 7): the persisted
+# store joins the incremental-serve family (the MinHash signature store
+# and the sign-LSH code store are the precedents, operators/
+# similarity.py). Refresh semantics — EXACT, not stale-tolerant:
+#
+# - POSTINGS are append-only: a new batch's (doc_id, term, tf, len_d)
+#   rows are a pure function of the batch's own text, so ingest appends
+#   parquet files and never rewrites existing postings (O(batch)).
+# - DF counts are maintained in the store (a `df` table the build
+#   persists) and merge by full-outer sum per term (O(vocabulary)).
+# - IDF and corpus stats REBUILD EXACTLY from the merged df table each
+#   ingest: idf depends on the total doc count N, so N changing moves
+#   EVERY term's idf — but the rebuild is one pass over the
+#   vocabulary-sized df table, never the corpus. serve-after-ingest is
+#   therefore bit-identical to rebuild-from-scratch (pinned in
+#   tests/test_bm25.py).
+#
+# Crash contract: single writer per store (the caller's lifecycle, as
+# with the signature store); derived tables (df/idf/stats) rewrite via
+# swap_rewrite and self-heal through recover_swap on load; postings
+# append last-writes-win at the parquet layer. A crash between the
+# postings append and the derived-table rewrites leaves df/idf stale —
+# re-run the SAME batch's derived-table refresh (rebuild_bm25_derived)
+# to converge; it recomputes df/stats/idf from the postings store
+# itself.
+# ---------------------------------------------------------------------------
+
+
+def bm25_batch_tables(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, df, stats) computed from ONE document batch alone —
+    the ingest unit. ``df`` is ``(term, df)`` distinct-doc counts,
+    ``stats`` one row ``(n_docs, total_len)``."""
+    occ = _token_occurrences(docs, id_col, text_col)
+    lens = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len_d"))
+    tf = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("len_d").alias("total_len")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(lens, "doc_id"), df_t, stats
+
+
+def idf_from_df(df_t: DataFrame, stats: DataFrame) -> DataFrame:
+    """Derive the integer milli-nat idf table from (term, df) + corpus
+    stats — the vocabulary-sized rebuild every ingest runs."""
+    return df_t.join(stats.hint("broadcast")).select(
+        "term",
+        F.round(
+            F.lit(1000.0)
+            * F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            )
+        )
+        .cast("bigint")
+        .alias("idf_milli"),
+    )
+
+
+def save_bm25_store(
+    docs: DataFrame, id_col: str, text_col: str, path: str,
+    n_files: int = 16,
+) -> None:
+    """Initial store build: postings (term-hash layout for scan
+    parallelism), maintained df counts, corpus stats, derived idf."""
+    import os
+
+    postings, df_t, stats = bm25_batch_tables(docs, id_col, text_col)
+    postings.repartition(n_files, "term").write.parquet(
+        os.path.join(path, "postings")
+    )
+    df_t.repartition(n_files, "term").write.parquet(
+        os.path.join(path, "df")
+    )
+    stats.write.parquet(os.path.join(path, "stats"))
+    idf_from_df(df_t, stats).repartition(n_files, "term").write.parquet(
+        os.path.join(path, "idf")
+    )
+
+
+def load_bm25_store(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, idf, stats) for :func:`bm25_score`, healing any
+    half-done derived-table swap a crashed ingest left behind."""
+    import os
+
+    from sec_financial_pipeline_spark.sources.sink import recover_swap
+
+    for sub in ("df", "idf", "stats"):
+        recover_swap(spark, os.path.join(path, sub), missing_ok=True)
+    return (
+        spark.read.parquet(os.path.join(path, "postings")),
+        spark.read.parquet(os.path.join(path, "idf")),
+        spark.read.parquet(os.path.join(path, "stats")),
+    )
+
+
+def ingest_bm25_store(
+    new_docs: DataFrame, id_col: str, text_col: str, path: str
+) -> None:
+    """Document append: O(batch) postings append + O(vocabulary)
+    df merge / stats add / exact idf rebuild. After this returns,
+    scoring against the store is bit-identical to a from-scratch index
+    over (old corpus) ∪ (batch)."""
+    import os
+
+    from sec_financial_pipeline_spark.sources.sink import swap_rewrite
+
+    spark = new_docs.sparkSession
+    postings_b, df_b, stats_b = bm25_batch_tables(new_docs, id_col, text_col)
+    # 1. postings: append-only parquet files
+    postings_b.write.mode("append").parquet(os.path.join(path, "postings"))
+    # 2. df: full-outer per-term sum with the maintained counts
+    df_old = spark.read.parquet(os.path.join(path, "df"))
+    merged_df = (
+        df_old.withColumnRenamed("df", "df_a")
+        .join(df_b.withColumnRenamed("df", "df_b"), "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("df_a", F.lit(0)) + F.coalesce("df_b", F.lit(0)))
+            .cast("bigint")
+            .alias("df"),
+        )
+    ).localCheckpoint(eager=True)  # sever lineage from the dir we rewrite
+    # 3. stats: one-row add
+    stats_old = spark.read.parquet(os.path.join(path, "stats"))
+    merged_stats = (
+        stats_old.unionByName(stats_b)
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_len").cast("bigint").alias("total_len"),
+        )
+    ).localCheckpoint(eager=True)
+    swap_rewrite(merged_df, os.path.join(path, "df"))
+    swap_rewrite(merged_stats, os.path.join(path, "stats"))
+    # 4. idf: exact vocabulary-sized rebuild (N moved, every idf moves)
+    swap_rewrite(
+        idf_from_df(merged_df, merged_stats), os.path.join(path, "idf")
+    )
+
+
+def rebuild_bm25_derived(spark, path: str) -> None:
+    """Crash convergence: recompute df/stats/idf from the postings
+    store itself (one postings pass) — the recovery documented in the
+    ingest contract above."""
+    import os
+
+    from sec_financial_pipeline_spark.sources.sink import swap_rewrite
+
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    df_t = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    ).localCheckpoint(eager=True)
+    stats = (
+        postings.select("doc_id", "len_d")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("len_d").cast("bigint").alias("total_len"),
+        )
+    ).localCheckpoint(eager=True)
+    swap_rewrite(df_t, os.path.join(path, "df"))
+    swap_rewrite(stats, os.path.join(path, "stats"))
+    swap_rewrite(idf_from_df(df_t, stats), os.path.join(path, "idf"))

@@ -435,33 +435,31 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     pays query-term extraction + the postings probe only."""
     import os
 
-    from sec_financial_pipeline_spark.operators.bm25 import bm25_index
-
-    from sec_financial_pipeline_spark.operators.bm25 import B, K1
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        B,
+        K1,
+        save_bm25_store,
+    )
 
     # tag DERIVED from the scoring constants (ADVICE r11): retuning
     # K1/B invalidates the persisted artifact instead of silently
-    # serving stale scores from an index built under the old config
-    tag = f"k{str(K1).replace('.', '')}b{str(B).replace('.', '')}-p16"
+    # serving stale scores from an index built under the old config.
+    # "df1" = store generation 2 (r12): carries the maintained per-term
+    # df table that makes the store incrementally ingestible
+    # (operators/bm25.py::ingest_bm25_store).
+    tag = f"k{str(K1).replace('.', '')}b{str(B).replace('.', '')}-p16-df1"
     path = _artifact_path("sfp_bm25_", sf_dir, "documents", tag)
     if not os.path.exists(path):
         d = load_table(spark, sf_dir, "documents")
-        postings, idf, stats = bm25_index(d, "doc_id", "text")
-
-        def _write(p):
-            # term-hash layout across 16 files: parallel scan + per-term
-            # value locality for parquet encoding. NOT load-bearing for
-            # the serve join since r12 — bm25_score broadcasts the
-            # query-term table into the postings probe, so the postings
-            # scan never reshuffles regardless of file layout
-            # (plan-gated in tests/test_bm25.py; VERDICT r11 item 4)
-            postings.repartition(16, "term").write.parquet(
-                os.path.join(p, "postings")
-            )
-            idf.repartition(16, "term").write.parquet(os.path.join(p, "idf"))
-            stats.write.parquet(os.path.join(p, "stats"))
-
-        _publish_atomically(_write, path)
+        # term-hash layout across 16 files: parallel scan + per-term
+        # value locality for parquet encoding. NOT load-bearing for
+        # the serve join since r12 — bm25_score broadcasts the
+        # query-term table into the postings probe, so the postings
+        # scan never reshuffles regardless of file layout
+        # (plan-gated in tests/test_bm25.py; VERDICT r11 item 4)
+        _publish_atomically(
+            lambda p: save_bm25_store(d, "doc_id", "text", p), path
+        )
     return path
 
 
@@ -472,14 +470,13 @@ def q_emb_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the first call builds the store; the bench warm-up absorbs it).
     Scoring is bit-identical to the train-in-query path — both run
     operators/bm25.bm25_score (asserted by tests/test_bm25.py)."""
-    import os
-
-    from sec_financial_pipeline_spark.operators.bm25 import bm25_score
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_score,
+        load_bm25_store,
+    )
 
     root = ensure_bm25_index(spark, sf_dir)
-    postings = spark.read.parquet(os.path.join(root, "postings"))
-    idf = spark.read.parquet(os.path.join(root, "idf"))
-    stats = spark.read.parquet(os.path.join(root, "stats"))
+    postings, idf, stats = load_bm25_store(spark, root)
     # query terms come from tokenizing the ~1% QUERY documents, not
     # from scanning the whole postings store — identical term sets
     # (a doc's postings are exactly its distinct tokens; pinned

@@ -149,6 +149,33 @@ def _filtered(df: DataFrame, spec: dict) -> DataFrame:
     return df.filter(w) if w else df
 
 
+def _joined(spark: SparkSession, spec: dict, fact_df: DataFrame) -> DataFrame:
+    """Apply the view's dimension join + WHERE to a fact-side frame
+    (the full read OR the change feed — both work because the join is
+    ROW-LOCAL per fact row: the dim side is pinned to the version
+    recorded at create, so each fact insert/delete maps to exactly one
+    joined insert/delete and the delta algebra is unchanged; the
+    sec_ratios fact⨝broadcast-dim shape, VERDICT r11 item 8). Inner
+    join: fact rows with no dim match are outside the view definition.
+    Dim evolution is a VIEW-DEFINITION change — drop + recreate (the
+    pin makes refresh deterministic instead of silently mixing dim
+    versions mid-history)."""
+    j = spec.get("join")
+    if not j:
+        return _filtered(fact_df, spec)
+    dim = T.read(spark, j["dim"], version=j["dim_version"]).select(
+        F.col(j["dim_key"]).alias("__mv_dimk"), *j["dim_cols"]
+    )
+    # plain equality (SQL inner-join semantics): NULL fact keys are
+    # outside the view, symmetrically in the full build and the feed
+    out = fact_df.join(
+        F.broadcast(dim),
+        fact_df[j["key"]] == F.col("__mv_dimk"),
+        "inner",
+    ).drop("__mv_dimk")
+    return _filtered(out, spec)
+
+
 def _full_aggregate(df: DataFrame, spec: dict) -> DataFrame:
     return df.groupBy(*spec["group_cols"]).agg(
         *_stored_agg_exprs(spec["aggs"])
@@ -178,6 +205,7 @@ def create_matview(
     aggs: list[tuple],
     range_files: int | None = None,
     where: str | None = None,
+    join: dict | None = None,
 ) -> int:
     """Full initial build at the source's CURRENT version; returns that
     version (the view's cursor). ``aggs`` is a list of
@@ -190,6 +218,16 @@ def create_matview(
     filtered source, and filtered aggregates fold by the same delta
     algebra over the gated value column.
 
+    ``join={"dim": path, "key": fact_col, "dim_key": dim_col,
+    "dim_cols": [cols]}`` defines the view over
+    ``fact JOIN dim ON fact.key = dim.dim_key`` (the sec_ratios
+    fact⨝broadcast-dim shape): group/aggregate/filter columns may then
+    come from the dim. The dim is a snaptable PINNED at its version at
+    create time (recorded in the spec); refresh folds the FACT side's
+    change feed joined to that pinned dim — row-local, so the delta
+    algebra is unchanged and refresh == recompute exactly. Changing
+    the dim is a view-definition change: drop + recreate.
+
     ``range_files`` range-clusters the view by its group key into that
     many files — the 100 TB layout knob: with group-key-clustered files
     the refresh merge's footer min/max pre-prune confines the copy-on-
@@ -197,13 +235,35 @@ def create_matview(
     hits, carrying the rest by reference."""
     norm = _validate_spec(group_cols, aggs)
     src_head = T._manifest(spark, src_path, None)["version"]
+    jspec = None
+    if join is not None:
+        for k in ("dim", "key", "dim_key", "dim_cols"):
+            if k not in join:
+                raise MatviewError(f"matview: join spec missing {k!r}")
+        for name in [join["key"], join["dim_key"], *join["dim_cols"]]:
+            if not _IDENT.match(name):
+                raise MatviewError(
+                    f"matview: join column {name!r} must be a simple "
+                    "identifier"
+                )
+        jspec = {
+            "dim": os.path.abspath(join["dim"]),
+            "key": join["key"],
+            "dim_key": join["dim_key"],
+            "dim_cols": list(join["dim_cols"]),
+            # pin: refresh must join the SAME dim state as the build
+            "dim_version": T._manifest(spark, join["dim"], None)["version"],
+        }
     spec = {
         "src": os.path.abspath(src_path),
         "group_cols": list(group_cols),
         "aggs": norm,
         "where": where,
+        "join": jspec,
     }
-    df = _full_aggregate(_filtered(T.read(spark, src_path, version=src_head), spec), spec)
+    df = _full_aggregate(
+        _joined(spark, spec, T.read(spark, src_path, version=src_head)), spec
+    )
     if range_files:
         df = df.repartitionByRange(range_files, *group_cols)
     # spec sidecar FIRST: a crash between the two steps then leaves a
@@ -274,7 +334,7 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
     if head <= last:
         return last
     groups = spec["group_cols"]
-    feed = _filtered(T.table_changes(spark, src, last, head), spec)
+    feed = _joined(spark, spec, T.table_changes(spark, src, last, head))
     holistic = [a for a in spec["aggs"] if a["kind"] in _HOLISTIC]
     if not holistic:
         delta = _algebraic_delta(feed, spec)
@@ -332,7 +392,7 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
         # null-safe joins throughout: a NULL group is a real group
         fresh = _full_aggregate(
             T._key_join(
-                _filtered(T.read(spark, src, version=head), spec),
+                _joined(spark, spec, T.read(spark, src, version=head)),
                 touched,
                 groups,
                 "left_semi",

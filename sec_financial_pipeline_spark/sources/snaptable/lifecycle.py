@@ -319,10 +319,31 @@ def vacuum(
     # partition dirs are always "col=value") covers a qualification
     # mismatch; anything still unattributable is SKIPPED, never deleted.
     root_str = fs.makeQualified(data_root).toString().rstrip("/")
-    it = fs.listFiles(data_root, True)
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath()
+    # Concurrency: a CONCURRENT writer's in-flight Spark parquet write
+    # creates and removes `_temporary` dirs under data/ mid-commit; a
+    # recursive RemoteIterator that queued such a dir throws
+    # FileNotFoundException from hasNext() when it vanishes before the
+    # scan descends into it (pinned by the r12 two-writer fuzz campaign,
+    # 9/200 seeds). A vanished file is by definition not a reapable
+    # orphan — snapshot the listing with bounded restarts instead of
+    # crashing the whole vacuum.
+    from py4j.protocol import Py4JJavaError
+
+    for _attempt in range(5):
+        try:
+            listing = []
+            it = fs.listFiles(data_root, True)
+            while it.hasNext():
+                s = it.next()
+                listing.append((s.getPath(), s.getModificationTime()))
+            break
+        except Py4JJavaError as e:
+            if (
+                "FileNotFoundException" not in str(e)
+                or _attempt == 4
+            ):
+                raise
+    for p, mtime in listing:
         p_str = p.toString()
         if p_str.startswith(root_str + "/"):
             rel = f"{_DATADIR}/{p_str[len(root_str) + 1:]}"
@@ -333,7 +354,7 @@ def vacuum(
             rel = f"{_DATADIR}/{tail[1]}"
         if rel in referenced:
             continue
-        if now - st.getModificationTime() / 1000.0 < min_age_sec:
+        if now - mtime / 1000.0 < min_age_sec:
             continue  # possibly an in-flight writer's uncommitted files
         if dry_run:
             deleted += 1

@@ -198,3 +198,184 @@ def test_matview_rides_full_dml_fuzz(spark, seed):
     MV.create_matview(spark, src, fresh, ["g"], _AGGS, where=_WHERE)
     assert _view_state(spark, dst) == _view_state(spark, fresh)
     assert MV.matview_lag(spark, dst)["behind_versions"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Join views (VERDICT r11 item 8): the same full-DML storm on the FACT
+# side of a fact⨝broadcast-dim view (the sec_ratios shape) — group and
+# filter columns come from the PINNED dim; every refresh must equal the
+# pure-Python recompute of join+where+aggregate over the current fact
+# rows, and the final state must equal a from-scratch create.
+# ---------------------------------------------------------------------------
+
+#: dim: k -> region; fact fks 10/11 have NO dim row (inner-join drops)
+_DIM = {k: f"r{k % 3}" for k in range(10)}
+_JWHERE = "id % 7 != 3"
+_JAGGS = [
+    ("count", None, "n"),
+    ("sum", "v", "sv"),
+    ("avg", "v", "av"),
+    ("min", "v", "mn"),
+    ("count", "v", "nhi", "v > 50"),
+]
+
+
+def _mkfact(spark, items):
+    # items: {id: (fk, v_or_None)}
+    rows = [(i, fk, v) for i, (fk, v) in items.items()]
+    return spark.createDataFrame(rows, "id long, fk long, v long")
+
+
+def _jexpected(rows):
+    out = {}
+    for i, (fk, v) in rows.items():
+        if fk not in _DIM or i % 7 == 3:
+            continue
+        g = _DIM[fk]
+        n, sv, nn, mn, nhi = out.get(g, (0, 0, 0, None, 0))
+        n += 1
+        if v is not None:
+            sv += v
+            nn += 1
+            mn = v if mn is None else min(mn, v)
+            if v > 50:
+                nhi += 1
+        out[g] = (n, sv, nn, mn, nhi)
+    return {
+        g: (
+            n,
+            float(sv) if nn else None,
+            (float(sv) / nn) if nn else None,
+            mn,
+            nhi,
+        )
+        for g, (n, sv, nn, mn, nhi) in out.items()
+    }
+
+
+def _jview_state(spark, dst):
+    return {
+        r.region: (r.n, r.sv, r.av, r.mn, r.nhi)
+        for r in MV.read_matview(spark, dst).collect()
+    }
+
+
+@pytest.mark.parametrize("seed", range(SEEDS))
+def test_join_matview_rides_full_dml_fuzz(spark, seed):
+    rng = random.Random(8800 + seed)
+    root = tempfile.mkdtemp(prefix="mvjfuzz_")
+    src, dim, dst = f"{root}/fact", f"{root}/dim", f"{root}/view"
+
+    T.create(
+        spark.createDataFrame(
+            sorted(_DIM.items()), "k bigint, region string"
+        ),
+        dim,
+    )
+    rows = {
+        i: (i % 12, None if i % 11 == 5 else i * 3) for i in range(24)
+    }
+    T.create(_mkfact(spark, rows), src)
+    history = {1: dict(rows)}
+    retained = {1}
+    MV.create_matview(
+        spark, src, dst, ["region"], _JAGGS, where=_JWHERE,
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"]},
+    )
+    # a post-create dim commit must NOT leak into refreshes (the spec
+    # pins the dim version the view was defined over)
+    T.append(
+        spark.createDataFrame([(99, "r9")], "k bigint, region string"), dim
+    )
+    next_id = 1000
+
+    def refresh_and_check():
+        MV.refresh_matview(spark, dst)
+        assert _jview_state(spark, dst) == _jexpected(rows), (
+            f"seed {seed}: join view diverged from recompute"
+        )
+
+    ops = ["append", "merge", "cow_delete", "dv_delete", "update",
+           "compact", "rollback", "vacuum", "refresh", "refresh"]
+
+    for _ in range(OPS):
+        op = rng.choice(ops)
+        if op == "append":
+            new = {
+                i: (i % 12, None if i % 9 == 2 else i % 97)
+                for i in range(next_id, next_id + 6)
+            }
+            next_id += 6
+            v = T.append(_mkfact(spark, new), src)
+            rows.update(new)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "merge":
+            upd = {
+                i: (rows[i][0], (rows[i][1] or 0) + 100)
+                for i in sorted(rows)[:2]
+            }
+            ins = {next_id: (3, 7), next_id + 1: (11, None)}
+            next_id += 2
+            inc = {**upd, **ins}
+            v = T.merge_upsert(_mkfact(spark, inc), src, key_cols=["id"])
+            rows.update(inc)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op in ("cow_delete", "dv_delete"):
+            m, r = rng.choice([(3, 0), (4, 1), (5, 2)])
+            hit = {i for i in rows if i % m == r}
+            mode = "dv" if op == "dv_delete" else "cow"
+            v = T.delete_where(spark, src, f"id % {m} = {r}", mode=mode)
+            if hit:
+                rows = {i: x for i, x in rows.items() if i not in hit}
+                history[v] = dict(rows)
+                retained.add(v)
+        elif op == "update":
+            m, r = rng.choice([(2, 0), (6, 4)])
+            hit = {i for i in rows if i % m == r}
+            v = T.update_where(spark, src, f"id % {m} = {r}", {"v": "v + 1"})
+            if hit:
+                rows = {
+                    i: (fk, (x + 1) if (i in hit and x is not None) else x)
+                    for i, (fk, x) in rows.items()
+                }
+                history[v] = dict(rows)
+                retained.add(v)
+        elif op == "compact":
+            v = T.compact(spark, src, target_files=1)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "rollback":
+            candidates = sorted(retained - {max(history)})
+            if not candidates:
+                continue
+            to = rng.choice(candidates)
+            v = T.rollback(spark, src, to_version=to)
+            rows = dict(history[to])
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "vacuum":
+            refresh_and_check()
+            T.vacuum(spark, src, keep_last=2, min_age_sec=0.0)
+            retained = set(sorted(retained)[-2:]) | {max(history)}
+        elif op == "refresh":
+            refresh_and_check()
+
+    refresh_and_check()
+    # from-scratch view of the same definition: note the dim has moved
+    # since the incremental view was created, so the fresh view pins
+    # the NEW dim head — define it over the dim's ORIGINAL version by
+    # time-traveling a clone-free equality instead: the pinned spec
+    # means the incremental view must equal a recompute at dim v1,
+    # which _jexpected models; the fresh-create comparison uses the
+    # dim restored to v1 content via rollback.
+    T.rollback(spark, dim, to_version=1)
+    fresh = f"{root}/fresh"
+    MV.create_matview(
+        spark, src, fresh, ["region"], _JAGGS, where=_JWHERE,
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"]},
+    )
+    assert _jview_state(spark, dst) == _jview_state(spark, fresh)
