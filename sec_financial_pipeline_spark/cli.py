@@ -336,6 +336,54 @@ def _cmd_boiler(args, spark: SparkSession) -> dict:
     }
 
 
+def _cmd_unigram(args, spark: SparkSession) -> dict:
+    """Unigram-LM tokenizer lifecycle (operators/unigram.py, Kudo
+    2018): train learns the piece-score table by Viterbi-EM over the
+    corpus' distinct-word table and persists it as parquet; apply
+    Viterbi-tokenizes a corpus with a saved model (one fold per
+    distinct word, UNK-char fallback)."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators import unigram as U
+
+    if args.unigram_cmd == "train":
+        docs = spark.read.parquet(args.docs)
+        scores = U.train_unigram(
+            docs, args.text_col, iters=args.iters,
+            max_piece_len=args.max_piece_len,
+            max_word_len=args.max_word_len,
+            min_seed_count=args.min_seed_count,
+        )
+        scores.coalesce(1).write.mode("overwrite").parquet(args.model)
+        back = spark.read.parquet(args.model)
+        return {
+            "op": "train",
+            "pieces": back.count(),
+            "model": args.model,
+        }
+    if args.unigram_cmd == "apply":
+        docs = spark.read.parquet(args.docs)
+        scores = spark.read.parquet(args.model)
+        out = U.apply_unigram(
+            docs, args.id_col, args.text_col, scores,
+            max_piece_len=args.max_piece_len,
+            max_word_len=args.max_word_len,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        back = spark.read.parquet(args.out)
+        agg = back.agg(
+            F.count(F.lit(1)).alias("tokens"),
+            F.count_distinct(args.id_col).alias("docs"),
+        ).collect()[0]
+        return {
+            "op": "apply",
+            "docs": int(agg["docs"]),
+            "tokens": int(agg["tokens"]),
+            "out": args.out,
+        }
+    raise SystemExit(f"unknown unigram command: {args.unigram_cmd}")
+
+
 def _cmd_bpe(args, spark: SparkSession) -> dict:
     """BPE tokenizer lifecycle (operators/bpe.py): train learns an
     ordered merge list from a parquet corpus (the iterative
@@ -1004,6 +1052,28 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     boiler.add_argument("--key", default="doc_id")
     boiler.add_argument("--text-col", default="text")
 
+    uni_p = sub.add_parser(
+        "unigram",
+        help="unigram-LM tokenizer: Viterbi-EM train + corpus apply",
+    )
+    uni_sub = uni_p.add_subparsers(dest="unigram_cmd", required=True)
+    ut = uni_sub.add_parser("train")
+    ut.add_argument("--docs", required=True, help="input parquet corpus")
+    ut.add_argument("--model", required=True, help="piece-table parquet output")
+    ut.add_argument("--iters", type=int, default=2)
+    ut.add_argument("--max-piece-len", type=int, default=3)
+    ut.add_argument("--max-word-len", type=int, default=12)
+    ut.add_argument("--min-seed-count", type=int, default=2)
+    ut.add_argument("--text-col", default="text")
+    ua = uni_sub.add_parser("apply")
+    ua.add_argument("--docs", required=True, help="input parquet corpus")
+    ua.add_argument("--model", required=True, help="piece-table parquet")
+    ua.add_argument("--out", required=True, help="token-stream parquet output")
+    ua.add_argument("--id-col", default="doc_id")
+    ua.add_argument("--text-col", default="text")
+    ua.add_argument("--max-piece-len", type=int, default=3)
+    ua.add_argument("--max-word-len", type=int, default=12)
+
     bpe_p = sub.add_parser(
         "bpe", help="BPE tokenizer: distributed train + corpus apply"
     )
@@ -1395,6 +1465,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             return 0
         if args.cmd == "boiler":
             print(json.dumps(_cmd_boiler(args, spark), default=str))
+            return 0
+        if args.cmd == "unigram":
+            print(json.dumps(_cmd_unigram(args, spark), default=str))
             return 0
         if args.cmd == "bpe":
             print(json.dumps(_cmd_bpe(args, spark), default=str))

@@ -338,10 +338,16 @@ def vacuum(
                 listing.append((s.getPath(), s.getModificationTime()))
             break
         except Py4JJavaError as e:
-            if (
-                "FileNotFoundException" not in str(e)
-                or _attempt == 4
-            ):
+            # RawLocalFileSystem surfaces the vanished path as either a
+            # FileNotFoundException or a RuntimeException from the
+            # permission probe ("ls: cannot access ... No such file or
+            # directory") — both are the same benign race
+            msg = str(e)
+            gone = (
+                "FileNotFoundException" in msg
+                or "No such file or directory" in msg
+            )
+            if not gone or _attempt == 4:
                 raise
     for p, mtime in listing:
         p_str = p.toString()

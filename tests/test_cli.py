@@ -911,3 +911,41 @@ def test_snap_clone_via_cli(tmp_path, capsys, spark):
                                "--dst", shallow, "--shallow"])
     assert res["mode"] == "shallow" and res["rows"] == 50
     assert not os.path.exists(os.path.join(shallow, "data"))
+
+
+def test_unigram_train_apply_roundtrip(tmp_path, capsys, spark, sf_dir):
+    """CLI unigram lifecycle: train persists the piece table, apply
+    tokenizes a corpus with it; every word's pieces concatenate back
+    to the (truncated) word."""
+    corpus = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the cats sat"),
+         (2, "zq unseen chars")],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    model = str(tmp_path / "uni_model")
+    out = _run(capsys, spark, [
+        "unigram", "train", "--docs", corpus, "--model", model,
+        "--iters", "1",
+    ])
+    assert out["op"] == "train" and out["pieces"] > 0
+    tok_dir = str(tmp_path / "toks")
+    out = _run(capsys, spark, [
+        "unigram", "apply", "--docs", corpus, "--model", model,
+        "--out", tok_dir,
+    ])
+    assert out["docs"] == 3 and out["tokens"] > 0
+    toks = spark.read.parquet(tok_dir).collect()
+    words = {}
+    for r in toks:
+        words.setdefault((r["doc_id"], r["widx"]), []).append(
+            (r["pidx"], r["piece"])
+        )
+    texts = {0: "the cat sat on the mat", 1: "the cats sat",
+             2: "zq unseen chars"}
+    import re as _re
+    for (d, w), ps in words.items():
+        ps.sort()
+        assert "".join(p for _, p in ps) == _re.split(
+            r"\s+", texts[d].strip()
+        )[w - 1][:12]
