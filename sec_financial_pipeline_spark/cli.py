@@ -904,10 +904,27 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
                     )
                 kind, col, alias = (s.strip() for s in parts)
                 aggs.append((kind, col or None, alias))
+            join = None
+            if args.join_dim:
+                if not (args.join_key and args.join_dim_key
+                        and args.join_dim_cols):
+                    raise SystemExit(
+                        "snap matview --join-dim needs --join-key, "
+                        "--join-dim-key and --join-dim-cols"
+                    )
+                join = {
+                    "dim": args.join_dim,
+                    "key": args.join_key,
+                    "dim_key": args.join_dim_key,
+                    "dim_cols": [
+                        c for c in args.join_dim_cols.split(",") if c
+                    ],
+                }
             try:
                 cur = MV.create_matview(
                     spark, args.src, args.view,
                     [c for c in args.group_by.split(",") if c], aggs,
+                    join=join,
                 )
             except MV.MatviewError as e:
                 raise SystemExit(str(e))
@@ -1300,6 +1317,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         metavar="KIND:COL:ALIAS",
         help="aggregate, e.g. sum:price:total or count::n (repeatable; "
         "kinds: count sum avg min max)",
+    )
+    mvc.add_argument("--join-dim", help="dim snaptable for a join view")
+    mvc.add_argument("--join-key", help="fact-side join column")
+    mvc.add_argument("--join-dim-key", help="dim-side join column")
+    mvc.add_argument(
+        "--join-dim-cols", help="comma-separated dim columns to expose"
     )
     mvr = smv_sub.add_parser("refresh")
     mvr.add_argument("--view", required=True)

@@ -447,16 +447,15 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     # "df1" = store generation 2 (r12): carries the maintained per-term
     # df table that makes the store incrementally ingestible
     # (operators/bm25.py::ingest_bm25_store).
-    tag = f"k{str(K1).replace('.', '')}b{str(B).replace('.', '')}-p16-df1"
+    tag = f"k{str(K1).replace('.', '')}b{str(B).replace('.', '')}-d16-df1"
     path = _artifact_path("sfp_bm25_", sf_dir, "documents", tag)
     if not os.path.exists(path):
         d = load_table(spark, sf_dir, "documents")
-        # term-hash layout across 16 files: parallel scan + per-term
-        # value locality for parquet encoding. NOT load-bearing for
-        # the serve join since r12 — bm25_score broadcasts the
-        # query-term table into the postings probe, so the postings
-        # scan never reshuffles regardless of file layout
-        # (plan-gated in tests/test_bm25.py; VERDICT r11 item 4)
+        # DOC-hash postings layout across 16 files (r12): the probe
+        # broadcasts the query terms so the postings scan never
+        # reshuffles regardless of layout (plan-gated), and doc
+        # clustering keeps the score aggregation's map-side combine
+        # one-row-per-(query,neighbor) — see save_bm25_store
         _publish_atomically(
             lambda p: save_bm25_store(d, "doc_id", "text", p), path
         )

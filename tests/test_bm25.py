@@ -310,3 +310,35 @@ def test_ingest_crash_recovery_converges(spark, sf_dir, tmp_path):
     )
     assert served and served == scratch
     shutil.rmtree(store)
+
+
+def test_store_postings_are_doc_clustered(spark, sf_dir, tmp_path):
+    """Shuffle-bytes gate, structural form (VERDICT r11 item 4): the
+    score aggregation shuffles one row per (query, neighbor) pair iff
+    every document's postings sit in ONE file (map-side combine
+    collapses the pair once) — term-spread postings shuffled each pair
+    once per file touched (measured 30.2 -> 3.0 MB at sf0.1 from this
+    layout change alone). Pin the invariant through build AND ingest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        ingest_bm25_store,
+        save_bm25_store,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "bm25")
+    save_bm25_store(d.filter("doc_id % 2 = 0"), "doc_id", "text", store)
+    ingest_bm25_store(d.filter("doc_id % 2 = 1"), "doc_id", "text", store)
+    spread = (
+        spark.read.parquet(os.path.join(store, "postings"))
+        .select("doc_id", F.input_file_name().alias("f"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("f").alias("nf"))
+        .agg(F.max("nf").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert spread == 1, f"a doc's postings span {spread} files"

@@ -949,3 +949,50 @@ def test_unigram_train_apply_roundtrip(tmp_path, capsys, spark, sf_dir):
         assert "".join(p for _, p in ps) == _re.split(
             r"\s+", texts[d].strip()
         )[w - 1][:12]
+
+
+def test_snap_matview_join_view_cli(tmp_path, capsys, spark):
+    """CLI join-view lifecycle: create over fact⨝dim, append to the
+    fact, refresh — view state equals the joined recompute."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    fact, dim, view = (str(tmp_path / n) for n in ("fact", "dim", "view"))
+    T.create(
+        spark.createDataFrame(
+            [(k, f"r{k % 2}") for k in range(4)], "k bigint, region string"
+        ),
+        dim,
+    )
+    T.create(
+        spark.range(0, 40).select(
+            "id", (F.col("id") % 5).alias("fk"), (F.col("id") * 2).alias("v")
+        ),
+        fact,
+    )
+    out = _run(capsys, spark, [
+        "snap", "matview", "create", "--src", fact, "--view", view,
+        "--group-by", "region", "--agg", "sum:v:sv",
+        "--join-dim", dim, "--join-key", "fk", "--join-dim-key", "k",
+        "--join-dim-cols", "region",
+    ])
+    assert out["op"] == "matview:create"
+    T.append(
+        spark.range(100, 120).select(
+            "id", (F.col("id") % 5).alias("fk"), (F.col("id") * 2).alias("v")
+        ),
+        fact,
+    )
+    out = _run(capsys, spark, ["snap", "matview", "refresh", "--view", view])
+    assert out["op"] == "matview:refresh"
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    got = {r.region: r.sv for r in MV.read_matview(spark, view).collect()}
+    want = {}
+    for i in list(range(40)) + list(range(100, 120)):
+        fk = i % 5
+        if fk >= 4:  # no dim row
+            continue
+        want[f"r{fk % 2}"] = want.get(f"r{fk % 2}", 0) + i * 2
+    assert got == {k: float(v) for k, v in want.items()}
