@@ -259,9 +259,23 @@ def load_bm25_store(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     for sub in ("df", "idf", "stats"):
         recover_swap(spark, os.path.join(path, sub), missing_ok=True)
     return (
-        spark.read.parquet(os.path.join(path, "postings")),
+        _read_postings(spark, path),
         spark.read.parquet(os.path.join(path, "idf")),
         spark.read.parquet(os.path.join(path, "stats")),
+    )
+
+
+def _read_postings(spark, path: str) -> DataFrame:
+    """Postings scan tolerating both layouts: flat files (batch build/
+    ingest) and per-epoch subdirectories (streaming ingest writes
+    ``postings/epoch-<id>/`` so a re-delivered micro-batch overwrites
+    ITSELF instead of double-appending). recursiveFileLookup reads the
+    union without partition inference."""
+    import os
+
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(path, "postings"))
     )
 
 
@@ -322,7 +336,15 @@ def rebuild_bm25_derived(spark, path: str) -> None:
 
     from sec_financial_pipeline_spark.sources.sink import swap_rewrite
 
-    postings = spark.read.parquet(os.path.join(path, "postings"))
+    def _write_or_swap(frame, target):
+        # bootstrap (streaming ingest on an absent store): nothing to
+        # swap aside yet — a plain first write IS the atomic publish
+        if os.path.exists(target):
+            swap_rewrite(frame, target)
+        else:
+            frame.write.parquet(target)
+
+    postings = _read_postings(spark, path)
     df_t = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     ).localCheckpoint(eager=True)
@@ -334,6 +356,6 @@ def rebuild_bm25_derived(spark, path: str) -> None:
             F.sum("len_d").cast("bigint").alias("total_len"),
         )
     ).localCheckpoint(eager=True)
-    swap_rewrite(df_t, os.path.join(path, "df"))
-    swap_rewrite(stats, os.path.join(path, "stats"))
-    swap_rewrite(idf_from_df(df_t, stats), os.path.join(path, "idf"))
+    _write_or_swap(df_t, os.path.join(path, "df"))
+    _write_or_swap(stats, os.path.join(path, "stats"))
+    _write_or_swap(idf_from_df(df_t, stats), os.path.join(path, "idf"))

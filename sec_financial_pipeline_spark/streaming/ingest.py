@@ -136,3 +136,53 @@ def run_streaming_near_dedup(
     )
     q.processAllAvailable()
     q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Streaming BM25 index ingest (r12): the retrieval store's streaming
+# half, joining the MinHash signature store's loop above. EXACTLY-ONCE
+# with a different mechanism, because the BM25 derived tables are NOT
+# replay-tolerant (df counts would double where candidate pairs merely
+# deduplicate): each micro-batch's postings land in an EPOCH-KEYED
+# subdirectory with mode=overwrite — a re-delivered epoch replaces
+# itself, never double-appends — and the derived df/idf/stats then
+# REBUILD from the postings store (operators/bm25.rebuild_bm25_derived,
+# idempotent by construction). Any crash/replay therefore converges to
+# the exact from-scratch index; no commit markers needed.
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_bm25_ingest(
+    doc_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Drain a bounded document stream into a BM25 store synchronously
+    (availableNow). The store may start absent (bootstrap) or be an
+    existing batch-built store (its flat postings files and the
+    streaming epoch dirs read as one union)."""
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_batch_tables,
+        rebuild_bm25_derived,
+    )
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        postings_b, _, _ = bm25_batch_tables(batch_df, id_col, text_col)
+        # doc-clustered like the batch paths (bm25_batch_tables already
+        # normalizes the id column to doc_id)
+        postings_b.repartition("doc_id").write.mode("overwrite").parquet(
+            os.path.join(store_path, "postings", f"epoch-{epoch_id}")
+        )
+        rebuild_bm25_derived(spark, store_path)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
