@@ -320,6 +320,110 @@ def q_snap_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MV.read_matview(spark, f"{path}/view")
 
 
+# ---------------------------------------------------------------------------
+# matview over a JOIN (r12, VERDICT r11 item 8 — the sec_ratios
+# fact⨝broadcast-dim shape): the view groups the orders FACT by the
+# customer DIM's c_mktsegment through a join PINNED at the dim's
+# create-time version. Lifecycle: view created at fact v1 (orders with
+# o_orderkey % 3 != 0); then the DIM gains a decoy row (custkey
+# 999999999, segment 'PIN-LEAK') — which the pinned refresh must NOT
+# see; the fact gains the remaining orders (v2), plus two synthetic
+# rows referencing the decoy custkey (v3 — under the pinned dim they
+# join to nothing; a refresh that wrongly read the dim HEAD would
+# materialize a 'PIN-LEAK' group the oracle lacks), then loses
+# o_orderkey % 5 = 0 (v4); ONE refresh folds all three commits. The
+# aggregate set exercises BOTH refresh paths: count/sum (algebraic
+# delta) and min (holistic touched-group recompute through the join).
+# The oracle recomputes the joined filtered aggregate from scratch over
+# the REAL tables — the synthetic fk rows drop out of its join too, so
+# equality proves the fold is exact AND the pin held.
+# ---------------------------------------------------------------------------
+
+_MATVIEW_JOIN_ORACLE = f"""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {dsum_sql('o_totalprice')} AS total_price,
+       min(o_totalprice) AS min_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+GROUP BY c_mktsegment
+"""
+
+
+def _ensure_matview_join_demo(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _artifact_path,
+        _publish_atomically,
+    )
+    from sec_financial_pipeline_spark.sources import matview as MV
+    from sec_financial_pipeline_spark.sources import snaptable as T
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    path = _artifact_path(
+        "sfp_mvjdemo_", sf_dir, "orders",
+        "join;mod3;del5;where7;minagg;pin1",
+    )
+    if not os.path.exists(path):
+        def build(tmp: str) -> None:
+            dim, src, view = f"{tmp}/dim", f"{tmp}/src", f"{tmp}/view"
+            T.create(
+                load_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_mktsegment"
+                ),
+                dim,
+            )
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            )
+            T.create(orders.filter(F.col("o_orderkey") % 3 != 0), src)
+            MV.create_matview(
+                spark, src, view, ["c_mktsegment"],
+                [
+                    ("count", None, "n_rows"),
+                    ("sum", "o_totalprice", "total_price"),
+                    ("min", "o_totalprice", "min_price"),
+                ],
+                where="o_orderkey % 7 != 0",
+                join={"dim": dim, "key": "o_custkey",
+                      "dim_key": "c_custkey", "dim_cols": ["c_mktsegment"]},
+            )
+            # dim moves AFTER the pin...
+            T.append(
+                spark.createDataFrame(
+                    [(999999999, "PIN-LEAK")],
+                    "c_custkey bigint, c_mktsegment string",
+                ),
+                dim,
+            )
+            T.append(orders.filter(F.col("o_orderkey") % 3 == 0), src)
+            # ...and these fact rows reference the post-pin dim row:
+            # keys chosen to survive both %5 and %7 filters, so ONLY
+            # the pinned join can (and must) drop them
+            T.append(
+                spark.createDataFrame(
+                    [(10**12 + 1, 999999999, 123.45),
+                     (10**12 + 2, 999999999, 67.89)],
+                    "o_orderkey bigint, o_custkey bigint, "
+                    "o_totalprice double",
+                ),
+                src,
+            )
+            T.delete_where(spark, src, "o_orderkey % 5 = 0")
+            MV.refresh_matview(spark, view)
+
+        _publish_atomically(build, path)
+    return path
+
+
+def q_snap_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    path = _ensure_matview_join_demo(spark, sf_dir)
+    return MV.read_matview(spark, f"{path}/view")
+
+
 #: bench-local matview state per sf_dir (NOT the shared artifact cache:
 #: this row MUTATES its table every call, which would poison a shared
 #: immutable artifact — each bench process gets its own mkdtemp copy).
@@ -553,6 +657,9 @@ _PIPE_ROW_SCHEMA = [
     ("r_name", "string"),
     ("n_cust", "bigint"),
     ("acctbal", "double"),
+    # matview_join section (r12)
+    ("c_mktsegment", "string"),
+    ("min_price", "double"),
 ]
 
 from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
@@ -588,6 +695,11 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
                  "n_hi", "hi_price"],
             ),
             (
+                "matview_join",
+                _MATVIEW_JOIN_ORACLE,
+                ["c_mktsegment", "n_rows", "total_price", "min_price"],
+            ),
+            (
                 "colmap",
                 _COLMAP_ORACLE,
                 ["o_orderpriority", "n_rows", "total_price"],
@@ -611,7 +723,12 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         "aggregate FILTER clauses; one refresh folds an append + a "
         "delete through the change feed by exact delta arithmetic; the "
         "oracle recomputes the filtered aggregate over the final source "
-        "state from scratch) + "
+        "state from scratch) + matview over a fact⨝broadcast-dim JOIN "
+        "(group by a dim column through a dim PINNED at create-time "
+        "version; one refresh folds a fact append + synthetic rows "
+        "referencing a post-pin dim row + a delete — algebraic AND "
+        "holistic min paths through the join; the decoy group proves "
+        "the pin) + "
         "column-mapping schema lifecycle (metadata-only RENAME, a "
         "dv-delete probing the renamed name against pre-rename files, "
         "a post-rename append — the head read mixes both file "
@@ -628,6 +745,7 @@ def q_freshness_and_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("snap_cdf", q_snap_cdf(spark, sf_dir)),
             ("snap_dv", q_snap_dv(spark, sf_dir)),
             ("matview", q_snap_matview(spark, sf_dir)),
+            ("matview_join", q_snap_matview_join(spark, sf_dir)),
             ("colmap", q_snap_colmap(spark, sf_dir)),
             ("joinchain", q_joinchain(spark, sf_dir)),
         ],
