@@ -513,3 +513,48 @@ def read_matview(
         else:
             cols.append(F.col(alias))
     return df.select(*cols)
+
+
+def repin_matview_join(spark: SparkSession, dst_path: str) -> int:
+    """Move a JOIN view to the dim's CURRENT version: one full
+    recompute committed as an atomic overwrite, spec re-pinned. This
+    is the view-definition change the refresh path refuses to do
+    implicitly (a dim commit must never silently mix into incremental
+    history) — the operational alternative to drop + recreate.
+
+    The recompute is evaluated at the FACT version the view's cursor
+    already covers (``last_txn``), not the fact head: repin changes
+    only the dim pin, so the ``matview`` cursor is untouched and a
+    subsequent :func:`refresh_matview` folds later fact commits
+    normally against the new pin. The overwrite carries its own
+    ``txn=("matview_repin", dim_head)``, so a replayed repin of the
+    same dim version is a no-op. Crash contract: spec-then-overwrite
+    is not atomic as a pair — re-run repin to converge, and (single-
+    writer discipline) do not interleave a refresh between the two
+    steps. The cursor's fact version must still be retained (refresh
+    before vacuum, as the module documents). Returns the dim version
+    pinned."""
+    spec = _load_spec(dst_path)
+    j = spec.get("join")
+    if not j:
+        raise MatviewError(
+            f"matview: {dst_path} is not a join view — nothing to repin"
+        )
+    last = T.last_txn(spark, dst_path, _APP)
+    if last is None:
+        raise MatviewError(
+            f"matview: {dst_path} carries no '{_APP}' transaction"
+        )
+    dim_head = T._manifest(spark, j["dim"], None)["version"]
+    new_spec = dict(spec, join=dict(j, dim_version=dim_head))
+    df = _full_aggregate(
+        _joined(spark, new_spec,
+                T.read(spark, spec["src"], version=last)),
+        new_spec,
+    )
+    tmp = _spec_path(dst_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_spec, f, indent=1, sort_keys=True)
+    os.replace(tmp, _spec_path(dst_path))
+    T.overwrite(df, dst_path, txn=("matview_repin", dim_head))
+    return dim_head

@@ -846,3 +846,81 @@ def test_source_column_rename_fails_refresh_loudly(spark, tmp_path):
     )
     with pytest.raises(Exception, match="`g`|cannot be resolved"):
         MV.refresh_matview(spark, dst2)
+
+
+def test_repin_matview_join_moves_to_dim_head(spark, tmp_path):
+    """repin_matview_join: the explicit dim-evolution operation — full
+    recompute at (fact head, dim head), spec re-pinned, refreshes keep
+    working incrementally afterwards against the NEW pin."""
+    from pyspark.sql import functions as F
+
+    import sec_financial_pipeline_spark.sources.snaptable as T
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    fact, dim, view = (str(tmp_path / n) for n in ("fact", "dim", "view"))
+    T.create(
+        spark.createDataFrame(
+            [(k, f"r{k % 2}") for k in range(4)], "k bigint, region string"
+        ),
+        dim,
+    )
+    T.create(
+        spark.range(0, 30).select(
+            "id", (F.col("id") % 6).alias("fk"), (F.col("id") * 2).alias("v")
+        ),
+        fact,
+    )
+    MV.create_matview(
+        spark, fact, view, ["region"], [("sum", "v", "sv")],
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"]},
+    )
+
+    def expected(dim_keys):
+        out = {}
+        for i in range(30) if not expected.extra else list(range(30)) + expected.extra:
+            fk = i % 6
+            if fk in dim_keys:
+                g = dim_keys[fk]
+                out[g] = out.get(g, 0) + i * 2
+        return {g: float(v) for g, v in out.items()}
+    expected.extra = []
+
+    dim_v1 = {k: f"r{k % 2}" for k in range(4)}
+    got = {r.region: r.sv for r in MV.read_matview(spark, view).collect()}
+    assert got == expected(dim_v1)
+
+    # dim gains rows for fk 4 and 5 — invisible until the repin
+    T.append(
+        spark.createDataFrame(
+            [(4, "r4"), (5, "r5")], "k bigint, region string"
+        ),
+        dim,
+    )
+    MV.refresh_matview(spark, view)
+    got = {r.region: r.sv for r in MV.read_matview(spark, view).collect()}
+    assert got == expected(dim_v1)  # pin held
+
+    MV.repin_matview_join(spark, view)
+    dim_v2 = {**dim_v1, 4: "r4", 5: "r5"}
+    got = {r.region: r.sv for r in MV.read_matview(spark, view).collect()}
+    assert got == expected(dim_v2)
+
+    # incremental refresh works against the new pin
+    T.append(
+        spark.range(100, 112).select(
+            "id", (F.col("id") % 6).alias("fk"), (F.col("id") * 2).alias("v")
+        ),
+        fact,
+    )
+    MV.refresh_matview(spark, view)
+    expected.extra = list(range(100, 112))
+    got = {r.region: r.sv for r in MV.read_matview(spark, view).collect()}
+    assert got == expected(dim_v2)
+    # non-join views refuse
+    plain = str(tmp_path / "plain")
+    MV.create_matview(spark, fact, plain, ["fk"], [("count", None, "n")])
+    import pytest as _pytest
+
+    with _pytest.raises(MV.MatviewError, match="not a join view"):
+        MV.repin_matview_join(spark, plain)
