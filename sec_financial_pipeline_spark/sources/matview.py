@@ -63,6 +63,17 @@ _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _ALGEBRAIC = ("count", "sum", "avg")
 _HOLISTIC = ("min", "max")
 
+#: follow-mode join views track TWO cursors (fact version, dim version)
+#: in one monotone txn epoch: epoch = fact * _CURSOR_K + dim. Monotone
+#: because both versions only grow, so the table's own txn-replay guard
+#: (recorded epoch >= ours -> skip) keeps working unchanged.
+_CURSOR_K = 1_000_000_000
+
+
+def _follow(spec: dict) -> bool:
+    j = spec.get("join")
+    return bool(j) and j.get("mode") == "follow"
+
 
 class MatviewError(RuntimeError):
     pass
@@ -149,21 +160,30 @@ def _filtered(df: DataFrame, spec: dict) -> DataFrame:
     return df.filter(w) if w else df
 
 
-def _joined(spark: SparkSession, spec: dict, fact_df: DataFrame) -> DataFrame:
+def _joined(
+    spark: SparkSession,
+    spec: dict,
+    fact_df: DataFrame,
+    dim_version: int | None = None,
+) -> DataFrame:
     """Apply the view's dimension join + WHERE to a fact-side frame
     (the full read OR the change feed — both work because the join is
-    ROW-LOCAL per fact row: the dim side is pinned to the version
-    recorded at create, so each fact insert/delete maps to exactly one
-    joined insert/delete and the delta algebra is unchanged; the
-    sec_ratios fact⨝broadcast-dim shape, VERDICT r11 item 8). Inner
-    join: fact rows with no dim match are outside the view definition.
-    Dim evolution is a VIEW-DEFINITION change — drop + recreate (the
-    pin makes refresh deterministic instead of silently mixing dim
-    versions mid-history)."""
+    ROW-LOCAL per fact row: for a fixed dim state, each fact
+    insert/delete maps to exactly one joined insert/delete and the
+    delta algebra is unchanged; the sec_ratios fact⨝broadcast-dim
+    shape, VERDICT r11 item 8). Inner join: fact rows with no dim
+    match are outside the view definition.
+
+    ``dim_version`` defaults to the version recorded in the spec —
+    mode "pin" always uses that (dim evolution is then an explicit
+    :func:`repin_matview_join` or drop + recreate); mode "follow"
+    refreshes pass the cursor/head versions explicitly (full IVM, see
+    :func:`refresh_matview`)."""
     j = spec.get("join")
     if not j:
         return _filtered(fact_df, spec)
-    dim = T.read(spark, j["dim"], version=j["dim_version"]).select(
+    v = j["dim_version"] if dim_version is None else dim_version
+    dim = T.read(spark, j["dim"], version=v).select(
         F.col(j["dim_key"]).alias("__mv_dimk"), *j["dim_cols"]
     )
     # plain equality (SQL inner-join semantics): NULL fact keys are
@@ -246,12 +266,20 @@ def create_matview(
                     f"matview: join column {name!r} must be a simple "
                     "identifier"
                 )
+        mode = join.get("mode", "pin")
+        if mode not in ("pin", "follow"):
+            raise MatviewError(
+                f"matview: join mode must be pin|follow, got {mode!r}"
+            )
         jspec = {
             "dim": os.path.abspath(join["dim"]),
             "key": join["key"],
             "dim_key": join["dim_key"],
             "dim_cols": list(join["dim_cols"]),
-            # pin: refresh must join the SAME dim state as the build
+            "mode": mode,
+            # pin: refresh must join the SAME dim state as the build;
+            # follow: this is the INITIAL dim cursor (thereafter the
+            # combined txn epoch carries both cursors)
             "dim_version": T._manifest(spark, join["dim"], None)["version"],
         }
     spec = {
@@ -286,18 +314,28 @@ def create_matview(
     with open(tmp, "w") as f:
         json.dump(spec, f, indent=1, sort_keys=True)
     os.replace(tmp, _spec_path(dst_path))
-    T.create(df, dst_path, txn=(_APP, src_head))
-    return src_head
+    cursor = (
+        src_head * _CURSOR_K + jspec["dim_version"]
+        if _follow(spec)
+        else src_head
+    )
+    T.create(df, dst_path, txn=(_APP, cursor))
+    return cursor
 
 
 def _algebraic_delta(feed: DataFrame, spec: dict) -> DataFrame:
     """Per-group delta of every stored column from the net change feed:
     +row for inserts, -row for deletes. Exact (decimal / integer) —
     adding it to the stored state reproduces the full recompute bit-
-    for-bit."""
-    sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
-    )
+    for-bit. A ``__sign`` column (follow-mode joined deltas, where the
+    cross term carries PRODUCT signs) takes precedence over
+    ``_change_type``."""
+    if "__sign" in feed.columns:
+        sgn = F.col("__sign")
+    else:
+        sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
     exprs = [F.sum(sgn).alias("d___n")]
     for a in spec["aggs"]:
         kind, alias = a["kind"], a["alias"]
@@ -316,6 +354,85 @@ def _algebraic_delta(feed: DataFrame, spec: dict) -> DataFrame:
     return feed.groupBy(*spec["group_cols"]).agg(*exprs)
 
 
+def _follow_feed(
+    spark: SparkSession,
+    spec: dict,
+    f_last: int,
+    f_head: int,
+    d_last: int,
+    d_head: int,
+) -> DataFrame:
+    """The SIGNED joined delta of a follow-mode join view: three terms
+    of the trilinear identity, each a broadcast join, unioned with a
+    ``__sign`` column (+1/-1; the cross term multiplies signs). The
+    view WHERE applies per term — it is row-local over the joined row,
+    so it distributes over the multiset union. Cost: the fact-side
+    term is O(|ΔF|); the dim-side terms scan the fact at its cursor
+    version ONCE joined to the (broadcast) dim delta — dim changes are
+    the rare event, and this is exactly the recompute a pinned view
+    would need anyway, confined to the delta'd dim keys."""
+    j = spec["join"]
+    key = j["key"]
+
+    def _sgn():
+        return F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+
+    def _fact_delta():
+        ff = T.table_changes(spark, spec["src"], f_last, f_head)
+        ff = ff.withColumn("__sign", _sgn())
+        return ff.drop("_change_type", "_commit_version")
+
+    parts = []
+    if f_head > f_last:
+        dim_old = T.read(spark, j["dim"], version=d_last).select(
+            F.col(j["dim_key"]).alias("__mv_dimk"), *j["dim_cols"]
+        )
+        ff = _fact_delta()
+        parts.append(
+            ff.join(
+                F.broadcast(dim_old),
+                ff[key] == F.col("__mv_dimk"),
+                "inner",
+            ).drop("__mv_dimk")
+        )
+    if d_head > d_last:
+        dd = T.table_changes(spark, j["dim"], d_last, d_head)
+        dd_sel = dd.select(
+            F.col(j["dim_key"]).alias("__mv_dimk"),
+            *j["dim_cols"],
+            _sgn().alias("__dsign"),
+        )
+        f_old = T.read(spark, spec["src"], version=f_last)
+        parts.append(
+            f_old.join(
+                F.broadcast(dd_sel),
+                f_old[key] == F.col("__mv_dimk"),
+                "inner",
+            )
+            .drop("__mv_dimk")
+            .withColumn("__sign", F.col("__dsign"))
+            .drop("__dsign")
+        )
+        if f_head > f_last:
+            ff = _fact_delta().withColumnRenamed("__sign", "__fsign")
+            parts.append(
+                ff.join(
+                    F.broadcast(dd_sel),
+                    ff[key] == F.col("__mv_dimk"),
+                    "inner",
+                )
+                .drop("__mv_dimk")
+                .withColumn("__sign", F.col("__fsign") * F.col("__dsign"))
+                .drop("__fsign", "__dsign")
+            )
+    feed = parts[0]
+    for p in parts[1:]:
+        feed = feed.unionByName(p)
+    return _filtered(feed, spec)
+
+
 def refresh_matview(spark: SparkSession, dst_path: str) -> int:
     """Fold every source commit since the last refresh into the view;
     returns the new cursor (source version). No-op — no Spark job —
@@ -330,11 +447,34 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
             f"matview: {dst_path} carries no '{_APP}' transaction — "
             "was the table created by create_matview?"
         )
-    head = T._manifest(spark, src, None)["version"]
-    if head <= last:
-        return last
+    if _follow(spec):
+        # full IVM over the join (mode "follow"): fold BOTH sides'
+        # change feeds through the trilinear multiset identity
+        #   F_new⋈D_new - F_old⋈D_old
+        #     = ΔF⋈D_old + F_old⋈ΔD + ΔF⋈ΔD
+        # with signs multiplying in the cross term. Both cursors ride
+        # one monotone txn epoch (fact * _CURSOR_K + dim).
+        j = spec["join"]
+        f_last, d_last = divmod(last, _CURSOR_K)
+        f_head = T._manifest(spark, src, None)["version"]
+        d_head = T._manifest(spark, j["dim"], None)["version"]
+        if f_head <= f_last and d_head <= d_last:
+            return last
+        head = f_head * _CURSOR_K + d_head
+        feed = _follow_feed(spark, spec, f_last, f_head, d_last, d_head)
+        fresh_src = lambda: _joined(  # noqa: E731
+            spark, spec, T.read(spark, src, version=f_head),
+            dim_version=d_head,
+        )
+    else:
+        head = T._manifest(spark, src, None)["version"]
+        if head <= last:
+            return last
+        feed = _joined(spark, spec, T.table_changes(spark, src, last, head))
+        fresh_src = lambda: _joined(  # noqa: E731
+            spark, spec, T.read(spark, src, version=head)
+        )
     groups = spec["group_cols"]
-    feed = _joined(spark, spec, T.table_changes(spark, src, last, head))
     holistic = [a for a in spec["aggs"] if a["kind"] in _HOLISTIC]
     if not holistic:
         delta = _algebraic_delta(feed, spec)
@@ -392,7 +532,7 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
         # null-safe joins throughout: a NULL group is a real group
         fresh = _full_aggregate(
             T._key_join(
-                _joined(spark, spec, T.read(spark, src, version=head)),
+                fresh_src(),
                 touched,
                 groups,
                 "left_semi",
@@ -473,6 +613,19 @@ def matview_lag(spark: SparkSession, dst_path: str) -> dict:
     spec = _load_spec(dst_path)
     last = T.last_txn(spark, dst_path, _APP) or 0
     head = T._manifest(spark, spec["src"], None)["version"]
+    if _follow(spec):
+        f_last, d_last = divmod(last, _CURSOR_K)
+        d_head = T._manifest(spark, spec["join"]["dim"], None)["version"]
+        return {
+            "src": spec["src"],
+            "src_version": head,
+            "view_cursor": f_last,
+            "behind_versions": max(0, head - f_last),
+            "dim": spec["join"]["dim"],
+            "dim_version": d_head,
+            "dim_cursor": d_last,
+            "dim_behind_versions": max(0, d_head - d_last),
+        }
     return {
         "src": spec["src"],
         "src_version": head,
@@ -539,6 +692,11 @@ def repin_matview_join(spark: SparkSession, dst_path: str) -> int:
     if not j:
         raise MatviewError(
             f"matview: {dst_path} is not a join view — nothing to repin"
+        )
+    if _follow(spec):
+        raise MatviewError(
+            f"matview: {dst_path} is a follow-mode join view — the dim "
+            "is tracked incrementally, there is no pin to move"
         )
     last = T.last_txn(spark, dst_path, _APP)
     if last is None:

@@ -379,3 +379,187 @@ def test_join_matview_rides_full_dml_fuzz(spark, seed):
               "dim_cols": ["region"]},
     )
     assert _jview_state(spark, dst) == _jview_state(spark, fresh)
+
+
+# ---------------------------------------------------------------------------
+# Follow-mode join views (r12, full IVM): the storm now hits BOTH
+# sides — fact DML (append/merge/cow+dv delete/update/compact/rollback/
+# vacuum) AND dim DML (append new keys / segment updates / key deletes)
+# — and every refresh folds the trilinear signed delta
+# ΔF⋈D_old + F_old⋈ΔD + ΔF⋈ΔD. Checked against the pure-Python join
+# recompute at the CURRENT (fact, dim) state after every refresh, and
+# against a from-scratch create at the end.
+# ---------------------------------------------------------------------------
+
+
+def _fexpected(rows, dimmap):
+    out = {}
+    for i, (fk, v) in rows.items():
+        if fk not in dimmap or i % 7 == 3:
+            continue
+        g = dimmap[fk]
+        n, sv, nn, mn, nhi = out.get(g, (0, 0, 0, None, 0))
+        n += 1
+        if v is not None:
+            sv += v
+            nn += 1
+            mn = v if mn is None else min(mn, v)
+            if v > 50:
+                nhi += 1
+        out[g] = (n, sv, nn, mn, nhi)
+    return {
+        g: (
+            n,
+            float(sv) if nn else None,
+            (float(sv) / nn) if nn else None,
+            mn,
+            nhi,
+        )
+        for g, (n, sv, nn, mn, nhi) in out.items()
+    }
+
+
+@pytest.mark.parametrize("seed", range(SEEDS))
+def test_follow_join_matview_rides_two_sided_dml_fuzz(spark, seed):
+    rng = random.Random(13200 + seed)
+    root = tempfile.mkdtemp(prefix="mvffuzz_")
+    src, dim, dst = f"{root}/fact", f"{root}/dim", f"{root}/view"
+
+    dimmap = {k: f"r{k % 3}" for k in range(10)}
+    T.create(
+        spark.createDataFrame(
+            sorted(dimmap.items()), "k bigint, region string"
+        ),
+        dim,
+    )
+    rows = {
+        i: (i % 14, None if i % 11 == 5 else i * 3) for i in range(24)
+    }
+    T.create(_mkfact(spark, rows), src)
+    history = {1: dict(rows)}
+    retained = {1}
+    MV.create_matview(
+        spark, src, dst, ["region"], _JAGGS, where=_JWHERE,
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"], "mode": "follow"},
+    )
+    next_id = 1000
+    # dim appends start at 10: facts carry fk in 0..13, so the first
+    # four appended dim keys MATCH already-present facts — the
+    # interesting F_old⋈ΔD case where unmatched facts enter the view
+    next_dimk = [10]
+
+    def refresh_and_check(tag):
+        MV.refresh_matview(spark, dst)
+        assert _jview_state(spark, dst) == _fexpected(rows, dimmap), (
+            f"seed {seed} after {tag}: follow view diverged from recompute"
+        )
+
+    ops = ["append", "merge", "cow_delete", "dv_delete", "update",
+           "compact", "rollback", "vacuum", "refresh", "refresh",
+           "dim_append", "dim_update", "dim_delete"]
+
+    for _ in range(OPS):
+        op = rng.choice(ops)
+        if op == "append":
+            new = {
+                i: (i % 14, None if i % 9 == 2 else i % 97)
+                for i in range(next_id, next_id + 6)
+            }
+            next_id += 6
+            v = T.append(_mkfact(spark, new), src)
+            rows.update(new)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "merge":
+            upd = {
+                i: (rows[i][0], (rows[i][1] or 0) + 100)
+                for i in sorted(rows)[:2]
+            }
+            ins = {next_id: (rng.randrange(14), 7)}
+            next_id += 1
+            inc = {**upd, **ins}
+            v = T.merge_upsert(_mkfact(spark, inc), src, key_cols=["id"])
+            rows.update(inc)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op in ("cow_delete", "dv_delete"):
+            m, r = rng.choice([(3, 0), (4, 1), (5, 2)])
+            hit = {i for i in rows if i % m == r}
+            mode = "dv" if op == "dv_delete" else "cow"
+            v = T.delete_where(spark, src, f"id % {m} = {r}", mode=mode)
+            if hit:
+                rows = {i: x for i, x in rows.items() if i not in hit}
+                history[v] = dict(rows)
+                retained.add(v)
+        elif op == "update":
+            m, r = rng.choice([(2, 0), (6, 4)])
+            hit = {i for i in rows if i % m == r}
+            v = T.update_where(spark, src, f"id % {m} = {r}", {"v": "v + 1"})
+            if hit:
+                rows = {
+                    i: (fk, (x + 1) if (i in hit and x is not None) else x)
+                    for i, (fk, x) in rows.items()
+                }
+                history[v] = dict(rows)
+                retained.add(v)
+        elif op == "compact":
+            v = T.compact(spark, src, target_files=1)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "rollback":
+            candidates = sorted(retained - {max(history)})
+            if not candidates:
+                continue
+            to = rng.choice(candidates)
+            v = T.rollback(spark, src, to_version=to)
+            rows = dict(history[to])
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "vacuum":
+            # discipline: cursors (fact AND dim versions) must stay
+            # retained — refresh first, then reap
+            refresh_and_check("pre-vacuum refresh")
+            T.vacuum(spark, src, keep_last=2, min_age_sec=0.0)
+            retained = set(sorted(retained)[-2:]) | {max(history)}
+        elif op == "dim_append":
+            k = next_dimk[0]
+            next_dimk[0] += 1
+            T.append(
+                spark.createDataFrame(
+                    [(k, f"r{k % 3}")], "k bigint, region string"
+                ),
+                dim,
+            )
+            dimmap[k] = f"r{k % 3}"
+            # future fact rows can reference it
+        elif op == "dim_update":
+            if not dimmap:
+                continue
+            k = rng.choice(sorted(dimmap))
+            seg = f"rU{rng.randrange(3)}"
+            T.merge_upsert(
+                spark.createDataFrame(
+                    [(k, seg)], "k bigint, region string"
+                ),
+                dim,
+                key_cols=["k"],
+            )
+            dimmap[k] = seg
+        elif op == "dim_delete":
+            if not dimmap:
+                continue
+            k = rng.choice(sorted(dimmap))
+            T.delete_where(spark, dim, f"k = {k}")
+            del dimmap[k]
+        elif op == "refresh":
+            refresh_and_check("refresh")
+
+    refresh_and_check("final")
+    fresh = f"{root}/fresh"
+    MV.create_matview(
+        spark, src, fresh, ["region"], _JAGGS, where=_JWHERE,
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"], "mode": "follow"},
+    )
+    assert _jview_state(spark, dst) == _jview_state(spark, fresh)
