@@ -424,6 +424,99 @@ def q_snap_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MV.read_matview(spark, f"{path}/view")
 
 
+# ---------------------------------------------------------------------------
+# FOLLOW-mode join matview (r12 — full IVM): the dim is tracked
+# incrementally, so dim updates/deletes fold through the refresh
+# rather than requiring a repin. Lifecycle: follow view created at
+# (fact v1 = orders %3!=0, dim v1 = customer); then the DIM moves —
+# v2 re-segments customers with c_custkey % 10 = 3 to 'SEG-MOVED'
+# (merge_upsert = per-row update), v3 deletes customers with
+# c_custkey % 13 = 7 — and the FACT moves — v2 appends the remaining
+# orders, v3 deletes o_orderkey % 5 = 0. ONE refresh folds all four
+# commits through the trilinear signed delta (ΔF⋈D_old + F_old⋈ΔD +
+# ΔF⋈ΔD). The oracle recomputes the joined aggregate over the FINAL
+# states of both tables in pure SQL; equality proves dim-side IVM is
+# exact through updates (group movement: +/- in different groups),
+# deletes (facts exiting the view), and the cross term, including the
+# decimal-sum firewall and the holistic min through the join.
+# ---------------------------------------------------------------------------
+
+_MATVIEW_FOLLOW_ORACLE = f"""
+SELECT CASE WHEN c_custkey % 10 = 3 THEN 'SEG-MOVED'
+       ELSE c_mktsegment END AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {dsum_sql('o_totalprice')} AS total_price,
+       min(o_totalprice) AS min_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+  AND c_custkey % 13 <> 7
+GROUP BY 1
+"""
+
+
+def _ensure_matview_follow_demo(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _artifact_path,
+        _publish_atomically,
+    )
+    from sec_financial_pipeline_spark.sources import matview as MV
+    from sec_financial_pipeline_spark.sources import snaptable as T
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    path = _artifact_path(
+        "sfp_mvfdemo_", sf_dir, "orders",
+        "follow;mod3;del5;where7;dimupd10-3;dimdel13-7;minagg",
+    )
+    if not os.path.exists(path):
+        def build(tmp: str) -> None:
+            dim, src, view = f"{tmp}/dim", f"{tmp}/src", f"{tmp}/view"
+            cust = load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            )
+            T.create(cust, dim)
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            )
+            T.create(orders.filter(F.col("o_orderkey") % 3 != 0), src)
+            MV.create_matview(
+                spark, src, view, ["c_mktsegment"],
+                [
+                    ("count", None, "n_rows"),
+                    ("sum", "o_totalprice", "total_price"),
+                    ("min", "o_totalprice", "min_price"),
+                ],
+                where="o_orderkey % 7 != 0",
+                join={"dim": dim, "key": "o_custkey",
+                      "dim_key": "c_custkey", "dim_cols": ["c_mktsegment"],
+                      "mode": "follow"},
+            )
+            # dim moves: re-segment + delete
+            T.merge_upsert(
+                cust.filter(F.col("c_custkey") % 10 == 3).select(
+                    "c_custkey", F.lit("SEG-MOVED").alias("c_mktsegment")
+                ),
+                dim,
+                key_cols=["c_custkey"],
+            )
+            T.delete_where(spark, dim, "c_custkey % 13 = 7")
+            # fact moves: append + delete
+            T.append(orders.filter(F.col("o_orderkey") % 3 == 0), src)
+            T.delete_where(spark, src, "o_orderkey % 5 = 0")
+            MV.refresh_matview(spark, view)
+
+        _publish_atomically(build, path)
+    return path
+
+
+def q_snap_matview_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    path = _ensure_matview_follow_demo(spark, sf_dir)
+    return MV.read_matview(spark, f"{path}/view")
+
+
 #: bench-local matview state per sf_dir (NOT the shared artifact cache:
 #: this row MUTATES its table every call, which would poison a shared
 #: immutable artifact — each bench process gets its own mkdtemp copy).
@@ -700,6 +793,11 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
                 ["c_mktsegment", "n_rows", "total_price", "min_price"],
             ),
             (
+                "matview_follow",
+                _MATVIEW_FOLLOW_ORACLE,
+                ["c_mktsegment", "n_rows", "total_price", "min_price"],
+            ),
+            (
                 "colmap",
                 _COLMAP_ORACLE,
                 ["o_orderpriority", "n_rows", "total_price"],
@@ -728,7 +826,11 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         "version; one refresh folds a fact append + synthetic rows "
         "referencing a post-pin dim row + a delete — algebraic AND "
         "holistic min paths through the join; the decoy group proves "
-        "the pin) + "
+        "the pin) + FOLLOW-mode join matview (full IVM: dim segment "
+        "updates and key deletes fold through the trilinear signed "
+        "delta dF⋈D_old + F_old⋈dD + dF⋈dD in the same refresh as "
+        "fact append/delete; oracle recomputes over both FINAL "
+        "states) + "
         "column-mapping schema lifecycle (metadata-only RENAME, a "
         "dv-delete probing the renamed name against pre-rename files, "
         "a post-rename append — the head read mixes both file "
@@ -746,6 +848,7 @@ def q_freshness_and_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("snap_dv", q_snap_dv(spark, sf_dir)),
             ("matview", q_snap_matview(spark, sf_dir)),
             ("matview_join", q_snap_matview_join(spark, sf_dir)),
+            ("matview_follow", q_snap_matview_follow(spark, sf_dir)),
             ("colmap", q_snap_colmap(spark, sf_dir)),
             ("joinchain", q_joinchain(spark, sf_dir)),
         ],
