@@ -566,6 +566,7 @@ def stream_refresh_matview(
     checkpoint: str,
     processing_time: str | None = None,
     available_now: bool = False,
+    signal_path: str | None = None,
 ):
     """Continuous lakehouse-native refresh (the reference's T7
     background-refresh loop, re-expressed on the table's own log;
@@ -580,7 +581,15 @@ def stream_refresh_matview(
     ``skipChangeCommits`` keeps the trigger alive across delete/
     rewrite commits — the refresh handles those through the feed, the
     signal stream must simply not fail on them. Returns the started
-    ``StreamingQuery``."""
+    ``StreamingQuery``.
+
+    ``signal_path`` overrides WHICH table's commits wake the refresh
+    (default: the view's fact source). For a follow-mode JOIN view,
+    dim-only commits fold on the next fact commit with the default
+    signal; when dim-only latency matters, start a SECOND daemon with
+    ``signal_path=<dim path>`` and its own checkpoint — refreshes are
+    exactly-once by the view's txn cursor, so two daemons never
+    double-fold."""
     spec = _load_spec(dst_path)
     from sec_financial_pipeline_spark.sources.snap_datasource import (
         register_snaptable_source,
@@ -590,7 +599,7 @@ def stream_refresh_matview(
     stream = (
         spark.readStream.format("snaptable")
         .option("skipChangeCommits", "true")
-        .load(spec["src"])
+        .load(signal_path or spec["src"])
     )
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:

@@ -924,3 +924,49 @@ def test_repin_matview_join_moves_to_dim_head(spark, tmp_path):
 
     with _pytest.raises(MV.MatviewError, match="not a join view"):
         MV.repin_matview_join(spark, plain)
+
+
+def test_follow_view_dim_signal_daemon(spark, tmp_path):
+    """A second daemon with signal_path=<dim> wakes the refresh on
+    dim-only commits; two daemons never double-fold (txn cursor)."""
+    from pyspark.sql import functions as F
+
+    import sec_financial_pipeline_spark.sources.snaptable as T
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    fact, dim, view = (str(tmp_path / n) for n in ("fact", "dim", "view"))
+    T.create(
+        spark.createDataFrame(
+            [(k, f"r{k % 2}") for k in range(4)], "k bigint, region string"
+        ),
+        dim,
+    )
+    T.create(
+        spark.range(0, 20).select(
+            "id", (F.col("id") % 4).alias("fk"), (F.col("id") * 2).alias("v")
+        ),
+        fact,
+    )
+    MV.create_matview(
+        spark, fact, view, ["region"], [("sum", "v", "sv")],
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"], "mode": "follow"},
+    )
+    # dim-only commit: re-segment key 1
+    T.merge_upsert(
+        spark.createDataFrame([(1, "rX")], "k bigint, region string"),
+        dim,
+        key_cols=["k"],
+    )
+    q = MV.stream_refresh_matview(
+        spark, view, str(tmp_path / "ckpt_dim"),
+        available_now=True, signal_path=dim,
+    )
+    q.awaitTermination(120)
+    want = {}
+    for i in range(20):
+        g = {0: "r0", 1: "rX", 2: "r0", 3: "r1"}[i % 4]
+        want[g] = want.get(g, 0) + i * 2
+    got = {r.region: r.sv for r in MV.read_matview(spark, view).collect()}
+    assert got == {g: float(v) for g, v in want.items()}
+    assert MV.matview_lag(spark, view)["dim_behind_versions"] == 0
