@@ -919,6 +919,7 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
                     "dim_cols": [
                         c for c in args.join_dim_cols.split(",") if c
                     ],
+                    "mode": args.join_mode,
                 }
             try:
                 cur = MV.create_matview(
@@ -1323,6 +1324,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     mvc.add_argument("--join-dim-key", help="dim-side join column")
     mvc.add_argument(
         "--join-dim-cols", help="comma-separated dim columns to expose"
+    )
+    mvc.add_argument(
+        "--join-mode", choices=("pin", "follow"), default="pin",
+        help="pin: dim frozen at create (repin to move); "
+             "follow: dim tracked incrementally (full IVM)",
     )
     mvr = smv_sub.add_parser("refresh")
     mvr.add_argument("--view", required=True)
