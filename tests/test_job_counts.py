@@ -50,6 +50,13 @@ def _jobs_for(spark, name, fn):
         # warm (seed + 2 E/M rounds + top-k); per-round job count is
         # iteration-bound, independent of corpus size
         ("unigram_train", 30),
+        # r12 serve rows: apply-only tokenization against the persisted
+        # piece table (8 jobs warm) and query-only BM25 against the
+        # persisted inverted index (10 jobs warm) — both load + score,
+        # no retraining; a ceiling breach means a serve path regrew a
+        # build phase
+        ("unigram_apply", 14),
+        ("bm25_serve", 16),
     ],
 )
 def test_job_count_ceiling(spark, name, ceiling):
@@ -65,10 +72,19 @@ def test_job_count_ceiling(spark, name, ceiling):
         q_doc_unigram,
     )
 
+    from sec_financial_pipeline_spark.registry.llm_text import (
+        q_doc_unigram_apply_serve,
+    )
+    from sec_financial_pipeline_spark.registry.similarity import (
+        q_emb_bm25_serve,
+    )
+
     fn = {
         "doc_dup_clusters": q_doc_dup_clusters_only,
         "matview_refresh": q_matview_refresh_bench,
         "unigram_train": q_doc_unigram,
+        "unigram_apply": q_doc_unigram_apply_serve,
+        "bm25_serve": q_emb_bm25_serve,
     }.get(name) or all_queries()[name].fn
     n = _jobs_for(spark, name, fn)
     assert 0 < n <= ceiling, (
