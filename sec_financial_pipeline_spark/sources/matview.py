@@ -271,6 +271,16 @@ def create_matview(
             raise MatviewError(
                 f"matview: join mode must be pin|follow, got {mode!r}"
             )
+        # a dim column shadowing a fact column would make every
+        # downstream reference ambiguous (the joined frame would carry
+        # two columns of that name) — refuse at definition time
+        fact_cols = set(T.read(spark, src_path).columns)
+        clash = sorted(set(join["dim_cols"]) & fact_cols)
+        if clash:
+            raise MatviewError(
+                f"matview: dim column(s) {clash} collide with fact "
+                "columns — alias them in the dim table first"
+            )
         jspec = {
             "dim": os.path.abspath(join["dim"]),
             "key": join["key"],

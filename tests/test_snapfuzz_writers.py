@@ -226,3 +226,54 @@ def test_two_writer_linearizability(spark, tmp_path, seed):
         assert {
             r["id"]: r["v"] for r in T.read(spark, path, tag=name).collect()
         } == states[v]
+
+
+def test_reader_under_two_writer_storm(spark, tmp_path):
+    """Snapshot isolation under concurrency: a reader thread polling
+    head reads, version lists, and a random retained-version read must
+    NEVER crash or observe a torn state (a head read whose row count
+    disagrees with re-reading the SAME version) while two writers race
+    append/merge/delete/compact/vacuum."""
+    path = str(tmp_path / "t")
+    init = {k: k * 100 for k in range(SHARED)}
+    T.create(
+        spark.createDataFrame(sorted(init.items()), "id bigint, v bigint"),
+        path,
+    )
+    ledger = {"ops": [], "tags": {}}
+    lock = threading.Lock()
+    errors: list = []
+    stop = threading.Event()
+
+    def reader():
+        rng = random.Random(777)
+        last_seen = 0
+        try:
+            while not stop.is_set():
+                vs = T.versions(spark, path)
+                assert vs == sorted(vs)
+                assert vs[-1] >= last_seen, "head went backwards"
+                last_seen = vs[-1]
+                # pin a version, read it twice: identical (immutable)
+                v = rng.choice(vs)
+                a = T.read(spark, path, version=v).count()
+                b = T.read(spark, path, version=v).count()
+                assert a == b, f"torn read at v{v}: {a} != {b}"
+        except Exception as e:  # pragma: no cover
+            errors.append(("reader", e))
+
+    rt = threading.Thread(target=reader)
+    rt.start()
+    ws = [
+        threading.Thread(
+            target=_writer, args=(spark, path, w, 4242, ledger, lock, errors)
+        )
+        for w in (0, 1)
+    ]
+    for t in ws:
+        t.start()
+    for t in ws:
+        t.join()
+    stop.set()
+    rt.join()
+    assert not errors, errors
