@@ -288,9 +288,20 @@ def ingest_bm25_store(
     over (old corpus) ∪ (batch)."""
     import os
 
-    from sec_financial_pipeline_spark.sources.sink import swap_rewrite
+    from sec_financial_pipeline_spark.sources.sink import (
+        recover_swap,
+        swap_rewrite,
+    )
 
     spark = new_docs.sparkSession
+    # heal any half-done derived-table swap a crashed PREVIOUS ingest
+    # left behind, mirroring load_bm25_store — without this, a crash
+    # inside swap_rewrite's between-renames window makes the next
+    # ingest fail with an unrelated-looking read error on df/stats
+    # instead of self-healing (ADVICE r12). missing_ok=False: these
+    # dirs exist on any store this function may append to.
+    for sub in ("df", "stats", "idf"):
+        recover_swap(spark, os.path.join(path, sub), missing_ok=False)
     postings_b, df_b, stats_b = bm25_batch_tables(new_docs, id_col, text_col)
     # 1. postings: append-only parquet files, doc-clustered like the
     # initial build (each doc's postings in one file keeps the score

@@ -331,9 +331,12 @@ def q_snap_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows referencing the decoy custkey (v3 — under the pinned dim they
 # join to nothing; a refresh that wrongly read the dim HEAD would
 # materialize a 'PIN-LEAK' group the oracle lacks), then loses
-# o_orderkey % 5 = 0 (v4); ONE refresh folds all three commits. The
-# aggregate set exercises BOTH refresh paths: count/sum (algebraic
-# delta) and min (holistic touched-group recompute through the join).
+# o_orderkey % 5 = 0 (v4); ONE refresh folds all three commits. NOTE:
+# because the aggregate set includes a min, the ENTIRE refresh routes
+# through the holistic touched-group recompute (matview.py routes any
+# min/max view that way) — the algebraic __sign delta path is
+# exercised by the min-free join fuzz variants in
+# tests/test_matview_fuzz.py, not by this demo.
 # The oracle recomputes the joined filtered aggregate from scratch over
 # the REAL tables — the synthetic fk rows drop out of its join too, so
 # equality proves the fold is exact AND the pin held.
@@ -824,8 +827,9 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         "state from scratch) + matview over a fact⨝broadcast-dim JOIN "
         "(group by a dim column through a dim PINNED at create-time "
         "version; one refresh folds a fact append + synthetic rows "
-        "referencing a post-pin dim row + a delete — algebraic AND "
-        "holistic min paths through the join; the decoy group proves "
+        "referencing a post-pin dim row + a delete — the min agg "
+        "routes the refresh through the holistic touched-group "
+        "recompute through the join; the decoy group proves "
         "the pin) + FOLLOW-mode join matview (full IVM: dim segment "
         "updates and key deletes fold through the trilinear signed "
         "delta dF⋈D_old + F_old⋈dD + dF⋈dD in the same refresh as "

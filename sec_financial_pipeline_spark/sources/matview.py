@@ -57,6 +57,7 @@ from sec_financial_pipeline_spark.sources import snaptable as T
 
 _SPEC_FILE = "matview.json"
 _APP = "matview"
+_DIMPIN_APP = "matview_dimpin"
 _DEC = "decimal(30,6)"
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -329,7 +330,14 @@ def create_matview(
         if _follow(spec)
         else src_head
     )
-    T.create(df, dst_path, txn=(_APP, cursor))
+    txn = (_APP, cursor)
+    if jspec is not None and not _follow(spec):
+        # pin-mode join views ALSO record the dim pin in the table's
+        # own txn map, so refresh can detect a spec/table disagreement
+        # (a crashed or interleaved repin) instead of silently folding
+        # new-pin deltas onto old-pin aggregates (ADVICE r12)
+        txn = (txn, (_DIMPIN_APP, jspec["dim_version"]))
+    T.create(df, dst_path, txn=txn)
     return cursor
 
 
@@ -477,6 +485,21 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
             dim_version=d_head,
         )
     else:
+        if spec.get("join"):
+            # pin coherence guard (ADVICE r12): the spec sidecar and
+            # the table overwrite are two steps — a crash (or an
+            # interleaved refresh) between a repin's spec write and its
+            # overwrite would otherwise fold deltas joined to the NEW
+            # dim pin onto aggregates built under the OLD pin,
+            # silently wrong until the repin is re-run.
+            pinned = T.last_txn(spark, dst_path, _DIMPIN_APP)
+            if pinned is not None and pinned != spec["join"]["dim_version"]:
+                raise MatviewError(
+                    f"matview: {dst_path} spec pins dim version "
+                    f"{spec['join']['dim_version']} but the table was "
+                    f"built at dim version {pinned} — a repin did not "
+                    "complete; re-run repin_matview_join to converge"
+                )
         head = T._manifest(spark, src, None)["version"]
         if head <= last:
             return last
@@ -613,7 +636,17 @@ def stream_refresh_matview(
     )
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
-        refresh_matview(spark, dst_path)
+        try:
+            refresh_matview(spark, dst_path)
+        except T.SnapshotConflict:
+            # two-daemon mode (fact-signal + dim-signal): when both
+            # fold the same range at once, the losing merge_into
+            # raises — but the raced range is by construction already
+            # applied (or re-foldable from the new cursor), so ONE
+            # retry re-reading last_txn converges; re-raising instead
+            # would kill this streaming query on its first genuine
+            # race (ADVICE r12)
+            refresh_matview(spark, dst_path)
 
     w = stream.writeStream.foreachBatch(_fold).option(
         "checkpointLocation", checkpoint
@@ -701,11 +734,13 @@ def repin_matview_join(spark: SparkSession, dst_path: str) -> int:
     normally against the new pin. The overwrite carries its own
     ``txn=("matview_repin", dim_head)``, so a replayed repin of the
     same dim version is a no-op. Crash contract: spec-then-overwrite
-    is not atomic as a pair — re-run repin to converge, and (single-
-    writer discipline) do not interleave a refresh between the two
-    steps. The cursor's fact version must still be retained (refresh
-    before vacuum, as the module documents). Returns the dim version
-    pinned."""
+    is not atomic as a pair — re-run repin to converge. The overwrite
+    ALSO records the pin under the ``matview_dimpin`` app id, so a
+    refresh that runs between the two steps (or after a crash) fails
+    loudly on the spec/table disagreement instead of folding new-pin
+    deltas onto old-pin aggregates. The cursor's fact version must
+    still be retained (refresh before vacuum, as the module
+    documents). Returns the dim version pinned."""
     spec = _load_spec(dst_path)
     j = spec.get("join")
     if not j:
@@ -733,5 +768,9 @@ def repin_matview_join(spark: SparkSession, dst_path: str) -> int:
     with open(tmp, "w") as f:
         json.dump(new_spec, f, indent=1, sort_keys=True)
     os.replace(tmp, _spec_path(dst_path))
-    T.overwrite(df, dst_path, txn=("matview_repin", dim_head))
+    T.overwrite(
+        df,
+        dst_path,
+        txn=(("matview_repin", dim_head), (_DIMPIN_APP, dim_head)),
+    )
     return dim_head

@@ -323,32 +323,44 @@ def vacuum(
     # creates and removes `_temporary` dirs under data/ mid-commit; a
     # recursive RemoteIterator that queued such a dir throws
     # FileNotFoundException from hasNext() when it vanishes before the
-    # scan descends into it (pinned by the r12 two-writer fuzz campaign,
-    # 9/200 seeds). A vanished file is by definition not a reapable
-    # orphan — snapshot the listing with bounded restarts instead of
-    # crashing the whole vacuum.
+    # scan descends into it (pinned by the r12 two-writer fuzz
+    # campaign, 9/200 seeds). The former fix — up to 5 back-to-back
+    # FULL recursive relistings — could exhaust all attempts under a
+    # writer continuously creating/removing temp dirs, and each retry
+    # re-listed the entire data tree (ADVICE r12). Walk the tree
+    # directory-by-directory instead, tolerating a vanished dir PER
+    # LISTING: a dir that disappears mid-walk was deleted by its
+    # writer, so nothing reapable was inside it — skip it and keep
+    # going. No restarts, no whole-tree relists, and old crashed-writer
+    # `_temporary` residue is still walked and reaped normally.
     from py4j.protocol import Py4JJavaError
 
-    for _attempt in range(5):
+    def _gone(exc) -> bool:
+        # RawLocalFileSystem surfaces the vanished path as either a
+        # FileNotFoundException or a RuntimeException from the
+        # permission probe ("ls: cannot access ... No such file or
+        # directory") — both are the same benign race
+        msg = str(exc)
+        return (
+            "FileNotFoundException" in msg
+            or "No such file or directory" in msg
+        )
+
+    listing = []
+    stack = [data_root]
+    while stack:
+        d = stack.pop()
         try:
-            listing = []
-            it = fs.listFiles(data_root, True)
-            while it.hasNext():
-                s = it.next()
-                listing.append((s.getPath(), s.getModificationTime()))
-            break
+            children = fs.listStatus(d)
         except Py4JJavaError as e:
-            # RawLocalFileSystem surfaces the vanished path as either a
-            # FileNotFoundException or a RuntimeException from the
-            # permission probe ("ls: cannot access ... No such file or
-            # directory") — both are the same benign race
-            msg = str(e)
-            gone = (
-                "FileNotFoundException" in msg
-                or "No such file or directory" in msg
-            )
-            if not gone or _attempt == 4:
-                raise
+            if _gone(e):
+                continue
+            raise
+        for st in children:
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                listing.append((st.getPath(), st.getModificationTime()))
     for p, mtime in listing:
         p_str = p.toString()
         if p_str.startswith(root_str + "/"):

@@ -1158,10 +1158,26 @@ def last_txn(spark: SparkSession, path: str, app_id: str) -> int | None:
 
 
 
-def _txn_applied(head: dict, txn: tuple | None) -> bool:
+def _txn_entries(txn: tuple | None) -> list[tuple]:
+    """Normalize the ``txn`` argument: a single ``(app_id, epoch)``
+    pair or a tuple OF pairs (one commit may carry several app
+    cursors — e.g. a matview repin records both its replay epoch and
+    the dim pin in the same atomic commit)."""
     if txn is None:
+        return []
+    if txn and isinstance(txn[0], (tuple, list)):
+        return [tuple(t) for t in txn]
+    return [tuple(txn)]
+
+
+
+def _txn_applied(head: dict, txn: tuple | None) -> bool:
+    entries = _txn_entries(txn)
+    if not entries:
         return False
-    app_id, epoch = txn
+    # the FIRST entry is the replay cursor (the idempotence key);
+    # trailing entries are metadata recorded alongside it
+    app_id, epoch = entries[0]
     last = head.get("txn", {}).get(str(app_id))
     return last is not None and int(last) >= int(epoch)
 
@@ -1169,8 +1185,8 @@ def _txn_applied(head: dict, txn: tuple | None) -> bool:
 
 def _txn_merged(head: dict, txn: tuple | None) -> dict:
     merged = dict(head.get("txn", {}))
-    if txn is not None:
-        merged[str(txn[0])] = int(txn[1])
+    for app_id, epoch in _txn_entries(txn):
+        merged[str(app_id)] = int(epoch)
     return merged
 
 

@@ -312,6 +312,52 @@ def test_ingest_crash_recovery_converges(spark, sf_dir, tmp_path):
     shutil.rmtree(store)
 
 
+def test_ingest_self_heals_crashed_swap(spark, sf_dir, tmp_path):
+    """ADVICE r12: a previous ingest crashed inside swap_rewrite's
+    between-renames window (derived dir missing, contents stranded at
+    __old) — the NEXT ingest must recover the swap and proceed like
+    load_bm25_store does, not fail with an unrelated-looking read
+    error on df/stats."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_index,
+        bm25_score,
+        ingest_bm25_store,
+        load_bm25_store,
+        save_bm25_store,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "bm25")
+    save_bm25_store(d.filter("doc_id % 3 = 0"), "doc_id", "text", store)
+    # crash simulation: the rollback state recover_swap handles —
+    # the live dir vanished mid-swap, the original sits at __old
+    os.rename(os.path.join(store, "df"), os.path.join(store, "df__old"))
+    ingest_bm25_store(d.filter("doc_id % 3 != 0"), "doc_id", "text", store)
+
+    qterms = (
+        d.filter("doc_id % 17 = 5")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .distinct()
+    )
+    postings, idf, stats = load_bm25_store(spark, store)
+    served = sorted(
+        map(tuple, bm25_score(postings, idf, stats, qterms, 10).collect())
+    )
+    p2, i2, s2 = bm25_index(d, "doc_id", "text")
+    scratch = sorted(
+        map(tuple, bm25_score(p2, i2, s2, qterms, 10).collect())
+    )
+    assert served and served == scratch
+
+
 def test_store_postings_are_doc_clustered(spark, sf_dir, tmp_path):
     """Shuffle-bytes gate, structural form (VERDICT r11 item 4): the
     score aggregation shuffles one row per (query, neighbor) pair iff

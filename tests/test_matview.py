@@ -970,3 +970,117 @@ def test_follow_view_dim_signal_daemon(spark, tmp_path):
     got = {r.region: r.sv for r in MV.read_matview(spark, view).collect()}
     assert got == {g: float(v) for g, v in want.items()}
     assert MV.matview_lag(spark, view)["dim_behind_versions"] == 0
+
+
+def test_repin_crash_guard_fails_loudly(spark, tmp_path):
+    """ADVICE r12: repin writes the spec sidecar BEFORE the table
+    overwrite — a crash (or an interleaved refresh) between the two
+    steps must make refresh_matview fail loudly on the spec/table
+    dim-pin disagreement (the overwrite records the pin under the
+    'matview_dimpin' app id) instead of silently folding new-pin
+    deltas onto old-pin aggregates; re-running the repin converges."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import sec_financial_pipeline_spark.sources.snaptable as T
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    fact, dim, view = (str(tmp_path / n) for n in ("fact", "dim", "view"))
+    T.create(
+        spark.createDataFrame(
+            [(k, f"r{k % 2}") for k in range(4)], "k bigint, region string"
+        ),
+        dim,
+    )
+    T.create(
+        spark.range(0, 20).select(
+            "id", (F.col("id") % 4).alias("fk"), (F.col("id") * 2).alias("v")
+        ),
+        fact,
+    )
+    MV.create_matview(
+        spark, fact, view, ["region"], [("sum", "v", "sv")],
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"]},
+    )
+    # create recorded the pin in the view's own txn map
+    assert T.last_txn(spark, view, "matview_dimpin") == 1
+    # dim moves; simulate a repin that crashed after its spec write
+    T.append(
+        spark.createDataFrame([(9, "r9")], "k bigint, region string"), dim
+    )
+    spec_p = str(tmp_path / "view" / "matview.json")
+    with open(spec_p) as f:
+        spec = json.load(f)
+    spec["join"]["dim_version"] = 2
+    with open(spec_p, "w") as f:
+        json.dump(spec, f)
+    T.append(
+        spark.range(100, 104).select(
+            "id", (F.col("id") % 4).alias("fk"), (F.col("id") * 2).alias("v")
+        ),
+        fact,
+    )
+    with pytest.raises(MV.MatviewError, match="repin did not complete"):
+        MV.refresh_matview(spark, view)
+    # re-running the repin converges; refresh then folds normally
+    MV.repin_matview_join(spark, view)
+    assert T.last_txn(spark, view, "matview_dimpin") == 2
+    MV.refresh_matview(spark, view)
+    want = {}
+    for i in list(range(20)) + list(range(100, 104)):
+        g = f"r{(i % 4) % 2}"
+        want[g] = want.get(g, 0) + i * 2
+    got = {r.region: r.sv for r in MV.read_matview(spark, view).collect()}
+    assert got == {g: float(v) for g, v in want.items()}
+
+
+def test_daemon_fold_retries_snapshot_conflict(spark, tmp_path, monkeypatch):
+    """ADVICE r12: in two-daemon mode (fact-signal + dim-signal), the
+    losing fold's merge raises SnapshotConflict — the _fold callback
+    must retry once (a raced range is by construction already applied
+    or re-foldable) instead of killing the streaming query on its
+    first genuine race."""
+    from pyspark.sql import functions as F
+
+    import sec_financial_pipeline_spark.sources.snaptable as T
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    fact, view = (str(tmp_path / n) for n in ("fact", "view"))
+    T.create(
+        spark.range(0, 20).select(
+            "id", (F.col("id") % 4).alias("g"), (F.col("id") * 2).alias("v")
+        ),
+        fact,
+    )
+    MV.create_matview(spark, fact, view, ["g"], [("sum", "v", "sv")])
+    T.append(
+        spark.range(100, 110).select(
+            "id", (F.col("id") % 4).alias("g"), (F.col("id") * 2).alias("v")
+        ),
+        fact,
+    )
+    real = MV.refresh_matview
+    state = {"n": 0}
+
+    def flaky(sp, dst):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise T.SnapshotConflict("simulated raced fold")
+        return real(sp, dst)
+
+    monkeypatch.setattr(MV, "refresh_matview", flaky)
+    q = MV.stream_refresh_matview(
+        spark, view, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    monkeypatch.undo()
+    assert state["n"] >= 2  # the conflict was retried, not fatal
+    assert MV.matview_lag(spark, view)["behind_versions"] == 0
+    want = {}
+    for i in list(range(20)) + list(range(100, 110)):
+        want[i % 4] = want.get(i % 4, 0) + i * 2
+    got = {r.g: r.sv for r in MV.read_matview(spark, view).collect()}
+    assert got == {g: float(v) for g, v in want.items()}

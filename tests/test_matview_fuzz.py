@@ -9,10 +9,13 @@ The existing model-based matview storm covers appends/deletes only;
 every other op reaches the view exclusively through the change feed's
 net-diff semantics (maintenance commits must fold to NOTHING, a
 rollback commit must fold to the delta back to the old state), which
-is exactly where a silent-wrong-results bug would hide. Aggregates
-cover both refresh paths: algebraic (count/sum/avg + a FILTERed count)
-and holistic (min, which recomputes touched groups), over a view WHERE
-clause and NULL-able values. Vacuum follows the operational discipline
+is exactly where a silent-wrong-results bug would hide. NOTE on
+refresh-path routing: ANY min/max aggregate routes the ENTIRE refresh
+through the holistic touched-group recompute, so the storms whose agg
+set includes `min` exercise ONLY that branch; the min/max-free
+variants at the bottom of this file exercise the algebraic delta fold
+(including the follow-mode trilinear __sign feed) over the same DML
+storm. Both run over a view WHERE clause and NULL-able values. Vacuum follows the operational discipline
 the module documents (refresh first, so the cursor is never behind the
 reaped feed). At the end the incrementally-maintained view must equal
 a from-scratch create_matview of the same definition, row for row.
@@ -563,3 +566,224 @@ def test_follow_join_matview_rides_two_sided_dml_fuzz(spark, seed):
               "dim_cols": ["region"], "mode": "follow"},
     )
     assert _jview_state(spark, dst) == _jview_state(spark, fresh)
+
+
+# ---------------------------------------------------------------------------
+# ALGEBRAIC follow-mode fuzz (ADVICE r12, medium): the storm above
+# includes a `min`, and ANY holistic aggregate routes the WHOLE refresh
+# through the touched-group recompute (matview.py) — so the trilinear
+# signed feed's fold through _algebraic_delta (the __sign column,
+# including the ΔF⋈D_old fact term and the ΔF⋈ΔD sign-PRODUCT cross
+# term) was never executed by the fuzz. This variant is count/sum/avg-
+# only (min/max-free), so every refresh takes the algebraic branch and
+# folds the signed feed by pure delta arithmetic. A sign bug in the
+# fact or cross term fails HERE.
+# ---------------------------------------------------------------------------
+
+_ALG_JAGGS = [a for a in _JAGGS if a[0] not in ("min", "max")]
+
+
+def _alg_fexpected(rows, dimmap):
+    full = _fexpected(rows, dimmap)
+    return {g: (n, sv, av, nhi) for g, (n, sv, av, mn, nhi) in full.items()}
+
+
+def _alg_view_state(spark, dst):
+    return {
+        r.region: (r.n, r.sv, r.av, r.nhi)
+        for r in MV.read_matview(spark, dst).collect()
+    }
+
+
+def test_follow_algebraic_cross_term_exact(spark):
+    """Deterministic trilinear fold: ONE refresh window containing a
+    dim update + dim delete + dim append AND fact appends/deletes that
+    reference exactly those keys — all three signed terms (fact, dim,
+    and the sign-product cross term) are non-empty in a single
+    _algebraic_delta fold."""
+    root = tempfile.mkdtemp(prefix="mvxterm_")
+    src, dim, dst = f"{root}/fact", f"{root}/dim", f"{root}/view"
+    dimmap = {k: f"r{k % 3}" for k in range(6)}
+    T.create(
+        spark.createDataFrame(
+            sorted(dimmap.items()), "k bigint, region string"
+        ),
+        dim,
+    )
+    rows = {i: (i % 8, None if i % 11 == 5 else i * 3) for i in range(20)}
+    T.create(_mkfact(spark, rows), src)
+    MV.create_matview(
+        spark, src, dst, ["region"], _ALG_JAGGS, where=_JWHERE,
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"], "mode": "follow"},
+    )
+    # dim: key 1 moves groups, key 2 vanishes, key 6 appears (facts
+    # with fk 6/7 existed unmatched from the start)
+    T.merge_upsert(
+        spark.createDataFrame([(1, "rMOVED")], "k bigint, region string"),
+        dim, key_cols=["k"],
+    )
+    dimmap[1] = "rMOVED"
+    T.delete_where(spark, dim, "k = 2")
+    del dimmap[2]
+    T.append(
+        spark.createDataFrame([(6, "rNEW")], "k bigint, region string"), dim
+    )
+    dimmap[6] = "rNEW"
+    # fact: appends referencing the moved (1), deleted (2), new (6) and
+    # untouched (3) dim keys — the ΔF⋈ΔD cross term covers +Δfact rows
+    # against +/-Δdim rows in every combination — plus a fact delete
+    new = {100: (1, 55), 101: (2, 66), 102: (6, 77), 103: (3, None)}
+    T.append(_mkfact(spark, new), src)
+    rows.update(new)
+    T.delete_where(spark, src, "id % 4 = 1")
+    rows = {i: x for i, x in rows.items() if i % 4 != 1}
+    MV.refresh_matview(spark, dst)
+    assert _alg_view_state(spark, dst) == _alg_fexpected(rows, dimmap)
+    fresh = f"{root}/fresh"
+    MV.create_matview(
+        spark, src, fresh, ["region"], _ALG_JAGGS, where=_JWHERE,
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"], "mode": "follow"},
+    )
+    assert _alg_view_state(spark, dst) == _alg_view_state(spark, fresh)
+
+
+@pytest.mark.parametrize("seed", range(SEEDS))
+def test_follow_join_matview_algebraic_two_sided_fuzz(spark, seed):
+    rng = random.Random(17600 + seed)
+    root = tempfile.mkdtemp(prefix="mvafuzz_")
+    src, dim, dst = f"{root}/fact", f"{root}/dim", f"{root}/view"
+
+    dimmap = {k: f"r{k % 3}" for k in range(10)}
+    T.create(
+        spark.createDataFrame(
+            sorted(dimmap.items()), "k bigint, region string"
+        ),
+        dim,
+    )
+    rows = {
+        i: (i % 14, None if i % 11 == 5 else i * 3) for i in range(24)
+    }
+    T.create(_mkfact(spark, rows), src)
+    history = {1: dict(rows)}
+    retained = {1}
+    MV.create_matview(
+        spark, src, dst, ["region"], _ALG_JAGGS, where=_JWHERE,
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"], "mode": "follow"},
+    )
+    next_id = 1000
+    next_dimk = [10]
+
+    def refresh_and_check(tag):
+        MV.refresh_matview(spark, dst)
+        assert _alg_view_state(spark, dst) == _alg_fexpected(rows, dimmap), (
+            f"seed {seed} after {tag}: algebraic follow view diverged"
+        )
+
+    ops = ["append", "merge", "cow_delete", "dv_delete", "update",
+           "compact", "rollback", "vacuum", "refresh", "refresh",
+           "dim_append", "dim_update", "dim_delete"]
+
+    for _ in range(OPS):
+        op = rng.choice(ops)
+        if op == "append":
+            new = {
+                i: (i % 14, None if i % 9 == 2 else i % 97)
+                for i in range(next_id, next_id + 6)
+            }
+            next_id += 6
+            v = T.append(_mkfact(spark, new), src)
+            rows.update(new)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "merge":
+            upd = {
+                i: (rows[i][0], (rows[i][1] or 0) + 100)
+                for i in sorted(rows)[:2]
+            }
+            ins = {next_id: (rng.randrange(14), 7)}
+            next_id += 1
+            inc = {**upd, **ins}
+            v = T.merge_upsert(_mkfact(spark, inc), src, key_cols=["id"])
+            rows.update(inc)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op in ("cow_delete", "dv_delete"):
+            m, r = rng.choice([(3, 0), (4, 1), (5, 2)])
+            hit = {i for i in rows if i % m == r}
+            mode = "dv" if op == "dv_delete" else "cow"
+            v = T.delete_where(spark, src, f"id % {m} = {r}", mode=mode)
+            if hit:
+                rows = {i: x for i, x in rows.items() if i not in hit}
+                history[v] = dict(rows)
+                retained.add(v)
+        elif op == "update":
+            m, r = rng.choice([(2, 0), (6, 4)])
+            hit = {i for i in rows if i % m == r}
+            v = T.update_where(spark, src, f"id % {m} = {r}", {"v": "v + 1"})
+            if hit:
+                rows = {
+                    i: (fk, (x + 1) if (i in hit and x is not None) else x)
+                    for i, (fk, x) in rows.items()
+                }
+                history[v] = dict(rows)
+                retained.add(v)
+        elif op == "compact":
+            v = T.compact(spark, src, target_files=1)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "rollback":
+            candidates = sorted(retained - {max(history)})
+            if not candidates:
+                continue
+            to = rng.choice(candidates)
+            v = T.rollback(spark, src, to_version=to)
+            rows = dict(history[to])
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "vacuum":
+            refresh_and_check("pre-vacuum refresh")
+            T.vacuum(spark, src, keep_last=2, min_age_sec=0.0)
+            retained = set(sorted(retained)[-2:]) | {max(history)}
+        elif op == "dim_append":
+            k = next_dimk[0]
+            next_dimk[0] += 1
+            T.append(
+                spark.createDataFrame(
+                    [(k, f"r{k % 3}")], "k bigint, region string"
+                ),
+                dim,
+            )
+            dimmap[k] = f"r{k % 3}"
+        elif op == "dim_update":
+            if not dimmap:
+                continue
+            k = rng.choice(sorted(dimmap))
+            seg = f"rU{rng.randrange(3)}"
+            T.merge_upsert(
+                spark.createDataFrame(
+                    [(k, seg)], "k bigint, region string"
+                ),
+                dim,
+                key_cols=["k"],
+            )
+            dimmap[k] = seg
+        elif op == "dim_delete":
+            if not dimmap:
+                continue
+            k = rng.choice(sorted(dimmap))
+            T.delete_where(spark, dim, f"k = {k}")
+            del dimmap[k]
+        elif op == "refresh":
+            refresh_and_check("refresh")
+
+    refresh_and_check("final")
+    fresh = f"{root}/fresh"
+    MV.create_matview(
+        spark, src, fresh, ["region"], _ALG_JAGGS, where=_JWHERE,
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"], "mode": "follow"},
+    )
+    assert _alg_view_state(spark, dst) == _alg_view_state(spark, fresh)
