@@ -157,31 +157,53 @@ def bm25_topk(
 
 
 # ---------------------------------------------------------------------------
-# Incremental index maintenance (VERDICT r11 item 7): the persisted
-# store joins the incremental-serve family (the MinHash signature store
-# and the sign-LSH code store are the precedents, operators/
-# similarity.py). Refresh semantics — EXACT, not stale-tolerant:
+# Incremental index maintenance (VERDICT r11 item 7; deletes/updates +
+# compaction r13): the persisted store joins the incremental-serve
+# family (the MinHash signature store and the sign-LSH code store are
+# the precedents, operators/similarity.py). Refresh semantics — EXACT,
+# not stale-tolerant:
 #
 # - POSTINGS are append-only: a new batch's (doc_id, term, tf, len_d)
 #   rows are a pure function of the batch's own text, so ingest appends
 #   parquet files and never rewrites existing postings (O(batch)).
+#   Every postings row carries a GENERATION (``gen``, constant per
+#   ingest batch — parquet dictionary-encodes it to nothing); the
+#   store's current generation lives in the stats table (``max_gen``).
 # - DF counts are maintained in the store (a `df` table the build
-#   persists) and merge by full-outer sum per term (O(vocabulary)).
+#   persists) and merge by full-outer sum per term (O(vocabulary));
+#   deletes DECREMENT them per term from the removed docs' own
+#   postings (O(removed) + O(vocabulary)).
 # - IDF and corpus stats REBUILD EXACTLY from the merged df table each
-#   ingest: idf depends on the total doc count N, so N changing moves
-#   EVERY term's idf — but the rebuild is one pass over the
-#   vocabulary-sized df table, never the corpus. serve-after-ingest is
-#   therefore bit-identical to rebuild-from-scratch (pinned in
+#   ingest/delete: idf depends on the total doc count N, so N changing
+#   moves EVERY term's idf — but the rebuild is one pass over the
+#   vocabulary-sized df table, never the corpus. serve-after-maintain
+#   is therefore bit-identical to rebuild-from-scratch (pinned in
 #   tests/test_bm25.py).
+# - DELETES are logical (Lucene's .del-file discipline re-expressed as
+#   parquet): ``delete_from_bm25_store`` appends TOMBSTONE rows
+#   ``(doc_id, upto_gen)`` masking every postings row of that doc with
+#   ``gen <= upto_gen`` — the serve scan anti-joins the (tiny,
+#   broadcast) tombstone table, so postings files are never rewritten
+#   on a delete. UPDATE = delete + re-ingest under the same doc id:
+#   the re-ingested postings carry a HIGHER gen than the tombstone's
+#   cutoff, so they score while the old text stays masked
+#   (``update_bm25_docs``).
+# - COMPACTION (``compact_bm25_store``) folds streaming epoch
+#   subdirectories and flat ingest files into one doc-clustered flat
+#   layout, physically dropping tombstone-masked rows and clearing the
+#   tombstone table — the small-file/tombstone-debt reclaim a
+#   continuously-ingesting store needs at scale.
 #
 # Crash contract: single writer per store (the caller's lifecycle, as
-# with the signature store); derived tables (df/idf/stats) rewrite via
-# swap_rewrite and self-heal through recover_swap on load; postings
-# append last-writes-win at the parquet layer. A crash between the
-# postings append and the derived-table rewrites leaves df/idf stale —
-# re-run the SAME batch's derived-table refresh (rebuild_bm25_derived)
-# to converge; it recomputes df/stats/idf from the postings store
-# itself.
+# with the signature store); derived tables (df/idf/stats) and the
+# compaction's postings rewrite go through swap_rewrite and self-heal
+# through recover_swap on load/ingest/delete; batch postings append
+# last-writes-win at the parquet layer. A crash between a postings
+# append / tombstone append and the derived-table rewrites leaves
+# df/idf stale — run rebuild_bm25_derived to converge; it recomputes
+# df/stats/idf from the (tombstone-masked) postings store itself.
+# Deletes write their tombstones FIRST so that recovery is always the
+# same rebuild, never a double decrement.
 # ---------------------------------------------------------------------------
 
 
@@ -222,8 +244,8 @@ def save_bm25_store(
     docs: DataFrame, id_col: str, text_col: str, path: str,
     n_files: int = 16,
 ) -> None:
-    """Initial store build: postings in DOC-hash layout, maintained df
-    counts, corpus stats, derived idf.
+    """Initial store build: postings in DOC-hash layout (generation 0),
+    maintained df counts, corpus stats, derived idf.
 
     Why doc-hash and not term-hash: the scoring join broadcasts the
     query terms (the postings side never shuffles either way), so the
@@ -237,13 +259,15 @@ def save_bm25_store(
     import os
 
     postings, df_t, stats = bm25_batch_tables(docs, id_col, text_col)
-    postings.repartition(n_files, "doc_id").write.parquet(
-        os.path.join(path, "postings")
-    )
+    postings.withColumn("gen", F.lit(0).cast("bigint")).repartition(
+        n_files, "doc_id"
+    ).write.parquet(os.path.join(path, "postings"))
     df_t.repartition(n_files, "term").write.parquet(
         os.path.join(path, "df")
     )
-    stats.write.parquet(os.path.join(path, "stats"))
+    stats.withColumn("max_gen", F.lit(0).cast("bigint")).write.parquet(
+        os.path.join(path, "stats")
+    )
     idf_from_df(df_t, stats).repartition(n_files, "term").write.parquet(
         os.path.join(path, "idf")
     )
@@ -251,32 +275,87 @@ def save_bm25_store(
 
 def load_bm25_store(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(postings, idf, stats) for :func:`bm25_score`, healing any
-    half-done derived-table swap a crashed ingest left behind."""
+    half-done swap a crashed ingest/delete/compact left behind. The
+    postings side is the LIVE view: tombstone-masked rows (deleted or
+    superseded documents) are already excluded."""
     import os
 
     from sec_financial_pipeline_spark.sources.sink import recover_swap
 
-    for sub in ("df", "idf", "stats"):
+    recover_swap(spark, os.path.join(path, "postings"), missing_ok=True)
+    for sub in ("df", "idf", "stats", "tombstones"):
         recover_swap(spark, os.path.join(path, sub), missing_ok=True)
     return (
-        _read_postings(spark, path),
+        _live_postings(spark, path),
         spark.read.parquet(os.path.join(path, "idf")),
         spark.read.parquet(os.path.join(path, "stats")),
     )
 
 
 def _read_postings(spark, path: str) -> DataFrame:
-    """Postings scan tolerating both layouts: flat files (batch build/
-    ingest) and per-epoch subdirectories (streaming ingest writes
-    ``postings/epoch-<id>/`` so a re-delivered micro-batch overwrites
-    ITSELF instead of double-appending). recursiveFileLookup reads the
-    union without partition inference."""
+    """RAW postings scan (tombstone-masked rows INCLUDED) tolerating
+    both layouts: flat files (batch build/ingest) and per-epoch
+    subdirectories (streaming ingest writes ``postings/epoch-<id>/`` so
+    a re-delivered micro-batch overwrites ITSELF instead of
+    double-appending). recursiveFileLookup reads the union without
+    partition inference; mergeSchema covers a legacy (pre-generation)
+    store mixed with gen-carrying ingest files — compaction normalizes
+    every file to the gen schema, so the footer-merge cost is a
+    transitional one, not a steady-state one."""
     import os
 
-    return (
+    raw = (
         spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
         .parquet(os.path.join(path, "postings"))
     )
+    if "gen" not in raw.columns:
+        return raw.withColumn("gen", F.lit(0).cast("bigint"))
+    return raw.withColumn(
+        "gen", F.coalesce(F.col("gen"), F.lit(0)).cast("bigint")
+    )
+
+
+def _live_postings(spark, path: str) -> DataFrame:
+    """The serving view of the postings: raw postings minus every row a
+    tombstone masks (same doc, generation at or below the tombstone's
+    cutoff). The tombstone table is tiny by construction (one row per
+    deleted/updated doc since the last compaction) and broadcasts, so
+    the postings side STILL never shuffles — the serve-plan exchange
+    gate (tests/test_bm25.py) holds with deletes in play. When no
+    tombstone table exists the raw scan is returned untouched (zero
+    overhead on a never-deleted store)."""
+    import os
+
+    raw = _read_postings(spark, path)
+    tomb_dir = os.path.join(path, "tombstones")
+    if not os.path.exists(tomb_dir):
+        return raw
+    tomb = spark.read.parquet(tomb_dir).select(
+        F.col("doc_id").alias("__tomb_doc"), "upto_gen"
+    )
+    return raw.join(
+        F.broadcast(tomb),
+        (raw["doc_id"] == F.col("__tomb_doc"))
+        & (raw["gen"] <= F.col("upto_gen")),
+        "left_anti",
+    )
+
+
+def _stats_max_gen(spark, path: str) -> int:
+    """The store's current generation. Maintained in the stats table;
+    a legacy (pre-generation) store computes it from the raw postings
+    once (0 for a store that never carried gens), after which the next
+    stats rewrite persists it."""
+    import os
+
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    if "max_gen" in stats.columns:
+        return int(stats.select("max_gen").collect()[0][0])
+    row = _read_postings(spark, path).agg(
+        F.coalesce(F.max("gen"), F.lit(0)).alias("mg")
+    ).collect()[0]
+    return int(row["mg"])
 
 
 def ingest_bm25_store(
@@ -285,7 +364,10 @@ def ingest_bm25_store(
     """Document append: O(batch) postings append + O(vocabulary)
     df merge / stats add / exact idf rebuild. After this returns,
     scoring against the store is bit-identical to a from-scratch index
-    over (old corpus) ∪ (batch)."""
+    over (live old corpus) ∪ (batch). Batch doc ids are assumed NEW —
+    re-writing an existing document goes through
+    :func:`update_bm25_docs` (tombstone + re-ingest), never a bare
+    ingest of the same id."""
     import os
 
     from sec_financial_pipeline_spark.sources.sink import (
@@ -294,22 +376,27 @@ def ingest_bm25_store(
     )
 
     spark = new_docs.sparkSession
-    # heal any half-done derived-table swap a crashed PREVIOUS ingest
+    # heal any half-done swap a crashed PREVIOUS ingest/delete/compact
     # left behind, mirroring load_bm25_store — without this, a crash
     # inside swap_rewrite's between-renames window makes the next
     # ingest fail with an unrelated-looking read error on df/stats
-    # instead of self-healing (ADVICE r12). missing_ok=False: these
-    # dirs exist on any store this function may append to.
+    # instead of self-healing (ADVICE r12). missing_ok=False on the
+    # derived dirs: they exist on any store this function may append
+    # to; the never-created case should raise naming the path.
+    recover_swap(spark, os.path.join(path, "postings"), missing_ok=True)
+    recover_swap(spark, os.path.join(path, "tombstones"), missing_ok=True)
     for sub in ("df", "stats", "idf"):
         recover_swap(spark, os.path.join(path, sub), missing_ok=False)
+    gen_next = _stats_max_gen(spark, path) + 1
     postings_b, df_b, stats_b = bm25_batch_tables(new_docs, id_col, text_col)
     # 1. postings: append-only parquet files, doc-clustered like the
     # initial build (each doc's postings in one file keeps the score
     # aggregation's map-side combine one-row-per-pair — see
-    # save_bm25_store)
-    postings_b.repartition("doc_id").write.mode("append").parquet(
-        os.path.join(path, "postings")
-    )
+    # save_bm25_store), stamped with the batch's generation so a later
+    # tombstone can mask exactly the text that predates it
+    postings_b.withColumn("gen", F.lit(gen_next).cast("bigint")).repartition(
+        "doc_id"
+    ).write.mode("append").parquet(os.path.join(path, "postings"))
     # 2. df: full-outer per-term sum with the maintained counts
     df_old = spark.read.parquet(os.path.join(path, "df"))
     merged_df = (
@@ -322,14 +409,16 @@ def ingest_bm25_store(
             .alias("df"),
         )
     ).localCheckpoint(eager=True)  # sever lineage from the dir we rewrite
-    # 3. stats: one-row add
+    # 3. stats: one-row add; the store generation advances with the batch
     stats_old = spark.read.parquet(os.path.join(path, "stats"))
     merged_stats = (
-        stats_old.unionByName(stats_b)
+        stats_old.select("n_docs", "total_len")
+        .unionByName(stats_b)
         .agg(
             F.sum("n_docs").cast("bigint").alias("n_docs"),
             F.sum("total_len").cast("bigint").alias("total_len"),
         )
+        .withColumn("max_gen", F.lit(gen_next).cast("bigint"))
     ).localCheckpoint(eager=True)
     swap_rewrite(merged_df, os.path.join(path, "df"))
     swap_rewrite(merged_stats, os.path.join(path, "stats"))
@@ -341,8 +430,12 @@ def ingest_bm25_store(
 
 def rebuild_bm25_derived(spark, path: str) -> None:
     """Crash convergence: recompute df/stats/idf from the postings
-    store itself (one postings pass) — the recovery documented in the
-    ingest contract above."""
+    store itself (one postings pass over the LIVE rows — tombstoned
+    docs stay excluded) — the recovery documented in the maintenance
+    contract above. ``max_gen`` is taken over the RAW postings
+    (masked rows included): a tombstone masking the highest generation
+    must never let a later ingest REUSE that generation, or the
+    tombstone would swallow the new text too."""
     import os
 
     from sec_financial_pipeline_spark.sources.sink import swap_rewrite
@@ -355,10 +448,13 @@ def rebuild_bm25_derived(spark, path: str) -> None:
         else:
             frame.write.parquet(target)
 
-    postings = _read_postings(spark, path)
+    postings = _live_postings(spark, path)
     df_t = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     ).localCheckpoint(eager=True)
+    mg = _read_postings(spark, path).agg(
+        F.coalesce(F.max("gen"), F.lit(0)).cast("bigint").alias("max_gen")
+    )
     stats = (
         postings.select("doc_id", "len_d")
         .distinct()
@@ -366,7 +462,220 @@ def rebuild_bm25_derived(spark, path: str) -> None:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("len_d").cast("bigint").alias("total_len"),
         )
+        # 1-row x 1-row: a bounded crossJoin, not a candidate generator
+        .crossJoin(mg)
     ).localCheckpoint(eager=True)
     _write_or_swap(df_t, os.path.join(path, "df"))
     _write_or_swap(stats, os.path.join(path, "stats"))
     _write_or_swap(idf_from_df(df_t, stats), os.path.join(path, "idf"))
+
+
+def _doc_ids_df(spark, ids, like: DataFrame) -> DataFrame:
+    """Normalize a delete's id set: a Python list or a one-column
+    DataFrame, deduplicated and cast to the store's doc_id type."""
+    tgt = dict(like.dtypes).get("doc_id")
+    if isinstance(ids, DataFrame):
+        col = ids.columns[0]
+        out = ids.select(F.col(col).alias("doc_id")).distinct()
+    else:
+        ids = list(ids)
+        if not ids:
+            return spark.createDataFrame([], f"doc_id {tgt or 'bigint'}")
+        out = spark.createDataFrame(
+            [(i,) for i in ids], ["doc_id"]
+        ).distinct()
+    if tgt is not None:
+        out = out.select(F.col("doc_id").cast(tgt).alias("doc_id"))
+    return out
+
+
+def delete_from_bm25_store(spark, path: str, ids) -> int:
+    """Remove documents from the store (the right-to-be-forgotten /
+    takedown path every real corpus needs — VERDICT r12 item 1):
+    logical delete via tombstones + EXACT incremental derived-table
+    maintenance. After this returns, scoring against the store is
+    bit-identical to a from-scratch index over the remaining live
+    corpus (pinned in tests/test_bm25.py). ``ids`` is a Python list or
+    a one-column DataFrame. Returns the number of (doc, generation)
+    instances removed — 0 when none of the ids are live (idempotent).
+
+    Cost shape at scale: one postings scan to collect the removed
+    docs' own rows (semi-join, postings side streams), O(removed)
+    tombstone + df-decrement work, O(vocabulary) idf rebuild. Postings
+    files are NEVER rewritten here — :func:`compact_bm25_store`
+    reclaims the masked bytes.
+
+    Crash contract (single writer): tombstones append FIRST, so a
+    crash before the derived rewrites leaves the store serving the
+    right documents with stale idf — run rebuild_bm25_derived to
+    converge. Re-running the delete is safe: already-tombstoned docs
+    are no longer live, so nothing decrements twice."""
+    import os
+
+    from sec_financial_pipeline_spark.sources.sink import (
+        recover_swap,
+        swap_rewrite,
+    )
+
+    recover_swap(spark, os.path.join(path, "postings"), missing_ok=True)
+    recover_swap(spark, os.path.join(path, "tombstones"), missing_ok=True)
+    for sub in ("df", "stats", "idf"):
+        recover_swap(spark, os.path.join(path, sub), missing_ok=False)
+    live = _live_postings(spark, path)
+    ids_df = _doc_ids_df(spark, ids, like=live)
+    removed = live.join(
+        F.broadcast(ids_df), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)
+    doclens = removed.select("doc_id", "len_d").distinct().localCheckpoint(
+        eager=True
+    )
+    n_removed = doclens.count()
+    if n_removed == 0:
+        return 0
+    max_gen = _stats_max_gen(spark, path)
+    # tombstones FIRST (see crash contract): mask everything the
+    # removed docs have written up to the store's current generation
+    doclens.select(
+        "doc_id", F.lit(max_gen).cast("bigint").alias("upto_gen")
+    ).coalesce(1).write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
+    # df decrement: each removed (doc, term, gen) row is one df count
+    dec = removed.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dec")
+    )
+    df_old = spark.read.parquet(os.path.join(path, "df"))
+    new_df = (
+        df_old.join(dec, "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce("dec", F.lit(0)))
+            .cast("bigint")
+            .alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    ).localCheckpoint(eager=True)
+    rm = doclens.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("len_d").alias("tl")
+    ).collect()[0]
+    old = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+    new_stats = spark.createDataFrame(
+        [(
+            int(old["n_docs"]) - int(rm["nd"]),
+            int(old["total_len"]) - int(rm["tl"]),
+            max_gen,
+        )],
+        "n_docs bigint, total_len bigint, max_gen bigint",
+    )
+    swap_rewrite(new_df, os.path.join(path, "df"))
+    swap_rewrite(new_stats, os.path.join(path, "stats"))
+    swap_rewrite(
+        idf_from_df(new_df, new_stats), os.path.join(path, "idf")
+    )
+    return n_removed
+
+
+def update_bm25_docs(
+    docs: DataFrame, id_col: str, text_col: str, path: str
+) -> None:
+    """Re-write documents in place: tombstone the old text (a no-op for
+    ids not currently live — upsert semantics) and ingest the new text
+    under a fresh generation. After this returns, scoring against the
+    store is bit-identical to a from-scratch index where these doc ids
+    carry the NEW text (pinned in tests/test_bm25.py). Single-writer
+    discipline; a crash between the two halves converges by re-running
+    the update (the delete half finds nothing live and decrements
+    nothing twice)."""
+    spark = docs.sparkSession
+    delete_from_bm25_store(
+        spark, path, docs.select(F.col(id_col).alias("doc_id")).distinct()
+    )
+    ingest_bm25_store(docs, id_col, text_col, path)
+
+
+# -- compaction -------------------------------------------------------------
+
+_COMPACT_MARKER = "_compacted_through.json"
+
+
+def compacted_through(path: str) -> int:
+    """Highest streaming epoch id whose postings are guaranteed durable
+    in the postings tree (folded by a compaction or still sitting in
+    their own epoch dir) — the replay fence the streaming ingest
+    checks. -1 when no compaction has run."""
+    import json
+    import os
+
+    p = os.path.join(path, _COMPACT_MARKER)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(json.load(f)["epoch"])
+
+
+def _write_compact_marker(path: str, epoch: int) -> None:
+    import json
+    import os
+
+    p = os.path.join(path, _COMPACT_MARKER)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"epoch": epoch}, f)
+    os.replace(tmp, p)
+
+
+def compact_bm25_store(spark, path: str, n_files: int = 16) -> dict:
+    """Fold the store's postings tree — streaming ``epoch-<id>``
+    subdirectories plus flat batch files — into ONE doc-clustered flat
+    layout, physically dropping tombstone-masked rows and clearing the
+    tombstone table (VERDICT r12 item 2: continuous ingest accretes
+    thousands of tiny epoch dirs, the classic small-file killer; and
+    tombstone debt grows until someone pays it). Derived tables are
+    untouched — they already describe exactly the live rows. Returns
+    ``{"epochs_folded", "rows_purged", "rows_live"}``.
+
+    Crash discipline (single writer; the stream must be QUIESCED —
+    same rule as the snaptable's own compact): the replay-fence marker
+    is written BEFORE the postings swap. In every crash state the
+    marker's claim — "epochs <= N are durable in the postings tree" —
+    is true: before the swap the epoch dirs still exist; during it
+    recover_swap restores one complete union or the other. A replayed
+    epoch at or below the fence is SKIPPED by the streaming ingest
+    (its rows already live in the compacted files; re-overwriting its
+    epoch dir would double-count them)."""
+    import os
+    import re
+    import shutil
+
+    from sec_financial_pipeline_spark.sources.sink import (
+        recover_swap,
+        swap_rewrite,
+    )
+
+    pdir = os.path.join(path, "postings")
+    recover_swap(spark, pdir, missing_ok=False)
+    recover_swap(spark, os.path.join(path, "tombstones"), missing_ok=True)
+    epochs = [
+        int(m.group(1))
+        for name in os.listdir(pdir)
+        for m in [re.match(r"^epoch-(\d+)$", name)]
+        if m
+    ]
+    if epochs:
+        fence = max(max(epochs), compacted_through(path))
+        _write_compact_marker(path, fence)
+    raw_n = _read_postings(spark, path).count()
+    live = _live_postings(spark, path)
+    swap_rewrite(live.repartition(n_files, "doc_id"), pdir)
+    # tombstones cleared LAST: a crash between the two swaps leaves
+    # tombstones masking doc ids whose rows are already gone — a
+    # harmless no-op anti-join, re-cleared on the next compact
+    tomb_dir = os.path.join(path, "tombstones")
+    if os.path.exists(tomb_dir):
+        shutil.rmtree(tomb_dir)
+    live_n = _read_postings(spark, path).count()
+    return {
+        "epochs_folded": len(epochs),
+        "rows_purged": raw_n - live_n,
+        "rows_live": live_n,
+    }

@@ -444,10 +444,12 @@ def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     # tag DERIVED from the scoring constants (ADVICE r11): retuning
     # K1/B invalidates the persisted artifact instead of silently
     # serving stale scores from an index built under the old config.
-    # "df1" = store generation 2 (r12): carries the maintained per-term
-    # df table that makes the store incrementally ingestible
-    # (operators/bm25.py::ingest_bm25_store).
-    tag = f"k{str(K1).replace('.', '')}b{str(B).replace('.', '')}-d16-df1"
+    # "g1" = store generation 3 (r13): postings carry a per-batch
+    # generation column and stats carry max_gen, making the store
+    # delete/update-maintainable (operators/bm25.py::
+    # delete_from_bm25_store / update_bm25_docs / compact_bm25_store)
+    # on top of r12's maintained per-term df table.
+    tag = f"k{str(K1).replace('.', '')}b{str(B).replace('.', '')}-d16-g1"
     path = _artifact_path("sfp_bm25_", sf_dir, "documents", tag)
     if not os.path.exists(path):
         d = load_table(spark, sf_dir, "documents")
@@ -491,6 +493,143 @@ def q_emb_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return bm25_score(postings, idf, stats, qterms, _TOP_K)
 
+# ---------------------------------------------------------------------------
+# BM25 store MAINTENANCE (fourth section, r13 — VERDICT r12 items 1+2):
+# the served index here is not a one-shot build but the survivor of the
+# full store lifecycle — save(⅓ of the corpus) → ingest(the rest) →
+# DELETE (doc_id % 13 = 2: tombstones + df decrement + idf rebuild) →
+# UPDATE (doc_id % 17 = 3 re-written with a 'rev ' prefix: tombstone +
+# re-ingest under a fresh generation) → COMPACT (epoch/tombstone purge,
+# doc-clustered rewrite). The oracle recomputes BM25 from scratch over
+# the equivalent FINAL corpus in pure SQL (deleted docs absent, updated
+# docs carrying the new text); equality proves every maintenance step
+# is exact, not stale-tolerant.
+# ---------------------------------------------------------------------------
+
+_BM25_MAINT_QMOD = 53
+
+_BM25_MAINT_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 3 THEN 'rev ' || text ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 2
+),
+occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus
+),
+lens AS (SELECT doc_id, count(*) AS len_d FROM occ GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY doc_id, term),
+stats AS (
+  SELECT count(*) AS n_docs, sum(len_d) AS total_len FROM lens
+),
+idf AS (
+  SELECT term,
+         CAST(round(1000.0 * ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0))
+              AS BIGINT) AS idf_milli
+  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term) d, stats s
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM tf
+  WHERE doc_id % {_BM25_MAINT_QMOD} = 5
+),
+scored AS (
+  SELECT q.query_id, t.doc_id AS neighbor_id,
+         CAST(sum(CAST(round(
+           i.idf_milli *
+           ((t.tf * (1.2 + 1.0)) /
+            (t.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+              (l.len_d / (CAST(s.total_len AS DOUBLE) / s.n_docs)))))
+         ) AS BIGINT)) AS BIGINT) AS bm25_milli
+  FROM qterms q
+  JOIN tf t ON t.term = q.term AND t.doc_id <> q.query_id
+  JOIN idf i ON i.term = q.term
+  JOIN lens l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+)
+SELECT query_id, neighbor_id, bm25_milli, CAST(bm25_rank AS INTEGER) AS bm25_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY bm25_milli DESC, neighbor_id ASC) AS bm25_rank
+  FROM scored
+) WHERE bm25_rank <= {_TOP_K}
+"""
+
+
+def ensure_bm25_maintained_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once artifact exercising the WHOLE store lifecycle (see
+    the section comment above); keyed like every artifact by
+    (sf_dir, source mtime, config tag), atomic-rename published."""
+    import os
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        B,
+        K1,
+        compact_bm25_store,
+        delete_from_bm25_store,
+        ingest_bm25_store,
+        save_bm25_store,
+        update_bm25_docs,
+    )
+
+    tag = (
+        f"k{str(K1).replace('.', '')}b{str(B).replace('.', '')}"
+        "-g1-del13-upd17-compact"
+    )
+    path = _artifact_path("sfp_bm25m_", sf_dir, "documents", tag)
+    if not os.path.exists(path):
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def build(p: str) -> None:
+            save_bm25_store(d.filter("doc_id % 3 = 0"), "doc_id", "text", p)
+            ingest_bm25_store(
+                d.filter("doc_id % 3 != 0"), "doc_id", "text", p
+            )
+            delete_from_bm25_store(
+                spark, p, d.filter("doc_id % 13 = 2").select("doc_id")
+            )
+            upd = d.filter(
+                "doc_id % 17 = 3 AND doc_id % 13 != 2"
+            ).withColumn("text", F.concat(F.lit("rev "), F.col("text")))
+            update_bm25_docs(upd, "doc_id", "text", p)
+            compact_bm25_store(spark, p)
+
+        _publish_atomically(build, path)
+    return path
+
+
+def q_emb_bm25_maint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve against the MAINTAINED store; queries tokenize the final
+    live corpus (updated docs under their new text), mirroring the
+    oracle's qterms CTE exactly."""
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_score,
+        load_bm25_store,
+    )
+
+    root = ensure_bm25_maintained_index(spark, sf_dir)
+    postings, idf, stats = load_bm25_store(spark, root)
+    qd = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % _BM25_MAINT_QMOD == 5)
+            & (F.col("doc_id") % 13 != 2)
+        )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 17 == 3,
+                F.concat(F.lit("rev "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    qterms = qd.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).distinct()
+    return bm25_score(postings, idf, stats, qterms, _TOP_K)
+
+
 from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
     union_sections as _u_sections,
     union_sections_sql as _u_sections_sql,
@@ -508,6 +647,8 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
               "bm25_rank", "rrf_score"]),
             ("bm25", _BM25_ORACLE,
              ["query_id", "neighbor_id", "bm25_milli", "bm25_rank"]),
+            ("bm25_maint", _BM25_MAINT_ORACLE,
+             ["query_id", "neighbor_id", "bm25_milli", "bm25_rank"]),
         ],
         _EMB_TOPK_SCHEMA,
     ),
@@ -518,6 +659,9 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         " fusion k=60 — Cormack et al. 2009)"
         " + BM25 inverted-index ranking (Robertson-Zaragoza, Lucene idf;"
         " integer milli-nat scores, exact BIGINT sums)"
+        " + BM25 store delete/update/compact maintenance (tombstone"
+        " generations, incremental df/idf, epoch+tombstone compaction;"
+        " served index == from-scratch over the final corpus)"
     ),
 )
 def q_emb_cosine_and_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,6 +670,7 @@ def q_emb_cosine_and_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("cosine", q_emb_cosine_topk(spark, sf_dir)),
             ("hybrid", q_emb_hybrid_topk(spark, sf_dir)),
             ("bm25", q_emb_bm25_topk(spark, sf_dir)),
+            ("bm25_maint", q_emb_bm25_maint(spark, sf_dir)),
         ],
         _EMB_TOPK_SCHEMA,
     )

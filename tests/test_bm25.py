@@ -261,7 +261,12 @@ def test_ingest_equals_rebuild_from_scratch(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, idf.collect())) == sorted(
         map(tuple, i2.collect())
     )
-    assert stats.collect()[0].asDict() == s2.collect()[0].asDict()
+    # stats: the scoring-relevant fields match exactly (the store
+    # additionally carries max_gen, maintenance metadata the
+    # from-scratch in-memory index has no use for)
+    got_stats = stats.collect()[0].asDict()
+    want_stats = s2.collect()[0].asDict()
+    assert {k: got_stats[k] for k in ("n_docs", "total_len")} == want_stats
 
 
 def test_ingest_crash_recovery_converges(spark, sf_dir, tmp_path):
@@ -356,6 +361,207 @@ def test_ingest_self_heals_crashed_swap(spark, sf_dir, tmp_path):
         map(tuple, bm25_score(p2, i2, s2, qterms, 10).collect())
     )
     assert served and served == scratch
+
+
+def _serve(spark, store, d, mod=17, rem=5, k=10):
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_score,
+        load_bm25_store,
+    )
+
+    qterms = (
+        d.filter(f"doc_id % {mod} = {rem}")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .distinct()
+    )
+    postings, idf, stats = load_bm25_store(spark, store)
+    return sorted(
+        map(tuple, bm25_score(postings, idf, stats, qterms, k).collect())
+    )
+
+
+def _scratch(spark, corpus, d_queries, mod=17, rem=5, k=10):
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_index,
+        bm25_score,
+    )
+
+    qterms = (
+        d_queries.filter(f"doc_id % {mod} = {rem}")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .distinct()
+    )
+    p, i, s = bm25_index(corpus, "doc_id", "text")
+    return sorted(map(tuple, bm25_score(p, i, s, qterms, k).collect()))
+
+
+def test_delete_equals_rebuild_over_remaining(spark, sf_dir, tmp_path):
+    """Delete maintenance contract (VERDICT r12 item 1): after
+    delete_from_bm25_store, serving is BIT-IDENTICAL to a from-scratch
+    index over the remaining live corpus — tombstones mask the deleted
+    docs' postings, df decremented per term, stats subtracted, idf
+    exactly rebuilt. And the serve plan STILL never reshuffles the
+    postings side (the tombstone anti-join broadcasts)."""
+    import re
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_score,
+        delete_from_bm25_store,
+        load_bm25_store,
+        save_bm25_store,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "bm25")
+    save_bm25_store(d, "doc_id", "text", store)
+    gone = d.filter("doc_id % 5 = 2").select("doc_id")
+    n = delete_from_bm25_store(spark, store, gone)
+    assert n > 0
+    remaining = d.filter("doc_id % 5 != 2")
+    assert _serve(spark, store, d) == _scratch(spark, remaining, d)
+    # idempotence: deleting the same ids again removes nothing
+    assert delete_from_bm25_store(spark, store, gone) == 0
+    assert _serve(spark, store, d) == _scratch(spark, remaining, d)
+    # exchange gate with tombstones in play
+    from pyspark.sql import functions as F
+
+    postings, idf, stats = load_bm25_store(spark, store)
+    qterms = (
+        d.filter("doc_id % 17 = 5")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .distinct()
+    )
+    plan = (
+        bm25_score(postings, idf, stats, qterms, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    bad = [
+        line.strip()
+        for line in plan.splitlines()
+        if re.search(r"Exchange hashpartitioning\(term#\d+,", line)
+    ]
+    assert not bad, f"tombstone anti-join reshuffled the postings: {bad}"
+
+
+def test_update_equals_rebuild_with_new_text(spark, sf_dir, tmp_path):
+    """Update maintenance contract: update_bm25_docs (tombstone + re-
+    ingest under a fresh generation) serves bit-identically to a
+    from-scratch index where the updated ids carry the NEW text."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        save_bm25_store,
+        update_bm25_docs,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "bm25")
+    save_bm25_store(d, "doc_id", "text", store)
+    new_text = F.concat(F.lit("revised edition "), F.col("text"))
+    upd = d.filter("doc_id % 7 = 3").withColumn("text", new_text)
+    update_bm25_docs(upd, "doc_id", "text", store)
+    corpus = d.withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 3, new_text).otherwise(
+            F.col("text")
+        )
+    )
+    assert _serve(spark, store, corpus) == _scratch(spark, corpus, corpus)
+
+
+def test_compact_folds_epochs_purges_tombstones(spark, sf_dir, tmp_path):
+    """Compaction contract (VERDICT r12 item 2): streaming epoch dirs +
+    tombstone-masked rows fold into ONE flat doc-clustered layout;
+    serving is unchanged bit-for-bit; the doc-in-one-file invariant is
+    restored; and a replayed/reprocessed epoch at or below the fence is
+    skipped instead of double-counting."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        compact_bm25_store,
+        compacted_through,
+        delete_from_bm25_store,
+        save_bm25_store,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+    from sec_financial_pipeline_spark.streaming.ingest import (
+        run_streaming_bm25_ingest,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "bm25")
+    save_bm25_store(d.filter("doc_id % 3 = 0"), "doc_id", "text", store)
+    # stream the rest in small files -> several epoch dirs
+    src = str(tmp_path / "src")
+    d.filter("doc_id % 3 != 0").select("doc_id", "text").repartition(
+        4
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_streaming_bm25_ingest(stream, store, str(tmp_path / "ckpt"))
+    assert any(
+        n.startswith("epoch-") for n in os.listdir(os.path.join(store, "postings"))
+    )
+    # delete some docs so compaction has masked rows to purge
+    delete_from_bm25_store(
+        spark, store, d.filter("doc_id % 11 = 4").select("doc_id")
+    )
+    live_corpus = d.filter("doc_id % 11 != 4")
+    before = _serve(spark, store, d)
+    assert before == _scratch(spark, live_corpus, d)
+
+    res = compact_bm25_store(spark, store)
+    assert res["epochs_folded"] > 0 and res["rows_purged"] > 0
+    assert not any(
+        n.startswith("epoch-")
+        for n in os.listdir(os.path.join(store, "postings"))
+    )
+    assert not os.path.exists(os.path.join(store, "tombstones"))
+    assert _serve(spark, store, d) == before
+    # doc-in-one-file invariant restored by the rewrite
+    spread = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(store, "postings"))
+        .select("doc_id", F.input_file_name().alias("f"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("f").alias("nf"))
+        .agg(F.max("nf").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert spread == 1
+    # replay fence: reprocessing the same source under a FRESH
+    # checkpoint re-delivers epoch ids <= fence — every one must be
+    # skipped (their docs already live in the compacted files), so the
+    # store stays bit-identical instead of double-counting
+    assert compacted_through(store) >= 0
+    stream2 = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_streaming_bm25_ingest(stream2, store, str(tmp_path / "ckpt2"))
+    assert _serve(spark, store, d) == before
 
 
 def test_store_postings_are_doc_clustered(spark, sf_dir, tmp_path):
