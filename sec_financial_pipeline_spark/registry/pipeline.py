@@ -520,6 +520,120 @@ def q_snap_matview_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MV.read_matview(spark, f"{path}/view")
 
 
+# ---------------------------------------------------------------------------
+# SNOWFLAKE + LEFT-JOIN matview (r13 — VERDICT r12 item 3): the view
+# chains TWO pinned dims (orders ⟕ customer ⟕ nation — the second join
+# keys on c_nationkey, a column the FIRST dim introduced) with LEFT
+# semantics: two synthetic fact rows reference custkeys absent from the
+# customer dim and must SURVIVE as the NULL n_name group (an inner-join
+# view would drop them — the r12 pin demo proved exactly that).
+# Lifecycle: create at fact v1 (orders %3!=0), append the rest + the
+# two orphan rows (v2/v3), delete %5=0 (v4); ONE refresh folds all
+# three commits through the ALGEBRAIC branch (count/sum only — no
+# min routes it holistic), i.e. the _change_type delta fold through a
+# two-dim left chain. The oracle replays the same left joins over the
+# final fact state (orders ∪ synthetic orphans, minus deletes) in pure
+# SQL, NULL group included.
+# ---------------------------------------------------------------------------
+
+_MATVIEW_SNOW_ORACLE = f"""
+WITH fact AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  UNION ALL
+  SELECT * FROM (VALUES
+    (999999991, 999999995, CAST(111.11 AS DOUBLE)),
+    (999999992, 999999996, CAST(222.22 AS DOUBLE))
+  ) AS t(o_orderkey, o_custkey, o_totalprice)
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM fact
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+GROUP BY n_name
+"""
+
+
+def _ensure_matview_snow_demo(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _artifact_path,
+        _publish_atomically,
+    )
+    from sec_financial_pipeline_spark.sources import matview as MV
+    from sec_financial_pipeline_spark.sources import snaptable as T
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    path = _artifact_path(
+        "sfp_mvsdemo_", sf_dir, "orders",
+        "snow;left2;mod3;del5;where7;orphan2",
+    )
+    if not os.path.exists(path):
+        def build(tmp: str) -> None:
+            d1, d2 = f"{tmp}/dim_cust", f"{tmp}/dim_nation"
+            src, view = f"{tmp}/src", f"{tmp}/view"
+            T.create(
+                load_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                ),
+                d1,
+            )
+            T.create(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                ),
+                d2,
+            )
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            )
+            T.create(orders.filter(F.col("o_orderkey") % 3 != 0), src)
+            MV.create_matview(
+                spark, src, view, ["n_name"],
+                [
+                    ("count", None, "n_rows"),
+                    ("sum", "o_totalprice", "total_price"),
+                ],
+                where="o_orderkey % 7 != 0",
+                join=[
+                    {"dim": d1, "key": "o_custkey",
+                     "dim_key": "c_custkey", "dim_cols": ["c_nationkey"],
+                     "how": "left"},
+                    {"dim": d2, "key": "c_nationkey",
+                     "dim_key": "n_nationkey", "dim_cols": ["n_name"],
+                     "how": "left"},
+                ],
+            )
+            T.append(orders.filter(F.col("o_orderkey") % 3 == 0), src)
+            # orphan fact rows: custkeys with NO customer row — the
+            # left chain must keep them in the NULL n_name group
+            # (keys survive the %5 and %7 filters by construction)
+            T.append(
+                spark.createDataFrame(
+                    [(999999991, 999999995, 111.11),
+                     (999999992, 999999996, 222.22)],
+                    "o_orderkey bigint, o_custkey bigint, "
+                    "o_totalprice double",
+                ),
+                src,
+            )
+            T.delete_where(spark, src, "o_orderkey % 5 = 0")
+            MV.refresh_matview(spark, view)
+
+        _publish_atomically(build, path)
+    return path
+
+
+def q_snap_matview_snow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    path = _ensure_matview_snow_demo(spark, sf_dir)
+    return MV.read_matview(spark, f"{path}/view")
+
+
 #: bench-local matview state per sf_dir (NOT the shared artifact cache:
 #: this row MUTATES its table every call, which would poison a shared
 #: immutable artifact — each bench process gets its own mkdtemp copy).
@@ -756,6 +870,8 @@ _PIPE_ROW_SCHEMA = [
     # matview_join section (r12)
     ("c_mktsegment", "string"),
     ("min_price", "double"),
+    # matview_snow section (r13): snowflake + left-join group column
+    ("n_name", "string"),
 ]
 
 from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
@@ -801,6 +917,11 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
                 ["c_mktsegment", "n_rows", "total_price", "min_price"],
             ),
             (
+                "matview_snow",
+                _MATVIEW_SNOW_ORACLE,
+                ["n_name", "n_rows", "total_price"],
+            ),
+            (
                 "colmap",
                 _COLMAP_ORACLE,
                 ["o_orderpriority", "n_rows", "total_price"],
@@ -834,7 +955,10 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         "updates and key deletes fold through the trilinear signed "
         "delta dF⋈D_old + F_old⋈dD + dF⋈dD in the same refresh as "
         "fact append/delete; oracle recomputes over both FINAL "
-        "states) + "
+        "states) + SNOWFLAKE LEFT-join matview (two pinned dims "
+        "chained — the second keys on a column the first introduced — "
+        "with left semantics: orphan facts survive as the NULL-name "
+        "group; one algebraic refresh folds append+orphans+delete) + "
         "column-mapping schema lifecycle (metadata-only RENAME, a "
         "dv-delete probing the renamed name against pre-rename files, "
         "a post-rename append — the head read mixes both file "
@@ -853,6 +977,7 @@ def q_freshness_and_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("matview", q_snap_matview(spark, sf_dir)),
             ("matview_join", q_snap_matview_join(spark, sf_dir)),
             ("matview_follow", q_snap_matview_follow(spark, sf_dir)),
+            ("matview_snow", q_snap_matview_snow(spark, sf_dir)),
             ("colmap", q_snap_colmap(spark, sf_dir)),
             ("joinchain", q_joinchain(spark, sf_dir)),
         ],

@@ -71,9 +71,19 @@ _HOLISTIC = ("min", "max")
 _CURSOR_K = 1_000_000_000
 
 
-def _follow(spec: dict) -> bool:
+def _join_list(spec: dict) -> list[dict]:
+    """The view's dimension joins, normalized to a list: a single-join
+    spec (every view created before r13, plus any current single-dim
+    view) stores a dict under ``join``; snowflake views store a list."""
     j = spec.get("join")
-    return bool(j) and j.get("mode") == "follow"
+    if not j:
+        return []
+    return list(j) if isinstance(j, list) else [j]
+
+
+def _follow(spec: dict) -> bool:
+    js = _join_list(spec)
+    return len(js) == 1 and js[0].get("mode") == "follow"
 
 
 class MatviewError(RuntimeError):
@@ -117,6 +127,19 @@ def _validate_spec(group_cols, aggs) -> list[dict]:
                 f"matview: group column {g!r} must be a simple identifier"
             )
     return norm
+
+
+def _dimpin_entries(joins: list[dict]) -> list[tuple]:
+    """(app_id, dim_version) txn entries recording each pin in the
+    view's own txn map. A single-join view uses the bare app id (the
+    pre-snowflake name, so r12 views keep their guard); a chain
+    suffixes the join index."""
+    if len(joins) == 1:
+        return [(_DIMPIN_APP, joins[0]["dim_version"])]
+    return [
+        (f"{_DIMPIN_APP}_{i}", j["dim_version"])
+        for i, j in enumerate(joins)
+    ]
 
 
 def _eff(a: dict):
@@ -167,33 +190,38 @@ def _joined(
     fact_df: DataFrame,
     dim_version: int | None = None,
 ) -> DataFrame:
-    """Apply the view's dimension join + WHERE to a fact-side frame
-    (the full read OR the change feed — both work because the join is
-    ROW-LOCAL per fact row: for a fixed dim state, each fact
-    insert/delete maps to exactly one joined insert/delete and the
-    delta algebra is unchanged; the sec_ratios fact⨝broadcast-dim
-    shape, VERDICT r11 item 8). Inner join: fact rows with no dim
-    match are outside the view definition.
+    """Apply the view's dimension join CHAIN + WHERE to a fact-side
+    frame (the full read OR the change feed — both work because the
+    chain is ROW-LOCAL per fact row: for a fixed dim state, each fact
+    insert/delete maps to a deterministic multiset of joined
+    inserts/deletes and the delta algebra is unchanged; the sec_ratios
+    fact⨝broadcast-dim shape, VERDICT r11 item 8, generalized r13 to
+    snowflake chains and left joins).
 
-    ``dim_version`` defaults to the version recorded in the spec —
-    mode "pin" always uses that (dim evolution is then an explicit
-    :func:`repin_matview_join` or drop + recreate); mode "follow"
-    refreshes pass the cursor/head versions explicitly (full IVM, see
-    :func:`refresh_matview`)."""
-    j = spec.get("join")
-    if not j:
-        return _filtered(fact_df, spec)
-    v = j["dim_version"] if dim_version is None else dim_version
-    dim = T.read(spark, j["dim"], version=v).select(
-        F.col(j["dim_key"]).alias("__mv_dimk"), *j["dim_cols"]
-    )
-    # plain equality (SQL inner-join semantics): NULL fact keys are
-    # outside the view, symmetrically in the full build and the feed
-    out = fact_df.join(
-        F.broadcast(dim),
-        fact_df[j["key"]] == F.col("__mv_dimk"),
-        "inner",
-    ).drop("__mv_dimk")
+    Each join folds left-to-right onto the accumulating frame, so a
+    snowflake's second dim may key on a column the FIRST dim
+    introduced. ``how`` per join: "inner" (fact rows with no dim match
+    are outside the view definition) or "left" (kept, dim columns
+    NULL — SQL left-join semantics; a NULL-key fact row is unmatched
+    and therefore kept null-padded).
+
+    ``dim_version`` (follow mode only, single inner join) overrides
+    the pinned version for that one dim — pin-mode views always use
+    the spec's recorded versions (dim evolution is an explicit
+    :func:`repin_matview_join` or drop + recreate)."""
+    out = fact_df
+    for j in _join_list(spec):
+        v = j["dim_version"] if dim_version is None else dim_version
+        dim = T.read(spark, j["dim"], version=v).select(
+            F.col(j["dim_key"]).alias("__mv_dimk"), *j["dim_cols"]
+        )
+        # plain equality (SQL join semantics): NULL keys never match,
+        # symmetrically in the full build and the feed
+        out = out.join(
+            F.broadcast(dim),
+            out[j["key"]] == F.col("__mv_dimk"),
+            j.get("how", "inner"),
+        ).drop("__mv_dimk")
     return _filtered(out, spec)
 
 
@@ -246,8 +274,23 @@ def create_matview(
     come from the dim. The dim is a snaptable PINNED at its version at
     create time (recorded in the spec); refresh folds the FACT side's
     change feed joined to that pinned dim — row-local, so the delta
-    algebra is unchanged and refresh == recompute exactly. Changing
-    the dim is a view-definition change: drop + recreate.
+    algebra is unchanged and refresh == recompute exactly. Dim
+    evolution is an explicit :func:`repin_matview_join` (or drop +
+    recreate).
+
+    ``join`` may also be a LIST of such specs — a SNOWFLAKE chain
+    (fact⨝dim⨝dim...; VERDICT r12 item 3): joins fold left-to-right,
+    so a later join's ``key`` may name a column an earlier dim
+    introduced. Each spec takes ``how: "inner"|"left"`` (default
+    inner) — a left join KEEPS fact rows with no dim match, dim
+    columns NULL, and those NULL groups are first-class view rows
+    (null-safe merge keys throughout). Both generalizations stay
+    row-local per fact row under pinned dims, so the pin-mode
+    incremental refresh is exact unchanged; follow mode remains
+    single-inner-join (the trilinear identity does not extend to left
+    joins / chains — a left join's dim insert must RETRACT previously
+    null-padded rows, which the signed feed cannot express without
+    per-key old-match counts).
 
     ``range_files`` range-clusters the view by its group key into that
     many files — the 100 TB layout knob: with group-key-clustered files
@@ -258,41 +301,73 @@ def create_matview(
     src_head = T._manifest(spark, src_path, None)["version"]
     jspec = None
     if join is not None:
-        for k in ("dim", "key", "dim_key", "dim_cols"):
-            if k not in join:
-                raise MatviewError(f"matview: join spec missing {k!r}")
-        for name in [join["key"], join["dim_key"], *join["dim_cols"]]:
-            if not _IDENT.match(name):
+        raw_joins = join if isinstance(join, list) else [join]
+        # columns visible so far: the fact's, then each dim's as the
+        # chain folds — a snowflake's later join may key on an
+        # earlier dim's column, and collisions are refused against
+        # everything already in scope (a shadowed column would make
+        # every downstream reference ambiguous)
+        avail = set(T.read(spark, src_path).columns)
+        norm_joins = []
+        for j in raw_joins:
+            for k in ("dim", "key", "dim_key", "dim_cols"):
+                if k not in j:
+                    raise MatviewError(f"matview: join spec missing {k!r}")
+            for name in [j["key"], j["dim_key"], *j["dim_cols"]]:
+                if not _IDENT.match(name):
+                    raise MatviewError(
+                        f"matview: join column {name!r} must be a simple "
+                        "identifier"
+                    )
+            mode = j.get("mode", "pin")
+            if mode not in ("pin", "follow"):
                 raise MatviewError(
-                    f"matview: join column {name!r} must be a simple "
-                    "identifier"
+                    f"matview: join mode must be pin|follow, got {mode!r}"
                 )
-        mode = join.get("mode", "pin")
-        if mode not in ("pin", "follow"):
-            raise MatviewError(
-                f"matview: join mode must be pin|follow, got {mode!r}"
+            how = j.get("how", "inner")
+            if how not in ("inner", "left"):
+                raise MatviewError(
+                    f"matview: join how must be inner|left, got {how!r}"
+                )
+            if mode == "follow" and (len(raw_joins) > 1 or how != "inner"):
+                raise MatviewError(
+                    "matview: follow mode supports exactly one INNER "
+                    "join (the trilinear delta identity does not extend "
+                    "to left joins or snowflake chains) — use mode='pin' "
+                    "+ repin_matview_join for those shapes"
+                )
+            if j["key"] not in avail:
+                raise MatviewError(
+                    f"matview: join key {j['key']!r} is not a fact "
+                    "column or a column introduced by an earlier join "
+                    "in the chain"
+                )
+            clash = sorted(set(j["dim_cols"]) & avail)
+            if clash:
+                raise MatviewError(
+                    f"matview: dim column(s) {clash} collide with fact "
+                    "or earlier-dim columns — alias them in the dim "
+                    "table first"
+                )
+            avail |= set(j["dim_cols"])
+            norm_joins.append(
+                {
+                    "dim": os.path.abspath(j["dim"]),
+                    "key": j["key"],
+                    "dim_key": j["dim_key"],
+                    "dim_cols": list(j["dim_cols"]),
+                    "mode": mode,
+                    "how": how,
+                    # pin: refresh must join the SAME dim state as the
+                    # build; follow: this is the INITIAL dim cursor
+                    # (thereafter the combined txn epoch carries both
+                    # cursors)
+                    "dim_version": T._manifest(spark, j["dim"], None)[
+                        "version"
+                    ],
+                }
             )
-        # a dim column shadowing a fact column would make every
-        # downstream reference ambiguous (the joined frame would carry
-        # two columns of that name) — refuse at definition time
-        fact_cols = set(T.read(spark, src_path).columns)
-        clash = sorted(set(join["dim_cols"]) & fact_cols)
-        if clash:
-            raise MatviewError(
-                f"matview: dim column(s) {clash} collide with fact "
-                "columns — alias them in the dim table first"
-            )
-        jspec = {
-            "dim": os.path.abspath(join["dim"]),
-            "key": join["key"],
-            "dim_key": join["dim_key"],
-            "dim_cols": list(join["dim_cols"]),
-            "mode": mode,
-            # pin: refresh must join the SAME dim state as the build;
-            # follow: this is the INITIAL dim cursor (thereafter the
-            # combined txn epoch carries both cursors)
-            "dim_version": T._manifest(spark, join["dim"], None)["version"],
-        }
+        jspec = norm_joins[0] if len(norm_joins) == 1 else norm_joins
     spec = {
         "src": os.path.abspath(src_path),
         "group_cols": list(group_cols),
@@ -326,17 +401,17 @@ def create_matview(
         json.dump(spec, f, indent=1, sort_keys=True)
     os.replace(tmp, _spec_path(dst_path))
     cursor = (
-        src_head * _CURSOR_K + jspec["dim_version"]
+        src_head * _CURSOR_K + _join_list(spec)[0]["dim_version"]
         if _follow(spec)
         else src_head
     )
     txn = (_APP, cursor)
     if jspec is not None and not _follow(spec):
-        # pin-mode join views ALSO record the dim pin in the table's
+        # pin-mode join views ALSO record the dim pin(s) in the table's
         # own txn map, so refresh can detect a spec/table disagreement
         # (a crashed or interleaved repin) instead of silently folding
         # new-pin deltas onto old-pin aggregates (ADVICE r12)
-        txn = (txn, (_DIMPIN_APP, jspec["dim_version"]))
+        txn = (txn, *_dimpin_entries(_join_list(spec)))
     T.create(df, dst_path, txn=txn)
     return cursor
 
@@ -389,7 +464,7 @@ def _follow_feed(
     version ONCE joined to the (broadcast) dim delta — dim changes are
     the rare event, and this is exactly the recompute a pinned view
     would need anyway, confined to the delta'd dim keys."""
-    j = spec["join"]
+    j = _join_list(spec)[0]  # follow mode is single-inner-join only
     key = j["key"]
 
     def _sgn():
@@ -472,7 +547,7 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
         #     = ΔF⋈D_old + F_old⋈ΔD + ΔF⋈ΔD
         # with signs multiplying in the cross term. Both cursors ride
         # one monotone txn epoch (fact * _CURSOR_K + dim).
-        j = spec["join"]
+        j = _join_list(spec)[0]
         f_last, d_last = divmod(last, _CURSOR_K)
         f_head = T._manifest(spark, src, None)["version"]
         d_head = T._manifest(spark, j["dim"], None)["version"]
@@ -485,20 +560,20 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
             dim_version=d_head,
         )
     else:
-        if spec.get("join"):
-            # pin coherence guard (ADVICE r12): the spec sidecar and
-            # the table overwrite are two steps — a crash (or an
-            # interleaved refresh) between a repin's spec write and its
-            # overwrite would otherwise fold deltas joined to the NEW
-            # dim pin onto aggregates built under the OLD pin,
-            # silently wrong until the repin is re-run.
-            pinned = T.last_txn(spark, dst_path, _DIMPIN_APP)
-            if pinned is not None and pinned != spec["join"]["dim_version"]:
+        # pin coherence guard (ADVICE r12): the spec sidecar and the
+        # table overwrite are two steps — a crash (or an interleaved
+        # refresh) between a repin's spec write and its overwrite
+        # would otherwise fold deltas joined to the NEW dim pin onto
+        # aggregates built under the OLD pin, silently wrong until
+        # the repin is re-run.
+        for app, want in _dimpin_entries(_join_list(spec)):
+            pinned = T.last_txn(spark, dst_path, app)
+            if pinned is not None and pinned != want:
                 raise MatviewError(
-                    f"matview: {dst_path} spec pins dim version "
-                    f"{spec['join']['dim_version']} but the table was "
-                    f"built at dim version {pinned} — a repin did not "
-                    "complete; re-run repin_matview_join to converge"
+                    f"matview: {dst_path} spec pins dim version {want} "
+                    f"({app}) but the table was built at dim version "
+                    f"{pinned} — a repin did not complete; re-run "
+                    "repin_matview_join to converge"
                 )
         head = T._manifest(spark, src, None)["version"]
         if head <= last:
@@ -666,14 +741,15 @@ def matview_lag(spark: SparkSession, dst_path: str) -> dict:
     last = T.last_txn(spark, dst_path, _APP) or 0
     head = T._manifest(spark, spec["src"], None)["version"]
     if _follow(spec):
+        jdim = _join_list(spec)[0]["dim"]
         f_last, d_last = divmod(last, _CURSOR_K)
-        d_head = T._manifest(spark, spec["join"]["dim"], None)["version"]
+        d_head = T._manifest(spark, jdim, None)["version"]
         return {
             "src": spec["src"],
             "src_version": head,
             "view_cursor": f_last,
             "behind_versions": max(0, head - f_last),
-            "dim": spec["join"]["dim"],
+            "dim": jdim,
             "dim_version": d_head,
             "dim_cursor": d_last,
             "dim_behind_versions": max(0, d_head - d_last),
@@ -721,29 +797,33 @@ def read_matview(
 
 
 def repin_matview_join(spark: SparkSession, dst_path: str) -> int:
-    """Move a JOIN view to the dim's CURRENT version: one full
-    recompute committed as an atomic overwrite, spec re-pinned. This
-    is the view-definition change the refresh path refuses to do
-    implicitly (a dim commit must never silently mix into incremental
-    history) — the operational alternative to drop + recreate.
+    """Move a JOIN view to its dims' CURRENT versions (every join in a
+    snowflake chain re-pins together): one full recompute committed as
+    an atomic overwrite, spec re-pinned. This is the view-definition
+    change the refresh path refuses to do implicitly (a dim commit
+    must never silently mix into incremental history) — the
+    operational alternative to drop + recreate.
 
     The recompute is evaluated at the FACT version the view's cursor
     already covers (``last_txn``), not the fact head: repin changes
-    only the dim pin, so the ``matview`` cursor is untouched and a
+    only the dim pins, so the ``matview`` cursor is untouched and a
     subsequent :func:`refresh_matview` folds later fact commits
-    normally against the new pin. The overwrite carries its own
-    ``txn=("matview_repin", dim_head)``, so a replayed repin of the
-    same dim version is a no-op. Crash contract: spec-then-overwrite
-    is not atomic as a pair — re-run repin to converge. The overwrite
-    ALSO records the pin under the ``matview_dimpin`` app id, so a
-    refresh that runs between the two steps (or after a crash) fails
-    loudly on the spec/table disagreement instead of folding new-pin
-    deltas onto old-pin aggregates. The cursor's fact version must
-    still be retained (refresh before vacuum, as the module
-    documents). Returns the dim version pinned."""
+    normally against the new pins. The overwrite carries its own
+    ``txn=("matview_repin", sum of dim heads)`` — dim versions are
+    monotone, so the sum strictly grows whenever any dim moved and a
+    replayed repin of the same dim state is a no-op. Crash contract:
+    spec-then-overwrite is not atomic as a pair — re-run repin to
+    converge. The overwrite ALSO records each pin under the
+    ``matview_dimpin`` app id(s), so a refresh that runs between the
+    two steps (or after a crash) fails loudly on the spec/table
+    disagreement instead of folding new-pin deltas onto old-pin
+    aggregates. The cursor's fact version must still be retained
+    (refresh before vacuum, as the module documents). Returns the
+    single dim version pinned (single-join view) or the sum of pinned
+    versions (chain)."""
     spec = _load_spec(dst_path)
-    j = spec.get("join")
-    if not j:
+    js = _join_list(spec)
+    if not js:
         raise MatviewError(
             f"matview: {dst_path} is not a join view — nothing to repin"
         )
@@ -757,8 +837,14 @@ def repin_matview_join(spark: SparkSession, dst_path: str) -> int:
         raise MatviewError(
             f"matview: {dst_path} carries no '{_APP}' transaction"
         )
-    dim_head = T._manifest(spark, j["dim"], None)["version"]
-    new_spec = dict(spec, join=dict(j, dim_version=dim_head))
+    new_joins = [
+        dict(j, dim_version=T._manifest(spark, j["dim"], None)["version"])
+        for j in js
+    ]
+    epoch = sum(j["dim_version"] for j in new_joins)
+    new_spec = dict(
+        spec, join=new_joins[0] if len(new_joins) == 1 else new_joins
+    )
     df = _full_aggregate(
         _joined(spark, new_spec,
                 T.read(spark, spec["src"], version=last)),
@@ -771,6 +857,6 @@ def repin_matview_join(spark: SparkSession, dst_path: str) -> int:
     T.overwrite(
         df,
         dst_path,
-        txn=(("matview_repin", dim_head), (_DIMPIN_APP, dim_head)),
+        txn=(("matview_repin", epoch), *_dimpin_entries(new_joins)),
     )
-    return dim_head
+    return epoch

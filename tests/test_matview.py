@@ -972,6 +972,174 @@ def test_follow_view_dim_signal_daemon(spark, tmp_path):
     assert MV.matview_lag(spark, view)["dim_behind_versions"] == 0
 
 
+def test_snowflake_left_join_matview(spark, tmp_path):
+    """Snowflake chain + left joins (VERDICT r12 item 3): two pinned
+    dims fold left-to-right (the second keys on a column the FIRST dim
+    introduced); left semantics keep unmatched facts as NULL-group
+    rows. Incremental refresh over fact DML == pure-Python recompute,
+    repin moves BOTH pins, and the final state equals a from-scratch
+    create."""
+    from pyspark.sql import functions as F
+
+    import sec_financial_pipeline_spark.sources.snaptable as T
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    fact, d1, d2, view = (
+        str(tmp_path / n) for n in ("fact", "d1", "d2", "view")
+    )
+    # d1: k -> sub (keys 0..5); d2: sub -> region (subs 0..2 only, so
+    # sub 3 is unmatched at the SECOND hop)
+    sub_of = {k: k % 4 for k in range(6)}
+    region_of = {s: f"R{s}" for s in range(3)}
+    T.create(
+        spark.createDataFrame(sorted(sub_of.items()), "k bigint, sub bigint"),
+        d1,
+    )
+    T.create(
+        spark.createDataFrame(
+            sorted(region_of.items()), "sub2 bigint, region string"
+        ),
+        d2,
+    )
+    # facts: fk 0..7 — 6,7 miss d1 entirely (NULL at hop 1)
+    rows = {i: (i % 8, i * 2) for i in range(32)}
+
+    def mk(items):
+        return spark.createDataFrame(
+            [(i, fk, v) for i, (fk, v) in items.items()],
+            "id long, fk long, v long",
+        )
+
+    T.create(mk(rows), fact)
+    joins = [
+        {"dim": d1, "key": "fk", "dim_key": "k", "dim_cols": ["sub"],
+         "how": "left"},
+        {"dim": d2, "key": "sub", "dim_key": "sub2",
+         "dim_cols": ["region"], "how": "left"},
+    ]
+    MV.create_matview(
+        spark, fact, view, ["region"],
+        [("count", None, "n"), ("sum", "v", "sv")],
+        where="id % 7 != 3", join=joins,
+    )
+
+    def expected():
+        out = {}
+        for i, (fk, v) in rows.items():
+            if i % 7 == 3:
+                continue
+            sub = sub_of.get(fk)
+            g = region_of.get(sub) if sub is not None else None
+            n, sv = out.get(g, (0, 0))
+            out[g] = (n + 1, sv + v)
+        return {g: (n, float(sv)) for g, (n, sv) in out.items()}
+
+    def got():
+        return {
+            r.region: (r.n, r.sv)
+            for r in MV.read_matview(spark, view).collect()
+        }
+
+    assert got() == expected()
+    assert None in got()  # the orphan group is a first-class view row
+
+    # fact DML: append (some orphans), delete, update — one refresh
+    new = {i: (i % 9, i) for i in range(100, 118)}
+    T.append(mk(new), fact)
+    rows.update(new)
+    T.delete_where(spark, fact, "id % 5 = 1")
+    rows = {i: x for i, x in rows.items() if i % 5 != 1}
+    T.update_where(spark, fact, "id % 6 = 2", {"v": "v + 1000"})
+    rows = {
+        i: (fk, v + 1000 if i % 6 == 2 else v)
+        for i, (fk, v) in rows.items()
+    }
+    MV.refresh_matview(spark, view)
+    assert got() == expected()
+
+    # dims move; the pins hold until an explicit repin of the chain
+    T.append(
+        spark.createDataFrame([(6, 2)], "k bigint, sub bigint"), d1
+    )
+    T.append(
+        spark.createDataFrame([(3, "R3")], "sub2 bigint, region string"), d2
+    )
+    T.append(mk({200: (6, 50)}), fact)
+    rows[200] = (6, 50)
+    MV.refresh_matview(spark, view)
+    assert got() == expected()  # fk 6 still NULL-group: pins held
+
+    MV.repin_matview_join(spark, view)
+    sub_of[6] = 2
+    region_of[3] = "R3"
+    assert got() == expected()
+
+    # refresh keeps folding against the new pins
+    T.append(mk({201: (3, 60), 202: (7, 70)}), fact)
+    rows[201], rows[202] = (3, 60), (7, 70)
+    MV.refresh_matview(spark, view)
+    assert got() == expected()
+
+    # from-scratch create of the same definition matches
+    fresh = str(tmp_path / "fresh")
+    MV.create_matview(
+        spark, fact, fresh, ["region"],
+        [("count", None, "n"), ("sum", "v", "sv")],
+        where="id % 7 != 3", join=joins,
+    )
+    assert got() == {
+        r.region: (r.n, r.sv)
+        for r in MV.read_matview(spark, fresh).collect()
+    }
+
+
+def test_join_spec_validation_snowflake(spark, tmp_path):
+    """Definition-time refusals: follow mode stays single-inner-join;
+    unknown keys and collisions across the chain are named."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import sec_financial_pipeline_spark.sources.snaptable as T
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    fact, d1, view = (str(tmp_path / n) for n in ("fact", "d1", "view"))
+    T.create(
+        spark.createDataFrame([(0, 0)], "k bigint, sub bigint"), d1
+    )
+    T.create(
+        spark.range(0, 5).select(
+            "id", (F.col("id") % 2).alias("fk"), F.col("id").alias("v")
+        ),
+        fact,
+    )
+    base = {"dim": d1, "key": "fk", "dim_key": "k", "dim_cols": ["sub"]}
+    with pytest.raises(MV.MatviewError, match="follow mode supports"):
+        MV.create_matview(
+            spark, fact, view, ["sub"], [("count", None, "n")],
+            join=[dict(base, mode="follow"), dict(base)],
+        )
+    with pytest.raises(MV.MatviewError, match="follow mode supports"):
+        MV.create_matview(
+            spark, fact, view, ["sub"], [("count", None, "n")],
+            join=dict(base, mode="follow", how="left"),
+        )
+    with pytest.raises(MV.MatviewError, match="inner|left"):
+        MV.create_matview(
+            spark, fact, view, ["sub"], [("count", None, "n")],
+            join=dict(base, how="full"),
+        )
+    with pytest.raises(MV.MatviewError, match="not a fact column"):
+        MV.create_matview(
+            spark, fact, view, ["sub"], [("count", None, "n")],
+            join=dict(base, key="nope"),
+        )
+    with pytest.raises(MV.MatviewError, match="collide"):
+        MV.create_matview(
+            spark, fact, view, ["sub"], [("count", None, "n")],
+            join=[dict(base), dict(base, key="sub", dim_key="k")],
+        )
+
+
 def test_repin_crash_guard_fails_loudly(spark, tmp_path):
     """ADVICE r12: repin writes the spec sidecar BEFORE the table
     overwrite — a crash (or an interleaved refresh) between the two
