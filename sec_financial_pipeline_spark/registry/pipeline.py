@@ -521,6 +521,93 @@ def q_snap_matview_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LEFT follow-mode matview (r13): full IVM over a LEFT join — the
+# outer delta terms in action, driver-visibly. Same two-sided lifecycle
+# as the follow demo (dim re-segments %10=3, dim DELETES %13=7, fact
+# appends + deletes), but with LEFT semantics and algebraic-only aggs:
+# the dim deletion flips its orders into the NULL-segment group (the
+# per-key count-flip term), the dim update moves groups, and ONE
+# refresh folds everything through _algebraic_delta's signed feed —
+# inner trilinear + dF▷D_new + flip terms. The oracle left-joins the
+# FINAL states (deleted customers absent -> NULL segment) from scratch.
+# ---------------------------------------------------------------------------
+
+_MATVIEW_LFOLLOW_ORACLE = f"""
+SELECT CASE WHEN c_custkey % 10 = 3 THEN 'SEG-MOVED'
+       ELSE c_mktsegment END AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders LEFT JOIN (
+  SELECT * FROM customer WHERE c_custkey % 13 <> 7
+) c ON o_custkey = c_custkey
+WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+GROUP BY 1
+"""
+
+
+def _ensure_matview_lfollow_demo(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _artifact_path,
+        _publish_atomically,
+    )
+    from sec_financial_pipeline_spark.sources import matview as MV
+    from sec_financial_pipeline_spark.sources import snaptable as T
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    path = _artifact_path(
+        "sfp_mvlfdemo_", sf_dir, "orders",
+        "lfollow;mod3;del5;where7;dimupd10-3;dimdel13-7;alg",
+    )
+    if not os.path.exists(path):
+        def build(tmp: str) -> None:
+            dim, src, view = f"{tmp}/dim", f"{tmp}/src", f"{tmp}/view"
+            cust = load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            )
+            T.create(cust, dim)
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            )
+            T.create(orders.filter(F.col("o_orderkey") % 3 != 0), src)
+            MV.create_matview(
+                spark, src, view, ["c_mktsegment"],
+                [
+                    ("count", None, "n_rows"),
+                    ("sum", "o_totalprice", "total_price"),
+                ],
+                where="o_orderkey % 7 != 0",
+                join={"dim": dim, "key": "o_custkey",
+                      "dim_key": "c_custkey", "dim_cols": ["c_mktsegment"],
+                      "mode": "follow", "how": "left"},
+            )
+            T.merge_upsert(
+                cust.filter(F.col("c_custkey") % 10 == 3).select(
+                    "c_custkey", F.lit("SEG-MOVED").alias("c_mktsegment")
+                ),
+                dim,
+                key_cols=["c_custkey"],
+            )
+            # the LEFT-specific event: these customers' orders flip
+            # into the NULL-segment group instead of leaving the view
+            T.delete_where(spark, dim, "c_custkey % 13 = 7")
+            T.append(orders.filter(F.col("o_orderkey") % 3 == 0), src)
+            T.delete_where(spark, src, "o_orderkey % 5 = 0")
+            MV.refresh_matview(spark, view)
+
+        _publish_atomically(build, path)
+    return path
+
+
+def q_snap_matview_lfollow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    path = _ensure_matview_lfollow_demo(spark, sf_dir)
+    return MV.read_matview(spark, f"{path}/view")
+
+
+# ---------------------------------------------------------------------------
 # SNOWFLAKE + LEFT-JOIN matview (r13 — VERDICT r12 item 3): the view
 # chains TWO pinned dims (orders ⟕ customer ⟕ nation — the second join
 # keys on c_nationkey, a column the FIRST dim introduced) with LEFT
@@ -917,6 +1004,11 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
                 ["c_mktsegment", "n_rows", "total_price", "min_price"],
             ),
             (
+                "matview_lfollow",
+                _MATVIEW_LFOLLOW_ORACLE,
+                ["c_mktsegment", "n_rows", "total_price"],
+            ),
+            (
                 "matview_snow",
                 _MATVIEW_SNOW_ORACLE,
                 ["n_name", "n_rows", "total_price"],
@@ -955,7 +1047,11 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         "updates and key deletes fold through the trilinear signed "
         "delta dF⋈D_old + F_old⋈dD + dF⋈dD in the same refresh as "
         "fact append/delete; oracle recomputes over both FINAL "
-        "states) + SNOWFLAKE LEFT-join matview (two pinned dims "
+        "states) + LEFT follow-mode matview (outer-delta IVM: a dim "
+        "key-deletion flips its facts into the NULL-segment group via "
+        "the per-key count-flip term, folded algebraically in the "
+        "same refresh as dim updates and fact append/delete) "
+        "+ SNOWFLAKE LEFT-join matview (two pinned dims "
         "chained — the second keys on a column the first introduced — "
         "with left semantics: orphan facts survive as the NULL-name "
         "group; one algebraic refresh folds append+orphans+delete) + "
@@ -977,6 +1073,7 @@ def q_freshness_and_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("matview", q_snap_matview(spark, sf_dir)),
             ("matview_join", q_snap_matview_join(spark, sf_dir)),
             ("matview_follow", q_snap_matview_follow(spark, sf_dir)),
+            ("matview_lfollow", q_snap_matview_lfollow(spark, sf_dir)),
             ("matview_snow", q_snap_matview_snow(spark, sf_dir)),
             ("colmap", q_snap_colmap(spark, sf_dir)),
             ("joinchain", q_joinchain(spark, sf_dir)),

@@ -286,11 +286,12 @@ def create_matview(
     columns NULL, and those NULL groups are first-class view rows
     (null-safe merge keys throughout). Both generalizations stay
     row-local per fact row under pinned dims, so the pin-mode
-    incremental refresh is exact unchanged; follow mode remains
-    single-inner-join (the trilinear identity does not extend to left
-    joins / chains — a left join's dim insert must RETRACT previously
-    null-padded rows, which the signed feed cannot express without
-    per-key old-match counts).
+    incremental refresh is exact unchanged. Follow mode supports a
+    single join, inner OR left: the left case extends the trilinear
+    inner delta with the OUTER terms — signed ΔF▷D_new null rows plus
+    per-key match-count flips confined to ΔD's keys (a dim insert
+    RETRACTS previously null-padded rows, a dim key-deletion re-emits
+    them; see :func:`_follow_feed`). Snowflake chains stay pin-only.
 
     ``range_files`` range-clusters the view by its group key into that
     many files — the 100 TB layout knob: with group-key-clustered files
@@ -329,12 +330,12 @@ def create_matview(
                 raise MatviewError(
                     f"matview: join how must be inner|left, got {how!r}"
                 )
-            if mode == "follow" and (len(raw_joins) > 1 or how != "inner"):
+            if mode == "follow" and len(raw_joins) > 1:
                 raise MatviewError(
-                    "matview: follow mode supports exactly one INNER "
-                    "join (the trilinear delta identity does not extend "
-                    "to left joins or snowflake chains) — use mode='pin' "
-                    "+ repin_matview_join for those shapes"
+                    "matview: follow mode supports exactly one join "
+                    "(the signed delta identity is derived for a "
+                    "single dim) — use mode='pin' + repin_matview_join "
+                    "for snowflake chains"
                 )
             if j["key"] not in avail:
                 raise MatviewError(
@@ -463,9 +464,26 @@ def _follow_feed(
     term is O(|ΔF|); the dim-side terms scan the fact at its cursor
     version ONCE joined to the (broadcast) dim delta — dim changes are
     the rare event, and this is exactly the recompute a pinned view
-    would need anyway, confined to the delta'd dim keys."""
-    j = _join_list(spec)[0]  # follow mode is single-inner-join only
+    would need anyway, confined to the delta'd dim keys.
+
+    LEFT follow views (r13) add the OUTER part of the delta — writing
+    the left join as inner(F,D) ⊎ nullpad(anti(F,D)), the inner half
+    is the same trilinear feed and the anti half decomposes exactly
+    (anti is linear in F; in D it depends only on each key's
+    match-COUNT flipping between zero and positive):
+
+      anti(F_new,D_new) - anti(F_old,D_old)
+        = ΔF ▷ D_new                         (signed by the fact sign)
+        + F_old(keys whose count hit 0)       (+1: rows BECOME unmatched)
+        - F_old(keys whose count left 0)      (-1: rows STOP being unmatched)
+
+    both flip sets are confined to ΔD's keys (a key the dim delta
+    never touched cannot flip), so the extra cost is two count
+    aggregates over the delta'd keys plus F_old semi-joins against
+    those (broadcast) key sets."""
+    j = _join_list(spec)[0]  # follow mode is single-join only
     key = j["key"]
+    left = j.get("how", "inner") == "left"
 
     def _sgn():
         return F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
@@ -520,10 +538,99 @@ def _follow_feed(
                 .withColumn("__sign", F.col("__fsign") * F.col("__dsign"))
                 .drop("__fsign", "__dsign")
             )
+    if left:
+        parts.extend(
+            _follow_anti_parts(spark, spec, f_last, f_head, d_last, d_head)
+        )
     feed = parts[0]
     for p in parts[1:]:
         feed = feed.unionByName(p)
     return _filtered(feed, spec)
+
+
+def _follow_anti_parts(
+    spark: SparkSession,
+    spec: dict,
+    f_last: int,
+    f_head: int,
+    d_last: int,
+    d_head: int,
+) -> list[DataFrame]:
+    """The OUTER half of a LEFT follow view's signed delta (see
+    :func:`_follow_feed`): null-padded fact rows entering/leaving the
+    unmatched set."""
+    j = _join_list(spec)[0]
+    key = j["key"]
+    dim_new = T.read(spark, j["dim"], version=d_head)
+    dtypes = dict(dim_new.dtypes)
+    nulls = [F.lit(None).cast(dtypes[c]).alias(c) for c in j["dim_cols"]]
+    parts = []
+    if f_head > f_last:
+        # ΔF ▷ D_new: signed fact-delta rows with no match at the NEW
+        # dim state (inserts gain a null row, deletes retract one)
+        ff = T.table_changes(spark, spec["src"], f_last, f_head)
+        ff = ff.withColumn(
+            "__sign",
+            F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        ).drop("_change_type", "_commit_version")
+        dim_new_keys = dim_new.select(
+            F.col(j["dim_key"]).alias("__mv_dimk")
+        ).distinct()
+        parts.append(
+            ff.join(
+                F.broadcast(dim_new_keys),
+                ff[key] == F.col("__mv_dimk"),
+                "left_anti",
+            ).select("*", *nulls)
+        )
+    if d_head > d_last:
+        # match-count flips, confined to the delta'd keys: count each
+        # such key in D_old and D_new (two broadcast-semi-confined
+        # aggregates over the dim)
+        dd = T.table_changes(spark, j["dim"], d_last, d_head)
+        dkeys = dd.select(F.col(j["dim_key"]).alias("__k")).distinct()
+        dim_old = T.read(spark, j["dim"], version=d_last)
+
+        def _cnt(dim_df, alias):
+            return (
+                dim_df.join(
+                    F.broadcast(dkeys),
+                    dim_df[j["dim_key"]] == F.col("__k"),
+                    "left_semi",
+                )
+                .groupBy(F.col(j["dim_key"]).alias("__k"))
+                .agg(F.count(F.lit(1)).alias(alias))
+            )
+
+        flips = (
+            dkeys.join(_cnt(dim_old, "__co"), "__k", "left")
+            .join(_cnt(dim_new, "__cn"), "__k", "left")
+            .select(
+                "__k",
+                F.coalesce("__co", F.lit(0)).alias("__co"),
+                F.coalesce("__cn", F.lit(0)).alias("__cn"),
+            )
+        ).localCheckpoint(eager=True)
+        f_old = T.read(spark, spec["src"], version=f_last)
+        for cond, sgn in (
+            # rows BECOME unmatched: key had matches, now has none
+            ((F.col("__co") > 0) & (F.col("__cn") == 0), 1),
+            # rows STOP being unmatched: key had none, now has some
+            ((F.col("__co") == 0) & (F.col("__cn") > 0), -1),
+        ):
+            keys = flips.filter(cond).select("__k")
+            parts.append(
+                f_old.join(
+                    F.broadcast(keys),
+                    f_old[key] == F.col("__k"),
+                    "left_semi",
+                ).select(
+                    "*", *nulls, F.lit(sgn).cast("int").alias("__sign")
+                )
+            )
+    return parts
 
 
 def refresh_matview(spark: SparkSession, dst_path: str) -> int:

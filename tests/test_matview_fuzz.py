@@ -649,6 +649,265 @@ def test_follow_algebraic_cross_term_exact(spark):
     assert _alg_view_state(spark, dst) == _alg_view_state(spark, fresh)
 
 
+# ---------------------------------------------------------------------------
+# LEFT follow-mode views (r13): the outer half of the signed delta —
+# ΔF▷D_new null rows plus per-key match-count flips. A dim APPEND of a
+# key that live facts already reference must RETRACT their null-padded
+# rows (and emit joined ones); a dim key-DELETE must re-emit null rows.
+# Deterministic two-sided window first, then the DML storm.
+# ---------------------------------------------------------------------------
+
+
+def _left_fexpected(rows, dimmap):
+    out = {}
+    for i, (fk, v) in rows.items():
+        if i % 7 == 3:
+            continue
+        g = dimmap.get(fk)  # unmatched facts land in the NULL group
+        n, sv, nn, mn, nhi = out.get(g, (0, 0, 0, None, 0))
+        n += 1
+        if v is not None:
+            sv += v
+            nn += 1
+            mn = v if mn is None else min(mn, v)
+            if v > 50:
+                nhi += 1
+        out[g] = (n, sv, nn, mn, nhi)
+    return {
+        g: (
+            n,
+            float(sv) if nn else None,
+            (float(sv) / nn) if nn else None,
+            mn,
+            nhi,
+        )
+        for g, (n, sv, nn, mn, nhi) in out.items()
+    }
+
+
+def _alg_left_fexpected(rows, dimmap):
+    full = _left_fexpected(rows, dimmap)
+    return {g: (n, sv, av, nhi) for g, (n, sv, av, mn, nhi) in full.items()}
+
+
+@pytest.mark.parametrize("aggs", ["algebraic", "holistic"])
+def test_left_follow_cross_window_exact(spark, aggs):
+    """One refresh window containing every left-outer transition: a dim
+    key APPEARS (live facts flip matched — retract nulls), a dim key
+    VANISHES (facts flip unmatched — emit nulls), a dim value UPDATE
+    (group movement, no flip), fact appends referencing matched /
+    unmatched / newly-matched keys, and a fact delete."""
+    use = _JAGGS if aggs == "holistic" else _ALG_JAGGS
+    expect = _left_fexpected if aggs == "holistic" else _alg_left_fexpected
+    state = (
+        _jview_state
+        if aggs == "holistic"
+        else _alg_view_state
+    )
+    root = tempfile.mkdtemp(prefix=f"mvleft_{aggs}_")
+    src, dim, dst = f"{root}/fact", f"{root}/dim", f"{root}/view"
+    dimmap = {k: f"r{k % 3}" for k in range(5)}
+    T.create(
+        spark.createDataFrame(
+            sorted(dimmap.items()), "k bigint, region string"
+        ),
+        dim,
+    )
+    # facts reference fk 0..7: 5,6,7 start unmatched (NULL group)
+    rows = {i: (i % 8, None if i % 11 == 5 else i * 3) for i in range(24)}
+    T.create(_mkfact(spark, rows), src)
+    MV.create_matview(
+        spark, src, dst, ["region"], use, where=_JWHERE,
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"], "mode": "follow", "how": "left"},
+    )
+    assert state(spark, dst) == expect(rows, dimmap)
+    # the window
+    T.append(
+        spark.createDataFrame([(6, "rNEW")], "k bigint, region string"), dim
+    )
+    dimmap[6] = "rNEW"  # fk-6 facts flip matched
+    T.delete_where(spark, dim, "k = 1")
+    del dimmap[1]  # fk-1 facts flip unmatched
+    T.merge_upsert(
+        spark.createDataFrame([(2, "rMOVED")], "k bigint, region string"),
+        dim, key_cols=["k"],
+    )
+    dimmap[2] = "rMOVED"  # group movement, no flip
+    new = {100: (1, 41), 101: (6, 52), 102: (5, 63), 103: (2, None)}
+    T.append(_mkfact(spark, new), src)
+    rows.update(new)
+    T.delete_where(spark, src, "id % 4 = 1")
+    rows = {i: x for i, x in rows.items() if i % 4 != 1}
+    MV.refresh_matview(spark, dst)
+    assert state(spark, dst) == expect(rows, dimmap)
+    fresh = f"{root}/fresh"
+    MV.create_matview(
+        spark, src, fresh, ["region"], use, where=_JWHERE,
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"], "mode": "follow", "how": "left"},
+    )
+    assert state(spark, dst) == state(spark, fresh)
+
+
+@pytest.mark.parametrize("seed", range(SEEDS))
+def test_left_follow_matview_two_sided_fuzz(spark, seed):
+    """The full two-sided DML storm over a LEFT follow view with
+    algebraic-only aggregates: every refresh folds the trilinear inner
+    terms AND the outer anti/flip terms through _algebraic_delta."""
+    rng = random.Random(19900 + seed)
+    root = tempfile.mkdtemp(prefix="mvlfuzz_")
+    src, dim, dst = f"{root}/fact", f"{root}/dim", f"{root}/view"
+
+    dimmap = {k: f"r{k % 3}" for k in range(10)}
+    T.create(
+        spark.createDataFrame(
+            sorted(dimmap.items()), "k bigint, region string"
+        ),
+        dim,
+    )
+    rows = {
+        i: (i % 14, None if i % 11 == 5 else i * 3) for i in range(24)
+    }
+    T.create(_mkfact(spark, rows), src)
+    history = {1: dict(rows)}
+    retained = {1}
+    MV.create_matview(
+        spark, src, dst, ["region"], _ALG_JAGGS, where=_JWHERE,
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"], "mode": "follow", "how": "left"},
+    )
+    next_id = 1000
+    next_dimk = [10]
+    deleted_dimk = []
+
+    def refresh_and_check(tag):
+        MV.refresh_matview(spark, dst)
+        assert _alg_view_state(spark, dst) == _alg_left_fexpected(
+            rows, dimmap
+        ), f"seed {seed} after {tag}: LEFT follow view diverged"
+
+    ops = ["append", "merge", "cow_delete", "dv_delete", "update",
+           "compact", "rollback", "vacuum", "refresh", "refresh",
+           "dim_append", "dim_update", "dim_delete", "dim_reinsert"]
+
+    for _ in range(OPS):
+        op = rng.choice(ops)
+        if op == "append":
+            new = {
+                i: (i % 14, None if i % 9 == 2 else i % 97)
+                for i in range(next_id, next_id + 6)
+            }
+            next_id += 6
+            v = T.append(_mkfact(spark, new), src)
+            rows.update(new)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "merge":
+            upd = {
+                i: (rows[i][0], (rows[i][1] or 0) + 100)
+                for i in sorted(rows)[:2]
+            }
+            ins = {next_id: (rng.randrange(14), 7)}
+            next_id += 1
+            inc = {**upd, **ins}
+            v = T.merge_upsert(_mkfact(spark, inc), src, key_cols=["id"])
+            rows.update(inc)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op in ("cow_delete", "dv_delete"):
+            m, r = rng.choice([(3, 0), (4, 1), (5, 2)])
+            hit = {i for i in rows if i % m == r}
+            mode = "dv" if op == "dv_delete" else "cow"
+            v = T.delete_where(spark, src, f"id % {m} = {r}", mode=mode)
+            if hit:
+                rows = {i: x for i, x in rows.items() if i not in hit}
+                history[v] = dict(rows)
+                retained.add(v)
+        elif op == "update":
+            m, r = rng.choice([(2, 0), (6, 4)])
+            hit = {i for i in rows if i % m == r}
+            v = T.update_where(spark, src, f"id % {m} = {r}", {"v": "v + 1"})
+            if hit:
+                rows = {
+                    i: (fk, (x + 1) if (i in hit and x is not None) else x)
+                    for i, (fk, x) in rows.items()
+                }
+                history[v] = dict(rows)
+                retained.add(v)
+        elif op == "compact":
+            v = T.compact(spark, src, target_files=1)
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "rollback":
+            candidates = sorted(retained - {max(history)})
+            if not candidates:
+                continue
+            to = rng.choice(candidates)
+            v = T.rollback(spark, src, to_version=to)
+            rows = dict(history[to])
+            history[v] = dict(rows)
+            retained.add(v)
+        elif op == "vacuum":
+            refresh_and_check("pre-vacuum refresh")
+            T.vacuum(spark, src, keep_last=2, min_age_sec=0.0)
+            retained = set(sorted(retained)[-2:]) | {max(history)}
+        elif op == "dim_append":
+            k = next_dimk[0]
+            next_dimk[0] += 1
+            T.append(
+                spark.createDataFrame(
+                    [(k, f"r{k % 3}")], "k bigint, region string"
+                ),
+                dim,
+            )
+            dimmap[k] = f"r{k % 3}"
+        elif op == "dim_update":
+            if not dimmap:
+                continue
+            k = rng.choice(sorted(dimmap))
+            seg = f"rU{rng.randrange(3)}"
+            T.merge_upsert(
+                spark.createDataFrame(
+                    [(k, seg)], "k bigint, region string"
+                ),
+                dim,
+                key_cols=["k"],
+            )
+            dimmap[k] = seg
+        elif op == "dim_delete":
+            if not dimmap:
+                continue
+            k = rng.choice(sorted(dimmap))
+            T.delete_where(spark, dim, f"k = {k}")
+            del dimmap[k]
+            deleted_dimk.append(k)
+        elif op == "dim_reinsert":
+            # the zero -> positive flip in its purest form: a key whose
+            # facts currently sit in the NULL group comes BACK
+            if not deleted_dimk:
+                continue
+            k = deleted_dimk.pop(rng.randrange(len(deleted_dimk)))
+            T.append(
+                spark.createDataFrame(
+                    [(k, f"rB{k % 3}")], "k bigint, region string"
+                ),
+                dim,
+            )
+            dimmap[k] = f"rB{k % 3}"
+        elif op == "refresh":
+            refresh_and_check("refresh")
+
+    refresh_and_check("final")
+    fresh = f"{root}/fresh"
+    MV.create_matview(
+        spark, src, fresh, ["region"], _ALG_JAGGS, where=_JWHERE,
+        join={"dim": dim, "key": "fk", "dim_key": "k",
+              "dim_cols": ["region"], "mode": "follow", "how": "left"},
+    )
+    assert _alg_view_state(spark, dst) == _alg_view_state(spark, fresh)
+
+
 @pytest.mark.parametrize("seed", range(SEEDS))
 def test_follow_join_matview_algebraic_two_sided_fuzz(spark, seed):
     rng = random.Random(17600 + seed)
