@@ -216,6 +216,88 @@ def _cmd_dedup(args, spark: SparkSession) -> dict:
     raise SystemExit(f"unknown dedup command: {args.dedup_cmd}")
 
 
+def _cmd_bm25(args, spark: SparkSession) -> dict:
+    """BM25 inverted-index store lifecycle (the retrieval twin of the
+    `dedup` signature-store commands): ``build`` indexes a standing
+    corpus once, ``ingest`` appends new documents O(batch), ``delete``
+    tombstones documents with exact derived-table maintenance,
+    ``update`` re-writes documents in place, ``compact`` folds epoch
+    dirs + purges tombstoned rows, ``query`` scores a query corpus
+    against the store, ``status`` summarizes it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators import bm25 as B
+
+    if args.bm25_cmd == "build":
+        docs = spark.read.parquet(args.docs).select("doc_id", "text")
+        B.save_bm25_store(docs, "doc_id", "text", args.store)
+        postings, _, stats = B.load_bm25_store(spark, args.store)
+        st = stats.collect()[0]
+        return {
+            "store": args.store,
+            "docs": int(st["n_docs"]),
+            "postings": postings.count(),
+        }
+    if args.bm25_cmd == "ingest":
+        docs = spark.read.parquet(args.docs).select("doc_id", "text")
+        B.ingest_bm25_store(docs, "doc_id", "text", args.store)
+        st = spark.read.parquet(os.path.join(args.store, "stats")).collect()[0]
+        return {"store": args.store, "docs": int(st["n_docs"])}
+    if args.bm25_cmd == "delete":
+        ids = spark.read.parquet(args.ids).select(
+            F.col(args.id_col).alias("doc_id")
+        )
+        n = B.delete_from_bm25_store(spark, args.store, ids)
+        return {"store": args.store, "docs_removed": n}
+    if args.bm25_cmd == "update":
+        docs = spark.read.parquet(args.docs).select("doc_id", "text")
+        B.update_bm25_docs(docs, "doc_id", "text", args.store)
+        st = spark.read.parquet(os.path.join(args.store, "stats")).collect()[0]
+        return {"store": args.store, "docs": int(st["n_docs"])}
+    if args.bm25_cmd == "compact":
+        out = B.compact_bm25_store(spark, args.store)
+        return {"store": args.store, **out}
+    if args.bm25_cmd == "query":
+        postings, idf, stats = B.load_bm25_store(spark, args.store)
+        qterms = (
+            spark.read.parquet(args.queries)
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(F.split(F.col("text"), " ")).alias("term"),
+            )
+            .distinct()
+        )
+        res = B.bm25_score(postings, idf, stats, qterms, args.top_k)
+        res.write.mode("overwrite").parquet(args.out)
+        return {"out": args.out, "rows": spark.read.parquet(args.out).count()}
+    if args.bm25_cmd == "status":
+        from sec_financial_pipeline_spark.streaming.ingest import store_exists
+
+        if not store_exists(spark, args.store):
+            return {"store": args.store, "exists": False}
+        postings, idf, stats = B.load_bm25_store(spark, args.store)
+        st = stats.collect()[0]
+        tomb_dir = os.path.join(args.store, "tombstones")
+        n_tomb = (
+            spark.read.parquet(tomb_dir).count()
+            if os.path.exists(tomb_dir)
+            else 0
+        )
+        return {
+            "store": args.store,
+            "docs": int(st["n_docs"]),
+            "total_len": int(st["total_len"]),
+            "max_gen": int(st["max_gen"]) if "max_gen" in stats.columns else 0,
+            "vocabulary": idf.count(),
+            "live_postings": postings.count(),
+            "tombstones": n_tomb,
+            "compacted_through_epoch": B.compacted_through(args.store),
+        }
+    raise SystemExit(f"unknown bm25 command: {args.bm25_cmd}")
+
+
 def _cmd_decon(args, spark: SparkSession) -> dict:
     """Ingest-time decontamination gate: ``build`` persists the eval
     split's distinct k-gram set once; ``gate`` probes a batch against
@@ -1018,6 +1100,43 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     dc.add_argument("--store", required=True)
     dc.add_argument("--files-per-partition", type=int, default=1)
 
+    bm25 = sub.add_parser(
+        "bm25", help="BM25 inverted-index store lifecycle (§2.9 retrieval)"
+    )
+    bm25_sub = bm25.add_subparsers(dest="bm25_cmd", required=True)
+    bb = bm25_sub.add_parser("build", help="index a corpus into a new store")
+    bb.add_argument("--docs", required=True, help="parquet of (doc_id, text)")
+    bb.add_argument("--store", required=True)
+    bi = bm25_sub.add_parser("ingest", help="append new documents O(batch)")
+    bi.add_argument("--docs", required=True)
+    bi.add_argument("--store", required=True)
+    bd = bm25_sub.add_parser(
+        "delete",
+        help="tombstone documents (exact df/idf maintenance; postings "
+        "files untouched — run compact to reclaim bytes)",
+    )
+    bd.add_argument("--ids", required=True, help="parquet of doc ids")
+    bd.add_argument("--id-col", default="doc_id")
+    bd.add_argument("--store", required=True)
+    bu = bm25_sub.add_parser(
+        "update", help="re-write documents in place (tombstone + re-ingest)"
+    )
+    bu.add_argument("--docs", required=True)
+    bu.add_argument("--store", required=True)
+    bc = bm25_sub.add_parser(
+        "compact",
+        help="fold streaming epoch dirs + purge tombstoned postings "
+        "into one doc-clustered flat layout",
+    )
+    bc.add_argument("--store", required=True)
+    bq = bm25_sub.add_parser("query", help="score a query corpus, top-k")
+    bq.add_argument("--queries", required=True, help="parquet of (doc_id, text)")
+    bq.add_argument("--store", required=True)
+    bq.add_argument("--out", required=True)
+    bq.add_argument("--top-k", type=int, default=10)
+    bst = bm25_sub.add_parser("status")
+    bst.add_argument("--store", required=True)
+
     decon = sub.add_parser(
         "decon", help="ingest-time eval-decontamination gate (§2.9 tooling)"
     )
@@ -1485,6 +1604,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             return 0
         if args.cmd == "dedup":
             print(json.dumps(_cmd_dedup(args, spark), default=str))
+            return 0
+        if args.cmd == "bm25":
+            print(json.dumps(_cmd_bm25(args, spark), default=str))
             return 0
         if args.cmd == "decon":
             print(json.dumps(_cmd_decon(args, spark), default=str))

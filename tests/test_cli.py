@@ -185,6 +185,87 @@ def test_dedup_lifecycle_build_ingest_status(tmp_path, capsys, spark, sf_dir):
     assert set(status["rows_per_band"]) == {"0", "1", "2", "3"}
 
 
+def test_bm25_cli_full_lifecycle(tmp_path, capsys, spark, sf_dir):
+    """bm25 build -> ingest -> delete -> update -> compact -> query ->
+    status: the CLI face of the generational retrieval store. The final
+    query results must equal scoring a from-scratch index over the
+    equivalent final corpus."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_index,
+        bm25_score,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dirs = {n: str(tmp_path / n) for n in
+            ("corpus", "batch", "ids", "upd", "queries", "out")}
+    d.filter("doc_id % 3 = 0").write.parquet(dirs["corpus"])
+    d.filter("doc_id % 3 != 0").write.parquet(dirs["batch"])
+    d.filter("doc_id % 13 = 2").select("doc_id").write.parquet(dirs["ids"])
+    new_text = F.concat(F.lit("rev "), F.col("text"))
+    d.filter("doc_id % 17 = 3 AND doc_id % 13 != 2").withColumn(
+        "text", new_text
+    ).write.parquet(dirs["upd"])
+    store = str(tmp_path / "store")
+
+    built = _run(
+        capsys, spark, ["bm25", "build", "--docs", dirs["corpus"],
+                        "--store", store],
+    )
+    assert built["docs"] > 0
+    ing = _run(
+        capsys, spark, ["bm25", "ingest", "--docs", dirs["batch"],
+                        "--store", store],
+    )
+    assert ing["docs"] == d.count()
+    dele = _run(
+        capsys, spark, ["bm25", "delete", "--ids", dirs["ids"],
+                        "--store", store],
+    )
+    assert dele["docs_removed"] == d.filter("doc_id % 13 = 2").count()
+    _run(
+        capsys, spark, ["bm25", "update", "--docs", dirs["upd"],
+                        "--store", store],
+    )
+    comp = _run(capsys, spark, ["bm25", "compact", "--store", store])
+    assert comp["rows_purged"] > 0
+    st = _run(capsys, spark, ["bm25", "status", "--store", store])
+    assert st["tombstones"] == 0
+    assert st["docs"] == d.filter("doc_id % 13 != 2").count()
+
+    # final corpus: deleted docs absent, updated docs carry new text
+    corpus = d.filter("doc_id % 13 != 2").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 17 == 3, new_text).otherwise(F.col("text")),
+    )
+    corpus.filter("doc_id % 53 = 5").write.parquet(dirs["queries"])
+    q = _run(
+        capsys, spark, ["bm25", "query", "--queries", dirs["queries"],
+                        "--store", store, "--out", dirs["out"],
+                        "--top-k", "10"],
+    )
+    assert q["rows"] > 0
+    served = sorted(map(tuple, spark.read.parquet(dirs["out"]).collect()))
+    p, i, s = bm25_index(corpus, "doc_id", "text")
+    qterms = (
+        corpus.filter("doc_id % 53 = 5")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .distinct()
+    )
+    scratch = sorted(map(tuple, bm25_score(p, i, s, qterms, 10).collect()))
+    assert served == scratch
+
+    absent = _run(
+        capsys, spark, ["bm25", "status", "--store", str(tmp_path / "nope")],
+    )
+    assert absent == {"store": str(tmp_path / "nope"), "exists": False}
+
+
 def test_dedup_compact_preserves_store_content(tmp_path, capsys, spark, sf_dir):
     """Each ingest appends files into the store's band partitions;
     dedup compact rewrites them small without changing the band rows."""
