@@ -608,6 +608,126 @@ def q_snap_matview_lfollow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Follow-mode SNOWFLAKE chain matview (r13): orders⋈customer⋈nation
+# with EVERY side incrementally maintained — the multilinear signed
+# delta (7 terms for two dims, signs multiplying across chosen deltas).
+# Lifecycle: create at (fact v1 = orders %3!=0, customer v1, nation
+# v1); customer moves (re-route %10=3 to the next nationkey, DELETE
+# %13=7), nation moves (rename key 5, DELETE %9=2), the fact moves
+# (append the rest, delete %5=0) — ONE refresh folds all seven commits.
+# The oracle recomputes the two-hop join over the FINAL states of all
+# three tables in pure SQL.
+# ---------------------------------------------------------------------------
+
+_MATVIEW_CFOLLOW_ORACLE = f"""
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+JOIN (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 3 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS c_nationkey
+  FROM customer WHERE c_custkey % 13 <> 7
+) c ON o_custkey = c_custkey
+JOIN (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey = 5 THEN 'N-RENAMED' ELSE n_name END AS n_name
+  FROM nation WHERE n_nationkey % 9 <> 2
+) n ON c_nationkey = n_nationkey
+WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+GROUP BY n_name
+"""
+
+
+def _ensure_matview_cfollow_demo(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from sec_financial_pipeline_spark.registry.similarity import (
+        _artifact_path,
+        _publish_atomically,
+    )
+    from sec_financial_pipeline_spark.sources import matview as MV
+    from sec_financial_pipeline_spark.sources import snaptable as T
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    path = _artifact_path(
+        "sfp_mvcfdemo_", sf_dir, "orders",
+        "cfollow;mod3;del5;where7;c10-3;cdel13-7;n5ren;ndel9-2",
+    )
+    if not os.path.exists(path):
+        def build(tmp: str) -> None:
+            d1, d2 = f"{tmp}/dim_cust", f"{tmp}/dim_nation"
+            src, view = f"{tmp}/src", f"{tmp}/view"
+            cust = load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
+            )
+            T.create(cust, d1)
+            nat = load_table(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name"
+            )
+            T.create(nat, d2)
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            )
+            T.create(orders.filter(F.col("o_orderkey") % 3 != 0), src)
+            MV.create_matview(
+                spark, src, view, ["n_name"],
+                [
+                    ("count", None, "n_rows"),
+                    ("sum", "o_totalprice", "total_price"),
+                ],
+                where="o_orderkey % 7 != 0",
+                join=[
+                    {"dim": d1, "key": "o_custkey",
+                     "dim_key": "c_custkey", "dim_cols": ["c_nationkey"],
+                     "mode": "follow"},
+                    {"dim": d2, "key": "c_nationkey",
+                     "dim_key": "n_nationkey", "dim_cols": ["n_name"],
+                     "mode": "follow"},
+                ],
+            )
+            # customer (hop 1) moves: re-route + delete
+            T.merge_upsert(
+                cust.filter(F.col("c_custkey") % 10 == 3).select(
+                    "c_custkey",
+                    ((F.col("c_nationkey") + 1) % 25).alias("c_nationkey"),
+                ),
+                d1,
+                key_cols=["c_custkey"],
+            )
+            T.delete_where(spark, d1, "c_custkey % 13 = 7")
+            # nation (hop 2) moves: rename + delete
+            T.merge_upsert(
+                spark.createDataFrame(
+                    [(5, "N-RENAMED")], "n_nationkey bigint, n_name string"
+                ).select(
+                    F.col("n_nationkey").cast(
+                        dict(nat.dtypes)["n_nationkey"]
+                    ).alias("n_nationkey"),
+                    "n_name",
+                ),
+                d2,
+                key_cols=["n_nationkey"],
+            )
+            T.delete_where(spark, d2, "n_nationkey % 9 = 2")
+            # fact moves: append + delete
+            T.append(orders.filter(F.col("o_orderkey") % 3 == 0), src)
+            T.delete_where(spark, src, "o_orderkey % 5 = 0")
+            MV.refresh_matview(spark, view)
+
+        _publish_atomically(build, path)
+    return path
+
+
+def q_snap_matview_cfollow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    path = _ensure_matview_cfollow_demo(spark, sf_dir)
+    return MV.read_matview(spark, f"{path}/view")
+
+
+# ---------------------------------------------------------------------------
 # SNOWFLAKE + LEFT-JOIN matview (r13 — VERDICT r12 item 3): the view
 # chains TWO pinned dims (orders ⟕ customer ⟕ nation — the second join
 # keys on c_nationkey, a column the FIRST dim introduced) with LEFT
@@ -1009,6 +1129,11 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
                 ["c_mktsegment", "n_rows", "total_price"],
             ),
             (
+                "matview_cfollow",
+                _MATVIEW_CFOLLOW_ORACLE,
+                ["n_name", "n_rows", "total_price"],
+            ),
+            (
                 "matview_snow",
                 _MATVIEW_SNOW_ORACLE,
                 ["n_name", "n_rows", "total_price"],
@@ -1051,6 +1176,12 @@ from sec_financial_pipeline_spark.registry.merge import (  # noqa: E402
         "key-deletion flips its facts into the NULL-segment group via "
         "the per-key count-flip term, folded algebraically in the "
         "same refresh as dim updates and fact append/delete) "
+        "+ follow-mode SNOWFLAKE-chain matview (orders-customer-nation "
+        "with EVERY side incrementally maintained: the multilinear "
+        "signed delta, 7 terms for two dims, folds customer re-routes/"
+        "deletes + nation renames/deletes + fact append/delete in ONE "
+        "refresh; oracle recomputes the two-hop join over all three "
+        "final states) "
         "+ SNOWFLAKE LEFT-join matview (two pinned dims "
         "chained — the second keys on a column the first introduced — "
         "with left semantics: orphan facts survive as the NULL-name "
@@ -1074,6 +1205,7 @@ def q_freshness_and_snap_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("matview_join", q_snap_matview_join(spark, sf_dir)),
             ("matview_follow", q_snap_matview_follow(spark, sf_dir)),
             ("matview_lfollow", q_snap_matview_lfollow(spark, sf_dir)),
+            ("matview_cfollow", q_snap_matview_cfollow(spark, sf_dir)),
             ("matview_snow", q_snap_matview_snow(spark, sf_dir)),
             ("colmap", q_snap_colmap(spark, sf_dir)),
             ("joinchain", q_joinchain(spark, sf_dir)),

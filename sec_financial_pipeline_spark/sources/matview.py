@@ -64,11 +64,29 @@ _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _ALGEBRAIC = ("count", "sum", "avg")
 _HOLISTIC = ("min", "max")
 
-#: follow-mode join views track TWO cursors (fact version, dim version)
-#: in one monotone txn epoch: epoch = fact * _CURSOR_K + dim. Monotone
-#: because both versions only grow, so the table's own txn-replay guard
-#: (recorded epoch >= ours -> skip) keeps working unchanged.
+#: follow-mode join views track ALL cursors (fact version + one per
+#: dim) in one monotone txn epoch, base-_CURSOR_K positional:
+#: epoch = ((fact * K) + dim1) * K + dim2 ... Monotone because every
+#: version only grows, so the table's own txn-replay guard (recorded
+#: epoch >= ours -> skip) keeps working unchanged. The epoch lives in
+#: the manifest JSON (python arbitrary-precision ints), never in a
+#: fixed-width column.
 _CURSOR_K = 1_000_000_000
+
+
+def _encode_cursor(fact_v: int, dim_vs: list[int]) -> int:
+    out = fact_v
+    for d in dim_vs:
+        out = out * _CURSOR_K + d
+    return out
+
+
+def _decode_cursor(epoch: int, n_dims: int) -> tuple[int, list[int]]:
+    dims = []
+    for _ in range(n_dims):
+        epoch, d = divmod(epoch, _CURSOR_K)
+        dims.append(d)
+    return epoch, list(reversed(dims))
 
 
 def _join_list(spec: dict) -> list[dict]:
@@ -83,7 +101,7 @@ def _join_list(spec: dict) -> list[dict]:
 
 def _follow(spec: dict) -> bool:
     js = _join_list(spec)
-    return len(js) == 1 and js[0].get("mode") == "follow"
+    return bool(js) and js[0].get("mode") == "follow"
 
 
 class MatviewError(RuntimeError):
@@ -205,13 +223,19 @@ def _joined(
     NULL — SQL left-join semantics; a NULL-key fact row is unmatched
     and therefore kept null-padded).
 
-    ``dim_version`` (follow mode only, single inner join) overrides
-    the pinned version for that one dim — pin-mode views always use
-    the spec's recorded versions (dim evolution is an explicit
-    :func:`repin_matview_join` or drop + recreate)."""
+    ``dim_version`` (follow-mode refreshes only) overrides the pinned
+    version(s): an int for a single join, a list with one entry per
+    join for a chain — pin-mode views always use the spec's recorded
+    versions (dim evolution is an explicit :func:`repin_matview_join`
+    or drop + recreate)."""
     out = fact_df
-    for j in _join_list(spec):
-        v = j["dim_version"] if dim_version is None else dim_version
+    for idx, j in enumerate(_join_list(spec)):
+        if dim_version is None:
+            v = j["dim_version"]
+        elif isinstance(dim_version, (list, tuple)):
+            v = dim_version[idx]
+        else:
+            v = dim_version
         dim = T.read(spark, j["dim"], version=v).select(
             F.col(j["dim_key"]).alias("__mv_dimk"), *j["dim_cols"]
         )
@@ -286,12 +310,16 @@ def create_matview(
     columns NULL, and those NULL groups are first-class view rows
     (null-safe merge keys throughout). Both generalizations stay
     row-local per fact row under pinned dims, so the pin-mode
-    incremental refresh is exact unchanged. Follow mode supports a
-    single join, inner OR left: the left case extends the trilinear
-    inner delta with the OUTER terms — signed ΔF▷D_new null rows plus
-    per-key match-count flips confined to ΔD's keys (a dim insert
-    RETRACTS previously null-padded rows, a dim key-deletion re-emits
-    them; see :func:`_follow_feed`). Snowflake chains stay pin-only.
+    incremental refresh is exact unchanged. Follow mode (every join in
+    the chain shares the mode) supports: a single join, inner OR left —
+    the left case extends the trilinear inner delta with the OUTER
+    terms, signed ΔF▷D_new null rows plus per-key match-count flips
+    confined to ΔD's keys (a dim insert RETRACTS previously null-padded
+    rows, a dim key-deletion re-emits them; see :func:`_follow_feed`) —
+    or an all-INNER chain, folded through the multilinear identity with
+    one signed term per old/delta choice vector (see
+    :func:`_follow_feed_chain`). Left snowflake chains are the one
+    remaining pin-only shape.
 
     ``range_files`` range-clusters the view by its group key into that
     many files — the 100 TB layout knob: with group-key-clustered files
@@ -330,12 +358,18 @@ def create_matview(
                 raise MatviewError(
                     f"matview: join how must be inner|left, got {how!r}"
                 )
-            if mode == "follow" and len(raw_joins) > 1:
+            if norm_joins and mode != norm_joins[0]["mode"]:
                 raise MatviewError(
-                    "matview: follow mode supports exactly one join "
-                    "(the signed delta identity is derived for a "
-                    "single dim) — use mode='pin' + repin_matview_join "
-                    "for snowflake chains"
+                    "matview: every join in a chain must share one "
+                    "mode (all pin or all follow)"
+                )
+            if mode == "follow" and len(raw_joins) > 1 and how != "inner":
+                raise MatviewError(
+                    "matview: a follow-mode CHAIN must be all-inner "
+                    "(the multilinear delta identity is derived for "
+                    "inner joins; left follow is single-dim only) — "
+                    "use mode='pin' + repin_matview_join for left "
+                    "snowflakes"
                 )
             if j["key"] not in avail:
                 raise MatviewError(
@@ -402,7 +436,9 @@ def create_matview(
         json.dump(spec, f, indent=1, sort_keys=True)
     os.replace(tmp, _spec_path(dst_path))
     cursor = (
-        src_head * _CURSOR_K + _join_list(spec)[0]["dim_version"]
+        _encode_cursor(
+            src_head, [j["dim_version"] for j in _join_list(spec)]
+        )
         if _follow(spec)
         else src_head
     )
@@ -633,6 +669,95 @@ def _follow_anti_parts(
     return parts
 
 
+def _follow_feed_chain(
+    spark: SparkSession,
+    spec: dict,
+    f_last: int,
+    f_head: int,
+    d_lasts: list[int],
+    d_heads: list[int],
+) -> DataFrame:
+    """The SIGNED joined delta of a follow-mode snowflake CHAIN (all
+    joins inner): the inner join is multilinear in every argument, so
+
+        F_new⋈D1_new⋈...⋈Dn_new − F_old⋈D1_old⋈...⋈Dn_old
+          = Σ over choice vectors c ∈ {old, Δ}^(n+1), c ≠ all-old, of
+            (F or ΔF) ⋈ (D1 or ΔD1) ⋈ ... ⋈ (Dn or ΔDn)
+
+    with each term's ``__sign`` the PRODUCT of its chosen deltas'
+    signs. Terms whose chosen delta side did not move this window are
+    identically empty and are skipped, so the quiet-dim steady state
+    folds exactly one term (ΔF against every old dim) — the same cost
+    as a pinned refresh. Dims broadcast throughout (the module's
+    standing fact⨝dim contract); the fact at its cursor version is
+    scanned once per term that chooses F_old — at most 2^n − 1 scans,
+    and in the common one-dim-moved window exactly one."""
+    import itertools
+
+    js = _join_list(spec)
+    n = len(js)
+
+    def _sgn():
+        return F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+
+    def fact_frame(use_delta: bool) -> DataFrame:
+        if use_delta:
+            ff = T.table_changes(spark, spec["src"], f_last, f_head)
+            return ff.withColumn("__s0", _sgn()).drop(
+                "_change_type", "_commit_version"
+            )
+        return T.read(spark, spec["src"], version=f_last).withColumn(
+            "__s0", F.lit(1)
+        )
+
+    def dim_frame(i: int, use_delta: bool) -> DataFrame:
+        j = js[i]
+        if use_delta:
+            dd = T.table_changes(spark, j["dim"], d_lasts[i], d_heads[i])
+            return dd.select(
+                F.col(j["dim_key"]).alias(f"__mv_dimk{i}"),
+                *j["dim_cols"],
+                _sgn().alias(f"__s{i + 1}"),
+            )
+        return T.read(spark, j["dim"], version=d_lasts[i]).select(
+            F.col(j["dim_key"]).alias(f"__mv_dimk{i}"),
+            *j["dim_cols"],
+            F.lit(1).alias(f"__s{i + 1}"),
+        )
+
+    moved = [f_head > f_last] + [
+        d_heads[i] > d_lasts[i] for i in range(n)
+    ]
+    parts = []
+    for choice in itertools.product((False, True), repeat=n + 1):
+        if not any(choice):
+            continue
+        if any(c and not m for c, m in zip(choice, moved)):
+            continue  # a chosen delta that didn't move → empty term
+        out = fact_frame(choice[0])
+        for i in range(n):
+            dfi = dim_frame(i, choice[i + 1])
+            out = out.join(
+                F.broadcast(dfi),
+                out[js[i]["key"]] == F.col(f"__mv_dimk{i}"),
+                "inner",
+            ).drop(f"__mv_dimk{i}")
+        sign = F.col("__s0")
+        for i in range(n):
+            sign = sign * F.col(f"__s{i + 1}")
+        parts.append(
+            out.withColumn("__sign", sign).drop(
+                *[f"__s{k}" for k in range(n + 1)]
+            )
+        )
+    feed = parts[0]
+    for p in parts[1:]:
+        feed = feed.unionByName(p)
+    return _filtered(feed, spec)
+
+
 def refresh_matview(spark: SparkSession, dst_path: str) -> int:
     """Fold every source commit since the last refresh into the view;
     returns the new cursor (source version). No-op — no Spark job —
@@ -648,23 +773,36 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
             "was the table created by create_matview?"
         )
     if _follow(spec):
-        # full IVM over the join (mode "follow"): fold BOTH sides'
-        # change feeds through the trilinear multiset identity
-        #   F_new⋈D_new - F_old⋈D_old
-        #     = ΔF⋈D_old + F_old⋈ΔD + ΔF⋈ΔD
-        # with signs multiplying in the cross term. Both cursors ride
-        # one monotone txn epoch (fact * _CURSOR_K + dim).
-        j = _join_list(spec)[0]
-        f_last, d_last = divmod(last, _CURSOR_K)
+        # full IVM over the join (mode "follow"): fold EVERY side's
+        # change feed through the multilinear multiset identity — for
+        # one dim the trilinear ΔF⋈D_old + F_old⋈ΔD + ΔF⋈ΔD (plus the
+        # outer terms when the join is LEFT), for a chain every
+        # old/delta choice vector with at least one delta — signs
+        # multiplying across the chosen deltas. All cursors ride one
+        # monotone txn epoch (base-_CURSOR_K positional).
+        js = _join_list(spec)
+        n = len(js)
+        f_last, d_lasts = _decode_cursor(last, n)
         f_head = T._manifest(spark, src, None)["version"]
-        d_head = T._manifest(spark, j["dim"], None)["version"]
-        if f_head <= f_last and d_head <= d_last:
+        d_heads = [
+            T._manifest(spark, j["dim"], None)["version"] for j in js
+        ]
+        if f_head <= f_last and all(
+            h <= l for h, l in zip(d_heads, d_lasts)
+        ):
             return last
-        head = f_head * _CURSOR_K + d_head
-        feed = _follow_feed(spark, spec, f_last, f_head, d_last, d_head)
+        head = _encode_cursor(f_head, d_heads)
+        if n == 1:
+            feed = _follow_feed(
+                spark, spec, f_last, f_head, d_lasts[0], d_heads[0]
+            )
+        else:
+            feed = _follow_feed_chain(
+                spark, spec, f_last, f_head, d_lasts, d_heads
+            )
         fresh_src = lambda: _joined(  # noqa: E731
             spark, spec, T.read(spark, src, version=f_head),
-            dim_version=d_head,
+            dim_version=d_heads,
         )
     else:
         # pin coherence guard (ADVICE r12): the spec sidecar and the
@@ -848,19 +986,35 @@ def matview_lag(spark: SparkSession, dst_path: str) -> dict:
     last = T.last_txn(spark, dst_path, _APP) or 0
     head = T._manifest(spark, spec["src"], None)["version"]
     if _follow(spec):
-        jdim = _join_list(spec)[0]["dim"]
-        f_last, d_last = divmod(last, _CURSOR_K)
-        d_head = T._manifest(spark, jdim, None)["version"]
-        return {
+        js = _join_list(spec)
+        f_last, d_lasts = _decode_cursor(last, len(js))
+        out = {
             "src": spec["src"],
             "src_version": head,
             "view_cursor": f_last,
             "behind_versions": max(0, head - f_last),
-            "dim": jdim,
-            "dim_version": d_head,
-            "dim_cursor": d_last,
-            "dim_behind_versions": max(0, d_head - d_last),
         }
+        if len(js) == 1:
+            d_head = T._manifest(spark, js[0]["dim"], None)["version"]
+            out.update(
+                dim=js[0]["dim"],
+                dim_version=d_head,
+                dim_cursor=d_lasts[0],
+                dim_behind_versions=max(0, d_head - d_lasts[0]),
+            )
+        else:
+            out["dims"] = [
+                {
+                    "dim": j["dim"],
+                    "dim_version": (
+                        dh := T._manifest(spark, j["dim"], None)["version"]
+                    ),
+                    "dim_cursor": dl,
+                    "dim_behind_versions": max(0, dh - dl),
+                }
+                for j, dl in zip(js, d_lasts)
+            ]
+        return out
     return {
         "src": spec["src"],
         "src_version": head,

@@ -1113,10 +1113,19 @@ def test_join_spec_validation_snowflake(spark, tmp_path):
         fact,
     )
     base = {"dim": d1, "key": "fk", "dim_key": "k", "dim_cols": ["sub"]}
-    with pytest.raises(MV.MatviewError, match="follow mode supports"):
+    with pytest.raises(MV.MatviewError, match="share one mode"):
         MV.create_matview(
             spark, fact, view, ["sub"], [("count", None, "n")],
             join=[dict(base, mode="follow"), dict(base)],
+        )
+    with pytest.raises(MV.MatviewError, match="all-inner"):
+        MV.create_matview(
+            spark, fact, view, ["sub"], [("count", None, "n")],
+            join=[
+                dict(base, mode="follow"),
+                dict(base, mode="follow", key="sub", dim_key="k",
+                     dim_cols=[], how="left"),
+            ],
         )
     with pytest.raises(MV.MatviewError, match="inner|left"):
         MV.create_matview(
