@@ -987,7 +987,35 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
                 kind, col, alias = (s.strip() for s in parts)
                 aggs.append((kind, col or None, alias))
             join = None
-            if args.join_dim:
+            if args.join and args.join_dim:
+                raise SystemExit(
+                    "snap matview: use either --join (chain) or the "
+                    "--join-dim flag family, not both"
+                )
+            if args.join:
+                chain = []
+                for spec in args.join:
+                    parts = spec.split("|")
+                    if len(parts) not in (4, 5):
+                        raise SystemExit(
+                            "snap matview --join needs "
+                            f"DIM|KEY|DIM_KEY|COLS[|HOW], got {spec!r}"
+                        )
+                    how = parts[4] if len(parts) == 5 else "inner"
+                    chain.append(
+                        {
+                            "dim": parts[0],
+                            "key": parts[1],
+                            "dim_key": parts[2],
+                            "dim_cols": [
+                                c for c in parts[3].split(",") if c
+                            ],
+                            "mode": args.join_mode,
+                            "how": how,
+                        }
+                    )
+                join = chain if len(chain) > 1 else chain[0]
+            elif args.join_dim:
                 if not (args.join_key and args.join_dim_key
                         and args.join_dim_cols):
                     raise SystemExit(
@@ -1002,6 +1030,7 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
                         c for c in args.join_dim_cols.split(",") if c
                     ],
                     "mode": args.join_mode,
+                    "how": args.join_how,
                 }
             try:
                 cur = MV.create_matview(
@@ -1445,9 +1474,24 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "--join-dim-cols", help="comma-separated dim columns to expose"
     )
     mvc.add_argument(
+        "--join-how", choices=("inner", "left"), default="inner",
+        help="inner: unmatched facts leave the view; left: they stay "
+        "as NULL-group rows",
+    )
+    mvc.add_argument(
         "--join-mode", choices=("pin", "follow"), default="pin",
         help="pin: dim frozen at create (repin to move); "
              "follow: dim tracked incrementally (full IVM)",
+    )
+    mvc.add_argument(
+        "--join",
+        action="append",
+        metavar="DIM|KEY|DIM_KEY|COLS[|HOW]",
+        help="one join of a snowflake CHAIN (repeatable; folds "
+        "left-to-right, a later KEY may name an earlier dim's column; "
+        "HOW = inner|left, default inner; every join takes the chain "
+        "mode from --join-mode). Pipe-separated so dim paths may "
+        "contain colons.",
     )
     mvr = smv_sub.add_parser("refresh")
     mvr.add_argument("--view", required=True)

@@ -1077,3 +1077,58 @@ def test_snap_matview_join_view_cli(tmp_path, capsys, spark):
             continue
         want[f"r{fk % 2}"] = want.get(f"r{fk % 2}", 0) + i * 2
     assert got == {k: float(v) for k, v in want.items()}
+
+
+def test_snap_matview_chain_cli(tmp_path, capsys, spark):
+    """CLI snowflake-chain form: repeatable --join DIM|KEY|DIM_KEY|COLS
+    [|HOW] builds a two-hop LEFT chain; refresh folds fact DML; the
+    NULL group carries the orphans."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.sources import matview as MV
+    from sec_financial_pipeline_spark.sources import snaptable as T
+
+    fact, d1, d2, view = (
+        str(tmp_path / n) for n in ("fact", "d1", "d2", "view")
+    )
+    T.create(
+        spark.createDataFrame(
+            [(k, k % 3) for k in range(4)], "k bigint, sub bigint"
+        ),
+        d1,
+    )
+    T.create(
+        spark.createDataFrame(
+            [(s, f"R{s}") for s in range(2)], "sub2 bigint, region string"
+        ),
+        d2,
+    )
+    T.create(
+        spark.range(0, 30).select(
+            "id", (F.col("id") % 6).alias("fk"), (F.col("id") * 2).alias("v")
+        ),
+        fact,
+    )
+    out = _run(capsys, spark, [
+        "snap", "matview", "create", "--src", fact, "--view", view,
+        "--group-by", "region", "--agg", "sum:v:sv",
+        "--join", f"{d1}|fk|k|sub|left",
+        "--join", f"{d2}|sub|sub2|region|left",
+    ])
+    assert out["op"] == "matview:create"
+    T.append(
+        spark.range(100, 112).select(
+            "id", (F.col("id") % 6).alias("fk"), (F.col("id") * 2).alias("v")
+        ),
+        fact,
+    )
+    _run(capsys, spark, ["snap", "matview", "refresh", "--view", view])
+    got = {r.region: r.sv for r in MV.read_matview(spark, view).collect()}
+    want = {}
+    for i in list(range(30)) + list(range(100, 112)):
+        fk = i % 6
+        sub = fk % 3 if fk < 4 else None
+        g = f"R{sub}" if sub is not None and sub < 2 else None
+        want[g] = want.get(g, 0) + i * 2
+    assert got == {k: float(v) for k, v in want.items()}
+    assert None in got  # orphans really flow through both left hops
