@@ -800,13 +800,20 @@ def test_follow_chain_three_sided_dml_fuzz(spark, seed):
         ), f"seed {seed} after {tag}: chain follow view diverged"
 
     ops = ["append", "cow_delete", "dv_delete", "update",
-           "refresh", "refresh",
+           "refresh", "refresh", "vacuum",
            "d1_append", "d1_update", "d1_delete",
            "d2_append", "d2_update", "d2_delete"]
 
     for _ in range(OPS):
         op = rng.choice(ops)
-        if op == "append":
+        if op == "vacuum":
+            # operational discipline (module docstring): every cursor —
+            # fact AND both dims — must stay at/ahead of the reaped
+            # history, so refresh first, then reap all three tables
+            refresh_and_check("pre-vacuum refresh")
+            for t in (src, d1, d2):
+                T.vacuum(spark, t, keep_last=2, min_age_sec=0.0)
+        elif op == "append":
             new = {
                 i: (i % 11, None if i % 9 == 2 else i % 97)
                 for i in range(next_id, next_id + 5)
