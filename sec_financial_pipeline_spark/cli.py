@@ -293,7 +293,8 @@ def _cmd_bm25(args, spark: SparkSession) -> dict:
             "vocabulary": idf.count(),
             "live_postings": postings.count(),
             "tombstones": n_tomb,
-            "compacted_through_epoch": B.compacted_through(args.store),
+            # per-lineage replay fences ({namespace: max folded epoch})
+            "compaction_fences": B.compaction_fences(args.store),
         }
     raise SystemExit(f"unknown bm25 command: {args.bm25_cmd}")
 

@@ -597,30 +597,64 @@ def update_bm25_docs(
 
 _COMPACT_MARKER = "_compacted_through.json"
 
+#: epoch subdirectory names: ``epoch-<ns>-<id>`` where ``ns`` is a
+#: checkpoint-derived namespace tag (stable across restarts of one
+#: streaming lineage, distinct across lineages — Delta-sink
+#: (queryId, epochId) idempotence re-expressed on dir names; a GLOBAL
+#: epoch namespace let a second lineage's epoch-0 silently OVERWRITE
+#: the first's, r13). Legacy ``epoch-<id>`` dirs read as namespace "".
+_EPOCH_RE = r"^epoch-(?:([0-9a-f]{8})-)?(\d+)$"
 
-def compacted_through(path: str) -> int:
-    """Highest streaming epoch id whose postings are guaranteed durable
-    in the postings tree (folded by a compaction or still sitting in
-    their own epoch dir) — the replay fence the streaming ingest
-    checks. -1 when no compaction has run."""
+
+def epoch_namespace(checkpoint_path: str) -> str:
+    """Namespace tag for one streaming lineage: derived from the
+    checkpoint location, so a restart (same checkpoint) overwrites its
+    own epoch dirs while a different lineage can never collide."""
+    import hashlib
+    import os
+
+    return hashlib.sha1(
+        os.path.abspath(checkpoint_path).encode()
+    ).hexdigest()[:8]
+
+
+def _read_compact_marker(path: str) -> dict:
     import json
     import os
 
     p = os.path.join(path, _COMPACT_MARKER)
     if not os.path.exists(p):
-        return -1
+        return {}
     with open(p) as f:
-        return int(json.load(f)["epoch"])
+        raw = json.load(f)
+    if "epochs" in raw:
+        return {k: int(v) for k, v in raw["epochs"].items()}
+    return {"": int(raw["epoch"])}  # pre-namespace marker format
 
 
-def _write_compact_marker(path: str, epoch: int) -> None:
+def compaction_fences(path: str) -> dict:
+    """Every lineage's replay fence: ``{namespace: max folded epoch}``
+    (legacy un-namespaced epochs under ``""``)."""
+    return dict(_read_compact_marker(path))
+
+
+def compacted_through(path: str, ns: str = "") -> int:
+    """Highest streaming epoch id OF THIS LINEAGE whose postings are
+    guaranteed durable in the postings tree (folded by a compaction or
+    still sitting in their own epoch dir) — the replay fence the
+    streaming ingest checks. -1 when no compaction has folded this
+    lineage."""
+    return _read_compact_marker(path).get(ns, -1)
+
+
+def _write_compact_marker(path: str, epochs: dict) -> None:
     import json
     import os
 
     p = os.path.join(path, _COMPACT_MARKER)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"epoch": epoch}, f)
+        json.dump({"epochs": epochs}, f)
     os.replace(tmp, p)
 
 
@@ -655,15 +689,20 @@ def compact_bm25_store(spark, path: str, n_files: int = 16) -> dict:
     pdir = os.path.join(path, "postings")
     recover_swap(spark, pdir, missing_ok=False)
     recover_swap(spark, os.path.join(path, "tombstones"), missing_ok=True)
-    epochs = [
-        int(m.group(1))
-        for name in os.listdir(pdir)
-        for m in [re.match(r"^epoch-(\d+)$", name)]
-        if m
-    ]
-    if epochs:
-        fence = max(max(epochs), compacted_through(path))
-        _write_compact_marker(path, fence)
+    per_ns: dict = {}
+    for name in os.listdir(pdir):
+        m = re.match(_EPOCH_RE, name)
+        if m:
+            ns = m.group(1) or ""
+            per_ns[ns] = max(per_ns.get(ns, -1), int(m.group(2)))
+    n_epochs = sum(
+        1 for name in os.listdir(pdir) if re.match(_EPOCH_RE, name)
+    )
+    if per_ns:
+        fences = _read_compact_marker(path)
+        for ns, mx in per_ns.items():
+            fences[ns] = max(fences.get(ns, -1), mx)
+        _write_compact_marker(path, fences)
     raw_n = _read_postings(spark, path).count()
     live = _live_postings(spark, path)
     swap_rewrite(live.repartition(n_files, "doc_id"), pdir)
@@ -675,7 +714,7 @@ def compact_bm25_store(spark, path: str, n_files: int = 16) -> dict:
         shutil.rmtree(tomb_dir)
     live_n = _read_postings(spark, path).count()
     return {
-        "epochs_folded": len(epochs),
+        "epochs_folded": n_epochs,
         "rows_purged": raw_n - live_n,
         "rows_live": live_n,
     }

@@ -152,6 +152,55 @@ def run_streaming_near_dedup(
 # ---------------------------------------------------------------------------
 
 
+def ingest_bm25_epoch(
+    batch_df: DataFrame,
+    store_path: str,
+    ns: str,
+    epoch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """ONE streaming micro-batch's ingest transaction (the body of
+    :func:`run_streaming_bm25_ingest`'s foreachBatch, callable directly
+    for tests and manual replay). Returns False when the epoch was
+    SKIPPED by the replay fence: an epoch of this lineage at or below
+    the compaction marker was folded into the flat postings files —
+    re-overwriting its (now-deleted) epoch dir would DOUBLE-count those
+    docs. The marker is written before the compaction swap, so in every
+    crash state "epoch <= fence is already durable" holds (see
+    operators/bm25.compact_bm25_store)."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        _stats_max_gen,
+        bm25_batch_tables,
+        compacted_through,
+        rebuild_bm25_derived,
+    )
+
+    spark = batch_df.sparkSession
+    if epoch_id <= compacted_through(store_path, ns):
+        return False
+    postings_b, _, _ = bm25_batch_tables(batch_df, id_col, text_col)
+    # generation stamp, like the batch ingest: new text must carry a
+    # gen above any tombstone cutoff issued so far (deletes do not run
+    # concurrently with the stream — single writer)
+    gen = (
+        _stats_max_gen(spark, store_path) + 1
+        if os.path.exists(os.path.join(store_path, "stats"))
+        else 1
+    )
+    # doc-clustered like the batch paths (bm25_batch_tables already
+    # normalizes the id column to doc_id)
+    postings_b.withColumn("gen", F.lit(gen).cast("bigint")).repartition(
+        "doc_id"
+    ).write.mode("overwrite").parquet(
+        os.path.join(store_path, "postings", f"epoch-{ns}-{epoch_id}")
+    )
+    rebuild_bm25_derived(spark, store_path)
+    return True
+
+
 def run_streaming_bm25_ingest(
     doc_stream: DataFrame,
     store_path: str,
@@ -163,42 +212,22 @@ def run_streaming_bm25_ingest(
     (availableNow). The store may start absent (bootstrap) or be an
     existing batch-built store (its flat postings files and the
     streaming epoch dirs read as one union)."""
-    from pyspark.sql import functions as F
+    from sec_financial_pipeline_spark.operators.bm25 import epoch_namespace
 
-    from sec_financial_pipeline_spark.operators.bm25 import (
-        _stats_max_gen,
-        bm25_batch_tables,
-        compacted_through,
-        rebuild_bm25_derived,
-    )
+    # epoch dirs are NAMESPACED by the streaming lineage (a stable tag
+    # of the checkpoint location): a restart of this query overwrites
+    # its own epoch dirs (exactly-once), while a DIFFERENT lineage
+    # ingesting new documents into the same store can never collide —
+    # a global epoch namespace let a second lineage's epoch-0 silently
+    # OVERWRITE the first's postings (r13). The Delta-sink
+    # (queryId, epochId) idempotence key, re-expressed on dir names.
+    ns = epoch_namespace(checkpoint_path)
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # replay fence: an epoch at or below the compaction marker was
-        # folded into the flat postings files — re-overwriting its
-        # (now-deleted) epoch dir would DOUBLE-count those docs. The
-        # marker is written before the compaction swap, so in every
-        # crash state "epoch <= fence is already durable" holds (see
-        # operators/bm25.compact_bm25_store).
-        if epoch_id <= compacted_through(store_path):
-            return
-        postings_b, _, _ = bm25_batch_tables(batch_df, id_col, text_col)
-        # generation stamp, like the batch ingest: new text must carry
-        # a gen above any tombstone cutoff issued so far (deletes do
-        # not run concurrently with the stream — single writer)
-        gen = (
-            _stats_max_gen(spark, store_path) + 1
-            if os.path.exists(os.path.join(store_path, "stats"))
-            else 1
+        ingest_bm25_epoch(
+            batch_df, store_path, ns, epoch_id,
+            id_col=id_col, text_col=text_col,
         )
-        # doc-clustered like the batch paths (bm25_batch_tables already
-        # normalizes the id column to doc_id)
-        postings_b.withColumn("gen", F.lit(gen).cast("bigint")).repartition(
-            "doc_id"
-        ).write.mode("overwrite").parquet(
-            os.path.join(store_path, "postings", f"epoch-{epoch_id}")
-        )
-        rebuild_bm25_derived(spark, store_path)
 
     q = (
         doc_stream.writeStream.foreachBatch(_ingest)

@@ -550,18 +550,136 @@ def test_compact_folds_epochs_purges_tombstones(spark, sf_dir, tmp_path):
         .collect()[0]["m"]
     )
     assert spread == 1
-    # replay fence: reprocessing the same source under a FRESH
-    # checkpoint re-delivers epoch ids <= fence — every one must be
-    # skipped (their docs already live in the compacted files), so the
-    # store stays bit-identical instead of double-counting
-    assert compacted_through(store) >= 0
-    stream2 = (
-        spark.readStream.schema("doc_id LONG, text STRING")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    # replay fence, true crash window: the stream committed its last
+    # epoch to the STORE but the checkpoint commit was lost, then a
+    # compaction folded everything. The restarted query RE-DELIVERS
+    # that epoch into the same foreachBatch body — the per-lineage
+    # fence must skip it (its docs already live in the compacted
+    # files; re-creating the epoch dir would double-count them).
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        epoch_namespace,
     )
-    run_streaming_bm25_ingest(stream2, store, str(tmp_path / "ckpt2"))
+    from sec_financial_pipeline_spark.streaming.ingest import (
+        ingest_bm25_epoch,
+    )
+
+    ns = epoch_namespace(str(tmp_path / "ckpt"))
+    fence = compacted_through(store, ns)
+    assert fence >= 0
+    redelivered = spark.read.parquet(src).limit(20)
+    assert ingest_bm25_epoch(redelivered, store, ns, fence) is False
+    assert not any(
+        n.startswith("epoch-")
+        for n in os.listdir(os.path.join(store, "postings"))
+    ), "re-delivered folded epoch recreated its dir (fence missed)"
     assert _serve(spark, store, d) == before
+    # a NEW epoch of the same lineage (above the fence) still ingests
+    assert ingest_bm25_epoch(
+        d.filter("doc_id % 1000 = 999").select("doc_id", "text"),
+        store, ns, fence + 1,
+    ) is True
+
+
+def test_legacy_pre_generation_store_supports_delete_update(
+    spark, sf_dir, tmp_path
+):
+    """Backward compat: an r12-format store (postings without `gen`,
+    stats without `max_gen`) must accept delete/update — the readers
+    synthesize gen=0 and the first maintenance op computes the current
+    generation from the postings, after which stats carry it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_batch_tables,
+        delete_from_bm25_store,
+        idf_from_df,
+        update_bm25_docs,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "bm25")
+    # hand-build the r12 layout: no gen column anywhere
+    postings, df_t, stats = bm25_batch_tables(d, "doc_id", "text")
+    postings.repartition(4, "doc_id").write.parquet(
+        os.path.join(store, "postings")
+    )
+    df_t.write.parquet(os.path.join(store, "df"))
+    stats.write.parquet(os.path.join(store, "stats"))
+    idf_from_df(df_t, stats).write.parquet(os.path.join(store, "idf"))
+
+    n = delete_from_bm25_store(
+        spark, store, d.filter("doc_id % 5 = 2").select("doc_id")
+    )
+    assert n > 0
+    new_text = F.concat(F.lit("v2 "), F.col("text"))
+    upd = d.filter("doc_id % 7 = 3 AND doc_id % 5 != 2").withColumn(
+        "text", new_text
+    )
+    update_bm25_docs(upd, "doc_id", "text", store)
+    corpus = d.filter("doc_id % 5 != 2").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 3, new_text).otherwise(F.col("text")),
+    )
+    assert _serve(spark, store, corpus) == _scratch(spark, corpus, corpus)
+
+
+def test_streaming_delete_compact_update_interleaving(
+    spark, sf_dir, tmp_path
+):
+    """Whole-lifecycle interleaving: stream part of the corpus in,
+    DELETE (quiesced), stream more in, COMPACT (purges the tombstones
+    AND may lower the observable max generation — safe, because
+    compaction also cleared every tombstone), then UPDATE — the final
+    served index equals from-scratch over the equivalent corpus."""
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        compact_bm25_store,
+        delete_from_bm25_store,
+        update_bm25_docs,
+    )
+    from sec_financial_pipeline_spark.streaming.ingest import (
+        run_streaming_bm25_ingest,
+    )
+
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "bm25")
+
+    def stream_in(pred, tag):
+        src = str(tmp_path / f"src_{tag}")
+        d.filter(pred).repartition(2).write.parquet(src)
+        run_streaming_bm25_ingest(
+            (
+                spark.readStream.schema("doc_id LONG, text STRING")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            ),
+            store,
+            str(tmp_path / f"ckpt_{tag}"),
+        )
+
+    stream_in("doc_id % 2 = 0", "a")
+    delete_from_bm25_store(
+        spark, store, d.filter("doc_id % 6 = 0").select("doc_id")
+    )
+    stream_in("doc_id % 2 = 1", "b")
+    compact_bm25_store(spark, store)
+    new_text = F.concat(F.lit("v3 "), F.col("text"))
+    upd = d.filter("doc_id % 9 = 4 AND doc_id % 6 != 0").withColumn(
+        "text", new_text
+    )
+    update_bm25_docs(upd, "doc_id", "text", store)
+
+    corpus = d.filter("doc_id % 6 != 0").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 9 == 4, new_text).otherwise(F.col("text")),
+    )
+    assert _serve(spark, store, corpus) == _scratch(spark, corpus, corpus)
 
 
 def test_store_postings_are_doc_clustered(spark, sf_dir, tmp_path):
