@@ -460,7 +460,11 @@ def rebuild_bm25_derived(spark, path: str) -> None:
         .distinct()
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("len_d").cast("bigint").alias("total_len"),
+            # coalesce: an all-deleted store sums over nothing — 0,
+            # not NULL (the next ingest adds to it)
+            F.coalesce(F.sum("len_d"), F.lit(0))
+            .cast("bigint")
+            .alias("total_len"),
         )
         # 1-row x 1-row: a bounded crossJoin, not a candidate generator
         .crossJoin(mg)

@@ -580,6 +580,45 @@ def test_compact_folds_epochs_purges_tombstones(spark, sf_dir, tmp_path):
     ) is True
 
 
+def test_delete_everything_then_reingest(spark, tmp_path):
+    """Degenerate lifecycle: delete EVERY document (stats reach zero —
+    total_len must be 0, not NULL), rebuild derived, then re-ingest a
+    fresh corpus — the store serves it exactly like a fresh build."""
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_score,
+        delete_from_bm25_store,
+        ingest_bm25_store,
+        load_bm25_store,
+        rebuild_bm25_derived,
+        save_bm25_store,
+    )
+
+    store = str(tmp_path / "bm25")
+    first = spark.createDataFrame(_DOCS, "doc_id bigint, text string")
+    save_bm25_store(first, "doc_id", "text", store)
+    n = delete_from_bm25_store(spark, store, [i for i, _ in _DOCS])
+    assert n == len(_DOCS)
+    rebuild_bm25_derived(spark, store)
+    second = spark.createDataFrame(
+        [(i + 100, t) for i, t in _DOCS], "doc_id bigint, text string"
+    )
+    ingest_bm25_store(second, "doc_id", "text", store)
+    postings, idf, stats = load_bm25_store(spark, store)
+    qterms = (
+        second.filter("doc_id < 103")
+        .selectExpr("doc_id AS query_id", "explode(split(text, ' ')) AS term")
+        .distinct()
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.bm25_milli, r.bm25_rank)
+        for r in bm25_score(postings, idf, stats, qterms, 4).collect()
+    )
+    want = [
+        (q + 100, d + 100, s, r) for (q, d, s, r) in _py_bm25(_DOCS, 3, 4)
+    ]
+    assert got == sorted(want)
+
+
 def test_legacy_pre_generation_store_supports_delete_update(
     spark, sf_dir, tmp_path
 ):
