@@ -282,7 +282,7 @@ def _cmd_bm25(args, spark: SparkSession) -> dict:
         tomb_dir = os.path.join(args.store, "tombstones")
         n_tomb = (
             spark.read.parquet(tomb_dir).count()
-            if os.path.exists(tomb_dir)
+            if B._fs_exists(spark, tomb_dir)
             else 0
         )
         return {
@@ -294,7 +294,7 @@ def _cmd_bm25(args, spark: SparkSession) -> dict:
             "live_postings": postings.count(),
             "tombstones": n_tomb,
             # per-lineage replay fences ({namespace: max folded epoch})
-            "compaction_fences": B.compaction_fences(args.store),
+            "compaction_fences": B.compaction_fences(spark, args.store),
         }
     raise SystemExit(f"unknown bm25 command: {args.bm25_cmd}")
 

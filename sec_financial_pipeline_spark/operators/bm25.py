@@ -329,7 +329,7 @@ def _live_postings(spark, path: str) -> DataFrame:
 
     raw = _read_postings(spark, path)
     tomb_dir = os.path.join(path, "tombstones")
-    if not os.path.exists(tomb_dir):
+    if not _fs_exists(spark, tomb_dir):
         return raw
     tomb = spark.read.parquet(tomb_dir).select(
         F.col("doc_id").alias("__tomb_doc"), "upto_gen"
@@ -428,14 +428,17 @@ def ingest_bm25_store(
     )
 
 
-def rebuild_bm25_derived(spark, path: str) -> None:
+def rebuild_bm25_derived(spark, path: str, max_gen: int | None = None) -> None:
     """Crash convergence: recompute df/stats/idf from the postings
     store itself (one postings pass over the LIVE rows — tombstoned
     docs stay excluded) — the recovery documented in the maintenance
     contract above. ``max_gen`` is taken over the RAW postings
     (masked rows included): a tombstone masking the highest generation
     must never let a later ingest REUSE that generation, or the
-    tombstone would swallow the new text too."""
+    tombstone would swallow the new text too. Callers that already
+    KNOW the store's top generation (the streaming ingest just stamped
+    it) pass ``max_gen`` to skip that second raw scan — it runs once
+    per micro-batch on the hot path."""
     import os
 
     from sec_financial_pipeline_spark.sources.sink import swap_rewrite
@@ -443,7 +446,7 @@ def rebuild_bm25_derived(spark, path: str) -> None:
     def _write_or_swap(frame, target):
         # bootstrap (streaming ingest on an absent store): nothing to
         # swap aside yet — a plain first write IS the atomic publish
-        if os.path.exists(target):
+        if _fs_exists(spark, target):
             swap_rewrite(frame, target)
         else:
             frame.write.parquet(target)
@@ -452,9 +455,14 @@ def rebuild_bm25_derived(spark, path: str) -> None:
     df_t = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     ).localCheckpoint(eager=True)
-    mg = _read_postings(spark, path).agg(
-        F.coalesce(F.max("gen"), F.lit(0)).cast("bigint").alias("max_gen")
-    )
+    if max_gen is not None:
+        mg = spark.createDataFrame([(int(max_gen),)], "max_gen bigint")
+    else:
+        mg = _read_postings(spark, path).agg(
+            F.coalesce(F.max("gen"), F.lit(0))
+            .cast("bigint")
+            .alias("max_gen")
+        )
     stats = (
         postings.select("doc_id", "len_d")
         .distinct()
@@ -536,16 +544,41 @@ def delete_from_bm25_store(spark, path: str, ids) -> int:
     n_removed = doclens.count()
     if n_removed == 0:
         return 0
-    max_gen = _stats_max_gen(spark, path)
-    # tombstones FIRST (see crash contract): mask everything the
-    # removed docs have written up to the store's current generation
-    doclens.select(
-        "doc_id", F.lit(max_gen).cast("bigint").alias("upto_gen")
-    ).coalesce(1).write.mode("append").parquet(
+    # Generations and the crashed-ingest window. A COMPLETED
+    # ingest/delete always advances stats.max_gen to cover every
+    # appended generation, so live rows with gen > stats.max_gen can
+    # only come from an ingest that crashed after its postings append
+    # and before its derived-table swaps — they are live but UNCOUNTED
+    # in df/stats. This delete therefore:
+    #  - TOMBSTONES everything it observed live, per-doc cutoff = the
+    #    max observed gen (a stats-derived cutoff would leave the
+    #    crashed-append rows live and a re-run of the update would
+    #    duplicate them);
+    #  - DECREMENTS df/stats only from the COUNTED rows (gen <=
+    #    stats.max_gen) — decrementing never-counted rows would leave
+    #    the derived tables short after the re-ingest adds them back;
+    #  - advances the stats generation past every observed gen, so the
+    #    next ingest stamps strictly above every tombstone cutoff.
+    # Together these make a crashed update converge by re-running it
+    # (pinned in tests/test_bm25.py).
+    stats_gen = _stats_max_gen(spark, path)
+    max_seen = int(
+        removed.agg(F.max("gen").alias("mg")).collect()[0]["mg"]
+    )
+    max_gen = max(stats_gen, max_seen)
+    cut = removed.groupBy("doc_id").agg(
+        F.max("gen").cast("bigint").alias("upto_gen")
+    )
+    # tombstones FIRST (see crash contract)
+    cut.coalesce(1).write.mode("append").parquet(
         os.path.join(path, "tombstones")
     )
-    # df decrement: each removed (doc, term, gen) row is one df count
-    dec = removed.groupBy("term").agg(
+    counted = removed.filter(F.col("gen") <= stats_gen).localCheckpoint(
+        eager=True
+    )
+    # df decrement: each COUNTED removed (doc, term, gen) row is one
+    # df count (uncounted crashed-append rows were never in df)
+    dec = counted.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("dec")
     )
     df_old = spark.read.parquet(os.path.join(path, "df"))
@@ -559,8 +592,9 @@ def delete_from_bm25_store(spark, path: str, ids) -> int:
         )
         .filter(F.col("df") > 0)
     ).localCheckpoint(eager=True)
-    rm = doclens.agg(
-        F.count(F.lit(1)).alias("nd"), F.sum("len_d").alias("tl")
+    rm = counted.select("doc_id", "len_d").distinct().agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.coalesce(F.sum("len_d"), F.lit(0)).alias("tl"),
     ).collect()[0]
     old = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
     new_stats = spark.createDataFrame(
@@ -586,10 +620,20 @@ def update_bm25_docs(
     ids not currently live — upsert semantics) and ingest the new text
     under a fresh generation. After this returns, scoring against the
     store is bit-identical to a from-scratch index where these doc ids
-    carry the NEW text (pinned in tests/test_bm25.py). Single-writer
-    discipline; a crash between the two halves converges by re-running
-    the update (the delete half finds nothing live and decrements
-    nothing twice)."""
+    carry the NEW text (pinned in tests/test_bm25.py).
+
+    Crash convergence (single writer): re-running the update converges
+    from ANY interruption point. The subtle window is a crash inside
+    the ingest half AFTER the postings append (docs live at gen G+1)
+    but BEFORE the derived swaps (stats generation still G): the
+    re-run's delete TOMBSTONES those rows (cutoffs are the per-doc max
+    OBSERVED live generation, G+1), but decrements df/stats only from
+    COUNTED rows (gen <= G) — the crashed-append rows were never in
+    the derived tables, so skipping them leaves df/stats exactly
+    right, and the re-ingest then counts the fresh copy once. The
+    stats generation advances past every observed gen, so the
+    re-ingest stamps G+2 — strictly above every cutoff. Pinned by the
+    crashed-update re-run test."""
     spark = docs.sparkSession
     delete_from_bm25_store(
         spark, path, docs.select(F.col(id_col).alias("doc_id")).distinct()
@@ -598,6 +642,61 @@ def update_bm25_docs(
 
 
 # -- compaction -------------------------------------------------------------
+
+# -- small-file / directory IO through the Hadoop FS API --------------------
+# (driver-local os.path/shutil silently handle only file:// — on an
+# hdfs:// or s3a:// store an os.path.exists is always-False and a
+# tombstone table would be silently IGNORED; same trap
+# streaming/ingest.store_exists documents.)
+
+
+def _fs_exists(spark, p: str) -> bool:
+    from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
+
+    fs, Path = _hadoop_fs(spark, p)
+    return fs.exists(Path(p))
+
+
+def _fs_listnames(spark, d: str) -> list:
+    from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
+
+    fs, Path = _hadoop_fs(spark, d)
+    if not fs.exists(Path(d)):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(Path(d))]
+
+
+def _fs_delete(spark, p: str) -> None:
+    from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
+
+    fs, Path = _hadoop_fs(spark, p)
+    if fs.exists(Path(p)):
+        fs.delete(Path(p), True)
+
+
+def _fs_read_text(spark, p: str) -> str | None:
+    from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
+
+    fs, Path = _hadoop_fs(spark, p)
+    if not fs.exists(Path(p)):
+        return None
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(Path(p))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # IOUtils copy, not InputStream.read(buf): py4j passes the buffer
+    # BY VALUE, so the filled bytes never reach Python
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return bytes(baos.toByteArray()).decode("utf-8")
+
+
+def _fs_write_text(spark, p: str, text: str) -> None:
+    from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
+
+    fs, Path = _hadoop_fs(spark, p)
+    out = fs.create(Path(p), True)  # overwrite: single-writer marker
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+
 
 _COMPACT_MARKER = "_compacted_through.json"
 
@@ -622,44 +721,40 @@ def epoch_namespace(checkpoint_path: str) -> str:
     ).hexdigest()[:8]
 
 
-def _read_compact_marker(path: str) -> dict:
+def _read_compact_marker(spark, path: str) -> dict:
     import json
     import os
 
-    p = os.path.join(path, _COMPACT_MARKER)
-    if not os.path.exists(p):
+    raw = _fs_read_text(spark, os.path.join(path, _COMPACT_MARKER))
+    if raw is None:
         return {}
-    with open(p) as f:
-        raw = json.load(f)
-    if "epochs" in raw:
-        return {k: int(v) for k, v in raw["epochs"].items()}
-    return {"": int(raw["epoch"])}  # pre-namespace marker format
+    return {k: int(v) for k, v in json.loads(raw)["epochs"].items()}
 
 
-def compaction_fences(path: str) -> dict:
+def compaction_fences(spark, path: str) -> dict:
     """Every lineage's replay fence: ``{namespace: max folded epoch}``
     (legacy un-namespaced epochs under ``""``)."""
-    return dict(_read_compact_marker(path))
+    return dict(_read_compact_marker(spark, path))
 
 
-def compacted_through(path: str, ns: str = "") -> int:
+def compacted_through(spark, path: str, ns: str = "") -> int:
     """Highest streaming epoch id OF THIS LINEAGE whose postings are
     guaranteed durable in the postings tree (folded by a compaction or
     still sitting in their own epoch dir) — the replay fence the
     streaming ingest checks. -1 when no compaction has folded this
     lineage."""
-    return _read_compact_marker(path).get(ns, -1)
+    return _read_compact_marker(spark, path).get(ns, -1)
 
 
-def _write_compact_marker(path: str, epochs: dict) -> None:
+def _write_compact_marker(spark, path: str, epochs: dict) -> None:
     import json
     import os
 
-    p = os.path.join(path, _COMPACT_MARKER)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"epochs": epochs}, f)
-    os.replace(tmp, p)
+    _fs_write_text(
+        spark,
+        os.path.join(path, _COMPACT_MARKER),
+        json.dumps({"epochs": epochs}),
+    )
 
 
 def compact_bm25_store(spark, path: str, n_files: int = 16) -> dict:
@@ -668,8 +763,13 @@ def compact_bm25_store(spark, path: str, n_files: int = 16) -> dict:
     layout, physically dropping tombstone-masked rows and clearing the
     tombstone table (VERDICT r12 item 2: continuous ingest accretes
     thousands of tiny epoch dirs, the classic small-file killer; and
-    tombstone debt grows until someone pays it). Derived tables are
-    untouched — they already describe exactly the live rows. Returns
+    tombstone debt grows until someone pays it). Ends by REBUILDING
+    the derived tables from the compacted postings: normally a
+    no-op-shaped refresh, but it is what makes the replay fence safe
+    when an epoch's rows were folded BEFORE their rebuild ever ran
+    (stream crashed between the postings write and
+    rebuild_bm25_derived) — the fence will skip that epoch's replay,
+    so derived correctness must not depend on it. Returns
     ``{"epochs_folded", "rows_purged", "rows_live"}``.
 
     Crash discipline (single writer; the stream must be QUIESCED —
@@ -683,7 +783,6 @@ def compact_bm25_store(spark, path: str, n_files: int = 16) -> dict:
     epoch dir would double-count them)."""
     import os
     import re
-    import shutil
 
     from sec_financial_pipeline_spark.sources.sink import (
         recover_swap,
@@ -694,28 +793,30 @@ def compact_bm25_store(spark, path: str, n_files: int = 16) -> dict:
     recover_swap(spark, pdir, missing_ok=False)
     recover_swap(spark, os.path.join(path, "tombstones"), missing_ok=True)
     per_ns: dict = {}
-    for name in os.listdir(pdir):
+    n_epochs = 0
+    for name in _fs_listnames(spark, pdir):
         m = re.match(_EPOCH_RE, name)
         if m:
             ns = m.group(1) or ""
             per_ns[ns] = max(per_ns.get(ns, -1), int(m.group(2)))
-    n_epochs = sum(
-        1 for name in os.listdir(pdir) if re.match(_EPOCH_RE, name)
-    )
+            n_epochs += 1
     if per_ns:
-        fences = _read_compact_marker(path)
+        fences = _read_compact_marker(spark, path)
         for ns, mx in per_ns.items():
             fences[ns] = max(fences.get(ns, -1), mx)
-        _write_compact_marker(path, fences)
+        _write_compact_marker(spark, path, fences)
     raw_n = _read_postings(spark, path).count()
     live = _live_postings(spark, path)
     swap_rewrite(live.repartition(n_files, "doc_id"), pdir)
-    # tombstones cleared LAST: a crash between the two swaps leaves
-    # tombstones masking doc ids whose rows are already gone — a
-    # harmless no-op anti-join, re-cleared on the next compact
-    tomb_dir = os.path.join(path, "tombstones")
-    if os.path.exists(tomb_dir):
-        shutil.rmtree(tomb_dir)
+    # tombstones cleared after the postings swap: a crash between the
+    # two steps leaves tombstones masking doc ids whose rows are
+    # already gone — a harmless no-op anti-join, re-cleared on the
+    # next compact
+    _fs_delete(spark, os.path.join(path, "tombstones"))
+    # derived rebuild LAST (see docstring): converges df/idf/stats over
+    # whatever the compacted tree holds, including epochs whose own
+    # rebuild a crash skipped
+    rebuild_bm25_derived(spark, path)
     live_n = _read_postings(spark, path).count()
     return {
         "epochs_folded": n_epochs,

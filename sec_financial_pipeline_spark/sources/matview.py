@@ -956,17 +956,26 @@ def stream_refresh_matview(
     )
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
-        try:
-            refresh_matview(spark, dst_path)
-        except T.SnapshotConflict:
-            # two-daemon mode (fact-signal + dim-signal): when both
-            # fold the same range at once, the losing merge_into
-            # raises — but the raced range is by construction already
-            # applied (or re-foldable from the new cursor), so ONE
-            # retry re-reading last_txn converges; re-raising instead
-            # would kill this streaming query on its first genuine
-            # race (ADVICE r12)
-            refresh_matview(spark, dst_path)
+        # two-daemon mode (fact-signal + dim-signal): when both fold
+        # the same range at once, the losing merge_into raises
+        # SnapshotConflict — but the raced range is by construction
+        # already applied (or re-foldable from the re-read cursor), so
+        # a bounded retry converges; re-raising would kill this
+        # streaming query on a genuine race (ADVICE r12). The loop is
+        # bounded (not single-shot): on a busy view BOTH daemons can
+        # lose their first retry to each other's next fold — three
+        # consecutive losses means something other than the peer
+        # daemon holds the table, which should surface.
+        import time as _time
+
+        for attempt in range(3):
+            try:
+                refresh_matview(spark, dst_path)
+                return
+            except T.SnapshotConflict:
+                if attempt == 2:
+                    raise
+                _time.sleep(0.2 * (attempt + 1))
 
     w = stream.writeStream.foreachBatch(_fold).option(
         "checkpointLocation", checkpoint

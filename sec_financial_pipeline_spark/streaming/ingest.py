@@ -172,23 +172,41 @@ def ingest_bm25_epoch(
     from pyspark.sql import functions as F
 
     from sec_financial_pipeline_spark.operators.bm25 import (
+        _fs_delete,
+        _fs_exists,
         _stats_max_gen,
         bm25_batch_tables,
         compacted_through,
         rebuild_bm25_derived,
     )
+    from sec_financial_pipeline_spark.sources.sink import recover_swap
 
     spark = batch_df.sparkSession
-    if epoch_id <= compacted_through(store_path, ns):
+    if epoch_id <= compacted_through(spark, store_path, ns):
         return False
+    # heal any half-done swap a crashed maintenance op left, like the
+    # batch ingest does — without this, a stats dir sitting mid-swap
+    # (path absent, contents at __old) would read as "bootstrap" and
+    # silently RESET the generation to 1, below existing tombstone
+    # cutoffs: a re-added previously-deleted doc would be permanently
+    # masked. missing_ok=True throughout: a genuinely absent store is
+    # the normal streaming bootstrap (and then no tombstones exist, so
+    # gen=1 is safe).
+    for sub in ("postings", "tombstones", "df", "stats", "idf"):
+        recover_swap(spark, os.path.join(store_path, sub), missing_ok=True)
     postings_b, _, _ = bm25_batch_tables(batch_df, id_col, text_col)
-    # generation stamp, like the batch ingest: new text must carry a
-    # gen above any tombstone cutoff issued so far (deletes do not run
-    # concurrently with the stream — single writer)
     gen = (
         _stats_max_gen(spark, store_path) + 1
-        if os.path.exists(os.path.join(store_path, "stats"))
+        if _fs_exists(spark, os.path.join(store_path, "stats"))
         else 1
+    )
+    # migration: a store written by the pre-namespace code may hold
+    # this epoch's output under the legacy global name — a replayed
+    # epoch must REPLACE it, not coexist with it (pre-upgrade stores
+    # have exactly one lineage by construction, so the legacy dir for
+    # this epoch id can only be this lineage's earlier delivery)
+    _fs_delete(
+        spark, os.path.join(store_path, "postings", f"epoch-{epoch_id}")
     )
     # doc-clustered like the batch paths (bm25_batch_tables already
     # normalizes the id column to doc_id)
@@ -197,7 +215,10 @@ def ingest_bm25_epoch(
     ).write.mode("overwrite").parquet(
         os.path.join(store_path, "postings", f"epoch-{ns}-{epoch_id}")
     )
-    rebuild_bm25_derived(spark, store_path)
+    # the batch's gen IS the store's new top generation (stats max_gen
+    # is maintained monotone by every completed maintenance op) — pass
+    # it through so the rebuild skips a per-micro-batch raw scan
+    rebuild_bm25_derived(spark, store_path, max_gen=gen)
     return True
 
 

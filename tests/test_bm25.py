@@ -564,7 +564,7 @@ def test_compact_folds_epochs_purges_tombstones(spark, sf_dir, tmp_path):
     )
 
     ns = epoch_namespace(str(tmp_path / "ckpt"))
-    fence = compacted_through(store, ns)
+    fence = compacted_through(spark, store, ns)
     assert fence >= 0
     redelivered = spark.read.parquet(src).limit(20)
     assert ingest_bm25_epoch(redelivered, store, ns, fence) is False
@@ -578,6 +578,87 @@ def test_compact_folds_epochs_purges_tombstones(spark, sf_dir, tmp_path):
         d.filter("doc_id % 1000 = 999").select("doc_id", "text"),
         store, ns, fence + 1,
     ) is True
+
+
+def test_replayed_epoch_replaces_legacy_global_dir(spark, tmp_path):
+    """Upgrade migration: a store written by the pre-namespace code
+    holds postings/epoch-<id>/; the same epoch replayed post-upgrade
+    writes the NAMESPACED dir and must DELETE the legacy one — both
+    surviving would double-count every doc in that epoch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_batch_tables,
+    )
+    from sec_financial_pipeline_spark.streaming.ingest import (
+        ingest_bm25_epoch,
+    )
+
+    store = str(tmp_path / "bm25")
+    docs = spark.createDataFrame(_DOCS, "doc_id bigint, text string")
+    # pre-upgrade state: epoch 0 landed under the legacy global name
+    # (no gen column — the old format), derived never built (the crash
+    # that triggers the replay)
+    pb, _, _ = bm25_batch_tables(docs, "doc_id", "text")
+    pb.write.parquet(os.path.join(store, "postings", "epoch-0"))
+    # post-upgrade replay of epoch 0 under its lineage namespace
+    assert ingest_bm25_epoch(docs, store, "abcd1234", 0) is True
+    names = sorted(os.listdir(os.path.join(store, "postings")))
+    assert "epoch-0" not in names
+    assert "epoch-abcd1234-0" in names
+    got = sorted(
+        map(tuple, bm25_topk(docs, "doc_id", "text", 3, 4).collect())
+    )
+    served = _serve(spark, store, docs, mod=1, rem=0, k=4)
+    # every doc queries; restrict to the first 3 queries like the topk
+    served3 = [t for t in served if t[0] < 3]
+    assert served3 == got  # one copy of epoch 0, not two
+
+
+def test_crashed_update_rerun_converges(spark, sf_dir, tmp_path):
+    """The subtle crash window in update_bm25_docs: the ingest half
+    appended the new postings (live at gen G+1) but died before the
+    derived-table swaps (stats generation still G). Re-running the
+    SAME update must converge bit-exactly: the re-run's tombstone
+    cutoffs are the per-doc max OBSERVED live gen (masking the crashed
+    append), its decrements skip the never-counted rows, and the
+    re-ingest stamps above every cutoff."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        _stats_max_gen,
+        bm25_batch_tables,
+        delete_from_bm25_store,
+        save_bm25_store,
+        update_bm25_docs,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "bm25")
+    save_bm25_store(d, "doc_id", "text", store)
+    new_text = F.concat(F.lit("crashed edition "), F.col("text"))
+    upd = d.filter("doc_id % 7 = 3").withColumn("text", new_text)
+    # run 1, interrupted: the delete half completes...
+    delete_from_bm25_store(spark, store, upd.select("doc_id"))
+    # ...the ingest half appends postings at G+1 and dies before the
+    # derived swaps (exactly what ingest_bm25_store does first)
+    g = _stats_max_gen(spark, store) + 1
+    pb, _, _ = bm25_batch_tables(upd, "doc_id", "text")
+    pb.withColumn("gen", F.lit(g).cast("bigint")).repartition(
+        "doc_id"
+    ).write.mode("append").parquet(os.path.join(store, "postings"))
+    # operator re-runs the update
+    update_bm25_docs(upd, "doc_id", "text", store)
+    corpus = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 3, new_text).otherwise(F.col("text")),
+    )
+    assert _serve(spark, store, corpus) == _scratch(spark, corpus, corpus)
 
 
 def test_delete_everything_then_reingest(spark, tmp_path):
