@@ -1144,6 +1144,66 @@ def test_join_spec_validation_snowflake(spark, tmp_path):
         )
 
 
+def test_chain_follow_dim_signal_daemon(spark, tmp_path):
+    """A dim-signal daemon on the SECOND dim of a follow chain: a
+    dim2-only commit wakes the refresh, which folds it through the
+    multilinear feed (both other sides quiet)."""
+    from pyspark.sql import functions as F
+
+    import sec_financial_pipeline_spark.sources.snaptable as T
+    from sec_financial_pipeline_spark.sources import matview as MV
+
+    fact, d1, d2, view = (
+        str(tmp_path / n) for n in ("fact", "d1", "d2", "view")
+    )
+    T.create(
+        spark.createDataFrame(
+            [(k, k % 3) for k in range(6)], "k bigint, sub bigint"
+        ),
+        d1,
+    )
+    T.create(
+        spark.createDataFrame(
+            [(s, f"R{s}") for s in range(3)], "sub2 bigint, region string"
+        ),
+        d2,
+    )
+    T.create(
+        spark.range(0, 24).select(
+            "id", (F.col("id") % 6).alias("fk"), (F.col("id") * 2).alias("v")
+        ),
+        fact,
+    )
+    MV.create_matview(
+        spark, fact, view, ["region"], [("sum", "v", "sv")],
+        join=[
+            {"dim": d1, "key": "fk", "dim_key": "k", "dim_cols": ["sub"],
+             "mode": "follow"},
+            {"dim": d2, "key": "sub", "dim_key": "sub2",
+             "dim_cols": ["region"], "mode": "follow"},
+        ],
+    )
+    # dim2-only commit: re-label region 1
+    T.merge_upsert(
+        spark.createDataFrame([(1, "RX")], "sub2 bigint, region string"),
+        d2, key_cols=["sub2"],
+    )
+    q = MV.stream_refresh_matview(
+        spark, view, str(tmp_path / "ckpt_d2"),
+        available_now=True, signal_path=d2,
+    )
+    q.awaitTermination(120)
+    want = {}
+    for i in range(24):
+        sub = (i % 6) % 3
+        g = {0: "R0", 1: "RX", 2: "R2"}[sub]
+        want[g] = want.get(g, 0) + i * 2
+    got = {r.region: r.sv for r in MV.read_matview(spark, view).collect()}
+    assert got == {g: float(v) for g, v in want.items()}
+    lag = MV.matview_lag(spark, view)
+    assert [d["dim_behind_versions"] for d in lag["dims"]] == [0, 0]
+
+
 def test_repin_crash_guard_fails_loudly(spark, tmp_path):
     """ADVICE r12: repin writes the spec sidecar BEFORE the table
     overwrite — a crash (or an interleaved refresh) between the two
