@@ -311,15 +311,15 @@ def create_matview(
     (null-safe merge keys throughout). Both generalizations stay
     row-local per fact row under pinned dims, so the pin-mode
     incremental refresh is exact unchanged. Follow mode (every join in
-    the chain shares the mode) supports: a single join, inner OR left —
-    the left case extends the trilinear inner delta with the OUTER
-    terms, signed ΔF▷D_new null rows plus per-key match-count flips
-    confined to ΔD's keys (a dim insert RETRACTS previously null-padded
-    rows, a dim key-deletion re-emits them; see :func:`_follow_feed`) —
-    or an all-INNER chain, folded through the multilinear identity with
-    one signed term per old/delta choice vector (see
-    :func:`_follow_feed_chain`). Left snowflake chains are the one
-    remaining pin-only shape.
+    the chain shares the mode) supports the FULL shape lattice: a
+    single join, inner or left — the left case extends the trilinear
+    inner delta with the OUTER terms, signed ΔF▷D_new null rows plus
+    per-key match-count flips confined to ΔD's keys (a dim insert
+    RETRACTS previously null-padded rows, a dim key-deletion re-emits
+    them; see :func:`_follow_feed`) — and chains with ANY inner/left
+    mix, folded hop-by-hop (each hop applies the same trilinear +
+    outer algebra to the previous hop's signed delta; see
+    :func:`_follow_feed_chain`).
 
     ``range_files`` range-clusters the view by its group key into that
     many files — the 100 TB layout knob: with group-key-clustered files
@@ -362,14 +362,6 @@ def create_matview(
                 raise MatviewError(
                     "matview: every join in a chain must share one "
                     "mode (all pin or all follow)"
-                )
-            if mode == "follow" and len(raw_joins) > 1 and how != "inner":
-                raise MatviewError(
-                    "matview: a follow-mode CHAIN must be all-inner "
-                    "(the multilinear delta identity is derived for "
-                    "inner joins; left follow is single-dim only) — "
-                    "use mode='pin' + repin_matview_join for left "
-                    "snowflakes"
                 )
             if j["key"] not in avail:
                 raise MatviewError(
@@ -677,85 +669,183 @@ def _follow_feed_chain(
     d_lasts: list[int],
     d_heads: list[int],
 ) -> DataFrame:
-    """The SIGNED joined delta of a follow-mode snowflake CHAIN (all
-    joins inner): the inner join is multilinear in every argument, so
+    """The SIGNED joined delta of a follow-mode snowflake CHAIN with
+    any inner/left mix, by PER-HOP COMPOSITION: the (inner or left)
+    join-with-one-dim is an operator on multisets whose exact delta
+    needs only its input's delta and old state, so folding hops
+    left-to-right —
 
-        F_new⋈D1_new⋈...⋈Dn_new − F_old⋈D1_old⋈...⋈Dn_old
-          = Σ over choice vectors c ∈ {old, Δ}^(n+1), c ≠ all-old, of
-            (F or ΔF) ⋈ (D1 or ΔD1) ⋈ ... ⋈ (Dn or ΔDn)
+        (Δ_0, old_0) = (signed ΔF, F_old)
+        (Δ_i, old_i) = hop_i(Δ_{i-1}, old_{i-1}, D_i old/Δ/new)
+        old_i        = old_{i-1} ⋈/⟕ D_i_old
 
-    with each term's ``__sign`` the PRODUCT of its chosen deltas'
-    signs. Terms whose chosen delta side did not move this window are
-    identically empty and are skipped, so the quiet-dim steady state
-    folds exactly one term (ΔF against every old dim) — the same cost
-    as a pinned refresh. Dims broadcast throughout (the module's
-    standing fact⨝dim contract); the fact at its cursor version is
-    scanned once per term that chooses F_old — at most 2^n − 1 scans,
-    and in the common one-dim-moved window exactly one."""
-    import itertools
-
+    — yields the chain's exact delta at Δ_n. Each INNER hop emits the
+    trilinear terms (Δ⋈D_old, old⋈ΔD, Δ⋈ΔD, signs multiplying); each
+    LEFT hop adds the outer terms (signed Δ▷D_new null-padded, plus
+    old-rows of keys whose match-count flipped between zero and
+    positive, confined to ΔD's keys — the same algebra as the
+    single-dim left view, :func:`_follow_anti_parts`). For an all-inner
+    chain this expands to exactly the 2^(n+1)−1 multilinear choice
+    terms; quiet sides contribute nothing, so the common
+    fact-only-moved window folds one term per hop — pinned-refresh
+    cost. Dims broadcast throughout; terms referencing ``old_{i-1}``
+    re-evaluate the fact joined to the earlier old dims (dim changes
+    are the rare event, and that is the recompute a pinned view would
+    need anyway)."""
     js = _join_list(spec)
-    n = len(js)
 
     def _sgn():
         return F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
         )
 
-    def fact_frame(use_delta: bool) -> DataFrame:
-        if use_delta:
-            ff = T.table_changes(spark, spec["src"], f_last, f_head)
-            return ff.withColumn("__s0", _sgn()).drop(
-                "_change_type", "_commit_version"
-            )
-        return T.read(spark, spec["src"], version=f_last).withColumn(
-            "__s0", F.lit(1)
+    if f_head > f_last:
+        ff = T.table_changes(spark, spec["src"], f_last, f_head)
+        delta = ff.withColumn("__sign", _sgn()).drop(
+            "_change_type", "_commit_version"
         )
+    else:
+        delta = None
+    old = T.read(spark, spec["src"], version=f_last)
 
-    def dim_frame(i: int, use_delta: bool) -> DataFrame:
-        j = js[i]
-        if use_delta:
+    for i, j in enumerate(js):
+        key, how = j["key"], j.get("how", "inner")
+        dim_moved = d_heads[i] > d_lasts[i]
+        dim_old = T.read(spark, j["dim"], version=d_lasts[i]).select(
+            F.col(j["dim_key"]).alias("__mv_dimk"), *j["dim_cols"]
+        )
+        parts = []
+        if delta is not None:
+            # Δ ⋈ D_old (sign carried)
+            parts.append(
+                delta.join(
+                    F.broadcast(dim_old),
+                    delta[key] == F.col("__mv_dimk"),
+                    "inner",
+                ).drop("__mv_dimk")
+            )
+        if dim_moved:
             dd = T.table_changes(spark, j["dim"], d_lasts[i], d_heads[i])
-            return dd.select(
-                F.col(j["dim_key"]).alias(f"__mv_dimk{i}"),
+            dd_sel = dd.select(
+                F.col(j["dim_key"]).alias("__mv_dimk"),
                 *j["dim_cols"],
-                _sgn().alias(f"__s{i + 1}"),
+                _sgn().alias("__dsign"),
             )
-        return T.read(spark, j["dim"], version=d_lasts[i]).select(
-            F.col(j["dim_key"]).alias(f"__mv_dimk{i}"),
-            *j["dim_cols"],
-            F.lit(1).alias(f"__s{i + 1}"),
-        )
+            # old ⋈ ΔD (sign = dim sign)
+            parts.append(
+                old.join(
+                    F.broadcast(dd_sel),
+                    old[key] == F.col("__mv_dimk"),
+                    "inner",
+                )
+                .drop("__mv_dimk")
+                .withColumn("__sign", F.col("__dsign"))
+                .drop("__dsign")
+            )
+            if delta is not None:
+                # Δ ⋈ ΔD (sign product)
+                dprev = delta.withColumnRenamed("__sign", "__psign")
+                parts.append(
+                    dprev.join(
+                        F.broadcast(dd_sel),
+                        dprev[key] == F.col("__mv_dimk"),
+                        "inner",
+                    )
+                    .drop("__mv_dimk")
+                    .withColumn(
+                        "__sign", F.col("__psign") * F.col("__dsign")
+                    )
+                    .drop("__psign", "__dsign")
+                )
+        if how == "left":
+            parts.extend(
+                _left_hop_anti_parts(
+                    spark, j, delta, old, d_lasts[i], d_heads[i]
+                )
+            )
+        new_delta = None
+        for p in parts:
+            new_delta = p if new_delta is None else new_delta.unionByName(p)
+        delta = new_delta
+        # the next hop's OLD state: this hop applied at the dim's
+        # CURSOR version (no sign columns — an unsigned +1 frame)
+        old = old.join(
+            F.broadcast(dim_old),
+            old[key] == F.col("__mv_dimk"),
+            how,
+        ).drop("__mv_dimk")
+    return _filtered(delta, spec)
 
-    moved = [f_head > f_last] + [
-        d_heads[i] > d_lasts[i] for i in range(n)
-    ]
+
+def _left_hop_anti_parts(
+    spark: SparkSession,
+    j: dict,
+    delta,
+    old: DataFrame,
+    d_last: int,
+    d_head: int,
+) -> list[DataFrame]:
+    """Outer terms of ONE left hop over an arbitrary signed input
+    delta / old frame (the chain twin of :func:`_follow_anti_parts`,
+    which reads the fact table directly). NULL input keys never match
+    any dim row, so they fall through the anti-join null-padded — the
+    left-join semantics an earlier left hop's null rows need."""
+    key = j["key"]
+    dim_new = T.read(spark, j["dim"], version=d_head)
+    dtypes = dict(dim_new.dtypes)
+    nulls = [F.lit(None).cast(dtypes[c]).alias(c) for c in j["dim_cols"]]
     parts = []
-    for choice in itertools.product((False, True), repeat=n + 1):
-        if not any(choice):
-            continue
-        if any(c and not m for c, m in zip(choice, moved)):
-            continue  # a chosen delta that didn't move → empty term
-        out = fact_frame(choice[0])
-        for i in range(n):
-            dfi = dim_frame(i, choice[i + 1])
-            out = out.join(
-                F.broadcast(dfi),
-                out[js[i]["key"]] == F.col(f"__mv_dimk{i}"),
-                "inner",
-            ).drop(f"__mv_dimk{i}")
-        sign = F.col("__s0")
-        for i in range(n):
-            sign = sign * F.col(f"__s{i + 1}")
+    if delta is not None:
+        dim_new_keys = dim_new.select(
+            F.col(j["dim_key"]).alias("__mv_dimk")
+        ).distinct()
         parts.append(
-            out.withColumn("__sign", sign).drop(
-                *[f"__s{k}" for k in range(n + 1)]
-            )
+            delta.join(
+                F.broadcast(dim_new_keys),
+                delta[key] == F.col("__mv_dimk"),
+                "left_anti",
+            ).select("*", *nulls)
         )
-    feed = parts[0]
-    for p in parts[1:]:
-        feed = feed.unionByName(p)
-    return _filtered(feed, spec)
+    if d_head > d_last:
+        dd = T.table_changes(spark, j["dim"], d_last, d_head)
+        dkeys = dd.select(F.col(j["dim_key"]).alias("__k")).distinct()
+        dim_old = T.read(spark, j["dim"], version=d_last)
+
+        def _cnt(dim_df, alias):
+            return (
+                dim_df.join(
+                    F.broadcast(dkeys),
+                    dim_df[j["dim_key"]] == F.col("__k"),
+                    "left_semi",
+                )
+                .groupBy(F.col(j["dim_key"]).alias("__k"))
+                .agg(F.count(F.lit(1)).alias(alias))
+            )
+
+        flips = (
+            dkeys.join(_cnt(dim_old, "__co"), "__k", "left")
+            .join(_cnt(dim_new, "__cn"), "__k", "left")
+            .select(
+                "__k",
+                F.coalesce("__co", F.lit(0)).alias("__co"),
+                F.coalesce("__cn", F.lit(0)).alias("__cn"),
+            )
+        ).localCheckpoint(eager=True)
+        for cond, sgn in (
+            ((F.col("__co") > 0) & (F.col("__cn") == 0), 1),
+            ((F.col("__co") == 0) & (F.col("__cn") > 0), -1),
+        ):
+            keys = flips.filter(cond).select("__k")
+            parts.append(
+                old.join(
+                    F.broadcast(keys),
+                    old[key] == F.col("__k"),
+                    "left_semi",
+                ).select(
+                    "*", *nulls, F.lit(sgn).cast("int").alias("__sign")
+                )
+            )
+    return parts
 
 
 def refresh_matview(spark: SparkSession, dst_path: str) -> int:

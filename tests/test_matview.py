@@ -1118,15 +1118,6 @@ def test_join_spec_validation_snowflake(spark, tmp_path):
             spark, fact, view, ["sub"], [("count", None, "n")],
             join=[dict(base, mode="follow"), dict(base)],
         )
-    with pytest.raises(MV.MatviewError, match="all-inner"):
-        MV.create_matview(
-            spark, fact, view, ["sub"], [("count", None, "n")],
-            join=[
-                dict(base, mode="follow"),
-                dict(base, mode="follow", key="sub", dim_key="k",
-                     dim_cols=[], how="left"),
-            ],
-        )
     with pytest.raises(MV.MatviewError, match="inner|left"):
         MV.create_matview(
             spark, fact, view, ["sub"], [("count", None, "n")],

@@ -658,15 +658,25 @@ def test_follow_algebraic_cross_term_exact(spark):
 # ---------------------------------------------------------------------------
 
 
-def _snow_fexpected(rows, sub_of, region_of, aggs="holistic"):
+def _chain_expected(
+    rows, sub_of, region_of, how1="inner", how2="inner", aggs="holistic"
+):
     out = {}
     for i, (fk, v) in rows.items():
-        if i % 7 == 3 or fk not in sub_of:
+        if i % 7 == 3:
             continue
-        sub = sub_of[fk]
-        if sub not in region_of:
+        if fk in sub_of:
+            sub = sub_of[fk]
+        elif how1 == "left":
+            sub = None  # null-padded at hop 1
+        else:
             continue
-        g = region_of[sub]
+        if sub is not None and sub in region_of:
+            g = region_of[sub]
+        elif how2 == "left":
+            g = None  # NULL key or no match: null-padded at hop 2
+        else:
+            continue
         n, sv, nn, mn, nhi = out.get(g, (0, 0, 0, None, 0))
         n += 1
         if v is not None:
@@ -707,22 +717,31 @@ def _mk_snow_tables(spark, root, sub_of, region_of, rows):
     return src, d1, d2
 
 
-_SNOW_JOINS = lambda d1, d2: [  # noqa: E731
-    {"dim": d1, "key": "fk", "dim_key": "k", "dim_cols": ["sub"],
-     "mode": "follow"},
-    {"dim": d2, "key": "sub", "dim_key": "sub2", "dim_cols": ["region"],
-     "mode": "follow"},
-]
+def _snow_fexpected(rows, sub_of, region_of, aggs="holistic"):
+    return _chain_expected(rows, sub_of, region_of, "inner", "inner", aggs)
 
 
+def _SNOW_JOINS(d1, d2, how1="inner", how2="inner"):
+    return [
+        {"dim": d1, "key": "fk", "dim_key": "k", "dim_cols": ["sub"],
+         "mode": "follow", "how": how1},
+        {"dim": d2, "key": "sub", "dim_key": "sub2", "dim_cols": ["region"],
+         "mode": "follow", "how": how2},
+    ]
+
+
+@pytest.mark.parametrize("hows", [("inner", "inner"), ("left", "left")],
+                         ids=["ii", "ll"])
 @pytest.mark.parametrize("aggs", ["algebraic", "holistic"])
-def test_follow_chain_all_terms_window_exact(spark, aggs):
+def test_follow_chain_all_terms_window_exact(spark, aggs, hows):
     """ONE refresh window where ΔF, ΔD1 and ΔD2 are all non-empty, so
     every one of the 7 multilinear terms (including the triple-delta
-    sign product) contributes rows."""
+    sign product) contributes rows — and under left hops, the outer
+    anti/flip terms at BOTH hops too."""
+    how1, how2 = hows
     use = _JAGGS if aggs == "holistic" else _ALG_JAGGS
     state = _jview_state if aggs == "holistic" else _alg_view_state
-    root = tempfile.mkdtemp(prefix=f"mvchain_{aggs}_")
+    root = tempfile.mkdtemp(prefix=f"mvchain_{aggs}_{how1[0]}{how2[0]}_")
     sub_of = {k: k % 4 for k in range(6)}
     region_of = {s: f"R{s}" for s in range(3)}  # sub 3 unmatched at hop 2
     rows = {i: (i % 8, None if i % 11 == 5 else i * 3) for i in range(28)}
@@ -730,10 +749,10 @@ def test_follow_chain_all_terms_window_exact(spark, aggs):
     dst = f"{root}/view"
     MV.create_matview(
         spark, src, dst, ["region"], use, where=_JWHERE,
-        join=_SNOW_JOINS(d1, d2),
+        join=_SNOW_JOINS(d1, d2, how1, how2),
     )
-    assert state(spark, dst) == _snow_fexpected(
-        rows, sub_of, region_of, aggs
+    assert state(spark, dst) == _chain_expected(
+        rows, sub_of, region_of, how1, how2, aggs
     )
     # the window: all three tables move
     T.merge_upsert(
@@ -760,13 +779,13 @@ def test_follow_chain_all_terms_window_exact(spark, aggs):
     T.delete_where(spark, src, "id % 4 = 2")
     rows = {i: x for i, x in rows.items() if i % 4 != 2}
     MV.refresh_matview(spark, dst)
-    assert state(spark, dst) == _snow_fexpected(
-        rows, sub_of, region_of, aggs
+    assert state(spark, dst) == _chain_expected(
+        rows, sub_of, region_of, how1, how2, aggs
     )
     fresh = f"{root}/fresh"
     MV.create_matview(
         spark, src, fresh, ["region"], use, where=_JWHERE,
-        join=_SNOW_JOINS(d1, d2),
+        join=_SNOW_JOINS(d1, d2, how1, how2),
     )
     assert state(spark, dst) == state(spark, fresh)
     lag = MV.matview_lag(spark, dst)
@@ -774,8 +793,15 @@ def test_follow_chain_all_terms_window_exact(spark, aggs):
     assert [d["dim_behind_versions"] for d in lag["dims"]] == [0, 0]
 
 
+@pytest.mark.parametrize(
+    "hows",
+    [("inner", "inner"), ("left", "left"), ("inner", "left"),
+     ("left", "inner")],
+    ids=["ii", "ll", "il", "li"],
+)
 @pytest.mark.parametrize("seed", range(SEEDS))
-def test_follow_chain_three_sided_dml_fuzz(spark, seed):
+def test_follow_chain_three_sided_dml_fuzz(spark, seed, hows):
+    how1, how2 = hows
     rng = random.Random(22300 + seed)
     root = tempfile.mkdtemp(prefix="mvcfuzz_")
     sub_of = {k: k % 5 for k in range(8)}
@@ -787,7 +813,7 @@ def test_follow_chain_three_sided_dml_fuzz(spark, seed):
     dst = f"{root}/view"
     MV.create_matview(
         spark, src, dst, ["region"], _ALG_JAGGS, where=_JWHERE,
-        join=_SNOW_JOINS(d1, d2),
+        join=_SNOW_JOINS(d1, d2, how1, how2),
     )
     next_id = 1000
     next_d1k = [8]
@@ -795,9 +821,9 @@ def test_follow_chain_three_sided_dml_fuzz(spark, seed):
 
     def refresh_and_check(tag):
         MV.refresh_matview(spark, dst)
-        assert _alg_view_state(spark, dst) == _snow_fexpected(
-            rows, sub_of, region_of, "algebraic"
-        ), f"seed {seed} after {tag}: chain follow view diverged"
+        assert _alg_view_state(spark, dst) == _chain_expected(
+            rows, sub_of, region_of, how1, how2, "algebraic"
+        ), f"seed {seed} {hows} after {tag}: chain follow view diverged"
 
     ops = ["append", "cow_delete", "dv_delete", "update",
            "refresh", "refresh", "vacuum",
@@ -893,7 +919,7 @@ def test_follow_chain_three_sided_dml_fuzz(spark, seed):
     fresh = f"{root}/fresh"
     MV.create_matview(
         spark, src, fresh, ["region"], _ALG_JAGGS, where=_JWHERE,
-        join=_SNOW_JOINS(d1, d2),
+        join=_SNOW_JOINS(d1, d2, how1, how2),
     )
     assert _alg_view_state(spark, dst) == _alg_view_state(spark, fresh)
 
