@@ -42,7 +42,10 @@ _FILE_WEIGHTS = {
     "test_matview.py": 190, "test_oracle_parity.py": 130,
     "test_determinism.py": 130, "test_snaptable.py": 110,
     "test_cli.py": 90, "test_snapfuzz.py": 55, "test_snap_datasource.py": 55,
-    "test_components.py": 50, "test_matview_fuzz.py": 95,
+    "test_components.py": 50,
+    # r13: the chain fuzz runs all four inner/left combos and the BM25
+    # file carries the delete/update/compact lifecycle storms
+    "test_matview_fuzz.py": 170, "test_bm25.py": 45,
     "test_property.py": 45, "test_ivfpq.py": 45,
     "test_bpe.py": 40,
     "test_shallow_clone.py": 35, "test_unigram_lm.py": 30,
