@@ -799,7 +799,9 @@ def test_follow_chain_all_terms_window_exact(spark, aggs, hows):
      ("left", "inner")],
     ids=["ii", "ll", "il", "li"],
 )
-@pytest.mark.parametrize("seed", range(SEEDS))
+# 2 seeds per combo by default: the 4-way how matrix already multiplies
+# coverage, and this file anchors the suite's longest shard
+@pytest.mark.parametrize("seed", range(min(SEEDS, 2)))
 def test_follow_chain_three_sided_dml_fuzz(spark, seed, hows):
     how1, how2 = hows
     rng = random.Random(22300 + seed)
