@@ -298,17 +298,25 @@ def _read_postings(spark, path: str) -> DataFrame:
     subdirectories (streaming ingest writes ``postings/epoch-<id>/`` so
     a re-delivered micro-batch overwrites ITSELF instead of
     double-appending). recursiveFileLookup reads the union without
-    partition inference; mergeSchema covers a legacy (pre-generation)
-    store mixed with gen-carrying ingest files — compaction normalizes
-    every file to the gen schema, so the footer-merge cost is a
-    transitional one, not a steady-state one."""
+    partition inference. Schema handling (ADVICE r13): try the PLAIN
+    read first — when its inferred schema already carries ``gen``
+    (every post-compaction store; files lacking the column read it as
+    null) the per-file footer-merge pass is skipped on the hot serve
+    path. Only when ``gen`` is absent from the sampled footer might a
+    legacy (pre-generation) file be hiding gen-carrying ingest files
+    behind it, so ONLY then pay mergeSchema to be sure; if the merged
+    schema still lacks gen the store is uniformly legacy and gen=0 is
+    synthesized."""
     import os
 
-    raw = (
-        spark.read.option("recursiveFileLookup", "true")
-        .option("mergeSchema", "true")
-        .parquet(os.path.join(path, "postings"))
-    )
+    pdir = os.path.join(path, "postings")
+    raw = spark.read.option("recursiveFileLookup", "true").parquet(pdir)
+    if "gen" not in raw.columns:
+        raw = (
+            spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true")
+            .parquet(pdir)
+        )
     if "gen" not in raw.columns:
         return raw.withColumn("gen", F.lit(0).cast("bigint"))
     return raw.withColumn(
@@ -712,23 +720,85 @@ _EPOCH_RE = r"^epoch-(?:([0-9a-f]{8})-)?(\d+)$"
 def epoch_namespace(checkpoint_path: str) -> str:
     """Namespace tag for one streaming lineage: derived from the
     checkpoint location, so a restart (same checkpoint) overwrites its
-    own epoch dirs while a different lineage can never collide."""
+    own epoch dirs while a different lineage can never collide.
+
+    abspath applies ONLY to scheme-less local paths (ADVICE r13): for
+    URI checkpoints (hdfs://, s3a://) abspath would prepend the driver
+    cwd and collapse the ``//`` after the scheme, so the same remote
+    checkpoint hashed to a DIFFERENT namespace whenever the driver
+    restarted from a different working directory — the replayed epoch
+    then wrote a second epoch dir instead of overwriting its own,
+    double-counting its docs. URIs are normalized structurally instead
+    (scheme lowercased, path component posix-normalized, trailing
+    slash dropped) — the same canonical form however the caller
+    spelled it."""
     import hashlib
     import os
+    import posixpath
 
-    return hashlib.sha1(
-        os.path.abspath(checkpoint_path).encode()
-    ).hexdigest()[:8]
+    if "://" in checkpoint_path:
+        scheme, rest = checkpoint_path.split("://", 1)
+        authority, sep, p = rest.partition("/")
+        # lstrip after normpath: POSIX normpath preserves a leading
+        # "//" as special, which would leak the duplicate slash back in
+        p = "/" + posixpath.normpath("/" + p).lstrip("/") if sep else ""
+        key = f"{scheme.lower()}://{authority}{'' if p == '/' else p}"
+    else:
+        key = os.path.abspath(checkpoint_path)
+    return hashlib.sha1(key.encode()).hexdigest()[:8]
 
 
 def _read_compact_marker(spark, path: str) -> dict:
+    """Parse the replay-fence marker, tolerating a crash mid-write
+    (ADVICE r13): the writer stages the FULL new state at the ``.tmp``
+    sibling before overwriting the main file, so a truncated/garbled
+    main falls back to the staged copy (the NEW fence — always safe,
+    because the marker is written before the compaction swap while the
+    epoch dirs it claims still exist). A truncated tmp with a healthy
+    main is the mirror-image crash (died mid-stage) and reads the main
+    (the OLD fence — those epochs merely get re-folded). Both
+    unreadable means storage corruption beyond crash discipline:
+    raise loudly rather than silently resetting every fence to -1 and
+    double-counting replayed epochs."""
     import json
     import os
 
-    raw = _fs_read_text(spark, os.path.join(path, _COMPACT_MARKER))
-    if raw is None:
+    main = os.path.join(path, _COMPACT_MARKER)
+
+    def _try(p):
+        # (parsed_or_None, absent?) — checksum/IO failures read as a
+        # truncated write, exactly the state a mid-create crash leaves
+        try:
+            text = _fs_read_text(spark, p)
+        except Exception:
+            return None, False
+        if text is None:
+            return None, True
+        try:
+            return (
+                {k: int(v) for k, v in json.loads(text)["epochs"].items()},
+                False,
+            )
+        except (ValueError, KeyError, TypeError):
+            return None, False
+
+    parsed, absent = _try(main)
+    if parsed is not None:
+        return parsed
+    t_parsed, t_absent = _try(main + ".tmp")
+    if t_parsed is not None:
+        return t_parsed
+    if absent and t_absent:
+        return {}  # no compaction has ever fenced this store
+    if absent:
+        # main never written => no compaction completed; the garbled
+        # tmp is a crash mid-FIRST-stage — old state was "no fences"
         return {}
-    return {k: int(v) for k, v in json.loads(raw)["epochs"].items()}
+    raise ValueError(
+        f"both {_COMPACT_MARKER} and its .tmp stage are unreadable "
+        f"at {path} — repair the marker before running maintenance "
+        f"(a silent reset would double-count replayed streaming epochs)"
+    )
 
 
 def compaction_fences(spark, path: str) -> dict:
@@ -747,14 +817,20 @@ def compacted_through(spark, path: str, ns: str = "") -> int:
 
 
 def _write_compact_marker(spark, path: str, epochs: dict) -> None:
+    """Two-step marker write so no crash point leaves the store
+    unreadable (ADVICE r13): (1) stage the complete new state at the
+    ``.tmp`` sibling, (2) overwrite the main file. A crash during (1)
+    leaves the old main intact; during (2), the reader falls back to
+    the fully-staged tmp. Plain fs.create both times — no reliance on
+    rename-onto-existing semantics, which differ across HDFS/local/
+    object stores."""
     import json
     import os
 
-    _fs_write_text(
-        spark,
-        os.path.join(path, _COMPACT_MARKER),
-        json.dumps({"epochs": epochs}),
-    )
+    main = os.path.join(path, _COMPACT_MARKER)
+    text = json.dumps({"epochs": epochs})
+    _fs_write_text(spark, main + ".tmp", text)
+    _fs_write_text(spark, main, text)
 
 
 def compact_bm25_store(spark, path: str, n_files: int = 16) -> dict:

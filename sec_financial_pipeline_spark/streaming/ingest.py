@@ -175,14 +175,32 @@ def ingest_bm25_epoch(
         _fs_delete,
         _fs_exists,
         _stats_max_gen,
+        _write_compact_marker,
         bm25_batch_tables,
-        compacted_through,
+        compaction_fences,
         rebuild_bm25_derived,
     )
     from sec_financial_pipeline_spark.sources.sink import recover_swap
 
     spark = batch_df.sparkSession
-    if epoch_id <= compacted_through(spark, store_path, ns):
+    fences = compaction_fences(spark, store_path)
+    # legacy-fence migration (ADVICE r13, medium): a compaction that
+    # folded PRE-namespace `epoch-<id>` dirs fenced them under ns "".
+    # Pre-upgrade stores hold exactly one streaming lineage by
+    # construction, so the first namespaced ingest IS that lineage
+    # restarted post-upgrade: adopt the legacy fence into this
+    # namespace (else a crashed pre-upgrade stream whose last epoch's
+    # commit was lost would re-deliver it, see fences[ns] == -1, and
+    # re-ingest docs the compaction already folded — double count).
+    # Residual edge, documented: a brand-new SECOND lineage created
+    # post-upgrade that ingests before the original restarts would
+    # adopt the fence instead and skip its own first epochs — the
+    # upgrade note says restart the original lineage first.
+    if "" in fences:
+        fences[ns] = max(fences.get(ns, -1), fences[""])
+        del fences[""]
+        _write_compact_marker(spark, store_path, fences)
+    if epoch_id <= fences.get(ns, -1):
         return False
     # heal any half-done swap a crashed maintenance op left, like the
     # batch ingest does — without this, a stats dir sitting mid-swap

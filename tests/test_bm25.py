@@ -832,3 +832,195 @@ def test_store_postings_are_doc_clustered(spark, sf_dir, tmp_path):
         .collect()[0]["m"]
     )
     assert spread == 1, f"a doc's postings span {spread} files"
+
+
+def test_epoch_namespace_uri_and_local_stability():
+    """ADVICE r13: URI checkpoints must hash to the SAME namespace
+    however the driver spells them (cwd-independent, duplicate/trailing
+    slashes collapsed) — abspath on an hdfs:// string prepended the
+    driver cwd, so a restart from a different directory wrote a second
+    epoch dir and double-counted its docs."""
+    import os
+
+    from sec_financial_pipeline_spark.operators.bm25 import epoch_namespace
+
+    canonical = epoch_namespace("hdfs://nn:8020/ckpt/q1")
+    assert epoch_namespace("hdfs://nn:8020//ckpt//q1/") == canonical
+    assert epoch_namespace("HDFS://nn:8020/ckpt/q1") == canonical
+    # cwd independence: abspath must NOT touch URI forms
+    cwd = os.getcwd()
+    try:
+        os.chdir("/tmp")
+        assert epoch_namespace("hdfs://nn:8020/ckpt/q1") == canonical
+    finally:
+        os.chdir(cwd)
+    # distinct lineages stay distinct
+    assert epoch_namespace("hdfs://nn:8020/ckpt/q2") != canonical
+    assert epoch_namespace("s3a://bkt/ckpt/q1") != canonical
+    # local absolute paths keep their historical hash behavior
+    assert epoch_namespace("/a/b/../b/ckpt") == epoch_namespace("/a/b/ckpt")
+
+
+def test_compact_marker_tolerates_truncated_write(spark, tmp_path):
+    """ADVICE r13: a crash mid-overwrite of _compacted_through.json
+    must not take the whole store down. The writer stages the full new
+    state at .tmp before touching the main file, so a truncated main
+    falls back to the staged copy; a truncated stage with a healthy
+    main reads the main; both garbled raises loudly instead of
+    silently resetting every fence to -1."""
+    import os
+
+    import pytest
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        _read_compact_marker,
+        _write_compact_marker,
+    )
+
+    store = str(tmp_path / "bm25")
+    os.makedirs(store)
+
+    def _scrub_crc():
+        # direct Python writes below simulate torn fs.create output;
+        # drop the Hadoop checksum sidecars so the local FS serves the
+        # raw (truncated) bytes instead of failing the crc first —
+        # both failure shapes must read as "unreadable" and both are
+        # exercised (crc mismatch for main in case 1, torn JSON after
+        # the scrub everywhere else)
+        for n in os.listdir(store):
+            if n.endswith(".crc"):
+                os.remove(os.path.join(store, n))
+
+    _write_compact_marker(spark, store, {"aaaa1111": 3})
+    main = os.path.join(store, "_compacted_through.json")
+    tmp = main + ".tmp"
+    assert os.path.exists(main) and os.path.exists(tmp)
+    full = open(main).read()
+
+    # crash during the main overwrite: main truncated, stage complete
+    with open(main, "w") as f:
+        f.write(full[: len(full) // 2])
+    assert _read_compact_marker(spark, store) == {"aaaa1111": 3}
+
+    # crash during the stage write: stage truncated, main healthy
+    with open(main, "w") as f:
+        f.write(full)
+    with open(tmp, "w") as f:
+        f.write(full[: len(full) // 2])
+    _scrub_crc()
+    assert _read_compact_marker(spark, store) == {"aaaa1111": 3}
+
+    # both unreadable: loud failure, never a silent fence reset
+    with open(main, "w") as f:
+        f.write("{trunc")
+    _scrub_crc()
+    with pytest.raises(ValueError, match="unreadable"):
+        _read_compact_marker(spark, store)
+
+    # main never written at all + garbled stage = crash mid-FIRST
+    # compaction stage: old state was "no fences" — read as {}
+    os.remove(main)
+    _scrub_crc()
+    assert _read_compact_marker(spark, store) == {}
+
+
+def test_read_postings_mixed_and_legacy_schema(spark, tmp_path):
+    """ADVICE r13 (mergeSchema on the hot path): the plain read now
+    runs first. Whatever footer Spark samples, values must still be
+    exact for (a) a uniformly legacy store (gen synthesized as 0),
+    (b) a mixed store where legacy files hide behind gen-carrying
+    ones, and (c) a post-compaction store (all files carry gen — the
+    steady state that skips the footer-merge pass)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        _read_postings,
+        bm25_batch_tables,
+    )
+
+    docs = spark.createDataFrame(_DOCS, "doc_id bigint, text string")
+    pb, _, _ = bm25_batch_tables(docs, "doc_id", "text")
+
+    legacy = str(tmp_path / "legacy")
+    pb.write.parquet(os.path.join(legacy, "postings"))
+    got = _read_postings(spark, legacy)
+    assert got.filter("gen IS NULL").count() == 0
+    assert got.select(F.max("gen")).collect()[0][0] == 0
+
+    mixed = str(tmp_path / "mixed")
+    pb.filter("doc_id < 3").write.parquet(
+        os.path.join(mixed, "postings", "epoch-aaaa1111-0")
+    )
+    pb.filter("doc_id >= 3").withColumn(
+        "gen", F.lit(2).cast("bigint")
+    ).write.parquet(os.path.join(mixed, "postings", "epoch-aaaa1111-1"))
+    got = _read_postings(spark, mixed)
+    assert got.filter("gen IS NULL").count() == 0
+    gens = {
+        r["doc_id"]: r["g"]
+        for r in got.groupBy("doc_id").agg(F.max("gen").alias("g")).collect()
+    }
+    assert all(g == 0 for d, g in gens.items() if d < 3)
+    assert all(g == 2 for d, g in gens.items() if d >= 3)
+
+    allgen = str(tmp_path / "allgen")
+    pb.withColumn("gen", F.lit(5).cast("bigint")).write.parquet(
+        os.path.join(allgen, "postings")
+    )
+    got = _read_postings(spark, allgen)
+    assert got.select(F.min("gen"), F.max("gen")).collect()[0] == (5, 5)
+
+
+def test_legacy_fence_migrates_to_first_namespace(spark, tmp_path):
+    """ADVICE r13 (medium): a compaction that folded PRE-namespace
+    epoch dirs fenced them under ns "". A post-upgrade restart of that
+    (single, by construction) lineage re-delivers its lost-commit
+    epoch under a namespace the fence map has never seen — the ingest
+    must ADOPT the legacy fence into that namespace and skip the
+    replay, not re-ingest docs the compaction already folded."""
+    import os
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_batch_tables,
+        compact_bm25_store,
+        compaction_fences,
+        rebuild_bm25_derived,
+    )
+    from sec_financial_pipeline_spark.streaming.ingest import (
+        ingest_bm25_epoch,
+    )
+
+    store = str(tmp_path / "bm25")
+    docs = spark.createDataFrame(_DOCS, "doc_id bigint, text string")
+    # pre-upgrade state: epochs 0 and 1 under legacy global names
+    pb, _, _ = bm25_batch_tables(docs, "doc_id", "text")
+    pb.filter("doc_id < 3").write.parquet(
+        os.path.join(store, "postings", "epoch-0")
+    )
+    pb.filter("doc_id >= 3").write.parquet(
+        os.path.join(store, "postings", "epoch-1")
+    )
+    rebuild_bm25_derived(spark, store)
+    before = _serve(spark, store, docs, mod=1, rem=0, k=4)
+    compact_bm25_store(spark, store)
+    assert compaction_fences(spark, store) == {"": 1}
+    assert _serve(spark, store, docs, mod=1, rem=0, k=4) == before
+
+    # post-upgrade restart: checkpoint commit for epoch 1 was lost, the
+    # restarted query re-delivers it under its (new) namespace
+    assert ingest_bm25_epoch(
+        docs.filter("doc_id >= 3"), store, "deadbeef", 1
+    ) is False, "replayed folded epoch must be fenced via migration"
+    assert compaction_fences(spark, store) == {"deadbeef": 1}
+    assert not any(
+        n.startswith("epoch-")
+        for n in os.listdir(os.path.join(store, "postings"))
+    ), "fenced replay recreated an epoch dir"
+    assert _serve(spark, store, docs, mod=1, rem=0, k=4) == before
+    # genuinely new work of the same lineage still ingests
+    extra = spark.createDataFrame(
+        [(100, "zebra quokka")], "doc_id bigint, text string"
+    )
+    assert ingest_bm25_epoch(extra, store, "deadbeef", 2) is True
