@@ -116,6 +116,17 @@ HEADLINE = [
     # retrieval lifecycle, scoring bit-identical to the bm25 oracle
     # section; the warm-up call builds the postings store once.
     "bm25_serve",
+    # round-14 (VERDICT r13 item 1): the full 3-leg RRF hybrid query
+    # answered entirely from prebuilt stores — shingle postings +
+    # sizes, normalized vectors, BM25 postings/idf/stats; bit-identical
+    # to the train-in-query hybrid section (pinned in
+    # tests/test_hybrid_serve.py). The warm-up call builds all three
+    # stores; timed reps are pure probe + fuse.
+    "hybrid_serve",
+    # ...and the sign-LSH ANN serve: probe the persisted band table
+    # with the queries' own stored codes (zero hyperplane projections
+    # at serve time), exact-cosine re-rank within candidates.
+    "lsh_ann_serve",
 ]
 
 
@@ -139,6 +150,8 @@ def _headline_fns():
         "emb_ivfpq_serve": similarity.q_emb_ivfpq_serve,
         "doc_incr_dedup_serve": similarity.q_doc_incr_dedup_serve,
         "bm25_serve": similarity.q_emb_bm25_serve,
+        "hybrid_serve": similarity.q_emb_hybrid_serve,
+        "lsh_ann_serve": similarity.q_emb_lsh_ann_serve,
         "doc_contamination": similarity.q_doc_contamination,
         "doc_boilerplate": llm_text.q_doc_boilerplate,
         # r8: the registry row gained a `batches` section (length-

@@ -54,6 +54,9 @@ _FILE_WEIGHTS = {
     "test_plan_audit.py": 25,
     "test_sign_lsh.py": 20, "test_report_variants.py": 20,
     "test_job_counts.py": 20, "test_partition_evolution.py": 20,
+    # r14: serve-row plan gates (warm + measured pass per row) and the
+    # hybrid/LSH store-serve equality suite
+    "test_serve_ceilings.py": 130, "test_hybrid_serve.py": 130,
 }
 _DEFAULT_WEIGHT = 15
 _N_SHARDS = 4
