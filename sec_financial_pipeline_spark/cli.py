@@ -295,6 +295,9 @@ def _cmd_bm25(args, spark: SparkSession) -> dict:
             "tombstones": n_tomb,
             # per-lineage replay fences ({namespace: max folded epoch})
             "compaction_fences": B.compaction_fences(spark, args.store),
+            # accreted streaming epoch dirs since the last compaction —
+            # the debt the auto_compact_epochs daemon policy acts on
+            "epoch_debt": B.bm25_epoch_debt(spark, args.store),
         }
     raise SystemExit(f"unknown bm25 command: {args.bm25_cmd}")
 

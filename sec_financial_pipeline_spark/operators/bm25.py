@@ -801,6 +801,22 @@ def _read_compact_marker(spark, path: str) -> dict:
     )
 
 
+def bm25_epoch_debt(spark, path: str) -> int:
+    """How many streaming epoch subdirectories the postings tree has
+    accreted since the last compaction — the small-file debt a
+    threshold policy (``auto_compact_epochs`` in
+    streaming/ingest.run_streaming_bm25_ingest) or an operator reading
+    ``bm25 status`` acts on. Cheap: one directory listing, no scan."""
+    import os
+    import re
+
+    return sum(
+        1
+        for n in _fs_listnames(spark, os.path.join(path, "postings"))
+        if re.match(_EPOCH_RE, n)
+    )
+
+
 def compaction_fences(spark, path: str) -> dict:
     """Every lineage's replay fence: ``{namespace: max folded epoch}``
     (legacy un-namespaced epochs under ``""``)."""

@@ -108,12 +108,26 @@ def run_streaming_near_dedup(
     store_path: str,
     pairs_path: str,
     checkpoint_path: str,
+    auto_compact_files: int | None = None,
 ) -> None:
     """Drain a bounded document stream through the ingest loop
     synchronously (availableNow). Per micro-batch: skip if this epoch
     already committed (re-delivery), else run :func:`ingest_batch`
     into ``pairs_path/epoch=<id>`` (overwrite — idempotent on retry)
-    and write the commit marker last."""
+    and write the commit marker last.
+
+    ``auto_compact_files`` (VERDICT r13 item 3) closes the small-file
+    loop: every micro-batch appends one file set per band partition,
+    so a long-running ingest accretes debt until an operator runs
+    ``dedup compact``. With a threshold set, the daemon itself checks
+    the store's parquet file count after each committed batch and
+    folds to one file per band when it crosses — safely, because the
+    compact runs INSIDE the foreachBatch body, serialized with the
+    stream's own writes (the single-writer rule holds by
+    construction; a concurrent external writer is excluded by the
+    writer lease either way). A crash mid-compact heals through
+    recover_swap on the next batch's ingest, exactly like a crashed
+    manual compact."""
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         marker = os.path.join(pairs_path, f"_committed_{epoch_id}")
@@ -127,6 +141,24 @@ def run_streaming_near_dedup(
         )
         with open(marker, "w") as f:
             f.write("ok")
+        if auto_compact_files is not None:
+            from sec_financial_pipeline_spark.sources.sink import (
+                _count_parquet_files,
+                compact,
+            )
+
+            spark = batch_df.sparkSession
+            if (
+                store_exists(spark, store_path)
+                and _count_parquet_files(spark, store_path)
+                >= auto_compact_files
+            ):
+                compact(
+                    spark,
+                    store_path,
+                    target_files_per_partition=1,
+                    partition_cols=("band_no",),
+                )
 
     q = (
         doc_stream.writeStream.foreachBatch(_ingest)
@@ -246,12 +278,29 @@ def run_streaming_bm25_ingest(
     checkpoint_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    auto_compact_epochs: int | None = None,
 ) -> None:
     """Drain a bounded document stream into a BM25 store synchronously
     (availableNow). The store may start absent (bootstrap) or be an
     existing batch-built store (its flat postings files and the
-    streaming epoch dirs read as one union)."""
-    from sec_financial_pipeline_spark.operators.bm25 import epoch_namespace
+    streaming epoch dirs read as one union).
+
+    ``auto_compact_epochs`` (VERDICT r13 item 3): with a threshold
+    set, the daemon checks :func:`~sec_financial_pipeline_spark.
+    operators.bm25.bm25_epoch_debt` after each INGESTED epoch (fenced
+    replays don't re-trigger) and runs ``compact_bm25_store`` when the
+    accreted epoch-dir count crosses it — the quiesced-single-writer
+    rule compaction requires holds by construction, because the
+    compact runs inside the foreachBatch body between micro-batches.
+    The compaction's replay fence then covers every folded epoch: a
+    crash right after the fold whose checkpoint commit was lost
+    re-delivers the last epoch, and the fence skips it instead of
+    double-counting (pinned in tests/test_streaming_ingest.py)."""
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_epoch_debt,
+        compact_bm25_store,
+        epoch_namespace,
+    )
 
     # epoch dirs are NAMESPACED by the streaming lineage (a stable tag
     # of the checkpoint location): a restart of this query overwrites
@@ -263,10 +312,17 @@ def run_streaming_bm25_ingest(
     ns = epoch_namespace(checkpoint_path)
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        ingest_bm25_epoch(
+        did_ingest = ingest_bm25_epoch(
             batch_df, store_path, ns, epoch_id,
             id_col=id_col, text_col=text_col,
         )
+        if (
+            did_ingest
+            and auto_compact_epochs is not None
+            and bm25_epoch_debt(batch_df.sparkSession, store_path)
+            >= auto_compact_epochs
+        ):
+            compact_bm25_store(batch_df.sparkSession, store_path)
 
     q = (
         doc_stream.writeStream.foreachBatch(_ingest)

@@ -306,3 +306,136 @@ def test_streaming_bm25_ingest_equals_batch_index(spark, docs_dir, sf_dir,
             map(tuple, bm25_score(postings, idf, stats, qterms, 10).collect())
         )
         assert again == scratch
+
+
+def test_bm25_auto_compaction_folds_debt_mid_stream(spark, sf_dir, tmp_path):
+    """Debt-triggered auto-compaction (VERDICT r13 item 3): a ~20
+    micro-batch ingest with auto_compact_epochs=5 must fold its epoch
+    dirs MID-STREAM (never letting debt reach the uncompacted total),
+    end with scoring bit-identical to a from-scratch batch index, and
+    leave a replay fence that skips a re-delivered folded epoch."""
+    import os
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        bm25_epoch_debt,
+        bm25_index,
+        bm25_score,
+        compacted_through,
+        epoch_namespace,
+        load_bm25_store,
+    )
+    from sec_financial_pipeline_spark.sources.testdata import load_table
+    from sec_financial_pipeline_spark.streaming.ingest import (
+        ingest_bm25_epoch,
+        read_document_stream,
+        run_streaming_bm25_ingest,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    d.repartition(20).write.parquet(src)
+    n_batches = len(
+        [f for f in os.listdir(src) if f.endswith(".parquet")]
+    )
+    assert n_batches >= 15  # ~20 accreted epochs' worth of debt
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    run_streaming_bm25_ingest(
+        read_document_stream(spark, src, max_files=1),
+        store,
+        ckpt,
+        auto_compact_epochs=5,
+    )
+    # the daemon folded mid-stream: residual debt is below threshold,
+    # not the full batch count
+    debt = bm25_epoch_debt(spark, store)
+    assert debt < 5, f"auto-compaction never fired (debt={debt})"
+    ns = epoch_namespace(ckpt)
+    fence = compacted_through(spark, store, ns)
+    assert fence >= 5  # at least one threshold crossing was folded
+
+    # serve bit-equality with a from-scratch index over the corpus
+    qterms = (
+        d.filter("doc_id % 17 = 5")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .distinct()
+    )
+    postings, idf, stats = load_bm25_store(spark, store)
+    served = sorted(
+        map(tuple, bm25_score(postings, idf, stats, qterms, 10).collect())
+    )
+    p2, i2, s2 = bm25_index(d, "doc_id", "text")
+    scratch = sorted(map(tuple, bm25_score(p2, i2, s2, qterms, 10).collect()))
+    assert served and served == scratch
+
+    # the fence skips a re-delivered folded epoch (the lost-checkpoint
+    # crash window right after an auto-compact)
+    replay = d.limit(25)
+    assert ingest_bm25_epoch(replay, store, ns, fence) is False
+    assert bm25_epoch_debt(spark, store) == debt  # no dir recreated
+    postings, idf, stats = load_bm25_store(spark, store)
+    again = sorted(
+        map(tuple, bm25_score(postings, idf, stats, qterms, 10).collect())
+    )
+    assert again == served
+
+
+def test_minhash_auto_compaction_bounds_file_debt(spark, docs_dir, tmp_path):
+    """The MinHash daemon's half of item 3: with auto_compact_files
+    set, the per-batch file-count check folds the signature store to
+    one file per band mid-stream — AND the exactly-once pair contract
+    survives the interleaved compactions (same total pair set as the
+    full recompute)."""
+    from sec_financial_pipeline_spark.operators import similarity as S
+    from sec_financial_pipeline_spark.sources.sink import (
+        _count_parquet_files,
+    )
+    from sec_financial_pipeline_spark.streaming.ingest import (
+        read_document_stream,
+        run_streaming_near_dedup,
+    )
+
+    base = tmp_path / "auto"
+    store = str(base / "store")
+    run_streaming_near_dedup(
+        read_document_stream(spark, docs_dir, max_files=1),
+        store_path=store,
+        pairs_path=str(base / "pairs"),
+        checkpoint_path=str(base / "ckpt"),
+        auto_compact_files=48,  # 16 bands x 1 file + headroom
+    )
+    # file debt is bounded near the compacted floor, not one file set
+    # per micro-batch per band
+    n_files = _count_parquet_files(spark, store)
+    assert n_files <= 48 + 32, f"auto-compaction never fired ({n_files})"
+
+    # exactly-once pair emission survived the interleaved compactions
+    emitted = [
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(base / "pairs")).collect()
+    ]
+    assert len(emitted) == len(set(emitted))
+    d = spark.read.parquet(docs_dir)
+    full = sorted(
+        (r["id_a"], r["id_b"])
+        for r in S.lsh_candidate_pairs(
+            S.minhash_signatures(d, "doc_id", "text"), "doc_id"
+        ).collect()
+    )
+    assert sorted(emitted) == full and len(full) > 0
+    # the store itself equals a direct build (compaction lost nothing)
+    direct = S.band_table(
+        S.minhash_signatures(d, "doc_id", "text"), "doc_id"
+    )
+    got = sorted(
+        (r.id, r.band_no, r.band_hash)
+        for r in S.load_signature_store(spark, store).collect()
+    )
+    want = sorted(
+        (r.id, r.band_no, r.band_hash) for r in direct.collect()
+    )
+    assert got == want
