@@ -277,7 +277,26 @@ def _edge_out_rows(a: dict, b: dict, keys: list[str]) -> int:
 
 
 
-def _order_cost(est: dict, edges: list, order: list[str]) -> dict:
+def _edge_id(a: str, b: str, keys: list[str]) -> tuple:
+    """Order-free identity of one join edge within a plan instance."""
+    return (tuple(sorted((a, b))), tuple(sorted(keys)))
+
+
+def _edge_feedback_key(tables: dict, filters: dict | None,
+                       a: str, b: str, keys: list[str]) -> str:
+    """Portable identity of an edge ACROSS plan calls: the two table
+    paths with their filter predicates (a factor learned under
+    ``nationkey = 7`` must not correct an unfiltered run) plus the
+    sorted key columns. Keyed on paths, not chain-local names, so one
+    feedback dict serves many chains over the same tables."""
+    fa = (filters or {}).get(a) or ""
+    fb = (filters or {}).get(b) or ""
+    (pa, fa), (pb, fb) = sorted([(tables[a], fa), (tables[b], fb)])
+    return "\x1f".join([pa, fa, pb, fb, ",".join(sorted(keys))])
+
+
+def _order_cost(est: dict, edges: list, order: list[str],
+                fb: dict | None = None) -> dict:
     """Estimated cost of joining ``order`` left-to-right along
     ``edges``: per-step output rows/bytes plus their totals (the
     smallest-intermediate objective). Selinger formulation: each edge
@@ -291,7 +310,17 @@ def _order_cost(est: dict, edges: list, order: list[str]) -> dict:
     prefix can no longer stand in for all orders of its subset —
     measured producing plans 2.6x worse than a random order before
     this was reverted). Raises if a prefix of the order has no edge
-    into the next table (disconnected at that point)."""
+    into the next table (disconnected at that point).
+
+    ``fb`` maps :func:`_edge_id` -> an observed correction factor
+    (LEO-style, Stillger et al. 2001: adjust the model by measured
+    estimate error instead of replacing it): the edge's selectivity
+    contribution is multiplied by its factor. Factors are a pure
+    function OF THE EDGE — the corrected prefix cardinality is still
+    ``prod(rows) * prod(sel(e)) * prod(f(e))`` over the subset's
+    tables and applied edges, so subset-determinedness (and with it DP
+    dominance) survives the feedback, unlike the reverted NDV-carrying
+    refinement."""
     steps = []
     total_rows = total_bytes = 0
     in_s = {order[0]}
@@ -321,17 +350,29 @@ def _order_cost(est: dict, edges: list, order: list[str]) -> dict:
                 _key_ndv(est[b], k, est[b]["rows"]),
                 1,
             )
+            if fb:
+                rows *= fb.get(_edge_id(a, b, k), 1.0)
+        # the ACCUMULATOR stays an unclamped float: a prefix's
+        # cardinality is then the pure product of its subset's rows,
+        # selectivities, and factors — exactly subset-determined, which
+        # the DP's dominance needs. The old per-step max(1, int(...))
+        # clamp made it mildly order-dependent; harmless at NDV-only
+        # scales, but strong feedback factors (0.01x) hit the floor
+        # mid-sequence and broke dominance (caught by
+        # test_dp_remains_optimal_under_random_feedback). Reported
+        # per-step fields are still clamped ints for readability.
         out_rows = max(1, int(rows))
-        rows = float(out_rows)
         width += nxt["width"]
         out_bytes = int(out_rows * width)
         steps.append(
             {"table": name, "on": keys, "est_rows": out_rows,
              "est_bytes": out_bytes}
         )
-        total_rows += out_rows
-        total_bytes += out_bytes
+        total_rows += max(rows, 1e-9)
+        total_bytes += max(rows, 1e-9) * width
         in_s.add(name)
+    # totals stay floats (JSON-friendly): rounding them would let two
+    # float-distinct orders collide at the comparison the DP minimizes
     return {"order": list(order), "steps": steps,
             "total_intermediate_rows": total_rows,
             "total_intermediate_bytes": total_bytes}
@@ -344,7 +385,8 @@ _DP_MAX_TABLES = 10
 
 
 
-def _best_order_greedy(est: dict, norm: list, tables) -> list[str]:
+def _best_order_greedy(est: dict, norm: list, tables,
+                       fb: dict | None = None) -> list[str]:
     """Greedy smallest-intermediate-first left-deep order: seed with
     the edge whose estimated output bytes are lowest (larger side
     first — the smaller is the broadcast candidate), then repeatedly
@@ -352,6 +394,8 @@ def _best_order_greedy(est: dict, norm: list, tables) -> list[str]:
     best = None
     for a, b, keys in norm:
         rows = _edge_out_rows(est[a], est[b], keys)
+        if fb:
+            rows = max(1, int(rows * fb.get(_edge_id(a, b, keys), 1.0)))
         nbytes = int(rows * (est[a]["width"] + est[b]["width"]))
         if best is None or nbytes < best[0]:
             big, small = (a, b) if est[a]["bytes"] >= est[b]["bytes"] else (b, a)
@@ -366,7 +410,7 @@ def _best_order_greedy(est: dict, norm: list, tables) -> list[str]:
             )
             if nxt is None:
                 continue
-            cost = _order_cost(est, norm, order + [nxt])
+            cost = _order_cost(est, norm, order + [nxt], fb)
             lb = cost["steps"][-1]["est_bytes"]
             if cand is None or lb < cand[0]:
                 cand = (lb, nxt)
@@ -381,7 +425,8 @@ def _best_order_greedy(est: dict, norm: list, tables) -> list[str]:
 
 
 
-def _best_order_dp(est: dict, norm: list, names: list[str]) -> list[str]:
+def _best_order_dp(est: dict, norm: list, names: list[str],
+                   fb: dict | None = None) -> list[str]:
     """Selinger-style DP over LEFT-DEEP connected orders:
     ``dp[frozenset] = (total_intermediate_bytes, order)``, expanding
     each subset by every edge-connected table. 2^n states with n <= 10
@@ -407,7 +452,7 @@ def _best_order_dp(est: dict, norm: list, names: list[str]) -> list[str]:
             else (b, a)
         )
         order = [big, small]
-        cost = _order_cost(est, norm, order)["total_intermediate_bytes"]
+        cost = _order_cost(est, norm, order, fb)["total_intermediate_bytes"]
         key = frozenset(order)
         if key not in dp or (cost, order) < dp[key]:
             dp[key] = (cost, order)
@@ -419,7 +464,7 @@ def _best_order_dp(est: dict, norm: list, names: list[str]) -> list[str]:
             reachable = set().union(*(adj.get(t, set()) for t in key)) - key
             for t in reachable:
                 new_order = order + [t]
-                new_cost = _order_cost(est, norm, new_order)[
+                new_cost = _order_cost(est, norm, new_order, fb)[
                     "total_intermediate_bytes"
                 ]
                 nk = frozenset(new_order)
@@ -443,6 +488,7 @@ def suggest_join_chain(
     edges: list,
     broadcast_threshold: int = 32 << 20,
     filters: dict | None = None,
+    feedback: dict | None = None,
 ) -> dict:
     """Statistics-driven ORDER + strategy for a 3+-table join chain
     (the facts-alias-dim shape; VERDICT r9 item 6). ``tables`` maps
@@ -462,9 +508,17 @@ def suggest_join_chain(
     side 1000x, often flipping it to the broadcast/seed position
     (Spark's own scan estimate cannot see this before the scan);
     unrecognized clause shapes contribute selectivity 1.0, never
-    shrinking an estimate. Returns the plan with its inputs plus the
-    NAIVE (given-order) cost for comparison; advisory —
-    :func:`join_chain` applies it."""
+    shrinking an estimate. ``feedback`` is a LEO-style observed-error
+    store (VERDICT r13 item 4): a dict mapping
+    :func:`_edge_feedback_key` -> correction factor, as recorded by
+    :func:`chain_qerror` after a measured run; matching edges have
+    their selectivity contribution multiplied by the factor, so a
+    chain whose first run measured q-error > 2 on an edge replans with
+    the observed cardinality (subset-determinedness — and DP
+    dominance — survive because the factor is a pure function of the
+    edge; property-pinned in tests/test_planner_qerror.py). Returns
+    the plan with its inputs plus the NAIVE (given-order) cost for
+    comparison; advisory — :func:`join_chain` applies it."""
     if len(tables) < 2:
         raise ValueError("snaptable: join chain needs >= 2 tables")
     if not edges:
@@ -481,29 +535,39 @@ def suggest_join_chain(
         norm.append((a, b, [keys] if isinstance(keys, str) else list(keys)))
     est = _chain_estimates(spark, tables)
     _apply_filter_estimates(est, filters)
-    order, planner = _best_order_greedy(est, norm, tables), "greedy"
+    fb = {}
+    if feedback:
+        for a, b, k in norm:
+            f = feedback.get(_edge_feedback_key(tables, filters, a, b, k))
+            if f is not None:
+                # clamp: a degenerate measurement must never zero out
+                # or blow up the cost lattice
+                fb[_edge_id(a, b, k)] = min(max(float(f), 1e-6), 1e6)
+    fb = fb or None
+    order, planner = _best_order_greedy(est, norm, tables, fb), "greedy"
     if len(tables) <= _DP_MAX_TABLES:
         # the DP dominates in practice, but its subset-dominance is
         # only exact when cardinalities are subset-determined (the NDV
         # caps make them mildly order-dependent) — evaluating both and
         # keeping the cheaper makes "never worse than greedy" a
         # construction, not a hope
-        dp_order = _best_order_dp(est, norm, list(tables))
+        dp_order = _best_order_dp(est, norm, list(tables), fb)
         key = "total_intermediate_bytes"
         if (
-            _order_cost(est, norm, dp_order)[key]
-            <= _order_cost(est, norm, order)[key]
+            _order_cost(est, norm, dp_order, fb)[key]
+            <= _order_cost(est, norm, order, fb)[key]
         ):
             order, planner = dp_order, "dp"
-    plan = _order_cost(est, norm, order)
+    plan = _order_cost(est, norm, order, fb)
     plan["planner"] = planner
+    plan["feedback_edges"] = len(fb) if fb else 0
     for s in plan["steps"]:
         s["broadcast"] = est[s["table"]]["bytes"] <= broadcast_threshold
     naive = None
     given = list(tables)
     if given != order:
         try:
-            naive = _order_cost(est, norm, given)
+            naive = _order_cost(est, norm, given, fb)
         except ValueError:
             pass  # the given order isn't even connected
     return {
@@ -525,6 +589,7 @@ def join_chain(
     how: str = "inner",
     broadcast_threshold: int = 32 << 20,
     filters: dict | None = None,
+    feedback: dict | None = None,
 ) -> DataFrame:
     """Join 3+ snaptables in the statistics-chosen order from
     :func:`suggest_join_chain`, with broadcast hints applied per step.
@@ -533,11 +598,13 @@ def join_chain(
     either original side carried. ``filters`` predicates are applied
     to their tables' reads in FULL (the estimator only ever uses them
     to plan — an unparseable clause costs estimate quality, never
-    correctness)."""
+    correctness). ``feedback`` passes a chain_qerror-recorded
+    observed-selectivity store through to the planner."""
     from pyspark.sql import functions as F
 
     plan = suggest_join_chain(
-        spark, tables, edges, broadcast_threshold, filters=filters
+        spark, tables, edges, broadcast_threshold, filters=filters,
+        feedback=feedback,
     )
 
     def _side(name: str) -> DataFrame:
@@ -560,6 +627,7 @@ def chain_qerror(
     edges: list,
     filters: dict | None = None,
     broadcast_threshold: int = 32 << 20,
+    feedback: dict | None = None,
 ) -> dict:
     """Estimated-vs-actual cardinality telemetry for the chain planner
     (VERDICT r10 item 4): execute the statistics-chosen order one step
@@ -576,9 +644,25 @@ def chain_qerror(
     random while LOOKING smarter — with per-step q-errors recorded on
     testdata, a model change must move this number, not vibes. Costs
     ``len(order) - 1`` count jobs over the real chain — a telemetry
-    path, not a serving path."""
+    path, not a serving path (plus one base-table count when
+    learning).
+
+    ``feedback`` (VERDICT r13 item 4 — the LEO loop, Stillger et al.
+    2001, closed): when a dict is passed, it is (a) CONSUMED — the
+    measured plan is the feedback-corrected one — and (b) UPDATED
+    in place after execution with one correction factor per edge,
+    keyed by :func:`_edge_feedback_key`. Attribution is sequential
+    against the TRUE prefix: step k's residual is
+    ``true_k / (true_{k-1} * model-increment_k)``, so an upstream
+    estimate error never contaminates a downstream edge's factor;
+    a step applying n edges (cyclic graphs) splits its residual
+    geometrically across them. Factors COMPOSE with the existing
+    store (new = old * residual) so repeated runs converge instead
+    of oscillating. The next suggest_join_chain/join_chain call with
+    the same dict plans from observed cardinalities."""
     plan = suggest_join_chain(
-        spark, tables, edges, broadcast_threshold, filters=filters
+        spark, tables, edges, broadcast_threshold, filters=filters,
+        feedback=feedback,
     )
     if not plan["steps"]:
         raise ValueError(
@@ -592,9 +676,16 @@ def chain_qerror(
         pred = (filters or {}).get(name)
         return df.filter(pred) if pred else df
 
+    norm = [
+        (a, b, [k] if isinstance(k, str) else list(k)) for a, b, k in edges
+    ]
     df = _side(plan["order"][0])
     steps = []
     qs = []
+    learn = feedback is not None
+    prev_true = df.count() if learn else None
+    prev_est = plan["tables"][plan["order"][0]]["rows"] if learn else None
+    in_s = {plan["order"][0]}
     for s in plan["steps"]:
         df = df.join(_side(s["table"]), s["on"], "inner")
         true_rows = df.count()
@@ -606,6 +697,25 @@ def chain_qerror(
             {"table": s["table"], "on": s["on"], "est_rows": est,
              "true_rows": true_rows, "qerror": round(q, 4)}
         )
+        if learn:
+            # sequential attribution: the model's multiplicative
+            # increment for this step, applied to the TRUE prefix,
+            # isolates THIS step's edges from upstream error
+            inc_est = max(prev_true, 1) * (est / max(prev_est, 1))
+            residual = max(true_rows, 1) / max(inc_est, 1e-12)
+            conn = [
+                (a, b, k) for a, b, k in norm
+                if (a in in_s and b == s["table"])
+                or (b in in_s and a == s["table"])
+            ]
+            if conn:
+                split = residual ** (1.0 / len(conn))
+                for a, b, k in conn:
+                    key = _edge_feedback_key(tables, filters, a, b, k)
+                    old = float(feedback.get(key, 1.0))
+                    feedback[key] = min(max(old * split, 1e-6), 1e6)
+            prev_true, prev_est = true_rows, est
+        in_s.add(s["table"])
     qs_sorted = sorted(qs)
     mid = len(qs_sorted) // 2
     median = (

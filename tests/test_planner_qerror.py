@@ -78,3 +78,146 @@ def test_chain_qerror_refuses_degenerate_inputs(spark, tmp_path):
         chain_qerror(spark, {"a": a}, edges=[])
     with pytest.raises(ValueError, match=">= 1 edge"):
         chain_qerror(spark, {"a": a, "b": b}, edges=[])
+
+
+# ---------------------------------------------------------------------------
+# q-error FEEDBACK (VERDICT r13 item 4, the LEO loop closed): a measured
+# run records per-edge correction factors; the next plan with the same
+# feedback dict prefers observed cardinalities over static NDVs.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def misleading_chain(spark, tmp_path_factory):
+    """Three snaptables whose ANALYZE statistics MISLEAD the System-R
+    containment estimate on one edge: fact a joins dim b on the
+    composite key (x, y) where y == x, so the per-column NDV product
+    (80 * 80, capped at rows) overstates the true 80 combinations ~50x
+    and the estimator thinks a JOIN b is tiny. The a-c edge (single
+    uniform key) estimates exactly. A cost model trusting static NDVs
+    therefore seeds with the (actually huge) a-b join."""
+    base = tmp_path_factory.mktemp("fbchain")
+    a = str(base / "a")
+    b = str(base / "b")
+    c = str(base / "c")
+    T.create(
+        spark.createDataFrame(
+            [(i % 80, i % 80, i % 50, i) for i in range(4000)],
+            "x bigint, y bigint, z bigint, payload bigint",
+        ).repartition(4),
+        a,
+    )
+    T.create(
+        spark.createDataFrame(
+            [(i % 80, i % 80, i) for i in range(800)],
+            "x bigint, y bigint, b_payload bigint",
+        ).repartition(2),
+        b,
+    )
+    T.create(
+        spark.createDataFrame(
+            [(i, i) for i in range(50)], "z bigint, c_payload bigint"
+        ),
+        c,
+    )
+    for p, cols in ((a, ["x", "y", "z"]), (b, ["x", "y"]), (c, ["z"])):
+        T.analyze_table(spark, p, cols=cols)
+    return {"a": a, "b": b, "c": c}
+
+
+EDGES_FB = [("a", "b", ["x", "y"]), ("a", "c", ["z"])]
+
+
+def test_feedback_replans_misestimated_chain(spark, misleading_chain):
+    """The done-criterion loop: first run measures q-error > 2 on the
+    composite-key edge and records factors; the REPLANNED chain takes
+    a different order whose TRUE total intermediate rows are
+    measurably smaller, and the second measured run's q-error
+    collapses toward 1."""
+    fb: dict = {}
+    first = T.chain_qerror(spark, misleading_chain, EDGES_FB, feedback=fb)
+    assert first["max_qerror"] > 2, first  # the static model is wrong
+    assert fb, "no factors recorded"
+    # static model seeds with the misestimated a-b edge
+    assert first["order"][:2] in (["a", "b"], ["b", "a"]), first["order"]
+
+    second = T.chain_qerror(spark, misleading_chain, EDGES_FB, feedback=fb)
+    assert second["order"] != first["order"], (first, second)
+    true_total_first = sum(s["true_rows"] for s in first["steps"])
+    true_total_second = sum(s["true_rows"] for s in second["steps"])
+    assert true_total_second < true_total_first, (first, second)
+    # observed cardinalities now drive the estimates
+    assert second["max_qerror"] < 2, second
+    # and the factors are consumed by the public planner entry too
+    plan = T.suggest_join_chain(
+        spark, misleading_chain, EDGES_FB, feedback=fb
+    )
+    assert plan["order"] == second["order"]
+    assert plan["feedback_edges"] >= 1
+
+
+def test_feedback_converges_not_oscillates(spark, misleading_chain):
+    """Factors COMPOSE (new = old * residual), so repeated measured
+    runs settle: by the third run the recorded factors move by < 10%
+    and the order is stable."""
+    fb: dict = {}
+    T.chain_qerror(spark, misleading_chain, EDGES_FB, feedback=fb)
+    snap2 = None
+    for _ in range(2):
+        prev = dict(fb)
+        rep = T.chain_qerror(spark, misleading_chain, EDGES_FB, feedback=fb)
+        snap2 = snap2 or rep["order"]
+        assert rep["order"] == snap2
+    for k, v in fb.items():
+        assert abs(v - prev[k]) / prev[k] < 0.1, (k, prev[k], v)
+
+
+def test_feedback_key_distinguishes_filters(spark, misleading_chain):
+    """A factor learned under a filter must not correct an unfiltered
+    plan: the feedback keys embed each side's predicate."""
+    fb: dict = {}
+    T.chain_qerror(
+        spark, misleading_chain, EDGES_FB, filters={"a": "z = 7"},
+        feedback=fb,
+    )
+    assert fb
+    plan = T.suggest_join_chain(spark, misleading_chain, EDGES_FB,
+                                feedback=fb)
+    assert plan["feedback_edges"] == 0  # filtered keys don't match
+
+
+def test_dp_remains_optimal_under_random_feedback():
+    """Subset-determinedness survives the feedback (the documented DP
+    trap re-checked with factors in play): over seeded random graphs
+    with random per-edge correction factors, the DP's corrected total
+    intermediate bytes never exceed the greedy's nor any sampled valid
+    left-deep order's."""
+    from tests.test_snaptable import _random_chain_instance
+
+    from sec_financial_pipeline_spark.sources.snaptable import planner as P
+
+    key = "total_intermediate_bytes"
+    for trial in range(40):
+        est, edges, names, rng = _random_chain_instance(trial + 10_000)
+        fb = {
+            P._edge_id(a, b, k): rng.choice([0.01, 0.1, 0.5, 2.0, 10, 100])
+            for a, b, k in edges
+        }
+        d = P._best_order_dp(est, edges, names, fb)
+        g = P._best_order_greedy(est, edges, names, fb)
+        d_cost = P._order_cost(est, edges, d, fb)[key]
+        assert d_cost <= P._order_cost(est, edges, g, fb)[key], (trial, d, g)
+        adj = {}
+        for a, b, _ in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for _ in range(20):
+            order = [rng.choice(names)]
+            while len(order) < len(names):
+                reach = sorted(
+                    set().union(*(adj[t] for t in order)) - set(order)
+                )
+                order.append(rng.choice(reach))
+            assert d_cost <= P._order_cost(est, edges, order, fb)[key], (
+                trial, d, order
+            )
