@@ -2976,7 +2976,190 @@ def q_emb_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Consolidated registration for the three quantization-family ANN indexes
+# IVF-PQ MAINTAINED index (fourth section, r14 — VERDICT r13 item 6,
+# mirroring r13's bm25_maint): the served store here is not a one-shot
+# build but the survivor of the saved-index maintenance lifecycle —
+# build+save over an INITIAL corpus slice → APPEND the remainder
+# (encoded under the frozen codebooks, cell-partition parquet append,
+# operators/ivfpq.py:186) → DELETE a cross-cutting id set (code-table
+# swap_rewrite, ivfpq.py:310; codebooks untouched) → search. The oracle
+# replays exactly those semantics from scratch: coarse + residual-PQ
+# codebooks trained on the INITIAL slice ONLY (deleted train vectors
+# still shaped them — deletion removes codes, not codebook influence),
+# codes derived for the LIVE set (initial ∪ appended, minus deleted),
+# ADC + bounded exact re-rank as ever. Equality proves append encodes
+# identically to build and delete removes candidates exactly.
+# ---------------------------------------------------------------------------
+
+#: appended after the initial build; seeds (16..31) and queries (0..4)
+#: all sit below 100, so the training slice always contains them
+_IVFPQM_APPEND = "vec_id >= 100 AND vec_id % 5 = 2"
+#: deleted from the saved store; intersects BOTH the initial and the
+#: appended slices (and stays clear of seeds/queries)
+_IVFPQM_DELETE = "vec_id >= 100 AND vec_id % 11 = 7"
+
+
+def _ivfpqm_sub_ctes(m: int, start: int, length: int) -> str:
+    """Residual-subspace CTEs for the MAINTAINED index: PQ codebooks
+    train on the initial slice's residuals (``residt``), final codes
+    cover the live set's residuals (``residl``)."""
+    end = start + length - 1
+    return f"""rt{m} AS (SELECT vec_id, resid[{start}:{end}] AS emb FROM residt),
+rl{m} AS (SELECT vec_id, resid[{start}:{end}] AS emb FROM residl),
+ps{m} AS (SELECT CAST(vec_id - {_PQ_SEED_BASE} AS INT) AS cluster, emb AS cvec
+          FROM rt{m} WHERE vec_id BETWEEN {_PQ_SEED_BASE} AND {_PQ_SEED_BASE + _PQ_K - 1}),
+pa{m} AS ({_sql_assignf(f'ps{m}', f'rt{m}', True)}),
+pc{m} AS ({_sql_update(f'pa{m}', f'rt{m}')}),
+code{m} AS ({_sql_assignf(f'pc{m}', f'rl{m}', False)}),
+qd{m} AS (
+  SELECT qr.query_id, qr.cell, c.cluster AS code,
+         list_sum(list_transform(generate_series(1, len(qr.emb)), i -> qr.emb[i] * c.cvec[i])) AS pd
+  FROM (SELECT query_id, cell, resid[{start}:{end}] AS emb FROM qresid) qr
+  CROSS JOIN pc{m} c
+)"""
+
+
+_IVFPQM_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+et AS (SELECT * FROM e WHERE NOT ({_IVFPQM_APPEND})),
+c0 AS (
+  SELECT CAST(vec_id - {_IVF_SEED_BASE} AS INT) AS cluster, emb AS cvec
+  FROM e WHERE vec_id BETWEEN {_IVF_SEED_BASE} AND {_IVF_SEED_BASE + _IVF_K - 1}
+),
+a1 AS ({_sql_assign('c0', 'et')}),
+c1 AS ({_sql_update('a1', 'et')}),
+cellmap AS ({_sql_assign('c1', 'e')}),
+resid AS (
+  SELECT e.vec_id, a.cluster AS cell,
+         list_transform(generate_series(1, len(e.emb)), i -> e.emb[i] - c.cvec[i]) AS resid
+  FROM e JOIN cellmap a ON a.vec_id = e.vec_id JOIN c1 c ON c.cluster = a.cluster
+),
+residt AS (SELECT * FROM resid WHERE NOT ({_IVFPQM_APPEND})),
+residl AS (SELECT * FROM resid WHERE NOT ({_IVFPQM_DELETE})),
+qcos AS (
+  SELECT q.vec_id AS query_id, c.cluster AS cell, c.cvec,
+         round({_sql_cos('q', 'c')}, 6) AS cos
+  FROM e q CROSS JOIN c1 c WHERE q.vec_id < 5
+),
+probes AS (
+  SELECT query_id, cell, cvec FROM (
+    SELECT query_id, cell, cvec,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, cell ASC) AS rn
+    FROM qcos
+  ) WHERE rn <= {_IVFPQ_PROBE}
+),
+qresid AS (
+  SELECT p.query_id, p.cell,
+         list_transform(generate_series(1, len(q.emb)), i -> q.emb[i] - p.cvec[i]) AS resid
+  FROM probes p JOIN e q ON q.vec_id = p.query_id
+),
+{_ivfpqm_sub_ctes(*_PQ_SLICES[0])},
+{_ivfpqm_sub_ctes(*_PQ_SLICES[1])},
+codes AS (
+  SELECT cm.vec_id, cm.cell, 1 AS m, c.cluster AS code
+  FROM code1 c JOIN residl cm ON cm.vec_id = c.vec_id
+  UNION ALL
+  SELECT cm.vec_id, cm.cell, 2 AS m, c.cluster AS code
+  FROM code2 c JOIN residl cm ON cm.vec_id = c.vec_id
+),
+adc AS (
+  SELECT query_id, cell, 1 AS m, code, pd FROM qd1
+  UNION ALL
+  SELECT query_id, cell, 2 AS m, code, pd FROM qd2
+),
+scores AS (
+  SELECT a.query_id, c.vec_id, sum(a.pd) AS approx, count(*) AS n_m
+  FROM codes c JOIN adc a ON a.cell = c.cell AND a.m = c.m AND a.code = c.code
+  GROUP BY a.query_id, c.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(approx, 6) DESC, vec_id ASC) AS rn
+    FROM scores WHERE n_m = {len(_PQ_SLICES)} AND vec_id <> query_id
+  ) WHERE rn <= {_IVFPQ_RERANK}
+),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(q.emb)), i -> q.emb[i] * n.emb[i]))
+           / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+              * sqrt(list_sum(list_transform(n.emb, x -> x * x)))), 6) AS cosine_sim
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM sims
+) WHERE rn <= {_IVFPQ_TOP_K}
+"""
+
+
+def ensure_ivfpq_maintained_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once artifact exercising the saved-index maintenance
+    lifecycle (see the section comment above); keyed like every
+    artifact by (sf_dir, source mtime, config tag), atomic-rename
+    published. The append and delete run INSIDE the build so readers
+    only ever see the fully-maintained store."""
+    import os
+
+    from sec_financial_pipeline_spark.operators import ivfpq
+
+    cfg = (
+        f"k{_IVF_K}s{_IVF_SEED_BASE}p{_PQ_SEED_BASE}q{_PQ_K}sl{_PQ_SLICES}"
+        "-maint-app5.2-del11.7"
+    )
+    path = _artifact_path("sfp_ivfpqm_", sf_dir, "embeddings", cfg)
+    if not os.path.exists(path):
+        e = _ivfpq_corpus(spark, sf_dir)
+        init = e.filter(~F.expr(_IVFPQM_APPEND))
+        coarse_seeds = init.filter(
+            (F.col("vec_id") >= _IVF_SEED_BASE)
+            & (F.col("vec_id") < _IVF_SEED_BASE + _IVF_K)
+        ).select(
+            (F.col("vec_id") - _IVF_SEED_BASE).cast("int").alias("cluster"),
+            F.col("emb").alias("cvec"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        index = ivfpq.build_index(
+            init,
+            coarse_seeds,
+            pq_seed_ids=list(range(_PQ_SEED_BASE, _PQ_SEED_BASE + _PQ_K)),
+            slices=_PQ_SLICES,
+            n_iter=1,
+        )
+
+        def build(p: str) -> None:
+            ivfpq.save_index(index, p)
+            ivfpq.append_to_saved_index(
+                spark, p, e.filter(F.expr(_IVFPQM_APPEND))
+            )
+            ivfpq.delete_from_saved_index(
+                spark, p, e.filter(F.expr(_IVFPQM_DELETE)).select("vec_id")
+            )
+
+        _publish_atomically(build, path)
+    return path
+
+
+def q_emb_ivfpq_maint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve against the MAINTAINED store: identical probe/rerank/top-k
+    search to ``q_emb_ivfpq_serve``, but the loaded code table is the
+    append+delete survivor rather than a one-shot build."""
+    path = ensure_ivfpq_maintained_index(spark, sf_dir)
+    e = _ivfpq_corpus(spark, sf_dir, persist=False)
+    return _ivfpq_search(spark, e, path)
+
+
+# ---------------------------------------------------------------------------
+# Consolidated registration for the quantization-family ANN indexes
 # (identical (query_id, neighbor_id, cosine_sim) contract): keeps the
 # registry inside the driver's 50-row hard-check window without dropping
 # any index family's oracle coverage. Each constituent stays a standalone
@@ -3004,10 +3187,18 @@ _QUANT_COLS = ["query_id", "neighbor_id", "cosine_sim"]
             ("sq", _SQ_ORACLE, _QUANT_COLS),
             ("pq", _PQ_ORACLE, _QUANT_COLS),
             ("ivfpq", _IVFPQ_ORACLE, _QUANT_COLS),
+            ("ivfpq_maint", _IVFPQM_ORACLE, _QUANT_COLS),
         ],
         _QUANT_SCHEMA,
     ),
-    survey="§2.9 similarity-search (scalar quantization int8; product quantization ADC; IVF-PQ composed index with parquet save/load lifecycle — all with bounded exact re-rank)",
+    survey=(
+        "§2.9 similarity-search (scalar quantization int8; product"
+        " quantization ADC; IVF-PQ composed index with parquet save/load"
+        " lifecycle — all with bounded exact re-rank"
+        " + saved-index append/delete maintenance: frozen-codebook"
+        " encode-and-append, swap-rewrite code deletion; served store =="
+        " from-scratch over the surviving vectors)"
+    ),
 )
 def q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_sections(
@@ -3015,6 +3206,7 @@ def q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("sq", q_emb_sq_topk(spark, sf_dir)),
             ("pq", q_emb_pq_topk(spark, sf_dir)),
             ("ivfpq", q_emb_ivfpq_topk(spark, sf_dir)),
+            ("ivfpq_maint", q_emb_ivfpq_maint(spark, sf_dir)),
         ],
         _QUANT_SCHEMA,
     )

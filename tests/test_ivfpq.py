@@ -397,3 +397,71 @@ def test_sq_serve_path_matches_train_and_query(spark, sf_dir, monkeypatch, tmp_p
     again = sorted(tuple(r) for r in sim.q_emb_sq_serve(spark, sf_dir).collect())
     assert again == full
     assert os.path.getmtime(path) == mtime
+
+
+def test_maintained_store_matches_from_scratch(
+    spark, sf_dir, monkeypatch, tmp_path, corpus
+):
+    """VERDICT r13 item 6: the MAINTAINED saved index (build on an
+    initial slice -> save -> append the rest under frozen codebooks ->
+    swap-rewrite delete) serves exactly what an in-memory
+    reconstruction over the same lifecycle produces, deleted ids never
+    surface, and the store is built once."""
+    import os
+    import tempfile
+
+    from sec_financial_pipeline_spark.operators import ivfpq
+    from sec_financial_pipeline_spark.registry import similarity as sim
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    served = sorted(
+        tuple(r) for r in sim.q_emb_ivfpq_maint(spark, sf_dir).collect()
+    )
+    assert served
+
+    # in-memory twin: build on the initial slice, append the rest,
+    # drop the deleted ids from the code table, search identically
+    init = corpus.filter(~F.expr(sim._IVFPQM_APPEND))
+    seeds = init.filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") < 24)
+    ).select(
+        (F.col("vec_id") - 16).cast("int").alias("cluster"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    idx = ivfpq.build_index(init, seeds, list(range(24, 32)), _SLICES, n_iter=1)
+    idx = ivfpq.append_to_index(idx, corpus.filter(F.expr(sim._IVFPQM_APPEND)))
+    idx = ivfpq.IvfPqIndex(
+        coarse=idx.coarse,
+        pq=idx.pq,
+        codes=idx.codes.filter(~F.expr(sim._IVFPQM_DELETE)),
+        slices=idx.slices,
+    )
+    queries = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "emb", "nrm"
+    )
+    twin = sorted(
+        tuple(r)
+        for r in ivfpq.search(
+            corpus, queries, idx, n_probe=2, rerank=50, top_k=5
+        ).collect()
+    )
+    assert served == twin
+
+    deleted = {
+        r.vec_id
+        for r in corpus.filter(F.expr(sim._IVFPQM_DELETE))
+        .select("vec_id")
+        .collect()
+    }
+    assert deleted, "delete slice empty — the lifecycle test is vacuous"
+    assert not deleted & {n for _, n, _ in served}
+
+    # build-once: a second serve call must not touch the store
+    path = sim.ensure_ivfpq_maintained_index(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(path, "codes"))
+    again = sorted(
+        tuple(r) for r in sim.q_emb_ivfpq_maint(spark, sf_dir).collect()
+    )
+    assert again == served
+    assert os.path.getmtime(os.path.join(path, "codes")) == mtime
