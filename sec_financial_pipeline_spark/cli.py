@@ -958,17 +958,31 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
                 )
             nm, pred = f.split("=", 1)
             filters[nm.strip()] = pred
+        fb = None
+        qe = None
         try:
+            if args.learn:
+                # this invocation plans from the store AS LOADED; the
+                # measured run's factor updates persist for the NEXT
+                # one — each call sees exactly one store state, so two
+                # calls demonstrate the durable loop unambiguously
+                learned = T.load_chain_feedback(spark, args.learn)
+                fb = dict(learned) or None
+                qe = T.chain_qerror(
+                    spark, tables, edges, filters=filters or None,
+                    feedback=learned,
+                )
+                T.save_chain_feedback(spark, args.learn, learned)
             plan = T.suggest_join_chain(
-                spark, tables, edges, filters=filters or None
+                spark, tables, edges, filters=filters or None, feedback=fb
             )
             df = T.join_chain(
                 spark, tables, edges, how=args.how,
-                filters=filters or None,
+                filters=filters or None, feedback=fb,
             )
         except ValueError as e:
             raise SystemExit(str(e))
-        return {
+        out = {
             "order": plan["order"],
             "planner": plan["planner"],
             "steps": plan["steps"],
@@ -977,6 +991,11 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "n_rows": df.count(),
             "op": "join",
         }
+        if qe is not None:
+            out["feedback_edges"] = plan["feedback_edges"]
+            out["median_qerror"] = qe["median_qerror"]
+            out["max_qerror"] = qe["max_qerror"]
+        return out
     if args.snap_cmd == "matview":
         from sec_financial_pipeline_spark.sources import matview as MV
 
@@ -1453,6 +1472,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     )
     sjn.add_argument("--how", default="inner")
     sjn.add_argument("--limit", type=int, default=20)
+    sjn.add_argument(
+        "--learn", default=None, metavar="STORE",
+        help="feedback-store directory: load learned per-edge "
+        "selectivity factors into the planner, MEASURE this run's "
+        "step cardinalities (chain_qerror — pays one count per step), "
+        "and persist the updated factors back (crash-safe "
+        "stage-then-overwrite)",
+    )
     smv = snap_sub.add_parser(
         "matview",
         help="incrementally-maintained materialized aggregate view "

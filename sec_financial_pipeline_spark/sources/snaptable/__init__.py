@@ -243,6 +243,8 @@ from sec_financial_pipeline_spark.sources.snaptable.planner import (  # noqa: F4
     _best_order_dp,
     suggest_join_chain,
     join_chain,
+    load_chain_feedback,
+    save_chain_feedback,
 )
 from sec_financial_pipeline_spark.sources.snaptable.maintenance import (  # noqa: F401
     compact,

@@ -730,3 +730,87 @@ def chain_qerror(
         "median_qerror": round(median, 4),
         "max_qerror": round(max(qs), 4),
     }
+
+
+# ---------------------------------------------------------------------------
+# Persisted feedback store: the LEO loop across driver restarts. One
+# JSON file of {edge-feedback-key: factor}; keys embed table PATHS +
+# filter predicates (see _edge_feedback_key), so one store serves every
+# chain over the same tables and survives renames of chain-local
+# aliases. Write discipline is the two-step marker pattern
+# (operators/bm25.py::_write_compact_marker): stage the complete new
+# state at the .tmp sibling, then overwrite the main file — no crash
+# point leaves the store unreadable, and the reader falls back to the
+# staged copy on a torn main.
+# ---------------------------------------------------------------------------
+
+_FEEDBACK_FILE = "_chain_feedback.json"
+
+
+def load_chain_feedback(spark: SparkSession, store: str) -> dict:
+    """Read a persisted feedback store (a directory; absent → ``{}``).
+    A torn main file (crash mid-overwrite) falls back to the staged
+    ``.tmp`` copy; both unreadable raises rather than silently
+    resetting every learned factor to 1."""
+    import os
+
+    from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
+
+    main = os.path.join(store, _FEEDBACK_FILE)
+    fs, Path = _hadoop_fs(spark, main)
+
+    def _try(p):
+        if not fs.exists(Path(p)):
+            return None, True
+        try:
+            from sec_financial_pipeline_spark.sources.snaptable.manifest import (
+                _read_json,
+            )
+
+            return _read_json(spark, p), False
+        except Exception:
+            return None, False
+    got, absent = _try(main)
+    if got is not None:
+        return {str(k): float(v) for k, v in got.items()}
+    if absent:
+        got_tmp, tmp_absent = _try(main + ".tmp")
+        if got_tmp is not None:
+            return {str(k): float(v) for k, v in got_tmp.items()}
+        if tmp_absent:
+            return {}
+        raise ValueError(
+            f"snaptable: feedback store {store} has only a torn staged "
+            "copy — delete it to start fresh"
+        )
+    got_tmp, _ = _try(main + ".tmp")
+    if got_tmp is not None:
+        return {str(k): float(v) for k, v in got_tmp.items()}
+    raise ValueError(
+        f"snaptable: feedback store {store} is unreadable (main and "
+        ".tmp both torn) — storage corruption beyond crash discipline"
+    )
+
+
+def save_chain_feedback(spark: SparkSession, store: str, feedback: dict) -> None:
+    """Persist a feedback dict (as produced/updated by
+    :func:`chain_qerror`): stage-then-overwrite, crash-safe either
+    side (see :func:`load_chain_feedback`)."""
+    import json
+    import os
+
+    from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
+
+    main = os.path.join(store, _FEEDBACK_FILE)
+    fs, Path = _hadoop_fs(spark, main)
+    fs.mkdirs(Path(store))
+    text = json.dumps(
+        {str(k): float(v) for k, v in sorted(feedback.items())}
+    )
+
+    def _write(p):
+        out = fs.create(Path(p), True)
+        out.write(bytearray(text.encode("utf-8")))
+        out.close()
+    _write(main + ".tmp")
+    _write(main)

@@ -221,3 +221,60 @@ def test_dp_remains_optimal_under_random_feedback():
             assert d_cost <= P._order_cost(est, edges, order, fb)[key], (
                 trial, d, order
             )
+
+
+def test_feedback_store_roundtrip_and_crash_tolerance(spark, tmp_path):
+    """Persisted LEO store: save/load round-trips exactly; a torn main
+    file (crash mid-overwrite) falls back to the fully-staged .tmp;
+    an absent store reads as empty; main+tmp both torn raises instead
+    of silently resetting every factor to 1."""
+    import os
+
+    store = str(tmp_path / "fbstore")
+    assert T.load_chain_feedback(spark, store) == {}
+    fb = {"edge-a": 0.02, "edge-b": 37.5}
+    T.save_chain_feedback(spark, store, fb)
+    assert T.load_chain_feedback(spark, store) == fb
+
+    main = os.path.join(store, "_chain_feedback.json")
+    with open(main, "w") as f:
+        f.write('{"edge-a": 0.0')  # torn overwrite
+    assert T.load_chain_feedback(spark, store) == fb  # staged copy
+
+    with open(main + ".tmp", "w") as f:
+        f.write("garbage")
+    with pytest.raises(ValueError, match="unreadable"):
+        T.load_chain_feedback(spark, store)
+
+
+def test_cli_learn_replans_across_invocations(
+    spark, capsys, misleading_chain, tmp_path
+):
+    """The durable loop end to end: two `snap join --learn STORE`
+    invocations (separate CLI calls — the factors travel only through
+    the store). The first measures the misestimate and persists
+    factors; the second replans from them: different order, q-error
+    collapsed under 2."""
+    import json
+
+    from sec_financial_pipeline_spark.cli import main
+
+    store = str(tmp_path / "fb")
+
+    def run():
+        argv = ["snap", "join",
+                "--table", f"a={misleading_chain['a']}",
+                "--table", f"b={misleading_chain['b']}",
+                "--table", f"c={misleading_chain['c']}",
+                "--edge", "a:b:x,y", "--edge", "a:c:z",
+                "--learn", store, "--limit", "1"]
+        assert main(argv, spark=spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    first = run()
+    assert first["max_qerror"] > 2
+    assert first["feedback_edges"] == 0  # store was empty at plan time
+    second = run()
+    assert second["feedback_edges"] >= 1
+    assert second["order"] != first["order"]
+    assert second["max_qerror"] < 2
