@@ -356,6 +356,7 @@ def _partial_rewrite_commit(
     base: dict,
     txn: tuple | None = None,
     cdf: str | None = None,
+    append_rebase: tuple[list, dict] | None = None,
 ) -> int:
     """Copy-on-write tail shared by delete/merge: materialize only the
     REWRITTEN rows as new files and commit a manifest of carried
@@ -370,7 +371,10 @@ def _partial_rewrite_commit(
         base.get("stats_cols", []),
     )
     all_files = sorted(carried + files, key=lambda e: e["path"])
-    return _publish_rewrite(spark, path, all_files, op, base, txn, cdf)
+    return _publish_rewrite(
+        spark, path, all_files, op, base, txn, cdf,
+        append_rebase=append_rebase,
+    )
 
 
 
@@ -502,7 +506,7 @@ def merge_upsert(
     )
     return _partial_rewrite_commit(
         spark, path, survivors.unionByName(df), carried, "merge", base, txn,
-        cdf=cdf_rel,
+        cdf=cdf_rel, append_rebase=(key_cols, bounds),
     )
 
 
@@ -597,6 +601,7 @@ def _publish_rewrite(
     txn: tuple | None,
     cdf: str | None = None,
     tbl_meta: dict | None = None,
+    append_rebase: tuple[list, dict] | None = None,
 ) -> int:
     """Commit ``files`` at head+1 with LOGICAL conflict detection (the
     Delta/Iceberg OCC discipline): on a version race, inspect every
@@ -611,11 +616,27 @@ def _publish_rewrite(
     snapshot can silently drop a concurrent append (the lost-update
     anomaly).
 
+    ``append_rebase`` = ``(key_cols, source_bounds)`` narrows the
+    conflict for key-equality rewrites (MERGE): an interleaved plain
+    APPEND whose every added file is PROVABLY key-disjoint from the
+    merge source (file footer stats vs the source batch's [min, max]
+    per key column — the same evidence _prune_by_key_bounds trusts)
+    cannot contain a row the merge would have matched or inserted
+    over, so the merge rebases by CARRYING the appended entries into
+    its manifest instead of aborting (Delta's ConcurrentAppend
+    discipline). Serial equivalence is exact either way the two
+    commits are ordered. Files with missing stats or overlapping
+    bounds keep the loud conflict — narrowing is evidence-based, never
+    assumed. The 3-writer campaign (r14) found the case this exists
+    for: under sustained disjoint-append traffic a merge retried
+    against a perpetually-moving head and starved (seeds 103/104).
+
     Vacuum interaction: a rebase re-references files the raced compact
     dropped; they are protected from vacuum as long as the base
     version is still retained — run vacuum with ``keep_last >= 2``
     when maintenance races live writers (the default)."""
     cur = base
+    files = list(files)
     for _ in range(10):
         if _try_commit(
             spark, path, cur["version"] + 1, files, base["schema"], op,
@@ -625,14 +646,41 @@ def _publish_rewrite(
         ):
             return cur["version"] + 1
         head = _manifest(spark, path, None)
+        carried_rels = {_erel(e) for e in files}
         for v in range(cur["version"] + 1, head["version"] + 1):
-            if not _is_row_preserving(_manifest(spark, path, v).get("op", "")):
-                raise SnapshotConflict(
-                    f"snaptable: {op} at {path} raced a concurrent "
-                    f"row-changing commit (version {v}) — its "
-                    f"surviving-row set was computed against version "
-                    f"{base['version']}, which is no longer the head; re-run"
+            mv = _manifest(spark, path, v)
+            vop = mv.get("op", "")
+            if _is_row_preserving(vop):
+                continue
+            if append_rebase is not None and vop == "append":
+                key_cols, bounds = append_rebase
+                prev_rels = {
+                    _erel(e)
+                    for e in _manifest(spark, path, v - 1)["files"]
+                }
+                added = [
+                    e for e in mv["files"] if _erel(e) not in prev_rels
+                ]
+                # a zero-row file (writers emit one for an empty task
+                # partition) has no footer stats but also no rows — it
+                # trivially cannot overlap any key
+                overlap, _ruled = _prune_by_key_bounds(
+                    [e for e in added if e.get("rows") != 0],
+                    key_cols, bounds, _name_chain(mv),
                 )
+                if not overlap:
+                    # every appended file key-disjoint: carry it
+                    files.extend(
+                        e for e in added if _erel(e) not in carried_rels
+                    )
+                    carried_rels.update(_erel(e) for e in added)
+                    continue
+            raise SnapshotConflict(
+                f"snaptable: {op} at {path} raced a concurrent "
+                f"row-changing commit (version {v}) — its "
+                f"surviving-row set was computed against version "
+                f"{base['version']}, which is no longer the head; re-run"
+            )
         cur = head
     raise SnapshotConflict(
         f"snaptable: {op} at {path} lost 10 consecutive rebase races "
@@ -1217,7 +1265,8 @@ def merge_into(
             changes = changes.unionByName(_tag(inserts, "insert"))
         cdf_rel = _write_changes(spark, path, changes)
     return _partial_rewrite_commit(
-        spark, path, new_rows, carried, "merge", base, txn, cdf=cdf_rel
+        spark, path, new_rows, carried, "merge", base, txn, cdf=cdf_rel,
+        append_rebase=(key_cols, bounds),
     )
 
 

@@ -44,12 +44,17 @@ _FILE_WEIGHTS = {
     "test_cli.py": 90, "test_snapfuzz.py": 55, "test_snap_datasource.py": 55,
     "test_components.py": 50,
     # r13: the chain fuzz runs all four inner/left combos and the BM25
-    # file carries the delete/update/compact lifecycle storms
-    "test_matview_fuzz.py": 170, "test_bm25.py": 45,
-    "test_property.py": 45, "test_ivfpq.py": 45,
+    # file carries the delete/update/compact lifecycle storms; r14 adds
+    # the depth-3 chain windows + four-sided storms (+~270s), the
+    # 3-writer matrix, the feedback-loop planner tests, and the
+    # maintained-IVF-PQ differential
+    "test_matview_fuzz.py": 440, "test_bm25.py": 60,
+    "test_property.py": 45, "test_ivfpq.py": 80,
+    "test_snapfuzz_writers.py": 60, "test_planner_qerror.py": 60,
+    "test_streaming_ingest.py": 60,
     "test_bpe.py": 40,
     "test_shallow_clone.py": 35, "test_unigram_lm.py": 30,
-    "test_oracle_types.py": 30, "test_streaming_ingest.py": 25,
+    "test_oracle_types.py": 30,
     "test_classifier.py": 25, "test_sketches.py": 25,
     "test_plan_audit.py": 25,
     "test_sign_lsh.py": 20, "test_report_variants.py": 20,

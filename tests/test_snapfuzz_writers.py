@@ -1,13 +1,16 @@
-"""Two-writer linearizability fuzz on the snaptable (VERDICT r11
-item 6).
+"""N-writer linearizability fuzz on the snaptable (VERDICT r11
+item 6; widened to 3 writers in r14 — VERDICT r13 item 5).
 
-Two OS threads (two writers — the lease machinery treats threads of
+N OS threads (N writers — the lease machinery treats threads of
 one driver as separate writers, ``sources/sink.py``) race randomized
 append / merge / delete / compact / tag / vacuum traffic against one
 table. Every call either returns a version (ACKNOWLEDGED) or raises a
 documented contention error (``SnapshotConflict`` /
 ``WriterContention``) and is retried; partial effects of losers must
-be invisible.
+be invisible. Three writers matter beyond two: with one holder and
+TWO waiters, a lease release races two acquirers (and a waiter can
+time out while another waiter wins) — paths a 2-writer schedule can
+never reach.
 
 Linearizability model: the table's version chain IS the linearization.
 After the run, every version's contents are read back and each
@@ -19,10 +22,12 @@ be no-ops on that version's state. Every append and every merge must
 be the unique creator of its returned version — an acknowledged
 content op with no version to show for it is a LOST UPDATE.
 
-Standing suite: ``WFUZZ_SEEDS`` (default 3) seeds x 2 writers x
-``WFUZZ_OPS`` (default 6) ops. The pre-commit campaign ran 200 seeds
-clean (see PERF.md r12 notes); thread scheduling makes every run a
-fresh interleaving.
+Standing suite: ``WFUZZ_SEEDS`` (default 3) seeds x {2, 3} writers x
+``WFUZZ_OPS`` (default 6) ops, plus reader-under-storm at both writer
+counts. Campaigns: 200 seeds x 2 writers ran clean pre-r12 commit
+(PERF.md r12 notes); 200 seeds x 3 writers ran clean pre-r14 commit
+(PERF.md r14 notes). Thread scheduling makes every run a fresh
+interleaving.
 """
 
 from __future__ import annotations
@@ -144,14 +149,9 @@ def _writer(spark, path, w, seed, ledger, lock, errors):
         errors.append((w, e))
 
 
-@pytest.mark.parametrize("seed", range(SEEDS))
-def test_two_writer_linearizability(spark, tmp_path, seed):
-    path = str(tmp_path / "t")
-    init = {k: k * 100 for k in range(SHARED)}
-    T.create(
-        spark.createDataFrame(sorted(init.items()), "id bigint, v bigint"),
-        path,
-    )
+def _run_writers(spark, path, seed, n_writers):
+    """Race ``n_writers`` writer threads against ``path``; returns the
+    acknowledged-op ledger. Raises if any writer surfaced an error."""
     ledger = {"ops": [], "tags": {}}
     lock = threading.Lock()
     errors: list = []
@@ -159,13 +159,26 @@ def test_two_writer_linearizability(spark, tmp_path, seed):
         threading.Thread(
             target=_writer, args=(spark, path, w, seed, ledger, lock, errors)
         )
-        for w in (0, 1)
+        for w in range(n_writers)
     ]
     for t in ts:
         t.start()
     for t in ts:
         t.join()
     assert not errors, errors
+    return ledger
+
+
+@pytest.mark.parametrize("n_writers", [2, 3], ids=["2w", "3w"])
+@pytest.mark.parametrize("seed", range(SEEDS))
+def test_n_writer_linearizability(spark, tmp_path, seed, n_writers):
+    path = str(tmp_path / "t")
+    init = {k: k * 100 for k in range(SHARED)}
+    T.create(
+        spark.createDataFrame(sorted(init.items()), "id bigint, v bigint"),
+        path,
+    )
+    ledger = _run_writers(spark, path, seed, n_writers)
 
     vs = T.versions(spark, path)
     assert vs[0] == 1 and vs == list(range(1, vs[-1] + 1))
@@ -228,12 +241,14 @@ def test_two_writer_linearizability(spark, tmp_path, seed):
         } == states[v]
 
 
-def test_reader_under_two_writer_storm(spark, tmp_path):
+@pytest.mark.parametrize("n_writers", [2, 3], ids=["2w", "3w"])
+def test_reader_under_writer_storm(spark, tmp_path, n_writers):
     """Snapshot isolation under concurrency: a reader thread polling
     head reads, version lists, and a random retained-version read must
     NEVER crash or observe a torn state (a head read whose row count
-    disagrees with re-reading the SAME version) while two writers race
-    append/merge/delete/compact/vacuum."""
+    disagrees with re-reading the SAME version) while the writers race
+    append/merge/delete/compact/vacuum. At 3 writers the reader also
+    overlaps the two-waiters-one-release lease window."""
     path = str(tmp_path / "t")
     init = {k: k * 100 for k in range(SHARED)}
     T.create(
@@ -268,7 +283,7 @@ def test_reader_under_two_writer_storm(spark, tmp_path):
         threading.Thread(
             target=_writer, args=(spark, path, w, 4242, ledger, lock, errors)
         )
-        for w in (0, 1)
+        for w in range(n_writers)
     ]
     for t in ws:
         t.start()

@@ -2866,3 +2866,94 @@ def test_merge_expression_double_quoted_literal_untouched(spark, tmp_path):
     assert T._rewrite_ts('name = "s.thing" AND t.k = s.k') == (
         'name = "s.thing" AND __snap_t.k = __snap_s.k'
     )
+
+
+def test_merge_rebases_over_raced_disjoint_append(spark, tmp_path, monkeypatch):
+    """Delta's ConcurrentAppend discipline (r14, found by the 3-writer
+    campaign's merge-starvation seeds): an append landing between a
+    merge's snapshot resolution and its publish no longer aborts the
+    merge WHEN every appended file is provably key-disjoint from the
+    merge source (footer stats vs source bounds) — the merge carries
+    the appended files and commits; rows and the per-version change
+    feed are exactly the serial result. An OVERLAPPING append still
+    conflicts loudly."""
+    import sec_financial_pipeline_spark.sources.snaptable.dml as D
+
+    path = str(tmp_path / "t")
+    T.create(_mk(spark, 0, 100), path)
+
+    orig = D._try_commit
+    fired = {"n": 0}
+
+    def racing(spark_, path_, version, *a, **k):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # the race: a key-disjoint append wins the version first
+            T.append(_mk(spark, 5000, 5010), path)
+        return orig(spark_, path_, version, *a, **k)
+
+    monkeypatch.setattr(D, "_try_commit", racing)
+    patch = spark.createDataFrame(
+        [(50, -1), (700, -2)], "id bigint, v bigint"
+    )
+    v = T.merge_upsert(patch, path, ["id"])
+    monkeypatch.setattr(D, "_try_commit", orig)
+    assert v == 3  # create=1, raced append=2, rebased merge=3
+    got = {r.id: r.v for r in T.read(spark, path).collect()}
+    expect = {i: i * 2 for i in range(100)}
+    expect.update({i: i * 2 for i in range(5000, 5010)})  # append kept
+    expect.update({50: -1, 700: -2})  # merge applied
+    assert got == expect
+    # per-version change feed: the append's rows belong to v2 ONLY,
+    # the merge's to v3 — carrying files must not double-count
+    ch2 = T.table_changes(spark, path, 1, 2)
+    assert sorted(r.id for r in ch2.collect()) == list(range(5000, 5010))
+    ch3 = T.table_changes(spark, path, 2, 3)
+    assert {(r.id, r._change_type) for r in ch3.collect()} == {
+        (50, "delete"), (50, "insert"), (700, "insert")
+    }
+
+    # overlapping append: keys inside the merge source's bound window
+    fired["n"] = 0
+
+    def racing_overlap(spark_, path_, version, *a, **k):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            T.append(
+                spark.createDataFrame([(60, 1)], "id bigint, v bigint"),
+                path,
+            )
+        return orig(spark_, path_, version, *a, **k)
+
+    monkeypatch.setattr(D, "_try_commit", racing_overlap)
+    with pytest.raises(T.SnapshotConflict, match="row-changing"):
+        T.merge_upsert(
+            spark.createDataFrame([(55, -3), (65, -4)], "id bigint, v bigint"),
+            path, ["id"],
+        )
+    monkeypatch.setattr(D, "_try_commit", orig)
+    # nothing lost: the overlapping append's row is live, merge absent
+    after = {r.id: r.v for r in T.read(spark, path).collect()}
+    assert after[60] == 1 and after.get(55) != -3
+
+    # merge_into takes the same narrowing (expression clauses)
+    fired["n"] = 0
+
+    def racing2(spark_, path_, version, *a, **k):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            T.append(_mk(spark, 6000, 6005), path)
+        return orig(spark_, path_, version, *a, **k)
+
+    monkeypatch.setattr(D, "_try_commit", racing2)
+    v2 = T.merge_into(
+        spark.createDataFrame([(700, 7)], "id bigint, v bigint"),
+        path, ["id"],
+        when_matched=[(None, {"v": "t.v + s.v"})],
+        when_not_matched="insert",
+    )
+    monkeypatch.setattr(D, "_try_commit", orig)
+    head = {r.id: r.v for r in T.read(spark, path).collect()}
+    assert head[700] == -2 + 7
+    assert all(head[i] == i * 2 for i in range(6000, 6005))
+    assert T._manifest(spark, path, None)["version"] == v2
