@@ -988,7 +988,14 @@ def _cmd_snap(args, spark: SparkSession) -> dict:
             "steps": plan["steps"],
             "total_intermediate_bytes": plan["total_intermediate_bytes"],
             "rows": [r.asDict() for r in df.limit(args.limit).collect()],
-            "n_rows": df.count(),
+            # chain_qerror already measured the final cardinality under
+            # the identical plan — don't pay a third full execution
+            # (its steps are inner joins, so only reuse for how=inner)
+            "n_rows": (
+                qe["steps"][-1]["true_rows"]
+                if qe is not None and args.how == "inner"
+                else df.count()
+            ),
             "op": "join",
         }
         if qe is not None:

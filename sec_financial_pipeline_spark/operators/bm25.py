@@ -240,6 +240,44 @@ def idf_from_df(df_t: DataFrame, stats: DataFrame) -> DataFrame:
     )
 
 
+def _store_lease(spark, path: str):
+    """Store-ROOT writer lease serializing every store MUTATION —
+    batch ingest, delete, update, compaction, and the streaming epoch
+    ingest (streaming/ingest.py). The per-subdirectory leases
+    swap_rewrite takes internally only serialize swaps of ONE derived
+    dir; they cannot stop a compaction from reading another lineage's
+    epoch dir MID-WRITE (a plain multi-file parquet write — partial
+    until job commit). With the root lease, a second live streaming
+    lineage (the per-namespace epoch design explicitly supports them)
+    contends LOUDLY (WriterContention → the losing micro-batch retries
+    / the auto-compact trigger skips) instead of silently folding or
+    deleting in-flight files. Re-entrant per thread, so update's
+    delete+ingest composition and compact's inner swap_rewrites nest
+    free (sources/sink.py::writer_lease)."""
+    from sec_financial_pipeline_spark.sources.sink import writer_lease
+
+    return writer_lease(spark, path)
+
+
+def _with_store_lease(get_spark_path):
+    """Decorator wrapping a store mutator in :func:`_store_lease`;
+    ``get_spark_path(*args, **kwargs) -> (spark, store_path)`` adapts
+    each mutator's signature."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def inner(*a, **k):
+            spark, path = get_spark_path(*a, **k)
+            with _store_lease(spark, path):
+                return fn(*a, **k)
+
+        return inner
+
+    return deco
+
+
+@_with_store_lease(lambda docs, id_col, text_col, path, *a, **k: (docs.sparkSession, path))
 def save_bm25_store(
     docs: DataFrame, id_col: str, text_col: str, path: str,
     n_files: int = 16,
@@ -366,6 +404,7 @@ def _stats_max_gen(spark, path: str) -> int:
     return int(row["mg"])
 
 
+@_with_store_lease(lambda new_docs, id_col, text_col, path, *a, **k: (new_docs.sparkSession, path))
 def ingest_bm25_store(
     new_docs: DataFrame, id_col: str, text_col: str, path: str
 ) -> None:
@@ -509,6 +548,7 @@ def _doc_ids_df(spark, ids, like: DataFrame) -> DataFrame:
     return out
 
 
+@_with_store_lease(lambda spark, path, *a, **k: (spark, path))
 def delete_from_bm25_store(spark, path: str, ids) -> int:
     """Remove documents from the store (the right-to-be-forgotten /
     takedown path every real corpus needs — VERDICT r12 item 1):
@@ -621,6 +661,7 @@ def delete_from_bm25_store(spark, path: str, ids) -> int:
     return n_removed
 
 
+@_with_store_lease(lambda docs, id_col, text_col, path, *a, **k: (docs.sparkSession, path))
 def update_bm25_docs(
     docs: DataFrame, id_col: str, text_col: str, path: str
 ) -> None:
@@ -697,15 +738,6 @@ def _fs_read_text(spark, p: str) -> str | None:
     return bytes(baos.toByteArray()).decode("utf-8")
 
 
-def _fs_write_text(spark, p: str, text: str) -> None:
-    from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
-
-    fs, Path = _hadoop_fs(spark, p)
-    out = fs.create(Path(p), True)  # overwrite: single-writer marker
-    out.write(bytearray(text.encode("utf-8")))
-    out.close()
-
-
 _COMPACT_MARKER = "_compacted_through.json"
 
 #: epoch subdirectory names: ``epoch-<ns>-<id>`` where ``ns`` is a
@@ -746,6 +778,28 @@ def epoch_namespace(checkpoint_path: str) -> str:
     else:
         key = os.path.abspath(checkpoint_path)
     return hashlib.sha1(key.encode()).hexdigest()[:8]
+
+
+def legacy_epoch_namespace(checkpoint_path: str) -> str | None:
+    """The namespace a URI checkpoint hashed to BEFORE the r14 URI
+    normalization (abspath of the raw string — cwd-dependent), under
+    the CURRENT working directory; None for scheme-less paths, whose
+    namespace never changed. The streaming ingest adopts this
+    lineage's fence and replaces its replayed epoch dirs on a same-cwd
+    restart of a pre-upgrade URI-checkpoint stream (the crashed
+    in-flight epoch would otherwise re-ingest under the new namespace
+    beside its old dir — double count). A different-cwd restart is
+    unattributable by construction (the old hash embedded the old
+    cwd): ``bm25 status`` lists every fence namespace for manual
+    remediation."""
+    if "://" not in checkpoint_path:
+        return None
+    import hashlib
+    import os
+
+    return hashlib.sha1(
+        os.path.abspath(checkpoint_path).encode()
+    ).hexdigest()[:8]
 
 
 def _read_compact_marker(spark, path: str) -> dict:
@@ -833,22 +887,23 @@ def compacted_through(spark, path: str, ns: str = "") -> int:
 
 
 def _write_compact_marker(spark, path: str, epochs: dict) -> None:
-    """Two-step marker write so no crash point leaves the store
-    unreadable (ADVICE r13): (1) stage the complete new state at the
-    ``.tmp`` sibling, (2) overwrite the main file. A crash during (1)
-    leaves the old main intact; during (2), the reader falls back to
-    the fully-staged tmp. Plain fs.create both times — no reliance on
-    rename-onto-existing semantics, which differ across HDFS/local/
-    object stores."""
+    """Crash-safe marker write (ADVICE r13) via the shared
+    ``sink.staged_write_text`` stage-then-overwrite discipline; the
+    reader (:func:`_read_compact_marker`) keeps its marker-specific
+    torn-state semantics — main-absent means "no compaction yet"
+    because this marker is written BEFORE the compaction swap."""
     import json
     import os
 
-    main = os.path.join(path, _COMPACT_MARKER)
-    text = json.dumps({"epochs": epochs})
-    _fs_write_text(spark, main + ".tmp", text)
-    _fs_write_text(spark, main, text)
+    from sec_financial_pipeline_spark.sources.sink import staged_write_text
+
+    staged_write_text(
+        spark, os.path.join(path, _COMPACT_MARKER),
+        json.dumps({"epochs": epochs}),
+    )
 
 
+@_with_store_lease(lambda spark, path, *a, **k: (spark, path))
 def compact_bm25_store(spark, path: str, n_files: int = 16) -> dict:
     """Fold the store's postings tree — streaming ``epoch-<id>``
     subdirectories plus flat batch files — into ONE doc-clustered flat

@@ -65,6 +65,13 @@ def job_group_metrics(spark, group: str) -> dict:
     return out
 
 
+#: per-process counter making every measurement's job group unique —
+#: the AppStatusStore retains history, so reusing "metrics:<name>" in
+#: one session would AGGREGATE both runs' jobs/bytes (a re-measured row
+#: would double its ceilings)
+_MEASURE_SEQ = [0]
+
+
 def measure_query(spark, name: str, fn, sf_dir: str, warm: bool = True) -> dict:
     """Run ``fn(spark, sf_dir)`` under a dedicated job group and return
     its :func:`job_group_metrics`. ``warm=True`` first runs the query
@@ -74,10 +81,16 @@ def measure_query(spark, name: str, fn, sf_dir: str, warm: bool = True) -> dict:
     sc = spark.sparkContext
     if warm:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    group = f"metrics:{name}"
+    _MEASURE_SEQ[0] += 1
+    group = f"metrics:{name}:{_MEASURE_SEQ[0]}"
     sc.setJobGroup(group, name)
     try:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     finally:
+        # clear EVERY property setJobGroup set — leaving the
+        # description (or interrupt-on-cancel) attached would mislabel
+        # all later jobs on this thread for the session's lifetime
         sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)
     return job_group_metrics(spark, group)

@@ -64,6 +64,29 @@ def _hadoop_fs(spark, path: str):
     return fs, jvm.org.apache.hadoop.fs.Path
 
 
+def staged_write_text(spark, path: str, text: str) -> None:
+    """Two-step small-file write so no crash point leaves the file
+    unreadable: (1) stage the COMPLETE new content at the ``.tmp``
+    sibling, (2) overwrite the main file. A crash during (1) leaves
+    the old main intact; during (2) a reader can fall back to the
+    fully-staged tmp. Plain fs.create both times — no reliance on
+    rename-onto-existing semantics, which differ across HDFS/local/
+    object stores. What a torn state MEANS is protocol-specific, so
+    readers stay at their call sites (the bm25 compact marker treats
+    main-absent as "no compaction yet" because the marker precedes the
+    swap; the planner feedback store adopts a healthy staged copy) —
+    only the write discipline is shared."""
+    fs, Path = _hadoop_fs(spark, path)
+
+    def _write(p: str) -> None:
+        out = fs.create(Path(p), True)
+        out.write(bytearray(text.encode("utf-8")))
+        out.close()
+
+    _write(path + ".tmp")
+    _write(path)
+
+
 def _count_parquet_files(spark, path: str) -> int:
     fs, Path = _hadoop_fs(spark, path)
     it = fs.listFiles(Path(path), True)

@@ -794,23 +794,21 @@ def load_chain_feedback(spark: SparkSession, store: str) -> dict:
 
 def save_chain_feedback(spark: SparkSession, store: str, feedback: dict) -> None:
     """Persist a feedback dict (as produced/updated by
-    :func:`chain_qerror`): stage-then-overwrite, crash-safe either
-    side (see :func:`load_chain_feedback`)."""
+    :func:`chain_qerror`): stage-then-overwrite via
+    :func:`~sec_financial_pipeline_spark.sources.sink.staged_write_text`,
+    crash-safe either side (see :func:`load_chain_feedback`)."""
     import json
     import os
 
-    from sec_financial_pipeline_spark.sources.sink import _hadoop_fs
+    from sec_financial_pipeline_spark.sources.sink import (
+        _hadoop_fs,
+        staged_write_text,
+    )
 
     main = os.path.join(store, _FEEDBACK_FILE)
     fs, Path = _hadoop_fs(spark, main)
     fs.mkdirs(Path(store))
-    text = json.dumps(
-        {str(k): float(v) for k, v in sorted(feedback.items())}
+    staged_write_text(
+        spark, main,
+        json.dumps({str(k): float(v) for k, v in sorted(feedback.items())}),
     )
-
-    def _write(p):
-        out = fs.create(Path(p), True)
-        out.write(bytearray(text.encode("utf-8")))
-        out.close()
-    _write(main + ".tmp")
-    _write(main)

@@ -71,12 +71,23 @@ def ingest_batch(
     docs with < k tokens have no shingles and are dropped, matching
     every other MinHash path) and ``pairs_emitted`` (THIS batch's
     pairs, not a cumulative rescan)."""
-    from sec_financial_pipeline_spark.sources.sink import recover_swap
+    from sec_financial_pipeline_spark.sources.sink import (
+        recover_swap,
+        writer_lease,
+    )
 
     spark = batch_df.sparkSession
     sigs = S.minhash_signatures(batch_df, "doc_id", "text").persist()
     try:
         n_banded = sigs.count()
+        # the store-root writer lease serializes this probe+append
+        # transaction against a concurrent compaction (the auto-compact
+        # daemon of ANOTHER lineage on the same store) — without it a
+        # compact's swap could move the store aside mid-append and
+        # strand this batch's band files in the swapped-out tree. Same
+        # lease sink.compact takes; a raced second lineage contends
+        # loudly and its micro-batch retries.
+        #
         # recover_swap FIRST, not a bare existence check: after a crashed
         # delete/compact (path absent, data stranded at __old/__swap_tmp)
         # a bare store_exists would silently bootstrap a brand-new store
@@ -84,20 +95,21 @@ def ingest_batch(
         # ingested duplicates would never be detected again. Recovery
         # heals the store when a crashed swap left one; only a genuinely
         # never-created path ("absent") takes the bootstrap branch.
-        if recover_swap(spark, store_path, missing_ok=True) != "absent":
-            store = S.load_signature_store(spark, store_path)
-            pairs = S.incremental_candidate_pairs(sigs, "doc_id", store)
-        else:
-            pairs = S.lsh_candidate_pairs(sigs, "doc_id")
-        pairs = pairs.persist()
-        try:
-            n_pairs = pairs.count()
-            pairs.write.mode("overwrite" if overwrite else "append").parquet(
-                pairs_out
-            )
-            S.append_to_signature_store(sigs, "doc_id", store_path)
-        finally:
-            pairs.unpersist()
+        with writer_lease(spark, store_path):
+            if recover_swap(spark, store_path, missing_ok=True) != "absent":
+                store = S.load_signature_store(spark, store_path)
+                pairs = S.incremental_candidate_pairs(sigs, "doc_id", store)
+            else:
+                pairs = S.lsh_candidate_pairs(sigs, "doc_id")
+            pairs = pairs.persist()
+            try:
+                n_pairs = pairs.count()
+                pairs.write.mode(
+                    "overwrite" if overwrite else "append"
+                ).parquet(pairs_out)
+                S.append_to_signature_store(sigs, "doc_id", store_path)
+            finally:
+                pairs.unpersist()
     finally:
         sigs.unpersist()
     return {"batch_docs": n_banded, "pairs_emitted": n_pairs}
@@ -143,22 +155,30 @@ def run_streaming_near_dedup(
             f.write("ok")
         if auto_compact_files is not None:
             from sec_financial_pipeline_spark.sources.sink import (
+                WriterContention,
                 _count_parquet_files,
                 compact,
             )
 
             spark = batch_df.sparkSession
-            if (
-                store_exists(spark, store_path)
-                and _count_parquet_files(spark, store_path)
-                >= auto_compact_files
-            ):
-                compact(
-                    spark,
-                    store_path,
-                    target_files_per_partition=1,
-                    partition_cols=("band_no",),
-                )
+            try:
+                if (
+                    store_exists(spark, store_path)
+                    and _count_parquet_files(spark, store_path)
+                    >= auto_compact_files
+                ):
+                    compact(
+                        spark,
+                        store_path,
+                        target_files_per_partition=1,
+                        partition_cols=("band_no",),
+                    )
+            except WriterContention:
+                # another lineage holds the store lease — debt remains,
+                # a later batch (or the other lineage's own policy)
+                # retries; compaction is an optimization, never worth
+                # failing a committed batch over
+                pass
 
     q = (
         doc_stream.writeStream.foreachBatch(_ingest)
@@ -191,6 +211,32 @@ def ingest_bm25_epoch(
     epoch_id: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    legacy_ns: str | None = None,
+) -> bool:
+    """Store-lease-guarded entry (see :func:`_ingest_bm25_epoch_impl`
+    for the transaction itself): the root lease serializes this
+    epoch's multi-file postings write + derived rebuild against any
+    concurrent compaction or second streaming lineage on the same
+    store — a raced writer contends loudly (WriterContention → the
+    micro-batch retries) instead of a compact folding this epoch's
+    PARTIAL files."""
+    from sec_financial_pipeline_spark.operators.bm25 import _store_lease
+
+    with _store_lease(batch_df.sparkSession, store_path):
+        return _ingest_bm25_epoch_impl(
+            batch_df, store_path, ns, epoch_id, id_col, text_col,
+            legacy_ns=legacy_ns,
+        )
+
+
+def _ingest_bm25_epoch_impl(
+    batch_df: DataFrame,
+    store_path: str,
+    ns: str,
+    epoch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    legacy_ns: str | None = None,
 ) -> bool:
     """ONE streaming micro-batch's ingest transaction (the body of
     :func:`run_streaming_bm25_ingest`'s foreachBatch, callable directly
@@ -228,9 +274,22 @@ def ingest_bm25_epoch(
     # post-upgrade that ingests before the original restarts would
     # adopt the fence instead and skip its own first epochs — the
     # upgrade note says restart the original lineage first.
+    migrated = False
     if "" in fences:
         fences[ns] = max(fences.get(ns, -1), fences[""])
         del fences[""]
+        migrated = True
+    # same migration for a URI checkpoint's PRE-r14 abspath-derived
+    # namespace (cwd-dependent hash): on a same-cwd restart the old
+    # namespace is computable — adopt its fence so a re-delivered
+    # pre-upgrade epoch is skipped, not double-counted. Different-cwd
+    # restarts are unattributable (documented on
+    # operators/bm25.legacy_epoch_namespace).
+    if legacy_ns and legacy_ns != ns and legacy_ns in fences:
+        fences[ns] = max(fences.get(ns, -1), fences[legacy_ns])
+        del fences[legacy_ns]
+        migrated = True
+    if migrated:
         _write_compact_marker(spark, store_path, fences)
     if epoch_id <= fences.get(ns, -1):
         return False
@@ -258,6 +317,13 @@ def ingest_bm25_epoch(
     _fs_delete(
         spark, os.path.join(store_path, "postings", f"epoch-{epoch_id}")
     )
+    if legacy_ns and legacy_ns != ns:
+        _fs_delete(
+            spark,
+            os.path.join(
+                store_path, "postings", f"epoch-{legacy_ns}-{epoch_id}"
+            ),
+        )
     # doc-clustered like the batch paths (bm25_batch_tables already
     # normalizes the id column to doc_id)
     postings_b.withColumn("gen", F.lit(gen).cast("bigint")).repartition(
@@ -300,6 +366,7 @@ def run_streaming_bm25_ingest(
         bm25_epoch_debt,
         compact_bm25_store,
         epoch_namespace,
+        legacy_epoch_namespace,
     )
 
     # epoch dirs are NAMESPACED by the streaming lineage (a stable tag
@@ -310,11 +377,12 @@ def run_streaming_bm25_ingest(
     # OVERWRITE the first's postings (r13). The Delta-sink
     # (queryId, epochId) idempotence key, re-expressed on dir names.
     ns = epoch_namespace(checkpoint_path)
+    legacy_ns = legacy_epoch_namespace(checkpoint_path)
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
         did_ingest = ingest_bm25_epoch(
             batch_df, store_path, ns, epoch_id,
-            id_col=id_col, text_col=text_col,
+            id_col=id_col, text_col=text_col, legacy_ns=legacy_ns,
         )
         if (
             did_ingest
@@ -322,7 +390,17 @@ def run_streaming_bm25_ingest(
             and bm25_epoch_debt(batch_df.sparkSession, store_path)
             >= auto_compact_epochs
         ):
-            compact_bm25_store(batch_df.sparkSession, store_path)
+            from sec_financial_pipeline_spark.sources.sink import (
+                WriterContention,
+            )
+
+            try:
+                compact_bm25_store(batch_df.sparkSession, store_path)
+            except WriterContention:
+                # another lineage holds the store lease — keep the
+                # debt, retry on a later batch; never fail a committed
+                # batch for an optimization
+                pass
 
     q = (
         doc_stream.writeStream.foreachBatch(_ingest)

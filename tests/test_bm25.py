@@ -1024,3 +1024,100 @@ def test_legacy_fence_migrates_to_first_namespace(spark, tmp_path):
         [(100, "zebra quokka")], "doc_id bigint, text string"
     )
     assert ingest_bm25_epoch(extra, store, "deadbeef", 2) is True
+
+
+def test_store_mutators_contend_loudly_on_held_lease(spark, tmp_path):
+    """r14 review closure: every store mutation holds the store-ROOT
+    writer lease, so a raced second writer (another streaming lineage,
+    a manual compact against a live stream) raises WriterContention
+    instead of folding/deleting in-flight files. Simulated by planting
+    a live foreign lease marker."""
+    import os
+
+    import pytest as _pytest
+
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        compact_bm25_store,
+        delete_from_bm25_store,
+        ingest_bm25_store,
+        save_bm25_store,
+    )
+    from sec_financial_pipeline_spark.sources.sink import WriterContention
+    from sec_financial_pipeline_spark.streaming.ingest import (
+        ingest_bm25_epoch,
+    )
+
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    store = str(tmp_path / "store")
+    save_bm25_store(docs, "doc_id", "text", store)
+
+    lock = store.rstrip("/") + "__lock"
+    with open(lock, "w") as f:
+        f.write("pid=99999 token=foreign t=9999999999")
+    try:
+        for op in (
+            lambda: ingest_bm25_store(docs, "doc_id", "text", store),
+            lambda: delete_from_bm25_store(spark, store, [0]),
+            lambda: compact_bm25_store(spark, store),
+            lambda: ingest_bm25_epoch(docs, store, "abcd1234", 0),
+        ):
+            with _pytest.raises(WriterContention):
+                op()
+    finally:
+        os.remove(lock)
+    # lease released: the same ops proceed
+    assert compact_bm25_store(spark, store)["rows_live"] > 0
+
+
+def test_legacy_uri_namespace_fence_adopted_same_cwd(spark, tmp_path):
+    """r14 review closure: a pre-upgrade URI-checkpoint lineage's
+    fence (recorded under the old abspath-derived namespace) is
+    adopted by the first post-upgrade ingest from the same cwd, so a
+    re-delivered pre-upgrade epoch is SKIPPED, not double-counted."""
+    from sec_financial_pipeline_spark.operators.bm25 import (
+        _write_compact_marker,
+        compaction_fences,
+        epoch_namespace,
+        legacy_epoch_namespace,
+        save_bm25_store,
+    )
+    from sec_financial_pipeline_spark.streaming.ingest import (
+        ingest_bm25_epoch,
+    )
+
+    ckpt = "hdfs://nn//ckpt/stream1/"
+    ns = epoch_namespace(ckpt)
+    legacy = legacy_epoch_namespace(ckpt)
+    assert legacy and legacy != ns
+    assert legacy_epoch_namespace("/local/ckpt") is None
+
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    store = str(tmp_path / "store")
+    save_bm25_store(docs, "doc_id", "text", store)
+    # pre-upgrade compaction fenced epochs <= 3 under the legacy ns
+    _write_compact_marker(spark, store, {legacy: 3})
+
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{store}/postings").collect())
+    )
+    # the re-delivered in-flight epoch (checkpoint commit lost in the
+    # pre-upgrade crash) must hit the adopted fence
+    assert (
+        ingest_bm25_epoch(docs.limit(2), store, ns, 3, legacy_ns=legacy)
+        is False
+    )
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{store}/postings").collect())
+    ) == before
+    fences = compaction_fences(spark, store)
+    assert fences.get(ns) == 3 and legacy not in fences
+    # the next genuinely-new epoch ingests normally under the new ns
+    assert (
+        ingest_bm25_epoch(
+            spark.createDataFrame(
+                [(100, "zebra yak")], "doc_id long, text string"
+            ),
+            store, ns, 4, legacy_ns=legacy,
+        )
+        is True
+    )

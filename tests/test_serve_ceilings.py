@@ -95,3 +95,28 @@ def test_serve_row_ceilings(spark, name):
         f"for a lost doc-clustered layout, a broadcast that became a "
         f"shuffle join, or a store scan that stopped pruning"
     )
+
+
+def test_measure_query_does_not_accumulate_across_calls(spark):
+    """r14 review closure: the AppStatusStore retains history, so a
+    reused job-group name would AGGREGATE a re-measured row's metrics
+    (2x jobs/bytes on the second call). measure_query now salts the
+    group per call — two measurements of the same row report the same
+    steady-state numbers."""
+    from sec_financial_pipeline_spark.plans.metrics import measure_query
+    from sec_financial_pipeline_spark.registry.similarity import (
+        q_emb_bm25_serve,
+        release_caches,
+    )
+
+    a = measure_query(spark, "bm25_serve", q_emb_bm25_serve, SF_DIR)
+    b = measure_query(
+        spark, "bm25_serve", q_emb_bm25_serve, SF_DIR, warm=False
+    )
+    release_caches()
+    assert b["jobs"] == a["jobs"], (a, b)
+    assert b["shuffle_read_bytes"] <= a["shuffle_read_bytes"] * 1.5
+    # and the thread is left unlabeled for whoever runs next
+    sc = spark.sparkContext
+    assert sc.getLocalProperty("spark.jobGroup.id") is None
+    assert sc.getLocalProperty("spark.job.description") is None

@@ -35,6 +35,7 @@ from __future__ import annotations
 import os
 import random
 import threading
+import time
 
 import pytest
 
@@ -90,7 +91,20 @@ def _writer(spark, path, w, seed, ledger, lock, errors):
                 ["append", "merge", "delete", "compact", "tag", "vacuum"]
             )
             uniq = (w + 1) * 100_000 + opno  # values always fresh
-            for attempt in range(8):
+            # jittered exponential backoff — the retry discipline every
+            # OCC caller needs (and test_snaptable.py's storm documents):
+            # zero-backoff retries of the SLOWEST op (merge: read +
+            # join + rewrite) against two fast writers re-collide
+            # deterministically; a conflict proves ANOTHER writer
+            # committed (system-wide progress), per-writer fairness
+            # comes from the backoff. The r14 3-writer campaign seeds
+            # 52/103/104 starved a merge in exactly this shape; the
+            # key-disjoint append rebase (dml._publish_rewrite) removes
+            # the append-vs-merge class, backoff covers merge-vs-merge/
+            # delete on the shared key range.
+            for attempt in range(12):
+                if attempt:
+                    time.sleep(rng.uniform(0, 0.05 * 2 ** min(attempt, 5)))
                 try:
                     if kind == "append":
                         rows = {
@@ -143,7 +157,7 @@ def _writer(spark, path, w, seed, ledger, lock, errors):
                             ledger["ops"].append((v, kind, payload, w, opno))
                     break
                 except (T.SnapshotConflict, WriterContention):
-                    if attempt == 7:
+                    if attempt == 11:
                         raise
     except Exception as e:  # pragma: no cover - surfaced by the test
         errors.append((w, e))
