@@ -364,3 +364,33 @@ def load_index(spark, path: str) -> IvfPqIndex:
         codes=spark.read.parquet(f"{path}/codes"),
         slices=slices,
     )
+
+
+def saved_index_debt(spark, path: str) -> int:
+    """Small-file debt of a maintained saved index: parquet file count
+    in the cell-partitioned code table. Every
+    :func:`append_to_saved_index` adds one file set per touched cell
+    partition, so a long-lived maintained index accretes files until
+    compaction — the same debt shape as the BM25 epoch dirs and the
+    MinHash band files. Cheap: one recursive listing, no scan."""
+    from sec_financial_pipeline_spark.sources.sink import (
+        _count_parquet_files,
+    )
+
+    return _count_parquet_files(spark, f"{path}/codes")
+
+
+def compact_saved_index(spark, path: str) -> int:
+    """Fold the maintained code table to one file per cell partition
+    (codebooks are untouched — they never accrete). Delegates to
+    ``sink.compact``: crash-safe swap_rewrite under the code table's
+    writer lease, bit-identical contents, identical search results
+    (pinned in tests/test_ivfpq.py). Deletes already compact
+    implicitly (swap_rewrite is a full rewrite); this pays down
+    append debt. Returns the file count after compaction."""
+    from sec_financial_pipeline_spark.sources.sink import compact
+
+    return compact(
+        spark, f"{path}/codes",
+        target_files_per_partition=1, partition_cols=("cell",),
+    )

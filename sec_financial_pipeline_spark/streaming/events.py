@@ -283,3 +283,112 @@ def enrich_stream(
     return events.join(
         F.broadcast(dim.select(on, *dim_cols)), on, "left"
     )
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session ASSEMBLY as a custom stateful operator —
+    ``applyInPandasWithState`` with **EventTimeTimeout**, the pattern
+    the built-in ``session_window`` aggregate cannot generalize (here
+    the emitted row is a reduction the engine knows, but the same
+    skeleton carries arbitrary per-session state: event paths, carts,
+    fraud features). State per user = the one OPEN session
+    ``(start_us, end_us, n)``; a batch's events fold in sorted order,
+    closing-and-emitting a session whenever the gap is exceeded
+    (mirroring the batch ``evt_sessionize`` lag+running-sum
+    semantics: a new session starts strictly beyond ``gap_sec``).
+
+    The WATERMARK drives the rest: after folding, the state's timeout
+    is set to ``session_end + gap``; once the event-time watermark
+    passes it, no event can ever extend the session (anything earlier
+    is late beyond the watermark by definition), so the timeout
+    callback emits it and evicts the state — bounded state over an
+    unbounded key space, with emission exactly as early as
+    correctness allows. Output mode: append (rows are CLOSED
+    sessions; n_events/session bounds are final).
+
+    Ordering contract (documented, tested): exact when each user's
+    events arrive in ts order ACROSS micro-batches (in-batch disorder
+    is sorted away); a cross-batch late event older than the open
+    session's end would mis-fold — the price every incremental
+    sessionizer pays short of buffering the full watermark window."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("end_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    gap_us = gap_sec * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        uid = key[0]
+        closed = []
+
+        def emit(s_us, e_us, n):
+            closed.append(
+                (uid, n, pd.Timestamp(s_us, unit="us"),
+                 pd.Timestamp(e_us, unit="us"))
+            )
+
+        if state.hasTimedOut:
+            # watermark passed end+gap: the open session is final
+            s_us, e_us, n = state.get
+            emit(s_us, e_us, n)
+            state.remove()
+        else:
+            cur = state.get if state.exists else None
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"])
+            for ts in rows["ts"]:
+                t_us = ts.value // 1000  # pandas ns -> us
+                if cur is None:
+                    cur = (t_us, t_us, 1)
+                elif t_us - cur[1] > gap_us:
+                    emit(*cur)
+                    cur = (t_us, t_us, 1)
+                else:
+                    cur = (cur[0], max(cur[1], t_us), cur[2] + 1)
+            state.update(cur)
+            # the open session dies when the watermark passes end+gap
+            # (strictly-greater gap rule -> +1us past the boundary);
+            # clamp above the current watermark — Spark rejects
+            # timeouts at or below it
+            state.setTimeoutTimestamp(
+                max(
+                    (cur[1] + gap_us) // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "n_events", "session_start",
+                         "session_end"],
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -465,3 +465,55 @@ def test_maintained_store_matches_from_scratch(
     )
     assert again == served
     assert os.path.getmtime(os.path.join(path, "codes")) == mtime
+
+
+def test_saved_index_compaction_pays_append_debt(
+    spark, tmp_path, corpus, queries, index, exact_top5
+):
+    """r14: the maintained saved index accretes one file set per
+    touched cell per append; compact_saved_index folds to one file per
+    cell with bit-identical codes and identical search results."""
+    from sec_financial_pipeline_spark.operators import ivfpq
+
+    path = str(tmp_path / "maint")
+    base = corpus.filter(F.col("vec_id") < 200)
+    seeds = base.filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") < 24)
+    ).select(
+        (F.col("vec_id") - 16).cast("int").alias("cluster"),
+        F.col("emb").alias("cvec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    idx = ivfpq.build_index(base, seeds, list(range(24, 32)), _SLICES, n_iter=1)
+    ivfpq.save_index(idx, path)
+    for lo in range(200, 280, 20):  # 4 appends accrete per-cell files
+        ivfpq.append_to_saved_index(
+            spark, path,
+            corpus.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 20)),
+        )
+    debt = ivfpq.saved_index_debt(spark, path)
+    cols = ["vec_id", "cell", "m", "code"]
+    before_codes = sorted(
+        map(tuple, ivfpq.load_index(spark, path).codes.select(*cols).collect())
+    )
+    sub = corpus.filter(F.col("vec_id") < 280)
+    before = sorted(
+        map(tuple, ivfpq.search(
+            sub, queries, ivfpq.load_index(spark, path),
+            n_probe=2, rerank=50, top_k=5,
+        ).collect())
+    )
+    n_after = ivfpq.compact_saved_index(spark, path)
+    assert n_after < debt, (debt, n_after)
+    n_cells = ivfpq.load_index(spark, path).codes.select("cell").distinct().count()
+    assert n_after == n_cells  # one file per live cell partition
+    assert sorted(
+        map(tuple, ivfpq.load_index(spark, path).codes.select(*cols).collect())
+    ) == before_codes
+    after = sorted(
+        map(tuple, ivfpq.search(
+            sub, queries, ivfpq.load_index(spark, path),
+            n_probe=2, rerank=50, top_k=5,
+        ).collect())
+    )
+    assert after == before
