@@ -144,7 +144,19 @@ def _viterbi_segment(words: DataFrame, scores: DataFrame,
             F.col("score").alias("s"),
         )
     )
-    g = edges.groupBy("word", "freq").agg(
+    # r14: hash-repartition on the group keys with an EXPLICIT partition
+    # count before the aggregation. The per-word byte volume here is
+    # tiny, so AQE's size-targeted coalescing folds the agg output to
+    # ONE partition — and the expensive part of this plan, the
+    # per-word Viterbi forward/backtrace folds projected right after
+    # the agg, then runs serial on a single core (measured: the whole
+    # EM loop at 1 task/job). An explicit numPartitions is exempt from
+    # AQE coalescing, satisfies the agg's ClusteredDistribution (no
+    # second exchange), and parallelizes the folds; the count tracks
+    # the session's core budget, so it stays right-sized when the
+    # driver re-benches at lower core counts and on a real cluster.
+    n_part = max(1, words.sparkSession.sparkContext.defaultParallelism)
+    g = edges.repartition(n_part, "word", "freq").groupBy("word", "freq").agg(
         F.sort_array(F.collect_list(F.struct("end", "m", "s"))).alias("es")
     )
 
@@ -244,9 +256,16 @@ def train_unigram(
     # checkpointed table is tiny (distinct words + freqs) and also
     # truncates the per-iteration plan growth at its leaves — the same
     # pattern as operators/bpe.py and operators/components.py.
-    words = unigram_words(df, text_col, max_word_len).localCheckpoint(
-        eager=True
-    )
+    # r14: spread the checkpointed word table across the core budget —
+    # the word-frequency aggregation is kilobytes at any SF, so AQE
+    # coalesces it to one partition, and every downstream span explode
+    # (seeding + 2x per EM iteration) then ran serial off the 1-partition
+    # checkpoint. The word table is vocabulary-sized (distinct truncated
+    # words), so defaultParallelism partitions stay right-sized at scale.
+    n_part = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    words = unigram_words(df, text_col, max_word_len).repartition(
+        n_part
+    ).localCheckpoint(eager=True)
     chars = (
         words.select(
             F.explode(F.split(F.col("word"), "")).alias("piece")
@@ -254,7 +273,21 @@ def train_unigram(
         .filter(F.col("piece") != "")
         .distinct()
     )
-    counts = seed_counts(words, max_piece_len, min_seed_count)
+    # r14: each EM round's count table is localCheckpoint'ed (eager).
+    # Without it the loop builds one NESTED lazy plan: `_with_scores`
+    # references its input twice (the 1-row total aggregate + the main
+    # side), and the Viterbi fold's HOF lambdas carry
+    # NamedLambdaVariable, so no two occurrences ever canonicalize
+    # equal and ReusedExchange cannot dedupe them — iteration i's
+    # E-step then re-executes every earlier round's E+M chain
+    # MULTIPLE times (measured: the 2-round loop re-ran the round-1
+    # chain ~4x inside round 2's plans; checkpointing cut the row from
+    # 10.9s to 3.2s noop at sf0.1). The table is piece-vocabulary-
+    # sized — the model, not the corpus — so the materialization is
+    # kilobytes at any SF.
+    counts = seed_counts(words, max_piece_len, min_seed_count).localCheckpoint(
+        eager=True
+    )
     for _ in range(iters):
         scores = _with_scores(counts)
         used = (
@@ -277,6 +310,7 @@ def train_unigram(
                 .alias("cnt"),
             )
             .filter(F.col("cnt") > 0)
+            .localCheckpoint(eager=True)
         )
     return _with_scores(counts)
 
@@ -393,7 +427,13 @@ def apply_unigram(
             F.substring("w0", 1, max_word_len).alias("word"),
         )
     )
-    vocab = inst.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # r14: same AQE-coalesce countermeasure as training — the distinct
+    # word table is kilobytes, so without a spread the whole Viterbi
+    # segmentation of the apply vocabulary ran on one core.
+    n_part = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    vocab = inst.groupBy("word").agg(F.count(F.lit(1)).alias("freq")).repartition(
+        n_part
+    )
     scores_aug = augment_unk_chars(vocab, scores)
     segs = _viterbi_segment(vocab, scores_aug, max_piece_len).select(
         "word", "pieces"

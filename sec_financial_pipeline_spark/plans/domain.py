@@ -143,7 +143,26 @@ def _cached(spark: SparkSession, sf_dir: str, kind: str, sql: str) -> DataFrame:
     key = (id(spark), sf_dir, kind)
     if key not in _memo:
         register_views(spark, sf_dir)
-        _memo[key] = spark.sql(sql)
+        # r14 (guide §2.5): the facts derivation fans every orders row
+        # out 11 ways through wide CASE/string projections, and the
+        # single-row-group orders file scans as ONE split — so the
+        # whole 1.6M-row build ran serial (measured 2.45s noop at
+        # sf0.1/32 cores; 0.97s with the scan spread). The Spark side
+        # reads the shared SQL against a scale-adaptively widened
+        # orders view; the oracle text is untouched and the rows are
+        # identical by construction (spread_scan is a deterministic
+        # round-robin repartition, a no-op at real multi-file scale).
+        from sec_financial_pipeline_spark.sources.testdata import (
+            load_table,
+            spread_scan,
+        )
+
+        spread_scan(load_table(spark, sf_dir, "orders")).createOrReplaceTempView(
+            "orders_spread"
+        )
+        _memo[key] = spark.sql(
+            sql.replace("FROM orders", "FROM orders_spread")
+        )
     return _memo[key]
 
 

@@ -49,11 +49,24 @@ def detect_changes(
 
     One left-anti join on (key-hash, content-hash): map-side hashing,
     single shuffle, no full-row comparison network traffic at scale.
+
+    r14 shuffle-byte diet (guide §2.3): the join key is the RAW md5
+    (``unhex`` — 16 bytes) instead of the 32-char hex string (hex is
+    injective, so the anti-join result is bit-identical), and the
+    stored side is NOT ``.distinct()``-ed first — a left-anti join is
+    an existence test, so duplicate hashes on the build side cannot
+    change the result, while the aggregate cost a full hash build on
+    both sides of its exchange for zero byte savings (content hashes
+    are near-unique by construction).
     """
     all_cols = list(key_cols) + list(value_cols)
-    b = batch.withColumn("__h", content_hash(batch, all_cols))
-    s = stored.select(content_hash(stored, all_cols).alias("__h")).distinct()
-    return b.join(s, "__h", "left_anti").drop("__h")
+    b = batch.withColumn("__h", F.unhex(content_hash(batch, all_cols)))
+    s = stored.select(F.unhex(content_hash(stored, all_cols)).alias("__h"))
+    # shuffled-hash over sort-merge (guide §3.1): the build side is the
+    # 16-byte hash column only, so the per-partition hash table is tiny
+    # and stays bounded at scale (partition count grows with the data);
+    # skipping both sides' sorts is pure win for an existence probe.
+    return b.join(s.hint("shuffle_hash"), "__h", "left_anti").drop("__h")
 
 
 def merge_upsert(
@@ -63,9 +76,19 @@ def merge_upsert(
 ) -> DataFrame:
     """T2/T4 — upsert ``changes`` into ``stored`` by key: stored rows
     whose key appears in the change set are replaced (anti-join + union
-    — the MERGE INTO shape without Delta)."""
-    keys = changes.select(*key_cols).distinct()
-    kept = stored.join(keys, list(key_cols), "left_anti")
+    — the MERGE INTO shape without Delta).
+
+    The key side is deliberately NOT ``.distinct()``-ed (r14): the
+    anti-join tests existence, so duplicate change keys cannot alter
+    which stored rows are kept, and the aggregate added a full
+    hash-build stage per call; when change batches DO carry heavy key
+    duplication at scale, the exchange's map-side partial aggregation
+    is re-enabled by distinct-ing at the call site."""
+    keys = changes.select(*key_cols)
+    # shuffled-hash build over the narrow key projection (guide §3.1):
+    # bounded per partition at scale, and the wide stored side skips
+    # its sort entirely.
+    kept = stored.join(keys.hint("shuffle_hash"), list(key_cols), "left_anti")
     return kept.unionByName(changes.select(*stored.columns))
 
 
