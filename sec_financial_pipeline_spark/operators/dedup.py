@@ -116,8 +116,12 @@ def ngram_contamination(
     oracle-exact, so the oracled registry query keeps the default).
     """
     from sec_financial_pipeline_spark.operators.similarity import shingles
+    from sec_financial_pipeline_spark.sources.testdata import spread_scan
 
-    tr_sh = train_docs.select(
+    # r14 (guide §2.5): spread the reference text before the shingle
+    # HOF + explode — that build ran serial inside a single-split scan
+    # stage; a no-op on real multi-file inputs.
+    tr_sh = spread_scan(train_docs.select(F.col(text_col))).select(
         F.explode(shingles(F.col(text_col), k=k)).alias("shingle")
     )
     return _overlap_counts(eval_docs, tr_sh, id_col, text_col, k, hash_shingles)
@@ -135,8 +139,11 @@ def _overlap_counts(
     distinct k-grams present in ``ref_shingles`` (one ``shingle``
     column — live-exploded or loaded from a store)."""
     from sec_financial_pipeline_spark.operators.similarity import shingles
+    from sec_financial_pipeline_spark.sources.testdata import spread_scan
 
-    d_sh = docs.select(
+    # r14 (guide §2.5): same serial-first-stage fix as the reference
+    # side — the probe side's shingle build parallelizes too.
+    d_sh = spread_scan(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k=k)).alias("shingle")
     )
     if hash_shingles:
@@ -302,7 +309,13 @@ def repeated_kgram_spans(
     from sec_financial_pipeline_spark.operators.similarity import (
         token_shingles,
     )
+    from sec_financial_pipeline_spark.sources.testdata import spread_scan
 
+    # r14 (guide §2.5): the gram-string build (the zip-with concat
+    # chain — the measured cost center of this operator) runs map-side
+    # of the gram exchange; spread the text first so it parallelizes
+    # over a single-split scan. No-op at real multi-file scale.
+    docs = spread_scan(docs.select(F.col(id_col), F.col(text_col)))
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
     pos = toks.select(
         F.col(id_col),
