@@ -139,8 +139,10 @@ SELECT * FROM (VALUES
 _memo: dict[tuple[int, str, str], DataFrame] = {}
 
 
-def _cached(spark: SparkSession, sf_dir: str, kind: str, sql: str) -> DataFrame:
-    key = (id(spark), sf_dir, kind)
+def _cached(
+    spark: SparkSession, sf_dir: str, kind: str, sql: str, spread: bool = True
+) -> DataFrame:
+    key = (id(spark), sf_dir, kind, spread)
     if key not in _memo:
         register_views(spark, sf_dir)
         # r14 (guide §2.5): the facts derivation fans every orders row
@@ -152,22 +154,30 @@ def _cached(spark: SparkSession, sf_dir: str, kind: str, sql: str) -> DataFrame:
         # orders view; the oracle text is untouched and the rows are
         # identical by construction (spread_scan is a deterministic
         # round-robin repartition, a no-op at real multi-file scale).
+        # ``spread=False`` keeps the direct scan for consumers whose
+        # plan prunes the fan-out to a narrow metric slice — there the
+        # exchange toll exceeds the serial-derive cost (measured:
+        # sec_metric_series 0.80s direct vs 1.07s spread, sec_trends
+        # 0.98 vs 1.10; but sec_full_statements 1.53 direct vs 0.74
+        # spread — hence per-consumer, not global).
         from sec_financial_pipeline_spark.sources.testdata import (
             load_table,
             spread_scan,
         )
 
-        spread_scan(load_table(spark, sf_dir, "orders")).createOrReplaceTempView(
-            "orders_spread"
-        )
-        _memo[key] = spark.sql(
-            sql.replace("FROM orders", "FROM orders_spread")
-        )
+        orders = load_table(spark, sf_dir, "orders")
+        if spread:
+            view = "orders_spread"
+            spread_scan(orders).createOrReplaceTempView(view)
+        else:
+            view = "orders_direct"
+            orders.createOrReplaceTempView(view)
+        _memo[key] = spark.sql(sql.replace("FROM orders", f"FROM {view}"))
     return _memo[key]
 
 
-def facts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _cached(spark, sf_dir, "facts", FACTS_SQL)
+def facts_df(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    return _cached(spark, sf_dir, "facts", FACTS_SQL, spread=spread)
 
 
 def companies_df(spark: SparkSession, sf_dir: str) -> DataFrame:

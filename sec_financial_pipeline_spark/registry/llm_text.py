@@ -387,7 +387,14 @@ FROM (SELECT *, string_split(text, ' ') AS w FROM documents) t
     survey="§2.9 text-analysis + quality-scoring + language-ID + fingerprinting + token-counting + repetition scoring + Gopher/C4 heuristic rule battery (single-scan per-doc feature row; word-count/mean-word-length/required-stopword/repetition/short-token/long-token rules with per-doc violation count and keep verdict — operators/quality_rules.py)",
 )
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from sec_financial_pipeline_spark.sources.testdata import spread_scan
+
+    # r14 (guide §2.5): this query is a pure per-row feature map — no
+    # downstream exchange at all — so over a single-split scan the WHOLE
+    # rule battery ran as one serial task. Spreading the scan is the
+    # only way to parallelize it, and the one exchange it adds carries
+    # the raw text once (a no-op on real multi-file inputs).
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     # Hoist the token split into its own projection: split() is not a
     # "cheap" expression, so CollapseProject keeps the two selects
     # separate and every downstream feature reads the materialized

@@ -23,8 +23,10 @@ from sec_financial_pipeline_spark.registry.core import register
 # ---------------------------------------------------------------------------
 
 
-def _facts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return domain.facts_df(spark, sf_dir)
+def _facts(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    return domain.facts_df(spark, sf_dir, spread=spread)
 
 
 def metric_series(
@@ -38,8 +40,14 @@ def metric_series(
     (reference ``src/api/data_service.py:112-186``): unit filter -> period
     filter -> null-key filter -> broadcast alias join (tag coalescing) ->
     windowed dedup -> projection. One shuffle (the dedup window).
+
+    Reads the UNSPREAD facts derivation (plans/domain._cached
+    spread=False): a single-metric series prunes the 11-way fan-out to
+    a narrow slice, and measured at sf0.1 the spread's exchange toll
+    (+0.27s on sec_metric_series, +0.12s on sec_trends) exceeds the
+    serial-derive cost it saves for this consumer family.
     """
-    facts = _facts(spark, sf_dir).filter(F.col("unit") == "USD")
+    facts = _facts(spark, sf_dir, spread=False).filter(F.col("unit") == "USD")
     facts = filters.annual_only(facts) if annual else filters.quarterly_only(facts)
     facts = filters.drop_null_keys(facts, ["fiscal_year"])
     alias = domain.alias_df(spark).filter(F.col("metric") == metric)
