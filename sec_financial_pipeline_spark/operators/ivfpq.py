@@ -334,12 +334,19 @@ def delete_from_saved_index(spark, path: str, vec_ids) -> int:
     return spark.read.parquet(codes_path).count()
 
 
-def save_index(index: IvfPqIndex, path: str) -> None:
+def save_index(index: IvfPqIndex, path: str, nparts: int | None = None) -> None:
     """Persist an index: tiny codebook tables plus the cell-partitioned
-    code table; ``slices`` ride along as a one-row parquet."""
+    code table; ``slices`` ride along as a one-row parquet.
+
+    ``nparts`` (r14, guide §6) bounds the code-table writer-task count
+    so each cell dir gets byte-sized files instead of one file per
+    upstream shuffle partition; appends keep their own batch layout."""
     index.coarse.write.mode("overwrite").parquet(f"{path}/coarse")
     index.pq.write.mode("overwrite").parquet(f"{path}/pq")
-    index.codes.write.mode("overwrite").partitionBy("cell").parquet(
+    codes = index.codes
+    if nparts is not None:
+        codes = codes.repartition(nparts, "cell")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/codes"
     )
     spark = index.coarse.sparkSession

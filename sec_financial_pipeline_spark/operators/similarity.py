@@ -215,13 +215,21 @@ def band_table(signatures: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def save_signature_store(signatures: DataFrame, id_col: str, path: str) -> None:
+def save_signature_store(
+    signatures: DataFrame, id_col: str, path: str, nparts: int | None = None
+) -> None:
     """Persist the corpus' band table, partitioned by ``band_no`` so a
     probe joins band-aligned files (and a band-shape retune invalidates
-    visibly: the store carries its band count in its partition layout)."""
-    band_table(signatures, id_col).write.mode("overwrite").partitionBy(
-        "band_no"
-    ).parquet(path)
+    visibly: the store carries its band count in its partition layout).
+
+    ``nparts`` (r14, guide §6) bounds the writer-task count so a
+    one-shot batch build emits byte-sized files instead of one file
+    per upstream shuffle partition per band dir; streaming appends
+    keep the default (their small-file debt is the compactor's job)."""
+    bt = band_table(signatures, id_col)
+    if nparts is not None:
+        bt = bt.repartition(nparts, "band_no")
+    bt.write.mode("overwrite").partitionBy("band_no").parquet(path)
 
 
 def load_signature_store(spark, path: str) -> DataFrame:

@@ -535,12 +535,13 @@ def ensure_shingle_index(spark: SparkSession, sf_dir: str) -> str:
     lexical leg (the 7-17x HOF trap), and it runs only here."""
     import os
 
-    path = _artifact_path("sfp_shingle_", sf_dir, "documents", "k3g1")
+    path = _artifact_path("sfp_shingle_", sf_dir, "documents", "k3g2")
     if not os.path.exists(path):
 
         def build(p):
             d = load_table(spark, sf_dir, "documents")
-            n_part = max(1, spark.sparkContext.defaultParallelism)
+            # file count by bytes, clustering by shingle (guide §6)
+            n_part = _store_nparts(sf_dir, "documents")
             d.select(
                 "doc_id",
                 F.explode(S.shingles(F.col("text"))).alias("shingle"),
@@ -583,12 +584,13 @@ def ensure_emb_index(spark: SparkSession, sf_dir: str) -> str:
     serving stale codes."""
     import os
 
-    cfg = f"b{_ANN_BANDS}r{_ANN_BITS}p{_SIGN_BASE}nrm"
+    cfg = f"b{_ANN_BANDS}r{_ANN_BITS}p{_SIGN_BASE}nrmf1"
     path = _artifact_path("sfp_emb_store_", sf_dir, "embeddings", cfg)
     if not os.path.exists(path):
 
         def build(p):
-            n_part = max(1, spark.sparkContext.defaultParallelism)
+            # file count by bytes, not cores (guide §6)
+            n_part = _store_nparts(sf_dir, "embeddings")
             e = (
                 load_table(spark, sf_dir, "embeddings")
                 .select(
@@ -1152,14 +1154,24 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 """
 
 
-def _sq_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_part = max(1, spark.sparkContext.defaultParallelism)
-    return (
+def _sq_corpus(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    # ``spread=False`` for SERVE paths (r14, guide §2.4): the encode
+    # side wants the explicit exchange (materialization barrier for the
+    # multi-branch training pipeline), but a serve call only re-ranks a
+    # bounded candidate set — the round-robin repartition cannot serve
+    # the re-rank join's hash partitioning, so at serve time it is a
+    # pure extra full-corpus exchange.
+    e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("nrm", S.norm(F.col("emb")))
-        .repartition(n_part)
     )
+    if spread:
+        n_part = max(1, spark.sparkContext.defaultParallelism)
+        e = e.repartition(n_part)
+    return e
 
 
 def _sq_codes(e: DataFrame) -> DataFrame:
@@ -1192,11 +1204,14 @@ def ensure_sq_index(spark: SparkSession, sf_dir: str) -> str:
     vector here), so serve does zero re-encoding."""
     import os
 
-    cfg = f"sq255q{_SQ_N_QUERIES}"
+    cfg = f"sq255q{_SQ_N_QUERIES}f1"
     path = _artifact_path("sfp_sq_serve_", sf_dir, "embeddings", cfg)
     if not os.path.exists(path):
         e = _sq_corpus(spark, sf_dir)
-        codes = _sq_codes(e)
+        # file count by bytes, not shuffle partitions (guide §6): the
+        # encode shuffle's 32 partitions otherwise become 32 tiny files
+        # every serve scan re-opens
+        codes = _sq_codes(e).repartition(_store_nparts(sf_dir, "embeddings"))
         _publish_atomically(
             lambda p: codes.write.mode("overwrite").parquet(p), path
         )
@@ -1209,7 +1224,7 @@ def q_emb_sq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and searches — no corpus explode, no min/max pass. Bit-identical to
     ``q_emb_sq_topk`` (asserted by tests/test_ivfpq.py)."""
     path = ensure_sq_index(spark, sf_dir)
-    e = _sq_corpus(spark, sf_dir)
+    e = _sq_corpus(spark, sf_dir, spread=False)
     return _sq_search(e, spark.read.parquet(path))
 
 
@@ -1456,7 +1471,7 @@ def ensure_minhash_store(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     path = _artifact_path(
-        "sfp_mh_store_", sf_dir, "documents", f"h{_N_HASHES}b{_BAND_SIZE}"
+        "sfp_mh_store_", sf_dir, "documents", f"h{_N_HASHES}b{_BAND_SIZE}f1"
     )
     if not os.path.exists(path):
         corpus = load_table(spark, sf_dir, "documents").filter(
@@ -1466,7 +1481,10 @@ def ensure_minhash_store(spark: SparkSession, sf_dir: str) -> str:
             corpus, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE
         )
         _publish_atomically(
-            lambda p: S.save_signature_store(sigs, "doc_id", p), path
+            lambda p: S.save_signature_store(
+                sigs, "doc_id", p, nparts=_store_nparts(sf_dir, "documents")
+            ),
+            path,
         )
     return path
 
@@ -2666,14 +2684,20 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
     search job afterwards pays ZERO training cost."""
     import os
 
-    cfg = f"pq{_PQ_K}s{_PQ_SEED_BASE}sl{_PQ_SLICES}"
+    cfg = f"pq{_PQ_K}s{_PQ_SEED_BASE}sl{_PQ_SLICES}f1"
     path = _artifact_path("sfp_pq_serve_", sf_dir, "embeddings", cfg)
     if not os.path.exists(path):
         _, cb, code = _train_pq(spark, sf_dir)
 
         def build(p: str) -> None:
-            cb.write.mode("overwrite").parquet(f"{p}/cb")
-            code.write.mode("overwrite").partitionBy("m").parquet(f"{p}/codes")
+            # writer-task count by bytes (guide §6): without it every
+            # m-partition dir gets one file per upstream shuffle
+            # partition
+            n = _store_nparts(sf_dir, "embeddings")
+            cb.repartition(1).write.mode("overwrite").parquet(f"{p}/cb")
+            code.repartition(n, "m").write.mode("overwrite").partitionBy(
+                "m"
+            ).parquet(f"{p}/codes")
 
         _publish_atomically(build, path)
     return path
@@ -2833,15 +2857,23 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 
 def _ivfpq_corpus(spark: SparkSession, sf_dir: str, persist: bool = True):
     """Normed corpus view of the embeddings table (optionally cached —
-    training makes several passes; a serve-only search does not)."""
-    n_part = max(1, spark.sparkContext.defaultParallelism)
+    training makes several passes; a serve-only search does not).
+
+    The explicit repartition rides with ``persist`` (r14, guide §2.4):
+    training wants the exchange as a materialization barrier before the
+    multi-branch Lloyd passes, but the serve paths (persist=False) only
+    re-rank a bounded candidate set — there the round-robin exchange
+    cannot serve the re-rank join's hash partitioning and is a pure
+    extra full-corpus shuffle per call."""
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("nrm", S.norm(F.col("emb")))
-        .repartition(n_part)
     )
-    return _track(e.persist()) if persist else e
+    if not persist:
+        return e
+    n_part = max(1, spark.sparkContext.defaultParallelism)
+    return _track(e.repartition(n_part).persist())
 
 
 def _train_ivfpq(spark: SparkSession, sf_dir: str):
@@ -2904,6 +2936,23 @@ def _artifact_path(prefix: str, sf_dir: str, src_table: str, config: str) -> str
     return os.path.join(tempfile.gettempdir(), f"{prefix}{tag}")
 
 
+def _store_nparts(
+    sf_dir: str, src_table: str, target_bytes: int = 128 << 20
+) -> int:
+    """File count for a persisted store, derived from the SOURCE
+    table's on-disk bytes (r14, guide §6: size output files into the
+    128 MB–1 GB band; a core-count-derived file count writes tiny
+    files locally AND stays constant as data grows — wrong at both
+    ends). Locally this yields 1 file per store component; at 100 TB
+    the same rule yields thousands."""
+    import math
+    import os
+
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
+    sz = os.path.getsize(src) if os.path.exists(src) else 0
+    return max(1, math.ceil(sz / target_bytes))
+
+
 def _publish_atomically(build, path: str) -> None:
     """Cross-process-safe build-once: materialize into a unique sibling
     temp dir, then rename into place. Readers (which gate on
@@ -2926,7 +2975,7 @@ def _publish_atomically(build, path: str) -> None:
 def _ivfpq_index_path(sf_dir: str, suffix: str = "") -> str:
     cfg = (
         f"k{_IVF_K}s{_IVF_SEED_BASE}i{_IVF_ITER}p{_PQ_SEED_BASE}"
-        f"q{_PQ_K}sl{_PQ_SLICES}"
+        f"q{_PQ_K}sl{_PQ_SLICES}f1"
     )
     return _artifact_path(f"sfp_ivfpq_{suffix}", sf_dir, "embeddings", cfg)
 
@@ -2958,7 +3007,12 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     path = _ivfpq_index_path(sf_dir, suffix="serve_")
     if not os.path.exists(path):
         _, index = _train_ivfpq(spark, sf_dir)
-        _publish_atomically(lambda p: ivfpq.save_index(index, p), path)
+        _publish_atomically(
+            lambda p: ivfpq.save_index(
+                index, p, nparts=_store_nparts(sf_dir, "embeddings")
+            ),
+            path,
+        )
     return path
 
 
