@@ -146,16 +146,29 @@ def train_logreg_milli(
     w: dict[int, int] = {}
     n = float(n_docs)
     for _ in range(steps):
-        wdf = spark.createDataFrame(
-            sorted(w.items()) or [(None, None)], "bucket long, w long"
-        ).filter(F.col("bucket").isNotNull())
-        z = _margins(feats, wdf)
-        err = labels.join(z, "id", "left").select(
-            "id",
-            _err_milli(F.coalesce(F.col("z"), F.lit(0)), F.col("y")).alias(
-                "err"
-            ),
-        )
+        if not w:
+            # r14 (guide §1.2 step 1: don't compute what you can prove):
+            # with every weight zero the margin is EXACTLY 0 for every
+            # doc (the bias feature's w is zero too), so sigmoid(0)=0.5
+            # and err = round((0.5 - y) * 1000) — +-500 milli, the very
+            # invariant the module docstring relies on for bit-stable
+            # replay. Skipping the margin pass saves a full scan of the
+            # corpus-sized feature table plus its aggregation and join
+            # on the first step, with a bit-identical gradient.
+            err = labels.select(
+                "id", _err_milli(F.lit(0), F.col("y")).alias("err")
+            )
+        else:
+            wdf = spark.createDataFrame(
+                sorted(w.items()), "bucket long, w long"
+            )
+            z = _margins(feats, wdf)
+            err = labels.join(z, "id", "left").select(
+                "id",
+                _err_milli(
+                    F.coalesce(F.col("z"), F.lit(0)), F.col("y")
+                ).alias("err"),
+            )
         # shuffle_hash on the N-row error side: the corpus-sized feats
         # side is already id-partitioned (zero exchange) and a hash
         # build of the per-doc errors avoids re-SORTING feats for a
@@ -207,7 +220,11 @@ def quality_classifier_stats(
     wdf = feats.sparkSession.createDataFrame(
         sorted(w.items()) or [(None, None)], "bucket long, w long"
     ).filter(F.col("bucket").isNotNull())
-    z = _margins(feats, wdf)
+    # r14: persist the trained margins — they are consumed twice (the
+    # corpus-mean collect below, then the returned per-stratum agg), and
+    # without the cache each consumer re-runs the full margin pass over
+    # the feature table. N rows of (id, z) — same lifecycle as ``feats``.
+    z = _margins(feats, wdf).persist()
     scored = base.join(z, "id", "left").withColumn(
         "z", F.coalesce(F.col("z"), F.lit(0))
     )

@@ -120,6 +120,30 @@ def test_matches_independent_witness_and_partitioning_invariant(spark):
                 assert gv[k] == wv[k], (n_part, s, k, gv[k], wv[k])
 
 
+def test_single_step_matches_witness(spark):
+    # steps=1 isolates the zero-weight first step, which since r14 skips
+    # the margin pass entirely (z == 0 exactly when all weights are
+    # zero) — the shortcut must replay bit-identically to the witness's
+    # explicit z computation
+    rows = _corpus()
+    want = _witness(rows, steps=1)
+    df = spark.createDataFrame(
+        [(i, s, t) for i, s, t, _ in rows],
+        "doc_id long, src string, text string",
+    )
+    got = {
+        r["src"]: r.asDict()
+        for r in quality_classifier_stats(
+            df, "doc_id", "text", "src",
+            is_positive=F.col("src") == "ref",
+            n_buckets=_B, steps=1,
+        ).collect()
+    }
+    for s, wv in want.items():
+        for k in ("n_docs", "n_keep", "checksum", "score_milli"):
+            assert got[s][k] == wv[k], (s, k, got[s][k], wv[k])
+
+
 def test_reference_stratum_keeps_more(spark):
     rows = _corpus()
     df = spark.createDataFrame(
