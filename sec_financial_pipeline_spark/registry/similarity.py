@@ -2329,15 +2329,18 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, n_probe=2)
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
+def _ivf_trained(spark: SparkSession, sf_dir: str):
+    """Shared IVF training: (cached corpus, collected codebook rows,
+    codebook schema). Split out (r14) so the recall sweep trains ONCE
+    across its probe settings instead of once per setting."""
     from sec_financial_pipeline_spark.operators import kmeans
 
     # per-vector norms materialized once (see q_emb_cosine_topk note)
     n_part = max(1, spark.sparkContext.defaultParallelism)
-    # persisted: the corpus feeds every Lloyd assignment/update pass plus
-    # the final probe + re-rank — per-branch pruning defeats
-    # ReusedExchange (same rationale as the near-dedup shingle cache), so
-    # an explicit cache is what makes training scan the parquet ONCE.
+    # persisted: the corpus feeds every Lloyd update pass plus the final
+    # probe + re-rank — per-branch pruning defeats ReusedExchange (same
+    # rationale as the near-dedup shingle cache), so an explicit cache
+    # is what makes training scan the parquet ONCE.
     e = _track(
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
@@ -2354,44 +2357,61 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
         F.col("nrm").alias("c_nrm"),
     )
     cents = kmeans.lloyd(e, seeds, n_iter=_IVF_ITER)
-    proj = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cluster",
-        F.round(
-            S.dot(F.col("emb"), F.col("cvec")) / (F.col("nrm") * F.col("c_nrm")), 6
-        ).alias("cos"),
+    return e, kmeans.collect_codebook(cents), cents.schema
+
+
+def _ivf_topk(
+    spark: SparkSession, sf_dir: str, n_probe: int, trained=None
+) -> DataFrame:
+    from sec_financial_pipeline_spark.operators import kmeans
+
+    e, rows, cschema = trained or _ivf_trained(spark, sf_dir)
+    # r14 (guide §2.4/§8): the codebook is a literal, so the full-corpus
+    # assignment is a pure map expression (formerly a crossJoin + two
+    # window sorts over N x k rows, executed TWICE — once for the
+    # assignment, once for the probes); the probe ranking only ever
+    # needed the query vectors, so it sorts a k-element array per query
+    # row instead of windowing the corpus. The probe table is bounded by
+    # queries x n_probe, so it broadcasts and the assignment side is
+    # never exchanged; candidates carry their own (emb, nrm) out of the
+    # corpus scan, replacing the former join back onto e.
+    scored = kmeans.scored_centroids(rows, cschema)
+    assign = e.select(
+        "vec_id", "emb", "nrm", F.array_max(scored)["cluster"].alias("cluster")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cluster").asc())
-    ranked = proj.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cluster")
-    probes = ranked.filter((F.col("rn") <= n_probe) & (F.col("vec_id") < 5)).select(
-        F.col("vec_id").alias("query_id"), "cluster"
+    probes = (
+        e.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+            ).alias("p"),
+        )
+        .select("query_id", F.col("p")["cluster"].alias("cluster"))
     )
-    cand = probes.join(assign, "cluster").filter(
-        F.col("vec_id") != F.col("query_id")
-    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
-    qv = e.select(
+    cand = (
+        assign.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("emb").alias("n_emb"),
+            F.col("nrm").alias("n_nrm"),
+        )
+    )
+    qv = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    nv = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("emb").alias("n_emb"),
-        F.col("nrm").alias("n_nrm"),
-    )
-    sims = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(nv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                S.dot(F.col("q_emb"), F.col("n_emb"))
-                / (F.col("q_nrm") * F.col("n_nrm")),
-                6,
-            ).alias("cosine_sim"),
-        )
+    sims = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            S.dot(F.col("q_emb"), F.col("n_emb"))
+            / (F.col("q_nrm") * F.col("n_nrm")),
+            6,
+        ).alias("cosine_sim"),
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -2456,9 +2476,10 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     )
     out = None
+    trained = _ivf_trained(spark, sf_dir)  # r14: one training, 3 sweeps
     for p in _RECALL_PROBES:
         r = (
-            _ivf_topk(spark, sf_dir, n_probe=p)
+            _ivf_topk(spark, sf_dir, n_probe=p, trained=trained)
             .join(b5, ["query_id", "neighbor_id"], "left_outer")
             .groupBy("query_id")
             .agg(
