@@ -931,11 +931,11 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
         # merge_into runs several internal jobs over its source (key
         # bounds, touch confirm, the rewrite itself) — pin the delta
         # once instead of re-reading the change feed and re-aggregating
-        # per job, and collapse a small delta to one partition so each
-        # of those jobs schedules 1 task, not shuffle-partition-many
+        # per job. The small-delta collapse to one partition (so each
+        # of those jobs schedules 1 task, not shuffle-partition-many)
+        # rides merge_into's own bounds aggregation since r14 — the
+        # separate count() job per refresh is gone.
         delta = delta.filter(nonzero).localCheckpoint(eager=True)
-        if delta.count() <= 100_000:
-            delta = delta.coalesce(1)
         updates = {"__n": "t.__n + s.d___n"}
         for a in spec["aggs"]:
             al = a["alias"]
@@ -965,6 +965,7 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
             # row; plain-equality merge keys would never match it and
             # every refresh would insert a duplicate (ADVICE r9)
             null_safe_keys=True,
+            small_source_rows=100_000,
         )
     else:
         # a delete can raise a min — recompute ONLY the touched groups
@@ -999,6 +1000,7 @@ def refresh_matview(spark: SparkSession, dst_path: str) -> int:
             txn=(_APP, head),
             unique_source=True,  # touched is a distinct() on groups
             null_safe_keys=True,
+            small_source_rows=100_000,
         )
     return head
 

@@ -997,6 +997,7 @@ def merge_into(
     cdf: bool = False,
     unique_source: bool = False,
     null_safe_keys: bool = False,
+    small_source_rows: int | None = None,
 ) -> int:
     """Full MERGE INTO clause semantics (Delta's WHEN MATCHED / WHEN
     NOT MATCHED), one atomic copy-on-write commit:
@@ -1079,7 +1080,6 @@ def merge_into(
                 f"group(s) on {key_cols} — multiple source rows matching "
                 f"one target row is ambiguous (dedupe the source first)"
             )
-    keys = source.select(*key_cols).distinct()
     row = source.agg(
         *[F.min(c).alias(f"mn_{c}") for c in key_cols],
         *[F.max(c).alias(f"mx_{c}") for c in key_cols],
@@ -1087,7 +1087,16 @@ def merge_into(
             F.max(F.col(c).isNull()).alias(f"hn_{c}")
             for c in key_cols
         ],
+        F.count(F.lit(1)).alias("__n_src"),
     ).collect()[0]
+    # ``small_source_rows`` (r14): callers with an already-materialized
+    # source (the matview delta) used to run a separate count() job just
+    # to decide whether to collapse it to one partition so each internal
+    # merge job schedules 1 task — the count now rides the bounds
+    # aggregation above for free
+    if small_source_rows is not None and row["__n_src"] <= small_source_rows:
+        source = source.coalesce(1)
+    keys = source.select(*key_cols).distinct()
     # a NULL source key is invisible to footer min/max, so under
     # null-safe matching a column whose key set contains NULL cannot
     # rule ANY file out (the matching target row may be a NULL hiding
