@@ -361,14 +361,24 @@ def load_index(spark, path: str) -> IvfPqIndex:
     from sec_financial_pipeline_spark.sources.sink import recover_swap
 
     recover_swap(spark, f"{path}/codes")
+    # schema-pinned reads (r14): the index layout is fixed by
+    # save_index, and a schema-less read schedules a footer-inference
+    # job per component — four serial driver round-trips per load
     slices = tuple(
         (r.m, r.start, r.length)
-        for r in spark.read.parquet(f"{path}/slices").orderBy("m").collect()
+        for r in spark.read.schema("m int, start int, length int")
+        .parquet(f"{path}/slices")
+        .orderBy("m")
+        .collect()
     )
+    cb_schema = "m int, cluster int, cvec array<double>, c_nrm double"
     return IvfPqIndex(
-        coarse=spark.read.parquet(f"{path}/coarse"),
-        pq=spark.read.parquet(f"{path}/pq"),
-        codes=spark.read.parquet(f"{path}/codes"),
+        coarse=spark.read.schema(
+            "cluster int, cvec array<double>, c_nrm double"
+        ).parquet(f"{path}/coarse"),
+        pq=spark.read.schema(cb_schema).parquet(f"{path}/pq"),
+        codes=spark.read.schema("vec_id bigint, m int, code int, cell int")
+        .parquet(f"{path}/codes"),
         slices=slices,
     )
 

@@ -525,6 +525,11 @@ def q_emb_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (same _hybrid_rrf core, equality pinned in tests).
 # ---------------------------------------------------------------------------
 
+#: normalized-vector store layout (r14: serve reads pin the schema so
+#: no footer-inference job is scheduled per read — the formats are
+#: fixed by the stores' config-tagged paths)
+_EMB_STORE_SCHEMA = "vec_id bigint, emb array<double>, nrm double"
+
 
 def ensure_shingle_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent build of the 3-gram shingle store for `documents`:
@@ -632,9 +637,19 @@ def q_emb_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sroot = ensure_shingle_index(spark, sf_dir)
     eroot = ensure_emb_index(spark, sf_dir)
     broot = ensure_bm25_index(spark, sf_dir)
-    sh = spark.read.parquet(os.path.join(sroot, "shingles"))
-    sizes = spark.read.parquet(os.path.join(sroot, "sizes"))
-    e = spark.read.parquet(os.path.join(eroot, "emb"))
+    # schema-pinned store reads (r14): every schema-less
+    # spark.read.parquet schedules a footer-inference job before the
+    # real work — six serial ~40ms driver round-trips on this row alone.
+    # The store formats are fixed by their config-tagged paths.
+    sh = spark.read.schema("doc_id bigint, shingle string").parquet(
+        os.path.join(sroot, "shingles")
+    )
+    sizes = spark.read.schema("doc_id bigint, n_shingles bigint").parquet(
+        os.path.join(sroot, "sizes")
+    )
+    e = spark.read.schema(_EMB_STORE_SCHEMA).parquet(
+        os.path.join(eroot, "emb")
+    )
     postings, idf, stats = load_bm25_store(spark, broot)
     qterms = (
         postings.filter(F.col("doc_id") < _N_QUERIES)
@@ -665,8 +680,13 @@ def q_emb_lsh_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     root = ensure_emb_index(spark, sf_dir)
-    e = spark.read.parquet(os.path.join(root, "emb"))
-    bands = spark.read.parquet(os.path.join(root, "bands"))
+    # schema-pinned (r14): skips the footer-inference job per read
+    e = spark.read.schema(_EMB_STORE_SCHEMA).parquet(
+        os.path.join(root, "emb")
+    )
+    bands = spark.read.schema("vec_id bigint, band int, bucket int").parquet(
+        os.path.join(root, "bands")
+    )
     qcodes = bands.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
     )
@@ -1225,7 +1245,10 @@ def q_emb_sq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_emb_sq_topk`` (asserted by tests/test_ivfpq.py)."""
     path = ensure_sq_index(spark, sf_dir)
     e = _sq_corpus(spark, sf_dir, spread=False)
-    return _sq_search(e, spark.read.parquet(path))
+    # schema-pinned (r14): skips the footer-inference job
+    return _sq_search(
+        e, spark.read.schema("vec_id bigint, dim int, code bigint").parquet(path)
+    )
 
 
 def _sq_search(e: DataFrame, codes: DataFrame) -> DataFrame:
@@ -2733,8 +2756,13 @@ def q_emb_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ivfpq.py::test_pq_serve_path_matches_train_and_query)."""
     path = ensure_pq_index(spark, sf_dir)
     e = _ivfpq_corpus(spark, sf_dir, persist=False).drop("nrm")
-    cb = spark.read.parquet(f"{path}/cb")
-    code = spark.read.parquet(f"{path}/codes")
+    # schema-pinned (r14): skips the footer-inference job per read
+    cb = spark.read.schema(
+        "m int, cluster int, cvec array<double>, c_nrm double"
+    ).parquet(f"{path}/cb")
+    code = spark.read.schema("vec_id bigint, cluster int, m int").parquet(
+        f"{path}/codes"
+    )
     return _pq_search(e, cb, code)
 
 
