@@ -323,10 +323,19 @@ def load_bm25_store(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     recover_swap(spark, os.path.join(path, "postings"), missing_ok=True)
     for sub in ("df", "idf", "stats", "tombstones"):
         recover_swap(spark, os.path.join(path, sub), missing_ok=True)
+    # idf/stats schemas pinned (r14): skips one footer-inference job
+    # each on the hot serve path. Parquet maps columns by NAME, so a
+    # legacy (pre-generation) stats file simply reads max_gen as null —
+    # and no load_bm25_store consumer touches max_gen (the maintenance
+    # path's _stats_max_gen does its own inferred read on purpose).
     return (
         _live_postings(spark, path),
-        spark.read.parquet(os.path.join(path, "idf")),
-        spark.read.parquet(os.path.join(path, "stats")),
+        spark.read.schema("term string, idf_milli bigint").parquet(
+            os.path.join(path, "idf")
+        ),
+        spark.read.schema(
+            "n_docs bigint, total_len bigint, max_gen bigint"
+        ).parquet(os.path.join(path, "stats")),
     )
 
 

@@ -232,15 +232,19 @@ def save_signature_store(
     bt.write.mode("overwrite").partitionBy("band_no").parquet(path)
 
 
-def load_signature_store(spark, path: str) -> DataFrame:
+def load_signature_store(spark, path: str, schema: str | None = None) -> DataFrame:
     """Open a persisted band-table store, first finishing or rolling
     back any swap (delete / compact) a crash left half-done —
     ``recover_swap`` acts only when nothing lives at the path (strict
-    no-op on a healthy store; it never touches a writer's dirs)."""
+    no-op on a healthy store; it never touches a writer's dirs).
+    ``schema`` (r14): callers that know their store's layout pass it to
+    skip the footer-inference job on the hot serve path; the id column
+    type is caller-defined, so no default is assumed here."""
     from sec_financial_pipeline_spark.sources.sink import recover_swap
 
     recover_swap(spark, path)
-    return spark.read.parquet(path)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(path)
 
 
 def append_to_signature_store(

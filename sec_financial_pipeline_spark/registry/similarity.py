@@ -1468,7 +1468,11 @@ def q_doc_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands are a pure function of its text, the result is provably the
     # full recompute's pair set restricted to pairs touching >= 1 batch
     # doc — which is exactly what the oracle's filtered cand states.
-    store = S.load_signature_store(spark, ensure_minhash_store(spark, sf_dir))
+    store = S.load_signature_store(
+        spark,
+        ensure_minhash_store(spark, sf_dir),
+        schema="id bigint, band_hash string, band_no int",
+    )
     batch_sigs = S.minhash_signatures(
         d.filter(F.col("doc_id") % 5 == 0),
         "doc_id",
@@ -1518,7 +1522,11 @@ def q_doc_incr_dedup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus re-banding. The first call builds the store (absorbed by the
     bench warm-up, mirroring the nightly batch job); timed calls pay
     batch signatures + the store probe only."""
-    store = S.load_signature_store(spark, ensure_minhash_store(spark, sf_dir))
+    store = S.load_signature_store(
+        spark,
+        ensure_minhash_store(spark, sf_dir),
+        schema="id bigint, band_hash string, band_no int",
+    )
     batch = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 5 == 0
     )
