@@ -2031,13 +2031,26 @@ FROM labels l JOIN csize c ON c.cluster_rep = l.cluster_rep
 """
 
 
-def q_doc_dup_clusters_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_cluster_labels(spark: SparkSession, sf_dir: str):
+    """(docs, CC labels) shared by the clusters and leakage_split
+    sections (r14): each section used to run the iterative large-star /
+    small-star contraction loop — eager localCheckpoints plus exact
+    convergence counts — on its own, doubling every CC job inside the
+    merged row. The label table is deterministic, so sharing it is
+    value-neutral."""
     from sec_financial_pipeline_spark.operators.components import (
         connected_components,
     )
 
-    _, pairs = _near_dup_pairs(spark, sf_dir)
-    labels = connected_components(pairs, src="id_a", dst="id_b")
+    d, pairs = _near_dup_pairs(spark, sf_dir)
+    return d, connected_components(pairs, src="id_a", dst="id_b")
+
+
+def q_doc_dup_clusters_only(
+    spark: SparkSession, sf_dir: str, labels: DataFrame | None = None
+) -> DataFrame:
+    if labels is None:
+        _, labels = _dup_cluster_labels(spark, sf_dir)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),
@@ -2099,20 +2112,30 @@ GROUP BY 1
 """
 
 
-def leakage_safe_split(docs: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    cc_labels: DataFrame | None = None,
+) -> DataFrame:
     """Per-document split assignment where every near-dup cluster lands
     whole in one split: label clusters (min-id representative via
     large-star/small-star CC), default singletons to themselves, hash the
     REPRESENTATIVE into train/val/test. Returns docs' ids +
     ``rep`` + ``split``. Scale shape: CC over the (tiny) verified pair
     set + one broadcastable label join + a per-row hash — the corpus
-    is never shuffled on anything but the label join key."""
+    is never shuffled on anything but the label join key.
+    ``cc_labels`` (r14): a caller that already ran CC over the same
+    pairs passes its (node, label) table to skip a second contraction
+    loop."""
     from sec_financial_pipeline_spark.operators.components import (
         connected_components,
     )
     from sec_financial_pipeline_spark.operators.sampling import hash_uniform
 
-    labels = connected_components(pairs, src="id_a", dst="id_b").select(
+    if cc_labels is None:
+        cc_labels = connected_components(pairs, src="id_a", dst="id_b")
+    labels = cc_labels.select(
         F.col("node").alias(id_col), F.col("label").alias("rep")
     )
     assigned = (
@@ -2129,9 +2152,11 @@ def leakage_safe_split(docs: DataFrame, id_col: str, pairs: DataFrame) -> DataFr
     return assigned.withColumn("split", split)
 
 
-def q_doc_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_leakage_split(
+    spark: SparkSession, sf_dir: str, labels: DataFrame | None = None
+) -> DataFrame:
     d, pairs = _near_dup_pairs(spark, sf_dir)
-    assigned = leakage_safe_split(d, "doc_id", pairs)
+    assigned = leakage_safe_split(d, "doc_id", pairs, cc_labels=labels)
     return assigned.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("rep").alias("n_clusters"),
@@ -2179,10 +2204,13 @@ _CLUSTER_ROW_SCHEMA = [
     ),
 )
 def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one CC contraction loop feeds both sections (r14) — see
+    # _dup_cluster_labels
+    _, labels = _dup_cluster_labels(spark, sf_dir)
     return union_sections(
         [
-            ("clusters", q_doc_dup_clusters_only(spark, sf_dir)),
-            ("leakage_split", q_doc_leakage_split(spark, sf_dir)),
+            ("clusters", q_doc_dup_clusters_only(spark, sf_dir, labels=labels)),
+            ("leakage_split", q_doc_leakage_split(spark, sf_dir, labels=labels)),
         ],
         _CLUSTER_ROW_SCHEMA,
     )
