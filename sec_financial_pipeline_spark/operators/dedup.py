@@ -68,6 +68,52 @@ def last_write_wins(
     return keep_first(df, keys, order)
 
 
+def keep_first_fused(
+    df: DataFrame,
+    keys: Sequence[str],
+    policies: Sequence[tuple[str, Sequence[Column]]],
+    payload: Sequence[str],
+    policy_col: str = "policy",
+) -> DataFrame:
+    """Winner-per-key for SEVERAL total orders in ONE scan + ONE shuffle.
+
+    ``keep_first`` twice means two full scans and two exchanges of the
+    input (the per-policy sort projections defeat ReusedExchange). When
+    every policy is a *total* order expressible as a struct MAXIMUM —
+    descending-major sort keys verbatim, ascending numeric keys negated,
+    no nulls in any sort key — the winners are plain ``max`` aggregates:
+    one hash partial-aggregation per map task (no sort), one exchange of
+    one pre-aggregated row per key, then an inline expansion to one
+    output row per key per policy (guide §2.3/§2.4: aggregate before
+    the shuffle, share one exchange).
+
+    ``policies``: (name, max-ready sort-key Columns). ``payload``: the
+    columns each winner row carries (may include the keys). Equivalent
+    to ``keep_first(df, keys, order)`` per policy + a tagged union —
+    pinned by ``tests/test_operators_fixes.py``.
+    """
+    aggs = [
+        F.max(
+            F.struct(
+                *[c.alias(f"__k{j}") for j, c in enumerate(order)],
+                *[F.col(c).alias(f"__p_{c}") for c in payload],
+            )
+        ).alias(f"__w{i}")
+        for i, (_, order) in enumerate(policies)
+    ]
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    branches = [
+        F.struct(
+            F.lit(name).alias(policy_col),
+            *[F.col(f"__w{i}.__p_{c}").alias(c) for c in payload],
+        )
+        for i, (name, _) in enumerate(policies)
+    ]
+    return agg.select(F.explode(F.array(*branches)).alias("__r")).select(
+        "__r.*"
+    )
+
+
 def exact_dedup(
     df: DataFrame,
     content_cols: Sequence[str],

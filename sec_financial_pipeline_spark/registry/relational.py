@@ -323,16 +323,40 @@ SELECT 'last_write_wins' AS policy, {_DEDUP_COLS} FROM (
 def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cols = _DEDUP_COLS.split(", ")
-    am = dedup.argmax_abs(
-        li, ["l_orderkey"], "l_extendedprice", tiebreakers=_LI_TIEBREAK
-    ).select(F.lit("argmax_abs").alias("policy"), *cols)
-    lw = dedup.last_write_wins(
+    # r14 (guide §2.3/§2.4): the two `keep_first` windows each scanned
+    # and shuffled lineitem (the abs() sort projection defeats
+    # ReusedExchange — plans/r14/rel_dedup_policies_before.txt shows 2
+    # scans + 2 exchanges). Both policies are total orders over
+    # null-free numeric sort keys, so one fused aggregation computes
+    # both winners: 1 scan, hash partial-agg (no map-side sorts), 1
+    # exchange of one row per key. Equivalence with the window form is
+    # pinned in tests/test_operators_fixes.py; the oracle row is
+    # bit-exact (same winners — the orders are total, ties impossible).
+    return dedup.keep_first_fused(
         li,
         ["l_orderkey"],
-        "l_linenumber",
-        tiebreakers=["l_partkey", "l_suppkey", "l_extendedprice"],
-    ).select(F.lit("last_write_wins").alias("policy"), *cols)
-    return am.unionByName(lw)
+        [
+            (
+                "argmax_abs",
+                [
+                    F.abs(F.col("l_extendedprice")),
+                    -F.col("l_linenumber"),
+                    -F.col("l_partkey"),
+                    -F.col("l_suppkey"),
+                ],
+            ),
+            (
+                "last_write_wins",
+                [
+                    F.col("l_linenumber"),
+                    F.col("l_partkey"),
+                    F.col("l_suppkey"),
+                    F.col("l_extendedprice"),
+                ],
+            ),
+        ],
+        cols,
+    )
 
 
 # ---------------------------------------------------------------------------

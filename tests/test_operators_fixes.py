@@ -302,3 +302,55 @@ def test_edit_distance_pairs_verifies_only_candidates(spark):
     sim12 = out[(1, 2)][1]
     kept = edit_distance_pairs(docs, cand, min_sim=sim12).collect()
     assert (1, 2) in {(r.id_a, r.id_b) for r in kept}
+
+
+def test_keep_first_fused_matches_window_form(spark):
+    # keep_first_fused must pick the SAME winner per key per policy as
+    # the two-window form it replaces (rel_dedup_policies, r14): ties on
+    # the leading sort key must fall through the full tiebreaker chain.
+    from sec_financial_pipeline_spark.operators import dedup
+
+    rows = [
+        # key 1: |price| tie (+8 vs -8) -> argmax_abs falls to ln ASC;
+        # lww picks max ln.
+        (1, 2, 10, 20, 8.0),
+        (1, 1, 11, 21, -8.0),
+        # key 2: ln tie -> lww falls to pk DESC; argmax_abs by |price|.
+        (2, 3, 30, 40, 1.0),
+        (2, 3, 31, 41, -2.0),
+        # key 3: single row.
+        (3, 7, 70, 80, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey int, l_linenumber int, l_partkey long, "
+        "l_suppkey long, l_extendedprice double",
+    )
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_extendedprice"]
+    am = dedup.argmax_abs(
+        df, ["l_orderkey"], "l_extendedprice",
+        tiebreakers=["l_linenumber", "l_partkey", "l_suppkey"],
+    ).select(F.lit("argmax_abs").alias("policy"), *cols)
+    lw = dedup.last_write_wins(
+        df, ["l_orderkey"], "l_linenumber",
+        tiebreakers=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).select(F.lit("last_write_wins").alias("policy"), *cols)
+    expected = sorted(map(tuple, am.unionByName(lw).collect()))
+
+    for n_part in (1, 5):
+        fused = dedup.keep_first_fused(
+            df.repartition(n_part),
+            ["l_orderkey"],
+            [
+                ("argmax_abs",
+                 [F.abs(F.col("l_extendedprice")), -F.col("l_linenumber"),
+                  -F.col("l_partkey"), -F.col("l_suppkey")]),
+                ("last_write_wins",
+                 [F.col("l_linenumber"), F.col("l_partkey"),
+                  F.col("l_suppkey"), F.col("l_extendedprice")]),
+            ],
+            cols,
+        )
+        assert fused.columns == ["policy"] + cols
+        assert sorted(map(tuple, fused.collect())) == expected
