@@ -23,6 +23,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -61,14 +62,20 @@ FEATURE_SCHEMA = T.StructType(
 
 def _byte_histogram(payload: bytes) -> list[float]:
     """Codec-free fallback feature: 8 byte-histogram buckets normalized
-    by length. Deterministic, total over arbitrary bytes."""
+    by length. Deterministic, total over arbitrary bytes.
+
+    r14 (guide §4.2): counts via numpy bincount instead of a Python
+    loop over every byte — this is the per-payload cost center of the
+    extraction path (measured ~10M interpreted iterations per 10 MB of
+    corpus). Same integer counts, same division and round — the
+    returned floats are bit-identical to the loop form."""
     if payload is None:
         return []
-    buckets = [0] * 8
-    for b in payload:
-        buckets[b >> 5] += 1
+    counts = np.bincount(
+        np.frombuffer(payload, dtype=np.uint8) >> 5, minlength=8
+    )
     n = max(1, len(payload))
-    return [round(c / n, 6) for c in buckets]
+    return [round(int(c) / n, 6) for c in counts]
 
 
 def decode_bmp(payload: bytes) -> list[float]:
@@ -152,16 +159,19 @@ def extract_features(df: DataFrame, batch_size: int = 64) -> DataFrame:
 
         for pdf in batches:
             feats, hashes, sizes = [], [], []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
+            # r14 (guide §4.2): iterate the two consumed columns
+            # directly — iterrows() materializes a Series PER ROW and
+            # was the second cost center of this batch loop after the
+            # per-byte histogram.
+            for media_type, payload in zip(pdf["media_type"], pdf["payload"]):
                 sizes.append(len(payload) if payload is not None else 0)
                 hashes.append(
                     hashlib.md5(payload).hexdigest() if payload is not None else None
                 )
                 try:
-                    if row["media_type"] == "image" and payload[:2] == b"BM":
+                    if media_type == "image" and payload[:2] == b"BM":
                         feats.append(decode_bmp(payload))
-                    elif row["media_type"] == "audio" and payload[:4] == b"RIFF":
+                    elif media_type == "audio" and payload[:4] == b"RIFF":
                         feats.append(decode_wav(payload))
                     else:
                         feats.append(_byte_histogram(payload))
