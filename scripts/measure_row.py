@@ -55,7 +55,7 @@ def main() -> None:
             )
             dest = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                "plans", "r14", f"{name}_{args.explain}.txt",
+                "plans", "r15", f"{name}_{args.explain}.txt",
             )
             with open(dest, "w") as f:
                 f.write(plan)

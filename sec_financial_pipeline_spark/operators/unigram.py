@@ -427,13 +427,16 @@ def apply_unigram(
             F.substring("w0", 1, max_word_len).alias("word"),
         )
     )
-    # r14: same AQE-coalesce countermeasure as training — the distinct
-    # word table is kilobytes, so without a spread the whole Viterbi
-    # segmentation of the apply vocabulary ran on one core.
-    n_part = max(1, df.sparkSession.sparkContext.defaultParallelism)
-    vocab = inst.groupBy("word").agg(F.count(F.lit(1)).alias("freq")).repartition(
-        n_part
-    )
+    # r15: no outer spread here — the fold parallelism this path needs
+    # comes from the hash repartition on the group keys INSIDE
+    # _viterbi_segment (it satisfies the agg's ClusteredDistribution,
+    # so the expensive per-word folds already run on
+    # defaultParallelism partitions). The r14 round-robin
+    # repartition(n_part) on top of it was a second exchange plus a
+    # sort-before-repartition of the vocab that the driver's bench
+    # measured as a 0.62->1.07s regression (+6 stages) with no fold
+    # work moved.
+    vocab = inst.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     scores_aug = augment_unk_chars(vocab, scores)
     segs = _viterbi_segment(vocab, scores_aug, max_piece_len).select(
         "word", "pieces"
