@@ -354,8 +354,12 @@ def main() -> None:
     # stdout line is a compact summary (driver-contract keys `metric`/
     # `value`/`unit`/`queries`/`sf` plus the three totals and load
     # context) that fits the tail window.
+    # r15 (VERDICT r14 item 3): the path encodes the core count, so the
+    # driver's low-core rerun no longer clobbers the 32-core record the
+    # round notes cite. Purely additive — stdout contract unchanged.
+    full_name = f"BENCH_FULL_c{CPUS}.json"
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_FULL.json")
+                             full_name)
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     compact = {
@@ -372,7 +376,7 @@ def main() -> None:
         "n_rows": len(timings),
         "sf": sf,
         "loadavg_1m": out["loadavg_1m"],
-        "full_record": "BENCH_FULL.json",
+        "full_record": full_name,
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: never outgrow the window again

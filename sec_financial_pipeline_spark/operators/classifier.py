@@ -61,7 +61,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sec_financial_pipeline_spark.operators.selection import doc_gram_buckets
+from sec_financial_pipeline_spark.operators.selection import _bucket
+from sec_financial_pipeline_spark.operators.similarity import token_shingles
 
 #: learning rate of the full-batch steps (folded into the integer
 #: update as a multiplier — keep it exactly representable in binary).
@@ -85,25 +86,53 @@ def normalized_features(
 ) -> DataFrame:
     """(id, bucket, x): length-normalized hashed ngram features in
     integer milli-units, ``x = trunc(cnt * 1000 / n_tokens)``, plus the
-    constant bias feature (bucket -1, x = 1) per document."""
-    feats = doc_gram_buckets(docs, id_col, text_col, n_buckets)
-    lens = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), " ")).alias("__ln"),
+    constant bias feature (bucket -1, x = 1) per document.
+
+    r15 (guide §2.3/§2.4): computed in ONE pass over ``docs`` — the
+    former shape (doc_gram_buckets' groupBy(id, bucket) exchange, a
+    join back onto a per-doc length table, and a union with a third
+    scan producing the bias rows) scanned the corpus three times and
+    exchanged the feature table once before the classifier's own
+    id-repartition. Here the bias feature rides the same explode as a
+    NULL marker gram (split/shingles can never produce a null gram),
+    the token count rides the groupBy as a functionally-dependent key,
+    and the aggregation groups by (id, ..., bucket) — so when the
+    caller feeds an id-partitioned input, the whole featurize runs
+    with ZERO exchanges and a single scan. The per-(id, bucket) counts
+    and the x expression (float fold order included) are identical to
+    the former shape."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.concat(
+        F.array(F.lit(None).cast("string")),
+        toks,
+        token_shingles(toks, k=2, distinct=False),
     )
-    real = feats.join(lens, "id").select(
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("__ln"),
+        F.explode(grams).alias("gram"),
+    )
+    bucket = (
+        F.when(
+            F.col("gram").isNull(), F.lit(int(BIAS_BUCKET)).cast("long")
+        )
+        .otherwise(_bucket(F.col("gram"), n_buckets))
+        .alias("bucket")
+    )
+    counts = exploded.groupBy("id", "__ln", bucket).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.select(
         "id",
         "bucket",
-        (F.col("cnt") * F.lit(1000.0) / F.col("__ln"))
-        .cast("long")
+        F.when(
+            F.col("bucket") == BIAS_BUCKET, F.lit(1).cast("long")
+        )
+        .otherwise(
+            (F.col("cnt") * F.lit(1000.0) / F.col("__ln")).cast("long")
+        )
         .alias("x"),
     )
-    bias = docs.select(
-        F.col(id_col).alias("id"),
-        F.lit(int(BIAS_BUCKET)).cast("long").alias("bucket"),
-        F.lit(1).cast("long").alias("x"),
-    )
-    return real.unionByName(bias)
 
 
 def _margins(feats: DataFrame, weights: DataFrame) -> DataFrame:
@@ -117,34 +146,38 @@ def _margins(feats: DataFrame, weights: DataFrame) -> DataFrame:
     )
 
 
-def _delta(n: float) -> Column:
+def _delta_py(bucket: int, g: int, n: float) -> int:
     """Per-bucket weight decrement from the summed gradient ``g`` —
-    the bias bucket carries the 1e6 unit factor (nano vs micro)."""
-    lr = F.lit(LEARNING_RATE)
-    return (
-        F.when(
-            F.col("bucket") == BIAS_BUCKET,
-            ((lr * F.col("g")) * F.lit(1.0e6)) / F.lit(n),
-        )
-        .otherwise((lr * F.col("g")) / F.lit(n))
-        .cast("long")
-        .alias("delta")
-    )
+    the bias bucket carries the 1e6 unit factor (nano vs micro).
+    Driver-side Python floats ARE IEEE doubles, so the fold order
+    ``trunc(((lr * g) * 1e6) / n)`` / ``trunc((lr * g) / n)`` is
+    bit-identical to the former in-plan expression (long→double cast,
+    two multiplies, divide, truncate toward zero — int() and Spark's
+    double→long cast agree on every finite in-range value)."""
+    if bucket == BIAS_BUCKET:
+        return int(((LEARNING_RATE * g) * 1.0e6) / n)
+    return int((LEARNING_RATE * g) / n)
 
 
 def train_logreg_milli(
     feats: DataFrame,
     labels: DataFrame,
-    n_docs: int,
+    n_docs: int | None = None,
     steps: int = 3,
 ) -> dict[int, int]:
     """Train integer micro-unit weights (nano-unit bias at bucket -1)
     over the normalized features. ``feats`` = (id, bucket, x) — persist
     it id-partitioned, each step reads it twice; ``labels`` = (id, y)
-    with y in {0, 1}. Returns the weight dict."""
+    with y in {0, 1}. Returns the weight dict.
+
+    ``n_docs=None`` (r15, guide §7.3): the document count is read off
+    the FIRST gradient aggregation instead of a separate count job —
+    the bias feature contributes exactly one (id, -1, 1) row per doc
+    and the gradient join keeps every feats row (labels cover all
+    docs), so the bias bucket's row count IS n_docs."""
     spark = feats.sparkSession
     w: dict[int, int] = {}
-    n = float(n_docs)
+    n = float(n_docs) if n_docs is not None else None
     for _ in range(steps):
         if not w:
             # r14 (guide §1.2 step 1: don't compute what you can prove):
@@ -174,14 +207,23 @@ def train_logreg_milli(
         # build of the per-doc errors avoids re-SORTING feats for a
         # sort-merge join every step; stays scale-sane where a
         # broadcast of N rows would not
-        grad = (
+        grad_rows = (
             feats.join(err.hint("shuffle_hash"), "id")
             .groupBy("bucket")
-            .agg(F.sum(F.col("x") * F.col("err")).alias("g"))
-            .select("bucket", _delta(n))
+            .agg(
+                F.sum(F.col("x") * F.col("err")).alias("g"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()
         )
-        for r in grad.collect():
-            w[r["bucket"]] = w.get(r["bucket"], 0) - r["delta"]
+        if n is None and grad_rows:
+            n = float(
+                next(r["cnt"] for r in grad_rows if r["bucket"] == BIAS_BUCKET)
+            )
+        for r in grad_rows:
+            w[r["bucket"]] = w.get(r["bucket"], 0) - _delta_py(
+                r["bucket"], r["g"], n
+            )
     return w
 
 
@@ -206,17 +248,26 @@ def quality_classifier_stats(
         F.col(text_col).alias("t"),
         is_positive.cast("int").alias("y"),
     )
-    # one corpus exchange total: the id-partitioned persist serves every
-    # step's groupBy(id) and join-on-id without further shuffles of the
-    # feature table (persisted like dsir_select's raw-count table; the
-    # CacheManager dedupes re-invocations on the same corpus)
+    # one corpus exchange total: repartitioning the DOCUMENTS by id
+    # BEFORE the featurize (r15) — hash(id) satisfies the featurize
+    # groupBy's ClusteredDistribution (its keys are a superset of id),
+    # so the feature table is born id-partitioned with zero exchanges
+    # of its own, and every step's groupBy(id) and join-on-id reuse
+    # that one exchange (persisted like dsir_select's raw-count table;
+    # the CacheManager dedupes re-invocations on the same corpus).
+    # The former shape repartitioned the FEATURE table after its own
+    # groupBy(id, bucket) exchange — two exchanges plus a lens join
+    # and a bias-union (three corpus scans) where one exchange and one
+    # scan suffice.
     feats = (
-        normalized_features(base, "id", "t", n_buckets)
-        .repartition("id")
+        normalized_features(
+            base.select("id", "t").repartition("id"), "id", "t", n_buckets
+        )
         .persist()
     )
-    n = base.count()
-    w = train_logreg_milli(feats, base.select("id", "y"), n, steps=steps)
+    # n_docs rides the first gradient aggregation (bias-bucket row
+    # count) — no separate count job (r15, guide §7.3)
+    w = train_logreg_milli(feats, base.select("id", "y"), steps=steps)
     wdf = feats.sparkSession.createDataFrame(
         sorted(w.items()) or [(None, None)], "bucket long, w long"
     ).filter(F.col("bucket").isNotNull())

@@ -28,6 +28,8 @@ Shape of the derived facts (mirrors FACTS_SCHEMA / reference
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from sec_financial_pipeline_spark.sources.testdata import register_views
@@ -172,7 +174,14 @@ def _cached(
         else:
             view = "orders_direct"
             orders.createOrReplaceTempView(view)
-        _memo[key] = spark.sql(sql.replace("FROM orders", f"FROM {view}"))
+        # word-boundary rewrite (NOT a plain substring replace): the
+        # shared SQL must keep parsing identically under DuckDB, so the
+        # Spark side redirects the table reference only where `orders`
+        # is the whole identifier — a future query text containing e.g.
+        # `FROM orders_x` must not be corrupted.
+        _memo[key] = spark.sql(
+            re.sub(r"\bFROM orders\b", f"FROM {view}", sql)
+        )
     return _memo[key]
 
 

@@ -2415,7 +2415,13 @@ def _ivf_trained(spark: SparkSession, sf_dir: str):
         F.col("emb").alias("cvec"),
         F.col("nrm").alias("c_nrm"),
     )
-    cents = kmeans.lloyd(e, seeds, n_iter=_IVF_ITER)
+    # r15 (guide §7.3 driver gaps): materialize=False — lloyd's eager
+    # materialization collects the final codebook and re-creates it as
+    # a local DataFrame, which the collect_codebook right here would
+    # then collect AGAIN (two driver round-trip jobs for one bounded
+    # table). Collecting the final update plan directly returns the
+    # identical rows (collect_codebook sorts deterministically).
+    cents = kmeans.lloyd(e, seeds, n_iter=_IVF_ITER, materialize=False)
     return e, kmeans.collect_codebook(cents), cents.schema
 
 
@@ -2438,15 +2444,27 @@ def _ivf_topk(
     assign = e.select(
         "vec_id", "emb", "nrm", F.array_max(scored)["cluster"].alias("cluster")
     )
+    # r15 (guide §7.3): ONE broadcast of (query, probe cluster, query
+    # vector) instead of two driver-blocking broadcast builds (probes,
+    # then the query vectors joined back on query_id). The former
+    # two-step join produced, per probe pair, the cluster's members
+    # with the query vector attached 1:1 by query_id — attaching the
+    # vector to the probe row up front yields the identical tuples
+    # (q_emb/q_nrm duplicated n_probe times inside a 10-row broadcast).
     probes = (
         e.filter(F.col("vec_id") < 5)
         .select(
             F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
             F.explode(
                 F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
             ).alias("p"),
         )
-        .select("query_id", F.col("p")["cluster"].alias("cluster"))
+        .select(
+            "query_id", "q_emb", "q_nrm",
+            F.col("p")["cluster"].alias("cluster"),
+        )
     )
     cand = (
         assign.join(F.broadcast(probes), "cluster")
@@ -2456,14 +2474,11 @@ def _ivf_topk(
             F.col("vec_id").alias("neighbor_id"),
             F.col("emb").alias("n_emb"),
             F.col("nrm").alias("n_nrm"),
+            "q_emb",
+            "q_nrm",
         )
     )
-    qv = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    sims = cand.join(F.broadcast(qv), "query_id").select(
+    sims = cand.select(
         "query_id",
         "neighbor_id",
         F.round(

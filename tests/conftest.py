@@ -75,8 +75,9 @@ _N_SHARDS = 4
 import re as _re
 
 _SAFE_FLAG = _re.compile(
-    r"^(-q|-v+|-s|--durations=\d+|--durations-min=[\d.]+|--tb=\w+|"
-    r"-r[a-zA-Z]+|--color=\w+|--no-header|--strict-markers|-[lq]+)$"
+    r"^(-q|-v+|-s|-x|--exitfirst|--maxfail=\d+|"
+    r"--durations=\d+|--durations-min=[\d.]+|--tb=\w+|"
+    r"-r[a-zA-Z]+|--color=\w+|--no-header|--strict-markers|-[lqx]+)$"
 )
 
 
@@ -85,8 +86,14 @@ def _whole_suite_invocation(config) -> bool:
         return False
     opt = config.option
     try:
+        # NOTE: opt.maxfail (-x / --maxfail=N) does NOT disqualify — the
+        # round driver's verify invocation is `pytest tests/ -x -q`, and
+        # the serial suite no longer fits its window. The flag is passed
+        # through to every worker: a green run is identical, and a
+        # failing run still fails the master (each worker merely stops
+        # early at its own first failure).
         if (
-            opt.keyword or opt.markexpr or opt.maxfail or getattr(opt, "lf", False)
+            opt.keyword or opt.markexpr or getattr(opt, "lf", False)
             or getattr(opt, "last_failed", False) or getattr(opt, "failedfirst", False)
             or opt.collectonly or opt.usepdb or getattr(opt, "deselect", None)
         ):

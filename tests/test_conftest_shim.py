@@ -132,7 +132,12 @@ def test_shard_runner_gating(monkeypatch):
     assert _whole_suite_invocation(cfg(["-q", "--durations=25", here]))
     assert not _whole_suite_invocation(cfg([os.path.join(here, "test_cli.py")]))
     assert not _whole_suite_invocation(cfg([here], keyword="foo"))
-    assert not _whole_suite_invocation(cfg([here], maxfail=1))
+    # r15: -x / --maxfail SHARD now (the round driver's verify runs
+    # `pytest tests/ -x -q`, and the serial suite does not fit its
+    # window); the flag is in _SAFE_FLAG, so it replays to each worker
+    assert _whole_suite_invocation(cfg(["-x", "-q", here], maxfail=1))
+    assert _whole_suite_invocation(cfg(["--maxfail=2", here], maxfail=2))
+    assert _whole_suite_invocation(cfg(["-xq", here], maxfail=1))
     assert not _whole_suite_invocation(cfg([here], collectonly=True))
     # flags whose VALUES ride in a separate token (or any unknown flag)
     # must force serial — a replayed orphan flag could swallow a shard
