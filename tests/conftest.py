@@ -43,12 +43,13 @@ _FILE_WEIGHTS = {
     "test_determinism.py": 130, "test_snaptable.py": 110,
     "test_cli.py": 90, "test_snapfuzz.py": 55, "test_snap_datasource.py": 55,
     "test_components.py": 50,
-    # r13: the chain fuzz runs all four inner/left combos and the BM25
-    # file carries the delete/update/compact lifecycle storms; r14 adds
-    # the depth-3 chain windows + four-sided storms (+~270s), the
-    # 3-writer matrix, the feedback-loop planner tests, and the
-    # maintained-IVF-PQ differential
-    "test_matview_fuzz.py": 440, "test_bm25.py": 60,
+    # r15: the matview fuzz file alone measured 777s serial — longer
+    # than a balanced shard — so it is SPLIT three ways (base / chain /
+    # chain3+left families); weights are the measured per-family sums
+    # of a --durations=0 run on this box
+    "test_matview_fuzz.py": 290, "test_matview_fuzz_chain.py": 235,
+    "test_matview_fuzz_chain3.py": 275,
+    "test_bm25.py": 60,
     "test_property.py": 45, "test_ivfpq.py": 80,
     "test_snapfuzz_writers.py": 60, "test_planner_qerror.py": 60,
     "test_streaming_ingest.py": 60,
@@ -64,7 +65,12 @@ _FILE_WEIGHTS = {
     "test_serve_ceilings.py": 130, "test_hybrid_serve.py": 130,
 }
 _DEFAULT_WEIGHT = 15
-_N_SHARDS = 4
+# r15: 6 workers — the suite is latency-bound (see above), the serial
+# floor is now the ~290s heaviest FILE, and the driver's verify window
+# needs the whole run comfortably under ~15 min even on a loaded box
+# (the 4-worker run measured 984s wall; VERIFY_r14's window truncated
+# a serial run at ~1030s of progress).
+_N_SHARDS = 6
 
 
 # flags safe to replay verbatim to workers: SELF-CONTAINED single

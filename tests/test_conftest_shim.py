@@ -177,7 +177,7 @@ def test_shard_runner_propagates_worker_failure(monkeypatch, tmp_path):
         def wait(self):
             return self.returncode
 
-    rcs = iter([0, 1, 0, 0])
+    rcs = iter([0, 1] + [0] * (C._N_SHARDS - 2))
     launched = []
 
     def fake_popen(cmd, stdout=None, stderr=None, env=None, cwd=None):
@@ -198,7 +198,7 @@ def test_shard_runner_propagates_worker_failure(monkeypatch, tmp_path):
     )
     rc = C.pytest_cmdline_main(config)
     assert rc == 1
-    assert len(launched) == 4
+    assert len(launched) == C._N_SHARDS
     # flags pass through to every worker; paths are per-shard files
     for cmd in launched:
         assert "-q" in cmd and not any(a.rstrip("/") == "tests" for a in cmd)

@@ -650,540 +650,13 @@ def test_follow_algebraic_cross_term_exact(spark):
 
 
 # ---------------------------------------------------------------------------
-# Follow-mode SNOWFLAKE chains (r13): fact⋈dim1⋈dim2 with EVERY side
-# incrementally maintained — the multilinear identity, one signed term
-# per old/delta choice vector (7 terms for two dims; signs multiply).
-# Deterministic all-terms window first (every term non-empty in ONE
-# refresh), then a three-sided DML storm.
+# Algebraic (min/max-free) follow-mode join view under the two-sided
+# DML storm: exercises the signed-delta fold path end to end (the
+# holistic storms above route through the touched-group recompute).
+# The snowflake-chain and depth-3 families live in
+# test_matview_fuzz_chain.py / test_matview_fuzz_chain3.py (r15 split
+# for shard balance).
 # ---------------------------------------------------------------------------
-
-
-def _chain_expected(
-    rows, sub_of, region_of, how1="inner", how2="inner", aggs="holistic"
-):
-    out = {}
-    for i, (fk, v) in rows.items():
-        if i % 7 == 3:
-            continue
-        if fk in sub_of:
-            sub = sub_of[fk]
-        elif how1 == "left":
-            sub = None  # null-padded at hop 1
-        else:
-            continue
-        if sub is not None and sub in region_of:
-            g = region_of[sub]
-        elif how2 == "left":
-            g = None  # NULL key or no match: null-padded at hop 2
-        else:
-            continue
-        n, sv, nn, mn, nhi = out.get(g, (0, 0, 0, None, 0))
-        n += 1
-        if v is not None:
-            sv += v
-            nn += 1
-            mn = v if mn is None else min(mn, v)
-            if v > 50:
-                nhi += 1
-        out[g] = (n, sv, nn, mn, nhi)
-    full = {
-        g: (
-            n,
-            float(sv) if nn else None,
-            (float(sv) / nn) if nn else None,
-            mn,
-            nhi,
-        )
-        for g, (n, sv, nn, mn, nhi) in out.items()
-    }
-    if aggs == "holistic":
-        return full
-    return {g: (n, sv, av, nhi) for g, (n, sv, av, mn, nhi) in full.items()}
-
-
-def _mk_snow_tables(spark, root, sub_of, region_of, rows):
-    src, d1, d2 = f"{root}/fact", f"{root}/d1", f"{root}/d2"
-    T.create(
-        spark.createDataFrame(sorted(sub_of.items()), "k bigint, sub bigint"),
-        d1,
-    )
-    T.create(
-        spark.createDataFrame(
-            sorted(region_of.items()), "sub2 bigint, region string"
-        ),
-        d2,
-    )
-    T.create(_mkfact(spark, rows), src)
-    return src, d1, d2
-
-
-def _snow_fexpected(rows, sub_of, region_of, aggs="holistic"):
-    return _chain_expected(rows, sub_of, region_of, "inner", "inner", aggs)
-
-
-def _SNOW_JOINS(d1, d2, how1="inner", how2="inner"):
-    return [
-        {"dim": d1, "key": "fk", "dim_key": "k", "dim_cols": ["sub"],
-         "mode": "follow", "how": how1},
-        {"dim": d2, "key": "sub", "dim_key": "sub2", "dim_cols": ["region"],
-         "mode": "follow", "how": how2},
-    ]
-
-
-@pytest.mark.parametrize("hows", [("inner", "inner"), ("left", "left")],
-                         ids=["ii", "ll"])
-@pytest.mark.parametrize("aggs", ["algebraic", "holistic"])
-def test_follow_chain_all_terms_window_exact(spark, aggs, hows):
-    """ONE refresh window where ΔF, ΔD1 and ΔD2 are all non-empty, so
-    every one of the 7 multilinear terms (including the triple-delta
-    sign product) contributes rows — and under left hops, the outer
-    anti/flip terms at BOTH hops too."""
-    how1, how2 = hows
-    use = _JAGGS if aggs == "holistic" else _ALG_JAGGS
-    state = _jview_state if aggs == "holistic" else _alg_view_state
-    root = tempfile.mkdtemp(prefix=f"mvchain_{aggs}_{how1[0]}{how2[0]}_")
-    sub_of = {k: k % 4 for k in range(6)}
-    region_of = {s: f"R{s}" for s in range(3)}  # sub 3 unmatched at hop 2
-    rows = {i: (i % 8, None if i % 11 == 5 else i * 3) for i in range(28)}
-    src, d1, d2 = _mk_snow_tables(spark, root, sub_of, region_of, rows)
-    dst = f"{root}/view"
-    MV.create_matview(
-        spark, src, dst, ["region"], use, where=_JWHERE,
-        join=_SNOW_JOINS(d1, d2, how1, how2),
-    )
-    assert state(spark, dst) == _chain_expected(
-        rows, sub_of, region_of, how1, how2, aggs
-    )
-    # the window: all three tables move
-    T.merge_upsert(
-        spark.createDataFrame([(1, 3)], "k bigint, sub bigint"),
-        d1, key_cols=["k"],
-    )
-    sub_of[1] = 3  # fk-1 facts now route to unmatched sub 3 (drop out)
-    T.delete_where(spark, d1, "k = 2")
-    del sub_of[2]
-    T.append(spark.createDataFrame([(6, 0)], "k bigint, sub bigint"), d1)
-    sub_of[6] = 0  # fk-6 facts enter the view
-    T.append(
-        spark.createDataFrame([(3, "R3")], "sub2 bigint, region string"), d2
-    )
-    region_of[3] = "R3"  # sub-3 routes now MATCH (including fk-1's)
-    T.merge_upsert(
-        spark.createDataFrame([(0, "R0x")], "sub2 bigint, region string"),
-        d2, key_cols=["sub2"],
-    )
-    region_of[0] = "R0x"
-    new = {100: (1, 55), 101: (6, 66), 102: (2, 77), 103: (0, None)}
-    T.append(_mkfact(spark, new), src)
-    rows.update(new)
-    T.delete_where(spark, src, "id % 4 = 2")
-    rows = {i: x for i, x in rows.items() if i % 4 != 2}
-    MV.refresh_matview(spark, dst)
-    assert state(spark, dst) == _chain_expected(
-        rows, sub_of, region_of, how1, how2, aggs
-    )
-    fresh = f"{root}/fresh"
-    MV.create_matview(
-        spark, src, fresh, ["region"], use, where=_JWHERE,
-        join=_SNOW_JOINS(d1, d2, how1, how2),
-    )
-    assert state(spark, dst) == state(spark, fresh)
-    lag = MV.matview_lag(spark, dst)
-    assert lag["behind_versions"] == 0
-    assert [d["dim_behind_versions"] for d in lag["dims"]] == [0, 0]
-
-
-@pytest.mark.parametrize(
-    "hows",
-    [("inner", "inner"), ("left", "left"), ("inner", "left"),
-     ("left", "inner")],
-    ids=["ii", "ll", "il", "li"],
-)
-# 2 seeds per combo by default: the 4-way how matrix already multiplies
-# coverage, and this file anchors the suite's longest shard
-@pytest.mark.parametrize("seed", range(min(SEEDS, 2)))
-def test_follow_chain_three_sided_dml_fuzz(spark, seed, hows):
-    how1, how2 = hows
-    rng = random.Random(22300 + seed)
-    root = tempfile.mkdtemp(prefix="mvcfuzz_")
-    sub_of = {k: k % 5 for k in range(8)}
-    region_of = {s: f"R{s}" for s in range(4)}  # sub 4 dangling
-    rows = {
-        i: (i % 11, None if i % 11 == 5 else i * 3) for i in range(24)
-    }
-    src, d1, d2 = _mk_snow_tables(spark, root, sub_of, region_of, rows)
-    dst = f"{root}/view"
-    MV.create_matview(
-        spark, src, dst, ["region"], _ALG_JAGGS, where=_JWHERE,
-        join=_SNOW_JOINS(d1, d2, how1, how2),
-    )
-    next_id = 1000
-    next_d1k = [8]
-    next_d2k = [4]
-
-    def refresh_and_check(tag):
-        MV.refresh_matview(spark, dst)
-        assert _alg_view_state(spark, dst) == _chain_expected(
-            rows, sub_of, region_of, how1, how2, "algebraic"
-        ), f"seed {seed} {hows} after {tag}: chain follow view diverged"
-
-    ops = ["append", "cow_delete", "dv_delete", "update",
-           "refresh", "refresh", "vacuum",
-           "d1_append", "d1_update", "d1_delete",
-           "d2_append", "d2_update", "d2_delete"]
-
-    for _ in range(OPS):
-        op = rng.choice(ops)
-        if op == "vacuum":
-            # operational discipline (module docstring): every cursor —
-            # fact AND both dims — must stay at/ahead of the reaped
-            # history, so refresh first, then reap all three tables
-            refresh_and_check("pre-vacuum refresh")
-            for t in (src, d1, d2):
-                T.vacuum(spark, t, keep_last=2, min_age_sec=0.0)
-        elif op == "append":
-            new = {
-                i: (i % 11, None if i % 9 == 2 else i % 97)
-                for i in range(next_id, next_id + 5)
-            }
-            next_id += 5
-            T.append(_mkfact(spark, new), src)
-            rows.update(new)
-        elif op in ("cow_delete", "dv_delete"):
-            m, r = rng.choice([(3, 0), (4, 1), (5, 2)])
-            mode = "dv" if op == "dv_delete" else "cow"
-            T.delete_where(spark, src, f"id % {m} = {r}", mode=mode)
-            rows = {i: x for i, x in rows.items() if i % m != r}
-        elif op == "update":
-            m, r = rng.choice([(2, 0), (6, 4)])
-            T.update_where(spark, src, f"id % {m} = {r}", {"v": "v + 1"})
-            rows = {
-                i: (fk, (x + 1) if (i % m == r and x is not None) else x)
-                for i, (fk, x) in rows.items()
-            }
-        elif op == "d1_append":
-            k = next_d1k[0]
-            next_d1k[0] += 1
-            sub = rng.randrange(5)
-            T.append(
-                spark.createDataFrame([(k, sub)], "k bigint, sub bigint"),
-                d1,
-            )
-            sub_of[k] = sub
-        elif op == "d1_update":
-            if not sub_of:
-                continue
-            k = rng.choice(sorted(sub_of))
-            sub = rng.randrange(5)
-            T.merge_upsert(
-                spark.createDataFrame([(k, sub)], "k bigint, sub bigint"),
-                d1, key_cols=["k"],
-            )
-            sub_of[k] = sub
-        elif op == "d1_delete":
-            if not sub_of:
-                continue
-            k = rng.choice(sorted(sub_of))
-            T.delete_where(spark, d1, f"k = {k}")
-            del sub_of[k]
-        elif op == "d2_append":
-            s = next_d2k[0]
-            next_d2k[0] += 1
-            T.append(
-                spark.createDataFrame(
-                    [(s, f"R{s}")], "sub2 bigint, region string"
-                ),
-                d2,
-            )
-            region_of[s] = f"R{s}"
-        elif op == "d2_update":
-            if not region_of:
-                continue
-            s = rng.choice(sorted(region_of))
-            seg = f"RU{rng.randrange(3)}"
-            T.merge_upsert(
-                spark.createDataFrame(
-                    [(s, seg)], "sub2 bigint, region string"
-                ),
-                d2, key_cols=["sub2"],
-            )
-            region_of[s] = seg
-        elif op == "d2_delete":
-            if not region_of:
-                continue
-            s = rng.choice(sorted(region_of))
-            T.delete_where(spark, d2, f"sub2 = {s}")
-            del region_of[s]
-        elif op == "refresh":
-            refresh_and_check("refresh")
-
-    refresh_and_check("final")
-    fresh = f"{root}/fresh"
-    MV.create_matview(
-        spark, src, fresh, ["region"], _ALG_JAGGS, where=_JWHERE,
-        join=_SNOW_JOINS(d1, d2, how1, how2),
-    )
-    assert _alg_view_state(spark, dst) == _alg_view_state(spark, fresh)
-
-
-# ---------------------------------------------------------------------------
-# LEFT follow-mode views (r13): the outer half of the signed delta —
-# ΔF▷D_new null rows plus per-key match-count flips. A dim APPEND of a
-# key that live facts already reference must RETRACT their null-padded
-# rows (and emit joined ones); a dim key-DELETE must re-emit null rows.
-# Deterministic two-sided window first, then the DML storm.
-# ---------------------------------------------------------------------------
-
-
-def _left_fexpected(rows, dimmap):
-    out = {}
-    for i, (fk, v) in rows.items():
-        if i % 7 == 3:
-            continue
-        g = dimmap.get(fk)  # unmatched facts land in the NULL group
-        n, sv, nn, mn, nhi = out.get(g, (0, 0, 0, None, 0))
-        n += 1
-        if v is not None:
-            sv += v
-            nn += 1
-            mn = v if mn is None else min(mn, v)
-            if v > 50:
-                nhi += 1
-        out[g] = (n, sv, nn, mn, nhi)
-    return {
-        g: (
-            n,
-            float(sv) if nn else None,
-            (float(sv) / nn) if nn else None,
-            mn,
-            nhi,
-        )
-        for g, (n, sv, nn, mn, nhi) in out.items()
-    }
-
-
-def _alg_left_fexpected(rows, dimmap):
-    full = _left_fexpected(rows, dimmap)
-    return {g: (n, sv, av, nhi) for g, (n, sv, av, mn, nhi) in full.items()}
-
-
-@pytest.mark.parametrize("aggs", ["algebraic", "holistic"])
-def test_left_follow_cross_window_exact(spark, aggs):
-    """One refresh window containing every left-outer transition: a dim
-    key APPEARS (live facts flip matched — retract nulls), a dim key
-    VANISHES (facts flip unmatched — emit nulls), a dim value UPDATE
-    (group movement, no flip), fact appends referencing matched /
-    unmatched / newly-matched keys, and a fact delete."""
-    use = _JAGGS if aggs == "holistic" else _ALG_JAGGS
-    expect = _left_fexpected if aggs == "holistic" else _alg_left_fexpected
-    state = (
-        _jview_state
-        if aggs == "holistic"
-        else _alg_view_state
-    )
-    root = tempfile.mkdtemp(prefix=f"mvleft_{aggs}_")
-    src, dim, dst = f"{root}/fact", f"{root}/dim", f"{root}/view"
-    dimmap = {k: f"r{k % 3}" for k in range(5)}
-    T.create(
-        spark.createDataFrame(
-            sorted(dimmap.items()), "k bigint, region string"
-        ),
-        dim,
-    )
-    # facts reference fk 0..7: 5,6,7 start unmatched (NULL group)
-    rows = {i: (i % 8, None if i % 11 == 5 else i * 3) for i in range(24)}
-    T.create(_mkfact(spark, rows), src)
-    MV.create_matview(
-        spark, src, dst, ["region"], use, where=_JWHERE,
-        join={"dim": dim, "key": "fk", "dim_key": "k",
-              "dim_cols": ["region"], "mode": "follow", "how": "left"},
-    )
-    assert state(spark, dst) == expect(rows, dimmap)
-    # the window
-    T.append(
-        spark.createDataFrame([(6, "rNEW")], "k bigint, region string"), dim
-    )
-    dimmap[6] = "rNEW"  # fk-6 facts flip matched
-    T.delete_where(spark, dim, "k = 1")
-    del dimmap[1]  # fk-1 facts flip unmatched
-    T.merge_upsert(
-        spark.createDataFrame([(2, "rMOVED")], "k bigint, region string"),
-        dim, key_cols=["k"],
-    )
-    dimmap[2] = "rMOVED"  # group movement, no flip
-    new = {100: (1, 41), 101: (6, 52), 102: (5, 63), 103: (2, None)}
-    T.append(_mkfact(spark, new), src)
-    rows.update(new)
-    T.delete_where(spark, src, "id % 4 = 1")
-    rows = {i: x for i, x in rows.items() if i % 4 != 1}
-    MV.refresh_matview(spark, dst)
-    assert state(spark, dst) == expect(rows, dimmap)
-    fresh = f"{root}/fresh"
-    MV.create_matview(
-        spark, src, fresh, ["region"], use, where=_JWHERE,
-        join={"dim": dim, "key": "fk", "dim_key": "k",
-              "dim_cols": ["region"], "mode": "follow", "how": "left"},
-    )
-    assert state(spark, dst) == state(spark, fresh)
-
-
-@pytest.mark.parametrize("seed", range(SEEDS))
-def test_left_follow_matview_two_sided_fuzz(spark, seed):
-    """The full two-sided DML storm over a LEFT follow view with
-    algebraic-only aggregates: every refresh folds the trilinear inner
-    terms AND the outer anti/flip terms through _algebraic_delta."""
-    rng = random.Random(19900 + seed)
-    root = tempfile.mkdtemp(prefix="mvlfuzz_")
-    src, dim, dst = f"{root}/fact", f"{root}/dim", f"{root}/view"
-
-    dimmap = {k: f"r{k % 3}" for k in range(10)}
-    T.create(
-        spark.createDataFrame(
-            sorted(dimmap.items()), "k bigint, region string"
-        ),
-        dim,
-    )
-    rows = {
-        i: (i % 14, None if i % 11 == 5 else i * 3) for i in range(24)
-    }
-    T.create(_mkfact(spark, rows), src)
-    history = {1: dict(rows)}
-    retained = {1}
-    MV.create_matview(
-        spark, src, dst, ["region"], _ALG_JAGGS, where=_JWHERE,
-        join={"dim": dim, "key": "fk", "dim_key": "k",
-              "dim_cols": ["region"], "mode": "follow", "how": "left"},
-    )
-    next_id = 1000
-    next_dimk = [10]
-    deleted_dimk = []
-
-    def refresh_and_check(tag):
-        MV.refresh_matview(spark, dst)
-        assert _alg_view_state(spark, dst) == _alg_left_fexpected(
-            rows, dimmap
-        ), f"seed {seed} after {tag}: LEFT follow view diverged"
-
-    ops = ["append", "merge", "cow_delete", "dv_delete", "update",
-           "compact", "rollback", "vacuum", "refresh", "refresh",
-           "dim_append", "dim_update", "dim_delete", "dim_reinsert"]
-
-    for _ in range(OPS):
-        op = rng.choice(ops)
-        if op == "append":
-            new = {
-                i: (i % 14, None if i % 9 == 2 else i % 97)
-                for i in range(next_id, next_id + 6)
-            }
-            next_id += 6
-            v = T.append(_mkfact(spark, new), src)
-            rows.update(new)
-            history[v] = dict(rows)
-            retained.add(v)
-        elif op == "merge":
-            upd = {
-                i: (rows[i][0], (rows[i][1] or 0) + 100)
-                for i in sorted(rows)[:2]
-            }
-            ins = {next_id: (rng.randrange(14), 7)}
-            next_id += 1
-            inc = {**upd, **ins}
-            v = T.merge_upsert(_mkfact(spark, inc), src, key_cols=["id"])
-            rows.update(inc)
-            history[v] = dict(rows)
-            retained.add(v)
-        elif op in ("cow_delete", "dv_delete"):
-            m, r = rng.choice([(3, 0), (4, 1), (5, 2)])
-            hit = {i for i in rows if i % m == r}
-            mode = "dv" if op == "dv_delete" else "cow"
-            v = T.delete_where(spark, src, f"id % {m} = {r}", mode=mode)
-            if hit:
-                rows = {i: x for i, x in rows.items() if i not in hit}
-                history[v] = dict(rows)
-                retained.add(v)
-        elif op == "update":
-            m, r = rng.choice([(2, 0), (6, 4)])
-            hit = {i for i in rows if i % m == r}
-            v = T.update_where(spark, src, f"id % {m} = {r}", {"v": "v + 1"})
-            if hit:
-                rows = {
-                    i: (fk, (x + 1) if (i in hit and x is not None) else x)
-                    for i, (fk, x) in rows.items()
-                }
-                history[v] = dict(rows)
-                retained.add(v)
-        elif op == "compact":
-            v = T.compact(spark, src, target_files=1)
-            history[v] = dict(rows)
-            retained.add(v)
-        elif op == "rollback":
-            candidates = sorted(retained - {max(history)})
-            if not candidates:
-                continue
-            to = rng.choice(candidates)
-            v = T.rollback(spark, src, to_version=to)
-            rows = dict(history[to])
-            history[v] = dict(rows)
-            retained.add(v)
-        elif op == "vacuum":
-            refresh_and_check("pre-vacuum refresh")
-            T.vacuum(spark, src, keep_last=2, min_age_sec=0.0)
-            retained = set(sorted(retained)[-2:]) | {max(history)}
-        elif op == "dim_append":
-            k = next_dimk[0]
-            next_dimk[0] += 1
-            T.append(
-                spark.createDataFrame(
-                    [(k, f"r{k % 3}")], "k bigint, region string"
-                ),
-                dim,
-            )
-            dimmap[k] = f"r{k % 3}"
-        elif op == "dim_update":
-            if not dimmap:
-                continue
-            k = rng.choice(sorted(dimmap))
-            seg = f"rU{rng.randrange(3)}"
-            T.merge_upsert(
-                spark.createDataFrame(
-                    [(k, seg)], "k bigint, region string"
-                ),
-                dim,
-                key_cols=["k"],
-            )
-            dimmap[k] = seg
-        elif op == "dim_delete":
-            if not dimmap:
-                continue
-            k = rng.choice(sorted(dimmap))
-            T.delete_where(spark, dim, f"k = {k}")
-            del dimmap[k]
-            deleted_dimk.append(k)
-        elif op == "dim_reinsert":
-            # the zero -> positive flip in its purest form: a key whose
-            # facts currently sit in the NULL group comes BACK
-            if not deleted_dimk:
-                continue
-            k = deleted_dimk.pop(rng.randrange(len(deleted_dimk)))
-            T.append(
-                spark.createDataFrame(
-                    [(k, f"rB{k % 3}")], "k bigint, region string"
-                ),
-                dim,
-            )
-            dimmap[k] = f"rB{k % 3}"
-        elif op == "refresh":
-            refresh_and_check("refresh")
-
-    refresh_and_check("final")
-    fresh = f"{root}/fresh"
-    MV.create_matview(
-        spark, src, fresh, ["region"], _ALG_JAGGS, where=_JWHERE,
-        join={"dim": dim, "key": "fk", "dim_key": "k",
-              "dim_cols": ["region"], "mode": "follow", "how": "left"},
-    )
-    assert _alg_view_state(spark, dst) == _alg_view_state(spark, fresh)
-
 
 @pytest.mark.parametrize("seed", range(SEEDS))
 def test_follow_join_matview_algebraic_two_sided_fuzz(spark, seed):
@@ -1323,409 +796,3 @@ def test_follow_join_matview_algebraic_two_sided_fuzz(spark, seed):
               "dim_cols": ["region"], "mode": "follow"},
     )
     assert _alg_view_state(spark, dst) == _alg_view_state(spark, fresh)
-
-
-# ---------------------------------------------------------------------------
-# DEPTH-3 follow chains (r14 — VERDICT r13 item 7): fact⋈d1⋈d2⋈d3 with
-# EVERY side incrementally maintained. The per-hop composition in
-# _follow_feed_chain is written for any length but was only evidenced
-# at n<=2 dims; all-inner at n=3 expands to 2^4−1 = 15 multilinear
-# choice terms. Deterministic all-four-sides window first, then a
-# three-dim DML storm, then the steady-state receipt: with all three
-# dims quiet the refresh folds ONE term per hop — its job count equals
-# the single-dim follow view's (asserted, not claimed).
-# ---------------------------------------------------------------------------
-
-
-def _chain3_expected(rows, sub_of, reg_of, zone_of, hows):
-    how1, how2, how3 = hows
-    out = {}
-    for i, (fk, v) in rows.items():
-        if i % 7 == 3:
-            continue
-        if fk in sub_of:
-            sub = sub_of[fk]
-        elif how1 == "left":
-            sub = None
-        else:
-            continue
-        if sub is not None and sub in reg_of:
-            reg = reg_of[sub]
-        elif how2 == "left":
-            reg = None
-        else:
-            continue
-        if reg is not None and reg in zone_of:
-            z = zone_of[reg]
-        elif how3 == "left":
-            z = None
-        else:
-            continue
-        n, sv, nn, nhi = out.get(z, (0, 0, 0, 0))
-        n += 1
-        if v is not None:
-            sv += v
-            nn += 1
-            if v > 50:
-                nhi += 1
-        out[z] = (n, sv, nn, nhi)
-    return {
-        z: (
-            n,
-            float(sv) if nn else None,
-            (float(sv) / nn) if nn else None,
-            nhi,
-        )
-        for z, (n, sv, nn, nhi) in out.items()
-    }
-
-
-def _zone_state(spark, dst):
-    return {
-        r.zone: (r.n, r.sv, r.av, r.nhi)
-        for r in MV.read_matview(spark, dst).collect()
-    }
-
-
-def _mk_chain3_tables(spark, root, sub_of, reg_of, zone_of, rows):
-    src = f"{root}/fact"
-    d1, d2, d3 = f"{root}/d1", f"{root}/d2", f"{root}/d3"
-    T.create(
-        spark.createDataFrame(sorted(sub_of.items()), "k bigint, sub bigint"),
-        d1,
-    )
-    T.create(
-        spark.createDataFrame(
-            sorted(reg_of.items()), "sub2 bigint, reg string"
-        ),
-        d2,
-    )
-    T.create(
-        spark.createDataFrame(
-            sorted(zone_of.items()), "reg2 string, zone string"
-        ),
-        d3,
-    )
-    T.create(_mkfact(spark, rows), src)
-    return src, d1, d2, d3
-
-
-def _CHAIN3_JOINS(d1, d2, d3, hows):
-    how1, how2, how3 = hows
-    return [
-        {"dim": d1, "key": "fk", "dim_key": "k", "dim_cols": ["sub"],
-         "mode": "follow", "how": how1},
-        {"dim": d2, "key": "sub", "dim_key": "sub2", "dim_cols": ["reg"],
-         "mode": "follow", "how": how2},
-        {"dim": d3, "key": "reg", "dim_key": "reg2", "dim_cols": ["zone"],
-         "mode": "follow", "how": how3},
-    ]
-
-
-@pytest.mark.parametrize(
-    "hows",
-    [("inner", "inner", "inner"), ("left", "left", "left"),
-     ("inner", "left", "inner"), ("left", "inner", "left")],
-    ids=["iii", "lll", "ili", "lil"],
-)
-def test_follow_chain3_all_terms_window_exact(spark, hows):
-    """ONE refresh window where ΔF, ΔD1, ΔD2 AND ΔD3 are all non-empty,
-    so every one of the 15 multilinear terms (including the quadruple
-    sign product) contributes rows — and under left hops, the outer
-    anti/flip terms at every left position too."""
-    root = tempfile.mkdtemp(prefix=f"mvc3_{''.join(h[0] for h in hows)}_")
-    sub_of = {k: k % 4 for k in range(6)}          # fks 6,7 dangle at hop 1
-    reg_of = {s: "ABC"[s] for s in range(3)}       # sub 3 dangles at hop 2
-    zone_of = {"A": "Z0", "B": "Z1"}               # reg C dangles at hop 3
-    rows = {i: (i % 8, None if i % 11 == 5 else i * 3) for i in range(28)}
-    src, d1, d2, d3 = _mk_chain3_tables(
-        spark, root, sub_of, reg_of, zone_of, rows
-    )
-    dst = f"{root}/view"
-    MV.create_matview(
-        spark, src, dst, ["zone"], _ALG_JAGGS, where=_JWHERE,
-        join=_CHAIN3_JOINS(d1, d2, d3, hows),
-    )
-    assert _zone_state(spark, dst) == _chain3_expected(
-        rows, sub_of, reg_of, zone_of, hows
-    )
-    # the window: all FOUR tables move
-    T.merge_upsert(
-        spark.createDataFrame([(1, 3)], "k bigint, sub bigint"),
-        d1, key_cols=["k"],
-    )
-    sub_of[1] = 3  # fk-1 facts now route to sub 3 (dangling at hop 2)
-    T.delete_where(spark, d1, "k = 2")
-    del sub_of[2]
-    T.append(spark.createDataFrame([(6, 0)], "k bigint, sub bigint"), d1)
-    sub_of[6] = 0  # fk-6 facts enter at hop 1
-    T.append(
-        spark.createDataFrame([(3, "D")], "sub2 bigint, reg string"), d2
-    )
-    reg_of[3] = "D"  # sub-3 routes now match hop 2 (reg D, new at hop 3)
-    T.merge_upsert(
-        spark.createDataFrame([(0, "B")], "sub2 bigint, reg string"),
-        d2, key_cols=["sub2"],
-    )
-    reg_of[0] = "B"
-    T.append(
-        spark.createDataFrame([("D", "Z3")], "reg2 string, zone string"), d3
-    )
-    zone_of["D"] = "Z3"  # reg D matches at hop 3 (fk-1's new route lands)
-    T.merge_upsert(
-        spark.createDataFrame([("A", "Z0x")], "reg2 string, zone string"),
-        d3, key_cols=["reg2"],
-    )
-    zone_of["A"] = "Z0x"
-    T.delete_where(spark, d3, "reg2 = 'B'")
-    del zone_of["B"]  # reg-B facts flip unmatched at hop 3
-    new = {100: (1, 55), 101: (6, 66), 102: (2, 77), 103: (0, None)}
-    T.append(_mkfact(spark, new), src)
-    rows.update(new)
-    T.delete_where(spark, src, "id % 4 = 2")
-    rows = {i: x for i, x in rows.items() if i % 4 != 2}
-    MV.refresh_matview(spark, dst)
-    assert _zone_state(spark, dst) == _chain3_expected(
-        rows, sub_of, reg_of, zone_of, hows
-    )
-    fresh = f"{root}/fresh"
-    MV.create_matview(
-        spark, src, fresh, ["zone"], _ALG_JAGGS, where=_JWHERE,
-        join=_CHAIN3_JOINS(d1, d2, d3, hows),
-    )
-    assert _zone_state(spark, dst) == _zone_state(spark, fresh)
-    lag = MV.matview_lag(spark, dst)
-    assert lag["behind_versions"] == 0
-    assert [d["dim_behind_versions"] for d in lag["dims"]] == [0, 0, 0]
-
-
-@pytest.mark.parametrize(
-    "hows",
-    [("inner", "inner", "inner"), ("left", "left", "left")],
-    ids=["iii", "lll"],
-)
-@pytest.mark.parametrize("seed", range(min(SEEDS, 2)))
-def test_follow_chain3_four_sided_dml_fuzz(spark, seed, hows):
-    rng = random.Random(31400 + seed)
-    root = tempfile.mkdtemp(prefix="mvc3fuzz_")
-    sub_of = {k: k % 5 for k in range(8)}
-    reg_of = {s: "ABCD"[s % 4] for s in range(4)}  # sub 4 dangling
-    zone_of = {"A": "Z0", "B": "Z1", "C": "Z2"}    # reg D dangling
-    rows = {
-        i: (i % 11, None if i % 11 == 5 else i * 3) for i in range(24)
-    }
-    src, d1, d2, d3 = _mk_chain3_tables(
-        spark, root, sub_of, reg_of, zone_of, rows
-    )
-    dst = f"{root}/view"
-    MV.create_matview(
-        spark, src, dst, ["zone"], _ALG_JAGGS, where=_JWHERE,
-        join=_CHAIN3_JOINS(d1, d2, d3, hows),
-    )
-    next_id = 1000
-    next_d1k = [8]
-    next_d2k = [4]
-    regs = "ABCDEF"
-
-    def refresh_and_check(tag):
-        MV.refresh_matview(spark, dst)
-        assert _zone_state(spark, dst) == _chain3_expected(
-            rows, sub_of, reg_of, zone_of, hows
-        ), f"seed {seed} {hows} after {tag}: depth-3 follow view diverged"
-
-    ops = ["append", "cow_delete", "dv_delete", "update",
-           "refresh", "refresh", "vacuum",
-           "d1_append", "d1_update", "d1_delete",
-           "d2_append", "d2_update", "d2_delete",
-           "d3_append", "d3_update", "d3_delete"]
-
-    for _ in range(OPS):
-        op = rng.choice(ops)
-        if op == "vacuum":
-            refresh_and_check("pre-vacuum refresh")
-            for t in (src, d1, d2, d3):
-                T.vacuum(spark, t, keep_last=2, min_age_sec=0.0)
-        elif op == "append":
-            new = {
-                i: (i % 11, None if i % 9 == 2 else i % 97)
-                for i in range(next_id, next_id + 5)
-            }
-            next_id += 5
-            T.append(_mkfact(spark, new), src)
-            rows.update(new)
-        elif op in ("cow_delete", "dv_delete"):
-            m, r = rng.choice([(3, 0), (4, 1), (5, 2)])
-            mode = "dv" if op == "dv_delete" else "cow"
-            T.delete_where(spark, src, f"id % {m} = {r}", mode=mode)
-            rows = {i: x for i, x in rows.items() if i % m != r}
-        elif op == "update":
-            m, r = rng.choice([(2, 0), (6, 4)])
-            T.update_where(spark, src, f"id % {m} = {r}", {"v": "v + 1"})
-            rows = {
-                i: (fk, (x + 1) if (i % m == r and x is not None) else x)
-                for i, (fk, x) in rows.items()
-            }
-        elif op == "d1_append":
-            k = next_d1k[0]
-            next_d1k[0] += 1
-            sub = rng.randrange(5)
-            T.append(
-                spark.createDataFrame([(k, sub)], "k bigint, sub bigint"),
-                d1,
-            )
-            sub_of[k] = sub
-        elif op == "d1_update":
-            if not sub_of:
-                continue
-            k = rng.choice(sorted(sub_of))
-            sub = rng.randrange(5)
-            T.merge_upsert(
-                spark.createDataFrame([(k, sub)], "k bigint, sub bigint"),
-                d1, key_cols=["k"],
-            )
-            sub_of[k] = sub
-        elif op == "d1_delete":
-            if not sub_of:
-                continue
-            k = rng.choice(sorted(sub_of))
-            T.delete_where(spark, d1, f"k = {k}")
-            del sub_of[k]
-        elif op == "d2_append":
-            s = next_d2k[0]
-            next_d2k[0] += 1
-            reg = regs[rng.randrange(len(regs))]
-            T.append(
-                spark.createDataFrame(
-                    [(s, reg)], "sub2 bigint, reg string"
-                ),
-                d2,
-            )
-            reg_of[s] = reg
-        elif op == "d2_update":
-            if not reg_of:
-                continue
-            s = rng.choice(sorted(reg_of))
-            reg = regs[rng.randrange(len(regs))]
-            T.merge_upsert(
-                spark.createDataFrame(
-                    [(s, reg)], "sub2 bigint, reg string"
-                ),
-                d2, key_cols=["sub2"],
-            )
-            reg_of[s] = reg
-        elif op == "d2_delete":
-            if not reg_of:
-                continue
-            s = rng.choice(sorted(reg_of))
-            T.delete_where(spark, d2, f"sub2 = {s}")
-            del reg_of[s]
-        elif op == "d3_append":
-            cand = [r for r in regs if r not in zone_of]
-            if not cand:
-                continue
-            reg = rng.choice(cand)
-            z = f"Z{rng.randrange(4)}"
-            T.append(
-                spark.createDataFrame(
-                    [(reg, z)], "reg2 string, zone string"
-                ),
-                d3,
-            )
-            zone_of[reg] = z
-        elif op == "d3_update":
-            if not zone_of:
-                continue
-            reg = rng.choice(sorted(zone_of))
-            z = f"ZU{rng.randrange(3)}"
-            T.merge_upsert(
-                spark.createDataFrame(
-                    [(reg, z)], "reg2 string, zone string"
-                ),
-                d3, key_cols=["reg2"],
-            )
-            zone_of[reg] = z
-        elif op == "d3_delete":
-            if not zone_of:
-                continue
-            reg = rng.choice(sorted(zone_of))
-            T.delete_where(spark, d3, f"reg2 = '{reg}'")
-            del zone_of[reg]
-        elif op == "refresh":
-            refresh_and_check("refresh")
-
-    refresh_and_check("final")
-    fresh = f"{root}/fresh"
-    MV.create_matview(
-        spark, src, fresh, ["zone"], _ALG_JAGGS, where=_JWHERE,
-        join=_CHAIN3_JOINS(d1, d2, d3, hows),
-    )
-    assert _zone_state(spark, dst) == _zone_state(spark, fresh)
-
-
-def test_follow_chain3_quiet_dims_steady_state_job_count(spark):
-    """The steady-state claim, asserted: when only the FACT moved, the
-    depth-3 chain refresh folds one term per hop (Δ⋈D1⋈D2⋈D3, dims
-    broadcast) — it schedules exactly as many Spark jobs as the
-    single-dim follow refresh over the same delta, and both sit under
-    the matview_refresh ceiling. A regression that makes quiet dims
-    contribute terms (or re-reads a dim change feed) adds scheduling
-    rounds and fails here."""
-    root = tempfile.mkdtemp(prefix="mvc3jobs_")
-    sub_of = {k: k % 4 for k in range(8)}
-    reg_of = {s: "ABCD"[s] for s in range(4)}
-    zone_of = {r: f"Z{i % 2}" for i, r in enumerate("ABCD")}
-    rows = {i: (i % 8, i * 3) for i in range(40)}
-    src, d1, d2, d3 = _mk_chain3_tables(
-        spark, root, sub_of, reg_of, zone_of, rows
-    )
-    dst3, dst1 = f"{root}/view3", f"{root}/view1"
-    MV.create_matview(
-        spark, src, dst3, ["zone"], _ALG_JAGGS, where=_JWHERE,
-        join=_CHAIN3_JOINS(d1, d2, d3, ("inner", "inner", "inner")),
-    )
-    MV.create_matview(
-        spark, src, dst1, ["sub"], _ALG_JAGGS, where=_JWHERE,
-        join={"dim": d1, "key": "fk", "dim_key": "k",
-              "dim_cols": ["sub"], "mode": "follow"},
-    )
-    next_id = [1000]
-
-    def append_batch():
-        new = {i: (i % 8, i % 97) for i in range(next_id[0], next_id[0] + 6)}
-        next_id[0] += 6
-        T.append(_mkfact(spark, new), src)
-
-    def jobs_for(tag, dst):
-        sc = spark.sparkContext
-        sc.setJobGroup(tag, tag)
-        MV.refresh_matview(spark, dst)
-        sc.setLocalProperty("spark.jobGroup.id", None)
-        return len(sc.statusTracker().getJobIdsForGroup(tag))
-
-    # warm cycle: both views fold one fact-only batch off-measurement
-    append_batch()
-    jobs_for("mvc3:warm1", dst1)
-    jobs_for("mvc3:warm3", dst3)
-    # measured cycle: the SAME fact-only delta through both views
-    append_batch()
-    n1 = jobs_for("mvc3:one", dst1)
-    n3 = jobs_for("mvc3:three", dst3)
-    # each extra hop may add at most ONE job: the broadcast-exchange
-    # collect of its (small) dim — an O(dim) cost every join strategy
-    # pays. Anything beyond that means a quiet hop contributed terms
-    # (an O(fact_old) scan) or re-read a dim change feed.
-    assert 0 < n3 <= n1 + 2, (
-        f"quiet-dims depth-3 refresh scheduled {n3} jobs vs {n1} for the "
-        "single-dim view over the same delta — a quiet hop is "
-        "contributing terms or re-reading a dim feed"
-    )
-    # absolute backstop mirroring tests/test_job_counts.py's
-    # matview_refresh ceiling (one O(delta) fold cycle)
-    assert n3 <= 20
-    # and the folds were correct, not just cheap
-    assert _zone_state(spark, dst3) == _chain3_expected(
-        {i: x for i, x in rows.items()} | {
-            i: (i % 8, i % 97) for i in range(1000, next_id[0])
-        },
-        sub_of, reg_of, zone_of, ("inner", "inner", "inner"),
-    )
