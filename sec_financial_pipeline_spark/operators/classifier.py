@@ -11,17 +11,19 @@ Training is K full-batch gradient-descent steps expressed as Spark
 aggregations — no MLlib, no Python in the hot path:
 
 1. featurize once: hashed unigram+bigram occurrence counts per doc
-   (:func:`~sec_financial_pipeline_spark.operators.selection.doc_gram_buckets`,
-   the same tokenization pass the DSIR selector uses), LENGTH-
-   NORMALIZED to integer milli-units ``x = trunc(cnt * 1000 / len)``
-   (the fastText mean-of-features shape: without normalization the
-   margin is dominated by document length and the label signal drowns
-   — measured). The bias is the classic constant-1 feature, stored as
-   bucket ``-1`` with ``x = 1`` so each step needs ONE gradient
-   aggregation, not a separate bias job. The feature table is
-   persisted HASH-PARTITIONED BY id: every step's margin groupBy(id)
-   and gradient join-on-id then reuse that one exchange instead of
-   re-shuffling the corpus-sized table per step.
+   (the same gram family and ``_bucket`` hash the DSIR selector uses,
+   fused into a single pass here — see :func:`normalized_features`),
+   LENGTH-NORMALIZED to integer milli-units
+   ``x = trunc(cnt * 1000 / len)`` (the fastText mean-of-features
+   shape: without normalization the margin is dominated by document
+   length and the label signal drowns — measured). The bias is the
+   classic constant-1 feature, stored as bucket ``-1`` with ``x = 1``
+   so each step needs ONE gradient aggregation, not a separate bias
+   job. The documents are hash-partitioned by id BEFORE the featurize
+   and the feature table is persisted with that partitioning: every
+   step's margin groupBy(id) and gradient join-on-id then reuse that
+   one exchange instead of re-shuffling the corpus-sized table per
+   step.
 2. per step: margin ``z_nano_i = Σ_b x_ib * w_b`` via a broadcast join
    with the B-row weight table and one groupBy(doc) — exact BIGINT
    arithmetic; per-doc error ``round((sigmoid(z/1e9) - y) * 1000)``
