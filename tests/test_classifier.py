@@ -177,3 +177,79 @@ def test_zero_steps_keeps_everything(spark):
     ).collect()
     for r in got:
         assert r["n_keep"] == r["n_docs"] and r["score_milli"] == 0
+
+
+def test_featurize_single_pass_and_exchange_free_when_id_partitioned(spark):
+    """r15 plan + value gate: normalized_features computes counts,
+    length normalization AND the bias feature in one pass — fed an
+    id-partitioned input, its physical plan carries exactly ONE
+    exchange (the caller's repartition; hash(id) satisfies the
+    groupBy's ClusteredDistribution), and the values match a
+    hand-computed witness including the bias rows."""
+    from sec_financial_pipeline_spark.operators.classifier import (
+        normalized_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "x"), (3, "a b a")],
+        "id long, t string",
+    )
+    feats = normalized_features(docs.repartition("id"), "id", "t", _B)
+    plan = feats._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re as _re
+
+    n_ex = len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M))
+    assert n_ex == 1, plan
+
+    got = {(r["id"], r["bucket"]): r["x"] for r in feats.collect()}
+    # witness: doc 1/3 = tokens [a,b,a] + bigrams ["a b","b a"], ln=3;
+    # doc 2 = [x], ln=1; bias bucket -1 with x=1 for every doc
+    def x(cnt, ln):
+        return int(cnt * 1000.0 / ln)
+
+    want = {}
+    for d, grams, ln in (
+        (1, ["a", "b", "a", "a b", "b a"], 3),
+        (3, ["a", "b", "a", "a b", "b a"], 3),
+        (2, ["x"], 1),
+    ):
+        cnts: dict[int, int] = {}
+        for g in grams:
+            cnts[_bucket(g)] = cnts.get(_bucket(g), 0) + 1
+        for b, c in cnts.items():
+            want[(d, b)] = x(c, ln)
+        want[(d, -1)] = 1
+    assert got == want
+
+
+def test_train_derives_n_docs_from_bias_rows(spark):
+    """r15: with n_docs omitted, train_logreg_milli reads the doc
+    count off the first gradient aggregation (the bias bucket's row
+    count) — the weights must be identical to an explicit n_docs."""
+    from sec_financial_pipeline_spark.operators.classifier import (
+        normalized_features,
+        train_logreg_milli,
+    )
+
+    rows = _corpus()
+    docs = spark.createDataFrame(
+        [(i, t) for i, _, t, _ in rows], "id long, t string"
+    )
+    labels = spark.createDataFrame(
+        [(i, y) for i, _, _, y in rows], "id long, y int"
+    )
+    feats = normalized_features(
+        docs.repartition("id"), "id", "t", _B
+    ).persist()
+    try:
+        w_auto = train_logreg_milli(feats, labels, steps=2)
+        w_explicit = train_logreg_milli(
+            feats, labels, n_docs=len(rows), steps=2
+        )
+    finally:
+        feats.unpersist()
+    assert w_auto == w_explicit and w_auto

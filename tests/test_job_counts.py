@@ -57,6 +57,13 @@ def _jobs_for(spark, name, fn):
         # build phase
         ("unigram_apply", 14),
         ("bm25_serve", 16),
+        # r15 fusions: IVF train-in-query after the double-collect /
+        # fused-broadcast diet (12 jobs warm at sf0.01; pre-r14 shape
+        # was 23) and the classifier after the one-pass featurize +
+        # n-rides-the-gradient change (16 warm) — a breach means a
+        # collect or a featurize pass grew back
+        ("emb_ivf_ann", 16),
+        ("classifier", 21),
     ],
 )
 def test_job_count_ceiling(spark, name, ceiling):
@@ -76,7 +83,9 @@ def test_job_count_ceiling(spark, name, ceiling):
         q_doc_unigram_apply_serve,
     )
     from sec_financial_pipeline_spark.registry.similarity import (
+        q_doc_quality_classifier,
         q_emb_bm25_serve,
+        q_emb_ivf_ann,
     )
 
     fn = {
@@ -85,6 +94,8 @@ def test_job_count_ceiling(spark, name, ceiling):
         "unigram_train": q_doc_unigram,
         "unigram_apply": q_doc_unigram_apply_serve,
         "bm25_serve": q_emb_bm25_serve,
+        "emb_ivf_ann": q_emb_ivf_ann,
+        "classifier": q_doc_quality_classifier,
     }.get(name) or all_queries()[name].fn
     n = _jobs_for(spark, name, fn)
     assert 0 < n <= ceiling, (
